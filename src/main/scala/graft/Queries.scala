@@ -1,0 +1,227 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.{Knn, Upsert}
+import graft.sources.Tables
+
+/** Implementations behind SparkEntry.queries — one def per operator in
+  * SURVEY.md §2. Each takes (spark, sfDir) and returns a DataFrame whose
+  * schema/ordering exactly mirrors the DuckDB oracle in [[Oracles]].
+  */
+object Queries {
+
+  private val ts19980101 = Timestamp.valueOf("1998-01-01 00:00:00")
+
+  /** Query vector = the embedding of a fixed vec_id. One driver-side row
+    * fetch — in a serving flow this vector arrives with the request
+    * (reference: SearchRequest.vectors, src/models/request/search.rs).
+    */
+  private def queryVec(spark: SparkSession, dir: String, vecId: Long): Array[Float] =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") === vecId)
+      .select("embedding")
+      .first()
+      .getSeq[Float](0)
+      .toArray
+
+  // =====================================================================
+  // A. Vector-DB core
+  // =====================================================================
+
+  /** FLAT/L2 exact k-NN (reference: faiss "IDMap,Flat" + MetricType::L2). */
+  def knnFlatL2(spark: SparkSession, dir: String): DataFrame =
+    Knn.searchExact(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec(spark, dir, 0L), k = 10, metric = "l2")
+
+  /** FLAT/IP exact k-NN (reference: MetricType::InnerProduct). */
+  def knnFlatIp(spark: SparkSession, dir: String): DataFrame =
+    Knn.searchExact(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec(spark, dir, 0L), k = 10, metric = "ip")
+
+  /** Cosine top-k (reference: usearch MetricKind::Cos analog). */
+  def knnCosine(spark: SparkSession, dir: String): DataFrame =
+    Knn.searchExact(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec(spark, dir, 0L), k = 10, metric = "cosine")
+
+  /** Batch k-NN: every vec_id % 100 == 0 row is a query; top-5 L2 each. */
+  def knnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
+        k = 5, metric = "l2")
+      .orderBy("q_id", "rank")
+  }
+
+  /** Filtered k-NN, Operation::Equal (reference: filter_index.rs:47-52):
+    * label == 3 pre-filter, then exact L2 top-10. The filter reaches the
+    * parquet scan as a pushed predicate — the distributed twin of the
+    * reference's roaring-bitmap pre-filter.
+    */
+  def filteredKnnEq(spark: SparkSession, dir: String): DataFrame =
+    Knn.searchExact(
+      Tables.embeddings(spark, dir).where(col("label") === 3),
+      "vec_id", "embedding", queryVec(spark, dir, 1L), k = 10, metric = "l2")
+
+  /** Filtered k-NN, Operation::NotEqual (reference: filter_index.rs:53-60). */
+  def filteredKnnNe(spark: SparkSession, dir: String): DataFrame =
+    Knn.searchExact(
+      Tables.embeddings(spark, dir).where(col("label") =!= 3),
+      "vec_id", "embedding", queryVec(spark, dir, 1L), k = 10, metric = "l2")
+
+  /** Latest-wins upsert (reference: VectorDatabase::upsert,
+    * src/db/vector_database.rs:24-83). Updates: every vec_id % 7 == 0 gets
+    * label+100; every vec_id % 97 == 0 also inserts a brand-new id.
+    */
+  def upsert(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val updates = emb.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), (col("label") + 100).as("label"))
+      .unionAll(emb.where(col("vec_id") % 97 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), lit(-1).as("label")))
+    Upsert.merge(emb, updates, "vec_id").orderBy("vec_id")
+  }
+
+  /** Point lookup (reference: query_handle.rs — get document by id). */
+  def queryById(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") === 42L)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Materialized inverted filter index: value → id-set summary
+    * (reference: FilterIndex::update_int_field_filter, filter_index.rs:67-104;
+    * the roaring bitmap per value is summarized as count/min/max/sum since
+    * a bitmap is not a relational value).
+    */
+  def filterIndexBuild(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label").as("value"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        min("vec_id").as("min_id"),
+        max("vec_id").as("max_id"),
+        sum("vec_id").as("id_sum"))
+      .orderBy("value")
+
+  /** Per-index stats (reference: IndexFactory bookkeeping, index_factory.rs). */
+  def indexStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(size(col("embedding")).as("dim"), vecNorm(col("embedding")).as("nrm"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("nrm"), 4).as("avg_norm"),
+        round(min("nrm"), 4).as("min_norm"),
+        round(max("nrm"), 4).as("max_norm"))
+      .orderBy("dim")
+
+  // =====================================================================
+  // E. Analytics / events
+  // =====================================================================
+
+  /** TPC-H Q1 pricing summary — partial-aggregation heavy. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shipping priority — broadcast dim join + agg + top-n.
+    * Ordering uses the *rounded* revenue so Spark's parallel double
+    * summation and DuckDB's sequential one agree on the sort key.
+    */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).where(col("o_orderdate") < lit(ts19980101))
+    val li = Tables.lineitem(spark, dir).where(col("l_shipdate") > lit(ts19980101))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        col("revenue"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style 6-table join: revenue by nation within a region. */
+  def q5Local(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("o_orderdate") < lit(Timestamp.valueOf("1999-01-01 00:00:00")))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+                             col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Tumbling-window event aggregation (batch twin of the streaming path). */
+  def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("HOUR", col("ts"))).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Top-5 events per type by value (window-function top-n). */
+  def eventsTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("event_type"), col("rank"), col("event_id"), round(col("value"), 4).as("value"))
+      .orderBy("event_type", "rank")
+  }
+
+  /** Gap-based sessionization: new session when >30 min since the user's
+    * previous event. Integer-microsecond timestamps keep the gap test
+    * bit-identical to the oracle.
+    */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("brk",
+        when(lag(col("t_us"), 1).over(byUser).isNull ||
+             col("t_us") - lag(col("t_us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("event_id").as("first_event_id"),
+        max("event_id").as("last_event_id"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+}

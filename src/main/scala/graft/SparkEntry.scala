@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.knnBatch(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A. vector-DB core
+    "knn_flat_l2" -> (Queries.knnFlatL2 _),
+    "knn_flat_ip" -> (Queries.knnFlatIp _),
+    "knn_cosine" -> (Queries.knnCosine _),
+    "knn_batch" -> (Queries.knnBatch _),
+    "filtered_knn_eq" -> (Queries.filteredKnnEq _),
+    "filtered_knn_ne" -> (Queries.filteredKnnNe _),
+    "upsert" -> (Queries.upsert _),
+    "query_by_id" -> (Queries.queryById _),
+    "filter_index_build" -> (Queries.filterIndexBuild _),
+    "index_stats" -> (Queries.indexStats _),
+    // E. analytics / events
+    "q1_agg" -> (Queries.q1Agg _),
+    "q3_shipping" -> (Queries.q3Shipping _),
+    "q5_local" -> (Queries.q5Local _),
+    "events_windowed" -> (Queries.eventsWindowed _),
+    "events_topn" -> (Queries.eventsTopN _),
+    "events_sessionize" -> (Queries.eventsSessionize _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Oracles.sql.filter { case (k, _) => queries.contains(k) }
 }

@@ -1,0 +1,270 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for vector math over `ARRAY<FLOAT>`.
+  *
+  * These are the hot path of every k-NN / dedup operator, so they are
+  * implemented with `doGenCode` (primitive `float` loops, accumulation
+  * in `double`, no boxing) and stay inside whole-stage codegen. The
+  * interpreted `nullSafeEval` path computes the identical left-to-right
+  * loop, so results are bit-stable across code paths — which is what
+  * lets the DuckDB oracle (same sequential double arithmetic) hash-match.
+  *
+  * Distance semantics follow the reference engine's metrics
+  * (reference: src/core/index_factory.rs:41-48 — `L2`, `InnerProduct`;
+  * faiss FLAT returns *squared* L2 but we expose true L2 via sqrt and
+  * squared-L2 separately; ordering is identical either way).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+}
+
+/** dot(a, b) = Σ a_i * b_i, accumulated in double, left to right. */
+case class VecDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance = Σ (a_i - b_i)^2 (faiss FLAT/L2 semantics). */
+case class VecL2Sq(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_l2sq"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Cosine similarity = dot(a,b) / (||a|| * ||b||); 0.0 when either norm is 0. */
+case class VecCosine(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ||a||_2 — used for norm bucketing and normalization. */
+case class VecNorm(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_norm"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var acc = 0.0; var i = 0
+    while (i < a.numElements()) {
+      val x = a.getFloat(i).toDouble; acc += x * x; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over an array of pre-hashed tokens (LONGs in [0, 2^60)).
+  *
+  * bit_i(result) = 1 iff Σ_tokens (bit_i(h) ? +1 : -1) > 0.
+  * Token hashing is left to SQL (`conv(substr(md5(tok),1,15),16,10)`)
+  * so the DuckDB oracle can reproduce it exactly.
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash60"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < a.numElements()) {
+      val h = a.getLong(i)
+      var j = 0
+      while (j < 60) { counts(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1); j += 1 }
+      i += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 60) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val counts = ctx.freshName("counts"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < 60; $j++) {
+         |    $counts[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 60; $j++) {
+         |  if ($counts[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature of `numHashes` permutations over pre-hashed shingles.
+  *
+  * sig_j = min over shingle hashes h of ((2j+1) * (h mod P) + (j*j + 7)) mod P,
+  * P = 2^31 - 1. One codegen pass over the shingle array — signatures
+  * for 100 TB of documents are a narrow map-side projection, no shuffle.
+  * Returns NULL for empty shingle arrays (matches list_min of [] in SQL).
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+  private val P = 2147483647L
+
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hv = a.getLong(i) % P
+      var j = 0
+      while (j < numHashes) {
+        val x = ((2L * j + 1L) * hv + (j.toLong * j + 7L)) % P
+        if (x < sig(j)) sig(j) = x
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val hv = ctx.freshName("hv"); val x = ctx.freshName("x"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $sig = new long[$numHashes];
+         |  java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $hv = $a.getLong($i) % ${P}L;
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $x = ((2L * $j + 1L) * $hv + ((long) $j * $j + 7L)) % ${P}L;
+         |      if ($x < $sig[$j]) $sig[$j] = $x;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($sig);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

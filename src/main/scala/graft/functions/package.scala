@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{functions => F}
+
+/** Column-API surface of the engine's custom Catalyst expressions,
+  * plus the text-pipeline building blocks (expressed with built-in
+  * codegen'd functions so the DuckDB oracle can mirror them 1:1).
+  */
+package object functions {
+
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  /** Inner product (reference MetricType::InnerProduct, index_factory.rs:44). */
+  def vecDot(a: Column, b: Column): Column = col(VecDot(expr(a), expr(b)))
+
+  /** Squared L2 distance (faiss FLAT L2 semantics). */
+  def vecL2Sq(a: Column, b: Column): Column = col(VecL2Sq(expr(a), expr(b)))
+
+  /** True L2 distance. */
+  def vecL2(a: Column, b: Column): Column = F.sqrt(vecL2Sq(a, b))
+
+  /** Cosine similarity. */
+  def vecCosine(a: Column, b: Column): Column = col(VecCosine(expr(a), expr(b)))
+
+  /** L2 norm. */
+  def vecNorm(a: Column): Column = col(VecNorm(expr(a)))
+
+  /** 60-bit SimHash over pre-hashed tokens (ARRAY<LONG>). */
+  def simHash60(tokenHashes: Column): Column = col(SimHash60(expr(tokenHashes)))
+
+  /** MinHash signature (ARRAY<LONG> of length numHashes) over pre-hashed shingles. */
+  def minHashSig(shingleHashes: Column, numHashes: Int): Column =
+    col(MinHashSig(expr(shingleHashes), numHashes))
+
+  // ---------------------------------------------------------------------
+  // Text building blocks. All built-ins (codegen'd), all mirrored in the
+  // DuckDB oracles — see graft.Oracles.
+  // ---------------------------------------------------------------------
+
+  /** Lowercased alphanumeric word tokens. */
+  def wordTokens(text: Column): Column =
+    F.filter(F.split(F.lower(F.regexp_replace(text, "[^A-Za-z0-9]+", " ")), " "), t => F.length(t) > 0)
+
+  /** Deterministic 60-bit hash of a string token: first 15 hex chars of md5. */
+  def tokenHash60(tok: Column): Column =
+    F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"]. */
+  def wordShingles(tokens: Column, n: Int): Column =
+    F.transform(
+      F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+      i => F.concat_ws(" ", (0 until n).map(j => F.element_at(tokens, i + j)): _*))
+
+  // F.substring historically takes Int pos; route Column pos through the
+  // SQL function registry (still fully codegen'd).
+  private def substrDyn(text: Column, pos: Column, len: Int): Column =
+    F.call_function("substring", text, pos, F.lit(len))
+
+  /** Character n-gram shingles of a string. */
+  def charShingles(text: Column, n: Int): Column =
+    F.transform(
+      F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0))),
+      i => substrDyn(text, i, n))
+
+  /** Polynomial rolling-hash fingerprint of a string (mod 1e9+7, base 31).
+    * acc_0 = 0; acc_{i+1} = (acc_i * 31 + ascii(char_i)) mod (1e9+7).
+    */
+  def rollingFingerprint(text: Column): Column =
+    F.aggregate(
+      F.transform(F.sequence(F.lit(1), F.length(text)), i => F.ascii(substrDyn(text, i, 1)).cast("long")),
+      F.lit(0L),
+      (acc, c) => (acc * 31L + c) % 1000000007L)
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** A scored candidate flowing into the top-k aggregator. */
+case class Neighbor(id: Long, dist: Double)
+
+/** Bounded top-k by (dist ASC, id ASC) as a partial-aggregable Aggregator.
+  *
+  * This is the Spark re-expression of the reference's k-NN search
+  * (reference: src/router/handle/search_index_handle.rs:47-105): instead
+  * of a per-query heap over an in-memory index, each *partition* keeps a
+  * bounded buffer and ships at most 2k rows per group into the shuffle
+  * (map-side combine), so shuffle volume is O(#queries × k) and
+  * independent of base-table size — the property that matters at 100 TB.
+  */
+class TopKNeighbors(k: Int) extends Aggregator[Neighbor, Seq[Neighbor], Seq[Neighbor]] {
+  private val cap = math.max(2 * k, 64)
+
+  private def compact(buf: Seq[Neighbor]): Seq[Neighbor] =
+    buf.sortBy(n => (n.dist, n.id)).take(k)
+
+  override def zero: Seq[Neighbor] = Vector.empty
+
+  override def reduce(buf: Seq[Neighbor], in: Neighbor): Seq[Neighbor] = {
+    val next = buf :+ in
+    if (next.size >= cap) compact(next) else next
+  }
+
+  override def merge(a: Seq[Neighbor], b: Seq[Neighbor]): Seq[Neighbor] = compact(a ++ b)
+
+  override def finish(buf: Seq[Neighbor]): Seq[Neighbor] = compact(buf)
+
+  override def bufferEncoder: Encoder[Seq[Neighbor]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
+  override def outputEncoder: Encoder[Seq[Neighbor]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Neighbor]]()
+}
+
+object Knn {
+
+  /** Distance column for a metric name, matching index_factory.rs metrics.
+    * "l2" = true L2 (ascending), "l2sq" = squared L2 (ascending, faiss FLAT),
+    * "ip" = inner product (descending ⇒ negated so smaller is better),
+    * "cosine" = cosine similarity (descending ⇒ negated).
+    */
+  def score(metric: String, a: Column, b: Column): Column = metric match {
+    case "l2"     => vecL2(a, b)
+    case "l2sq"   => vecL2Sq(a, b)
+    case "ip"     => -vecDot(a, b)
+    case "cosine" => -vecCosine(a, b)
+    case other    => throw new IllegalArgumentException(s"unknown metric $other")
+  }
+
+  /** Exact single-query k-NN (reference FLAT index search).
+    *
+    * `orderBy(...).limit(k)` lowers to TakeOrderedAndProject: a
+    * per-partition bounded heap + driver merge of k rows per partition —
+    * no global sort, no shuffle of the base table.
+    *
+    * Output: (rank, id, metric value rounded to 4dp), deterministic
+    * tie-break on id.
+    */
+  def searchExact(
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      metric: String): DataFrame = {
+    val s = score(metric, col(vecCol), typedLit(queryVec))
+    val flip = metric == "ip" || metric == "cosine"
+    val scored = base
+      .select(col(idCol).as("id"), s.as("score"))
+      .orderBy(col("score"), col("id"))
+      .limit(k)
+    // rank assigned after the top-k cut; row_number over k rows is trivial.
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))))
+      .select(col("rank"), col("id"),
+        round(if (flip) -col("score") else col("score"), 4).as("value"))
+  }
+
+  /** Batch k-NN: top-k per query row, queries broadcast against the base.
+    *
+    * The broadcast hash join keeps the base table partition-local; the
+    * TopKNeighbors aggregator then partially aggregates per partition, so
+    * the only shuffle is O(#queries × k) buffered heaps.
+    */
+  def searchBatch(
+      base: DataFrame,
+      baseId: String,
+      baseVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      metric: String): DataFrame = {
+    val spark = base.sparkSession
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
+
+    val scored = base.crossJoin(broadcast(queries))
+      .select(
+        col(queryId).as("q_id"),
+        col(baseId).as("id"),
+        score(metric, col(baseVec), col(queryVec)).as("dist"))
+
+    val flip = metric == "ip" || metric == "cosine"
+    scored
+      .groupBy(col("q_id"))
+      .agg(topk(col("id"), col("dist")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).as("rank"),
+        col("n.id").as("n_id"),
+        round(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+  }
+}
