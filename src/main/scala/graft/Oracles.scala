@@ -28,6 +28,27 @@ object Oracles {
   private def cosine(a: String, b: String): String =
     s"(${dot(a, b)} / (${norm(a)} * ${norm(b)}))"
 
+  // ----- text-pipeline building blocks (mirror graft.functions 1:1) -----
+
+  /** Lowercased alphanumeric word tokens of `documents.text`. */
+  private val toks =
+    "list_filter(string_split(lower(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0)"
+
+  /** 60-bit token hash: first 15 hex chars of md5, parsed via fold
+    * (DuckDB has no conv()). Mirrors graft.functions.tokenHash60.
+    */
+  private def tokenHash60(t: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16), " +
+      s"ii -> CAST(strpos('0123456789abcdef', substr(md5($t), ii, 1)) - 1 AS BIGINT))), (a, d) -> a * 16 + d)"
+
+  private def stopCount(words: Seq[String]): String =
+    s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  private val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "pas")
+  private val stopEs = Seq("el", "los", "y", "es", "que", "se", "por", "con", "para", "no")
+
   /** Single-query exact k-NN: score ascending, deterministic id tie-break.
     * `valueExpr` maps the ascending score back to the reported metric.
     */
@@ -84,6 +105,117 @@ object Oracles {
          |SELECT dim, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
          |       round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
          |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // ================= B. deduplication =================
+
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1 ORDER BY keep_id",
+
+    "dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
+         |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+         |       FROM t),
+         |hs AS (SELECT doc_id, list_transform(sh, s -> ${tokenHash60("s")}) AS hs FROM sh WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, list_transform(range(0, 32), j ->
+         |          list_min(list_transform(hs, h -> ((2*j + 1) * (h % 2147483647) + (j*j + 7)) % 2147483647))) AS sig
+         |        FROM hs),
+         |bands AS (SELECT doc_id, sig, r.range AS band, list_slice(sig, r.range * 4 + 1, r.range * 4 + 4) AS bucket
+         |          FROM sig, range(0, 8) r),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |est AS (SELECT a_id, b_id,
+         |          list_sum(list_transform(range(1, 33), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
+         |        FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, round(e, 4) AS est_sim FROM est WHERE e >= 0.25 ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |hs AS (SELECT doc_id, list_transform(toks, t -> ${tokenHash60("t")}) AS hs FROM t),
+         |sg AS (SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+         |         CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |              THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS sig
+         |       FROM hs),
+         |bands AS (SELECT doc_id, sig, r.range AS band, (sig >> (r.range * 15)) & 32767 AS band_key
+         |          FROM sg, range(0, 4) r),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |hm AS (SELECT a_id, b_id, bit_count(xor(sa.sig, sb.sig)) AS hamming
+         |       FROM cand JOIN sg sa ON sa.doc_id = a_id JOIN sg sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, hamming FROM hm WHERE hamming <= 8 ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (SELECT source AS blk, doc_id,
+        |  list_distinct(CASE WHEN len(text) < 3 THEN [] ELSE
+        |    list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)) END) AS g
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |      FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.65 ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |             ${cosine("a.embedding", "b.embedding")} AS c
+         |           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, round(c, 4) AS cosine FROM p WHERE c >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+
+    // ================= C. text analysis =================
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |c AS (SELECT doc_id, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
+         |        ${stopCount(stopFr)} AS n_fr, ${stopCount(stopEs)} AS n_es FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+         |       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+         |       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+         |       WHEN n_fr >= n_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred,
+         |  n_en, n_de, n_fr, n_es
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |x AS (SELECT doc_id, text, toks, len(toks) AS n_tok, ${stopCount(stopEn)} AS n_stop FROM t),
+         |y AS (SELECT doc_id, n_tok,
+         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS ml,
+         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS pr,
+         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sr
+         |  FROM x)
+         |SELECT doc_id, n_tok, round(ml, 4) AS mean_len,
+         |  round(CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |    0.25 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
+         |    0.25 * greatest(0.0, 1.0 - abs(ml - 5.0) / 5.0) +
+         |    0.25 * least(sr * 5.0, 1.0) +
+         |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END, 4) AS score
+         |FROM y ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(text) = 0 THEN CAST(0 AS BIGINT) ELSE
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 1000000007) END AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ================= D. multimodal =================
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
+        |  octet_length(encode(text)) % 640 AS width,
+        |  octet_length(encode(text)) % 480 AS height,
+        |  octet_length(encode(text)) % 16 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // ================= E. analytics / events =================
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Knn, Upsert}
+import graft.operators.{Dedup, Knn, TextAnalysis, Upsert}
 import graft.sources.Tables
 
 /** Implementations behind SparkEntry.queries — one def per operator in
@@ -120,6 +120,64 @@ object Queries {
         round(min("nrm"), 4).as("min_norm"),
         round(max("nrm"), 4).as("max_norm"))
       .orderBy("dim")
+
+  // =====================================================================
+  // B. Deduplication
+  // =====================================================================
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir), "doc_id", "text")
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text", minEst = 0.25)
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      blockCol = "source", n = 3, minJaccard = 0.65)
+
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      blockCol = "label", minCosine = 0.35)
+
+  // =====================================================================
+  // C. Text analysis
+  // =====================================================================
+
+  def textLangid(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(spark, dir), "doc_id", "text")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(spark, dir), "doc_id", "text")
+
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(Tables.documents(spark, dir), "doc_id", "text")
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  // =====================================================================
+  // D. Multimodal (binary payload plumbing; decode stubbed)
+  // =====================================================================
+
+  /** Binary media-column plumbing: a deterministic utf-8 payload stands in
+    * for image/audio bytes (no codec libs in this container); the typed
+    * metadata extraction — byte length, content digest, fake decoded
+    * dimensions — is the real Spark-side schema/plumbing under test.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        (octet_length(col("payload")) % 640).as("width"),
+        (octet_length(col("payload")) % 480).as("height"),
+        (octet_length(col("payload")) % 16 + 1).as("n_frames"))
+      .orderBy("doc_id")
 
   // =====================================================================
   // E. Analytics / events

@@ -22,6 +22,19 @@ object SparkEntry {
     "query_by_id" -> (Queries.queryById _),
     "filter_index_build" -> (Queries.filterIndexBuild _),
     "index_stats" -> (Queries.indexStats _),
+    // B. deduplication
+    "dedup_exact" -> (Queries.dedupExact _),
+    "dedup_minhash" -> (Queries.dedupMinhash _),
+    "dedup_simhash" -> (Queries.dedupSimhash _),
+    "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_embedding" -> (Queries.dedupEmbedding _),
+    // C. text analysis
+    "text_langid" -> (Queries.textLangid _),
+    "text_quality" -> (Queries.textQuality _),
+    "text_tokens" -> (Queries.textTokens _),
+    "text_fingerprint" -> (Queries.textFingerprint _),
+    // D. multimodal
+    "multimodal_meta" -> (Queries.multimodalMeta _),
     // E. analytics / events
     "q1_agg" -> (Queries.q1Agg _),
     "q3_shipping" -> (Queries.q3Shipping _),

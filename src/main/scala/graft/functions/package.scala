@@ -49,22 +49,27 @@ package object functions {
   def tokenHash60(tok: Column): Column =
     F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
 
-  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"]. */
+  /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
+    * (Guarded: sequence(1, 0) would count DOWN in Spark, so short inputs
+    * return an empty array explicitly.)
+    */
   def wordShingles(tokens: Column, n: Int): Column =
-    F.transform(
-      F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
-      i => F.concat_ws(" ", (0 until n).map(j => F.element_at(tokens, i + j)): _*))
+    F.when(F.size(tokens) < n, F.array().cast("array<string>"))
+      .otherwise(F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+        i => F.concat_ws(" ", (0 until n).map(j => F.element_at(tokens, i + j)): _*)))
 
   // F.substring historically takes Int pos; route Column pos through the
   // SQL function registry (still fully codegen'd).
   private def substrDyn(text: Column, pos: Column, len: Int): Column =
     F.call_function("substring", text, pos, F.lit(len))
 
-  /** Character n-gram shingles of a string. */
+  /** Character n-gram shingles of a string (same short-input guard). */
   def charShingles(text: Column, n: Int): Column =
-    F.transform(
-      F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0))),
-      i => substrDyn(text, i, n))
+    F.when(F.length(text) < n, F.array().cast("array<string>"))
+      .otherwise(F.transform(
+        F.sequence(F.lit(1), F.length(text) - (n - 1)),
+        i => substrDyn(text, i, n)))
 
   /** Polynomial rolling-hash fingerprint of a string (mod 1e9+7, base 31).
     * acc_0 = 0; acc_{i+1} = (acc_i * 31 + ascii(char_i)) mod (1e9+7).

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Text-analysis operators for LLM-pipeline curation: language ID,
+  * quality scoring, token counting, fingerprinting. All pure map-side
+  * projections of built-in (codegen'd) functions — at 100 TB these run
+  * at scan speed with zero shuffle.
+  */
+object TextAnalysis {
+
+  val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+  val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "pas")
+  val stopEs = Seq("el", "los", "y", "es", "que", "se", "por", "con", "para", "no")
+
+  private def stopCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+
+  /** Stopword-vote language ID with deterministic priority en>de>fr>es. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wordTokens(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+        stopCount(toks, stopEn).as("n_en"), stopCount(toks, stopDe).as("n_de"),
+        stopCount(toks, stopFr).as("n_fr"), stopCount(toks, stopEs).as("n_es"))
+      .withColumn("lang_pred",
+        when(col("n_en") === 0 && col("n_de") === 0 && col("n_fr") === 0 && col("n_es") === 0, "und")
+          .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
+          .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
+          .when(col("n_fr") >= col("n_es"), "fr")
+          .otherwise("es"))
+      .select("doc_id", "lang_pred", "n_en", "n_de", "n_fr", "n_es")
+      .orderBy("doc_id")
+  }
+
+  /** Heuristic quality score in [0,1] from token count, mean token
+    * length, stopword ratio, punctuation ratio. Arithmetic is written in
+    * the exact order the oracle mirrors (IEEE ops are order-sensitive).
+    */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wordTokens(col(textCol))
+    docs.select(
+        col(idCol).as("doc_id"), col(textCol).as("text"),
+        toks.as("toks"), size(toks).as("n_tok"),
+        stopCount(toks, stopEn).as("n_stop"))
+      .withColumn("mean_len",
+        when(col("n_tok") === 0, 0.0).otherwise(
+          aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+            .cast("double") / col("n_tok").cast("double")))
+      .withColumn("punct_ratio",
+        when(length(col("text")) === 0, 0.0).otherwise(
+          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+            length(col("text")).cast("double")))
+      .withColumn("stop_ratio",
+        when(col("n_tok") === 0, 0.0)
+          .otherwise(col("n_stop").cast("double") / col("n_tok").cast("double")))
+      .withColumn("score",
+        when(col("n_tok") === 0, 0.0).otherwise(
+          lit(0.25) * least(col("n_tok").cast("double") / 50.0, lit(1.0)) +
+          lit(0.25) * greatest(lit(0.0), lit(1.0) - abs(col("mean_len") - 5.0) / 5.0) +
+          lit(0.25) * least(col("stop_ratio") * 5.0, lit(1.0)) +
+          lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0)))))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("mean_len"), 4).as("mean_len"), round(col("score"), 4).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace tokens + BPE-ish segment count (letters runs / single
+    * digits / punctuation marks — a proxy for byte-pair token counts).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        col(idCol).as("doc_id"),
+        when(length(trim(col(textCol))) === 0, 0)
+          .otherwise(size(split(trim(col(textCol)), "\\s+"))).as("n_ws_tokens"),
+        regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Polynomial rolling-hash fingerprint (base 31 mod 1e9+7) over the
+    * raw character stream.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+        col(idCol).as("doc_id"),
+        when(length(col(textCol)) === 0, 0L)
+          .otherwise(rollingFingerprint(col(textCol))).as("fp"))
+      .orderBy("doc_id")
+}
