@@ -78,6 +78,9 @@ object Oracles {
          |       n_id, round(score, 4) AS value
          |FROM d QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
+    // IVF with nprobe=K probes every cluster ⇒ exact brute force.
+    "ann_ivf_exact" -> knnSql(l2("e.embedding", "q.qv"), "score", "", 2, 10),
+
     "filtered_knn_eq" -> knnSql(l2("e.embedding", "q.qv"), "score", "WHERE e.label = 3", 1, 10),
 
     "filtered_knn_ne" -> knnSql(l2("e.embedding", "q.qv"), "score", "WHERE e.label <> 3", 1, 10),

@@ -75,6 +75,38 @@ object Queries {
       Tables.embeddings(spark, dir).where(col("label") =!= 3),
       "vec_id", "embedding", queryVec(spark, dir, 1L), k = 10, metric = "l2")
 
+  /** IVF with nprobe = K: every cluster probed ⇒ provably identical to
+    * exact brute force (the oracle hash-matches knnSql), while exercising
+    * the full build-assign-prune-rerank pipeline.
+    */
+  def annIvfExact(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fit(emb, "embedding", k = 16)
+    operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
+      queryVec(spark, dir, 2L), k = 10, nprobe = 16, metric = "l2")
+  }
+
+  /** IVF approximate search: nprobe 4 of 16 ⇒ ~25% of the data scanned.
+    * Rows-only driver check; recall property covered in AnnSpec.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fit(emb, "embedding", k = 16)
+    operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
+      queryVec(spark, dir, 2L), k = 10, nprobe = 4, metric = "l2")
+  }
+
+  /** LSH-bucketed ANN: 4 seeded hyperplanes (16 buckets), multi-probe
+    * Hamming radius 1 (5 of 16 buckets), exact re-rank. Rows-only driver
+    * check; behavior properties in AnnSpec.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val planes = operators.LshIndex.planes(nBits = 4, dim = 64)
+    operators.LshIndex.search(emb, "vec_id", "embedding", planes,
+      queryVec(spark, dir, 3L), k = 10, radius = 1, metric = "l2")
+  }
+
   /** Latest-wins upsert (reference: VectorDatabase::upsert,
     * src/db/vector_database.rs:24-83). Updates: every vec_id % 7 == 0 gets
     * label+100; every vec_id % 97 == 0 also inserts a brand-new id.

@@ -16,6 +16,9 @@ object SparkEntry {
     "knn_flat_ip" -> (Queries.knnFlatIp _),
     "knn_cosine" -> (Queries.knnCosine _),
     "knn_batch" -> (Queries.knnBatch _),
+    "ann_ivf_exact" -> (Queries.annIvfExact _),
+    "ann_ivf" -> (Queries.annIvf _),
+    "ann_lsh" -> (Queries.annLsh _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),
     "upsert" -> (Queries.upsert _),

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** ANN-index expressions: cluster/bucket assignment over `ARRAY<FLOAT>`.
+  *
+  * These are the Spark re-expression of the reference's ANN index *build*
+  * (reference: src/core/index/hnsw_index.rs, usearch_index.rs — graph
+  * inserts): on Spark an index is a derived *layout column* (cluster id /
+  * LSH bucket), computed in one codegen'd map-side pass, that later
+  * queries prune on. The centroid/plane matrices ride along as reference
+  * objects in generated code — no boxing, no UDF serialization.
+  */
+
+/** Index (0-based) of the nearest centroid by squared L2; ties break to
+  * the lowest index. The IVF "coarse quantizer".
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(a.numElements(), cent.length)
+      var acc = 0.0; var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - cent(i).toDouble
+        acc += d * d; i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val cent = ctx.freshName("cent")
+      s"""
+         |int $best = 0; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  float[] $cent = $cents[$c];
+         |  int $n = java.lang.Math.min($a.numElements(), $cent.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $cent[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket: bit i set iff dot(vec, plane_i) > 0.
+  * With b planes the bucket is in [0, 2^b).
+  */
+case class LshBucket(child: Expression, planes: Array[Array[Float]])
+    extends UnaryExpression {
+  override def prettyName: String = "lsh_bucket"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var bucket = 0
+    var p = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      val n = math.min(a.numElements(), plane.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a.getFloat(i).toDouble * plane(i).toDouble; i += 1 }
+      if (acc > 0.0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pls = ctx.addReferenceObj("planes", planes, "float[][]")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val bucket = ctx.freshName("bucket")
+      val plane = ctx.freshName("plane")
+      s"""
+         |int $bucket = 0;
+         |for (int $p = 0; $p < $pls.length; $p++) {
+         |  float[] $plane = $pls[$p];
+         |  int $n = java.lang.Math.min($a.numElements(), $plane.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $plane[$i];
+         |  }
+         |  if ($acc > 0.0) $bucket |= (1 << $p);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -260,7 +260,7 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
          |      if ($x < $sig[$j]) $sig[$j] = $x;
          |    }
          |  }
-         |  ${ev.value} = org.apache.spark.sql.catalyst.util.UnsafeArrayData.fromPrimitiveArray($sig);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
          |}
        """.stripMargin
     })

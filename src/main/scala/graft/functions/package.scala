@@ -29,6 +29,14 @@ package object functions {
   /** L2 norm. */
   def vecNorm(a: Column): Column = col(VecNorm(expr(a)))
 
+  /** 0-based nearest-centroid id (IVF coarse quantizer). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    col(NearestCentroid(expr(vec), centroids))
+
+  /** Random-hyperplane LSH bucket id in [0, 2^planes). */
+  def lshBucket(vec: Column, planes: Array[Array[Float]]): Column =
+    col(LshBucket(expr(vec), planes))
+
   /** 60-bit SimHash over pre-hashed tokens (ARRAY<LONG>). */
   def simHash60(tokenHashes: Column): Column = col(SimHash60(expr(tokenHashes)))
 

@@ -1,0 +1,130 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** IVF (inverted-file) ANN index — the batch re-expression of the
+  * reference's ANN indexes (reference: src/core/index/hnsw_index.rs,
+  * usearch_index.rs; IndexFactory keying in index_factory.rs:72-168).
+  *
+  * HNSW is a pointer-chasing graph and anti-Spark; the idiomatic
+  * distributed equivalent with the same contract (approximate k-NN with
+  * tunable recall) is IVF: KMeans centroids as a coarse quantizer, a
+  * cluster-id column as the "index", and nprobe-of-K cluster pruning at
+  * search. At 100 TB the cluster id becomes a parquet partition column
+  * ([[IvfIndex.writePartitioned]]) so pruning happens at file-listing
+  * time — the scan never touches the (K - nprobe)/K excluded fraction.
+  *
+  * nprobe = K degenerates to exact brute force, which is what lets the
+  * DuckDB oracle hash-match `ann_ivf_exact` while `ann_ivf` keeps the
+  * approximate fast path.
+  */
+object IvfIndex {
+
+  /** Fit K centroids on a bounded sample (invariant to total table size —
+    * at 100 TB this still fits one executor's sample). MLlib KMeans with a
+    * fixed seed; centroids come back as plain float matrices so search
+    * needs no MLlib at all.
+    */
+  def fit(emb: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
+          maxSample: Long = 100000L): Array[Array[Float]] = {
+    val n = emb.count()
+    val frac = math.min(1.0, maxSample.toDouble / math.max(1L, n))
+    val sampled = if (frac < 1.0) emb.sample(withReplacement = false, frac, seed) else emb
+    val vecs = sampled.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20).fit(vecs)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Cluster-assignment column (codegen'd; the "index build" map pass). */
+  def assign(vec: Column, centroids: Array[Array[Float]]): Column =
+    graft.functions.nearestCentroid(vec, centroids)
+
+  /** Driver-side coarse quantization of the query: the nprobe nearest
+    * centroid ids, by L2, ties to lower id. Centroids are tiny (K × dim
+    * floats) so this is O(K·dim) on the driver — no job.
+    */
+  def probes(queryVec: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var acc = 0.0; var j = 0
+      val n = math.min(c.length, queryVec.length)
+      while (j < n) { val d = queryVec(j).toDouble - c(j).toDouble; acc += d * d; j += 1 }
+      (acc, i)
+    }.sortBy(identity).take(math.min(nprobe, centroids.length)).map(_._2).toSeq
+
+  /** IVF search: prune to the nprobe probed clusters, then exact re-rank.
+    * The cluster filter is a codegen'd predicate on the scan (and a
+    * partition filter when the table is written via
+    * [[writePartitioned]]); the re-rank is [[Knn.searchExact]]'s
+    * TakeOrderedAndProject — so per-query cost is
+    * O(data × nprobe / K + k log k), never a global sort.
+    */
+  def search(emb: DataFrame, idCol: String, vecCol: String,
+             centroids: Array[Array[Float]], queryVec: Array[Float],
+             k: Int, nprobe: Int, metric: String = "l2"): DataFrame = {
+    val probed = probes(queryVec, centroids, nprobe)
+    val pruned = emb.where(assign(col(vecCol), centroids).isin(probed: _*))
+    Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
+  }
+
+  /** The 100 TB layout: materialize the table partitioned by cluster id so
+    * [[readPruned]]'s `cluster IN (...)` predicate prunes at file-listing
+    * time (partition pruning — zero IO for unprobed clusters).
+    */
+  def writePartitioned(emb: DataFrame, vecCol: String,
+                       centroids: Array[Array[Float]], path: String): Unit =
+    emb.withColumn("cluster", assign(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+  def readPruned(spark: SparkSession, path: String, probed: Seq[Int]): DataFrame =
+    spark.read.parquet(path).where(col("cluster").isin(probed: _*))
+}
+
+/** Random-hyperplane LSH ANN index (reference analog: the second ANN
+  * backend, usearch_index.rs). Deterministic seeded planes → an int
+  * bucket column; search probes all buckets within a Hamming radius of
+  * the query's bucket (multi-probe), then exact re-ranks. Like IVF, the
+  * bucket is a pure map-side column — at scale it is the partition /
+  * bucketing key, and candidate generation is a pruned scan, not a join.
+  */
+object LshIndex {
+
+  /** nBits seeded Gaussian hyperplanes (deterministic: Random(seed)). */
+  def planes(nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Float]] = {
+    val rnd = new Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+  }
+
+  def bucket(vec: Column, planes: Array[Array[Float]]): Column =
+    graft.functions.lshBucket(vec, planes)
+
+  /** Driver-side bucket of the query vector. */
+  def bucketOf(queryVec: Array[Float], planes: Array[Array[Float]]): Int = {
+    var b = 0
+    planes.indices.foreach { p =>
+      var acc = 0.0; var i = 0
+      val n = math.min(planes(p).length, queryVec.length)
+      while (i < n) { acc += queryVec(i).toDouble * planes(p)(i).toDouble; i += 1 }
+      if (acc > 0.0) b |= (1 << p)
+    }
+    b
+  }
+
+  /** All buckets within Hamming distance `radius` of `center`. */
+  def probeBuckets(center: Int, nBits: Int, radius: Int): Seq[Int] =
+    (0 until (1 << nBits)).filter(b => Integer.bitCount(b ^ center) <= radius)
+
+  def search(emb: DataFrame, idCol: String, vecCol: String,
+             planes: Array[Array[Float]], queryVec: Array[Float],
+             k: Int, radius: Int, metric: String = "l2"): DataFrame = {
+    val probed = probeBuckets(bucketOf(queryVec, planes), planes.length, radius)
+    val pruned = emb.where(bucket(col(vecCol), planes).isin(probed: _*))
+    Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Knn, LshIndex}
+
+case class Emb(vec_id: Long, embedding: Array[Float])
+
+/** Recall/behavior properties for the approximate ANN paths (the driver's
+  * DuckDB gate covers the exact paths; these cover what SQL can't).
+  */
+class AnnSpec extends SparkSpec {
+
+  /** 10 well-separated Gaussian clusters — the regime ANN indexes target.
+    * (The synthetic embeddings table is uniform-random, where *no* ANN
+    * method can beat brute force — recall properties belong on clustered
+    * data.)
+    */
+  private lazy val clustered: Seq[Emb] = {
+    val rnd = new Random(7)
+    val centers = Array.fill(10)(Array.fill(16)(rnd.nextGaussian() * 10.0))
+    (0 until 2000).map { i =>
+      val c = centers(i % 10)
+      Emb(i.toLong, c.map(x => (x + rnd.nextGaussian()).toFloat))
+    }
+  }
+
+  private def recallAt10(exact: Set[Long], approx: Set[Long]): Double =
+    exact.intersect(approx).size.toDouble / exact.size
+
+  test("IVF nprobe=K is identical to exact brute force") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val q = clustered(123).embedding
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2").collect()
+    val ivf = IvfIndex.search(df, "vec_id", "embedding", cents, q, 10, nprobe = 10).collect()
+    assert(exact.map(_.toSeq).toSeq === ivf.map(_.toSeq).toSeq)
+  }
+
+  test("IVF nprobe=2/10 achieves recall@10 >= 0.9 on clustered data") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF().cache()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val recalls = Seq(5, 555, 1001, 1500).map { qi =>
+      val q = clustered(qi).embedding
+      val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2")
+        .collect().map(_.getLong(1)).toSet
+      val approx = IvfIndex.search(df, "vec_id", "embedding", cents, q, 10, nprobe = 2)
+        .collect().map(_.getLong(1)).toSet
+      recallAt10(exact, approx)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean, per-query $recalls")
+    df.unpersist()
+  }
+
+  test("LSH multiprobe finds the query itself and has recall >= 0.5 on clustered data") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF().cache()
+    val planes = LshIndex.planes(nBits = 6, dim = 16, seed = 3L)
+    val recalls = Seq(42, 777, 1234).map { qi =>
+      val q = clustered(qi).embedding
+      val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2")
+        .collect().map(_.getLong(1)).toSet
+      val got = LshIndex.search(df, "vec_id", "embedding", planes, q, 10, radius = 2)
+        .collect()
+      assert(got.head.getLong(1) === qi.toLong) // self is rank 1, dist 0
+      recallAt10(exact, got.map(_.getLong(1)).toSet)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall $mean, per-query $recalls")
+    df.unpersist()
+  }
+
+  test("probeBuckets enumerates exactly the Hamming ball") {
+    assert(LshIndex.probeBuckets(0, 4, 0) === Seq(0))
+    assert(LshIndex.probeBuckets(0, 4, 1).toSet === Set(0, 1, 2, 4, 8))
+    assert(LshIndex.probeBuckets(5, 4, 4).size === 16)
+  }
+
+  test("writePartitioned layout prunes to probed clusters at scan time") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.writePartitioned(df, "embedding", cents, dir)
+    val probed = Seq(0, 3)
+    val pruned = IvfIndex.readPruned(spark, dir, probed)
+    assert(pruned.select("cluster").distinct().collect().map(_.getInt(0)).toSet.subsetOf(probed.toSet))
+    // partition pruning must reach the file source (not a post-scan filter)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || !plan.contains("cluster IN"))
+    // round trip preserves row count of the probed clusters
+    val expect = df.where(IvfIndex.assign(col("embedding"), cents).isin(probed: _*)).count()
+    assert(pruned.count() === expect)
+  }
+}

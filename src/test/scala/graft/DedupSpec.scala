@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Dedup
+
+case class Doc(doc_id: Long, text: String, source: String)
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs: Seq[Doc] = Seq(
+    Doc(1, "the quick brown fox jumps over the lazy dog", "a"),
+    Doc(2, "the quick brown fox jumps over the lazy dog", "a"), // exact dup of 1
+    Doc(3, "the quick brown fox jumps over the lazy cat today", "a"), // near dup of 1
+    Doc(4, "completely different content about spark engines and parquet files", "a"),
+    Doc(5, "unrelated short text", "b"))
+
+  test("exact dedup keeps min id per identical text") {
+    val s = spark; import s.implicits._
+    val out = Dedup.exact(docs.toDF(), "doc_id", "text").collect()
+    assert(out.length === 4) // 5 docs, one exact-dup pair
+    val dupRow = out.find(_.getLong(2) === 2L).get
+    assert(dupRow.getLong(1) === 1L) // keep_id = min(1, 2)
+  }
+
+  test("minhash: identical docs pair with est_sim 1.0; near dups pair too") {
+    val s = spark; import s.implicits._
+    val pairs = Dedup.minhashPairs(docs.toDF(), "doc_id", "text", minEst = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L && a <= 3L }) // unrelated never pairs
+  }
+
+  test("simhash: identical docs have hamming 0") {
+    val s = spark; import s.implicits._
+    val pairs = Dedup.simhashPairs(docs.toDF(), "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) === 0)
+  }
+
+  test("ngram jaccard: pairs only form within a block") {
+    val s = spark; import s.implicits._
+    val pairs = Dedup.ngramJaccardPairs(docs.toDF(), "doc_id", "text",
+      blockCol = "source", n = 3, minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(!pairs.exists { case (a, b) => b == 5L }) // doc 5 is alone in block "b"
+    assert(pairs.contains((1L, 2L)))
+  }
+}

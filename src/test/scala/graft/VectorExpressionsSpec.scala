@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+case class Vecs(id: Long, a: Array[Float], b: Array[Float])
+
+class VectorExpressionsSpec extends SparkSpec {
+  import scala.util.Random
+
+  private def naiveDot(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  private lazy val rows: Seq[Vecs] = {
+    val rnd = new Random(11)
+    (0 until 200).map(i => Vecs(i.toLong,
+      Array.fill(64)(rnd.nextGaussian().toFloat),
+      Array.fill(64)(rnd.nextGaussian().toFloat)))
+  }
+
+  test("vecDot / vecL2Sq / vecCosine / vecNorm match naive double loops") {
+    val s = spark; import s.implicits._
+    val got = rows.toDF()
+      .select(col("id"), vecDot(col("a"), col("b")).as("dot"),
+        vecL2Sq(col("a"), col("b")).as("l2sq"),
+        vecCosine(col("a"), col("b")).as("cos"),
+        vecNorm(col("a")).as("nrm"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+
+    rows.foreach { v =>
+      val (dot, l2sq, cos, nrm) = got(v.id)
+      assert(dot === naiveDot(v.a, v.b))
+      val el2 = v.a.zip(v.b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }
+      assert(l2sq === el2)
+      val na = math.sqrt(naiveDot(v.a, v.a)); val nb = math.sqrt(naiveDot(v.b, v.b))
+      assert(cos === naiveDot(v.a, v.b) / (na * nb))
+      assert(nrm === na)
+    }
+  }
+
+  test("simHash60 is deterministic, 60-bit, and 0 for empty token arrays") {
+    val s = spark; import s.implicits._
+    val df = Seq(("a b c a b", 1L), ("", 2L), ("a b c a b", 3L)).toDF("text", "id")
+    val sigs = df.select(col("id"),
+        simHash60(transform(wordTokens(col("text")), t => tokenHash60(t))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(3L))
+    assert(sigs(2L) === 0L)
+    assert(sigs(1L) >= 0L && sigs(1L) < (1L << 60))
+  }
+
+  test("minHashSig: identical shingle sets give identical signatures; empty is null") {
+    val s = spark; import s.implicits._
+    val df = Seq(("one two three four five", 1L), ("one two three four five", 2L), ("x", 3L))
+      .toDF("text", "id")
+    val sig = minHashSig(
+      transform(wordShingles(wordTokens(col("text")), 3), sh => tokenHash60(sh)), 32)
+    val out = df.select(col("id"), sig.as("sig")).collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out(1L).get === out(2L).get)
+    assert(out(1L).get.length === 32)
+    assert(out(3L).isEmpty) // < 3 tokens -> no shingles -> null signature
+  }
+}
