@@ -148,10 +148,12 @@ object Oracles {
          |SELECT a_id, b_id, hamming FROM hm WHERE hamming <= 8 ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH g AS (SELECT source AS blk, doc_id,
-        |  list_distinct(CASE WHEN len(text) < 3 THEN [] ELSE
-        |    list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)) END) AS g
-        |  FROM documents),
+      s"""WITH sh AS (SELECT source AS blk, doc_id,
+         |  CASE WHEN len(text) < 3 THEN [] ELSE
+         |    list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)) END AS sh
+         |  FROM documents),
+         |g AS (SELECT blk, doc_id, list_distinct(list_transform(sh, s -> ${tokenHash60("s")})) AS g
+         |      FROM sh),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |        CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j

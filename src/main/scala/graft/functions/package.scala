@@ -44,6 +44,16 @@ package object functions {
   def minHashSig(shingleHashes: Column, numHashes: Int): Column =
     col(MinHashSig(expr(shingleHashes), numHashes))
 
+  /** tokenHash60 of every word n-shingle, one codegen pass (≡
+    * `transform(wordShingles(toks, n), tokenHash60)` but ~40× faster).
+    */
+  def wordShingleHash60(tokens: Column, n: Int): Column =
+    col(WordShingleHash60(expr(tokens), n))
+
+  /** tokenHash60 of every char n-shingle, one codegen pass. */
+  def charShingleHash60(text: Column, n: Int): Column =
+    col(CharShingleHash60(expr(text), n))
+
   // ---------------------------------------------------------------------
   // Text building blocks. All built-ins (codegen'd), all mirrored in the
   // DuckDB oracles — see graft.Oracles.

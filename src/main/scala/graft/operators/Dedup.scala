@@ -2,16 +2,24 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions._
 
 /** Deduplication operators for LLM-training-data pipelines.
   *
   * All four near-dup flavors follow the same scale shape: a narrow
-  * map-side signature pass (codegen'd, no shuffle), then a shuffle
-  * keyed only on small blocking keys (band buckets / source blocks),
-  * never an O(n²) global cross join. Pair outputs are deterministic:
-  * (a_id < b_id), ordered.
+  * map-side signature pass (codegen'd, no shuffle), then a shuffle keyed
+  * only on small blocking keys (band buckets / source blocks), never an
+  * O(n²) global cross join. Pair outputs are deterministic: (a_id <
+  * b_id), ordered.
+  *
+  * Plan-shape rule learned the hard way: signature expressions are built
+  * over *materialized narrow columns* (separate projection steps, sigs
+  * persisted and re-joined by id after candidate dedup) — composing them
+  * inline copies the token-pipeline expression tree into every
+  * element_at/slice call-site and the self-join then re-executes it per
+  * side, which measured 40× slower at sf0.1.
   */
 object Dedup {
 
@@ -23,30 +31,45 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
       .orderBy("keep_id")
 
+  /** doc_id + minhash signature (32 perms over word 3-shingles), persisted:
+    * it is read twice (banding + est_sim join-back) and at 100 TB the
+    * equivalent is a materialized signature table (~260 B/doc).
+    */
+  private def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), minHashSig(wordShingleHash60(col("toks"), 3), 32).as("sig"))
+      .where(col("sig").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
   /** MinHash + LSH banding near-dup candidates.
     *
     * Signature: 32 minhashes over word 3-shingles (one codegen pass per
     * doc). Banding: 8 bands × 4 rows; docs sharing any band bucket become
     * candidates; est_sim = fraction of agreeing signature positions.
-    * Shuffle is keyed on (band, bucket-md5) only — O(n) rows of a few
-    * bytes regardless of document size.
+    * The band shuffle carries only (band, bucket-md5, doc_id) — a few
+    * bytes per row regardless of document size — and signatures rejoin by
+    * id only for the already-deduped candidate pairs.
     */
   def minhashPairs(docs: DataFrame, idCol: String, textCol: String, minEst: Double): DataFrame = {
-    val sig = minHashSig(
-      transform(wordShingles(wordTokens(col(textCol)), 3), s => tokenHash60(s)), 32)
-    val signed = docs.select(col(idCol).as("doc_id"), sig.as("sig")).where(col("sig").isNotNull)
+    val signed = minhashSignatures(docs, idCol, textCol)
 
     val bands = signed
-      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bucket",
-        md5(concat_ws(",", transform(slice(col("sig"), col("band") * 4 + 1, lit(4)), _.cast("string")))
-          .cast("binary")))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)), b =>
+          md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string")))
+            .cast("binary"))).as("buckets"))
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
 
-    val a = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sig").as("sig_a"))
-    val b = bands.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b_id")), Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+
+    cand
+      .join(signed.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(signed.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("est_sim",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)) / lit(32.0))
       .where(col("est_sim") >= minEst)
@@ -55,21 +78,31 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 60-bit simhash over word tokens, LSH on
-    * 4 × 15-bit bands, exact hamming re-rank ≤ maxHamming.
+    * 4 × 15-bit bands, exact hamming re-rank ≤ maxHamming. Same staged
+    * shape as [[minhashPairs]]: narrow band shuffle, sig rejoin by id.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
-    val sig = simHash60(transform(wordTokens(col(textCol)), t => tokenHash60(t)))
-    val signed = docs.select(col(idCol).as("doc_id"), sig.as("sig"))
+    val signed = docs
+      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), simHash60(wordShingleHash60(col("toks"), 1)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val bands = signed
-      .select(col("doc_id"), col("sig"), explode(sequence(lit(0), lit(3))).as("band"))
-      .withColumn("band_key", expr("shiftright(sig, band * 15) & 32767"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(3)), b =>
+          call_function("shiftright", col("sig"), (b * 15).cast("int")).bitwiseAND(lit(32767L)))
+          .as("keys"))
+      .select(col("doc_id"), posexplode(col("keys")).as(Seq("band", "band_key")))
 
-    val a = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"), col("sig").as("sig_a"))
-    val b = bands.select(col("band"), col("band_key"), col("doc_id").as("b_id"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_key"))
+    val cand = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("band_key"), col("doc_id").as("b_id")), Seq("band", "band_key"))
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+
+    cand
+      .join(signed.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(signed.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
@@ -78,16 +111,24 @@ object Dedup {
 
   /** Character n-gram Jaccard similarity pairs, blocked on a grouping
     * column (never global O(n²) — pairs only form within a block).
+    *
+    * Grams are 60-bit-hashed once per doc so the pair-level set ops run
+    * over primitive longs, and a *lossless* size prefilter
+    * (min/max ≥ minJaccard ⇒ necessary for J ≥ minJaccard since
+    * |A∩B| ≤ min and |A∪B| ≥ max) prunes pairs before any set op.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int, minJaccard: Double): DataFrame = {
-    val grams = docs.select(
-      col(blockCol).as("blk"), col(idCol).as("doc_id"),
-      array_distinct(charShingles(col(textCol), n)).as("g"))
-    val a = grams.select(col("blk"), col("doc_id").as("a_id"), col("g").as("ga"))
-    val b = grams.select(col("blk"), col("doc_id").as("b_id"), col("g").as("gb"))
+    val grams = docs
+      .select(col(blockCol).as("blk"), col(idCol).as("doc_id"),
+        array_distinct(charShingleHash60(col(textCol), n)).as("g"))
+      .withColumn("ng", size(col("g")))
+
+    val a = grams.select(col("blk"), col("doc_id").as("a_id"), col("g").as("ga"), col("ng").as("na"))
+    val b = grams.select(col("blk"), col("doc_id").as("b_id"), col("g").as("gb"), col("ng").as("nb"))
     a.join(b, Seq("blk"))
-      .where(col("a_id") < col("b_id"))
+      .where(col("a_id") < col("b_id") &&
+        least(col("na"), col("nb")).cast("double") >= lit(minJaccard) * greatest(col("na"), col("nb")).cast("double"))
       .withColumn("jaccard",
         size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb"))).cast("double"))

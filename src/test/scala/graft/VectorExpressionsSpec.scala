@@ -54,6 +54,25 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(sigs(1L) >= 0L && sigs(1L) < (1L << 60))
   }
 
+  test("wordShingleHash60 / charShingleHash60 match the built-in transform chain") {
+    val s = spark; import s.implicits._
+    val df = Seq("the quick brown fox jumps", "ab", "", "one two three")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val toks = wordTokens(col("text"))
+    val viaBuiltins = df.select(col("id"),
+        transform(wordShingles(toks, 3), sh => tokenHash60(sh)).as("w"),
+        transform(charShingles(col("text"), 3), g => tokenHash60(g)).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    val viaKernel = df.select(col("id"),
+        wordShingleHash60(wordTokens(col("text")), 3).as("w"),
+        charShingleHash60(col("text"), 3).as("c"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    viaBuiltins.foreach { case (id, (w, c)) =>
+      assert(viaKernel(id)._1 === w, s"word shingles differ for id $id")
+      assert(viaKernel(id)._2 === c, s"char shingles differ for id $id")
+    }
+  }
+
   test("minHashSig: identical shingle sets give identical signatures; empty is null") {
     val s = spark; import s.implicits._
     val df = Seq(("one two three four five", 1L), ("one two three four five", 2L), ("x", 3L))
