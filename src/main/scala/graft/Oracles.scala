@@ -156,7 +156,7 @@ object Oracles {
          |      FROM sh),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
-        |        CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE) AS j
+        |        CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS j
         |      FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.65 ORDER BY a_id, b_id""".stripMargin,
 

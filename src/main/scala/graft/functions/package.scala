@@ -54,13 +54,25 @@ package object functions {
   def charShingleHash60(text: Column, n: Int): Column =
     col(CharShingleHash60(expr(text), n))
 
+  /** |A ∩ B| of two ascending-sorted long arrays (merge scan). */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    col(SortedIntersectSize(expr(a), expr(b)))
+
   // ---------------------------------------------------------------------
   // Text building blocks. All built-ins (codegen'd), all mirrored in the
   // DuckDB oracles — see graft.Oracles.
   // ---------------------------------------------------------------------
 
-  /** Lowercased alphanumeric word tokens. */
-  def wordTokens(text: Column): Column =
+  /** Lowercased alphanumeric word tokens (codegen kernel; equivalence
+    * with the built-in regex chain is property-tested).
+    */
+  def wordTokens(text: Column): Column = col(TokenizeWords(expr(text)))
+
+  /** Reference formulation of [[wordTokens]] in pure built-ins (kept for
+    * the equivalence property test and as executable documentation of the
+    * semantics the DuckDB oracle mirrors).
+    */
+  def wordTokensBuiltin(text: Column): Column =
     F.filter(F.split(F.lower(F.regexp_replace(text, "[^A-Za-z0-9]+", " ")), " "), t => F.length(t) > 0)
 
   /** Deterministic 60-bit hash of a string token: first 15 hex chars of md5. */

@@ -54,11 +54,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(sigs(1L) >= 0L && sigs(1L) < (1L << 60))
   }
 
+  test("tokenize kernel matches the built-in regex chain") {
+    val s = spark; import s.implicits._
+    val df = Seq("Hello, World! 42x", "  a--b__c  ", "", "ÜBER straße 1; ok", "ab\ncd\tef")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val a = df.select(col("id"), wordTokens(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = df.select(col("id"), wordTokensBuiltin(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a === b)
+  }
+
   test("wordShingleHash60 / charShingleHash60 match the built-in transform chain") {
     val s = spark; import s.implicits._
     val df = Seq("the quick brown fox jumps", "ab", "", "one two three")
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
-    val toks = wordTokens(col("text"))
+    val toks = wordTokensBuiltin(col("text"))
     val viaBuiltins = df.select(col("id"),
         transform(wordShingles(toks, 3), sh => tokenHash60(sh)).as("w"),
         transform(charShingles(col("text"), 3), g => tokenHash60(g)).as("c"))
