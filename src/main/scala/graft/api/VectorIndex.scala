@@ -1,0 +1,159 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Knn, LshIndex, Upsert}
+
+/** Index kinds, mirroring the reference's `IndexType`
+  * (reference: src/core/index_factory.rs:72-168). `FLAT` is exact brute
+  * force in both engines; the reference's two ANN graph backends (HNSW,
+  * USEARCH) map to the distributed ANN layouts with the same contract —
+  * approximate k-NN with tunable recall: `IVF` (cluster pruning) and
+  * `LSH` (hyperplane buckets).
+  */
+sealed trait IndexType
+object IndexType {
+  case object FLAT extends IndexType
+  case object IVF extends IndexType
+  case object LSH extends IndexType
+}
+
+/** reference: src/core/index_factory.rs:41-48 (L2, InnerProduct) + the
+  * usearch cosine analog.
+  */
+sealed trait Metric { def name: String }
+object Metric {
+  case object L2 extends Metric { val name = "l2" }
+  case object InnerProduct extends Metric { val name = "ip" }
+  case object Cosine extends Metric { val name = "cosine" }
+}
+
+/** reference: src/core/index/filter_index.rs Operation::{Equal, NotEqual}. */
+sealed trait FilterOp
+object FilterOp {
+  case object Equal extends FilterOp
+  case object NotEqual extends FilterOp
+}
+
+/** (index_type, dim, metric_type) — the reference's index registry key
+  * (reference: src/core/index_factory.rs IndexKey).
+  */
+case class IndexKey(indexType: IndexType, dim: Int, metricType: Metric)
+
+/** The reference engine's five-endpoint surface (create / insert /
+  * upsert / query / search — reference: src/router/mod.rs) as an
+  * immutable Spark facade. State is a lazy DataFrame `(id LONG,
+  * vectors ARRAY<FLOAT>, data STRING-json)`; every mutation returns a
+  * new index whose plan Catalyst resolves at action time, so a chain of
+  * micro-batch inserts stays one declarative plan. At warehouse scale
+  * the state would live in a keyed table (the upsert IS MERGE INTO);
+  * nothing here collects to the driver.
+  */
+class VectorIndex private (
+    val key: IndexKey,
+    private val spark: SparkSession,
+    private val state: DataFrame) {
+
+  import VectorIndex._
+
+  private def requireDim(vector: Array[Float]): Unit =
+    require(vector.length == key.dim,
+      s"vector dim ${vector.length} != index dim ${key.dim}") // reference: BAD_REQUEST
+
+  private def withState(next: DataFrame): VectorIndex =
+    new VectorIndex(key, spark, next)
+
+  /** reference: insert_index_handle.rs — append (id, vectors). */
+  def insert(id: Long, vector: Array[Float], data: String = null): VectorIndex = {
+    requireDim(vector)
+    insertAll(rowsDf(spark, Seq((id, vector, Option(data)))))
+  }
+
+  /** Bulk append; `rows` needs columns (id, vectors[, data]). */
+  def insertAll(rows: DataFrame): VectorIndex =
+    withState(state.unionByName(normalize(rows), allowMissingColumns = false))
+
+  /** reference: db/vector_database.rs:24-83 — latest-wins: replace the
+    * vector for an existing id and overwrite its scalar document.
+    */
+  def upsert(id: Long, vector: Array[Float], data: String = null): VectorIndex = {
+    requireDim(vector)
+    upsertAll(rowsDf(spark, Seq((id, vector, Option(data)))))
+  }
+
+  def upsertAll(rows: DataFrame): VectorIndex =
+    withState(Upsert.merge(state, normalize(rows), "id"))
+
+  /** reference: router/handle/query_handle.rs — point lookup by id. */
+  def query(id: Long): DataFrame =
+    state.where(col("id") === id).select("id", "vectors", "data")
+
+  def count: Long = state.count()
+
+  /** reference: router/handle/search_index_handle.rs:47-105 — k nearest
+    * ids with distances, ascending (rank, id, value). FLAT is exact;
+    * IVF/LSH take the approximate pruned path.
+    */
+  def search(vector: Array[Float], k: Int): DataFrame = {
+    requireDim(vector)
+    require(k >= 1, "k must be at least 1")
+    searchFrom(state, vector, k)
+  }
+
+  /** reference: core/index/filter_index.rs:23-104 — int-field pre-filter
+    * (`field` is a top-level int field of the json `data` document) then
+    * k-NN over the surviving ids.
+    */
+  def searchFiltered(vector: Array[Float], k: Int,
+                     field: String, op: FilterOp, value: Long): DataFrame = {
+    requireDim(vector)
+    val f = get_json_object(col("data"), s"$$.$field").cast("long")
+    val pred = op match {
+      case FilterOp.Equal    => f === value
+      case FilterOp.NotEqual => f =!= value
+    }
+    searchFrom(state.where(pred), vector, k)
+  }
+
+  private def searchFrom(base: DataFrame, vector: Array[Float], k: Int): DataFrame =
+    key.indexType match {
+      case IndexType.FLAT =>
+        Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
+      case IndexType.IVF =>
+        val centroids = IvfIndex.fit(base, "vectors", k = ivfClusters, seed = 42L)
+        IvfIndex.search(base, "id", "vectors", centroids, vector, k,
+          nprobe = math.max(1, ivfClusters / 4), metric = key.metricType.name)
+      case IndexType.LSH =>
+        val planes = LshIndex.planes(nBits = lshBits, dim = key.dim, seed = 42L)
+        LshIndex.search(base, "id", "vectors", planes, vector, k,
+          radius = 1, metric = key.metricType.name)
+    }
+
+  private def ivfClusters: Int = 16
+  private def lshBits: Int = 4
+}
+
+object VectorIndex {
+
+  /** reference: router/handle/create_index_handle.rs — registry init
+    * keyed by (index_type, dim, metric_type); dim must be ≥ 1.
+    */
+  def create(spark: SparkSession, indexType: IndexType, dim: Int, metricType: Metric): VectorIndex = {
+    require(dim >= 1, "dim must be at least 1")
+    val empty = rowsDf(spark, Seq.empty)
+    new VectorIndex(IndexKey(indexType, dim, metricType), spark, empty)
+  }
+
+  private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "vectors", "data")
+  }
+
+  private def normalize(rows: DataFrame): DataFrame = {
+    val withData = if (rows.columns.contains("data")) rows
+                   else rows.withColumn("data", lit(null).cast("string"))
+    withData.select(col("id").cast("long"),
+      col("vectors").cast("array<float>"), col("data").cast("string"))
+  }
+}

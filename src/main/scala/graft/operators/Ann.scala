@@ -38,7 +38,8 @@ object IvfIndex {
     val frac = math.min(1.0, maxSample.toDouble / math.max(1L, n))
     val sampled = if (frac < 1.0) emb.sample(withReplacement = false, frac, seed) else emb
     val vecs = sampled.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(8).fit(vecs)
+    val kEff = math.max(1, math.min(k.toLong, n).toInt)
+    val model = new KMeans().setK(kEff).setSeed(seed).setMaxIter(8).fit(vecs)
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 

@@ -1,0 +1,74 @@
+package graft
+
+import graft.api._
+
+/** Mirrors the reference engine's own handler test scenarios
+  * (reference: src/router/handle/{search_index,upsert,query,create,
+  * insert_index}_handle.rs `#[cfg(test)]` blocks) against the Spark
+  * facade.
+  */
+class ApiSpec extends SparkSpec {
+
+  test("create + insert + search: self is nearest with distance 0 (test_search_success)") {
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 3, Metric.L2)
+      .insert(1L, Array(1f, 2f, 3f))
+      .insert(2L, Array(4f, 5f, 6f))
+      .insert(3L, Array(7f, 8f, 9f))
+    val hits = idx.search(Array(1f, 2f, 3f), 2).collect()
+    assert(hits.length === 2)
+    assert(hits(0).getLong(1) === 1L)
+    assert(hits(0).getDouble(2) === 0.0)
+    assert(hits(1).getLong(1) === 2L) // distances ascending
+  }
+
+  test("upsert replaces the vector and document, latest wins (test_upsert_handler)") {
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 3, Metric.L2)
+      .insert(1L, Array(1f, 2f, 3f), """{"name":"sora","age":20}""")
+      .upsert(1L, Array(9f, 9f, 9f), """{"name":"sora","age":21}""")
+    assert(idx.count === 1L)
+    val doc = idx.query(1L).collect().head
+    assert(doc.getString(2).contains("21"))
+    // the OLD vector must be gone from the index (reference removes it)
+    val hit = idx.search(Array(9f, 9f, 9f), 1).collect().head
+    assert(hit.getLong(1) === 1L && hit.getDouble(2) === 0.0)
+  }
+
+  test("query by id returns the stored document or nothing (test_query_handle)") {
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 3, Metric.L2)
+      .insert(7L, Array(0f, 0f, 1f), """{"name":"a"}""")
+    assert(idx.query(7L).count() === 1L)
+    assert(idx.query(8L).count() === 0L)
+  }
+
+  test("filtered search honors Equal / NotEqual on an int field (filter_index.rs)") {
+    var idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.L2)
+    for (i <- 0 until 10)
+      idx = idx.insert(i.toLong, Array(i.toFloat, 0f), s"""{"age":${i % 2}}""")
+    val eq = idx.searchFiltered(Array(0f, 0f), 10, "age", FilterOp.Equal, 1L)
+      .collect().map(_.getLong(1)).toSet
+    assert(eq === Set(1L, 3L, 5L, 7L, 9L))
+    val ne = idx.searchFiltered(Array(0f, 0f), 10, "age", FilterOp.NotEqual, 1L)
+      .collect().map(_.getLong(1)).toSet
+    assert(ne === Set(0L, 2L, 4L, 6L, 8L))
+  }
+
+  test("invalid requests are rejected (BAD_REQUEST analogs)") {
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 3, Metric.L2)
+    intercept[IllegalArgumentException](VectorIndex.create(spark, IndexType.FLAT, 0, Metric.L2))
+    intercept[IllegalArgumentException](idx.insert(1L, Array(1f, 2f))) // dim mismatch
+    intercept[IllegalArgumentException](idx.search(Array.empty[Float], 1)) // empty vector
+    intercept[IllegalArgumentException](idx.search(Array(1f, 2f, 3f), 0)) // bad k
+  }
+
+  test("inner-product and cosine metrics rank by similarity descending") {
+    val ip = VectorIndex.create(spark, IndexType.IVF, 2, Metric.InnerProduct)
+      .insert(1L, Array(1f, 0f)).insert(2L, Array(10f, 0f)).insert(3L, Array(0f, 1f))
+      .search(Array(1f, 0f), 1).collect() // IVF clamps k-means k to row count
+    assert(ip(0).getLong(1) === 2L) // largest inner product wins
+    val cos = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.Cosine)
+      .insert(1L, Array(1f, 1f)).insert(2L, Array(-1f, 1f))
+      .search(Array(1f, 1f), 2).collect()
+    assert(cos(0).getLong(1) === 1L)
+    assert(cos(0).getDouble(2) === 1.0) // cosine similarity, not distance
+  }
+}
