@@ -75,6 +75,20 @@ object Queries {
       Tables.embeddings(spark, dir).where(col("label") =!= 3),
       "vec_id", "embedding", queryVec(spark, dir, 1L), k = 10, metric = "l2")
 
+  /** Batch k-NN through the IVF join path (nprobe 4 of 16 — the 100 TB
+    * batch-ANN shape). Rows-only driver check; equality-at-nprobe=K and
+    * recall covered in AnnSpec.
+    */
+  def knnBatchIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fit(emb, "embedding", k = 16)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    operators.Knn.searchBatchIvf(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
+        centroids, k = 5, nprobe = 4, metric = "l2")
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF with nprobe = K: every cluster probed ⇒ provably identical to
     * exact brute force (the oracle hash-matches knnSql), while exercising
     * the full build-assign-prune-rerank pipeline.

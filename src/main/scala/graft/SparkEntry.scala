@@ -16,6 +16,7 @@ object SparkEntry {
     "knn_flat_ip" -> (Queries.knnFlatIp _),
     "knn_cosine" -> (Queries.knnCosine _),
     "knn_batch" -> (Queries.knnBatch _),
+    "knn_batch_ivf" -> (Queries.knnBatchIvf _),
     "ann_ivf_exact" -> (Queries.annIvfExact _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_lsh" -> (Queries.annLsh _),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -67,6 +67,61 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** The `nprobe` nearest centroid indices by squared L2, ascending
+  * (distance, index) — the multi-probe coarse quantization used by the
+  * batch IVF join (each query row explodes to its probe clusters).
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  require(nprobe >= 1)
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    UnsafeArrayData.fromPrimitiveArray(NearestCentroids.probe(a, centroids, nprobe))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+         |  graft.functions.NearestCentroids.probe($a, $cents, $nprobe));""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroids {
+  /** Selection of the nprobe nearest centroids: O(K · (dim + nprobe)). */
+  def probe(a: ArrayData, centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {
+    val k = math.min(nprobe, centroids.length)
+    val bestD = Array.fill(k)(Double.MaxValue)
+    val bestI = Array.fill(k)(-1)
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(a.numElements(), cent.length)
+      var acc = 0.0; var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - cent(i).toDouble
+        acc += d * d; i += 1
+      }
+      if (acc < bestD(k - 1)) {
+        var p = k - 1
+        while (p > 0 && bestD(p - 1) > acc) {
+          bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+        }
+        bestD(p) = acc; bestI(p) = c
+      }
+      c += 1
+    }
+    bestI.filter(_ >= 0)
+  }
 }
 
 /** Random-hyperplane LSH bucket: bit i set iff dot(vec, plane_i) > 0.

@@ -33,6 +33,10 @@ package object functions {
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
     col(NearestCentroid(expr(vec), centroids))
 
+  /** The nprobe nearest centroid ids, ascending by distance. */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
+    col(NearestCentroids(expr(vec), centroids, nprobe))
+
   /** Random-hyperplane LSH bucket id in [0, 2^planes). */
   def lshBucket(vec: Column, planes: Array[Array[Float]]): Column =
     col(LshBucket(expr(vec), planes))

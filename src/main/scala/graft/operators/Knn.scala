@@ -120,4 +120,50 @@ object Knn {
         col("n.id").as("n_id"),
         round(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
   }
+
+  /** IVF-accelerated batch k-NN — the 100 TB batch-ANN shape: the base
+    * table gets a cluster column (codegen map pass; at real scale the
+    * parquet partition key), each query row explodes to its nprobe probe
+    * clusters, and the join is an equi-join on cluster id — distance
+    * math runs only on (query, probed-cluster) pairs, ~nprobe/K of the
+    * cross product [[searchBatch]] scores. Partial top-k aggregation
+    * keeps shuffle at O(#queries × k) as before.
+    *
+    * nprobe = centroids.length degenerates to exactly [[searchBatch]].
+    */
+  def searchBatchIvf(
+      base: DataFrame,
+      baseId: String,
+      baseVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      centroids: Array[Array[Float]],
+      k: Int,
+      nprobe: Int,
+      metric: String): DataFrame = {
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
+
+    val clustered = base.withColumn("cluster", nearestCentroid(col(baseVec), centroids))
+    val probed = queries.select(
+      col(queryId).as("q_id"), col(queryVec).as("q_vec"),
+      explode(nearestCentroids(col(queryVec), centroids, nprobe)).as("cluster"))
+
+    val scored = clustered.join(broadcast(probed), "cluster")
+      .select(
+        col("q_id"),
+        col(baseId).as("id"),
+        score(metric, col(baseVec), col("q_vec")).as("dist"))
+
+    val flip = metric == "ip" || metric == "cosine"
+    scored
+      .groupBy(col("q_id"))
+      .agg(topk(col("id"), col("dist")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).as("rank"),
+        col("n.id").as("n_id"),
+        round(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+  }
 }

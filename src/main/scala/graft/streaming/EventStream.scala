@@ -1,7 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming twins of the batch event operators — the same
   * declarative plan runs over a stream (`readStream` → transform →
@@ -37,4 +40,70 @@ object EventStream {
     */
   def dedupByEventId(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
+
+  /** Open per-user session state for [[sessionize]]. */
+  case class SessionState(sessionId: Long, nEvents: Long, firstEventId: Long,
+                          lastEventId: Long, sumValue: Double, lastTsUs: Long)
+
+  /** A closed session, emitted when the gap (or the event-time timeout)
+    * fires — same schema as the batch twin Queries.eventsSessionize.
+    */
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        first_event_id: Long, last_event_id: Long, sum_value: Double)
+
+  private val gapUs: Long = 30L * 60 * 1000000
+
+  /** Streaming gap-sessionization via flatMapGroupsWithState — the
+    * custom-state path the reference's incremental inserts would need for
+    * session analytics. State per user is one open session (a few dozen
+    * bytes); the event-time timeout closes sessions `gap` after the
+    * watermark passes their last event, so state never grows with
+    * history. The batch twin (Queries.eventsSessionize) produces the
+    * same sessions with a window cumsum; StreamingSpec asserts the two
+    * agree on replay.
+    *
+    * Within a micro-batch, events for a user may arrive unordered — the
+    * iterator is sorted per group (micro-batch-local sort, no shuffle
+    * beyond the groupByKey hash partitioning).
+    */
+  def sessionize(events: Dataset[(Long, Long, Timestamp, Double)],
+                 watermark: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.toDF("user_id", "event_id", "ts", "value")
+      .withWatermark("ts", watermark)
+      .as[(Long, Long, Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          val out = Seq.newBuilder[SessionOut]
+          if (state.hasTimedOut) {
+            val s = state.get
+            out += SessionOut(userId, s.sessionId, s.nEvents, s.firstEventId, s.lastEventId, s.sumValue)
+            state.remove()
+          } else {
+            var cur = state.getOption.orNull
+            it.toSeq.sortBy(e => (e._3.getTime, e._2)).foreach { case (_, eventId, ts, value) =>
+              val tUs = ts.getTime * 1000L
+              if (cur == null) {
+                cur = SessionState(1L, 1L, eventId, eventId, value, tUs)
+              } else if (tUs - cur.lastTsUs > gapUs) {
+                out += SessionOut(userId, cur.sessionId, cur.nEvents, cur.firstEventId,
+                  cur.lastEventId, cur.sumValue)
+                cur = SessionState(cur.sessionId + 1, 1L, eventId, eventId, value, tUs)
+              } else {
+                // min/max ids, matching the batch twin's min()/max() aggs
+                cur = SessionState(cur.sessionId, cur.nEvents + 1,
+                  math.min(cur.firstEventId, eventId),
+                  math.max(cur.lastEventId, eventId), cur.sumValue + value, tUs)
+              }
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.lastTsUs / 1000L + gapUs / 1000L)
+            }
+          }
+          out.result().iterator
+      }
+  }
 }

@@ -77,6 +77,38 @@ class AnnSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("batch IVF join with nprobe=K equals the exact batch cross-join path") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF().cache()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val queries = df.where(col("vec_id") % 400 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Knn.searchBatch(df, "vec_id", "embedding", queries, "q_id", "q_vec",
+      k = 5, metric = "l2").orderBy("q_id", "rank").collect().map(_.toSeq)
+    val ivf = Knn.searchBatchIvf(df, "vec_id", "embedding", queries, "q_id", "q_vec",
+      cents, k = 5, nprobe = 10, metric = "l2").orderBy("q_id", "rank").collect().map(_.toSeq)
+    assert(ivf.toSeq === exact.toSeq)
+    df.unpersist()
+  }
+
+  test("batch IVF join with nprobe=2/10 has recall@5 >= 0.9 on clustered data") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF().cache()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val queries = df.where(col("vec_id") % 400 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def ids(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = ids(Knn.searchBatch(df, "vec_id", "embedding", queries, "q_id", "q_vec",
+      k = 5, metric = "l2").collect())
+    val approx = ids(Knn.searchBatchIvf(df, "vec_id", "embedding", queries, "q_id", "q_vec",
+      cents, k = 5, nprobe = 2, metric = "l2").collect())
+    val recalls = exact.map { case (q, ex) => ex.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall $mean")
+    df.unpersist()
+  }
+
   test("probeBuckets enumerates exactly the Hamming ball") {
     assert(LshIndex.probeBuckets(0, 4, 0) === Seq(0))
     assert(LshIndex.probeBuckets(0, 4, 1).toSet === Set(0, 1, 2, 4, 8))

@@ -67,6 +67,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch window cumsum twin") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // user 1: two sessions (65-min gap); user 2: one session
+    val evs = Seq(
+      (1L, 10L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, 11L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0),
+      (1L, 12L, Timestamp.valueOf("2024-01-01 11:15:00"), 3.0),
+      (2L, 20L, Timestamp.valueOf("2024-01-01 10:05:00"), 4.0))
+    // sentinel far in the future advances the watermark so event-time
+    // timeouts close every open session
+    val sentinel = Seq((99L, 999L, Timestamp.valueOf("2024-01-02 00:00:00"), 0.0))
+
+    val stream = MemoryStream[(Long, Long, Timestamp, Double)]
+    val q = EventStream.sessionize(stream.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      stream.addData(evs)
+      q.processAllAvailable()
+      stream.addData(sentinel)
+      q.processAllAvailable()
+      stream.addData(Seq((98L, 998L, Timestamp.valueOf("2024-01-03 00:00:00"), 0.0)))
+      q.processAllAvailable()
+
+      val got = s.table("sessions")
+        .where(col("user_id").isin(1L, 2L))
+        .orderBy("user_id", "session_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      assert(got.toSeq === Seq(
+        (1L, 1L, 2L, 10L, 11L, 3.0),
+        (1L, 2L, 1L, 12L, 12L, 3.0),
+        (2L, 1L, 1L, 20L, 20L, 4.0)))
+    } finally q.stop()
+  }
+
   test("batch eventsWindowed on real data matches the streaming plan run in batch mode") {
     val batchOp = Queries.eventsWindowed(spark, sf001)
       .orderBy("hour_start", "event_type").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
