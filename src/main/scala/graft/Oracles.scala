@@ -222,6 +222,21 @@ object Oracles {
         |  octet_length(encode(text)) % 16 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // DuckDB can't substring BLOBs, so the oracle slices the VARCHAR;
+    // documents.text is pure ASCII (asserted: len == octet_length), so
+    // char offsets == the byte offsets Spark slices.
+    "multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+        |        octet_length(encode(text)) % 16 + 1 AS n_frames FROM documents),
+        |x AS (SELECT doc_id, text,
+        |        CAST(r.range AS INT) AS frame_idx,
+        |        CAST(r.range * (n_bytes // n_frames) AS BIGINT) AS frame_off
+        |      FROM f, range(0, 16) r WHERE r.range < n_frames)
+        |SELECT doc_id, frame_idx, frame_off,
+        |  octet_length(encode(substr(text, CAST(frame_off + 1 AS INT), 32))) AS frame_len,
+        |  md5(substr(text, CAST(frame_off + 1 AS INT), 32)) AS frame_digest
+        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+
     // ================= E. analytics / events =================
 
     "q1_agg" ->

@@ -225,6 +225,32 @@ object Queries {
         (octet_length(col("payload")) % 16 + 1).as("n_frames"))
       .orderBy("doc_id")
 
+  /** Frame-sampling plumbing: each media payload explodes into its
+    * deterministically-sampled frame windows (offset stride = bytes /
+    * n_frames, 32-byte "frames"), with per-frame digest metadata. The
+    * decode itself is stubbed (no codec libs here); the schema, explode
+    * shape and binary slicing are the real distributed plumbing a video
+    * pipeline needs.
+    */
+  def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("doc_id"), col("payload"), octet_length(col("payload")).as("n_bytes"))
+      .withColumn("n_frames", col("n_bytes") % 16 + 1)
+      .select(col("doc_id"), col("n_bytes"), col("payload"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        expr("n_bytes div n_frames").as("stride"))
+      .withColumn("frame_off", col("frame_idx") * col("stride"))
+      .withColumn("frame",
+        call_function("substring", col("payload"), (col("frame_off") + 1).cast("int"), lit(32)))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        col("frame_off").cast("long").as("frame_off"),
+        octet_length(col("frame")).as("frame_len"),
+        md5(col("frame")).as("frame_digest"))
+      .orderBy("doc_id", "frame_idx")
+
   // =====================================================================
   // E. Analytics / events
   // =====================================================================

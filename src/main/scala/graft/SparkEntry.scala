@@ -39,6 +39,7 @@ object SparkEntry {
     "text_fingerprint" -> (Queries.textFingerprint _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
+    "multimodal_frames" -> (Queries.multimodalFrames _),
     // E. analytics / events
     "q1_agg" -> (Queries.q1Agg _),
     "q3_shipping" -> (Queries.q3Shipping _),
