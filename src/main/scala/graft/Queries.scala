@@ -81,7 +81,7 @@ object Queries {
     */
   def knnBatchIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = operators.IvfIndex.fit(emb, "embedding", k = 16)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
     val queries = emb.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     operators.Knn.searchBatchIvf(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
@@ -95,7 +95,7 @@ object Queries {
     */
   def annIvfExact(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = operators.IvfIndex.fit(emb, "embedding", k = 16)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
     operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
       queryVec(spark, dir, 2L), k = 10, nprobe = 16, metric = "l2")
   }
@@ -105,7 +105,7 @@ object Queries {
     */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = operators.IvfIndex.fit(emb, "embedding", k = 16)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
     operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
       queryVec(spark, dir, 2L), k = 10, nprobe = 4, metric = "l2")
   }

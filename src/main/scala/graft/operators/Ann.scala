@@ -43,6 +43,19 @@ object IvfIndex {
     model.clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
+  /** Built-index registry keyed by (input plan, vecCol, k) — the batch
+    * analog of the reference's IndexFactory cache (reference:
+    * src/core/index_factory.rs:72-168, global registry of built
+    * indexes): repeated searches against the same table reuse the fitted
+    * coarse quantizer instead of re-running KMeans.
+    */
+  private val fitted = new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), Array[Array[Float]]]()
+
+  def fitCached(emb: DataFrame, vecCol: String, k: Int, seed: Long = 42L): Array[Array[Float]] =
+    fitted.computeIfAbsent(
+      (emb.queryExecution.analyzed.semanticHash(), vecCol, k),
+      _ => fit(emb, vecCol, k, seed))
+
   /** Cluster-assignment column (codegen'd; the "index build" map pass). */
   def assign(vec: Column, centroids: Array[Array[Float]]): Column =
     graft.functions.nearestCentroid(vec, centroids)
