@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, Upsert}
+import graft.sources.Tables
+
+class KnnSpec extends SparkSpec {
+
+  test("batch k-NN agrees with per-query exact search on the real table") {
+    val emb = Tables.embeddings(spark, sf001).cache()
+    val queries = emb.where(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batch = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
+        k = 5, metric = "l2")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq).toMap
+
+    queries.collect().foreach { q =>
+      val qv = q.getSeq[Float](1).toArray
+      val single = Knn.searchExact(emb, "vec_id", "embedding", qv, 5, "l2")
+        .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(batch(q.getLong(0)) === single, s"query ${q.getLong(0)}")
+    }
+    emb.unpersist()
+  }
+
+  test("metrics order correctly: l2 ascending, ip/cosine by similarity descending") {
+    val emb = Tables.embeddings(spark, sf001)
+    val qv = emb.where(col("vec_id") === 5L).select("embedding").first().getSeq[Float](0).toArray
+    val l2 = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2").collect().map(_.getDouble(2))
+    assert(l2.toSeq === l2.sorted.toSeq)
+    val ip = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "ip").collect().map(_.getDouble(2))
+    assert(ip.toSeq === ip.sortBy(-_).toSeq)
+    val cos = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "cosine").collect().map(_.getDouble(2))
+    assert(cos.toSeq === cos.sortBy(-_).toSeq)
+    assert(cos.head === 1.0) // self-similarity
+  }
+
+  test("upsert merge: updated keys replaced, new keys appended, others untouched") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (9L, "Z")).toDF("k", "v")
+    val merged = Upsert.merge(base, updates, "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(merged === Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "Z"))
+  }
+
+  test("upsert merge rejects mismatched schemas") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val bad = Seq((1L, "a", 2.0)).toDF("k", "v", "w")
+    intercept[IllegalArgumentException](Upsert.merge(base, bad, "k"))
+  }
+
+  test("text analysis handles empty and punctuation-only text") {
+    val s = spark; import s.implicits._
+    val docs = Seq((1L, ""), (2L, "!!! ???"), (3L, "normal text here")).toDF("doc_id", "text")
+    val q = graft.operators.TextAnalysis.quality(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(q(1L) === 0.0)
+    assert(q(2L) === 0.0) // no tokens -> zero score
+    assert(q(3L) > 0.0)
+    val t = graft.operators.TextAnalysis.tokenCounts(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList
+    assert(t === List((1L, 0, 0), (2L, 2, 6), (3L, 3, 3)))
+  }
+}
