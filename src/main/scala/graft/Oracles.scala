@@ -44,6 +44,27 @@ object Oracles {
   private def stopCount(words: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
+  /** The minhash signature/banding pipeline as a reusable CTE chain
+    * ending in `est(a_id, b_id, e)` — shared by dedup_minhash and
+    * dedup_clusters.
+    */
+  private lazy val minhashCtes: String =
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
+       |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
+       |       FROM t),
+       |hs AS (SELECT doc_id, list_transform(sh, s -> ${tokenHash60("s")}) AS hs FROM sh WHERE len(sh) > 0),
+       |sig AS (SELECT doc_id, list_transform(range(0, 32), j ->
+       |          list_min(list_transform(hs, h -> ((2*j + 1) * (h % 2147483647) + (j*j + 7)) % 2147483647))) AS sig
+       |        FROM hs),
+       |bands AS (SELECT doc_id, sig, r.range AS band, list_slice(sig, r.range * 4 + 1, r.range * 4 + 4) AS bucket
+       |          FROM sig, range(0, 8) r),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (SELECT a_id, b_id,
+       |          list_sum(list_transform(range(1, 33), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
+       |        FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)""".stripMargin
+
   private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was")
   private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
   private val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "pas")
@@ -115,22 +136,24 @@ object Oracles {
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY 1 ORDER BY keep_id",
 
     "dedup_minhash" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
-         |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
-         |       FROM t),
-         |hs AS (SELECT doc_id, list_transform(sh, s -> ${tokenHash60("s")}) AS hs FROM sh WHERE len(sh) > 0),
-         |sig AS (SELECT doc_id, list_transform(range(0, 32), j ->
-         |          list_min(list_transform(hs, h -> ((2*j + 1) * (h % 2147483647) + (j*j + 7)) % 2147483647))) AS sig
-         |        FROM hs),
-         |bands AS (SELECT doc_id, sig, r.range AS band, list_slice(sig, r.range * 4 + 1, r.range * 4 + 4) AS bucket
-         |          FROM sig, range(0, 8) r),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |est AS (SELECT a_id, b_id,
-         |          list_sum(list_transform(range(1, 33), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
-         |        FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)
+      s"""WITH $minhashCtes
          |SELECT a_id, b_id, round(e, 4) AS est_sim FROM est WHERE e >= 0.25 ORDER BY a_id, b_id""".stripMargin,
+
+    // Duplicate-cluster canonicalization: transitive closure of the
+    // est >= 0.5 minhash pairs (recursive CTE), min id per component.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM est WHERE e >= 0.5),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+         |canon AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u)
+         |SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id,
+         |       (coalesce(c.canonical, d.doc_id) <> d.doc_id) AS is_dup
+         |FROM documents d LEFT JOIN canon c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

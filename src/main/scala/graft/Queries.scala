@@ -184,6 +184,16 @@ object Queries {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
       blockCol = "source", n = 3, minJaccard = 0.65)
 
+  /** Canonical-doc assignment from minhash near-dup pairs (est ≥ 0.5):
+    * every document maps to the min id of its duplicate cluster.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.5)
+      .select("a_id", "b_id")
+    Dedup.resolveClusters(docs, "doc_id", pairs)
+  }
+
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       blockCol = "label", minCosine = 0.35)

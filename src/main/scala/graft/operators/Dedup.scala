@@ -167,6 +167,43 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected-component canonicalization: every doc maps to the smallest
+    * id in its near-dup cluster (the step that turns candidate pairs
+    * into an actual dedup decision). Min-label propagation — the Pregel
+    * shape: each iteration is one join + min-aggregate, converging in
+    * O(max cluster diameter) rounds; dup clusters are shallow in
+    * practice so this is a handful of narrow (id, label) shuffles. The
+    * driver loop only checks the convergence count, it never holds data.
+    */
+  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val ids = docs.select(col(idCol).cast("long").as("id"))
+    val edges = pairs
+      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
+      .unionAll(pairs.select(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = ids.select(col("id"), col("id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("v") === labels("id"))
+        .select(edges("u").as("id"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"),
+        (col("id") =!= col("label")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs within blocks (exact within block;
     * the 100 TB path swaps the block key for an LSH bucket — see
     * LshIndex — which keeps the same pair semantics at bounded cost).

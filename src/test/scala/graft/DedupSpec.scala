@@ -37,6 +37,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
+  test("resolveClusters: min-label propagation finds connected components") {
+    val s = spark; import s.implicits._
+    val allDocs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // components: {1,2,3,4} (chain), {6,7}, singletons 5 and 8
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L)).toDF("a_id", "b_id")
+    val got = Dedup.resolveClusters(allDocs, "doc_id", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toList
+    assert(got === List(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, true), (4L, 1L, true),
+      (5L, 5L, false), (6L, 6L, false), (7L, 6L, true), (8L, 8L, false)))
+  }
+
   test("ngram jaccard: pairs only form within a block") {
     val s = spark; import s.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.toDF(), "doc_id", "text",
