@@ -103,6 +103,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-source stream over the real events parquet reproduces the batch aggregation") {
+    val agg = EventStream.windowedAgg(graft.sources.Tables.eventsStream(spark, sf001))
+    val q = agg.writeStream.format("memory").queryName("filewin").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filewin")
+        .orderBy("hour_start", "event_type").collect().map(_.toSeq).toSeq
+      val batch = EventStream.windowedAgg(graft.sources.Tables.events(spark, sf001))
+        .orderBy("hour_start", "event_type").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch eventsWindowed on real data matches the streaming plan run in batch mode") {
     val batchOp = Queries.eventsWindowed(spark, sf001)
       .orderBy("hour_start", "event_type").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
