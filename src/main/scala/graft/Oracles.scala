@@ -77,7 +77,7 @@ object Oracles {
     s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
        |d AS (SELECT e.vec_id AS id, $scoreExpr AS score FROM embeddings e, q $where)
        |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
-       |       round($valueOfScore, 4) AS value
+       |       (round(($valueOfScore) * 10000.0) / 10000.0) AS value
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
 
   val sql: Map[String, String] = Map(
@@ -96,7 +96,7 @@ object Oracles {
          |      FROM embeddings e, q)
          |SELECT q_id,
          |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) AS INT) AS rank,
-         |       n_id, round(score, 4) AS value
+         |       n_id, (round((score) * 10000.0) / 10000.0) AS value
          |FROM d QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
 
     // IVF with nprobe=K probes every cluster ⇒ exact brute force.
@@ -126,8 +126,8 @@ object Oracles {
 
     "index_stats" ->
       s"""WITH x AS (SELECT CAST(len(embedding) AS INT) AS dim, ${norm("embedding")} AS nrm FROM embeddings)
-         |SELECT dim, count(*) AS n, round(avg(nrm), 4) AS avg_norm,
-         |       round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+         |SELECT dim, count(*) AS n, (round((avg(nrm)) * 10000.0) / 10000.0) AS avg_norm,
+         |       (round((min(nrm)) * 10000.0) / 10000.0) AS min_norm, (round((max(nrm)) * 10000.0) / 10000.0) AS max_norm
          |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     // ================= B. deduplication =================
@@ -137,7 +137,7 @@ object Oracles {
 
     "dedup_minhash" ->
       s"""WITH $minhashCtes
-         |SELECT a_id, b_id, round(e, 4) AS est_sim FROM est WHERE e >= 0.25 ORDER BY a_id, b_id""".stripMargin,
+         |SELECT a_id, b_id, (round((e) * 10000.0) / 10000.0) AS est_sim FROM est WHERE e >= 0.25 ORDER BY a_id, b_id""".stripMargin,
 
     // Duplicate-cluster canonicalization: transitive closure of the
     // est >= 0.5 minhash pairs (recursive CTE), min id per component.
@@ -181,13 +181,13 @@ object Oracles {
         |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |        CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS j
         |      FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-        |SELECT a_id, b_id, round(j, 4) AS jaccard FROM p WHERE j >= 0.65 ORDER BY a_id, b_id""".stripMargin,
+        |SELECT a_id, b_id, (round((j) * 10000.0) / 10000.0) AS jaccard FROM p WHERE j >= 0.65 ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_embedding" ->
       s"""WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |             ${cosine("a.embedding", "b.embedding")} AS c
          |           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id, round(c, 4) AS cosine FROM p WHERE c >= 0.35 ORDER BY a_id, b_id""".stripMargin,
+         |SELECT a_id, b_id, (round((c) * 10000.0) / 10000.0) AS cosine FROM p WHERE c >= 0.35 ORDER BY a_id, b_id""".stripMargin,
 
     // ================= C. text analysis =================
 
@@ -214,12 +214,12 @@ object Oracles {
          |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS pr,
          |  CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sr
          |  FROM x)
-         |SELECT doc_id, n_tok, round(ml, 4) AS mean_len,
-         |  round(CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |SELECT doc_id, n_tok, (round((ml) * 10000.0) / 10000.0) AS mean_len,
+         |  (round((CASE WHEN n_tok = 0 THEN 0.0 ELSE
          |    0.25 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
          |    0.25 * greatest(0.0, 1.0 - abs(ml - 5.0) / 5.0) +
          |    0.25 * least(sr * 5.0, 1.0) +
-         |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END, 4) AS score
+         |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score
          |FROM y ORDER BY doc_id""".stripMargin,
 
     "text_tokens" ->
@@ -264,13 +264,13 @@ object Oracles {
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  (round((sum(l_quantity)) * 100.0) / 100.0) AS sum_qty,
+        |  (round((sum(l_extendedprice)) * 100.0) / 100.0) AS sum_base_price,
+        |  (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS sum_disc_price,
+        |  (round((sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))) * 100.0) / 100.0) AS sum_charge,
+        |  (round((avg(l_quantity)) * 10000.0) / 10000.0) AS avg_qty,
+        |  (round((avg(l_extendedprice)) * 10000.0) / 10000.0) AS avg_price,
+        |  (round((avg(l_discount)) * 10000.0) / 10000.0) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -279,7 +279,7 @@ object Oracles {
 
     "q3_shipping" ->
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS revenue,
         |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
         |  o_orderpriority
         |FROM lineitem
@@ -292,7 +292,7 @@ object Oracles {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
     "q5_local" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      """SELECT n_name, (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -307,13 +307,13 @@ object Oracles {
 
     "events_windowed" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |  count(*) AS n, (round((sum(value)) * 100.0) / 100.0) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_topn" ->
       """SELECT event_type,
         |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS INT) AS rank,
-        |  event_id, round(value, 4) AS value
+        |  event_id, (round((value) * 10000.0) / 10000.0) AS value
         |FROM events QUALIFY rank <= 5 ORDER BY event_type, rank""".stripMargin,
 
     "events_sessionize" ->
@@ -331,7 +331,7 @@ object Oracles {
         |  FROM b)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  min(event_id) AS first_event_id, max(event_id) AS last_event_id,
-        |  round(sum(value), 2) AS sum_value
+        |  (round((sum(value)) * 100.0) / 100.0) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -162,9 +162,9 @@ object Queries {
       .groupBy("dim")
       .agg(
         count(lit(1)).as("n"),
-        round(avg("nrm"), 4).as("avg_norm"),
-        round(min("nrm"), 4).as("min_norm"),
-        round(max("nrm"), 4).as("max_norm"))
+        roundTo(avg("nrm"), 4).as("avg_norm"),
+        roundTo(min("nrm"), 4).as("min_norm"),
+        roundTo(max("nrm"), 4).as("max_norm"))
       .orderBy("dim")
 
   // =====================================================================
@@ -271,13 +271,13 @@ object Queries {
       .where(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        roundTo(sum("l_quantity"), 2).as("sum_qty"),
+        roundTo(sum("l_extendedprice"), 2).as("sum_base_price"),
+        roundTo(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        roundTo(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        roundTo(avg("l_quantity"), 4).as("avg_qty"),
+        roundTo(avg("l_extendedprice"), 4).as("avg_price"),
+        roundTo(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -292,7 +292,7 @@ object Queries {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(roundTo(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .select(
         col("l_orderkey"),
         col("revenue"),
@@ -319,7 +319,7 @@ object Queries {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(roundTo(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -329,7 +329,7 @@ object Queries {
       .groupBy(
         unix_timestamp(date_trunc("HOUR", col("ts"))).as("hour_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), roundTo(sum("value"), 2).as("sum_value"))
       .orderBy("hour_start", "event_type")
 
   /** Top-5 events per type by value (window-function top-n). */
@@ -338,7 +338,7 @@ object Queries {
     Tables.events(spark, dir)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= 5)
-      .select(col("event_type"), col("rank"), col("event_id"), round(col("value"), 4).as("value"))
+      .select(col("event_type"), col("rank"), col("event_id"), roundTo(col("value"), 4).as("value"))
       .orderBy("event_type", "rank")
   }
 
@@ -361,7 +361,7 @@ object Queries {
         count(lit(1)).as("n_events"),
         min("event_id").as("first_event_id"),
         max("event_id").as("last_event_id"),
-        round(sum("value"), 2).as("sum_value"))
+        roundTo(sum("value"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
 }

@@ -14,6 +14,19 @@ package object functions {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def expr(c: Column): Expression = ColumnBridge.expression(c)
 
+  /** Round a double to `digits` decimals with semantics REPRODUCIBLE in
+    * DuckDB: scale, round-half-away-from-zero the binary value, unscale
+    * (`round(x * 10^n) / 10^n` on both sides). Spark's `round(x, n)`
+    * rounds the double's shortest DECIMAL string (BigDecimal.valueOf),
+    * DuckDB rounds the BINARY value — near .xxxx5 the two disagree by
+    * one ulp of output (observed at sf0.001). Every oracle-checked
+    * operator rounds through this.
+    */
+  def roundTo(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    F.round(c * p, 0) / p
+  }
+
   /** Inner product (reference MetricType::InnerProduct, index_factory.rs:44). */
   def vecDot(a: Column, b: Column): Column = col(VecDot(expr(a), expr(b)))
 

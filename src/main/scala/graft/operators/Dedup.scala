@@ -73,7 +73,7 @@ object Dedup {
       .withColumn("est_sim",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)) / lit(32.0))
       .where(col("est_sim") >= minEst)
-      .select(col("a_id"), col("b_id"), round(col("est_sim"), 4).as("est_sim"))
+      .select(col("a_id"), col("b_id"), roundTo(col("est_sim"), 4).as("est_sim"))
       .orderBy("a_id", "b_id")
   }
 
@@ -163,7 +163,7 @@ object Dedup {
         out.result().iterator
       }
       .toDF("a_id", "b_id", "j")
-      .select(col("a_id"), col("b_id"), round(col("j"), 4).as("jaccard"))
+      .select(col("a_id"), col("b_id"), roundTo(col("j"), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
   }
 
@@ -216,7 +216,7 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .withColumn("cosine", vecCosine(col("va"), col("vb")))
       .where(col("cosine") >= minCosine)
-      .select(col("a_id"), col("b_id"), round(col("cosine"), 4).as("cosine"))
+      .select(col("a_id"), col("b_id"), roundTo(col("cosine"), 4).as("cosine"))
       .orderBy("a_id", "b_id")
   }
 }

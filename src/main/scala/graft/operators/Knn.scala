@@ -82,7 +82,7 @@ object Knn {
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))))
       .select(col("rank"), col("id"),
-        round(if (flip) -col("score") else col("score"), 4).as("value"))
+        roundTo(if (flip) -col("score") else col("score"), 4).as("value"))
   }
 
   /** Batch k-NN: top-k per query row, queries broadcast against the base.
@@ -118,7 +118,7 @@ object Knn {
         col("q_id"),
         (col("pos") + 1).as("rank"),
         col("n.id").as("n_id"),
-        round(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+        roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
   }
 
   /** IVF-accelerated batch k-NN — the 100 TB batch-ANN shape: the base
@@ -164,6 +164,6 @@ object Knn {
         col("q_id"),
         (col("pos") + 1).as("rank"),
         col("n.id").as("n_id"),
-        round(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+        roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
   }
 }

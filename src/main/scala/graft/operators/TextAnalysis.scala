@@ -64,7 +64,7 @@ object TextAnalysis {
           lit(0.25) * least(col("stop_ratio") * 5.0, lit(1.0)) +
           lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0)))))
       .select(col("doc_id"), col("n_tok"),
-        round(col("mean_len"), 4).as("mean_len"), round(col("score"), 4).as("score"))
+        roundTo(col("mean_len"), 4).as("mean_len"), roundTo(col("score"), 4).as("score"))
       .orderBy("doc_id")
   }
 
