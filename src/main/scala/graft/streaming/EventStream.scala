@@ -41,6 +41,31 @@ object EventStream {
   def dedupByEventId(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** A versioned vector-record mutation flowing on a stream (the
+    * reference's insert/upsert request payload, reference:
+    * src/models/request/upsert.rs).
+    */
+  case class VectorMutation(id: Long, ts: Timestamp, vectors: Array[Float], data: String)
+
+  /** Streaming upsert: latest-wins per id (by event time, then arrival),
+    * emitted in Update mode each micro-batch — the streaming twin of
+    * [[graft.operators.Upsert.merge]] and the reference's incremental
+    * upsert path (reference: db/vector_database.rs:24-83). Downstream, a
+    * `foreachBatch` MERGE INTO (or memory sink in tests) maintains the
+    * searchable snapshot; state is one record per live id.
+    */
+  def upsertLatest(mutations: Dataset[VectorMutation]): Dataset[VectorMutation] = {
+    import mutations.sparkSession.implicits._
+    mutations
+      .groupByKey(_.id)
+      .mapGroupsWithState[VectorMutation, VectorMutation](GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[VectorMutation]) =>
+          val latest = (state.getOption.iterator ++ it).maxBy(m => m.ts.getTime)
+          state.update(latest)
+          latest
+      }
+  }
+
   /** Open per-user session state for [[sessionize]]. */
   case class SessionState(sessionId: Long, nEvents: Long, firstEventId: Long,
                           lastEventId: Long, sumValue: Double, lastTsUs: Long)

@@ -103,6 +103,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert keeps the latest record per id (reference upsert semantics)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.streaming.EventStream.VectorMutation
+
+    def m(id: Long, t: String, v: Float, data: String) =
+      VectorMutation(id, Timestamp.valueOf(t), Array(v, v), data)
+
+    val stream = MemoryStream[VectorMutation]
+    val q = EventStream.upsertLatest(stream.toDS())
+      .writeStream.format("memory").queryName("upserts").outputMode("update").start()
+    try {
+      stream.addData(Seq(
+        m(1, "2024-01-01 10:00:00", 1f, """{"age":20}"""),
+        m(2, "2024-01-01 10:00:00", 2f, """{"age":30}""")))
+      q.processAllAvailable()
+      stream.addData(Seq(m(1, "2024-01-01 11:00:00", 9f, """{"age":21}""")))
+      q.processAllAvailable()
+
+      // latest emitted row per id == reference's post-upsert document
+      val latest = s.table("upserts")
+        .groupBy("id").agg(max_by(col("data"), col("ts")).as("data"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(latest(1L).contains("21"))
+      assert(latest(2L).contains("30"))
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events parquet reproduces the batch aggregation") {
     val agg = EventStream.windowedAgg(graft.sources.Tables.eventsStream(spark, sf001))
     val q = agg.writeStream.format("memory").queryName("filewin").outputMode("complete").start()
