@@ -52,6 +52,26 @@ class ApiSpec extends SparkSpec {
     assert(ne === Set(0L, 2L, 4L, 6L, 8L))
   }
 
+  test("bulk insertAll/upsertAll over the real embeddings table") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"),
+        to_json(struct(col("label"))).as("data"))
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2).insertAll(emb)
+    assert(idx.count === 500L)
+
+    // bulk upsert: everyone's label becomes 99; count unchanged, data replaced
+    val updates = emb.withColumn("data", lit("""{"label":99}"""))
+    val upserted = idx.upsertAll(updates)
+    assert(upserted.count === 500L)
+    assert(upserted.query(7L).collect().head.getString(2) === """{"label":99}""")
+
+    // search still exact after bulk load: self is rank 1 at distance 0
+    val qv = emb.where(col("id") === 3L).select("vectors").first().getSeq[Float](0).toArray
+    val hit = upserted.search(qv, 1).collect().head
+    assert(hit.getLong(1) === 3L && hit.getDouble(2) === 0.0)
+  }
+
   test("invalid requests are rejected (BAD_REQUEST analogs)") {
     val idx = VectorIndex.create(spark, IndexType.FLAT, 3, Metric.L2)
     intercept[IllegalArgumentException](VectorIndex.create(spark, IndexType.FLAT, 0, Metric.L2))
