@@ -65,10 +65,12 @@ object Oracles {
        |          list_sum(list_transform(range(1, 33), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
        |        FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)""".stripMargin
 
-  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was")
-  private val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
-  private val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "pas")
-  private val stopEs = Seq("el", "los", "y", "es", "que", "se", "por", "con", "para", "no")
+  // MUST stay in lock-step with graft.operators.TextAnalysis.stop* —
+  // ASCII-only by construction (tokens are ASCII-alnum runs).
+  private val stopEn = graft.operators.TextAnalysis.stopEn
+  private val stopDe = graft.operators.TextAnalysis.stopDe
+  private val stopFr = graft.operators.TextAnalysis.stopFr
+  private val stopEs = graft.operators.TextAnalysis.stopEs
 
   /** Single-query exact k-NN: score ascending, deterministic id tie-break.
     * `valueExpr` maps the ascending score back to the reported metric.

@@ -45,6 +45,54 @@ object Tokenize {
   }
 }
 
+/** Per-language stopword votes in ONE pass over the token array:
+  * result[i] = #tokens contained in sets(i). The per-language
+  * `size(filter(toks, isin(...)))` chain walks the array once per
+  * language with interpreted lambdas; this is a single codegen'd scan
+  * against hash sets carried as a reference object.
+  */
+case class StopwordVotes(child: Expression, sets: Array[Array[String]])
+    extends UnaryExpression {
+  @transient private lazy val lookup: Array[java.util.HashSet[String]] =
+    sets.map { s => val h = new java.util.HashSet[String](); s.foreach(h.add); h }
+
+  override def prettyName: String = "stopword_votes"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    StopwordVotes.count(v.asInstanceOf[ArrayData], lookup)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val sets = ctx.addReferenceObj("lookup", lookup, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.StopwordVotes.count($a, $sets);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StopwordVotes {
+  def count(arr: ArrayData, lookup: Array[java.util.HashSet[String]]): ArrayData = {
+    val votes = new Array[Int](lookup.length)
+    var i = 0
+    while (i < arr.numElements()) {
+      val t = arr.getUTF8String(i).toString
+      var j = 0
+      while (j < lookup.length) {
+        if (lookup(j).contains(t)) votes(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(votes)
+  }
+}
+
 case class TokenizeWords(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokenize_words"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

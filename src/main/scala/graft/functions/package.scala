@@ -71,6 +71,10 @@ package object functions {
   def charShingleHash60(text: Column, n: Int): Column =
     col(CharShingleHash60(expr(text), n))
 
+  /** Per-language stopword match counts over a token array, one pass. */
+  def stopwordVotes(tokens: Column, sets: Array[Array[String]]): Column =
+    col(StopwordVotes(expr(tokens), sets))
+
   /** |A ∩ B| of two ascending-sorted long arrays (merge scan). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     col(SortedIntersectSize(expr(a), expr(b)))

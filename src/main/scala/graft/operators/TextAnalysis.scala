@@ -12,20 +12,28 @@ import graft.functions._
   */
 object TextAnalysis {
 
-  val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was")
-  val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
-  val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "pas")
-  val stopEs = Seq("el", "los", "y", "es", "que", "se", "por", "con", "para", "no")
+  val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "was",
+    "for", "on", "with", "as", "at", "this", "but", "be", "are", "have")
+  val stopDe = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den",
+    "von", "im", "auf", "sich", "auch", "eine", "als", "werden", "aus", "bei")
+  val stopFr = Seq("le", "la", "les", "et", "est", "un", "une", "des", "du", "pas",
+    "dans", "pour", "sur", "au", "plus", "sont", "avec", "ne", "mais", "ou")
+  val stopEs = Seq("el", "los", "y", "es", "que", "se", "por", "con", "para", "no",
+    "las", "una", "su", "al", "como", "lo", "pero", "sus", "le", "ya")
 
   private def stopCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit): _*)))
 
-  /** Stopword-vote language ID with deterministic priority en>de>fr>es. */
+  /** Stopword-vote language ID with deterministic priority en>de>fr>es.
+    * All four languages vote in one codegen pass ([[stopwordVotes]]).
+    */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = wordTokens(col(textCol))
+    val sets = Array(stopEn.toArray, stopDe.toArray, stopFr.toArray, stopEs.toArray)
     docs.select(col(idCol).as("doc_id"),
-        stopCount(toks, stopEn).as("n_en"), stopCount(toks, stopDe).as("n_de"),
-        stopCount(toks, stopFr).as("n_fr"), stopCount(toks, stopEs).as("n_es"))
+        stopwordVotes(wordTokens(col(textCol)), sets).as("v"))
+      .select(col("doc_id"),
+        col("v").getItem(0).as("n_en"), col("v").getItem(1).as("n_de"),
+        col("v").getItem(2).as("n_fr"), col("v").getItem(3).as("n_es"))
       .withColumn("lang_pred",
         when(col("n_en") === 0 && col("n_de") === 0 && col("n_fr") === 0 && col("n_es") === 0, "und")
           .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
