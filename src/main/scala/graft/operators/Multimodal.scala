@@ -19,7 +19,18 @@ object Multimodal {
     * small feature vector (e.g. a perceptual hash / embedding head).
     */
   case class Decoded(doc_id: Long, n_bytes: Int, width: Int, height: Int,
-                     n_frames: Int, features: Array[Float])
+                     n_frames: Int, thumb_w: Int, thumb_h: Int, features: Array[Float])
+
+  /** Aspect-preserving fit of (w, h) into a maxSide×maxSide box — the
+    * resize arithmetic a real thumbnailer applies (the pixel work is the
+    * codec stub's concern).
+    */
+  def fitWithin(w: Int, h: Int, maxSide: Int): (Int, Int) = {
+    if (w <= 0 || h <= 0) (0, 0)
+    else if (w <= maxSide && h <= maxSide) (w, h)
+    else if (w >= h) (maxSide, math.max(1, math.round(h.toDouble * maxSide / w).toInt))
+    else (math.max(1, math.round(w.toDouble * maxSide / h).toInt), maxSide)
+  }
 
   /** Deterministic fake codec: "dimensions" derived from payload length,
     * "features" a 8-dim byte-histogram sketch. Replace with a real codec
@@ -36,9 +47,11 @@ object Multimodal {
       var j = 0
       while (j < 8) { hist(j) /= payload.length.toFloat; j += 1 }
     }
-    Decoded(id, payload.length,
-      width = payload.length % 640, height = payload.length % 480,
-      n_frames = payload.length % 16 + 1, features = hist)
+    val w = payload.length % 640
+    val h = payload.length % 480
+    val (tw, th) = fitWithin(w, h, 64)
+    Decoded(id, payload.length, width = w, height = h,
+      n_frames = payload.length % 16 + 1, thumb_w = tw, thumb_h = th, features = hist)
   }
 
   /** Decode a (id, payload) table partition-wise. Input columns:

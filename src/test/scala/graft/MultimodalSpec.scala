@@ -18,7 +18,18 @@ class MultimodalSpec extends SparkSpec {
       assert(d.n_frames === d.n_bytes % 16 + 1)
       assert(d.features.length === 8)
       assert(math.abs(d.features.sum - 1f) < 1e-3) // histogram normalized
+      assert(d.thumb_w <= 64 && d.thumb_h <= 64)
+      if (d.width > 0 && d.height > 0)
+        assert(d.thumb_w > 0 && d.thumb_h > 0)
     }
+  }
+
+  test("fitWithin preserves aspect and bounds") {
+    assert(Multimodal.fitWithin(640, 480, 64) === ((64, 48)))
+    assert(Multimodal.fitWithin(480, 640, 64) === ((48, 64)))
+    assert(Multimodal.fitWithin(32, 20, 64) === ((32, 20))) // no upscale
+    assert(Multimodal.fitWithin(0, 100, 64) === ((0, 0)))
+    assert(Multimodal.fitWithin(10000, 1, 64) === ((64, 1)))
   }
 
   test("decode is deterministic (stub codec is pure)") {
