@@ -17,21 +17,42 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
-    // two timed passes per query, report the min — page cache and JIT
-    // jitter otherwise dominates second-scale queries at this SF
-    def timeAll(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Two timed passes per query, report the min — page cache and JIT
+    // jitter otherwise dominates second-scale queries at this SF. A
+    // failing query is reported under "errors", NEVER as a timing: a
+    // thrown exception returns fast and would otherwise make a broken
+    // operator look like a speedup.
+    def timeAll(): Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          name -> Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            val msg = (e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("")).replaceAll("[^ -~]", " ")
+              .replace("\\", "/").replace("\"", "'").take(160)
+            name -> Left(msg)
+        }
+      }
     val p1 = timeAll()
     spark.catalog.clearCache()
     val p2 = timeAll()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val merged = p1.map { case (k, v1) =>
+      k -> ((v1, p2(k)) match {
+        case (Right(a), Right(b)) => Right(math.min(a, b))
+        case (Left(e), _)         => Left(e)
+        case (_, Left(e))         => Left(e)
+      })
+    }
+    val ok = merged.collect { case (k, Right(t)) => k -> t }
+    val errs = merged.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val es = errs.map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }.mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errs.nonEmpty) sys.exit(1)
   }
 }

@@ -118,6 +118,9 @@ object Oracles {
         |SELECT e.vec_id, e.label FROM embeddings e ANTI JOIN upd u ON e.vec_id = u.vec_id
         |ORDER BY vec_id""".stripMargin,
 
+    "delete_ids" ->
+      "SELECT vec_id, label FROM embeddings WHERE vec_id % 13 <> 0 ORDER BY vec_id",
+
     "query_by_id" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
 

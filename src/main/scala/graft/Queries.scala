@@ -134,6 +134,16 @@ object Queries {
     Upsert.merge(emb, updates, "vec_id").orderBy("vec_id")
   }
 
+  /** Tombstone delete (reference: FaissIndex::remove_vectors,
+    * src/db/vector_database.rs:32-38 — the remove half of upsert as a
+    * standalone verb): drop every vec_id % 13 == 0, return the survivors.
+    */
+  def deleteIds(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val victims = emb.where(col("vec_id") % 13 === 0).select("vec_id")
+    Upsert.delete(emb, victims, "vec_id").orderBy("vec_id")
+  }
+
   /** Point lookup (reference: query_handle.rs — get document by id). */
   def queryById(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -23,6 +23,7 @@ object SparkEntry {
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),
     "upsert" -> (Queries.upsert _),
+    "delete_ids" -> (Queries.deleteIds _),
     "query_by_id" -> (Queries.queryById _),
     "filter_index_build" -> (Queries.filterIndexBuild _),
     "index_stats" -> (Queries.indexStats _),

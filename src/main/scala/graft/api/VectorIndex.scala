@@ -41,6 +41,20 @@ object FilterOp {
   */
 case class IndexKey(indexType: IndexType, dim: Int, metricType: Metric)
 
+/** Recall/latency knobs, the analog of the reference's HNSW parameters
+  * (reference: src/core/index_factory.rs:110-123 — M, ef_construction,
+  * ef_search): more probed clusters / fewer hash bits / larger probe
+  * radius ⇒ higher recall, more data scanned.
+  */
+case class IndexParams(
+    ivfClusters: Int = 16,
+    nprobe: Int = 4,
+    lshBits: Int = 4,
+    lshRadius: Int = 1) {
+  require(ivfClusters >= 1 && nprobe >= 1 && lshBits >= 1 && lshRadius >= 0,
+    "index params must be positive (lshRadius may be 0)")
+}
+
 /** The reference engine's five-endpoint surface (create / insert /
   * upsert / query / search — reference: src/router/mod.rs) as an
   * immutable Spark facade. State is a lazy DataFrame `(id LONG,
@@ -52,6 +66,7 @@ case class IndexKey(indexType: IndexType, dim: Int, metricType: Metric)
   */
 class VectorIndex private (
     val key: IndexKey,
+    val params: IndexParams,
     private val spark: SparkSession,
     private val state: DataFrame) {
 
@@ -62,7 +77,7 @@ class VectorIndex private (
       s"vector dim ${vector.length} != index dim ${key.dim}") // reference: BAD_REQUEST
 
   private def withState(next: DataFrame): VectorIndex =
-    new VectorIndex(key, spark, next)
+    new VectorIndex(key, params, spark, next)
 
   /** reference: insert_index_handle.rs — append (id, vectors). */
   def insert(id: Long, vector: Array[Float], data: String = null): VectorIndex = {
@@ -84,6 +99,19 @@ class VectorIndex private (
 
   def upsertAll(rows: DataFrame): VectorIndex =
     withState(Upsert.merge(state, normalize(rows), "id"))
+
+  /** Tombstone a single id (reference: the remove half of
+    * VectorDatabase::upsert — FaissIndex::remove_vectors,
+    * src/db/vector_database.rs:32-38 — exposed as a standalone verb).
+    */
+  def delete(id: Long): VectorIndex = {
+    import spark.implicits._
+    deleteAll(Seq(id).toDF("id"))
+  }
+
+  /** Bulk tombstone; `ids` needs an `id` column. One anti join. */
+  def deleteAll(ids: DataFrame): VectorIndex =
+    withState(Upsert.delete(state, ids.select(col("id").cast("long")), "id"))
 
   /** reference: router/handle/query_handle.rs — point lookup by id. */
   def query(id: Long): DataFrame =
@@ -121,17 +149,21 @@ class VectorIndex private (
       case IndexType.FLAT =>
         Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
       case IndexType.IVF =>
-        val centroids = IvfIndex.fit(base, "vectors", k = ivfClusters, seed = 42L)
-        IvfIndex.search(base, "id", "vectors", centroids, vector, k,
-          nprobe = math.max(1, ivfClusters / 4), metric = key.metricType.name)
+        // fitCached: repeated searches against one state reuse the coarse
+        // quantizer (the reference's IndexFactory registry); an empty
+        // state yields no centroids and degrades to the FLAT path, which
+        // returns empty instead of KMeans throwing.
+        val centroids = IvfIndex.fitCached(base, "vectors", k = params.ivfClusters, seed = 42L)
+        if (centroids.isEmpty)
+          Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
+        else
+          IvfIndex.search(base, "id", "vectors", centroids, vector, k,
+            nprobe = math.min(params.nprobe, centroids.length), metric = key.metricType.name)
       case IndexType.LSH =>
-        val planes = LshIndex.planes(nBits = lshBits, dim = key.dim, seed = 42L)
+        val planes = LshIndex.planes(nBits = params.lshBits, dim = key.dim, seed = 42L)
         LshIndex.search(base, "id", "vectors", planes, vector, k,
-          radius = 1, metric = key.metricType.name)
+          radius = params.lshRadius, metric = key.metricType.name)
     }
-
-  private def ivfClusters: Int = 16
-  private def lshBits: Int = 4
 }
 
 object VectorIndex {
@@ -139,10 +171,11 @@ object VectorIndex {
   /** reference: router/handle/create_index_handle.rs — registry init
     * keyed by (index_type, dim, metric_type); dim must be ≥ 1.
     */
-  def create(spark: SparkSession, indexType: IndexType, dim: Int, metricType: Metric): VectorIndex = {
+  def create(spark: SparkSession, indexType: IndexType, dim: Int, metricType: Metric,
+             params: IndexParams = IndexParams()): VectorIndex = {
     require(dim >= 1, "dim must be at least 1")
     val empty = rowsDf(spark, Seq.empty)
-    new VectorIndex(IndexKey(indexType, dim, metricType), spark, empty)
+    new VectorIndex(IndexKey(indexType, dim, metricType), params, spark, empty)
   }
 
   private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {

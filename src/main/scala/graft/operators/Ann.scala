@@ -35,6 +35,7 @@ object IvfIndex {
   def fit(emb: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
           maxSample: Long = 100000L): Array[Array[Float]] = {
     val n = emb.count()
+    if (n == 0L) return Array.empty // empty index: caller degrades to FLAT
     val frac = math.min(1.0, maxSample.toDouble / math.max(1L, n))
     val sampled = if (frac < 1.0) emb.sample(withReplacement = false, frac, seed) else emb
     val vecs = sampled.select(array_to_vector(col(vecCol).cast("array<double>")).as("features"))

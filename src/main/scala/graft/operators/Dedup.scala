@@ -67,7 +67,7 @@ object Dedup {
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
 
-    cand
+    val result = cand
       .join(signed.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
       .join(signed.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("est_sim",
@@ -75,6 +75,13 @@ object Dedup {
       .where(col("est_sim") >= minEst)
       .select(col("a_id"), col("b_id"), roundTo(col("est_sim"), 4).as("est_sim"))
       .orderBy("a_id", "b_id")
+
+    // Materialize the (small) pair output, then drop the signature cache —
+    // otherwise every invocation leaks one cached sig table until LRU
+    // pressure (Bench runs each query 3×; long-lived sessions worse).
+    val out = result.localCheckpoint(true)
+    signed.unpersist()
+    out
   }
 
   /** SimHash near-dup pairs: 60-bit simhash over word tokens, LSH on
@@ -100,13 +107,18 @@ object Dedup {
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
 
-    cand
+    val result = cand
       .join(signed.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
       .join(signed.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")
+
+    // Materialize, then release the signature cache (see minhashPairs).
+    val out = result.localCheckpoint(true)
+    signed.unpersist()
+    out
   }
 
   /** Character n-gram Jaccard similarity pairs, blocked on a grouping

@@ -30,7 +30,7 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), graft.functions.roundTo(sum("value"), 2).as("sum_value"))
       .select(
         unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -60,7 +60,12 @@ object EventStream {
       .groupByKey(_.id)
       .mapGroupsWithState[VectorMutation, VectorMutation](GroupStateTimeout.NoTimeout()) {
         case (_, it, state: GroupState[VectorMutation]) =>
-          val latest = (state.getOption.iterator ++ it).maxBy(m => m.ts.getTime)
+          // ties on event time resolve to the LATER arrival (state comes
+          // first in the iterator, so >= prefers the new record) — the
+          // reference upsert overwrites unconditionally on re-upsert
+          // (reference: db/vector_database.rs:24-83).
+          val latest = (state.getOption.iterator ++ it)
+            .reduceLeft((cur, m) => if (m.ts.getTime >= cur.ts.getTime) m else cur)
           state.update(latest)
           latest
       }

@@ -72,6 +72,71 @@ class ApiSpec extends SparkSpec {
     assert(hit.getLong(1) === 3L && hit.getDouble(2) === 0.0)
   }
 
+  test("delete removes the vector from index and store (remove_vectors analog)") {
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.L2)
+      .insert(1L, Array(0f, 0f), """{"a":1}""")
+      .insert(2L, Array(1f, 0f), """{"a":2}""")
+      .insert(3L, Array(2f, 0f), """{"a":3}""")
+      .delete(2L)
+    assert(idx.count === 2L)
+    assert(idx.query(2L).count() === 0L) // document gone
+    // the deleted vector never surfaces in search results
+    val ids = idx.search(Array(1f, 0f), 3).collect().map(_.getLong(1)).toSet
+    assert(ids === Set(1L, 3L))
+    // deleting a missing id is a no-op (reference remove is idempotent)
+    assert(idx.delete(99L).count === 2L)
+  }
+
+  test("bulk deleteAll over the real embeddings table") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"),
+        to_json(struct(col("label"))).as("data"))
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2).insertAll(emb)
+    val tombstones = emb.select("id").where(col("id") % 5 === 0)
+    val after = idx.deleteAll(tombstones)
+    assert(after.count === 400L)
+    assert(after.query(5L).count() === 0L)
+    assert(after.query(7L).count() === 1L)
+  }
+
+  test("recall knobs: more probed clusters / larger LSH radius never lose results") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"),
+        lit(null).cast("string").as("data"))
+    val qv = emb.where(col("id") === 11L).select("vectors").first().getSeq[Float](0).toArray
+    val exact = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2)
+      .insertAll(emb).search(qv, 10).collect().map(_.getLong(1)).toSet
+
+    def recallIvf(nprobe: Int): Double = {
+      val got = VectorIndex.create(spark, IndexType.IVF, 64, Metric.L2,
+          IndexParams(ivfClusters = 16, nprobe = nprobe))
+        .insertAll(emb).search(qv, 10).collect().map(_.getLong(1)).toSet
+      (got & exact).size / 10.0
+    }
+    // nprobe = K probes everything ⇒ exact; a low nprobe may not
+    val rAll = recallIvf(16)
+    val rLow = recallIvf(2)
+    assert(rAll === 1.0)
+    assert(rLow <= rAll)
+
+    def recallLsh(radius: Int): Double = {
+      val got = VectorIndex.create(spark, IndexType.LSH, 64, Metric.L2,
+          IndexParams(lshBits = 4, lshRadius = radius))
+        .insertAll(emb).search(qv, 10).collect().map(_.getLong(1)).toSet
+      (got & exact).size / 10.0
+    }
+    // radius 4 probes all 16 buckets ⇒ exact; radius 0 probes one bucket
+    assert(recallLsh(4) === 1.0)
+    assert(recallLsh(0) <= recallLsh(4))
+  }
+
+  test("search on an empty IVF index returns empty instead of throwing") {
+    val idx = VectorIndex.create(spark, IndexType.IVF, 2, Metric.L2)
+    assert(idx.search(Array(1f, 0f), 3).count() === 0L)
+  }
+
   test("invalid requests are rejected (BAD_REQUEST analogs)") {
     val idx = VectorIndex.create(spark, IndexType.FLAT, 3, Metric.L2)
     intercept[IllegalArgumentException](VectorIndex.create(spark, IndexType.FLAT, 0, Metric.L2))

@@ -46,6 +46,28 @@ class KnnSpec extends SparkSpec {
     assert(merged === Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "Z"))
   }
 
+  test("upsert merge: duplicate-keyed updates collapse to one winner (latest-wins)") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, "a", 0L)).toDF("k", "v", "ver")
+    // two updates for the same key: versioned merge keeps the max version
+    val updates = Seq((1L, "old", 5L), (1L, "new", 9L), (2L, "x", 1L)).toDF("k", "v", "ver")
+    val versioned = Upsert.merge(base, updates, "k", versionCol = Some("ver")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(versioned === Map(1L -> ("new", 9L), 2L -> ("x", 1L)))
+    // unversioned merge still never fans out the key (deterministic winner)
+    val flat = Upsert.merge(base, updates, "k")
+    assert(flat.groupBy("k").count().where(col("count") > 1).count() === 0L)
+    assert(flat.count() === 2L)
+  }
+
+  test("delete drops matching keys and nothing else") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val ids = Seq(2L, 99L).toDF("k") // 99 not present: idempotent no-op
+    val left = Upsert.delete(base, ids, "k").collect().map(_.getLong(0)).toSet
+    assert(left === Set(1L, 3L))
+  }
+
   test("upsert merge rejects mismatched schemas") {
     val s = spark; import s.implicits._
     val base = Seq((1L, "a")).toDF("k", "v")

@@ -147,9 +147,11 @@ class StreamingSpec extends SparkSpec {
 
   test("batch eventsWindowed on real data matches the streaming plan run in batch mode") {
     val batchOp = Queries.eventsWindowed(spark, sf001)
-      .orderBy("hour_start", "event_type").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .orderBy("hour_start", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     val twin = EventStream.windowedAgg(graft.sources.Tables.events(spark, sf001))
-      .orderBy("hour_start", "event_type").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .orderBy("hour_start", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(batchOp.toSeq === twin.toSeq)
   }
 }
