@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.SparkSession
+
 /** DuckDB oracle SQL, one entry per SQL-expressible key in
   * SparkEntry.queries. Column names, types, rounding and ORDER BY are
   * kept in lock-step with [[Queries]] — the driver sorts columns by name
@@ -9,6 +11,13 @@ package graft
   * Vector math is spelled out element-by-element (sequential
   * left-to-right double accumulation) to match the codegen loops in
   * graft.functions.VectorExpressions exactly.
+  *
+  * The approximate-ANN oracles ([[dynamic]]) embed the fitted index
+  * parameters (KMeans centroids / LSH hyperplanes) as exact float
+  * literals: Verify generates them in the same session that ran the
+  * queries, and DuckDB independently re-derives cluster assignment,
+  * probe pruning and ranking from those parameters — a full
+  * row/schema/hash check of the approximate search paths.
   */
 object Oracles {
 
@@ -81,6 +90,99 @@ object Oracles {
        |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
        |       (round(($valueOfScore) * 10000.0) / 10000.0) AS value
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
+
+  // ----- parameter-literal ANN oracles (generated per Verify run) -----
+
+  /** A float as the exact decimal expansion of its value — parses back to
+    * the identical float in any correctly-rounding engine (the expansion
+    * is finite and exactly representable, so VARCHAR → DOUBLE → REAL
+    * loses nothing).
+    */
+  private def floatLit(f: Float): String =
+    s"CAST('${new java.math.BigDecimal(f.toDouble).toPlainString}' AS DOUBLE)"
+
+  private def vecLit(v: Array[Float]): String =
+    v.map(floatLit).mkString("CAST([", ", ", "] AS REAL[])")
+
+  /** `(VALUES (0, vec), (1, vec), ...) AS t(idCol, vecCol)` literal table. */
+  private def paramRows(rows: Array[Array[Float]], idCol: String, vecCol: String): String =
+    rows.zipWithIndex
+      .map { case (v, i) => s"($i, ${vecLit(v)})" }
+      .mkString("(SELECT * FROM (VALUES ", ", ", s") AS t($idCol, $vecCol))")
+
+  /** IVF single-query search: assignment (argmin centroid, ties to lowest
+    * id), nprobe probe pruning, exact L2 re-rank — the DuckDB twin of
+    * [[operators.IvfIndex.search]] given the same centroids.
+    */
+  private def ivfSql(centroids: Array[Array[Float]], queryId: Long, k: Int, nprobe: Int): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |probe AS (SELECT c.cid FROM cents c, q ORDER BY ${l2sq("q.qv", "c.cv")}, c.cid LIMIT $nprobe),
+       |d AS (SELECT e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score
+       |      FROM embeddings e JOIN cl ON cl.vec_id = e.vec_id, q
+       |      WHERE cl.cid IN (SELECT cid FROM probe))
+       |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+       |       (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d ORDER BY score, id LIMIT $k""".stripMargin
+
+  /** Batch IVF k-NN: per-query probe sets over the same literal
+    * centroids; top-k per query by (distance, id) — the DuckDB twin of
+    * [[operators.Knn.searchBatchIvf]].
+    */
+  private def batchIvfSql(centroids: Array[Array[Float]], k: Int, nprobe: Int): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |qd AS (SELECT q.q_id, c.cid, ${l2sq("q.qv", "c.cv")} AS d2 FROM q CROSS JOIN cents c),
+       |probe AS (SELECT q_id, cid FROM qd
+       |          QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) <= $nprobe),
+       |d AS (SELECT p.q_id, e.vec_id AS n_id, ${l2("e.embedding", "q.qv")} AS score
+       |      FROM probe p JOIN cl ON cl.cid = p.cid JOIN embeddings e ON e.vec_id = cl.vec_id
+       |      JOIN q ON q.q_id = p.q_id)
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) AS INT) AS rank,
+       |       n_id, (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** LSH bucketed search: sign-of-dot bucket per vector over the literal
+    * hyperplanes, Hamming-radius multi-probe around the query's bucket,
+    * exact L2 re-rank — the DuckDB twin of [[operators.LshIndex.search]].
+    */
+  private def lshSql(planes: Array[Array[Float]], queryId: Long, k: Int, radius: Int): String =
+    s"""WITH pl AS ${paramRows(planes, "p", "wv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |bdot AS (SELECT e.vec_id, pl.p, ${dot("e.embedding", "pl.wv")} AS d
+       |         FROM embeddings e CROSS JOIN pl),
+       |bk AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bdot GROUP BY vec_id),
+       |ctr AS (SELECT bucket AS center FROM bk WHERE vec_id = $queryId),
+       |d AS (SELECT e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score
+       |      FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id, q, ctr
+       |      WHERE bit_count(xor(bk.bucket, ctr.center)) <= $radius)
+       |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+       |       (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d ORDER BY score, id LIMIT $k""".stripMargin
+
+  /** Oracles that depend on fitted index parameters: must be generated in
+    * the session that ran the queries (Verify), so both sides see the
+    * identical centroid/plane matrices. Parameters here mirror
+    * [[Queries.annIvf]], [[Queries.knnBatchIvf]], [[Queries.annLsh]].
+    */
+  def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
+    val emb = sources.Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val planes = operators.LshIndex.planes(nBits = 4, dim = 64)
+    Map(
+      "ann_ivf" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
+      "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
+      "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1))
+  }
 
   val sql: Map[String, String] = Map(
 
