@@ -169,19 +169,43 @@ object Oracles {
        |       (round((score) * 10000.0) / 10000.0) AS value
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
 
+  /** Banded-LSH embedding dedup: per-band bucket per vector over the
+    * literal hyperplanes (row id = band·nBits + bit), candidates = pairs
+    * sharing any band bucket, exact cosine filter on candidates — the
+    * DuckDB twin of [[operators.Dedup.embeddingCosinePairs]].
+    */
+  private def embeddingLshSql(bandPlanes: Array[Array[Array[Float]]], minCosine: Double): String = {
+    val nBits = bandPlanes.head.length
+    s"""WITH pl AS ${paramRows(bandPlanes.flatten, "pid", "wv")},
+       |bdot AS (SELECT e.vec_id, pl.pid // $nBits AS band, pl.pid % $nBits AS p,
+       |                ${dot("e.embedding", "pl.wv")} AS d
+       |         FROM embeddings e CROSS JOIN pl),
+       |bk AS (SELECT vec_id, band, CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bdot GROUP BY vec_id, band),
+       |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |p AS (SELECT a_id, b_id, ${cosine("ea.embedding", "eb.embedding")} AS c
+       |      FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)
+       |SELECT a_id, b_id, (round((c) * 10000.0) / 10000.0) AS cosine
+       |FROM p WHERE c >= $minCosine ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** Oracles that depend on fitted index parameters: must be generated in
     * the session that ran the queries (Verify), so both sides see the
     * identical centroid/plane matrices. Parameters here mirror
-    * [[Queries.annIvf]], [[Queries.knnBatchIvf]], [[Queries.annLsh]].
+    * [[Queries.annIvf]], [[Queries.knnBatchIvf]], [[Queries.annLsh]],
+    * [[Queries.dedupEmbedding]].
     */
   def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
     val emb = sources.Tables.embeddings(spark, dir)
     val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
     val planes = operators.LshIndex.planes(nBits = 4, dim = 64)
+    val dedupPlanes = operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64)
     Map(
       "ann_ivf" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
-      "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1))
+      "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
+      "dedup_embedding" -> embeddingLshSql(dedupPlanes, minCosine = 0.35))
   }
 
   val sql: Map[String, String] = Map(
@@ -289,12 +313,6 @@ object Oracles {
         |        CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS j
         |      FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, (round((j) * 10000.0) / 10000.0) AS jaccard FROM p WHERE j >= 0.65 ORDER BY a_id, b_id""".stripMargin,
-
-    "dedup_embedding" ->
-      s"""WITH p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |             ${cosine("a.embedding", "b.embedding")} AS c
-         |           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT a_id, b_id, (round((c) * 10000.0) / 10000.0) AS cosine FROM p WHERE c >= 0.35 ORDER BY a_id, b_id""".stripMargin,
 
     // ================= C. text analysis =================
 

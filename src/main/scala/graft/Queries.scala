@@ -204,9 +204,13 @@ object Queries {
     Dedup.resolveClusters(docs, "doc_id", pairs)
   }
 
+  /** Embedding near-dup pairs via banded sign-LSH blocking (8 bands × 4
+    * bits) — the bounded-cost scale path; the oracle re-derives buckets
+    * from the same hyperplanes (parameter-literal SQL, Oracles.dynamic).
+    */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
-      blockCol = "label", minCosine = 0.35)
+      operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64), minCosine = 0.35)
 
   // =====================================================================
   // C. Text analysis

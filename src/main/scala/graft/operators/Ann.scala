@@ -116,6 +116,16 @@ object LshIndex {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
+  /** `bands` independent hyperplane sets (one seeded stream) — the
+    * cosine-LSH analog of MinHash banding: a pair is a candidate when it
+    * shares the bucket in ANY band, so recall for high-cosine pairs is
+    * 1 - (1 - p^nBits)^bands with p = 1 - θ/π.
+    */
+  def bandPlanes(bands: Int, nBits: Int, dim: Int, seed: Long = 42L): Array[Array[Array[Float]]] = {
+    val rnd = new Random(seed)
+    Array.fill(bands)(Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat)))
+  }
+
   def bucket(vec: Column, planes: Array[Array[Float]]): Column =
     graft.functions.lshBucket(vec, planes)
 

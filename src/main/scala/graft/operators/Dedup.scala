@@ -241,19 +241,51 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Embedding-cosine near-dup pairs within blocks (exact within block;
-    * the 100 TB path swaps the block key for an LSH bucket — see
-    * LshIndex — which keeps the same pair semantics at bounded cost).
+  /** Embedding-cosine near-dup pairs, blocked on banded sign-LSH buckets
+    * (the same staged shape as [[minhashPairs]], which is what keeps this
+    * bounded at 100 TB — the round-1 version was an all-pairs self-join
+    * on a constant-cardinality block key, i.e. O(n²) shuffle AND compute
+    * with both 256-byte vectors riding in every pair row).
+    *
+    * Stage 1 (map-side, codegen): every vector gets `bands` bucket ids —
+    * one [[graft.functions.lshBucket]] kernel per band, one scan pass.
+    * Stage 2: the candidate shuffle carries only (band, bucket, id);
+    * pairs form per bucket, so cost is Σ bucket² — bounded by sizing
+    * nBits ~ log2(n / targetBucketSize), never global O(n²).
+    * Stage 3: vectors re-join BY ID only for the deduped candidates and
+    * the exact cosine filter runs on that small pair set.
+    *
+    * Candidate semantics (like [[simhashPairs]]): pairs that share ≥ 1
+    * band bucket; recall for cosine-c pairs is 1-(1-p^nBits)^bands,
+    * p = 1-θ/π — e.g. ≥ 0.99 for c ≥ 0.9 at 8 bands × 4 bits
+    * (property-tested in DedupSpec).
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-                           blockCol: String, minCosine: Double): DataFrame = {
-    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("a_id"), col(vecCol).as("va"))
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("b_id"), col(vecCol).as("vb"))
-    a.join(b, Seq("blk"))
+                           bandPlanes: Array[Array[Array[Float]]],
+                           minCosine: Double): DataFrame = {
+    val buckets = emb
+      .select(col(idCol).as("vec_id"),
+        array(bandPlanes.map(pl => lshBucket(col(vecCol), pl)).toSeq: _*).as("bks"))
+      .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // narrow (id, band, bucket) sig table
+
+    val cand = buckets.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
+      .join(buckets.select(col("band"), col("bucket"), col("vec_id").as("b_id")), Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+
+    val result = cand
+      .join(emb.select(col(idCol).as("a_id"), col(vecCol).as("va")), "a_id")
+      .join(emb.select(col(idCol).as("b_id"), col(vecCol).as("vb")), "b_id")
       .withColumn("cosine", vecCosine(col("va"), col("vb")))
       .where(col("cosine") >= minCosine)
       .select(col("a_id"), col("b_id"), roundTo(col("cosine"), 4).as("cosine"))
       .orderBy("a_id", "b_id")
+
+    // Materialize, then release the bucket cache (see minhashPairs).
+    val out = result.localCheckpoint(true)
+    buckets.unpersist()
+    out
   }
 }

