@@ -122,12 +122,25 @@ package object functions {
         F.sequence(F.lit(1), F.length(text) - (n - 1)),
         i => substrDyn(text, i, n)))
 
-  /** Polynomial rolling-hash fingerprint of a string (mod 1e9+7, base 31).
-    * acc_0 = 0; acc_{i+1} = (acc_i * 31 + ascii(char_i)) mod (1e9+7).
+  /** Polynomial rolling-hash fingerprint of a string (mod 1e9+7, base 31):
+    * acc_0 = 0; acc_{i+1} = (acc_i * 31 + codepoint_i) mod (1e9+7).
+    * One codegen pass; equivalence with [[rollingFingerprintBuiltin]] is
+    * fuzz-tested. Empty string → 0.
     */
-  def rollingFingerprint(text: Column): Column =
+  def rollingFingerprint(text: Column): Column = col(RollingFingerprint(expr(text)))
+
+  /** Reference formulation of [[rollingFingerprint]] in pure built-ins
+    * (per-character interpreted lambdas — kept as the equivalence-test
+    * reference and executable documentation of the semantics the DuckDB
+    * oracle mirrors; only valid for length ≥ 1, since sequence(1, 0)
+    * counts down).
+    */
+  def rollingFingerprintBuiltin(text: Column): Column =
     F.aggregate(
       F.transform(F.sequence(F.lit(1), F.length(text)), i => F.ascii(substrDyn(text, i, 1)).cast("long")),
       F.lit(0L),
       (acc, c) => (acc * 31L + c) % 1000000007L)
+
+  /** Σ code-point length over ARRAY<STRING>, one codegen pass. */
+  def sumStrLen(arr: Column): Column = col(SumStrLen(expr(arr)))
 }

@@ -56,8 +56,7 @@ object TextAnalysis {
         stopCount(toks, stopEn).as("n_stop"))
       .withColumn("mean_len",
         when(col("n_tok") === 0, 0.0).otherwise(
-          aggregate(transform(col("toks"), t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
-            .cast("double") / col("n_tok").cast("double")))
+          sumStrLen(col("toks")).cast("double") / col("n_tok").cast("double")))
       .withColumn("punct_ratio",
         when(length(col("text")) === 0, 0.0).otherwise(
           regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
@@ -88,12 +87,10 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   /** Polynomial rolling-hash fingerprint (base 31 mod 1e9+7) over the
-    * raw character stream.
+    * raw character stream — one codegen kernel pass (the built-in chain
+    * re-evaluated interpreted lambdas per character).
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
-        col(idCol).as("doc_id"),
-        when(length(col(textCol)) === 0, 0L)
-          .otherwise(rollingFingerprint(col(textCol))).as("fp"))
+    docs.select(col(idCol).as("doc_id"), rollingFingerprint(col(textCol)).as("fp"))
       .orderBy("doc_id")
 }
