@@ -203,6 +203,9 @@ object Oracles {
     val dedupPlanes = operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64)
     Map(
       "ann_ivf" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
+      // identical parameters to ann_ivf — the persisted layout must not
+      // change the answer, only where the pruning happens (file listing).
+      "ann_ivf_persisted" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
       "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
       "dedup_embedding" -> embeddingLshSql(dedupPlanes, minCosine = 0.35))

@@ -110,6 +110,22 @@ object Queries {
       queryVec(spark, dir, 2L), k = 10, nprobe = 4, metric = "l2")
   }
 
+  /** The restart/serving path: materialize the IVF layout (cluster id as
+    * the parquet partition column, [[operators.IvfIndex.writePartitioned]]),
+    * then search the persisted table — the nprobe filter prunes at
+    * file-listing time, so unprobed clusters cost zero IO. Same
+    * centroids/query/knobs as [[annIvf]], so the parameter-literal oracle
+    * is identical; PersistSpec asserts the pruning itself.
+    */
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val path = s"target/graft-persist/ivf_${new java.io.File(dir).getName}"
+    operators.IvfIndex.writePartitioned(emb, "embedding", centroids, path)
+    operators.IvfIndex.searchPersisted(spark, path, "vec_id", "embedding",
+      centroids, queryVec(spark, dir, 2L), k = 10, nprobe = 4, metric = "l2")
+  }
+
   /** LSH-bucketed ANN: 4 seeded hyperplanes (16 buckets), multi-probe
     * Hamming radius 1 (5 of 16 buckets), exact re-rank. Rows-only driver
     * check; behavior properties in AnnSpec.

@@ -19,6 +19,7 @@ object SparkEntry {
     "knn_batch_ivf" -> (Queries.knnBatchIvf _),
     "ann_ivf_exact" -> (Queries.annIvfExact _),
     "ann_ivf" -> (Queries.annIvf _),
+    "ann_ivf_persisted" -> (Queries.annIvfPersisted _),
     "ann_lsh" -> (Queries.annLsh _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),

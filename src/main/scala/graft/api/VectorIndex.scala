@@ -68,7 +68,8 @@ class VectorIndex private (
     val key: IndexKey,
     val params: IndexParams,
     private val spark: SparkSession,
-    private val state: DataFrame) {
+    private val state: DataFrame,
+    private val loadedCentroids: Option[Array[Array[Float]]] = None) {
 
   import VectorIndex._
 
@@ -76,8 +77,21 @@ class VectorIndex private (
     require(vector.length == key.dim,
       s"vector dim ${vector.length} != index dim ${key.dim}") // reference: BAD_REQUEST
 
+  /** Layout-preserving state swap (delete keeps every row's persisted
+    * cluster/bucket assignment valid, so pruning survives).
+    */
   private def withState(next: DataFrame): VectorIndex =
-    new VectorIndex(key, params, spark, next)
+    new VectorIndex(key, params, spark, next, loadedCentroids)
+
+  /** Layout-invalidating state swap: new/changed rows have no persisted
+    * partition assignment, so drop the layout columns and fall back to
+    * the computed-assignment search path.
+    */
+  private def withFreshState(next: DataFrame): VectorIndex =
+    new VectorIndex(key, params, spark, next, None)
+
+  /** State without persisted-layout columns (for mutations that union). */
+  private def bare: DataFrame = state.drop(LayoutCols: _*)
 
   /** reference: insert_index_handle.rs — append (id, vectors). */
   def insert(id: Long, vector: Array[Float], data: String = null): VectorIndex = {
@@ -87,7 +101,7 @@ class VectorIndex private (
 
   /** Bulk append; `rows` needs columns (id, vectors[, data]). */
   def insertAll(rows: DataFrame): VectorIndex =
-    withState(state.unionByName(normalize(rows), allowMissingColumns = false))
+    withFreshState(bare.unionByName(normalize(rows), allowMissingColumns = false))
 
   /** reference: db/vector_database.rs:24-83 — latest-wins: replace the
     * vector for an existing id and overwrite its scalar document.
@@ -98,7 +112,7 @@ class VectorIndex private (
   }
 
   def upsertAll(rows: DataFrame): VectorIndex =
-    withState(Upsert.merge(state, normalize(rows), "id"))
+    withFreshState(Upsert.merge(bare, normalize(rows), "id"))
 
   /** Tombstone a single id (reference: the remove half of
     * VectorDatabase::upsert — FaissIndex::remove_vectors,
@@ -149,24 +163,74 @@ class VectorIndex private (
       case IndexType.FLAT =>
         Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
       case IndexType.IVF =>
-        // fitCached: repeated searches against one state reuse the coarse
-        // quantizer (the reference's IndexFactory registry); an empty
-        // state yields no centroids and degrades to the FLAT path, which
-        // returns empty instead of KMeans throwing.
-        val centroids = IvfIndex.fitCached(base, "vectors", k = params.ivfClusters, seed = 42L)
-        if (centroids.isEmpty)
-          Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
-        else
-          IvfIndex.search(base, "id", "vectors", centroids, vector, k,
-            nprobe = math.min(params.nprobe, centroids.length), metric = key.metricType.name)
+        loadedCentroids match {
+          // Loaded layout: `cluster` is the parquet partition column, so
+          // the nprobe filter prunes at file-listing time — no KMeans, no
+          // per-row assignment, zero IO for unprobed clusters.
+          case Some(c) if base.columns.contains("cluster") =>
+            val probed = IvfIndex.probes(vector, c, math.min(params.nprobe, c.length))
+            Knn.searchExact(base.where(col("cluster").isin(probed: _*)),
+              "id", "vectors", vector, k, key.metricType.name)
+          case _ =>
+            // fitCached: repeated searches against one state reuse the coarse
+            // quantizer (the reference's IndexFactory registry); an empty
+            // state yields no centroids and degrades to the FLAT path, which
+            // returns empty instead of KMeans throwing.
+            val centroids = IvfIndex.fitCached(base, "vectors", k = params.ivfClusters, seed = 42L)
+            if (centroids.isEmpty)
+              Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
+            else
+              IvfIndex.search(base, "id", "vectors", centroids, vector, k,
+                nprobe = math.min(params.nprobe, centroids.length), metric = key.metricType.name)
+        }
       case IndexType.LSH =>
         val planes = LshIndex.planes(nBits = params.lshBits, dim = key.dim, seed = 42L)
-        LshIndex.search(base, "id", "vectors", planes, vector, k,
-          radius = params.lshRadius, metric = key.metricType.name)
+        if (base.columns.contains("bucket")) {
+          // Loaded layout: bucket partition column — multi-probe becomes a
+          // file-listing prune (planes are seed-deterministic, nothing to load).
+          val probed = LshIndex.probeBuckets(
+            LshIndex.bucketOf(vector, planes), planes.length, params.lshRadius)
+          Knn.searchExact(base.where(col("bucket").isin(probed: _*)),
+            "id", "vectors", vector, k, key.metricType.name)
+        } else
+          LshIndex.search(base, "id", "vectors", planes, vector, k,
+            radius = params.lshRadius, metric = key.metricType.name)
     }
+
+  /** Persist the index under `path` so a restarted engine serves without
+    * rebuilding (the reference's restart story: RocksDB scalar store +
+    * faiss index files, src/db/scalar_storage.rs). Layout:
+    * `path/meta` (1-row parquet: key + params), `path/data` (the state —
+    * partitioned by cluster / bucket for IVF / LSH so [[load]]ed searches
+    * prune at file-listing time), `path/centroids` (IVF only).
+    */
+  def save(path: String): Unit = {
+    import spark.implicits._
+    Seq((key.indexType.toString, key.dim, key.metricType.name,
+        params.ivfClusters, params.nprobe, params.lshBits, params.lshRadius))
+      .toDF("index_type", "dim", "metric", "ivf_clusters", "nprobe", "lsh_bits", "lsh_radius")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    key.indexType match {
+      case IndexType.IVF =>
+        val centroids = IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L)
+        if (centroids.isEmpty) bare.write.mode("overwrite").parquet(s"$path/data")
+        else {
+          IvfIndex.writeCentroids(spark, centroids, s"$path/centroids")
+          IvfIndex.writePartitioned(bare, "vectors", centroids, s"$path/data")
+        }
+      case IndexType.LSH =>
+        LshIndex.writePartitioned(bare, "vectors",
+          LshIndex.planes(nBits = params.lshBits, dim = key.dim, seed = 42L), s"$path/data")
+      case IndexType.FLAT =>
+        bare.write.mode("overwrite").parquet(s"$path/data")
+    }
+  }
 }
 
 object VectorIndex {
+
+  /** Persisted-layout columns that only exist on a [[load]]ed state. */
+  private val LayoutCols = Seq("cluster", "bucket")
 
   /** reference: router/handle/create_index_handle.rs — registry init
     * keyed by (index_type, dim, metric_type); dim must be ≥ 1.
@@ -176,6 +240,35 @@ object VectorIndex {
     require(dim >= 1, "dim must be at least 1")
     val empty = rowsDf(spark, Seq.empty)
     new VectorIndex(IndexKey(indexType, dim, metricType), params, spark, empty)
+  }
+
+  /** Reopen a [[VectorIndex#save]]d index. The data scan stays lazy (at
+    * 100 TB nothing is read until a search, and IVF/LSH searches then
+    * read only the probed partitions); only the 1-row meta and the tiny
+    * centroid matrix hit the driver.
+    */
+  def load(spark: SparkSession, path: String): VectorIndex = {
+    val m = spark.read.parquet(s"$path/meta").collect().head
+    val indexType = m.getAs[String]("index_type") match {
+      case "FLAT" => IndexType.FLAT
+      case "IVF"  => IndexType.IVF
+      case "LSH"  => IndexType.LSH
+      case other  => throw new IllegalArgumentException(s"unknown index_type $other")
+    }
+    val metric = m.getAs[String]("metric") match {
+      case "l2"     => Metric.L2
+      case "ip"     => Metric.InnerProduct
+      case "cosine" => Metric.Cosine
+      case other    => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    val params = IndexParams(m.getAs[Int]("ivf_clusters"), m.getAs[Int]("nprobe"),
+      m.getAs[Int]("lsh_bits"), m.getAs[Int]("lsh_radius"))
+    val state = spark.read.parquet(s"$path/data")
+    val centroids =
+      if (indexType == IndexType.IVF && state.columns.contains("cluster"))
+        Some(IvfIndex.readCentroids(spark, s"$path/centroids"))
+      else None
+    new VectorIndex(IndexKey(indexType, m.getAs[Int]("dim"), metric), params, spark, state, centroids)
   }
 
   private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {

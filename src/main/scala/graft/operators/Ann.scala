@@ -99,6 +99,34 @@ object IvfIndex {
 
   def readPruned(spark: SparkSession, path: String, probed: Seq[Int]): DataFrame =
     spark.read.parquet(path).where(col("cluster").isin(probed: _*))
+
+  /** Persist the fitted coarse quantizer next to the data so a reload
+    * skips KMeans entirely (the reference's index files surviving restart
+    * alongside the RocksDB scalar store, src/db/scalar_storage.rs).
+    * K × dim floats — a single tiny file.
+    */
+  def writeCentroids(spark: SparkSession, centroids: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(path).orderBy("cluster_id")
+      .select("centroid").collect().map(_.getSeq[Float](0).toArray)
+
+  /** Search a [[writePartitioned]] layout end-to-end: [[readPruned]]'s
+    * partition filter means unprobed clusters cost zero IO (file-listing
+    * prune, not a row filter), then exact re-rank over the survivors —
+    * the serving path a restarted engine takes at 100 TB.
+    */
+  def searchPersisted(spark: SparkSession, path: String, idCol: String, vecCol: String,
+                      centroids: Array[Array[Float]], queryVec: Array[Float],
+                      k: Int, nprobe: Int, metric: String = "l2"): DataFrame = {
+    val probed = probes(queryVec, centroids, nprobe)
+    Knn.searchExact(readPruned(spark, path, probed), idCol, vecCol, queryVec, k, metric)
+  }
 }
 
 /** Random-hyperplane LSH ANN index (reference analog: the second ANN
@@ -150,6 +178,24 @@ object LshIndex {
              k: Int, radius: Int, metric: String = "l2"): DataFrame = {
     val probed = probeBuckets(bucketOf(queryVec, planes), planes.length, radius)
     val pruned = emb.where(bucket(col(vecCol), planes).isin(probed: _*))
+    Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
+  }
+
+  /** The LSH twin of [[IvfIndex.writePartitioned]]: bucket as the parquet
+    * partition column, so multi-probe search over a reloaded index prunes
+    * at file-listing time. Planes are seed-deterministic, so only the
+    * data needs persisting.
+    */
+  def writePartitioned(emb: DataFrame, vecCol: String,
+                       planes: Array[Array[Float]], path: String): Unit =
+    emb.withColumn("bucket", bucket(col(vecCol), planes))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  def searchPersisted(spark: SparkSession, path: String, idCol: String, vecCol: String,
+                      planes: Array[Array[Float]], queryVec: Array[Float],
+                      k: Int, radius: Int, metric: String = "l2"): DataFrame = {
+    val probed = probeBuckets(bucketOf(queryVec, planes), planes.length, radius)
+    val pruned = spark.read.parquet(path).where(col("bucket").isin(probed: _*))
     Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
   }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.api._
+import graft.operators.{IvfIndex, LshIndex}
+import graft.sources.Tables
+
+/** The restart story (reference: RocksDB scalar store surviving restart,
+  * src/db/scalar_storage.rs + faiss index files): save → load → search
+  * must return the same rows as searching the live index, and the
+  * reloaded IVF/LSH search must PRUNE PARTITIONS — fewer files touched
+  * than the table holds — not merely filter rows.
+  */
+class PersistSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getPath
+
+  /** The first FileSourceScanExec of a physical plan, descending through
+    * the AQE wrapper nodes that hide their subtree from `collect`.
+    */
+  private def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec    => Seq(f)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec        => find(q.plan)
+    }.flatten
+    find(df.queryExecution.executedPlan).head
+  }
+
+  test("IvfIndex writePartitioned -> searchPersisted: same answer, pruned file listing") {
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = IvfIndex.fitCached(emb, "embedding", k = 16)
+    val q = emb.where(col("vec_id") === 2L).select("embedding").first().getSeq[Float](0).toArray
+    val path = tmp("graft-ivf-persist")
+
+    IvfIndex.writePartitioned(emb, "embedding", centroids, path)
+    val live = IvfIndex.search(emb, "vec_id", "embedding", centroids, q, k = 10, nprobe = 4)
+      .collect().map(_.toSeq).toSeq
+    val persisted = IvfIndex.searchPersisted(spark, path, "vec_id", "embedding",
+      centroids, q, k = 10, nprobe = 4)
+    assert(persisted.collect().map(_.toSeq).toSeq === live)
+
+    // partition pruning, not row filtering: the probe filter must reach the
+    // file listing, and unprobed clusters must contribute zero files.
+    val probed = IvfIndex.probes(q, centroids, nprobe = 4)
+    val pruned = IvfIndex.readPruned(spark, path, probed)
+    val scan = scanOf(pruned)
+    assert(scan.partitionFilters.nonEmpty, "cluster IN (...) must be a partition filter")
+    val total = scanOf(spark.read.parquet(path)).selectedPartitions.partitionCount
+    assert(scan.selectedPartitions.partitionCount === probed.length)
+    assert(scan.selectedPartitions.partitionCount < total)
+  }
+
+  test("VectorIndex IVF save -> load -> search round trip, pruned") {
+    val rows = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"),
+        to_json(struct(col("label"))).as("data"))
+    val idx = VectorIndex.create(spark, IndexType.IVF, 64, Metric.L2,
+      IndexParams(ivfClusters = 8, nprobe = 2)).insertAll(rows)
+    val q = rows.where(col("id") === 5L).select("vectors").first().getSeq[Float](0).toArray
+
+    val path = tmp("graft-vidx-ivf")
+    idx.save(path)
+    val reloaded = VectorIndex.load(spark, path)
+    assert(reloaded.key === idx.key)
+    assert(reloaded.params === idx.params)
+    assert(reloaded.count === idx.count)
+
+    val live = idx.search(q, 10).collect().map(_.toSeq).toSeq
+    val loaded = reloaded.search(q, 10)
+    assert(loaded.collect().map(_.toSeq).toSeq === live)
+    // the reloaded search must scan only nprobe of the 8 cluster partitions
+    val scan = scanOf(loaded)
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount <= 2)
+
+    // a loaded index keeps serving point lookups and filtered search
+    assert(reloaded.query(5L).count() === 1L)
+
+    // delete preserves the pruned layout; insert falls back (and stays correct)
+    val afterDelete = reloaded.deleteAll(rows.where(col("id") === live.head(1)).select("id"))
+    val next = afterDelete.search(q, 1).collect().head
+    assert(next.getLong(1) !== live.head(1))
+    val afterInsert = reloaded.insert(999999L, q)
+    val hits = afterInsert.search(q, 2).collect()
+    // id 5 (the query's source) and the new row tie at distance 0
+    assert(hits.map(_.getLong(1)).toSet === Set(5L, 999999L))
+    assert(hits.forall(_.getDouble(2) === 0.0))
+  }
+
+  test("VectorIndex LSH save -> load: bucket-partitioned, same answer as live") {
+    val rows = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"))
+    val idx = VectorIndex.create(spark, IndexType.LSH, 64, Metric.L2,
+      IndexParams(lshBits = 4, lshRadius = 1)).insertAll(rows)
+    val q = rows.where(col("id") === 3L).select("vectors").first().getSeq[Float](0).toArray
+
+    val path = tmp("graft-vidx-lsh")
+    idx.save(path)
+    val reloaded = VectorIndex.load(spark, path)
+    val live = idx.search(q, 10).collect().map(_.toSeq).toSeq
+    val loaded = reloaded.search(q, 10)
+    assert(loaded.collect().map(_.toSeq).toSeq === live)
+    val scan = scanOf(loaded)
+    assert(scan.partitionFilters.nonEmpty)
+    // radius 1 on 4 bits probes 5 of up to 16 buckets
+    assert(scan.selectedPartitions.partitionCount <= 5)
+  }
+
+  test("VectorIndex FLAT save -> load round trip") {
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.Cosine)
+      .insert(1L, Array(1f, 0f), """{"k":1}""")
+      .insert(2L, Array(0f, 1f))
+    val path = tmp("graft-vidx-flat")
+    idx.save(path)
+    val reloaded = VectorIndex.load(spark, path)
+    assert(reloaded.key === idx.key)
+    assert(reloaded.search(Array(1f, 0f), 2).collect().map(_.toSeq).toSeq
+      === idx.search(Array(1f, 0f), 2).collect().map(_.toSeq).toSeq)
+    assert(reloaded.query(1L).collect().head.getString(2) === """{"k":1}""")
+  }
+}
