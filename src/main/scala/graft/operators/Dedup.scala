@@ -87,6 +87,20 @@ object Dedup {
   /** SimHash near-dup pairs: 60-bit simhash over word tokens, LSH on
     * 4 × 15-bit bands, exact hamming re-rank ≤ maxHamming. Same staged
     * shape as [[minhashPairs]]: narrow band shuffle, sig rejoin by id.
+    *
+    * Recall envelope (semantics = "LSH candidate pairs with hamming ≤
+    * maxHamming", NOT "all pairs ≤ maxHamming"): with 4 bands, a pair
+    * whose signatures differ in h bits is guaranteed a candidate when
+    * h ≤ 3 (pigeonhole — 3 bits can touch at most 3 of 4 bands, one band
+    * matches exactly; DedupSpec proves this against brute force). For
+    * 3 < h ≤ maxHamming the pair surfaces only if its differing bits
+    * happen to spare one band; the miss probability grows with h.
+    * Narrower bands would close that gap but multiply candidates: at
+    * 15-bit bands, unrelated docs collide per band with p ≈ 2⁻¹⁵, while
+    * the 10 × 6-bit banding that would guarantee h ≤ 9 collides at
+    * p ≈ 2⁻⁶ per band — O(n²/64) candidate pairs, a scale-killer. The
+    * oracle mirrors the banding exactly, so the gate checks these
+    * semantics, not the unbounded ones.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
     val signed = docs

@@ -37,6 +37,43 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 2L)) === 0)
   }
 
+  test("simhash banding envelope: complete for hamming <= 3, sound vs brute force") {
+    val s = spark; import s.implicits._
+    // 200 docs over a small vocabulary so near-identical token sets (and
+    // thus close signatures) actually occur.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val fuzzed = (1L to 200L).map { i =>
+      val base = vocab.filter(_ => rnd.nextBoolean())
+      val toks = if (rnd.nextBoolean() && base.nonEmpty) base
+                 else base :+ vocab(rnd.nextInt(vocab.size))
+      (i, toks.mkString(" "))
+    }
+    val df = fuzzed.toDF("doc_id", "text")
+
+    val sigs = df.select($"doc_id",
+        graft.functions.simHash60(
+          graft.functions.wordShingleHash60(graft.functions.wordTokens($"text"), 1)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+    val got = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+
+    val ids = fuzzed.map(_._1)
+    for (a <- ids; b <- ids if a < b) {
+      val h = hamming(sigs(a), sigs(b))
+      // pigeonhole guarantee: <= 3 differing bits leave one of 4 bands intact
+      if (h <= 3) assert(got.get((a, b)).contains(h), s"missed guaranteed pair ($a,$b) h=$h")
+    }
+    // soundness: every emitted pair's hamming is real and within the cap
+    got.foreach { case ((a, b), h) =>
+      assert(h === hamming(sigs(a), sigs(b)) && h <= 8)
+    }
+    assert(got.nonEmpty)
+  }
+
   test("resolveClusters: min-label propagation finds connected components") {
     val s = spark; import s.implicits._
     val allDocs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
