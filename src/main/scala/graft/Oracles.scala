@@ -237,6 +237,14 @@ object Oracles {
 
     "filtered_knn_ne" -> knnSql(l2("e.embedding", "q.qv"), "score", "WHERE e.label <> 3", 1, 10),
 
+    // radius search: data-dependent cardinality, unrounded filter on both
+    // engines (identical sequential double arithmetic), rounded output.
+    "knn_range" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4),
+         |d AS (SELECT e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score FROM embeddings e, q)
+         |SELECT id, (round((score) * 10000.0) / 10000.0) AS value
+         |FROM d WHERE score <= 1.25 ORDER BY score, id""".stripMargin,
+
     "upsert" ->
       """WITH upd AS (
         |  SELECT vec_id, label + 100 AS label FROM embeddings WHERE vec_id % 7 = 0
@@ -363,6 +371,68 @@ object Oracles {
         |      list_transform(range(1, len(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
         |      (a, c) -> (a * 31 + c) % 1000000007) END AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ================= C2. corpus preparation =================
+
+    "corpus_split" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${tokenHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents)
+         |SELECT doc_id, CAST(b AS INT) AS bucket,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "corpus_vocab" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |pd AS (SELECT word, doc_id, count(*) AS tf FROM w GROUP BY word, doc_id),
+         |v AS (SELECT word, CAST(sum(tf) AS BIGINT) AS n, count(*) AS n_docs FROM pd GROUP BY word)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank, word, n, n_docs
+         |FROM v ORDER BY n DESC, word LIMIT 50""".stripMargin,
+
+    // lang CASE + rounded quality score + min-id canonical, composed —
+    // each leg identical to its standalone oracle above.
+    "corpus_clean" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |c AS (SELECT doc_id, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
+         |        ${stopCount(stopFr)} AS n_fr, ${stopCount(stopEs)} AS n_es FROM t),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+         |       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+         |       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+         |       WHEN n_fr >= n_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred FROM c),
+         |x AS (SELECT doc_id, text, toks, len(toks) AS n_tok, ${stopCount(stopEn)} AS n_stop FROM t),
+         |y AS (SELECT doc_id, n_tok,
+         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS ml,
+         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS pr,
+         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sr
+         |  FROM x),
+         |sc AS (SELECT doc_id,
+         |  (round((CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |    0.25 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
+         |    0.25 * greatest(0.0, 1.0 - abs(ml - 5.0) / 5.0) +
+         |    0.25 * least(sr * 5.0, 1.0) +
+         |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score FROM y),
+         |canon AS (SELECT doc_id FROM
+         |  (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM documents)
+         |  WHERE doc_id = cid)
+         |SELECT l.doc_id, l.lang_pred, sc.score
+         |FROM lang l JOIN sc USING (doc_id) JOIN canon USING (doc_id)
+         |WHERE l.lang_pred = 'en' AND sc.score >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    // bin = floor(exclusive-running-sum / 512.0): 512 is a power of two,
+    // so the double division is exact and floor agrees on both engines.
+    "pack_sequences" ->
+      """WITH n AS (SELECT doc_id, source AS grp,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, grp, n_tok,
+        |  CAST(floor(coalesce(sum(n_tok) OVER
+        |    (PARTITION BY grp ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    / 512.0) AS BIGINT) AS bin
+        |FROM n ORDER BY grp, doc_id""".stripMargin,
 
     // ================= D. multimodal =================
 

@@ -137,6 +137,20 @@ object Queries {
       queryVec(spark, dir, 3L), k = 10, radius = 1, metric = "l2")
   }
 
+  /** Range search: every vector within L2 radius of the query, distance
+    * ascending (the faiss `range_search` contract the reference's FLAT
+    * backend inherits, as a Spark plan: pruned scan + filter; result
+    * cardinality is data-dependent, not k).
+    */
+  def knnRange(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val s = vecL2(col("embedding"), typedLit(queryVec(spark, dir, 4L)))
+    emb.select(col("vec_id").as("id"), s.as("score"))
+      .where(col("score") <= 1.25)
+      .orderBy("score", "id")
+      .select(col("id"), roundTo(col("score"), 4).as("value"))
+  }
+
   /** Latest-wins upsert (reference: VectorDatabase::upsert,
     * src/db/vector_database.rs:24-83). Updates: every vec_id % 7 == 0 gets
     * label+100; every vec_id % 97 == 0 also inserts a brand-new id.
@@ -243,6 +257,27 @@ object Queries {
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  // =====================================================================
+  // C2. Corpus preparation (training-data pipeline)
+  // =====================================================================
+
+  /** Deterministic 80/10/10 hash split (see [[operators.Corpus.split]]). */
+  def corpusSplit(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.split(Tables.documents(spark, dir), "doc_id")
+
+  /** Top-50 vocabulary with term + document frequency. */
+  def corpusVocab(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.vocab(Tables.documents(spark, dir), "doc_id", "text", k = 50)
+
+  /** Composed cleaning pipeline: target-language ∧ quality ∧ canonical. */
+  def corpusClean(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.clean(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Token-budget contiguous packing per source stream. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.packSequences(Tables.documents(spark, dir), "doc_id", "text",
+      groupCol = "source", budget = 512)
 
   // =====================================================================
   // D. Multimodal (binary payload plumbing; decode stubbed)

@@ -21,6 +21,7 @@ object SparkEntry {
     "ann_ivf" -> (Queries.annIvf _),
     "ann_ivf_persisted" -> (Queries.annIvfPersisted _),
     "ann_lsh" -> (Queries.annLsh _),
+    "knn_range" -> (Queries.knnRange _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),
     "upsert" -> (Queries.upsert _),
@@ -40,6 +41,11 @@ object SparkEntry {
     "text_quality" -> (Queries.textQuality _),
     "text_tokens" -> (Queries.textTokens _),
     "text_fingerprint" -> (Queries.textFingerprint _),
+    // C2. corpus preparation
+    "corpus_split" -> (Queries.corpusSplit _),
+    "corpus_vocab" -> (Queries.corpusVocab _),
+    "corpus_clean" -> (Queries.corpusClean _),
+    "pack_sequences" -> (Queries.packSequences _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_frames" -> (Queries.multimodalFrames _),

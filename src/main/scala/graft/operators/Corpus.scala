@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Corpus-preparation operators — the steps between "raw deduped text"
+  * and "training shards" in a large-scale LLM data pipeline. None of
+  * these exist in the reference (it stops at vector serving); they are
+  * the first-class pipeline mandate of this engine. Every op is a pure
+  * narrow/partial-agg plan or a bounded window — nothing global-sorts
+  * the corpus, nothing collects to the driver.
+  */
+object Corpus {
+
+  /** Deterministic train/val/test split: bucket = hash(salt ∥ doc_id)
+    * mod 100, thresholds in percent. Hash-based (not random) so the
+    * assignment is stable across runs, machines, and table layouts —
+    * the property a reproducible training pipeline needs. One map-side
+    * pass, no shuffle.
+    */
+  def split(docs: DataFrame, idCol: String,
+            trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "split thresholds must leave room for a test slice")
+    val bucket = pmod(tokenHash60(concat(lit("split:"), col(idCol).cast("string"))), lit(100L))
+    docs.select(
+        col(idCol).as("doc_id"),
+        bucket.cast("int").as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-k vocabulary by term frequency (ties broken lexically): the
+    * classic partial-agg word count — explode is map-side, the groupBy
+    * combines per partition before the (word-keyed) shuffle, and the
+    * top-k cut is TakeOrderedAndProject, never a global sort. `n_docs`
+    * (document frequency) rides the same shuffle via a two-level agg:
+    * distinct (word, doc) first, so no count-distinct state explosion.
+    */
+  def vocab(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(wordTokens(col(textCol))).as("word"))
+    val perDoc = words.groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("word")
+      .agg(sum("tf").as("n"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("word"))))
+      .select("rank", "word", "n", "n_docs")
+  }
+
+  /** The composed cleaning pipeline a pretraining corpus goes through:
+    * keep documents that (a) classify as the target language, (b) score
+    * at or above the quality threshold, and (c) are the canonical
+    * (min-id) copy of their exact-duplicate group. Each leg is one of
+    * this engine's verified operators; the composition is three
+    * hash-partitioned joins on doc_id / md5(text) — embarrassingly
+    * parallel at 100 TB. The threshold compares the 4-dp ROUNDED score
+    * (identical scale-round-unscale on both engines), so the filter can
+    * never knife-edge on a ulp.
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+            lang: String = "en", minScore: Double = 0.5): DataFrame = {
+    val lng = TextAnalysis.langId(docs, idCol, textCol).select(col("doc_id"), col("lang_pred"))
+    val q = TextAnalysis.quality(docs, idCol, textCol).select(col("doc_id"), col("score"))
+    val canon = docs.select(col(idCol).as("doc_id"),
+        min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))).as("canon_id"))
+      .where(col("doc_id") === col("canon_id"))
+      .select("doc_id")
+    lng.join(q, "doc_id").join(canon, "doc_id")
+      .where(col("lang_pred") === lang && col("score") >= minScore)
+      .select("doc_id", "lang_pred", "score")
+      .orderBy("doc_id")
+  }
+
+  /** Contiguous sequence packing (concat-then-chunk): within each
+    * `groupCol` stream, documents in doc-id order accumulate into bins
+    * of `budget` tokens — bin = ⌊exclusive-running-token-sum / budget⌋,
+    * i.e. a document starts a new bin when the budget is exhausted.
+    * The window sorts only within a group (a source shard), which is
+    * the natural packing unit at 100 TB — global packing order across
+    * shards is neither needed nor desirable (it would serialize the
+    * corpus).
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, budget: Int = 512): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val n = regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"), n.as("n_tok"))
+      .withColumn("bin", floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget))
+      .orderBy("grp", "doc_id")
+  }
+}

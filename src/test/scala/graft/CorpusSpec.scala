@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+import graft.sources.Tables
+
+/** Behavioral properties of the corpus-preparation operators over the
+  * real documents table (the oracle gate checks exact values; these
+  * check the invariants a pipeline relies on).
+  */
+class CorpusSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf001)
+
+  test("split: deterministic, total, and roughly proportioned") {
+    val a = Corpus.split(docs, "doc_id").collect()
+    val b = Corpus.split(docs, "doc_id").collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq) // stable across runs
+    assert(a.length === docs.count())
+    val byodSplit = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byodSplit.keySet === Set("train", "val", "test"))
+    // 80/10/10 with 500 docs: train must dominate, slices must be nonempty
+    assert(byodSplit("train") > byodSplit("val") && byodSplit("train") > byodSplit("test"))
+  }
+
+  test("vocab: ranks are contiguous, counts non-increasing, df <= tf") {
+    val v = Corpus.vocab(docs, "doc_id", "text", k = 20).collect()
+    assert(v.map(_.getInt(0)).toSeq === (1 to v.length))
+    val counts = v.map(_.getLong(2)).toSeq
+    assert(counts === counts.sorted.reverse)
+    v.foreach(r => assert(r.getLong(3) <= r.getLong(2))) // n_docs <= n
+  }
+
+  test("clean: survivors are english, scored, and canonical") {
+    val kept = Corpus.clean(docs, "doc_id", "text").collect()
+    assert(kept.nonEmpty)
+    assert(kept.forall(_.getString(1) == "en"))
+    assert(kept.forall(_.getDouble(2) >= 0.5))
+    // no two survivors share identical text (canonical = min id per text)
+    val ids = kept.map(_.getLong(0)).toSet
+    val texts = docs.where(col("doc_id").isin(ids.toSeq: _*))
+      .select("text").collect().map(_.getString(0))
+    assert(texts.length === texts.distinct.length)
+  }
+
+  test("packSequences: bins are contiguous per group and respect the budget") {
+    val packed = Corpus.packSequences(docs, "doc_id", "text", "source", budget = 512)
+      .collect().groupBy(_.getString(1))
+    packed.foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(3)).toSeq
+      assert(bins === bins.sorted)                 // non-decreasing in doc order
+      assert(bins.head === 0L)                     // first doc opens bin 0
+      // exclusive cumsum semantics: a doc lands in bin b iff the tokens
+      // BEFORE it fit in b budgets
+      var cum = 0L
+      rows.foreach { r =>
+        assert(r.getLong(3) === cum / 512)
+        cum += r.getInt(2)
+      }
+    }
+  }
+}
