@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape guards: the scale properties the engine is designed
+  * around (broadcast dims, pushed filters, TakeOrdered top-k, partial
+  * aggregation, codegen coverage) asserted against the actual physical
+  * plans, so a regression shows up as a red test, not a slow cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q3: dims broadcast, date filters pushed to the parquet scans") {
+    val p = plan(Queries.q3Shipping(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), "customer/orders side must broadcast")
+    assert("PushedFilters: \\[[^\\]]*(LessThan|GreaterThan)".r.findFirstIn(p).nonEmpty,
+      s"date range must reach the scan:\n$p")
+  }
+
+  test("q5: multi-way join keeps dims on the broadcast side") {
+    val p = plan(Queries.q5Local(spark, sf001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "region/nation/supplier joins must broadcast")
+  }
+
+  test("q1: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan(Queries.q1Agg(spark, sf001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expect partial + final HashAggregate")
+    assert(p.contains("partial_sum"), "map-side combine must run before the exchange")
+  }
+
+  test("single-query kNN never global-sorts: TakeOrderedAndProject") {
+    for (q <- Seq(Queries.knnFlatL2 _, Queries.annIvf _, Queries.annLsh _)) {
+      val p = plan(q(spark, sf001))
+      assert(p.contains("TakeOrderedAndProject"), s"top-k must be a bounded heap:\n$p")
+    }
+  }
+
+  test("vocab: two-level partial agg + TakeOrdered cut, no global sort of words") {
+    val p = plan(Queries.corpusVocab(spark, sf001))
+    assert("HashAggregate".r.findAllIn(p).size >= 3)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("column pruning: fingerprint scan reads only (doc_id, text)") {
+    val p = plan(Queries.textFingerprint(spark, sf001))
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text")
+      && !readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"scan must prune to the two used columns: $readSchema")
+  }
+}
