@@ -225,9 +225,18 @@ object Dedup {
       .select(col("id"), col("id").as("label"))
       .coalesce(graphPartitions)
       .localCheckpoint(true)
-    var changed = 1L
+    // Convergence probe: labels only ever decrease (everything feeding
+    // the min-agg includes the old label), so Σlabel strictly decreases
+    // until the fixpoint — a one-stage agg on the tiny label table
+    // replaces a join + count job per round.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("label")).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty pair graph: no rounds run
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < 12) {
+    while (changed && iter < 12) {
       // neighbor-min propagation + pointer jumping (label := label of
       // label) — jumping squares path lengths, so convergence is
       // O(log diameter) rounds instead of O(diameter) (a 50-doc dup
@@ -241,8 +250,9 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
         .coalesce(graphPartitions)
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum != prevSum
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -74,6 +74,15 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("resolveClusters: empty pair graph leaves every doc its own canonical") {
+    val s = spark; import s.implicits._
+    val allDocs = (1L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val got = Dedup.resolveClusters(allDocs, "doc_id", noPairs).collect()
+    assert(got.length === 4)
+    got.foreach(r => assert(r.getLong(1) === r.getLong(0) && !r.getBoolean(2)))
+  }
+
   test("resolveClusters: min-label propagation finds connected components") {
     val s = spark; import s.implicits._
     val allDocs = (1L to 8L).map(i => (i, s"d$i")).toDF("doc_id", "text")
