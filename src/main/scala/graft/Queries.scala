@@ -224,6 +224,13 @@ object Queries {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
       blockCol = "source", n = 3, minJaccard = 0.65)
 
+  /** Corpus-global word-set Jaccard ≥ 13/20 via df-ordered prefix
+    * filtering — provably complete (no block heuristic), see
+    * [[operators.Dedup.jaccardPrefixPairs]].
+    */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPrefixPairs(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Canonical-doc assignment from minhash near-dup pairs (est ≥ 0.5):
     * every document maps to the min id of its duplicate cluster.
     */

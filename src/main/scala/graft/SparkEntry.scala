@@ -34,6 +34,7 @@ object SparkEntry {
     "dedup_minhash" -> (Queries.dedupMinhash _),
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
+    "dedup_jaccard_prefix" -> (Queries.dedupJaccardPrefix _),
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     // C. text analysis

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -191,6 +192,67 @@ object Dedup {
       .toDF("a_id", "b_id", "j")
       .select(col("a_id"), col("b_id"), roundTo(col("j"), 4).as("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Corpus-global Jaccard similarity join via document-frequency-ordered
+    * prefix filtering — the provably COMPLETE, bounded-block alternative
+    * to heuristic blocking (the AllPairs/PPJoin family; Bayardo et al.,
+    * WWW'07 "Scaling Up All Pairs Similarity Search"). Every doc's
+    * word-token-hash set is ordered by (global df, hash); if
+    * J(A,B) ≥ t then |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, so by pigeonhole the two
+    * sets share an element inside their first |X| − ⌈t·|X|⌉ + 1
+    * elements under ANY common global order. Pairs sharing no prefix
+    * token are provably below threshold and never meet — unlike
+    * [[ngramJaccardPairs]]' block heuristic, no qualifying pair can be
+    * missed, at any corpus size.
+    *
+    * Scale shape: blocking keys are by construction each doc's RAREST
+    * tokens, so bucket sizes are governed by token rarity, not corpus
+    * size; candidate pairs ship narrow (id, id) rows and the exact
+    * merge-scan re-joins the sorted sets by id. The threshold is the
+    * rational minJNum/minJDen so prefix lengths are exact integer
+    * arithmetic on both engines (never ⌈0.65·n⌉ in floating point).
+    */
+  def jaccardPrefixPairs(docs: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 2,
+                         minJNum: Int = 13, minJDen: Int = 20): DataFrame = {
+    val minJ = minJNum.toDouble / minJDen.toDouble
+    // word n-gram (default bigram) sets: selective on templated corpora
+    // where plain unigram vocabulary is shared by nearly all documents
+    val g = docs
+      .select(col(idCol).as("doc_id"),
+        sort_array(array_distinct(wordShingleHash60(wordTokens(col(textCol)), shingleN))).as("g"))
+      .where(size(col("g")) > 0)
+      .withColumn("sz", size(col("g")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val e = g.select(col("doc_id"), col("sz"), explode(col("g")).as("gram"))
+    val dfreq = e.groupBy("gram").agg(count(lit(1)).as("df"))
+    val pre = e.join(dfreq, "gram")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "gram")))
+      .where(col("rn") <= col("sz") - expr(s"(($minJNum * sz + ${minJDen - 1}) div $minJDen)") + 1)
+      .select("doc_id", "gram")
+
+    val cand = pre.select(col("gram"), col("doc_id").as("a_id"))
+      .join(pre.select(col("gram"), col("doc_id").as("b_id")), Seq("gram"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+
+    val ga = g.select(col("doc_id").as("a_id"), col("g").as("ga"), col("sz").as("na"))
+    val gb = g.select(col("doc_id").as("b_id"), col("g").as("gb"), col("sz").as("nb"))
+    val result = cand.join(ga, "a_id").join(gb, "b_id")
+      .withColumn("inter", sortedIntersectSize(col("ga"), col("gb")).cast("double"))
+      .withColumn("j", col("inter") / (col("na") + col("nb") - col("inter")))
+      .where(col("j") >= minJ)
+      .select(col("a_id"), col("b_id"), roundTo(col("j"), 4).as("jaccard"))
+      .orderBy("a_id", "b_id")
+
+    // Materialize, then release the gram cache (see minhashPairs).
+    val out = result.localCheckpoint(true)
+    g.unpersist()
+    out
   }
 
   /** Connected-component canonicalization: every doc maps to the smallest

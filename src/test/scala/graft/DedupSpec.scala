@@ -74,6 +74,36 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("jaccardPrefixPairs == brute-force J >= 0.65 pairs (complete AND sound)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega")
+    val fuzzed = (1L to 120L).map { i =>
+      (i, vocab.filter(_ => rnd.nextInt(3) > 0).mkString(" "))
+    }
+    val docs = fuzzed.toDF("doc_id", "text")
+
+    val sets = docs.select($"doc_id",
+        org.apache.spark.sql.functions.array_distinct(
+          graft.functions.wordShingleHash60(graft.functions.wordTokens($"text"), 2)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val ids = fuzzed.map(_._1)
+    val want = ids.flatMap { a =>
+      ids.filter(b => a < b && sets(a).nonEmpty && sets(b).nonEmpty).flatMap { b =>
+        val inter = (sets(a) intersect sets(b)).size
+        val j = inter.toDouble / (sets(a).size + sets(b).size - inter).toDouble
+        if (j >= 0.65) Some((a, b)) else None
+      }
+    }.toSet
+
+    val got = Dedup.jaccardPrefixPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want) // prefix filtering loses nothing and adds nothing
+    assert(want.nonEmpty, "fuzz must actually produce qualifying pairs")
+  }
+
   test("resolveClusters: empty pair graph leaves every doc its own canonical") {
     val s = spark; import s.implicits._
     val allDocs = (1L to 4L).map(i => (i, s"d$i")).toDF("doc_id", "text")
