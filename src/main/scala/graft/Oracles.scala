@@ -481,6 +481,22 @@ object Oracles {
         |  md5(substr(text, CAST(frame_off + 1 AS INT), 32)) AS frame_digest
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // decode-stub features re-derived independently: 8-bucket byte
+    // histogram (top 3 bits; text is pure ASCII so ascii(char) = byte),
+    // normalized in FLOAT32 (DuckDB FLOAT/FLOAT division = JVM float
+    // division, verified), then the standard exact-kNN shape.
+    "multimodal_embed" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
+         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
+         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS features
+         |  FROM documents),
+         |q AS (SELECT features AS qv FROM f WHERE doc_id = 7),
+         |d AS (SELECT f.doc_id AS id, ${l2("f.features", "q.qv")} AS score FROM f, q)
+         |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+         |       (round((score) * 10000.0) / 10000.0) AS value
+         |FROM d ORDER BY score, id LIMIT 10""".stripMargin,
+
     // ================= E. analytics / events =================
 
     "q1_agg" ->

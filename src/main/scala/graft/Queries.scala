@@ -333,6 +333,25 @@ object Queries {
         md5(col("frame")).as("frame_digest"))
       .orderBy("doc_id", "frame_idx")
 
+  /** The multimodal → vector bridge: payloads decode partition-wise
+    * ([[operators.Multimodal.decode]] — the mapInPandas-shaped path) to
+    * an 8-dim feature sketch, and the sketches feed the exact k-NN
+    * operator directly — the "embed then search" flow a real multimodal
+    * pipeline runs, with the codec stubbed and everything else real.
+    * The probe is doc 7's own sketch, decoded identically driver-side
+    * (a request-supplied vector in a serving flow).
+    */
+  def multimodalEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val media = Tables.documents(spark, dir)
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val feats = operators.Multimodal.decode(media).toDF()
+      .select(col("doc_id"), col("features"))
+    val probeText = Tables.documents(spark, dir).where(col("doc_id") === 7L)
+      .select("text").first().getString(0)
+    val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
+    Knn.searchExact(feats, "doc_id", "features", probe, k = 10, metric = "l2")
+  }
+
   // =====================================================================
   // E. Analytics / events
   // =====================================================================

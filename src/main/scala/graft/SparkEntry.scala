@@ -50,6 +50,7 @@ object SparkEntry {
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_frames" -> (Queries.multimodalFrames _),
+    "multimodal_embed" -> (Queries.multimodalEmbed _),
     // E. analytics / events
     "q1_agg" -> (Queries.q1Agg _),
     "q3_shipping" -> (Queries.q3Shipping _),
