@@ -330,17 +330,20 @@ object Oracles {
     // global (df, hash) order; prefix lengths in exact integer math.
     "dedup_jaccard_prefix" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |bg AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE
-         |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+         |bg AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
+         |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh FROM t),
          |g0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh, tk -> ${tokenHash60("tk")}))) AS g FROM bg),
          |g AS (SELECT doc_id, g, len(g) AS sz FROM g0 WHERE len(g) > 0),
          |e AS (SELECT doc_id, sz, unnest(g) AS gram FROM g),
          |dfq AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
-         |pre AS (SELECT e.doc_id, e.gram FROM e JOIN dfq USING (gram)
-         |        QUALIFY row_number() OVER (PARTITION BY e.doc_id ORDER BY dfq.df, e.gram)
-         |                <= e.sz - ((13 * e.sz + 19) // 20) + 1),
+         |pre AS (SELECT e.doc_id, e.sz, e.gram,
+         |          row_number() OVER (PARTITION BY e.doc_id ORDER BY dfq.df, e.gram) AS rn
+         |        FROM e JOIN dfq USING (gram)
+         |        QUALIFY rn <= e.sz - ((13 * e.sz + 19) // 20) + 1),
          |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |         FROM pre a JOIN pre b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |         FROM pre a JOIN pre b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |         WHERE a.sz * 20 >= b.sz * 13 AND b.sz * 20 >= a.sz * 13
+         |           AND (1 + least(a.sz - a.rn, b.sz - b.rn)) * 33 >= (a.sz + b.sz) * 13),
          |p AS (SELECT a_id, b_id,
          |        CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
          |        CAST(ga.sz + gb.sz - len(list_intersect(ga.g, gb.g)) AS DOUBLE) AS j

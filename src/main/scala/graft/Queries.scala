@@ -224,9 +224,9 @@ object Queries {
     Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
       blockCol = "source", n = 3, minJaccard = 0.65)
 
-  /** Corpus-global word-set Jaccard ≥ 13/20 via df-ordered prefix
-    * filtering — provably complete (no block heuristic), see
-    * [[operators.Dedup.jaccardPrefixPairs]].
+  /** Corpus-global word-3-shingle Jaccard ≥ 13/20 via df-ordered prefix
+    * filtering + PPJoin length/position prunes — provably complete (no
+    * block heuristic), see [[operators.Dedup.jaccardPrefixPairs]].
     */
   def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPrefixPairs(Tables.documents(spark, dir), "doc_id", "text")

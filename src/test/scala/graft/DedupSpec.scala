@@ -80,14 +80,22 @@ class DedupSpec extends SparkSpec {
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
       "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
       "pi", "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega")
-    val fuzzed = (1L to 120L).map { i =>
-      (i, vocab.filter(_ => rnd.nextInt(3) > 0).mkString(" "))
+    // base docs + perturbed near-copies (token dropped / substituted), so
+    // the high-Jaccard regime actually occurs alongside unrelated docs
+    val bases = (0 until 40).map(_ => Vector.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+    val fuzzed = bases.zipWithIndex.flatMap { case (toks, i) =>
+      val mutIdx = rnd.nextInt(toks.size)
+      val dropped = toks.patch(mutIdx, Nil, 1)
+      val substituted = toks.updated(mutIdx, vocab(rnd.nextInt(vocab.size)))
+      Seq((i * 3L + 1, toks.mkString(" ")),
+          (i * 3L + 2, dropped.mkString(" ")),
+          (i * 3L + 3, substituted.mkString(" ")))
     }
     val docs = fuzzed.toDF("doc_id", "text")
 
     val sets = docs.select($"doc_id",
         org.apache.spark.sql.functions.array_distinct(
-          graft.functions.wordShingleHash60(graft.functions.wordTokens($"text"), 2)).as("g"))
+          graft.functions.wordShingleHash60(graft.functions.wordTokens($"text"), 3)).as("g"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
     val ids = fuzzed.map(_._1)
     val want = ids.flatMap { a =>
