@@ -313,25 +313,31 @@ object Dedup {
     var prevSum = labelSum(labels)
     var changed = true
     var iter = 0
-    while (changed && iter < 12) {
-      // neighbor-min propagation + pointer jumping (label := label of
-      // label) — jumping squares path lengths, so convergence is
-      // O(log diameter) rounds instead of O(diameter) (a 50-doc dup
-      // chain resolves in ~6 rounds, not 50).
-      val prop = edges.join(labels, edges("v") === labels("id"))
+    // One propagation round, built LAZILY: neighbor-min propagation +
+    // pointer jumping (label := label of label) — jumping squares path
+    // lengths, so convergence is O(log diameter) rounds instead of
+    // O(diameter) (a 50-doc dup chain resolves in ~6 rounds, not 50).
+    def step(cur: DataFrame): DataFrame = {
+      val prop = edges.join(cur, edges("v") === cur("id"))
         .select(edges("u").as("id"), col("label"))
-      val l2 = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-      val jumped = labels.join(l2, labels("label") === l2("jid"))
+      val l2 = cur.select(col("id").as("jid"), col("label").as("jlabel"))
+      val jumped = cur.join(l2, cur("label") === l2("jid"))
         .select(col("id"), col("jlabel").as("label"))
-      val next = labels.unionAll(prop).unionAll(jumped)
+      cur.unionAll(prop).unionAll(jumped)
         .groupBy("id").agg(min("label").as("label"))
+    }
+    while (changed && iter < 12) {
+      // two propagation rounds per materialization: the plan stays
+      // constant-depth (2 steps from a checkpoint), but driver-side
+      // action latency — which dominates at small graph sizes — halves.
+      val next = step(step(labels))
         .coalesce(graphPartitions)
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       changed = nextSum != prevSum
       prevSum = nextSum
       labels = next
-      iter += 1
+      iter += 2
     }
     edges.unpersist()
     docs.select(col(idCol).cast("long").as("doc_id"))
