@@ -160,17 +160,46 @@ object Dedup {
         sort_array(array_distinct(charShingleHash60(col(textCol), n))).as("g"))
       .as[(String, Long, Array[Long])]
 
-    grams
+    // Triangle distribution of the per-block all-pairs work: each doc
+    // hashes to one of C sub-chunks, and every unordered chunk pair
+    // {ci, cj} becomes its own task — C·(C+1)/2 tasks per block instead
+    // of ONE, so a block no longer serializes onto a single core (and a
+    // 10k-doc block at real scale is ~C² smaller per task). Replication
+    // factor is C (each doc joins the C chunk-pairs it belongs to);
+    // pairs are enumerated exactly once because a cross pair {u, v}
+    // exists only in its one (chunk(u), chunk(v)) group.
+    val C = 8
+    val tasks = grams.flatMap { case (blk, id, g) =>
+      val c = (id % C + C) % C
+      (0 until C.toInt).map { o =>
+        val (ci, cj) = if (o <= c.toInt) (o, c.toInt) else (c.toInt, o)
+        ((blk, ci, cj), id, g)
+      }
+    }
+
+    tasks
       .groupByKey(_._1)
-      .flatMapGroups { (_, it) =>
-        val ds = it.toArray.sortBy(_._2)
+      .flatMapGroups { (key: (String, Int, Int), it: Iterator[((String, Int, Int), Long, Array[Long])]) =>
+        val (_, ci, cj) = key
+        val seen = new scala.collection.mutable.HashSet[Long]
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+        it.foreach { case (_, id, g) =>
+          if (seen.add(id)) {
+            val c = ((id % C + C) % C).toInt
+            if (c == ci) left += ((id, g))
+            if (c == cj && cj != ci) right += ((id, g))
+          }
+        }
+        val ls = left.sortBy(_._1).toArray
+        val rs = if (ci == cj) ls else right.sortBy(_._1).toArray
         val out = Seq.newBuilder[(Long, Long, Double)]
         var i = 0
-        while (i < ds.length) {
-          val (_, aId, ga) = ds(i)
-          var j = i + 1
-          while (j < ds.length) {
-            val (_, bId, gb) = ds(j)
+        while (i < ls.length) {
+          val (aId, ga) = ls(i)
+          var j = if (ci == cj) i + 1 else 0
+          while (j < rs.length) {
+            val (bId, gb) = rs(j)
             val na = ga.length; val nb = gb.length
             // lossless prefilter: J ≤ min/max since |A∩B| ≤ min, |A∪B| ≥ max
             if (math.min(na, nb).toDouble >= minJaccard * math.max(na, nb).toDouble) {
@@ -181,7 +210,8 @@ object Dedup {
                 else y += 1
               }
               val jac = c.toDouble / (na + nb - c).toDouble
-              if (jac >= minJaccard) out += ((aId, bId, jac))
+              if (jac >= minJaccard)
+                out += ((math.min(aId, bId), math.max(aId, bId), jac))
             }
             j += 1
           }
