@@ -448,6 +448,38 @@ object Oracles {
          |FROM lang l JOIN sc USING (doc_id) JOIN canon USING (doc_id)
          |WHERE l.lang_pred = 'en' AND sc.score >= 0.5 ORDER BY doc_id""".stripMargin,
 
+    // mean via exact integer-valued sums (score is 4-dp rounded, ×10⁴ is
+    // an integer in double) — order-independent, then ONE division.
+    "corpus_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |c AS (SELECT doc_id, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
+         |        ${stopCount(stopFr)} AS n_fr, ${stopCount(stopEs)} AS n_es FROM t),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+         |       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+         |       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+         |       WHEN n_fr >= n_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred FROM c),
+         |x AS (SELECT doc_id, text, toks, len(toks) AS n_tok, ${stopCount(stopEn)} AS n_stop FROM t),
+         |y AS (SELECT doc_id, n_tok,
+         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS ml,
+         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS pr,
+         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sr
+         |  FROM x),
+         |sc AS (SELECT doc_id,
+         |  (round((CASE WHEN n_tok = 0 THEN 0.0 ELSE
+         |    0.25 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
+         |    0.25 * greatest(0.0, 1.0 - abs(ml - 5.0) / 5.0) +
+         |    0.25 * least(sr * 5.0, 1.0) +
+         |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score FROM y),
+         |tk AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe FROM documents)
+         |SELECT l.lang_pred, count(*) AS n_docs, CAST(sum(tk.n_bpe) AS BIGINT) AS n_tokens,
+         |  (round((sum(sc.score * 10000) / (count(*) * 10000)) * 10000.0) / 10000.0) AS mean_score
+         |FROM lang l JOIN sc USING (doc_id) JOIN tk USING (doc_id)
+         |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin,
+
     // bin = floor(exclusive-running-sum / 512.0): 512 is a power of two,
     // so the double division is exact and floor agrees on both engines.
     "pack_sequences" ->

@@ -286,6 +286,26 @@ object Queries {
     operators.Corpus.packSequences(Tables.documents(spark, dir), "doc_id", "text",
       groupCol = "source", budget = 512)
 
+  /** Per-language corpus statistics (docs, tokens, mean quality). The
+    * mean sums 4-dp-rounded scores scaled ×10⁴ — integer-valued doubles,
+    * so the parallel partial-agg sum is EXACT in any order and the one
+    * final division matches DuckDB bit-for-bit (the repo's
+    * order-stability convention for parallel double sums).
+    */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lang = TextAnalysis.langId(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    val qual = TextAnalysis.quality(docs, "doc_id", "text").select("doc_id", "score")
+    val tok = TextAnalysis.tokenCounts(docs, "doc_id", "text").select("doc_id", "n_bpe_tokens")
+    lang.join(qual, "doc_id").join(tok, "doc_id")
+      .groupBy("lang_pred")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bpe_tokens").as("n_tokens"),
+        roundTo(sum(col("score") * 10000) / (count(lit(1)) * 10000), 4).as("mean_score"))
+      .orderBy("lang_pred")
+  }
+
   // =====================================================================
   // D. Multimodal (binary payload plumbing; decode stubbed)
   // =====================================================================

@@ -47,6 +47,7 @@ object SparkEntry {
     "corpus_vocab" -> (Queries.corpusVocab _),
     "corpus_clean" -> (Queries.corpusClean _),
     "pack_sequences" -> (Queries.packSequences _),
+    "corpus_stats" -> (Queries.corpusStats _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_frames" -> (Queries.multimodalFrames _),

@@ -100,6 +100,17 @@ object IvfIndex {
   def readPruned(spark: SparkSession, path: String, probed: Seq[Int]): DataFrame =
     spark.read.parquet(path).where(col("cluster").isin(probed: _*))
 
+  /** Incremental maintenance of a [[writePartitioned]] layout: new rows
+    * are quantized with the SAME centroids and appended into their
+    * cluster partitions — the batch analog of the reference's
+    * incremental inserts into a built index. No rewrite, no re-fit;
+    * compaction is ordinary parquet-file hygiene per partition.
+    */
+  def appendPartitioned(emb: DataFrame, vecCol: String,
+                        centroids: Array[Array[Float]], path: String): Unit =
+    emb.withColumn("cluster", assign(col(vecCol), centroids))
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
   /** Persist the fitted coarse quantizer next to the data so a reload
     * skips KMeans entirely (the reference's index files surviving restart
     * alongside the RocksDB scalar store, src/db/scalar_storage.rs).

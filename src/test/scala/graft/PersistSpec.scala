@@ -58,6 +58,28 @@ class PersistSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount < total)
   }
 
+  test("appendPartitioned: incremental rows join their cluster partition, still pruned") {
+    val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val centroids = IvfIndex.fitCached(emb, "embedding", k = 16)
+    val q = Tables.embeddings(spark, sf001)
+      .where(col("vec_id") === 9L).select("embedding").first().getSeq[Float](0).toArray
+    val path = tmp("graft-ivf-append")
+
+    IvfIndex.writePartitioned(emb, "embedding", centroids, path)
+    val newRow = emb.where(col("vec_id") === 9L)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    IvfIndex.appendPartitioned(newRow, "embedding", centroids, path)
+
+    val hits = IvfIndex.searchPersisted(spark, path, "vec_id", "embedding",
+      centroids, q, k = 2, nprobe = 4).collect()
+    // the appended copy ties its source at distance 0 and is found
+    assert(hits.map(_.getLong(1)).toSet === Set(9L, 1000009L))
+    // pruning is unchanged: still nprobe partitions of 16
+    val probed = IvfIndex.probes(q, centroids, nprobe = 4)
+    val scan = scanOf(IvfIndex.readPruned(spark, path, probed))
+    assert(scan.selectedPartitions.partitionCount === probed.length)
+  }
+
   test("VectorIndex IVF save -> load -> search round trip, pruned") {
     val rows = Tables.embeddings(spark, sf001)
       .select(col("vec_id").as("id"), col("embedding").as("vectors"),
