@@ -136,6 +136,17 @@ class PersistSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 5)
   }
 
+  test("empty index save -> load round trip (FLAT and IVF degrade cleanly)") {
+    for (kind <- Seq(IndexType.FLAT, IndexType.IVF)) {
+      val idx = VectorIndex.create(spark, kind, 2, Metric.L2)
+      val path = tmp(s"graft-empty-$kind")
+      idx.save(path)
+      val re = VectorIndex.load(spark, path)
+      assert(re.count === 0L)
+      assert(re.search(Array(1f, 0f), 3).collect().isEmpty)
+    }
+  }
+
   test("VectorIndex FLAT save -> load round trip") {
     val idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.Cosine)
       .insert(1L, Array(1f, 0f), """{"k":1}""")
