@@ -448,8 +448,8 @@ object Oracles {
          |FROM lang l JOIN sc USING (doc_id) JOIN canon USING (doc_id)
          |WHERE l.lang_pred = 'en' AND sc.score >= 0.5 ORDER BY doc_id""".stripMargin,
 
-    // mean via exact integer-valued sums (score is 4-dp rounded, ×10⁴ is
-    // an integer in double) — order-independent, then ONE division.
+    // mean via exact integer sums: each 4-dp score re-rounds ×10⁴ to a
+    // BIGINT before summing — order-independent, then ONE division.
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
          |c AS (SELECT doc_id, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
@@ -476,7 +476,7 @@ object Oracles {
          |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score FROM y),
          |tk AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe FROM documents)
          |SELECT l.lang_pred, count(*) AS n_docs, CAST(sum(tk.n_bpe) AS BIGINT) AS n_tokens,
-         |  (round((sum(sc.score * 10000) / (count(*) * 10000)) * 10000.0) / 10000.0) AS mean_score
+         |  (round((CAST(sum(CAST(round(sc.score * 10000) AS BIGINT)) AS DOUBLE) / (count(*) * 10000)) * 10000.0) / 10000.0) AS mean_score
          |FROM lang l JOIN sc USING (doc_id) JOIN tk USING (doc_id)
          |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin,
 

@@ -287,10 +287,10 @@ object Queries {
       groupCol = "source", budget = 512)
 
   /** Per-language corpus statistics (docs, tokens, mean quality). The
-    * mean sums 4-dp-rounded scores scaled ×10⁴ — integer-valued doubles,
-    * so the parallel partial-agg sum is EXACT in any order and the one
-    * final division matches DuckDB bit-for-bit (the repo's
-    * order-stability convention for parallel double sums).
+    * mean re-rounds each 4-dp score ×10⁴ back to an exact LONG before
+    * summing (score×10⁴ alone is only within 1 ulp of the integer —
+    * (k/10⁴)·10⁴ ≠ k in IEEE), so the parallel partial-agg sum is exact
+    * in any order and the one final division matches DuckDB bit-for-bit.
     */
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -302,7 +302,7 @@ object Queries {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_bpe_tokens").as("n_tokens"),
-        roundTo(sum(col("score") * 10000) / (count(lit(1)) * 10000), 4).as("mean_score"))
+        roundTo(sum(round(col("score") * 10000).cast("long")) / (count(lit(1)) * 10000), 4).as("mean_score"))
       .orderBy("lang_pred")
   }
 
