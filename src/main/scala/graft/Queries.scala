@@ -292,19 +292,16 @@ object Queries {
     * (k/10⁴)·10⁴ ≠ k in IEEE), so the parallel partial-agg sum is exact
     * in any order and the one final division matches DuckDB bit-for-bit.
     */
-  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val lang = TextAnalysis.langId(docs, "doc_id", "text").select("doc_id", "lang_pred")
-    val qual = TextAnalysis.quality(docs, "doc_id", "text").select("doc_id", "score")
-    val tok = TextAnalysis.tokenCounts(docs, "doc_id", "text").select("doc_id", "n_bpe_tokens")
-    lang.join(qual, "doc_id").join(tok, "doc_id")
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langQuality(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumn("n_bpe_tokens",
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")))
       .groupBy("lang_pred")
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_bpe_tokens").as("n_tokens"),
         roundTo(sum(round(col("score") * 10000).cast("long")) / (count(lit(1)) * 10000), 4).as("mean_score"))
       .orderBy("lang_pred")
-  }
 
   // =====================================================================
   // D. Multimodal (binary payload plumbing; decode stubbed)

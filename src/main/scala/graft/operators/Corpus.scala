@@ -58,26 +58,22 @@ object Corpus {
   /** The composed cleaning pipeline a pretraining corpus goes through:
     * keep documents that (a) classify as the target language, (b) score
     * at or above the quality threshold, and (c) are the canonical
-    * (min-id) copy of their exact-duplicate group. Each leg is one of
-    * this engine's verified operators; the composition is three
-    * hash-partitioned joins on doc_id / md5(text) — embarrassingly
-    * parallel at 100 TB. The threshold compares the 4-dp ROUNDED score
-    * (identical scale-round-unscale on both engines), so the filter can
-    * never knife-edge on a ulp.
+    * (min-id) copy of their exact-duplicate group. Language + quality
+    * come from the fused one-scan [[TextAnalysis.langQuality]] pass;
+    * canonicalization is the single shuffle (window over md5(text)) —
+    * one scan, one shuffle at any scale. The threshold compares the
+    * 4-dp ROUNDED score (identical scale-round-unscale on both
+    * engines), so the filter can never knife-edge on a ulp.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
-            lang: String = "en", minScore: Double = 0.5): DataFrame = {
-    val lng = TextAnalysis.langId(docs, idCol, textCol).select(col("doc_id"), col("lang_pred"))
-    val q = TextAnalysis.quality(docs, idCol, textCol).select(col("doc_id"), col("score"))
-    val canon = docs.select(col(idCol).as("doc_id"),
-        min(col(idCol)).over(Window.partitionBy(md5(col(textCol)))).as("canon_id"))
-      .where(col("doc_id") === col("canon_id"))
-      .select("doc_id")
-    lng.join(q, "doc_id").join(canon, "doc_id")
-      .where(col("lang_pred") === lang && col("score") >= minScore)
+            lang: String = "en", minScore: Double = 0.5): DataFrame =
+    TextAnalysis.langQuality(docs, idCol, textCol)
+      .withColumn("canon_id",
+        min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .where(col("doc_id") === col("canon_id")
+        && col("lang_pred") === lang && col("score") >= minScore)
       .select("doc_id", "lang_pred", "score")
       .orderBy("doc_id")
-  }
 
   /** Contiguous sequence packing (concat-then-chunk): within each
     * `groupCol` stream, documents in doc-id order accumulate into bins

@@ -24,6 +24,17 @@ object TextAnalysis {
   private def stopCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit): _*)))
 
+  /** The lang_pred decision over the four vote columns — single
+    * definition shared by [[langId]] and the fused [[langQuality]]
+    * (deterministic priority en>de>fr>es).
+    */
+  private def langPredCol(nEn: Column, nDe: Column, nFr: Column, nEs: Column): Column =
+    when(nEn === 0 && nDe === 0 && nFr === 0 && nEs === 0, "und")
+      .when(nEn >= nDe && nEn >= nFr && nEn >= nEs, "en")
+      .when(nDe >= nFr && nDe >= nEs, "de")
+      .when(nFr >= nEs, "fr")
+      .otherwise("es")
+
   /** Stopword-vote language ID with deterministic priority en>de>fr>es.
     * All four languages vote in one codegen pass ([[stopwordVotes]]).
     */
@@ -35,11 +46,7 @@ object TextAnalysis {
         col("v").getItem(0).as("n_en"), col("v").getItem(1).as("n_de"),
         col("v").getItem(2).as("n_fr"), col("v").getItem(3).as("n_es"))
       .withColumn("lang_pred",
-        when(col("n_en") === 0 && col("n_de") === 0 && col("n_fr") === 0 && col("n_es") === 0, "und")
-          .when(col("n_en") >= col("n_de") && col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
-          .when(col("n_de") >= col("n_fr") && col("n_de") >= col("n_es"), "de")
-          .when(col("n_fr") >= col("n_es"), "fr")
-          .otherwise("es"))
+        langPredCol(col("n_en"), col("n_de"), col("n_fr"), col("n_es")))
       .select("doc_id", "lang_pred", "n_en", "n_de", "n_fr", "n_es")
       .orderBy("doc_id")
   }
@@ -48,31 +55,60 @@ object TextAnalysis {
     * length, stopword ratio, punctuation ratio. Arithmetic is written in
     * the exact order the oracle mirrors (IEEE ops are order-sensitive).
     */
-  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = wordTokens(col(textCol))
-    docs.select(
-        col(idCol).as("doc_id"), col(textCol).as("text"),
-        toks.as("toks"), size(toks).as("n_tok"),
-        stopCount(toks, stopEn).as("n_stop"))
-      .withColumn("mean_len",
-        when(col("n_tok") === 0, 0.0).otherwise(
-          sumStrLen(col("toks")).cast("double") / col("n_tok").cast("double")))
-      .withColumn("punct_ratio",
-        when(length(col("text")) === 0, 0.0).otherwise(
-          regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
-            length(col("text")).cast("double")))
-      .withColumn("stop_ratio",
-        when(col("n_tok") === 0, 0.0)
-          .otherwise(col("n_stop").cast("double") / col("n_tok").cast("double")))
-      .withColumn("score",
-        when(col("n_tok") === 0, 0.0).otherwise(
-          lit(0.25) * least(col("n_tok").cast("double") / 50.0, lit(1.0)) +
-          lit(0.25) * greatest(lit(0.0), lit(1.0) - abs(col("mean_len") - 5.0) / 5.0) +
-          lit(0.25) * least(col("stop_ratio") * 5.0, lit(1.0)) +
-          lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0)))))
+  /** The quality formula over a frame carrying (text, toks, n_tok,
+    * n_stop) — single definition, so [[quality]] and [[langQuality]]
+    * cannot drift. Arithmetic is written in the exact order the oracle
+    * mirrors (IEEE ops are order-sensitive).
+    */
+  private def withQualityScore(df: DataFrame): DataFrame = df
+    .withColumn("mean_len",
+      when(col("n_tok") === 0, 0.0).otherwise(
+        sumStrLen(col("toks")).cast("double") / col("n_tok").cast("double")))
+    .withColumn("punct_ratio",
+      when(length(col("text")) === 0, 0.0).otherwise(
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("double") /
+          length(col("text")).cast("double")))
+    .withColumn("stop_ratio",
+      when(col("n_tok") === 0, 0.0)
+        .otherwise(col("n_stop").cast("double") / col("n_tok").cast("double")))
+    .withColumn("score",
+      when(col("n_tok") === 0, 0.0).otherwise(
+        lit(0.25) * least(col("n_tok").cast("double") / 50.0, lit(1.0)) +
+        lit(0.25) * greatest(lit(0.0), lit(1.0) - abs(col("mean_len") - 5.0) / 5.0) +
+        lit(0.25) * least(col("stop_ratio") * 5.0, lit(1.0)) +
+        lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0)))))
+
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).as("n_tok"), stopCount(col("toks"), stopEn).as("n_stop"))
+      .transform(withQualityScore)
       .select(col("doc_id"), col("n_tok"),
         roundTo(col("mean_len"), 4).as("mean_len"), roundTo(col("score"), 4).as("score"))
       .orderBy("doc_id")
+
+  /** Fused one-scan language ID + quality score: one tokenizer pass, one
+    * stopword-vote pass (n_stop IS the English vote), zero extra scans —
+    * what a corpus pipeline composes instead of re-reading the table per
+    * signal. Output: (doc_id, text, lang_pred, score 4-dp), unordered
+    * (callers filter/aggregate next).
+    */
+  def langQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sets = Array(stopEn.toArray, stopDe.toArray, stopFr.toArray, stopEs.toArray)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).as("n_tok"), stopwordVotes(col("toks"), sets).as("v"))
+      .select(col("doc_id"), col("text"), col("toks"), col("n_tok"),
+        col("v").getItem(0).as("n_en"), col("v").getItem(1).as("n_de"),
+        col("v").getItem(2).as("n_fr"), col("v").getItem(3).as("n_es"),
+        col("v").getItem(0).as("n_stop"))
+      .transform(withQualityScore)
+      .withColumn("lang_pred",
+        langPredCol(col("n_en"), col("n_de"), col("n_fr"), col("n_es")))
+      .select(col("doc_id"), col("text"), col("lang_pred"),
+        roundTo(col("score"), 4).as("score"))
   }
 
   /** Whitespace tokens + BPE-ish segment count (letters runs / single

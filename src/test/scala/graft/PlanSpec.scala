@@ -45,6 +45,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("fused corpus pipeline: clean and stats scan documents exactly once") {
+    for (q <- Seq(Queries.corpusClean _, Queries.corpusStats _)) {
+      val p = plan(q(spark, sf001))
+      // count scan NODES (the detail header), not the tree echo of each
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+        s"lang+quality+canonical must come from one scan:\n$p")
+    }
+  }
+
   test("column pruning: fingerprint scan reads only (doc_id, text)") {
     val p = plan(Queries.textFingerprint(spark, sf001))
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
