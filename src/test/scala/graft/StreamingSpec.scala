@@ -145,6 +145,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus cleaning runs unchanged over a document stream (stateless langQuality)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val filtered = graft.operators.TextAnalysis
+      .langQuality(stream.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .where(col("lang_pred") === "en" && col("score") >= 0.5)
+      .select("doc_id", "lang_pred", "score")
+    val q = filtered.writeStream.format("memory").queryName("cleanstream")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(200))
+      stream.addData(docs.drop(200))
+      q.processAllAvailable()
+      val streamed = s.table("cleanstream").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.operators.TextAnalysis
+        .langQuality(graft.sources.Tables.documents(spark, sf001), "doc_id", "text")
+        .where(col("lang_pred") === "en" && col("score") >= 0.5)
+        .select("doc_id", "lang_pred", "score").orderBy("doc_id")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("batch eventsWindowed on real data matches the streaming plan run in batch mode") {
     val batchOp = Queries.eventsWindowed(spark, sf001)
       .orderBy("hour_start", "event_type").collect()
