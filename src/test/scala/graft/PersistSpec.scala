@@ -103,8 +103,12 @@ class PersistSpec extends SparkSpec {
     assert(scan.partitionFilters.nonEmpty)
     assert(scan.selectedPartitions.partitionCount <= 2)
 
-    // a loaded index keeps serving point lookups and filtered search
+    // a loaded index keeps serving point lookups and filtered search —
+    // the json pre-filter composes with the partition-pruned scan
     assert(reloaded.query(5L).count() === 1L)
+    val filtered = reloaded.searchFiltered(q, 10, "label", FilterOp.NotEqual, -999L)
+    assert(filtered.collect().map(_.toSeq).toSeq === live) // matches unfiltered
+    assert(scanOf(filtered).partitionFilters.nonEmpty)     // still pruned
 
     // delete preserves the pruned layout; insert falls back (and stays correct)
     val afterDelete = reloaded.deleteAll(rows.where(col("id") === live.head(1)).select("id"))
