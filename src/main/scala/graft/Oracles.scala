@@ -53,6 +53,38 @@ object Oracles {
   private def stopCount(words: Seq[String]): String =
     s"len(list_filter(toks, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
+  /** The lang-vote + rounded-quality-score pipeline as a reusable CTE
+    * chain ending in `lang(doc_id, lang_pred)` and `sc(doc_id, score)` —
+    * shared by corpus_clean and corpus_stats, mirroring the fused
+    * TextAnalysis.langQuality pass. (text_langid / text_quality keep
+    * their standalone spellings because they expose the intermediate
+    * columns.)
+    */
+  private lazy val langScoreCtes: String =
+    s"""t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+       |c AS (SELECT doc_id, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
+       |        ${stopCount(stopFr)} AS n_fr, ${stopCount(stopEs)} AS n_es FROM t),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+       |       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+       |       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+       |       WHEN n_fr >= n_es THEN 'fr'
+       |       ELSE 'es' END AS lang_pred FROM c),
+       |x AS (SELECT doc_id, text, toks, len(toks) AS n_tok, ${stopCount(stopEn)} AS n_stop FROM t),
+       |y AS (SELECT doc_id, n_tok,
+       |  CASE WHEN n_tok = 0 THEN 0.0 ELSE
+       |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS ml,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS pr,
+       |  CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sr
+       |  FROM x),
+       |sc AS (SELECT doc_id,
+       |  (round((CASE WHEN n_tok = 0 THEN 0.0 ELSE
+       |    0.25 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
+       |    0.25 * greatest(0.0, 1.0 - abs(ml - 5.0) / 5.0) +
+       |    0.25 * least(sr * 5.0, 1.0) +
+       |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score FROM y)""".stripMargin
+
   /** The minhash signature/banding pipeline as a reusable CTE chain
     * ending in `est(a_id, b_id, e)` — shared by dedup_minhash and
     * dedup_clusters.
@@ -418,29 +450,7 @@ object Oracles {
     // lang CASE + rounded quality score + min-id canonical, composed —
     // each leg identical to its standalone oracle above.
     "corpus_clean" ->
-      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
-         |c AS (SELECT doc_id, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
-         |        ${stopCount(stopFr)} AS n_fr, ${stopCount(stopEs)} AS n_es FROM t),
-         |lang AS (SELECT doc_id,
-         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
-         |       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
-         |       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
-         |       WHEN n_fr >= n_es THEN 'fr'
-         |       ELSE 'es' END AS lang_pred FROM c),
-         |x AS (SELECT doc_id, text, toks, len(toks) AS n_tok, ${stopCount(stopEn)} AS n_stop FROM t),
-         |y AS (SELECT doc_id, n_tok,
-         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE
-         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS ml,
-         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS pr,
-         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sr
-         |  FROM x),
-         |sc AS (SELECT doc_id,
-         |  (round((CASE WHEN n_tok = 0 THEN 0.0 ELSE
-         |    0.25 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
-         |    0.25 * greatest(0.0, 1.0 - abs(ml - 5.0) / 5.0) +
-         |    0.25 * least(sr * 5.0, 1.0) +
-         |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score FROM y),
+      s"""WITH $langScoreCtes,
          |canon AS (SELECT doc_id FROM
          |  (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM documents)
          |  WHERE doc_id = cid)
@@ -451,29 +461,7 @@ object Oracles {
     // mean via exact integer sums: each 4-dp score re-rounds ×10⁴ to a
     // BIGINT before summing — order-independent, then ONE division.
     "corpus_stats" ->
-      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
-         |c AS (SELECT doc_id, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
-         |        ${stopCount(stopFr)} AS n_fr, ${stopCount(stopEs)} AS n_es FROM t),
-         |lang AS (SELECT doc_id,
-         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
-         |       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
-         |       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
-         |       WHEN n_fr >= n_es THEN 'fr'
-         |       ELSE 'es' END AS lang_pred FROM c),
-         |x AS (SELECT doc_id, text, toks, len(toks) AS n_tok, ${stopCount(stopEn)} AS n_stop FROM t),
-         |y AS (SELECT doc_id, n_tok,
-         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE
-         |    CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS ml,
-         |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
-         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(len(text) AS DOUBLE) END AS pr,
-         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / CAST(n_tok AS DOUBLE) END AS sr
-         |  FROM x),
-         |sc AS (SELECT doc_id,
-         |  (round((CASE WHEN n_tok = 0 THEN 0.0 ELSE
-         |    0.25 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0) +
-         |    0.25 * greatest(0.0, 1.0 - abs(ml - 5.0) / 5.0) +
-         |    0.25 * least(sr * 5.0, 1.0) +
-         |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score FROM y),
+      s"""WITH $langScoreCtes,
          |tk AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe FROM documents)
          |SELECT l.lang_pred, count(*) AS n_docs, CAST(sum(tk.n_bpe) AS BIGINT) AS n_tokens,
          |  (round((CAST(sum(CAST(round(sc.score * 10000) AS BIGINT)) AS DOUBLE) / (count(*) * 10000)) * 10000.0) / 10000.0) AS mean_score
