@@ -576,6 +576,13 @@ object Oracles {
         |  event_id, (round((value) * 10000.0) / 10000.0) AS value
         |FROM events QUALIFY rank <= 5 ORDER BY event_type, rank""".stripMargin,
 
+    // salted two-phase aggregation must equal the plain GROUP BY —
+    // aggregates are order-exact longs, so salting cannot show through.
+    "events_salted_agg" ->
+      """SELECT event_type, count(event_id) AS n,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us

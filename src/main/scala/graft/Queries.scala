@@ -151,6 +151,23 @@ object Queries {
       .select(col("id"), roundTo(col("score"), 4).as("value"))
   }
 
+  /** The skew guard under the hard gate: event_type is low-cardinality
+    * (every key is hot), so the aggregation runs through
+    * [[operators.Skew.saltedAggregate]] — hot-key combine state spreads
+    * over 8 salted reducers, then a tiny merge pass. All aggregates are
+    * order-exact longs, so the salted plan must produce the plain
+    * GROUP BY answer bit-for-bit.
+    */
+  def eventsSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    operators.Skew.saltedAggregate(
+        Tables.events(spark, dir).select("event_type", "event_id"),
+        key = "event_type", numSalts = 8,
+        aggs = Seq(
+          "n" -> ((col("event_id"), "count")),
+          "min_event_id" -> ((col("event_id"), "min")),
+          "max_event_id" -> ((col("event_id"), "max"))))
+      .orderBy("event_type")
+
   /** Latest-wins upsert (reference: VectorDatabase::upsert,
     * src/db/vector_database.rs:24-83). Updates: every vec_id % 7 == 0 gets
     * label+100; every vec_id % 97 == 0 also inserts a brand-new id.

@@ -58,7 +58,8 @@ object SparkEntry {
     "q5_local" -> (Queries.q5Local _),
     "events_windowed" -> (Queries.eventsWindowed _),
     "events_topn" -> (Queries.eventsTopN _),
-    "events_sessionize" -> (Queries.eventsSessionize _)
+    "events_sessionize" -> (Queries.eventsSessionize _),
+    "events_salted_agg" -> (Queries.eventsSaltedAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
