@@ -219,7 +219,10 @@ class VectorIndex private (
           IvfIndex.writePartitioned(bare, "vectors", centroids, s"$path/data")
         }
       case IndexType.LSH =>
-        LshIndex.writePartitioned(bare, "vectors",
+        // A partitionBy write of an empty DataFrame emits no part files and
+        // load() would fail schema inference — same guard as the IVF branch.
+        if (bare.isEmpty) bare.write.mode("overwrite").parquet(s"$path/data")
+        else LshIndex.writePartitioned(bare, "vectors",
           LshIndex.planes(nBits = params.lshBits, dim = key.dim, seed = 42L), s"$path/data")
       case IndexType.FLAT =>
         bare.write.mode("overwrite").parquet(s"$path/data")

@@ -53,6 +53,7 @@ object Corpus {
       .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("word"))))
       .select("rank", "word", "n", "n_docs")
+      .orderBy("rank")
   }
 
   /** The composed cleaning pipeline a pretraining corpus goes through:

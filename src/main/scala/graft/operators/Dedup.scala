@@ -21,6 +21,16 @@ import graft.functions._
   * inline copies the token-pipeline expression tree into every
   * element_at/slice call-site and the self-join then re-executes it per
   * side, which measured 40× slower at sf0.1.
+  *
+  * Execution semantics: the pair operators (minhashPairs, simhashPairs,
+  * jaccardPrefixPairs, embeddingCosinePairs) EAGERLY materialize their
+  * (small) pair output via `localCheckpoint(true)` so the per-call
+  * signature cache can be released immediately instead of leaking until
+  * LRU pressure. Callers pay the job at call time even if the result is
+  * never consumed, and checkpointed blocks are not recomputable after
+  * executor loss — the right trade for a single-JVM harness; on a
+  * long-lived cluster, replace with `persist` + caller-managed
+  * `unpersist` if lazy composition or fault-tolerant lineage matters.
   */
 object Dedup {
 

@@ -140,8 +140,8 @@ class PersistSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 5)
   }
 
-  test("empty index save -> load round trip (FLAT and IVF degrade cleanly)") {
-    for (kind <- Seq(IndexType.FLAT, IndexType.IVF)) {
+  test("empty index save -> load round trip (FLAT, IVF and LSH degrade cleanly)") {
+    for (kind <- Seq(IndexType.FLAT, IndexType.IVF, IndexType.LSH)) {
       val idx = VectorIndex.create(spark, kind, 2, Metric.L2)
       val path = tmp(s"graft-empty-$kind")
       idx.save(path)
