@@ -106,6 +106,29 @@ object Oracles {
        |          list_sum(list_transform(range(1, 33), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
        |        FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)""".stripMargin
 
+  /** BM25 pipeline as a reusable CTE chain ending in `bm(rank, doc_id,
+    * s6)` — top-`k` by the exact-integer score (each term contribution is
+    * fixed via floor(x·10⁶ + 0.5), floor of the BINARY value, so the
+    * per-doc sum is order-independent and cross-engine identical). Terms
+    * and constants mirror [[Queries.bm25Terms]] /
+    * [[operators.Retrieval.bm25TopK]] expression-for-expression.
+    */
+  private def bm25Ctes(k: Int): String =
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |st AS (SELECT count(*) AS n_corpus, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+       |p0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+       |p AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM p0
+       |      WHERE term IN ('spark', 'hash', 'join', 'window', 'vector') GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+       |contrib AS (SELECT p.doc_id,
+       |    CAST(floor(ln((st.n_corpus - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_corpus)))))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS s6
+       |  FROM p JOIN dfq USING (term) CROSS JOIN st),
+       |bm AS (SELECT CAST(row_number() OVER (ORDER BY s6 DESC, doc_id) AS INT) AS rank, doc_id, s6
+       |       FROM (SELECT doc_id, CAST(sum(s6) AS BIGINT) AS s6 FROM contrib GROUP BY doc_id)
+       |       ORDER BY s6 DESC, doc_id LIMIT $k)""".stripMargin
+
   // MUST stay in lock-step with graft.operators.TextAnalysis.stop* —
   // ASCII-only by construction (tokens are ASCII-alnum runs).
   private val stopEn = graft.operators.TextAnalysis.stopEn
@@ -222,6 +245,36 @@ object Oracles {
        |FROM p WHERE c >= $minCosine ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** PQ ADC search: per-subspace code assignment (argmin over the literal
+    * codebooks, ties to lowest id), exact-integer-fixed ADC lookup-table
+    * scores (floor(d²·10⁹ + 0.5) — floor of the binary value, identical
+    * cross-engine), top-`rerank` candidates, exact L2 re-rank — the
+    * DuckDB twin of [[operators.PqIndex.search]].
+    */
+  private def pqSql(books: Array[Array[Array[Float]]], queryId: Long, k: Int, rerank: Int): String = {
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    def sub(v: String) = s"list_slice($v, (cb.pid // $ksub) * $dsub + 1, (cb.pid // $ksub) * $dsub + $dsub)"
+    s"""WITH cb AS ${paramRows(books.flatten, "pid", "cv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |asg AS (SELECT e.vec_id, cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |          ${l2sq(sub("e.embedding"), "cb.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cb),
+       |code AS (SELECT vec_id, j, c FROM asg
+       |         QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1),
+       |qt AS (SELECT cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |         CAST(floor(${l2sq(sub("q.qv"), "cb.cv")} * 1000000000.0 + 0.5) AS BIGINT) AS d9
+       |       FROM cb CROSS JOIN q),
+       |adc AS (SELECT code.vec_id AS id, CAST(sum(qt.d9) AS BIGINT) AS adc9
+       |        FROM code JOIN qt USING (j, c) GROUP BY code.vec_id),
+       |cand AS (SELECT id FROM adc ORDER BY adc9, id LIMIT $rerank),
+       |d AS (SELECT e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score
+       |      FROM embeddings e JOIN cand ON cand.id = e.vec_id, q)
+       |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+       |       (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d ORDER BY score, id LIMIT $k""".stripMargin
+  }
+
   /** Oracles that depend on fitted index parameters: must be generated in
     * the session that ran the queries (Verify), so both sides see the
     * identical centroid/plane matrices. Parameters here mirror
@@ -233,7 +286,9 @@ object Oracles {
     val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
     val planes = operators.LshIndex.planes(nBits = 4, dim = 64)
     val dedupPlanes = operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64)
+    val pqBooks = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
     Map(
+      "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
       "ann_ivf" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       // identical parameters to ann_ivf — the persisted layout must not
       // change the answer, only where the pruning happens (file listing).
@@ -430,7 +485,65 @@ object Oracles {
         |      (a, c) -> (a * 31 + c) % 1000000007) END AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "bm25_topk" ->
+      s"""WITH ${bm25Ctes(10)}
+         |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
+         |FROM bm ORDER BY rank""".stripMargin,
+
+    // vector leg = the multimodal feature-sketch kNN (same CTEs as
+    // multimodal_embed, top-50); text leg = BM25 top-50; RRF fuse with
+    // c=60 — every fused score is a short sum of exact rationals of
+    // integer ranks, so no rounding is needed until the display column.
+    "hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(50)},
+         |f AS (SELECT doc_id,
+         |  list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
+         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
+         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS features
+         |  FROM documents),
+         |vq AS (SELECT features AS qv FROM f WHERE doc_id = 7),
+         |vd AS (SELECT f.doc_id, ${l2("f.features", "vq.qv")} AS score FROM f, vq),
+         |vleg AS (SELECT CAST(row_number() OVER (ORDER BY score, doc_id) AS INT) AS rank, doc_id
+         |         FROM vd ORDER BY score, doc_id LIMIT 50),
+         |fuse AS (SELECT coalesce(v.doc_id, b.doc_id) AS doc_id, v.rank AS rank_vec, b.rank AS rank_text,
+         |    coalesce(1.0 / (60 + v.rank), 0.0) + coalesce(1.0 / (60 + b.rank), 0.0) AS rrf
+         |  FROM vleg v FULL OUTER JOIN bm b ON v.doc_id = b.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank, doc_id,
+         |  (round((rrf) * 1000000.0) / 1000000.0) AS rrf, rank_vec, rank_text
+         |FROM fuse ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // word-2/3-gram shingle strings hashed exactly like the minhash
+    // oracle; per-doc fractions are single divisions of exact longs.
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |s2 AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE
+         |         list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+         |e2 AS (SELECT doc_id, unnest(list_transform(sh, s -> ${tokenHash60("s")})) AS g FROM s2),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM e2 GROUP BY doc_id, g),
+         |a2 AS (SELECT doc_id, max(c) AS top2, CAST(sum(c) AS BIGINT) AS n2 FROM c2 GROUP BY doc_id),
+         |s3 AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
+         |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh FROM t),
+         |e3 AS (SELECT doc_id, unnest(list_transform(sh, s -> ${tokenHash60("s")})) AS g FROM s3),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM e3 GROUP BY doc_id, g),
+         |a3 AS (SELECT doc_id, count(*) AS d3, CAST(sum(c) AS BIGINT) AS n3 FROM c3 GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a2.n2, 0) AS n_2grams,
+         |  (round((CASE WHEN a2.n2 IS NULL THEN 0.0 ELSE CAST(a2.top2 AS DOUBLE) / CAST(a2.n2 AS DOUBLE) END) * 10000.0) / 10000.0) AS top_2gram_frac,
+         |  (round((CASE WHEN a3.n3 IS NULL THEN 0.0 ELSE 1.0 - CAST(a3.d3 AS DOUBLE) / CAST(a3.n3 AS DOUBLE) END) * 10000.0) / 10000.0) AS dup_3gram_frac
+         |FROM t LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
     // ================= C2. corpus preparation =================
+
+    // rates mirror Queries.sampleRates; the hash bucket reuses the
+    // corpus_split construction with a distinct salt.
+    "corpus_sample" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${tokenHash60("'sample:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
+         |r AS (SELECT doc_id, source, CAST(b AS INT) AS bucket,
+         |  CASE WHEN source = 'src0' THEN 10 WHEN source = 'src1' THEN 10
+         |       WHEN source = 'src2' THEN 25 WHEN source = 'src3' THEN 50
+         |       ELSE 80 END AS rate FROM h)
+         |SELECT doc_id, source, bucket, rate FROM r WHERE bucket < rate ORDER BY doc_id""".stripMargin,
 
     "corpus_split" ->
       s"""WITH h AS (SELECT doc_id,

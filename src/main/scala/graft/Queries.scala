@@ -161,6 +161,65 @@ object Queries {
       .select(col("id"), roundTo(col("score"), 4).as("value"))
   }
 
+  /** PQ-compressed ANN: 8 sub-quantizers × 16 centroids (8-byte codes,
+    * 32× smaller than the raw vectors), ADC candidate scan, exact re-rank
+    * of the top-100 — see [[operators.PqIndex]]. Parameter-literal oracle
+    * (codebooks spliced into the SQL; DuckDB re-derives codes, the
+    * lookup table, and both ranking stages).
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    operators.PqIndex.search(emb, "vec_id", "embedding", books,
+      queryVec(spark, dir, 5L), k = 10, rerank = 100)
+  }
+
+  /** The query terms both retrieval legs share (fixed "user query"). */
+  private[graft] val bm25Terms = Seq("spark", "hash", "join", "window", "vector")
+
+  /** BM25 top-10 keyword retrieval over `documents` — see
+    * [[operators.Retrieval.bm25TopK]].
+    */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      bm25Terms, k = 10)
+
+  /** Hybrid retrieval: the multimodal feature-sketch k-NN leg (same
+    * decode → embed path as [[multimodalEmbed]], top-50) fused with the
+    * BM25 keyword leg (top-50) by reciprocal-rank fusion, top-20 — the
+    * keyword+vector ranking a real deployment of the reference serves.
+    */
+  def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val media = docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val feats = operators.Multimodal.decode(media).toDF().select(col("doc_id"), col("features"))
+    val probeText = docs.where(col("doc_id") === 7L).select("text").first().getString(0)
+    val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
+    val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
+      .select(col("id").as("doc_id"), col("rank"))
+    val textLeg = operators.Retrieval.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 50)
+      .select(col("doc_id"), col("rank"))
+    operators.Retrieval.rrfFuse(vecLeg, textLeg, k = 20)
+  }
+
+  /** Gopher-style repetition signals (top-2-gram fraction, duplicate
+    * 3-gram fraction) — see [[operators.TextAnalysis.repetition]].
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** The mixture-sampling rates the corpus_sample query and its oracle
+    * share: heavy downsampling of four named sources, 80% of the rest.
+    */
+  private[graft] val sampleRates = Map("src0" -> 10, "src1" -> 10, "src2" -> 25, "src3" -> 50)
+
+  /** Deterministic weighted mixture sample — see
+    * [[operators.Corpus.sampleMixture]].
+    */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.sampleMixture(Tables.documents(spark, dir), "doc_id", "source",
+      sampleRates, defaultRate = 80)
+
   /** The skew guard under the hard gate: event_type is low-cardinality
     * (every key is hot), so the aggregation runs through
     * [[operators.Skew.saltedAggregate]] — hot-key combine state spreads

@@ -21,6 +21,7 @@ object SparkEntry {
     "ann_ivf" -> (Queries.annIvf _),
     "ann_ivf_persisted" -> (Queries.annIvfPersisted _),
     "ann_lsh" -> (Queries.annLsh _),
+    "ann_pq" -> (Queries.annPq _),
     "knn_range" -> (Queries.knnRange _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),
@@ -37,15 +38,19 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> (Queries.dedupJaccardPrefix _),
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
-    // C. text analysis
+    // C. text analysis / retrieval
     "text_langid" -> (Queries.textLangid _),
     "text_quality" -> (Queries.textQuality _),
     "text_tokens" -> (Queries.textTokens _),
     "text_fingerprint" -> (Queries.textFingerprint _),
+    "text_repetition" -> (Queries.textRepetition _),
+    "bm25_topk" -> (Queries.bm25TopK _),
+    "hybrid_rrf" -> (Queries.hybridRrf _),
     // C2. corpus preparation
     "corpus_split" -> (Queries.corpusSplit _),
     "corpus_vocab" -> (Queries.corpusVocab _),
     "corpus_clean" -> (Queries.corpusClean _),
+    "corpus_sample" -> (Queries.corpusSample _),
     "pack_sequences" -> (Queries.packSequences _),
     "corpus_stats" -> (Queries.corpusStats _),
     // D. multimodal

@@ -76,6 +76,29 @@ object Corpus {
       .select("doc_id", "lang_pred", "score")
       .orderBy("doc_id")
 
+  /** Deterministic weighted mixture sampling — the up/down-sampling step
+    * that turns raw per-source corpora into a training mixture ("2 epochs
+    * of wiki, 0.3 of crawl"). Each document keeps or drops by comparing
+    * its stable hash bucket against its source's percentage rate, so the
+    * sample is reproducible across runs, machines, and table layouts, and
+    * needs no global state — one map-side pass, no shuffle, any scale.
+    * Sources absent from `rates` fall back to `defaultRate`.
+    */
+  def sampleMixture(docs: DataFrame, idCol: String, sourceCol: String,
+                    rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 100),
+      "rates are percentages in [0, 100]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col(sourceCol) === src, r).otherwise(acc)
+    }
+    val bucket = pmod(tokenHash60(concat(lit("sample:"), col(idCol).cast("string"))), lit(100L))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        bucket.cast("int").as("bucket"), rate.as("rate"))
+      .where(col("bucket") < col("rate"))
+      .select("doc_id", "source", "bucket", "rate")
+      .orderBy("doc_id")
+  }
+
   /** Contiguous sequence packing (concat-then-chunk): within each
     * `groupCol` stream, documents in doc-id order accumulate into bins
     * of `budget` tokens — bin = ⌊exclusive-running-token-sum / budget⌋,

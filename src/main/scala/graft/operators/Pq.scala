@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, TPAMI 2011, "Product
+  * Quantization for Nearest Neighbor Search" — the compression scheme
+  * behind faiss's PQ/IVFPQ indexes, the family the reference builds via
+  * its faiss backend, reference: src/core/index_factory.rs).
+  *
+  * The 100 TB story: a 64-dim float vector is 256 bytes; its PQ code is
+  * `m` sub-quantizer ids — 8 bytes at m=8 — a 32× smaller table that
+  * turns a petabyte of embeddings into tens of TB of scannable codes.
+  * Search is ADC (asymmetric distance computation): the query builds an
+  * m × ksub lookup table of exact sub-distances ONCE (driver-side, tiny),
+  * and every candidate's approximate distance is m table lookups — no
+  * float math per row. The codes scan is narrow, codegen'd, and at real
+  * scale the codes table is the materialized column you keep hot while
+  * raw vectors stay cold (they're only touched by the final re-rank,
+  * fetched BY ID for rerank ≪ n candidates).
+  *
+  * Training: one seeded KMeans per subspace over a bounded sample —
+  * invariant to corpus size, like [[IvfIndex.fit]].
+  *
+  * Cross-engine exactness: per-subspace sub-distances are doubles from
+  * identical float literals; each is fixed to a long via
+  * floor(d²·10⁹ + 0.5) (floor of the binary value — no decimal-string
+  * rounding), so ADC totals are exact long sums in any order and the
+  * candidate ranking compares exact integers. The DuckDB oracle
+  * re-derives codes and the lookup table from the same codebook literals.
+  */
+object PqIndex {
+
+  /** `m` codebooks of `ksub` centroids over the dim/m-wide subspaces.
+    * codebooks(j)(c) is the c-th centroid of subspace j.
+    */
+  def fit(emb: DataFrame, vecCol: String, dim: Int, m: Int, ksub: Int,
+          seed: Long = 42L, maxSample: Long = 100000L): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val n = emb.count()
+    if (n == 0L) return Array.empty
+    val frac = math.min(1.0, maxSample.toDouble / math.max(1L, n))
+    val sampled = (if (frac < 1.0) emb.sample(withReplacement = false, frac, seed) else emb)
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kEff = math.max(1, math.min(ksub.toLong, n).toInt)
+    val books = Array.tabulate(m) { j =>
+      val sub = sampled.select(array_to_vector(slice(col("v"), j * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(kEff).setSeed(seed + j).setMaxIter(8).fit(sub)
+        .clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+    sampled.unpersist()
+    books
+  }
+
+  private val fitted =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int), Array[Array[Array[Float]]]]()
+
+  /** Registry-cached [[fit]] (the IndexFactory pattern, like
+    * [[IvfIndex.fitCached]]).
+    */
+  def fitCached(emb: DataFrame, vecCol: String, dim: Int, m: Int, ksub: Int,
+                seed: Long = 42L): Array[Array[Array[Float]]] =
+    fitted.computeIfAbsent(
+      (emb.queryExecution.analyzed.semanticHash(), vecCol, m, ksub),
+      _ => fit(emb, vecCol, dim, m, ksub, seed))
+
+  /** The PQ code of a vector: array of `m` sub-quantizer ids — each an
+    * argmin over that subspace's codebook, reusing the codegen
+    * [[graft.functions.nearestCentroid]] kernel per subspace (ties to the
+    * lower id, matching the oracle). This is the "encode" map pass whose
+    * output is the materialized codes column at scale.
+    */
+  def encode(vec: Column, codebooks: Array[Array[Array[Float]]]): Column = {
+    val dsub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (book, j) =>
+      nearestCentroid(slice(vec, j * dsub + 1, dsub), book)
+    }.toSeq: _*)
+  }
+
+  /** Driver-side ADC lookup table for a query: table(j)(c) =
+    * floor(‖q_j − codebook_j_c‖² · 10⁹ + 0.5) — exact-integer-fixed
+    * squared sub-distances (see object doc). m × ksub longs.
+    */
+  def adcTable(queryVec: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Array[Long]] = {
+    val dsub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (book, j) =>
+      book.map { cent =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = queryVec(j * dsub + i).toDouble - cent(i).toDouble
+          acc += d * d
+          i += 1
+        }
+        math.floor(acc * 1e9 + 0.5).toLong
+      }
+    }
+  }
+
+  /** Approximate distance of a codes row: Σ_j table(j)(code_j) — m array
+    * lookups summed left-to-right, all longs, fully codegen'd built-ins.
+    */
+  def adcScore(codes: Column, table: Array[Array[Long]]): Column =
+    table.zipWithIndex.map { case (row, j) =>
+      element_at(typedLit(row), element_at(codes, j + 1) + 1)
+    }.reduceLeft(_ + _)
+
+  /** PQ search: ADC scan over the codes → top-`rerank` candidate ids →
+    * exact re-rank of those candidates by true L2 → top-k. The first
+    * stage reads only codes (8 bytes/row at m=8) and TakeOrders on an
+    * exact integer; raw vectors are joined BY ID for the `rerank`
+    * survivors only — the two-stage shape faiss IVFPQ serves with.
+    */
+  def search(emb: DataFrame, idCol: String, vecCol: String,
+             codebooks: Array[Array[Array[Float]]], queryVec: Array[Float],
+             k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k)
+    val table = adcTable(queryVec, codebooks)
+    // at scale this select IS the persisted codes table (encode happens
+    // once at ingest); the ADC scan then never touches the vectors
+    val codes = emb.select(col(idCol).as("id"), encode(col(vecCol), codebooks).as("codes"))
+    val candidates = codes
+      .select(col("id"), adcScore(col("codes"), table).as("adc9"))
+      .orderBy(col("adc9"), col("id"))
+      .limit(rerank)
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidates.join(vecs, "id")
+      .select(col("id"), vecL2(col("v"), typedLit(queryVec)).as("score"))
+      .orderBy(col("score"), col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("score"), col("id"))))
+      .select(col("rank"), col("id"), roundTo(col("score"), 4).as("value"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Text retrieval — the keyword leg a real vector-search deployment runs
+  * next to ANN (the reference serves vectors only; hybrid keyword+vector
+  * ranking is what its users bolt on first). Everything here is a pure
+  * partial-agg plan over the inverted-index shape (term-keyed rows):
+  * nothing global-sorts the corpus and the only driver-visible data is
+  * the top-k result.
+  *
+  * Cross-engine exactness: per-term BM25 contributions are computed in
+  * double, then fixed to integers via floor(x·10⁶ + 0.5) — floor of the
+  * BINARY value, identical in any IEEE engine (unlike decimal-string
+  * rounding) — so the per-document sum is an exact long addition in any
+  * aggregation order, and ranking compares exact integers.
+  */
+object Retrieval {
+
+  /** BM25 (Robertson/Sparck-Jones, the Okapi formulation) top-k:
+    * score(D, Q) = Σ_{t ∈ Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+    * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+    *
+    * Scale shape: the term filter runs map-side directly after the
+    * tokenizer (only query-term postings ever enter a shuffle); df is a
+    * |Q|-row aggregate broadcast back; document length rides the posting
+    * row (no separate length join); corpus stats (N, Σ|D|) are one
+    * 1-row aggregate cross-joined as a broadcast. Shuffles: postings
+    * groupBy (doc, term), df groupBy term, final top-k TakeOrdered —
+    * all partial-aggregated, all O(matching docs), never O(corpus).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1)
+    val toks = docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+
+    // 1-row corpus stats (N, avgdl): exact long sum / exact long count ⇒
+    // one double division, bit-identical in any engine.
+    val stats = toks.agg(
+      count(lit(1)).as("n_corpus"),
+      sum(size(col("toks"))).as("sum_dl"))
+
+    // Postings for query terms only — the isin filter collapses the
+    // explode map-side, so shuffle volume is O(docs containing a query
+    // term), independent of vocabulary or corpus width.
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val idf = log((col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / (col("sum_dl").cast("double") / col("n_corpus")))))
+
+    postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        // exact integer fixing of each term contribution (see object doc)
+        floor(idf * tfNorm * lit(1000000.0) + lit(0.5)).cast("long").as("s6"))
+      .groupBy("doc_id")
+      .agg(sum("s6").as("s6"))
+      .orderBy(col("s6").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("s6").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), roundTo(col("s6") / lit(1000000.0), 4).as("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
+    * rrf(d) = Σ_legs 1/(c + rank_leg(d)), missing leg contributes 0.
+    * Ranks are exact ints, so every fused score is the same short sum of
+    * exact rationals in leg order — bit-identical across engines, no
+    * rounding games needed until the display column.
+    *
+    * Both legs arrive as (doc_id, rank) top-n lists (a few rows each), so
+    * the fusion is a full outer join of two k-row tables — driver-trivial
+    * at any corpus scale; the heavy lifting already happened in the legs.
+    */
+  def rrfFuse(legA: DataFrame, legB: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    val a = legA.select(col("doc_id"), col("rank").as("rank_a"))
+    val b = legB.select(col("doc_id"), col("rank").as("rank_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+         coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"),
+        roundTo(col("rrf"), 6).as("rrf"),
+        col("rank_a").cast("int").as("rank_vec"),
+        col("rank_b").cast("int").as("rank_text"))
+  }
+}

@@ -129,4 +129,43 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), rollingFingerprint(col(textCol)).as("fp"))
       .orderBy("doc_id")
+
+  /** Gopher-style within-document repetition signals (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1 — the filters that catch boilerplate
+    * and degenerate generations): fraction of word-2-gram occurrences
+    * belonging to the single most frequent 2-gram, and the fraction of
+    * word-3-gram occurrences that are repeats (1 − distinct/total).
+    *
+    * Shape: shingle hashes are one codegen map pass; both signals are
+    * per-doc partial aggregations keyed by doc_id (combine happens
+    * map-side, the shuffle carries one row per distinct in-doc gram).
+    * Fractions are single exact-rounded double divisions of longs —
+    * bit-identical cross-engine before the display rounding.
+    */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+
+    val g2 = toks.select(col("doc_id"), explode(wordShingleHash60(col("toks"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top2"), sum("c").as("n2"))
+
+    val g3 = toks.select(col("doc_id"), explode(wordShingleHash60(col("toks"), 3)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("d3"), sum("c").as("n3"))
+
+    // left joins from the doc list: short docs (no 2/3-grams) report 0.0
+    toks.select(col("doc_id"))
+      .join(g2, Seq("doc_id"), "left")
+      .join(g3, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n2"), lit(0L)).as("n_2grams"),
+        roundTo(when(col("n2").isNull, 0.0)
+          .otherwise(col("top2").cast("double") / col("n2").cast("double")), 4).as("top_2gram_frac"),
+        roundTo(when(col("n3").isNull, 0.0)
+          .otherwise(lit(1.0) - col("d3").cast("double") / col("n3").cast("double")), 4).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Knn, PqIndex}
+
+/** Product-quantization properties: code/ADC mechanics the DuckDB gate
+  * already hash-checks on the real table, plus the recall property on
+  * clustered data (where PQ is actually meant to work) that SQL can't
+  * express.
+  */
+class PqSpec extends SparkSpec {
+
+  private val dim = 16
+
+  private lazy val clustered: Seq[Emb] = {
+    val rnd = new Random(11)
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian() * 10.0))
+    (0 until 1500).map { i =>
+      val c = centers(i % 8)
+      Emb(i.toLong, c.map(x => (x + rnd.nextGaussian()).toFloat))
+    }
+  }
+
+  test("codes are m ids in [0, ksub) — 8 bytes of index per vector at m=8") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val books = PqIndex.fit(df, "embedding", dim = dim, m = 4, ksub = 8, seed = 3L)
+    assert(books.length === 4 && books.forall(_.length === 8) && books.forall(_.forall(_.length === dim / 4)))
+    val codes = df.select(PqIndex.encode(col("embedding"), books).as("c"))
+      .selectExpr("c[0] c0", "c[1] c1", "c[2] c2", "c[3] c3").collect()
+    assert(codes.forall(r => (0 until 4).forall(i => r.getInt(i) >= 0 && r.getInt(i) < 8)))
+  }
+
+  test("ADC ranking with full re-rank budget recovers the exact top-k head") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val books = PqIndex.fit(df, "embedding", dim = dim, m = 4, ksub = 16, seed = 3L)
+    val q = clustered(77).embedding
+    // rerank = n: stage 2 re-ranks everything exactly => identical to brute force
+    val full = PqIndex.search(df, "vec_id", "embedding", books, q, k = 10, rerank = clustered.size)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(full === exact)
+  }
+
+  // rerank must exceed the expected cluster population (1500/8 ≈ 188
+  // here): ADC sub-distances are noisy WITHIN a cluster (quantization
+  // error ~ the intra-cluster noise), so the candidate list has to cover
+  // the query's whole cluster for the exact re-rank to sort it out.
+  test("recall@10 >= 0.9 on clustered data with a cluster-sized re-rank") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val books = PqIndex.fit(df, "embedding", dim = dim, m = 4, ksub = 16, seed = 3L)
+    val recalls = Seq(5, 205, 1005).map { qi =>
+      val q = clustered(qi).embedding
+      val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2")
+        .collect().map(_.getAs[Long]("id")).toSet
+      val approx = PqIndex.search(df, "vec_id", "embedding", books, q, k = 10, rerank = 250)
+        .collect().map(_.getAs[Long]("id")).toSet
+      exact.intersect(approx).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean (per-query: $recalls)")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+case class RDoc(doc_id: Long, text: String)
+
+/** Behavior properties for BM25 and RRF fusion (the DuckDB gate covers
+  * exact scores on the real tables; these cover the ranking semantics on
+  * constructed corpora where the right answer is obvious).
+  */
+class RetrievalSpec extends SparkSpec {
+
+  private lazy val corpus = Seq(
+    RDoc(1L, "spark shuffles data across the cluster"),
+    RDoc(2L, "spark spark spark nothing else about spark"),
+    RDoc(3L, "gardening tips for growing tomatoes and herbs"),
+    RDoc(4L, "spark joins need a shuffle unless broadcast"),
+    RDoc(5L, "a very long document about many different things entirely " +
+      "unrelated words fill this text with spark mentioned once only here"))
+
+  test("bm25: docs containing no query term never rank; rarer terms outweigh common ones") {
+    val s = spark; import s.implicits._
+    val res = Retrieval.bm25TopK(corpus.toDF(), "doc_id", "text",
+      Seq("spark", "broadcast"), k = 5).collect()
+    val ids = res.map(_.getAs[Long]("doc_id"))
+    assert(!ids.contains(3L), "doc without any query term must not appear")
+    // doc 4 holds the only "broadcast" (df=1, high idf) plus "spark" —
+    // it must beat every doc that only repeats the ubiquitous "spark"
+    assert(ids.head === 4L)
+    // scores strictly descend with rank (ties broken by id upstream)
+    val scores = res.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("bm25: tf saturates — 4x term repetitions do not give 4x score") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      RDoc(1L, "spark one two three four five"),
+      RDoc(2L, "spark spark spark spark two three four five")).toDF()
+    val res = Retrieval.bm25TopK(df, "doc_id", "text", Seq("spark"), k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(res(2L) > res(1L), "more occurrences still score higher")
+    assert(res(2L) < res(1L) * 2.5, s"k1 saturation must cap the gain, got $res")
+  }
+
+  test("rrf: a doc ranked well in both legs beats single-leg winners; missing legs contribute 0") {
+    val s = spark; import s.implicits._
+    val legA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val legB = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val res = Retrieval.rrfFuse(legA, legB, k = 10).collect()
+    assert(res.head.getAs[Long]("doc_id") === 20L) // present and high in both
+    val byId = res.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("rrf")).toMap
+    // single-leg docs: exactly 1/(60+rank) (0 from the missing leg)
+    assert(math.abs(byId(10L) - 1.0 / 61) < 1e-6)
+    assert(math.abs(byId(40L) - 1.0 / 62) < 1e-6)
+    // rank_vec/rank_text surface the per-leg provenance
+    val r40 = res.find(_.getAs[Long]("doc_id") == 40L).get
+    assert(r40.isNullAt(r40.fieldIndex("rank_vec")) && r40.getAs[Int]("rank_text") == 2)
+  }
+}

@@ -131,6 +131,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN ingest: an upsert stream foreachBatch-merged into a searchable index snapshot") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.api.{IndexType, Metric, VectorIndex}
+    import graft.streaming.EventStream.VectorMutation
+
+    def m(id: Long, t: String, x: Float, y: Float, data: String) =
+      VectorMutation(id, Timestamp.valueOf(t), Array(x, y), data)
+
+    // The serving story the reference runs point-wise (insert/upsert
+    // endpoints mutating a live index), as a stream: each micro-batch
+    // collapses to latest-wins per id and merges into the immutable
+    // snapshot — every processed batch yields a fully searchable index.
+    var idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.L2)
+    val stream = MemoryStream[VectorMutation]
+    val mergeBatch: (org.apache.spark.sql.Dataset[VectorMutation], Long) => Unit = { (batch, _) =>
+      val latest = batch.groupBy("id").agg(
+        max_by(col("vectors"), col("ts")).as("vectors"),
+        max_by(col("data"), col("ts")).as("data"))
+      idx = idx.upsertAll(latest)
+    }
+    val q = stream.toDS().writeStream.foreachBatch(mergeBatch).outputMode("update").start()
+    try {
+      stream.addData(Seq(
+        m(1, "2024-01-01 10:00:00", 1f, 1f, """{"v":1}"""),
+        m(2, "2024-01-01 10:00:00", 5f, 5f, """{"v":2}"""),
+        m(3, "2024-01-01 10:00:00", 9f, 9f, """{"v":3}""")))
+      q.processAllAvailable()
+      assert(idx.count === 3L)
+      // id 1 moves next to (9,9) — the post-upsert snapshot must rank it
+      // by its NEW vector, and retain the overwritten document
+      stream.addData(Seq(m(1, "2024-01-01 11:00:00", 9.1f, 9.1f, """{"v":9}""")))
+      q.processAllAvailable()
+      val top = idx.search(Array(9f, 9f), 2).collect().map(_.getAs[Long]("id")).toSeq
+      assert(top === Seq(3L, 1L))
+      val doc = idx.query(1L).collect().head.getAs[String]("data")
+      assert(doc.contains("9"))
+      assert(idx.count === 3L) // upsert, not append
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events parquet reproduces the batch aggregation") {
     val agg = EventStream.windowedAgg(graft.sources.Tables.eventsStream(spark, sf001))
     val q = agg.writeStream.format("memory").queryName("filewin").outputMode("complete").start()
