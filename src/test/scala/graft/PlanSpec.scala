@@ -54,6 +54,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25: df and corpus stats broadcast; final top-k is a TakeOrdered cut") {
+    val p = plan(Queries.bm25TopK(spark, sf001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, "term-df join must broadcast")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "1-row stats must broadcast, never shuffle the postings")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be a bounded heap:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "posting aggregation must combine map-side")
+  }
+
+  test("ann_pq: ADC candidate stage is a TakeOrdered over codes, never a global sort") {
+    val p = plan(Queries.annPq(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"ADC top-rerank must be a bounded heap:\n$p")
+    assert(!p.contains("GlobalSort"), "no global sort anywhere in PQ search")
+  }
+
+  test("mixture sample: pure map-side pipeline — no exchange before the output order") {
+    val p = plan(Queries.corpusSample(spark, sf001))
+    // exactly the final presentation Sort's exchange; the keep/drop
+    // decision itself must not shuffle (count detail headers, not the
+    // tree echo of each node)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, s"sampling must be map-side:\n$p")
+  }
+
   test("column pruning: fingerprint scan reads only (doc_id, text)") {
     val p = plan(Queries.textFingerprint(spark, sf001))
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
