@@ -89,7 +89,11 @@ object Oracles {
     * ending in `est(a_id, b_id, e)` — shared by dedup_minhash and
     * dedup_clusters.
     */
-  private lazy val minhashCtes: String =
+  /** Signature + banding half of the chain (ends at `bands`); the pair
+    * tails below differ between the self-join and the incremental
+    * new-vs-corpus variants.
+    */
+  private lazy val minhashSigCtes: String =
     s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
        |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
        |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh
@@ -99,7 +103,10 @@ object Oracles {
        |          list_min(list_transform(hs, h -> ((2*j + 1) * (h % 2147483647) + (j*j + 7)) % 2147483647))) AS sig
        |        FROM hs),
        |bands AS (SELECT doc_id, sig, r.range AS band, list_slice(sig, r.range * 4 + 1, r.range * 4 + 4) AS bucket
-       |          FROM sig, range(0, 8) r),
+       |          FROM sig, range(0, 8) r)""".stripMargin
+
+  private lazy val minhashCtes: String =
+    s"""$minhashSigCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
        |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
        |est AS (SELECT a_id, b_id,
@@ -275,6 +282,43 @@ object Oracles {
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
   }
 
+  /** IVFPQ: IVF cluster assignment + nprobe pruning (literal centroids)
+    * feeding the PQ code/ADC/re-rank chain (literal codebooks) — the
+    * DuckDB twin of [[operators.PqIndex.searchIvf]].
+    */
+  private def ivfpqSql(centroids: Array[Array[Float]], books: Array[Array[Array[Float]]],
+                       queryId: Long, k: Int, nprobe: Int, rerank: Int): String = {
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    def sub(v: String) = s"list_slice($v, (cb.pid // $ksub) * $dsub + 1, (cb.pid // $ksub) * $dsub + $dsub)"
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cw")},
+       |cb AS ${paramRows(books.flatten, "pid", "cv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |casg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cw")} AS d2
+       |         FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM casg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |probe AS (SELECT c.cid FROM cents c, q ORDER BY ${l2sq("q.qv", "c.cw")}, c.cid LIMIT $nprobe),
+       |base AS (SELECT e.vec_id, e.embedding FROM embeddings e JOIN cl ON cl.vec_id = e.vec_id
+       |         WHERE cl.cid IN (SELECT cid FROM probe)),
+       |asg AS (SELECT e.vec_id, cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |          ${l2sq(sub("e.embedding"), "cb.cv")} AS d2
+       |        FROM base e CROSS JOIN cb),
+       |code AS (SELECT vec_id, j, c FROM asg
+       |         QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1),
+       |qt AS (SELECT cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |         CAST(floor(${l2sq(sub("q.qv"), "cb.cv")} * 1000000000.0 + 0.5) AS BIGINT) AS d9
+       |       FROM cb CROSS JOIN q),
+       |adc AS (SELECT code.vec_id AS id, CAST(sum(qt.d9) AS BIGINT) AS adc9
+       |        FROM code JOIN qt USING (j, c) GROUP BY code.vec_id),
+       |cand AS (SELECT id FROM adc ORDER BY adc9, id LIMIT $rerank),
+       |d AS (SELECT b.vec_id AS id, ${l2("b.embedding", "q.qv")} AS score
+       |      FROM base b JOIN cand ON cand.id = b.vec_id, q)
+       |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+       |       (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d ORDER BY score, id LIMIT $k""".stripMargin
+  }
+
   /** Oracles that depend on fitted index parameters: must be generated in
     * the session that ran the queries (Verify), so both sides see the
     * identical centroid/plane matrices. Parameters here mirror
@@ -289,6 +333,7 @@ object Oracles {
     val pqBooks = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
     Map(
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
+      "ann_ivfpq" -> ivfpqSql(centroids, pqBooks, queryId = 6L, k = 10, nprobe = 4, rerank = 100),
       "ann_ivf" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       // identical parameters to ann_ivf — the persisted layout must not
       // change the answer, only where the pruning happens (file listing).
@@ -383,6 +428,19 @@ object Oracles {
          |       (coalesce(c.canonical, d.doc_id) <> d.doc_id) AS is_dup
          |FROM documents d LEFT JOIN canon c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // batch×corpus only: the doc_id % 10 = 0 slice is the "incoming
+    // batch"; same signature chain as dedup_minhash.
+    "dedup_incremental" ->
+      s"""WITH $minhashSigCtes,
+         |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |         WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+         |est AS (SELECT new_id, old_id,
+         |          list_sum(list_transform(range(1, 33), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
+         |        FROM cand JOIN sig sa ON sa.doc_id = new_id JOIN sig sb ON sb.doc_id = old_id)
+         |SELECT new_id, old_id, (round((e) * 10000.0) / 10000.0) AS est_sim
+         |FROM est WHERE e >= 0.5 ORDER BY new_id, old_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -581,6 +639,22 @@ object Oracles {
          |FROM lang l JOIN sc USING (doc_id) JOIN tk USING (doc_id)
          |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin,
 
+    // percentile_disc by rank selection: position ⌈q·n/100⌉ in exact
+    // integer math under the deterministic (n_tok, doc_id) order.
+    "corpus_quantiles" ->
+      """WITH b AS (SELECT source, doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_tok
+        |  FROM documents),
+        |r AS (SELECT source, n_tok,
+        |        row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY source) AS n_docs
+        |      FROM b)
+        |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+        |  max(CASE WHEN rn = (n_docs * 50 + 99) // 100 THEN n_tok END) AS p50,
+        |  max(CASE WHEN rn = (n_docs * 90 + 99) // 100 THEN n_tok END) AS p90,
+        |  max(CASE WHEN rn = (n_docs * 99 + 99) // 100 THEN n_tok END) AS p99
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+
     // bin = floor(exclusive-running-sum / 512.0): 512 is a power of two,
     // so the double division is exact and floor agrees on both engines.
     "pack_sequences" ->
@@ -695,6 +769,19 @@ object Oracles {
       """SELECT event_type, count(event_id) AS n,
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // stage chain on integer microseconds: first view, first click
+    // strictly after it, first purchase strictly after that.
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |v AS (SELECT user_id, min(t) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(t) AS t_click FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND t > t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(t) AS t_purchase FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND t > t_click GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view_users,
+        |       (SELECT count(*) FROM c) AS n_click_users,
+        |       (SELECT count(*) FROM p) AS n_purchase_users""".stripMargin,
 
     "events_sessionize" ->
       """WITH x AS (

@@ -174,6 +174,19 @@ object Queries {
       queryVec(spark, dir, 5L), k = 10, rerank = 100)
   }
 
+  /** IVFPQ: coarse-prune to 4 of 16 clusters, PQ-ADC rank the survivors,
+    * exact re-rank the top-100 — see [[operators.PqIndex.searchIvf]].
+    * Parameter-literal oracle over BOTH fitted artifacts (centroids and
+    * codebooks).
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    operators.PqIndex.searchIvf(emb, "vec_id", "embedding", centroids, books,
+      queryVec(spark, dir, 6L), k = 10, nprobe = 4, rerank = 100)
+  }
+
   /** The query terms both retrieval legs share (fixed "user query"). */
   private[graft] val bm25Terms = Seq("spark", "hash", "join", "window", "vector")
 
@@ -334,6 +347,15 @@ object Queries {
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64), minCosine = 0.35)
+
+  /** Incremental ingest dedup: the doc_id % 10 == 0 slice plays the
+    * incoming batch, checked against the rest of the corpus — candidates
+    * form only batch×corpus, never corpus×corpus
+    * (see [[operators.Dedup.minhashPairsIncremental]]).
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairsIncremental(Tables.documents(spark, dir), "doc_id", "text",
+      isNew = col("doc_id") % 10 === 0, minEst = 0.5)
 
   // =====================================================================
   // C. Text analysis
@@ -534,6 +556,54 @@ object Queries {
       .where(col("rank") <= 5)
       .select(col("event_type"), col("rank"), col("event_id"), roundTo(col("value"), 4).as("value"))
       .orderBy("event_type", "rank")
+  }
+
+  /** Funnel analysis: per user, first view → first click strictly after
+    * it → first purchase strictly after that; one row of stage
+    * populations. Each stage is a (user-keyed partial min-agg + join) on
+    * integer-microsecond timestamps — exact comparisons, no windows over
+    * the full event stream, shuffle keyed by user_id throughout.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t_view"))
+    val c = ev.where(col("event_type") === "click").join(v, "user_id")
+      .where(col("t") > col("t_view"))
+      .groupBy("user_id").agg(min("t").as("t_click"))
+    val p = ev.where(col("event_type") === "purchase").join(c, "user_id")
+      .where(col("t") > col("t_click"))
+      .groupBy("user_id").agg(min("t").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view_users"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_users")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
+  }
+
+  /** Exact per-source token-length percentiles (p50/p90/p99) by rank
+    * selection — percentile_disc semantics in pure integer arithmetic
+    * (position ⌈q·n⌉ under the deterministic (n_tok, doc_id) order), so
+    * both engines pick the identical element; no interpolation floats.
+    * One narrow shuffle by source for the rank window, conditional-agg
+    * pivot after.
+    */
+  def corpusQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(
+      col("source"), col("doc_id"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("n_tok"))
+    val w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
+    val cnt = Window.partitionBy("source")
+    def pos(q: Int): Column = expr(s"(n_docs * $q + 99) div 100") // integer ⌈q·n/100⌉
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(cnt))
+      .groupBy("source")
+      .agg(
+        max("n_docs").as("n_docs"),
+        max(when(col("rn") === pos(50), col("n_tok"))).as("p50"),
+        max(when(col("rn") === pos(90), col("n_tok"))).as("p90"),
+        max(when(col("rn") === pos(99), col("n_tok"))).as("p99"))
+      .orderBy("source")
   }
 
   /** Gap-based sessionization: new session when >30 min since the user's

@@ -22,6 +22,7 @@ object SparkEntry {
     "ann_ivf_persisted" -> (Queries.annIvfPersisted _),
     "ann_lsh" -> (Queries.annLsh _),
     "ann_pq" -> (Queries.annPq _),
+    "ann_ivfpq" -> (Queries.annIvfPq _),
     "knn_range" -> (Queries.knnRange _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),
@@ -38,6 +39,7 @@ object SparkEntry {
     "dedup_jaccard_prefix" -> (Queries.dedupJaccardPrefix _),
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
+    "dedup_incremental" -> (Queries.dedupIncremental _),
     // C. text analysis / retrieval
     "text_langid" -> (Queries.textLangid _),
     "text_quality" -> (Queries.textQuality _),
@@ -53,6 +55,7 @@ object SparkEntry {
     "corpus_sample" -> (Queries.corpusSample _),
     "pack_sequences" -> (Queries.packSequences _),
     "corpus_stats" -> (Queries.corpusStats _),
+    "corpus_quantiles" -> (Queries.corpusQuantiles _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_frames" -> (Queries.multimodalFrames _),
@@ -64,7 +67,8 @@ object SparkEntry {
     "events_windowed" -> (Queries.eventsWindowed _),
     "events_topn" -> (Queries.eventsTopN _),
     "events_sessionize" -> (Queries.eventsSessionize _),
-    "events_salted_agg" -> (Queries.eventsSaltedAgg _)
+    "events_salted_agg" -> (Queries.eventsSaltedAgg _),
+    "events_funnel" -> (Queries.eventsFunnel _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

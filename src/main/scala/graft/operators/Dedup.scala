@@ -95,6 +95,52 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup check — the shape a running ingest pipeline
+    * needs: candidates form ONLY between the incoming batch (`isNew`
+    * rows) and the existing corpus, never corpus×corpus. One signature
+    * scan covers both sides; the banding join then has the batch on one
+    * side, so its cost is O(batch × bucket-collision rate) and stays flat
+    * as the corpus grows — re-running the full self-join dedup per batch
+    * would be O(corpus) per ingest at 100 TB. Output: (new_id, old_id,
+    * est_sim) for est ≥ minEst.
+    */
+  def minhashPairsIncremental(docs: DataFrame, idCol: String, textCol: String,
+                              isNew: Column, minEst: Double): DataFrame = {
+    val signed = docs
+      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"), isNew.as("is_new"))
+      .select(col("doc_id"), minHashSig(wordShingleHash60(col("toks"), 3), 32).as("sig"), col("is_new"))
+      .where(col("sig").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val bands = signed
+      .select(col("doc_id"), col("is_new"),
+        transform(sequence(lit(0), lit(7)), b =>
+          md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string")))
+            .cast("binary"))).as("buckets"))
+      .select(col("doc_id"), col("is_new"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+
+    val cand = bands.where(col("is_new")).select(col("band"), col("bucket"), col("doc_id").as("new_id"))
+      .join(bands.where(!col("is_new")).select(col("band"), col("bucket"), col("doc_id").as("old_id")),
+        Seq("band", "bucket"))
+      .select("new_id", "old_id")
+      .dropDuplicates("new_id", "old_id")
+
+    val sigs = signed.select(col("doc_id"), col("sig"))
+    val result = cand
+      .join(sigs.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(sigs.select(col("doc_id").as("old_id"), col("sig").as("sig_b")), "old_id")
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)) / lit(32.0))
+      .where(col("est_sim") >= minEst)
+      .select(col("new_id"), col("old_id"), roundTo(col("est_sim"), 4).as("est_sim"))
+      .orderBy("new_id", "old_id")
+
+    // Materialize, then release the signature cache (see minhashPairs).
+    val out = result.localCheckpoint(true)
+    signed.unpersist()
+    out
+  }
+
   /** SimHash near-dup pairs: 60-bit simhash over word tokens, LSH on
     * 4 × 15-bit bands, exact hamming re-rank ≤ maxHamming. Same staged
     * shape as [[minhashPairs]]: narrow band shuffle, sig rejoin by id.

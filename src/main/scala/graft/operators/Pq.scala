@@ -118,6 +118,22 @@ object PqIndex {
     * exact integer; raw vectors are joined BY ID for the `rerank`
     * survivors only — the two-stage shape faiss IVFPQ serves with.
     */
+  /** IVFPQ — faiss's workhorse composition (the "IVFx,PQy" factory
+    * string family the reference's faiss backend builds): IVF coarse
+    * pruning picks nprobe clusters, PQ ADC ranks only the survivors,
+    * exact re-rank finishes. At 100 TB: partition-prune to nprobe/K of
+    * the files, scan 8-byte codes instead of 256-byte vectors inside
+    * them, touch raw vectors for `rerank` rows — the three multiplied
+    * savings that make petabyte ANN serveable.
+    */
+  def searchIvf(emb: DataFrame, idCol: String, vecCol: String,
+                centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+                queryVec: Array[Float], k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val probed = IvfIndex.probes(queryVec, centroids, nprobe)
+    val pruned = emb.where(IvfIndex.assign(col(vecCol), centroids).isin(probed: _*))
+    search(pruned, idCol, vecCol, codebooks, queryVec, k, rerank)
+  }
+
   def search(emb: DataFrame, idCol: String, vecCol: String,
              codebooks: Array[Array[Array[Float]]], queryVec: Array[Float],
              k: Int, rerank: Int): DataFrame = {

@@ -30,6 +30,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L && a <= 3L }) // unrelated never pairs
   }
 
+  test("incremental minhash: batch pairs only against the corpus, never batch×batch or corpus×corpus") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    // batch = ids 2, 3 (dup + near-dup of corpus doc 1); 1, 4, 5 = corpus
+    val out = Dedup.minhashPairsIncremental(docs.toDF(), "doc_id", "text",
+      isNew = col("doc_id").isin(2L, 3L), minEst = 0.2).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((2L, 1L)), "exact dup of corpus doc must surface")
+    assert(pairs.contains((3L, 1L)), "near dup of corpus doc must surface")
+    assert(!pairs.exists { case (a, b) => Set(2L, 3L)(a) && Set(2L, 3L)(b) },
+      "no batch-internal pairs")
+    assert(pairs.forall { case (a, b) => Set(2L, 3L)(a) && !Set(2L, 3L)(b) },
+      "every pair is (new, old)")
+    val est = out.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((2L, 1L)) === 1.0)
+  }
+
   test("simhash: identical docs have hamming 0") {
     val s = spark; import s.implicits._
     val pairs = Dedup.simhashPairs(docs.toDF(), "doc_id", "text", maxHamming = 10)

@@ -51,6 +51,20 @@ class PqSpec extends SparkSpec {
   // here): ADC sub-distances are noisy WITHIN a cluster (quantization
   // error ~ the intra-cluster noise), so the candidate list has to cover
   // the query's whole cluster for the exact re-rank to sort it out.
+  test("IVFPQ with nprobe=K and rerank=n degenerates to exact brute force") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val cents = graft.operators.IvfIndex.fit(df, "embedding", k = 8, seed = 5L)
+    val books = PqIndex.fit(df, "embedding", dim = dim, m = 4, ksub = 16, seed = 3L)
+    val q = clustered(42).embedding
+    val got = PqIndex.searchIvf(df, "vec_id", "embedding", cents, books, q,
+      k = 10, nprobe = cents.length, rerank = clustered.size)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got === exact)
+  }
+
   test("recall@10 >= 0.9 on clustered data with a cluster-sized re-rank") {
     val s = spark; import s.implicits._
     val df = clustered.toDF()
