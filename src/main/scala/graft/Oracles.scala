@@ -334,6 +334,8 @@ object Oracles {
     Map(
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
       "ann_ivfpq" -> ivfpqSql(centroids, pqBooks, queryId = 6L, k = 10, nprobe = 4, rerank = 100),
+      // persisted codes must not change the answer, only what gets read
+      "ann_pq_persisted" -> pqSql(pqBooks, queryId = 8L, k = 10, rerank = 100),
       "ann_ivf" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       // identical parameters to ann_ivf — the persisted layout must not
       // change the answer, only where the pruning happens (file listing).
@@ -638,6 +640,15 @@ object Oracles {
          |  (round((CAST(sum(CAST(round(sc.score * 10000) AS BIGINT)) AS DOUBLE) / (count(*) * 10000)) * 10000.0) / 10000.0) AS mean_score
          |FROM lang l JOIN sc USING (doc_id) JOIN tk USING (doc_id)
          |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin,
+
+    // casefold + punctuation/whitespace collapse; the regex dialect
+    // subset ([^a-z0-9]+) behaves identically in Java and DuckDB (same
+    // construction as the tokenizer oracle).
+    "corpus_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text,
+        |  len(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // percentile_disc by rank selection: position ⌈q·n/100⌉ in exact
     // integer math under the deterministic (n_tok, doc_id) order.

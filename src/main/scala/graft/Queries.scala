@@ -174,6 +174,26 @@ object Queries {
       queryVec(spark, dir, 5L), k = 10, rerank = 100)
   }
 
+  /** PQ serving from the persisted codes table ("codes hot, vectors
+    * cold"): the 8-byte-per-vector codes parquet is written once per
+    * (sf dir, JVM); the timed path ADC-scans only that narrow table and
+    * joins raw vectors by id for the re-rank survivors. Same codebooks
+    * ⇒ the parameter-literal oracle is the same shape as [[annPq]]'s.
+    */
+  private val persistedPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def annPqPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val path = persistedPq.computeIfAbsent(dir, { _ =>
+      val p = s"target/graft-persist/pq_${java.util.UUID.randomUUID()}"
+      operators.PqIndex.writeCodes(emb, "vec_id", "embedding", books, p)
+      p
+    })
+    operators.PqIndex.searchPersisted(spark, path, emb, "vec_id", "embedding", books,
+      queryVec(spark, dir, 8L), k = 10, rerank = 100)
+  }
+
   /** IVFPQ: coarse-prune to 4 of 16 clusters, PQ-ADC rank the survivors,
     * exact re-rank the top-100 — see [[operators.PqIndex.searchIvf]].
     * Parameter-literal oracle over BOTH fitted artifacts (centroids and
@@ -393,6 +413,18 @@ object Queries {
   def packSequences(spark: SparkSession, dir: String): DataFrame =
     operators.Corpus.packSequences(Tables.documents(spark, dir), "doc_id", "text",
       groupCol = "source", budget = 512)
+
+  /** Canonical text normalization (casefold + punctuation/whitespace
+    * collapse) — the first pass of every dedup/tokenize pipeline, as its
+    * own operator: pure map-side string kernel, zero shuffle bar the
+    * presentation sort.
+    */
+  def corpusNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm_text"))
+      .withColumn("n_chars", length(col("norm_text")))
+      .orderBy("doc_id")
 
   /** Per-language corpus statistics (docs, tokens, mean quality). The
     * mean re-rounds each 4-dp score ×10⁴ back to an exact LONG before

@@ -23,6 +23,7 @@ object SparkEntry {
     "ann_lsh" -> (Queries.annLsh _),
     "ann_pq" -> (Queries.annPq _),
     "ann_ivfpq" -> (Queries.annIvfPq _),
+    "ann_pq_persisted" -> (Queries.annPqPersisted _),
     "knn_range" -> (Queries.knnRange _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),
@@ -56,6 +57,7 @@ object SparkEntry {
     "pack_sequences" -> (Queries.packSequences _),
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_quantiles" -> (Queries.corpusQuantiles _),
+    "corpus_normalize" -> (Queries.corpusNormalize _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_frames" -> (Queries.multimodalFrames _),

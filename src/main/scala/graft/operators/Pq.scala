@@ -118,6 +118,43 @@ object PqIndex {
     * exact integer; raw vectors are joined BY ID for the `rerank`
     * survivors only — the two-stage shape faiss IVFPQ serves with.
     */
+  /** Materialize the codes table — (id, m tinyint codes) ≈ 8 bytes of
+    * index per vector at m=8 — the artifact a 100 TB deployment keeps
+    * hot while the raw vector table stays cold. Encode runs once at
+    * ingest; every later search scans only this narrow table.
+    */
+  def writeCodes(emb: DataFrame, idCol: String, vecCol: String,
+                 codebooks: Array[Array[Array[Float]]], path: String): Unit =
+    emb.select(col(idCol).as("id"),
+        encode(col(vecCol), codebooks).cast("array<tinyint>").as("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Serve from a [[writeCodes]] layout: ADC-rank the persisted codes
+    * (narrow scan, integer TakeOrdered), then join the raw vector table
+    * BY ID for the `rerank` survivors only — the cold side is touched
+    * for a few hundred rows regardless of corpus size.
+    */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, codesPath: String,
+                      emb: DataFrame, idCol: String, vecCol: String,
+                      codebooks: Array[Array[Array[Float]]], queryVec: Array[Float],
+                      k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k)
+    val table = adcTable(queryVec, codebooks)
+    val codes = spark.read.parquet(codesPath)
+      .select(col("id"), col("codes").cast("array<int>").as("codes"))
+    val candidates = codes
+      .select(col("id"), adcScore(col("codes"), table).as("adc9"))
+      .orderBy(col("adc9"), col("id"))
+      .limit(rerank)
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidates.join(vecs, "id")
+      .select(col("id"), vecL2(col("v"), typedLit(queryVec)).as("score"))
+      .orderBy(col("score"), col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("score"), col("id"))))
+      .select(col("rank"), col("id"), roundTo(col("score"), 4).as("value"))
+  }
+
   /** IVFPQ — faiss's workhorse composition (the "IVFx,PQy" factory
     * string family the reference's faiss backend builds): IVF coarse
     * pruning picks nprobe clusters, PQ ADC ranks only the survivors,

@@ -25,43 +25,46 @@ object Retrieval {
     * score(D, Q) = Σ_{t ∈ Q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
     * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
     *
-    * Scale shape: the term filter runs map-side directly after the
-    * tokenizer (only query-term postings ever enter a shuffle); df is a
-    * |Q|-row aggregate broadcast back; document length rides the posting
-    * row (no separate length join); corpus stats (N, Σ|D|) are one
-    * 1-row aggregate cross-joined as a broadcast. Shuffles: postings
-    * groupBy (doc, term), df groupBy term, final top-k TakeOrdered —
-    * all partial-aggregated, all O(matching docs), never O(corpus).
+    * Scale shape: per-term tf comes from ONE pass of the
+    * [[graft.functions.stopwordVotes]] codegen kernel (each query term
+    * is a singleton set), so no token ever leaves its row — the only
+    * rows entering any shuffle are the ≤ |Q| (doc, term-index, tf)
+    * postings of MATCHING docs. df is a |Q|-row aggregate broadcast
+    * back; document length rides the posting row; corpus stats (N,
+    * Σ|D|) are one 1-row aggregate cross-joined as a broadcast.
+    * Shuffles: df groupBy, per-doc score sum, final top-k TakeOrdered —
+    * all partial-aggregated, all O(matching docs), never O(corpus
+    * tokens).
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty && k >= 1)
-    val toks = docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+    val sets = queryTerms.map(t => Array(t)).toArray
+    val base = docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        stopwordVotes(col("toks"), sets).as("tfv"))
 
     // 1-row corpus stats (N, avgdl): exact long sum / exact long count ⇒
     // one double division, bit-identical in any engine.
-    val stats = toks.agg(
+    val stats = base.agg(
       count(lit(1)).as("n_corpus"),
-      sum(size(col("toks"))).as("sum_dl"))
+      sum(col("dl")).as("sum_dl"))
 
-    // Postings for query terms only — the isin filter collapses the
-    // explode map-side, so shuffle volume is O(docs containing a query
-    // term), independent of vocabulary or corpus width.
-    val postings = toks
-      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
-      .where(col("term").isin(queryTerms: _*))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
+    // Postings: ≤ |Q| narrow rows per MATCHING doc (tf already counted
+    // map-side), zero rows for the rest of the corpus.
+    val postings = base
+      .select(col("doc_id"), col("dl"), posexplode(col("tfv")).as(Seq("ti", "tf")))
+      .where(col("tf") > 0)
 
-    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = postings.groupBy("ti").agg(count(lit(1)).as("df"))
 
     val idf = log((col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfNorm = (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / (col("sum_dl").cast("double") / col("n_corpus")))))
 
     postings
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(dfreq), "ti")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"),
         // exact integer fixing of each term contribution (see object doc)

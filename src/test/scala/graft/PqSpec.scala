@@ -51,6 +51,24 @@ class PqSpec extends SparkSpec {
   // here): ADC sub-distances are noisy WITHIN a cluster (quantization
   // error ~ the intra-cluster noise), so the candidate list has to cover
   // the query's whole cluster for the exact re-rank to sort it out.
+  test("persisted codes table is narrow (tinyint codes, no vectors) and serves the same answer") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val books = PqIndex.fit(df, "embedding", dim = dim, m = 4, ksub = 16, seed = 3L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-codes").toString
+    PqIndex.writeCodes(df, "vec_id", "embedding", books, dir)
+    val codes = s.read.parquet(dir)
+    assert(codes.schema.fieldNames.toSet === Set("id", "codes"), "codes table must not carry vectors")
+    assert(codes.schema("codes").dataType.simpleString === "array<tinyint>",
+      "1 byte per sub-quantizer on disk")
+    val q = clustered(9).embedding
+    val persisted = PqIndex.searchPersisted(s, dir, df, "vec_id", "embedding", books, q,
+      k = 10, rerank = 250).collect().map(_.toSeq).toSeq
+    val mem = PqIndex.search(df, "vec_id", "embedding", books, q,
+      k = 10, rerank = 250).collect().map(_.toSeq).toSeq
+    assert(persisted === mem)
+  }
+
   test("IVFPQ with nprobe=K and rerank=n degenerates to exact brute force") {
     val s = spark; import s.implicits._
     val df = clustered.toDF()
