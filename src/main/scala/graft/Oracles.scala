@@ -781,6 +781,16 @@ object Oracles {
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // (user, active-day) dedup then cohort join; day arithmetic is
+    // exact integer date subtraction on both engines.
+    "events_retention" ->
+      """WITH ad AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS cd FROM ad GROUP BY user_id)
+        |SELECT strftime(coh.cd, '%Y-%m-%d') AS cohort_day,
+        |       CAST(ad.d - coh.cd AS INT) AS day_offset, count(*) AS n_users
+        |FROM ad JOIN coh USING (user_id) WHERE ad.d - coh.cd <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // stage chain on integer microseconds: first view, first click
     // strictly after it, first purchase strictly after that.
     "events_funnel" ->

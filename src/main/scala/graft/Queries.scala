@@ -638,6 +638,26 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Cohort retention: users grouped by first-active day; per (cohort,
+    * day-offset ≤ 7) distinct-user counts. The (user, active-day)
+    * dedup IS the distinct-count state — one narrow pair per user-day,
+    * partial-aggregated, then a user-keyed broadcast-scale join to the
+    * cohort map; all calendar math on exact integer day arithmetic.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val cohort = active.groupBy("user_id").agg(min("d").as("cd"))
+    active.join(cohort, "user_id")
+      .select(date_format(col("cd"), "yyyy-MM-dd").as("cohort_day"),
+        datediff(col("d"), col("cd")).as("day_offset"))
+      .where(col("day_offset") <= 7)
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** Gap-based sessionization: new session when >30 min since the user's
     * previous event. Integer-microsecond timestamps keep the gap test
     * bit-identical to the oracle.

@@ -70,7 +70,8 @@ object SparkEntry {
     "events_topn" -> (Queries.eventsTopN _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_salted_agg" -> (Queries.eventsSaltedAgg _),
-    "events_funnel" -> (Queries.eventsFunnel _)
+    "events_funnel" -> (Queries.eventsFunnel _),
+    "events_retention" -> (Queries.eventsRetention _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
