@@ -781,6 +781,18 @@ object Oracles {
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // as-of semantics spelled out as a correlated argmax: latest signup
+    // with t <= purchase t, ties to the larger signup_id — exactly the
+    // operator's (ts, side, tie) window order.
+    "events_asof" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id, event_type FROM events),
+        |l AS (SELECT user_id, t_us, event_id FROM e WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, t_us, event_id AS signup_id FROM e WHERE event_type = 'signup')
+        |SELECT l.user_id, l.t_us, l.event_id,
+        |  (SELECT r.signup_id FROM r WHERE r.user_id = l.user_id AND r.t_us <= l.t_us
+        |   ORDER BY r.t_us DESC, r.signup_id DESC LIMIT 1) AS signup_id
+        |FROM l ORDER BY user_id, t_us, event_id""".stripMargin,
+
     // (user, active-day) dedup then cohort join; day arithmetic is
     // exact integer date subtraction on both engines.
     "events_retention" ->

@@ -638,6 +638,24 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Point-in-time enrichment: each purchase joined to the user's most
+    * recent signup at-or-before it (see [[operators.AsOf.joinPrior]] —
+    * union + key-partition running window, one shuffle, no pair
+    * blow-up). Purchases with no prior signup keep a null signup_id.
+    */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("t_us"),
+      col("event_id"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "t_us", "event_id")
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("t_us"), col("event_id").as("signup_id"))
+    operators.AsOf.joinPrior(purchases, signups, "user_id", "t_us",
+        payload = Seq("signup_id"), tieCol = "signup_id")
+      .orderBy("user_id", "t_us", "event_id")
+  }
+
   /** Cohort retention: users grouped by first-active day; per (cohort,
     * day-offset ≤ 7) distinct-user counts. The (user, active-day)
     * dedup IS the distinct-count state — one narrow pair per user-day,

@@ -71,7 +71,8 @@ object SparkEntry {
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_salted_agg" -> (Queries.eventsSaltedAgg _),
     "events_funnel" -> (Queries.eventsFunnel _),
-    "events_retention" -> (Queries.eventsRetention _)
+    "events_retention" -> (Queries.eventsRetention _),
+    "events_asof" -> (Queries.eventsAsof _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
