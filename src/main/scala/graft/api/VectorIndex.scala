@@ -143,6 +143,31 @@ class VectorIndex private (
     searchFrom(state, vector, k)
   }
 
+  /** Batch search: top-k per query row — the shape a bulk re-embedding
+    * or evaluation job uses instead of looping [[search]] (which would
+    * run one Spark job per query). `queries` needs columns (q_id,
+    * q_vec); FLAT uses the bounded-heap batch kernel directly, IVF
+    * routes through the cluster equi-join (O(data × nprobe/K) distance
+    * math), LSH falls back to the exact batch kernel (its bucket probe
+    * is per-query; batching it degenerates to per-bucket unions).
+    */
+  def searchBatch(queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    key.indexType match {
+      case IndexType.IVF =>
+        val centroids = loadedCentroids.getOrElse(
+          IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L))
+        if (centroids.isEmpty)
+          Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
+        else
+          Knn.searchBatchIvf(bare, "id", "vectors", queries, "q_id", "q_vec",
+            centroids, k, nprobe = math.min(params.nprobe, centroids.length),
+            metric = key.metricType.name)
+      case _ =>
+        Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
+    }
+  }
+
   /** reference: core/index/filter_index.rs:23-104 — int-field pre-filter
     * (`field` is a top-level int field of the json `data` document) then
     * k-NN over the surviving ids.

@@ -132,6 +132,26 @@ class ApiSpec extends SparkSpec {
     assert(recallLsh(0) <= recallLsh(4))
   }
 
+  test("searchBatch: per-query top-k equals looped single search (FLAT and IVF)") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 200).map(i => (i.toLong, Array(i.toFloat, (i % 7).toFloat), None: Option[String]))
+    val queries = Seq((0L, Array(5f, 5f)), (1L, Array(150f, 1f))).toDF("q_id", "q_vec")
+    for (kind <- Seq(IndexType.FLAT, IndexType.IVF)) {
+      val idx = VectorIndex.create(spark, kind, 2, Metric.L2)
+        .insertAll(rows.toDF("id", "vectors", "data"))
+      val batch = idx.searchBatch(queries, k = 3).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(batch.count(_._1 == 0L) === 3 && batch.count(_._1 == 1L) === 3)
+      // batch must agree with the looped single-query path for BOTH
+      // kinds: FLAT trivially; IVF because both probe the same nprobe
+      // clusters from the same cached centroids.
+      for ((qid, qv) <- Seq((0L, Array(5f, 5f)), (1L, Array(150f, 1f)))) {
+        val single = idx.search(qv, 3).collect().map(r => (qid, r.getInt(0), r.getLong(1))).toSet
+        assert(batch.filter(_._1 == qid) === single)
+      }
+    }
+  }
+
   test("search on an empty IVF index returns empty instead of throwing") {
     val idx = VectorIndex.create(spark, IndexType.IVF, 2, Metric.L2)
     assert(idx.search(Array(1f, 0f), 3).count() === 0L)
