@@ -413,17 +413,19 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
     }
     while (changed && iter < 12) {
-      // two propagation rounds per materialization: the plan stays
-      // constant-depth (2 steps from a checkpoint), but driver-side
-      // action latency — which dominates at small graph sizes — halves.
-      val next = step(step(labels))
+      // three propagation rounds per materialization: the plan stays
+      // constant-depth (27 nodes from a checkpoint), and driver-side
+      // action latency — which dominates at small graph sizes — is paid
+      // once per three rounds. With pointer jumping each round squares
+      // path lengths, so one cycle already resolves diameter ≤ 8.
+      val next = step(step(step(labels)))
         .coalesce(graphPartitions)
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       changed = nextSum != prevSum
       prevSum = nextSum
       labels = next
-      iter += 2
+      iter += 3
     }
     edges.unpersist()
     docs.select(col(idCol).cast("long").as("doc_id"))

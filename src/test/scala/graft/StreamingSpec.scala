@@ -172,6 +172,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup ingest gate: stream-static minhash band join equals the batch operator") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.functions._
+    import org.apache.spark.sql.functions.{transform => atransform, _}
+
+    // static corpus side: (band, bucket, old_id) — at scale this is the
+    // materialized signature table the ingest stream joins against
+    val corpus = graft.sources.Tables.documents(spark, sf001)
+      .where(col("doc_id") % 10 =!= 0)
+    def bandsOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+      .select(col("doc_id"), minHashSig(wordShingleHash60(wordTokens(col("text")), 3), 32).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id"),
+        posexplode(atransform(sequence(lit(0), lit(7)), b =>
+          md5(concat_ws(",", atransform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string")))
+            .cast("binary")))).as(Seq("band", "bucket")))
+    val staticBands = bandsOf(corpus)
+      .select(col("band"), col("bucket"), col("doc_id").as("old_id"))
+
+    // streaming side: the doc_id % 10 == 0 slice arrives as a stream;
+    // every micro-batch's signatures join the static table in-flight
+    val newDocs = graft.sources.Tables.documents(spark, sf001)
+      .where(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val flagged = bandsOf(stream.toDF().toDF("doc_id", "text"))
+      .join(staticBands, Seq("band", "bucket")) // stream-static equi-join
+      .select(col("doc_id").as("new_id"), col("old_id"))
+    val q = flagged.writeStream.format("memory").queryName("dupgate")
+      .outputMode("append").start()
+    try {
+      stream.addData(newDocs.take(20))
+      stream.addData(newDocs.drop(20))
+      q.processAllAvailable()
+      val streamed = s.table("dupgate").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.minhashPairsIncremental(
+          graft.sources.Tables.documents(spark, sf001), "doc_id", "text",
+          isNew = col("doc_id") % 10 === 0, minEst = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events parquet reproduces the batch aggregation") {
     val agg = EventStream.windowedAgg(graft.sources.Tables.eventsStream(spark, sf001))
     val q = agg.writeStream.format("memory").queryName("filewin").outputMode("complete").start()
