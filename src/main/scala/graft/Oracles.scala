@@ -781,6 +781,27 @@ object Oracles {
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // sessions over non-error events (the sessionize construction),
+    // then plain containment join — the bucketized plan must produce
+    // exactly the BETWEEN-join answer.
+    "events_session_attr" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+        |ne AS (SELECT * FROM x WHERE event_type <> 'error'),
+        |b AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > 43200000000
+        |                     THEN 1 ELSE 0 END AS brk
+        |      FROM ne WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |s AS (SELECT user_id, t_us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM b),
+        |iv AS (SELECT user_id, session_id, min(t_us) AS t_start, max(t_us) AS t_end
+        |       FROM s GROUP BY 1, 2),
+        |err AS (SELECT user_id, event_id, t_us FROM x WHERE event_type = 'error')
+        |SELECT e.user_id, e.event_id, e.t_us, CAST(iv.session_id AS BIGINT) AS session_id
+        |FROM err e JOIN iv ON e.user_id = iv.user_id
+        |  AND e.t_us >= iv.t_start AND e.t_us <= iv.t_end
+        |ORDER BY e.user_id, e.event_id""".stripMargin,
+
     // as-of semantics spelled out as a correlated argmax: latest signup
     // with t <= purchase t, ties to the larger signup_id — exactly the
     // operator's (ts, side, tie) window order.

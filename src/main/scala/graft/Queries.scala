@@ -656,6 +656,38 @@ object Queries {
       .orderBy("user_id", "t_us", "event_id")
   }
 
+  /** Interval containment join: error events attributed to the user
+    * session (built over non-error events) whose [start, end] window
+    * contains them — see [[operators.Interval.joinContaining]]: the
+    * intervals explode into 1-hour buckets and the join is a narrow
+    * (user, bucket) equi-join + exact filter, never a per-key cross
+    * product. Errors falling in inter-session gaps drop out (inner).
+    */
+  def eventsSessionAttr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    // 12 h "visit" gap: the synthetic stream averages one event per
+    // ~11 h per user, so a web-style 30-min gap degenerates to
+    // single-event sessions that can contain nothing
+    val gapUs = 12L * 3600 * 1000000
+    val sessions = ev.where(col("event_type") =!= "error")
+      .withColumn("brk",
+        when(lag(col("t_us"), 1).over(byUser).isNull ||
+             col("t_us") - lag(col("t_us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("t_us").as("t_start"), max("t_us").as("t_end"))
+    val errors = ev.where(col("event_type") === "error")
+      .select("user_id", "event_id", "t_us")
+    operators.Interval.joinContaining(errors, sessions, "user_id", "t_us",
+        "t_start", "t_end", payload = Seq("session_id"), bucketWidth = 86400000000L)
+      .select(col("user_id"), col("event_id"), col("t_us"),
+        col("session_id").cast("long").as("session_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Cohort retention: users grouped by first-active day; per (cohort,
     * day-offset ≤ 7) distinct-user counts. The (user, active-day)
     * dedup IS the distinct-count state — one narrow pair per user-day,

@@ -72,7 +72,8 @@ object SparkEntry {
     "events_salted_agg" -> (Queries.eventsSaltedAgg _),
     "events_funnel" -> (Queries.eventsFunnel _),
     "events_retention" -> (Queries.eventsRetention _),
-    "events_asof" -> (Queries.eventsAsof _)
+    "events_asof" -> (Queries.eventsAsof _),
+    "events_session_attr" -> (Queries.eventsSessionAttr _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
