@@ -641,6 +641,25 @@ object Oracles {
          |FROM lang l JOIN sc USING (doc_id) JOIN tk USING (doc_id)
          |GROUP BY l.lang_pred ORDER BY l.lang_pred""".stripMargin,
 
+    // clean (lang ∧ quality ∧ canonical) → hash split → per-split
+    // stats; every leg identical to its standalone oracle.
+    "corpus_pipeline" ->
+      s"""WITH $langScoreCtes,
+         |canon AS (SELECT doc_id FROM
+         |  (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS cid FROM documents)
+         |  WHERE doc_id = cid),
+         |cleaned AS (SELECT l.doc_id, sc.score
+         |  FROM lang l JOIN sc USING (doc_id) JOIN canon USING (doc_id)
+         |  WHERE l.lang_pred = 'en' AND sc.score >= 0.5),
+         |sp AS (SELECT doc_id,
+         |  ${tokenHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
+         |tk AS (SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe FROM documents)
+         |SELECT CASE WHEN sp.b < 80 THEN 'train' WHEN sp.b < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(tk.n_bpe) AS BIGINT) AS n_tokens,
+         |  (round((CAST(sum(CAST(round(c.score * 10000) AS BIGINT)) AS DOUBLE) / (count(*) * 10000)) * 10000.0) / 10000.0) AS mean_score
+         |FROM cleaned c JOIN sp USING (doc_id) JOIN tk USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // casefold + punctuation/whitespace collapse; the regex dialect
     // subset ([^a-z0-9]+) behaves identically in Java and DuckDB (same
     // construction as the tokenizer oracle).

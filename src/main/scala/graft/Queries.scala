@@ -426,6 +426,33 @@ object Queries {
       .withColumn("n_chars", length(col("norm_text")))
       .orderBy("doc_id")
 
+  /** The composed end-to-end corpus pipeline in ONE query: cleaning
+    * (language ∧ quality ∧ exact-dedup canonical) → deterministic
+    * train/val/test split → per-split shard statistics (docs, BPE-ish
+    * tokens, order-exact mean quality). What a user runs to cut
+    * training shards; every stage is the already-verified operator, and
+    * the split stays a map-side hash so adding it to the cleaned set is
+    * join-free (both derive from doc_id).
+    */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cleaned = operators.Corpus.clean(docs, "doc_id", "text")
+      .select("doc_id", "score")
+    val bucket = pmod(tokenHash60(concat(lit("split:"), col("doc_id").cast("string"))), lit(100L))
+    val toks = docs.select(col("doc_id"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("n_bpe"))
+    cleaned
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .join(toks, "doc_id")
+      .groupBy("split")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bpe").as("n_tokens"),
+        roundTo(sum(round(col("score") * 10000).cast("long")) / (count(lit(1)) * 10000), 4).as("mean_score"))
+      .orderBy("split")
+  }
+
   /** Per-language corpus statistics (docs, tokens, mean quality). The
     * mean re-rounds each 4-dp score ×10⁴ back to an exact LONG before
     * summing (score×10⁴ alone is only within 1 ulp of the integer —

@@ -58,6 +58,7 @@ object SparkEntry {
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_quantiles" -> (Queries.corpusQuantiles _),
     "corpus_normalize" -> (Queries.corpusNormalize _),
+    "corpus_pipeline" -> (Queries.corpusPipeline _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_frames" -> (Queries.multimodalFrames _),
