@@ -78,6 +78,16 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, s"sampling must be map-side:\n$p")
   }
 
+  test("no query in the inventory plans a CartesianProduct") {
+    // cross joins in the engine are all broadcast (1-row stats tables,
+    // bounded query sets) — a CartesianProduct means a join lost its
+    // keys or its broadcast hint and would shuffle-explode at scale.
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = plan(fn(spark, sf001))
+      assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+
   test("column pruning: fingerprint scan reads only (doc_id, text)") {
     val p = plan(Queries.textFingerprint(spark, sf001))
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
