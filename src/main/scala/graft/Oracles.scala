@@ -367,6 +367,29 @@ object Oracles {
     // IVF with nprobe=K probes every cluster ⇒ exact brute force.
     "ann_ivf_exact" -> knnSql(l2("e.embedding", "q.qv"), "score", "", 2, 10),
 
+    // SQ8: per-dim [min,max] bounds re-derived from the data
+    // (order-independent aggregates), quantize-reconstruct-score per
+    // vector with the identical clamp/floor/affine double arithmetic in
+    // ascending dimension order, sequential list_sum.
+    "ann_sq8" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 9),
+        |mm AS (SELECT dd.range AS i, min(CAST(e.embedding[dd.range] AS DOUBLE)) AS mn,
+        |              max(CAST(e.embedding[dd.range] AS DOUBLE)) AS mx
+        |       FROM embeddings e CROSS JOIN range(1, 65) dd GROUP BY dd.range),
+        |mma AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+        |d AS (SELECT e.vec_id AS id,
+        |  list_sum(list_transform(
+        |    list_transform(range(1, 65), i ->
+        |      CAST(q.qv[i] AS DOUBLE) - (CASE WHEN mma.mxs[i] > mma.mns[i]
+        |        THEN mma.mns[i] + least(greatest(floor((CAST(e.embedding[i] AS DOUBLE) - mma.mns[i])
+        |               / (mma.mxs[i] - mma.mns[i]) * 255.0 + 0.5), 0.0), 255.0) / 255.0 * (mma.mxs[i] - mma.mns[i])
+        |        ELSE mma.mns[i] END)),
+        |    v -> v * v)) AS score
+        |  FROM embeddings e, q, mma)
+        |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+        |       (round((sqrt(score)) * 10000.0) / 10000.0) AS value
+        |FROM d ORDER BY score, id LIMIT 10""".stripMargin,
+
     "filtered_knn_eq" -> knnSql(l2("e.embedding", "q.qv"), "score", "WHERE e.label = 3", 1, 10),
 
     "filtered_knn_ne" -> knnSql(l2("e.embedding", "q.qv"), "score", "WHERE e.label <> 3", 1, 10),

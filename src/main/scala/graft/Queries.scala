@@ -207,6 +207,18 @@ object Queries {
       queryVec(spark, dir, 6L), k = 10, nprobe = 4, rerank = 100)
   }
 
+  /** SQ8 scalar-quantized search: rank by distance to the 1-byte/dim
+    * reconstruction (see [[operators.SqIndex]]). Bounds are plain
+    * min/max aggregates, so the oracle re-derives everything from the
+    * data — no parameter literals.
+    */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (mins, maxs) = operators.SqIndex.fitBounds(emb, "embedding")
+    operators.SqIndex.search(emb, "vec_id", "embedding", mins, maxs,
+      queryVec(spark, dir, 9L), k = 10)
+  }
+
   /** The query terms both retrieval legs share (fixed "user query"). */
   private[graft] val bm25Terms = Seq("spark", "hash", "join", "window", "vector")
 

@@ -24,6 +24,7 @@ object SparkEntry {
     "ann_pq" -> (Queries.annPq _),
     "ann_ivfpq" -> (Queries.annIvfPq _),
     "ann_pq_persisted" -> (Queries.annPqPersisted _),
+    "ann_sq8" -> (Queries.annSq8 _),
     "knn_range" -> (Queries.knnRange _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),

@@ -75,6 +75,13 @@ package object functions {
   def stopwordVotes(tokens: Column, sets: Array[Array[String]]): Column =
     col(StopwordVotes(expr(tokens), sets))
 
+  /** SQ8 quantize-reconstruct-score in one codegen pass (see
+    * [[Sq8ReconstructL2Sq]]).
+    */
+  def sq8ReconstructL2Sq(vec: Column, mins: Array[Double], maxs: Array[Double],
+                         query: Array[Float]): Column =
+    col(Sq8ReconstructL2Sq(expr(vec), mins, maxs, query))
+
   /** |A ∩ B| of two ascending-sorted long arrays (merge scan). */
   def sortedIntersectSize(a: Column, b: Column): Column =
     col(SortedIntersectSize(expr(a), expr(b)))

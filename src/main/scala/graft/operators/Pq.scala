@@ -34,6 +34,43 @@ import graft.functions._
   * candidate ranking compares exact integers. The DuckDB oracle
   * re-derives codes and the lookup table from the same codebook literals.
   */
+/** SQ8 scalar quantization — the simplest member of the faiss
+  * quantization family (1 byte/dim = 4× under float32, no codebooks):
+  * per-dimension [min, max] training bounds, byte codes by affine
+  * rounding, search ranks by distance to the RECONSTRUCTION. Training
+  * bounds are plain min/max aggregates (order-independent ⇒ exactly
+  * reproducible), so unlike PQ the oracle needs no parameter literals —
+  * DuckDB re-derives the bounds from the data itself.
+  */
+object SqIndex {
+
+  /** Per-dimension (min, max) over the table — 64 tiny rows to the
+    * driver; at 100 TB the same two aggregates run on a sample.
+    */
+  def fitBounds(emb: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
+    val rows = emb
+      .select(posexplode(col(vecCol)).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("d")
+      .collect()
+    (rows.map(_.getAs[Double]("mn")), rows.map(_.getAs[Double]("mx")))
+  }
+
+  /** Rank by distance to the SQ8 reconstruction — quantize, reconstruct
+    * and score in one codegen pass over the scan, top-k via TakeOrdered.
+    */
+  def search(emb: DataFrame, idCol: String, vecCol: String,
+             mins: Array[Double], maxs: Array[Double],
+             queryVec: Array[Float], k: Int): DataFrame =
+    emb.select(col(idCol).as("id"),
+        sq8ReconstructL2Sq(col(vecCol), mins, maxs, queryVec).as("score"))
+      .orderBy(col("score"), col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("score"), col("id"))))
+      .select(col("rank"), col("id"), roundTo(sqrt(col("score")), 4).as("value"))
+}
+
 object PqIndex {
 
   /** `m` codebooks of `ksub` centroids over the dim/m-wide subspaces.

@@ -83,6 +83,29 @@ class PqSpec extends SparkSpec {
     assert(got === exact)
   }
 
+  test("SQ8: near-exact ranking at 8 bits/dim; constant dimensions reconstruct safely") {
+    val s = spark; import s.implicits._
+    import graft.operators.SqIndex
+    val df = clustered.toDF()
+    val (mins, maxs) = SqIndex.fitBounds(df, "embedding")
+    assert(mins.length === dim && maxs.length === dim)
+    val recalls = Seq(3, 303).map { qi =>
+      val q = clustered(qi).embedding
+      val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2")
+        .collect().map(_.getAs[Long]("id")).toSet
+      val sq = SqIndex.search(df, "vec_id", "embedding", mins, maxs, q, 10)
+        .collect().map(_.getAs[Long]("id")).toSet
+      exact.intersect(sq).size.toDouble / exact.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"recalls $recalls")
+    // a constant dimension (mx == mn) must not divide by zero
+    val const = (0 until 50).map(i => Emb(i.toLong, Array(1f, i.toFloat))).toDF()
+    val (m2, x2) = SqIndex.fitBounds(const, "embedding")
+    val top = SqIndex.search(const, "vec_id", "embedding", m2, x2, Array(1f, 25f), 3)
+      .collect().map(_.getAs[Long]("id"))
+    assert(top.head === 25L)
+  }
+
   test("recall@10 >= 0.9 on clustered data with a cluster-sized re-rank") {
     val s = spark; import s.implicits._
     val df = clustered.toDF()
