@@ -172,6 +172,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream time-bounded join: purchases within 1h after signup, equals the batch join") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    def signups(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"), col("event_id").as("signup_id"))
+    def purchases(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+    val cond = expr("p_user = s_user AND p_ts >= s_ts AND p_ts <= s_ts + interval 1 hour")
+
+    val evs = Seq(
+      ev(1, 1, "signup", "2024-01-01 10:00:00", 0),
+      ev(2, 1, "purchase", "2024-01-01 10:30:00", 5.0),  // joins
+      ev(3, 1, "purchase", "2024-01-01 12:30:00", 7.0),  // outside window
+      ev(4, 2, "signup", "2024-01-01 11:00:00", 0),
+      ev(5, 2, "purchase", "2024-01-01 11:59:00", 9.0),  // joins
+      ev(6, 3, "purchase", "2024-01-01 10:10:00", 1.0))  // no signup
+
+    val sStream = MemoryStream[Ev]
+    val pStream = MemoryStream[Ev]
+    // watermarks bound the join state on BOTH sides — the property that
+    // makes an unbounded two-stream join servable
+    val joined = purchases(pStream.toDF()).withWatermark("p_ts", "2 hours")
+      .join(signups(sStream.toDF()).withWatermark("s_ts", "2 hours"), cond)
+      .select("p_user", "purchase_id", "signup_id")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      sStream.addData(evs.filter(_.event_type == "signup"))
+      pStream.addData(evs.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+      val streamed = s.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = purchases(evs.toDF()).join(signups(evs.toDF()), cond)
+        .select("p_user", "purchase_id", "signup_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((1L, 2L, 1L), (2L, 5L, 4L)))
+    } finally q.stop()
+  }
+
   test("streaming near-dup ingest gate: stream-static minhash band join equals the batch operator") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
