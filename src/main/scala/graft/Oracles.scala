@@ -823,6 +823,19 @@ object Oracles {
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the exact-integer k-sigma rule: int128 moment sums, squared-
+    // deviation comparison — no float in the membership test.
+    "events_anomaly" ->
+      """WITH sc AS (SELECT event_type, event_id, value,
+        |              CAST(floor(value * 10000.0 + 0.5) AS HUGEINT) AS x FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS q
+        |      FROM sc GROUP BY event_type)
+        |SELECT sc.event_type, sc.event_id, (round((sc.value) * 10000.0) / 10000.0) AS value
+        |FROM sc JOIN m USING (event_type)
+        |WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+        |ORDER BY sc.event_type, sc.event_id""".stripMargin,
+
     // sessions over non-error events (the sessionize construction),
     // then plain containment join — the bucketized plan must produce
     // exactly the BETWEEN-join answer.

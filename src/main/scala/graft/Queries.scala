@@ -629,6 +629,18 @@ object Queries {
       .orderBy("event_type", "rank")
   }
 
+  /** 3σ outlier events per event_type under the EXACT integer decision
+    * rule (n·x − S)² > 9·(n·Q − S²) — see [[operators.Stats.sigmaOutliers]]:
+    * no float ever enters the membership test, so the boundary rows are
+    * bit-reproducible at any parallelism.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    operators.Stats.sigmaOutliers(
+        Tables.events(spark, dir).select("event_type", "event_id", "value"),
+        keyCol = "event_type", valueCol = "value", k = 3, scale = 4)
+      .select(col("event_type"), col("event_id"), roundTo(col("value"), 4).as("value"))
+      .orderBy("event_type", "event_id")
+
   /** Funnel analysis: per user, first view → first click strictly after
     * it → first purchase strictly after that; one row of stage
     * populations. Each stage is a (user-keyed partial min-agg + join) on

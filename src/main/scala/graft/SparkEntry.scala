@@ -75,7 +75,8 @@ object SparkEntry {
     "events_funnel" -> (Queries.eventsFunnel _),
     "events_retention" -> (Queries.eventsRetention _),
     "events_asof" -> (Queries.eventsAsof _),
-    "events_session_attr" -> (Queries.eventsSessionAttr _)
+    "events_session_attr" -> (Queries.eventsSessionAttr _),
+    "events_anomaly" -> (Queries.eventsAnomaly _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
