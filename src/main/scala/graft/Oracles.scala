@@ -805,6 +805,19 @@ object Oracles {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, (round((c_acctbal) * 100.0) / 100.0) AS c_acctbal, n_name,
+        |  (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
     "events_windowed" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         |  count(*) AS n, (round((sum(value)) * 100.0) / 100.0) AS sum_value

@@ -610,6 +610,30 @@ object Queries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q10-style returned-item revenue: which customers returned
+    * the most in a quarter. Nation broadcasts; customer joins by key
+    * (unfiltered — at warehouse scale it is NOT broadcastable, so the
+    * plan must stay a keyed shuffle join under AQE); ordering uses the
+    * rounded revenue so both engines agree on the sort key.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).where(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("o_orderdate") < lit(Timestamp.valueOf("1996-04-01 00:00:00")))
+    val cust = Tables.customer(spark, dir)
+    val nation = Tables.nation(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(roundTo(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .select(col("c_custkey"), col("c_name"),
+        roundTo(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Tumbling-window event aggregation (batch twin of the streaming path). */
   def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
