@@ -214,7 +214,7 @@ object Queries {
     */
   def annSq8(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val (mins, maxs) = operators.SqIndex.fitBounds(emb, "embedding")
+    val (mins, maxs) = operators.SqIndex.fitBoundsCached(emb, "embedding")
     operators.SqIndex.search(emb, "vec_id", "embedding", mins, maxs,
       queryVec(spark, dir, 9L), k = 10)
   }

@@ -57,6 +57,15 @@ object SqIndex {
     (rows.map(_.getAs[Double]("mn")), rows.map(_.getAs[Double]("mx")))
   }
 
+  private val fittedBounds =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Array[Double], Array[Double])]()
+
+  /** Registry-cached [[fitBounds]] (the IndexFactory pattern). */
+  def fitBoundsCached(emb: DataFrame, vecCol: String): (Array[Double], Array[Double]) =
+    fittedBounds.computeIfAbsent(
+      (emb.queryExecution.analyzed.semanticHash(), vecCol),
+      _ => fitBounds(emb, vecCol))
+
   /** Rank by distance to the SQ8 reconstruction — quantize, reconstruct
     * and score in one codegen pass over the scan, top-k via TakeOrdered.
     */
