@@ -683,6 +683,21 @@ object Oracles {
          |FROM cleaned c JOIN sp USING (doc_id) JOIN tk USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // train docs sharing a distinct word 5-gram with the hash-split
+    // test slice; same split hash as corpus_split, same shingle-hash
+    // spelling as the minhash chain (n=5 instead of 3).
+    "corpus_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks,
+         |  ${tokenHash60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents),
+         |sh AS (SELECT doc_id, b, CASE WHEN len(toks) < 5 THEN [] ELSE
+         |  list_transform(range(1, len(toks) - 3),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]) END AS sh
+         |  FROM t),
+         |g AS (SELECT doc_id, b, unnest(list_distinct(list_transform(sh, s -> ${tokenHash60("s")}))) AS gram FROM sh),
+         |ev AS (SELECT DISTINCT gram FROM g WHERE b >= 90)
+         |SELECT g.doc_id, count(*) AS n_shared FROM g JOIN ev USING (gram)
+         |WHERE g.b < 80 GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
     // casefold + punctuation/whitespace collapse; the regex dialect
     // subset ([^a-z0-9]+) behaves identically in Java and DuckDB (same
     // construction as the tokenizer oracle).
@@ -848,6 +863,15 @@ object Oracles {
         |FROM sc JOIN m USING (event_type)
         |WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |ORDER BY sc.event_type, sc.event_id""".stripMargin,
+
+    // heavy hitters = count·(k+1) > n with k = ceil(d/1.2); the MG
+    // candidate pass is a complete superset, so the plain GROUP BY /
+    // HAVING is the exact same answer.
+    "events_heavy_hitters" ->
+      """WITH s AS (SELECT count(*) AS n, count(DISTINCT user_id) AS d FROM events)
+        |SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+        |HAVING count(*) * (CAST(ceil((SELECT d FROM s) / 1.2) AS BIGINT) + 1) > (SELECT n FROM s)
+        |ORDER BY cnt DESC, user_id""".stripMargin,
 
     // sessions over non-error events (the sessionize construction),
     // then plain containment join — the bucketized plan must produce

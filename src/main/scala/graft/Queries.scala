@@ -438,6 +438,12 @@ object Queries {
       .withColumn("n_chars", length(col("norm_text")))
       .orderBy("doc_id")
 
+  /** Test-set decontamination: train-split docs sharing a word 5-gram
+    * with the held-out test split (broadcast eval-gram set).
+    */
+  def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.decontaminate(Tables.documents(spark, dir), "doc_id", "text")
+
   /** The composed end-to-end corpus pipeline in ONE query: cleaning
     * (language ∧ quality ∧ exact-dedup canonical) → deterministic
     * train/val/test split → per-split shard statistics (docs, BPE-ish
@@ -658,6 +664,13 @@ object Queries {
     * no float ever enters the membership test, so the boundary rows are
     * bit-reproducible at any parallelism.
     */
+  /** Exact heavy hitters over user_id: per-partition Misra–Gries
+    * candidates (bounded memory) + broadcast-gated exact re-count.
+    */
+  def eventsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    operators.Stats.heavyHitters(
+      Tables.events(spark, dir).select("user_id"), keyCol = "user_id")
+
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame =
     operators.Stats.sigmaOutliers(
         Tables.events(spark, dir).select("event_type", "event_id", "value"),

@@ -59,6 +59,7 @@ object SparkEntry {
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_quantiles" -> (Queries.corpusQuantiles _),
     "corpus_normalize" -> (Queries.corpusNormalize _),
+    "corpus_decontaminate" -> (Queries.corpusDecontaminate _),
     "corpus_pipeline" -> (Queries.corpusPipeline _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
@@ -77,7 +78,8 @@ object SparkEntry {
     "events_retention" -> (Queries.eventsRetention _),
     "events_asof" -> (Queries.eventsAsof _),
     "events_session_attr" -> (Queries.eventsSessionAttr _),
-    "events_anomaly" -> (Queries.eventsAnomaly _)
+    "events_anomaly" -> (Queries.eventsAnomaly _),
+    "events_heavy_hitters" -> (Queries.eventsHeavyHitters _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

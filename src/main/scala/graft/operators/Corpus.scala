@@ -118,4 +118,35 @@ object Corpus {
       .withColumn("bin", floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budget))
       .orderBy("grp", "doc_id")
   }
+
+  /** Test-set decontamination (the GPT-3 §B appendix step): flag every
+    * training document that shares at least one word n-gram with any
+    * held-out eval document, so benchmark answers can be scrubbed from
+    * the pretraining mixture. Eval membership reuses the deterministic
+    * hash [[split]] (bucket ≥ 100−testPct), so corpus and eval set need
+    * no side input. Returns (doc_id, n_shared) for contaminated train
+    * docs only — n_shared = how many of the doc's DISTINCT n-grams also
+    * occur anywhere in the eval slice.
+    *
+    * Scale shape: an eval/benchmark set is tiny relative to a 100 TB
+    * corpus, so its distinct-gram set is collected into a broadcast
+    * hash join — the train side stays one map-side pass (tokenize →
+    * shingle-hash → explode distinct) plus one doc_id-keyed partial
+    * agg. No shuffle ever carries text or full gram sets.
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, trainPct: Int = 80, testFrom: Int = 90): DataFrame = {
+    require(n >= 2 && trainPct > 0 && testFrom >= trainPct,
+      "need word n-grams and train/test buckets that do not overlap")
+    val bucket = pmod(tokenHash60(concat(lit("split:"), col(idCol).cast("string"))), lit(100L))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), bucket.as("b"),
+        explode(array_distinct(wordShingleHash60(wordTokens(col(textCol)), n))).as("gram"))
+    val evalGrams = grams.where(col("b") >= testFrom).select("gram").distinct()
+    grams.where(col("b") < trainPct)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
 }

@@ -44,4 +44,53 @@ object Stats {
       })
       .drop("mk", "x", "n", "s", "q")
   }
+
+  /** PROVABLY-EXACT heavy hitters (keys with count·(k+1) > n) via the
+    * classic two-pass distributed Misra–Gries composition:
+    *
+    *  1. each partition runs an MG sketch with k counters — bounded
+    *     memory regardless of partition size; MG guarantees every key
+    *     with partition count > n_p/(k+1) survives, and by pigeonhole a
+    *     global heavy hitter must be partition-heavy somewhere, so the
+    *     union of per-partition survivors is a SUPERSET of the answer;
+    *  2. the candidate set (≤ k × partitions keys, broadcast) gates an
+    *     exact re-count — one semi-joined partial agg over candidate
+    *     rows only — and the exact filter count·(k+1) > n drops the
+    *     false positives.
+    *
+    * Net: exact answer, all-integer decision, and the only shuffle is
+    * the candidate-key agg. k is sized from the key cardinality d so
+    * the threshold lands at ~1.2× the mean key frequency (d is one
+    * tiny pre-agg; at 100 TB use a cached stat or a fixed k instead).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, c: Double = 1.2): DataFrame = {
+    import df.sparkSession.implicits._
+    require(c > 1.0, "threshold multiplier must exceed the mean")
+    val stats = df.agg(count(lit(1)).as("n"), count_distinct(col(keyCol)).as("d")).head()
+    val n = stats.getLong(0)
+    val k = math.max(1L, math.ceil(stats.getLong(1) / c).toLong)
+    val candidates = df.select(col(keyCol).cast("long")).as[Long]
+      .mapPartitions { it =>
+        val counters = new java.util.HashMap[Long, Long]()
+        it.foreach { key =>
+          val cur: Long = counters.getOrDefault(key, 0L)
+          if (cur > 0) counters.put(key, cur + 1)
+          else if (counters.size < k) counters.put(key, 1L)
+          else {
+            val entries = counters.entrySet().iterator()
+            while (entries.hasNext) {
+              val e = entries.next()
+              if (e.getValue == 1L) entries.remove() else e.setValue(e.getValue - 1L)
+            }
+          }
+        }
+        scala.jdk.CollectionConverters.SetHasAsScala(counters.keySet()).asScala.iterator
+      }
+      .toDF("hh_key").distinct()
+    df.join(broadcast(candidates), col(keyCol).cast("long") === col("hh_key"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * (k + 1) > n)
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
 }

@@ -31,4 +31,26 @@ class StatsSpec extends SparkSpec {
     }.toSet
     assert(got === expected)
   }
+
+  test("heavyHitters equals brute force under adversarial partitioning") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(71)
+    // zipfish key mix: a few hot keys + a uniform tail, shuffled so
+    // hot keys spread across partitions (the MG-completeness edge).
+    val keys = Seq.fill(400)(rnd.nextInt(5).toLong) ++          // hot: 5 keys, ~80 each
+      Seq.fill(600)(100L + rnd.nextInt(200))                     // tail: 200 keys, ~3 each
+    val shuffled = rnd.shuffle(keys)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = shuffled.toDF("user_id").repartition(parts)
+      val got = Stats.heavyHitters(df, "user_id", c = 1.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val n = keys.size.toLong
+      val d = keys.distinct.size.toLong
+      val k = math.max(1L, math.ceil(d / 1.2).toLong)
+      val expected = keys.groupBy(identity).map { case (key, g) => (key, g.size.toLong) }
+        .filter { case (_, cnt) => cnt * (k + 1) > n }.toSet
+      assert(got === expected, s"parts=$parts")
+      assert(expected.nonEmpty, "test must exercise a non-empty answer")
+    }
+  }
 }
