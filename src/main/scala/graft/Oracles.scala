@@ -683,6 +683,37 @@ object Oracles {
          |FROM cleaned c JOIN sp USING (doc_id) JOIN tk USING (doc_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // bigram LM counts: MLE p = c12/c1 as one exact-long division;
+    // 2-shingle spelling matches the minhash chain with n=2.
+    "corpus_bigram_lm" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |sh AS (SELECT CASE WHEN len(toks) < 2 THEN [] ELSE
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+         |g AS (SELECT unnest(sh) AS gm FROM sh),
+         |c2 AS (SELECT split_part(gm, ' ', 1) AS w1, split_part(gm, ' ', 2) AS w2, count(*) AS c12
+         |       FROM g GROUP BY 1, 2),
+         |sc AS (SELECT w1, w2, c12, CAST(sum(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+         |         CAST(row_number() OVER (PARTITION BY w1 ORDER BY c12 DESC, w2) AS INT) AS rank
+         |       FROM c2)
+         |SELECT w1, rank, w2, c12, c1, (round((c12 / c1) * 10000.0) / 10000.0) AS p
+         |FROM sc WHERE rank <= 3 ORDER BY w1, rank""".stripMargin,
+
+    // tf·idf with exact-rational idf: (tf·N)/df is ONE double division
+    // of exact longs — identical bits in both engines, so rank order
+    // and the 4-dp score can't knife-edge.
+    "corpus_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |pd AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+         |v AS (SELECT word, count(*) AS df FROM pd GROUP BY word),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT pd.doc_id, pd.word, pd.tf, v.df,
+         |        (pd.tf * (SELECT n FROM nn)) / v.df AS score_raw
+         |       FROM pd JOIN v USING (word))
+         |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score_raw DESC, word) AS INT) AS rank,
+         |  word, tf, df, (round((score_raw) * 10000.0) / 10000.0) AS score
+         |FROM sc QUALIFY rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     // train docs sharing a distinct word 5-gram with the hash-split
     // test slice; same split hash as corpus_split, same shingle-hash
     // spelling as the minhash chain (n=5 instead of 3).
@@ -863,6 +894,23 @@ object Oracles {
         |FROM sc JOIN m USING (event_type)
         |WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |ORDER BY sc.event_type, sc.event_id""".stripMargin,
+
+    // SCD2 gaps-and-islands reconstruction of the json k attribute:
+    // identical lag/cumsum/groupBy/lead chain on integer-μs time.
+    "events_scd2" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |             CAST(json_extract(props, '$.k') AS INT) AS v FROM events),
+        |b AS (SELECT *, CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v THEN 1 ELSE 0 END AS brk
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |r AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS INT) AS run FROM b),
+        |runs AS (SELECT user_id, run, v, min(t_us) AS valid_from, count(*) AS n_events
+        |         FROM r GROUP BY 1, 2, 3)
+        |SELECT user_id, run AS version, v, valid_from,
+        |  lead(valid_from) OVER wv AS valid_to, n_events,
+        |  (lead(valid_from) OVER wv IS NULL) AS is_current
+        |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY run)
+        |ORDER BY user_id, version""".stripMargin,
 
     // heavy hitters = count·(k+1) > n with k = ceil(d/1.2); the MG
     // candidate pass is a complete superset, so the plain GROUP BY /

@@ -444,6 +444,14 @@ object Queries {
   def corpusDecontaminate(spark: SparkSession, dir: String): DataFrame =
     operators.Corpus.decontaminate(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Top-3 tf·idf terms per document (exact-rational N/df idf). */
+  def corpusTfidf(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.tfidf(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+
+  /** Bigram LM count table: top-3 continuations per context word. */
+  def corpusBigramLm(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.bigramLm(Tables.documents(spark, dir), "text", k = 3)
+
   /** The composed end-to-end corpus pipeline in ONE query: cleaning
     * (language ∧ quality ∧ exact-dedup canonical) → deterministic
     * train/val/test split → per-split shard statistics (docs, BPE-ish
@@ -664,6 +672,19 @@ object Queries {
     * no float ever enters the membership test, so the boundary rows are
     * bit-reproducible at any parallelism.
     */
+  /** SCD type-2 history of each user's json `k` attribute from the raw
+    * event log: consecutive-run compaction + validity intervals, one
+    * key shuffle (gaps-and-islands, no self-join).
+    */
+  def eventsScd2(spark: SparkSession, dir: String): DataFrame =
+    operators.Scd.type2(
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("props"),
+          unix_micros(col("ts")).as("t_us")),
+      keyCol = "user_id",
+      valueCol = get_json_object(col("props"), "$.k").cast("int"),
+      ordCol = "t_us", tieCol = "event_id")
+
   /** Exact heavy hitters over user_id: per-partition Misra–Gries
     * candidates (bounded memory) + broadcast-gated exact re-count.
     */

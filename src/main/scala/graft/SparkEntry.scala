@@ -60,6 +60,8 @@ object SparkEntry {
     "corpus_quantiles" -> (Queries.corpusQuantiles _),
     "corpus_normalize" -> (Queries.corpusNormalize _),
     "corpus_decontaminate" -> (Queries.corpusDecontaminate _),
+    "corpus_tfidf" -> (Queries.corpusTfidf _),
+    "corpus_bigram_lm" -> (Queries.corpusBigramLm _),
     "corpus_pipeline" -> (Queries.corpusPipeline _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),
@@ -79,7 +81,8 @@ object SparkEntry {
     "events_asof" -> (Queries.eventsAsof _),
     "events_session_attr" -> (Queries.eventsSessionAttr _),
     "events_anomaly" -> (Queries.eventsAnomaly _),
-    "events_heavy_hitters" -> (Queries.eventsHeavyHitters _)
+    "events_heavy_hitters" -> (Queries.eventsHeavyHitters _),
+    "events_scd2" -> (Queries.eventsScd2 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -134,6 +134,65 @@ object Corpus {
     * shingle-hash → explode distinct) plus one doc_id-keyed partial
     * agg. No shuffle ever carries text or full gram sets.
     */
+  /** Top-k distinguishing terms per document by tf·idf with the idf as
+    * the exact rational N/df: score = (tf·N)/df computed as one IEEE
+    * division of two exact longs — bit-identical in every engine, so
+    * both the RANKING and the reported 4-dp score are reproducible
+    * (a transcendental ln-idf would differ in the last ulp across
+    * libm implementations and knife-edge the rank order).
+    *
+    * Plan: one explode + (doc, word) partial agg for tf; the word→df
+    * table is vocab-sized (≪ corpus even at 100 TB) so it joins back
+    * broadcast; the per-doc top-k is a row_number window partitioned by
+    * doc_id — no global sort anywhere.
+    */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "need a positive per-document cut")
+    val nDocs = docs.count()
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"), explode(wordTokens(col(textCol))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val wordDf = perDoc.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_raw").desc, col("word"))
+    perDoc.join(broadcast(wordDf), "word")
+      .withColumn("score_raw", (col("tf") * lit(nDocs)) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"),
+        roundTo(col("score_raw"), 4).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Corpus bigram language-model table: for every context word w1,
+    * the top-k continuations w2 with exact counts c(w1,w2), context
+    * total c(w1·) and the MLE probability — the "corpus → model
+    * artifact" step (the count tables a KenLM-style estimator starts
+    * from). p = c12/c1 is one IEEE division of exact longs, so both
+    * ranking and the 4-dp probability are engine-reproducible.
+    *
+    * Plan: bigram explode is map-side (one codegen shingle pass); one
+    * partial agg keyed (w1,w2); context totals + top-k ride a single
+    * w1-partitioned window — the second shuffle is vocab²-sized, not
+    * corpus-sized, at any scale.
+    */
+  def bigramLm(docs: DataFrame, textCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "need a positive per-context cut")
+    val pairs = docs
+      .select(explode(wordShingles(wordTokens(col(textCol)), 2)).as("gm"))
+      .select(substring_index(col("gm"), " ", 1).as("w1"),
+        substring_index(col("gm"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val w = Window.partitionBy("w1")
+    val rankW = Window.partitionBy("w1").orderBy(col("c12").desc, col("w2"))
+    pairs
+      .withColumn("c1", sum(col("c12")).over(w))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("w1"), col("rank"), col("w2"), col("c12"), col("c1"),
+        roundTo(col("c12") / col("c1"), 4).as("p"))
+      .orderBy("w1", "rank")
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 5, trainPct: Int = 80, testFrom: Int = 90): DataFrame = {
     require(n >= 2 && trainPct > 0 && testFrom >= trainPct,

@@ -88,6 +88,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate + tfidf: the small side (eval grams / word-df) broadcasts") {
+    for (q <- Seq(Queries.corpusDecontaminate _, Queries.corpusTfidf _)) {
+      val p = plan(q(spark, sf001))
+      assert(p.contains("BroadcastHashJoin"), s"small side must broadcast:\n$p")
+    }
+  }
+
+  test("scd2: islands + per-run agg + version window reuse ONE key exchange") {
+    val p = plan(Queries.eventsScd2(spark, sf001))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p)
+        .size <= 2, // one hash exchange (user_id) + the output-order range exchange
+      s"gaps-and-islands must not re-shuffle per stage:\n$p")
+  }
+
   test("column pruning: fingerprint scan reads only (doc_id, text)") {
     val p = plan(Queries.textFingerprint(spark, sf001))
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
