@@ -212,6 +212,45 @@ object Oracles {
        |       n_id, (round((score) * 10000.0) / 10000.0) AS value
        |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** recall@k of the IVF leg vs the exact leg, both reproduced here —
+    * the DuckDB twin of [[Queries.annRecallEval]].
+    */
+  private def recallEvalSql(centroids: Array[Array[Float]], queryId: Long,
+                            k: Int, nprobe: Int): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |exact AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |          ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k),
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |probe AS (SELECT c.cid FROM cents c, q ORDER BY ${l2sq("q.qv", "c.cv")}, c.cid LIMIT $nprobe),
+       |approx AS (SELECT e.vec_id AS id FROM embeddings e JOIN cl ON cl.vec_id = e.vec_id, q
+       |           WHERE cl.cid IN (SELECT cid FROM probe)
+       |           ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k),
+       |h AS (SELECT count(*) AS n_hits FROM exact JOIN approx USING (id))
+       |SELECT $k AS k, $nprobe AS nprobe, n_hits,
+       |       (round((n_hits / $k) * 10000.0) / 10000.0) AS recall FROM h""".stripMargin
+
+  /** k-NN graph: same single-probe cluster blocking as
+    * [[operators.Knn.knnJoinIvf]] — assignment (argmin centroid, ties to
+    * lowest id), same-cluster pairs, exact L2 rank.
+    */
+  private def knnJoinSql(centroids: Array[Array[Float]], k: Int): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id)
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) AS INT) AS rank,
+       |       n_id, (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
+
   /** LSH bucketed search: sign-of-dot bucket per vector over the literal
     * hyperplanes, Hamming-radius multi-probe around the query's bucket,
     * exact L2 re-rank — the DuckDB twin of [[operators.LshIndex.search]].
@@ -341,6 +380,8 @@ object Oracles {
       // change the answer, only where the pruning happens (file listing).
       "ann_ivf_persisted" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
+      "knn_join_ivf" -> knnJoinSql(centroids, k = 3),
+      "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
       "dedup_embedding" -> embeddingLshSql(dedupPlanes, minCosine = 0.35))
   }
@@ -894,6 +935,28 @@ object Oracles {
         |FROM sc JOIN m USING (event_type)
         |WHERE (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
         |ORDER BY sc.event_type, sc.event_id""".stripMargin,
+
+    // ROLLUP grouping sets with exact 1e-4-unit long sums; 'ALL' marks
+    // subtotal levels on both engines.
+    "events_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+        |  CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4 FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type, coalesce(day, 'ALL') AS day,
+        |  count(*) AS n, CAST(sum(v4) AS BIGINT) AS sum_v4
+        |FROM e GROUP BY ROLLUP(event_type, day)
+        |ORDER BY 1, 2""".stripMargin,
+
+    // trailing 5-row frame; exact long sum divided once.
+    "events_moving_avg" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4 FROM events)
+        |SELECT user_id, event_id, t_us,
+        |  count(*) OVER w AS mov_n,
+        |  (round((CAST(sum(v4) OVER w AS DOUBLE) / (count(*) OVER w * 10000)) * 10000.0) / 10000.0) AS mov_avg
+        |FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id
+        |                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, t_us, event_id""".stripMargin,
 
     // SCD2 gaps-and-islands reconstruction of the json k attribute:
     // identical lag/cumsum/groupBy/lead chain on integer-μs time.

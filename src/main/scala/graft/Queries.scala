@@ -89,6 +89,37 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  /** In-query recall evaluation of the approximate IVF path against the
+    * exact answer — the index-tuning artifact (faiss bench loop): both
+    * legs are deterministic (seeded KMeans, fixed query), so
+    * recall@k is a constant the oracle reproduces. The legs are two
+    * TakeOrdered bounded heaps over one table; the intersection is a
+    * k-row join — cost is two scans regardless of scale.
+    */
+  def annRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val qv = queryVec(spark, dir, 4L)
+    val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    val approx = operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
+      qv, k = 10, nprobe = 4, metric = "l2").select(col("id"))
+    exact.join(approx, "id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(10).as("k"), lit(4).as("nprobe"), col("n_hits"),
+        roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+  }
+
+  /** k-NN graph over the whole embedding table: top-3 neighbors per
+    * vector within its own IVF cluster (single-probe blocking).
+    */
+  def knnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2")
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF with nprobe = K: every cluster probed ⇒ provably identical to
     * exact brute force (the oracle hash-matches knnSql), while exercising
     * the full build-assign-prune-rerank pipeline.
@@ -672,6 +703,42 @@ object Queries {
     * no float ever enters the membership test, so the boundary rows are
     * bit-reproducible at any parallelism.
     */
+  /** OLAP rollup: (event_type × day) aggregates with per-type subtotals
+    * and a grand total in one pass — Spark's ROLLUP grouping sets are
+    * partial-agg friendly (each set aggregates map-side before one
+    * shuffle). Money math is fixed to exact long 1e-4 units (floor of
+    * the binary value) so every subtotal sums identically in any
+    * aggregation order; subtotal levels surface as 'ALL'.
+    */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+        floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
+      .rollup("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("day"), lit("ALL")).as("day"), col("n"), col("sum_v4"))
+      .orderBy("event_type", "day")
+
+  /** Per-user trailing 5-event moving average of `value` (bounded ROWS
+    * frame — O(1) state per row, one key shuffle). The average divides
+    * an exact long 1e-4-unit sum by the window count ONCE, so the
+    * result is engine-reproducible at 4 dp.
+    */
+  def eventsMovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t_us"), col("event_id"))
+      .rowsBetween(-4, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"),
+        floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_avg",
+        roundTo(sum(col("v4")).over(w) / (col("mov_n") * 10000L), 4))
+      .select("user_id", "event_id", "t_us", "mov_n", "mov_avg")
+      .orderBy("user_id", "t_us", "event_id")
+  }
+
   /** SCD type-2 history of each user's json `k` attribute from the raw
     * event log: consecutive-run compaction + validity intervals, one
     * key shuffle (gaps-and-islands, no self-join).

@@ -17,6 +17,7 @@ object SparkEntry {
     "knn_cosine" -> (Queries.knnCosine _),
     "knn_batch" -> (Queries.knnBatch _),
     "knn_batch_ivf" -> (Queries.knnBatchIvf _),
+    "knn_join_ivf" -> (Queries.knnJoin _),
     "ann_ivf_exact" -> (Queries.annIvfExact _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_ivf_persisted" -> (Queries.annIvfPersisted _),
@@ -82,7 +83,10 @@ object SparkEntry {
     "events_session_attr" -> (Queries.eventsSessionAttr _),
     "events_anomaly" -> (Queries.eventsAnomaly _),
     "events_heavy_hitters" -> (Queries.eventsHeavyHitters _),
-    "events_scd2" -> (Queries.eventsScd2 _)
+    "events_scd2" -> (Queries.eventsScd2 _),
+    "events_rollup" -> (Queries.eventsRollup _),
+    "events_moving_avg" -> (Queries.eventsMovingAvg _),
+    "ann_recall_eval" -> (Queries.annRecallEval _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -166,4 +166,47 @@ object Knn {
         col("n.id").as("n_id"),
         roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
   }
+
+  /** k-NN GRAPH build (all-pairs top-k self-join) — the artifact behind
+    * embedding dedup at scale, kNN-graph ANN methods, and graph
+    * clustering; faiss users build it with `knn(index, xb, xb)`.
+    *
+    * Neighbors are restricted to each vector's own coarse IVF cluster
+    * (single-probe), which turns the quadratic all-pairs problem into
+    * Σ|cluster|² local work: both sides shuffle ONCE on cluster id
+    * (co-partitioned equi-join — deliberately NOT broadcast: both sides
+    * are corpus-sized), the pair rows live only inside the join stage
+    * (vectors are consumed by the distance expression in the same
+    * codegen stage, never shuffled as pairs), and the per-query top-k is
+    * the [[TopKNeighbors]] partial agg ⇒ the only other shuffle is
+    * O(n × k) bounded heaps. At 100 TB the cluster count scales with the
+    * data (bounded |cluster|), keeping per-task work constant; vectors
+    * alone in their cluster simply yield no edges (both engines agree).
+    */
+  def knnJoinIvf(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      k: Int,
+      metric: String): DataFrame = {
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
+    val left = emb.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("cluster", nearestCentroid(col("q_vec"), centroids))
+    val right = emb.select(col(idCol).as("id"), col(vecCol).as("n_vec"))
+      .withColumn("cluster", nearestCentroid(col("n_vec"), centroids))
+    val scored = left.join(right, Seq("cluster"))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"), score(metric, col("n_vec"), col("q_vec")).as("dist"))
+    val flip = metric == "ip" || metric == "cosine"
+    scored
+      .groupBy(col("q_id"))
+      .agg(topk(col("id"), col("dist")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).as("rank"),
+        col("n.id").as("n_id"),
+        roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+  }
 }
