@@ -222,6 +222,26 @@ class VectorIndex private (
             radius = params.lshRadius, metric = key.metricType.name)
     }
 
+  /** k-NN GRAPH over the whole index: every vector's top-k neighbors in
+    * one query (the bulk artifact behind near-dup mining and graph
+    * clustering — faiss `knn(index, xb, xb)`). IVF indexes block pairs
+    * by their coarse cluster (Σ|cluster|² work, approximate); FLAT/LSH
+    * and empty-centroid states run exact via the degenerate one-cluster
+    * blocking (everything co-blocked — quadratic, the honest exact
+    * contract).
+    */
+  def knnGraph(k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val centroids = key.indexType match {
+      case IndexType.IVF =>
+        loadedCentroids.getOrElse(
+          IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L))
+      case _ => Array.empty[Array[Float]]
+    }
+    val blocking = if (centroids.isEmpty) Array(Array.fill(key.dim)(0f)) else centroids
+    Knn.knnJoinIvf(bare, "id", "vectors", blocking, k, key.metricType.name)
+  }
+
   /** Persist the index under `path` so a restarted engine serves without
     * rebuilding (the reference's restart story: RocksDB scalar store +
     * faiss index files, src/db/scalar_storage.rs). Layout:

@@ -152,6 +152,24 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("knnGraph: FLAT graph equals brute force; self excluded") {
+    val s = spark; import s.implicits._
+    val vecs = (0 until 40).map(i => (i.toLong, Array((i % 8).toFloat, (i / 8).toFloat), None: Option[String]))
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.L2)
+      .insertAll(vecs.toDF("id", "vectors", "data"))
+    val got = idx.knnGraph(2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def l2(a: Array[Float], b: Array[Float]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val expected = (for {
+      (qi, qv, _) <- vecs
+      ranked = vecs.filter(_._1 != qi)
+        .map { case (ni, nv, _) => (l2(qv, nv), ni) }.sorted.take(2)
+      ((_, ni), pos) <- ranked.zipWithIndex
+    } yield (qi, pos + 1, ni)).toSet
+    assert(got === expected)
+  }
+
   test("search on an empty IVF index returns empty instead of throwing") {
     val idx = VectorIndex.create(spark, IndexType.IVF, 2, Metric.L2)
     assert(idx.search(Array(1f, 0f), 3).count() === 0L)
