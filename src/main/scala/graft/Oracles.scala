@@ -905,6 +905,63 @@ object Oracles {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
+    // pure filter + single-row aggregate; the Spark side's value is the
+    // pushed-down scan, which cannot show through in the result.
+    "q6_forecast" ->
+      """SELECT (round((sum(l_extendedprice * l_discount)) * 100.0) / 100.0) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // HyperLogLog register state re-derived from the same md5 hash:
+    // exact-integer register sum S = Σ 2^(60-Mj) in DECIMAL(38,0), one
+    // double division at the end — identical expression tree to
+    // Sketch.hllDistinct.
+    "events_hll" ->
+      s"""WITH e AS (SELECT event_type,
+         |  CAST(user_id AS VARCHAR) || ':' || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS item FROM events),
+         |h AS (SELECT event_type, item, ${tokenHash60("item")} AS h FROM e),
+         |r AS (SELECT event_type, h >> 52 AS reg, h & 4503599627370495 AS suffix FROM h),
+         |rk AS (SELECT event_type, reg,
+         |         max(CASE WHEN suffix = 0 THEN 53 ELSE 53 - len(bin(suffix)) END) AS mj
+         |       FROM r GROUP BY 1, 2),
+         |s AS (SELECT event_type, count(*) AS n_regs,
+         |        sum(CAST(1::BIGINT << (60 - mj) AS DECIMAL(38,0))) AS sp FROM rk GROUP BY 1),
+         |t AS (SELECT event_type, n_regs, 256 - n_regs AS v_zero,
+         |        sp + CAST(256 - n_regs AS DECIMAL(38,0)) * CAST('1152921504606846976' AS DECIMAL(38,0)) AS s_total
+         |      FROM s),
+         |est AS (SELECT event_type, n_regs, v_zero,
+         |          0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 1152921504606846976.0 / CAST(s_total AS DOUBLE) AS est_raw
+         |        FROM t),
+         |f AS (SELECT event_type, n_regs, v_zero,
+         |        CASE WHEN est_raw <= 640.0 AND v_zero > 0
+         |             THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) ELSE est_raw END AS est
+         |      FROM est),
+         |x AS (SELECT event_type, count(DISTINCT item) AS n_exact FROM e GROUP BY 1)
+         |SELECT f.event_type, x.n_exact, f.n_regs, f.v_zero,
+         |  (round((f.est) * 10000.0) / 10000.0) AS hll_est
+         |FROM f JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // Bloom bit positions re-derived from the same md5 hashes; positive
+    // ⇔ every one of the probe's distinct positions is a set bit.
+    "events_bloom" ->
+      s"""WITH members AS (SELECT DISTINCT user_id FROM events
+         |                 WHERE event_type = 'purchase' AND value > 200),
+         |probes AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         |mpos AS (SELECT DISTINCT ${tokenHash60("'bloom' || CAST(r.range AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 4096 AS bit
+         |         FROM members, range(0, 3) r),
+         |ppos AS (SELECT DISTINCT user_id AS probe,
+         |           ${tokenHash60("'bloom' || CAST(r.range AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 4096 AS bit
+         |         FROM probes, range(0, 3) r),
+         |verdict AS (SELECT probe,
+         |              count(*) = sum(CASE WHEN bit IN (SELECT bit FROM mpos) THEN 1 ELSE 0 END) AS bloom_positive
+         |            FROM ppos GROUP BY probe)
+         |SELECT v.probe, v.bloom_positive, (m.user_id IS NOT NULL) AS is_member
+         |FROM verdict v LEFT JOIN members m ON v.probe = m.user_id
+         |ORDER BY v.probe""".stripMargin,
+
     "events_windowed" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         |  count(*) AS n, (round((sum(value)) * 100.0) / 100.0) AS sum_value

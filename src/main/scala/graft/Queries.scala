@@ -679,6 +679,49 @@ object Queries {
       .limit(20)
   }
 
+  /** TPC-H Q6 forecasting-revenue-change: a pure filter + single-row
+    * aggregate. The point at scale is the plan: every predicate
+    * (shipdate range, discount band, quantity cap) reaches the parquet
+    * scan as a pushed filter over row-group min/max stats, and only two
+    * columns survive pruning — the query reads a fraction of the table
+    * before a single partial-agg row per partition ships.
+    */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("l_shipdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
+             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+             col("l_quantity") < 24)
+      .agg(roundTo(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** HyperLogLog daily-active-user-days per event type, next to the
+    * exact distinct count — see [[operators.Sketch.hllDistinct]]. The
+    * sketch state is a (type, register) max-aggregation: ≤ 256 rows per
+    * type at ANY input size, vs the full (type, user, day) shuffle of
+    * the exact leg it replaces at scale.
+    */
+  def eventsHll(spark: SparkSession, dir: String): DataFrame =
+    operators.Sketch.hllDistinct(
+      Tables.events(spark, dir),
+      keyCol = "event_type",
+      item = concat(col("user_id").cast("string"), lit(":"),
+        date_format(col("ts"), "yyyy-MM-dd")))
+
+  /** Bloom-filter membership gate: did this viewer ever make a
+    * high-value (> 200) purchase? Filter built over those purchasers,
+    * probed by every view user — see [[operators.Sketch.bloomGate]].
+    * False positives are visible rows (bloom_positive ∧ ¬is_member);
+    * false negatives are impossible and property-tested.
+    */
+  def eventsBloom(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    operators.Sketch.bloomGate(
+      ev.where(col("event_type") === "purchase" && col("value") > 200)
+        .select("user_id"), "user_id",
+      ev.where(col("event_type") === "view").select("user_id"), "user_id",
+      mBits = 1 << 12, kHashes = 3)
+  }
+
   /** Tumbling-window event aggregation (batch twin of the streaming path). */
   def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

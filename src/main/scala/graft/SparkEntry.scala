@@ -72,7 +72,10 @@ object SparkEntry {
     "q1_agg" -> (Queries.q1Agg _),
     "q3_shipping" -> (Queries.q3Shipping _),
     "q5_local" -> (Queries.q5Local _),
+    "q6_forecast" -> (Queries.q6Forecast _),
     "q10_returns" -> (Queries.q10Returns _),
+    "events_hll" -> (Queries.eventsHll _),
+    "events_bloom" -> (Queries.eventsBloom _),
     "events_windowed" -> (Queries.eventsWindowed _),
     "events_topn" -> (Queries.eventsTopN _),
     "events_sessionize" -> (Queries.eventsSessionize _),

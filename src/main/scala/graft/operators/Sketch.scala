@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{roundTo, tokenHash60}
+
+/** Probabilistic-sketch operators in deterministic, oracle-checkable
+  * form. Sketches are how a 100 TB engine answers "how many distinct"
+  * and "have I seen this" without a global distinct shuffle — but their
+  * usual implementations (random seeds, float register merges) defy a
+  * hash-match gate. Here every hash is the engine's deterministic
+  * md5-based tokenHash60 and every merge is an integer max/sum, so the
+  * sketch state — and therefore the estimate — is bit-reproducible at
+  * any parallelism, and DuckDB can re-derive it independently.
+  */
+object Sketch {
+
+  /** HyperLogLog distinct-count estimate per key, next to the exact
+    * count for comparison — the Flajolet et al. 2007 estimator with
+    * p = 8 (m = 256 registers).
+    *
+    * Shape at scale: the register state is a (key, reg) → max(rank)
+    * partial aggregation — map-side combine leaves at most
+    * |keys| × 256 rows regardless of input size, which IS the HLL
+    * promise, expressed relationally. The harmonic mean runs on exact
+    * integers: Σ 2^(−M_j) is computed as S = Σ 2^(60−M_j) in
+    * DECIMAL(38,0) (ranks are ≤ 53, so terms are integral), making the
+    * register sum order-independent; the only float ops are the final
+    * α·m²·2⁶⁰/S division and the small-range ln branch, identical
+    * expression trees in Spark and DuckDB.
+    *
+    * The exact leg (count_distinct) rides along as the accuracy
+    * yardstick — at real scale you drop it; it is the expensive thing
+    * this sketch replaces.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, item: Column): DataFrame = {
+    val m = 256 // p = 8: top 8 bits select the register
+    val h = tokenHash60(item) // 60-bit deterministic hash
+    val base = df.select(col(keyCol), h.as("h"))
+      .select(col(keyCol),
+        shiftright(col("h"), 52).as("reg"),
+        col("h").bitwiseAND(lit((1L << 52) - 1)).as("suffix"))
+    // rank = leading zeros of the 52-bit suffix + 1, via bit length
+    val rank = when(col("suffix") === 0, lit(53))
+      .otherwise(lit(53) - length(bin(col("suffix"))))
+    val regs = base.select(col(keyCol), col("reg"), rank.as("rank"))
+      .groupBy(keyCol, "reg")
+      .agg(max("rank").as("mj"))
+    val summary = regs.groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_regs"),
+        sum(call_function("shiftleft", lit(1L), lit(60) - col("mj"))
+          .cast("decimal(38,0)")).as("sp"))
+      .withColumn("v_zero", lit(m.toLong) - col("n_regs"))
+      .withColumn("s_total",
+        col("sp") + col("v_zero").cast("decimal(38,0)") *
+          lit(new java.math.BigDecimal("1152921504606846976"))) // 2^60
+    // raw estimate α_m · m² · 2⁶⁰ / S; small-range: m · ln(m / V)
+    val estRaw = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+      lit(m.toDouble) * lit(m.toDouble) * lit(1152921504606846976.0) /
+      col("s_total").cast("double")
+    val est = when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
+      .otherwise(col("est_raw"))
+    val exact = df.groupBy(keyCol).agg(count_distinct(item).as("n_exact"))
+    summary
+      .withColumn("est_raw", estRaw)
+      .withColumn("hll_est", roundTo(est, 4))
+      .join(exact, keyCol)
+      .select(col(keyCol), col("n_exact"), col("n_regs"), col("v_zero"), col("hll_est"))
+      .orderBy(keyCol)
+  }
+
+  /** Bloom-filter membership gate: build a filter over `members`, probe
+    * every `probes` row, and report per probe both the filter's verdict
+    * and the ground truth (so false positives are visible rows and the
+    * no-false-negative guarantee is checkable).
+    *
+    * Relational formulation of the classic bitmap: the set-bit table is
+    * at most `mBits` rows (narrow ints, here 2¹⁶ → broadcast), each
+    * probe expands to its k positions map-side and semi-joins the
+    * broadcast bit set; positive ⇔ all its distinct positions hit.
+    * On a real cluster the bit table compacts into an Array[Long]
+    * bitmap broadcast (8 KB here) with a map-side contains — the plan
+    * shape (broadcast + map-side probe, no probe-side shuffle) is
+    * already that one. Deterministic md5 position hashes keep the
+    * verdict engine-reproducible.
+    */
+  def bloomGate(members: DataFrame, memberCol: String,
+                probes: DataFrame, probeCol: String,
+                mBits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {
+    require(kHashes >= 1 && mBits >= 2)
+    def positions(c: Column): Column = array((0 until kHashes).map { i =>
+      pmod(tokenHash60(concat(lit(s"bloom$i:"), c.cast("string"))), lit(mBits.toLong))
+    }: _*)
+    val bits = members.select(explode(positions(col(memberCol))).as("bit")).distinct()
+    val probePos = probes.select(col(probeCol).as("probe"),
+        explode(positions(col(probeCol))).as("bit"))
+      .distinct()
+    val verdict = probePos.join(broadcast(bits.withColumn("hit", lit(1))), Seq("bit"), "left")
+      .groupBy("probe")
+      .agg((count(lit(1)) === sum(coalesce(col("hit"), lit(0)))).as("bloom_positive"))
+    val truth = members.select(col(memberCol).as("probe")).distinct()
+      .withColumn("is_member", lit(true))
+    verdict.join(truth, Seq("probe"), "left")
+      .select(col("probe"), col("bloom_positive"),
+        coalesce(col("is_member"), lit(false)).as("is_member"))
+      .orderBy("probe")
+  }
+}
