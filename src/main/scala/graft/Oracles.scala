@@ -431,6 +431,27 @@ object Oracles {
         |       (round((sqrt(score)) * 10000.0) / 10000.0) AS value
         |FROM d ORDER BY score, id LIMIT 10""".stripMargin,
 
+    // binary (sign-bit) index: sign words re-derived from the data with
+    // the identical bit packing, hamming candidate cut at 100 (exact
+    // integer, id tie-break), exact L2 re-rank — no parameter literals.
+    "ann_binary" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 11),
+         |qw AS (SELECT
+         |  CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN qv[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT) AS q0,
+         |  CAST(list_sum(list_transform(range(33, 65), i -> CASE WHEN qv[i] > 0 THEN 1::BIGINT << (i - 33) ELSE 0::BIGINT END)) AS BIGINT) AS q1
+         |  FROM q),
+         |w AS (SELECT vec_id AS id,
+         |  CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+         |  CAST(list_sum(list_transform(range(33, 65), i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 33) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+         |  FROM embeddings),
+         |cand AS (SELECT id FROM w, qw
+         |         ORDER BY bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)), id LIMIT 100),
+         |d AS (SELECT e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e JOIN cand ON cand.id = e.vec_id, q)
+         |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+         |       (round((score) * 10000.0) / 10000.0) AS value
+         |FROM d ORDER BY score, id LIMIT 10""".stripMargin,
+
     "filtered_knn_eq" -> knnSql(l2("e.embedding", "q.qv"), "score", "WHERE e.label = 3", 1, 10),
 
     "filtered_knn_ne" -> knnSql(l2("e.embedding", "q.qv"), "score", "WHERE e.label <> 3", 1, 10),

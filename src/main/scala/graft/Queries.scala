@@ -238,6 +238,16 @@ object Queries {
       queryVec(spark, dir, 6L), k = 10, nprobe = 4, rerank = 100)
   }
 
+  /** Binary (sign-bit) quantized search: hamming candidate scan over
+    * 8-byte sign words (two 32-bit words for dim 64 — training-free 32×
+    * compression), exact re-rank of the top-100 — see
+    * [[operators.BinaryIndex]]. Sign bits derive from the data alone, so
+    * the oracle is static SQL (no parameter literals).
+    */
+  def annBinary(spark: SparkSession, dir: String): DataFrame =
+    operators.BinaryIndex.search(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryVec(spark, dir, 11L), k = 10, rerank = 100)
+
   /** SQ8 scalar-quantized search: rank by distance to the 1-byte/dim
     * reconstruction (see [[operators.SqIndex]]). Bounds are plain
     * min/max aggregates, so the oracle re-derives everything from the

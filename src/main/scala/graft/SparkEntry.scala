@@ -26,6 +26,7 @@ object SparkEntry {
     "ann_ivfpq" -> (Queries.annIvfPq _),
     "ann_pq_persisted" -> (Queries.annPqPersisted _),
     "ann_sq8" -> (Queries.annSq8 _),
+    "ann_binary" -> (Queries.annBinary _),
     "knn_range" -> (Queries.knnRange _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),

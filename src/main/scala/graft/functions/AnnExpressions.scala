@@ -124,6 +124,50 @@ object NearestCentroids {
   }
 }
 
+/** Sign-bit packing for the binary (hamming) index: bit j of the result
+  * is set iff vec[offset + j] > 0 — `width` ≤ 63 bits per word, so a
+  * 64-dim float vector compresses to two 32-bit words (8 bytes, 32×).
+  * The binary-quantization analog of faiss's IndexBinaryFlat family:
+  * candidate ranking is bit_count(xor) on these words, which stays in
+  * whole-stage codegen via the built-in bitwise ops.
+  */
+case class SignBits(child: Expression, offset: Int, width: Int)
+    extends UnaryExpression {
+  require(offset >= 0 && width >= 1 && width <= 63)
+  override def prettyName: String = "sign_bits"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var word = 0L
+    var j = 0
+    val n = math.min(width, a.numElements() - offset)
+    while (j < n) {
+      if (a.getFloat(offset + j) > 0.0f) word |= (1L << j)
+      j += 1
+    }
+    word
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val word = ctx.freshName("word")
+      s"""
+         |long $word = 0L;
+         |int $n = java.lang.Math.min($width, $a.numElements() - $offset);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.getFloat($offset + $j) > 0.0f) $word |= (1L << $j);
+         |}
+         |${ev.value} = $word;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket: bit i set iff dot(vec, plane_i) > 0.
   * With b planes the bucket is in [0, 2^b).
   */

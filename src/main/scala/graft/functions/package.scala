@@ -54,6 +54,12 @@ package object functions {
   def lshBucket(vec: Column, planes: Array[Array[Float]]): Column =
     col(LshBucket(expr(vec), planes))
 
+  /** Sign-bit word for the binary (hamming) index: bit j set iff
+    * vec[offset + j] > 0, width ≤ 63 bits.
+    */
+  def signBits(vec: Column, offset: Int, width: Int): Column =
+    col(SignBits(expr(vec), offset, width))
+
   /** 60-bit SimHash over pre-hashed tokens (ARRAY<LONG>). */
   def simHash60(tokenHashes: Column): Column = col(SimHash60(expr(tokenHashes)))
 

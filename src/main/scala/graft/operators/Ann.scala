@@ -210,3 +210,62 @@ object LshIndex {
     Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
   }
 }
+
+/** Binary (sign-bit) quantization index — the faiss IndexBinaryFlat
+  * analog, completing the quantization family next to PQ and SQ8: each
+  * float dimension contributes one sign bit, so a 64-dim vector is two
+  * 32-bit words (8 bytes, 32× compression, no training at all).
+  * Candidates rank by hamming distance — bit_count(xor) over the words,
+  * pure built-in bitwise ops inside whole-stage codegen, exact integers
+  * (no ties to float noise) — then the top `rerank` survivors re-rank by
+  * true L2, vectors fetched BY ID. At 100 TB the sign words are the
+  * persisted hot index (like [[PqIndex.writeCodes]]) and a hamming scan
+  * reads 8 bytes/row; sign bits of centered data preserve cosine
+  * neighborhoods (Charikar hyperplanes with the coordinate basis).
+  */
+object BinaryIndex {
+
+  private val WordBits = 32
+
+  /** The sign words of a vector: ⌈dim/32⌉ longs, bit j of word w set iff
+    * vec[32w + j] > 0 (codegen map pass — the "encode" step).
+    */
+  def signWords(vec: Column, dim: Int): Seq[Column] =
+    (0 until (dim + WordBits - 1) / WordBits).map { w =>
+      graft.functions.signBits(vec, w * WordBits, math.min(WordBits, dim - w * WordBits))
+    }
+
+  /** Driver-side sign words of the query. */
+  def signWordsOf(queryVec: Array[Float]): Array[Long] =
+    queryVec.grouped(WordBits).map { grp =>
+      grp.zipWithIndex.foldLeft(0L) { case (acc, (x, j)) =>
+        if (x > 0.0f) acc | (1L << j) else acc
+      }
+    }.toArray
+
+  /** Hamming-candidate scan + exact re-rank (shape mirrors
+    * [[PqIndex.search]]: narrow integer TakeOrdered, then a by-id fetch
+    * of `rerank` raw vectors).
+    */
+  def search(emb: DataFrame, idCol: String, vecCol: String,
+             queryVec: Array[Float], k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k)
+    val qWords = signWordsOf(queryVec)
+    val words = signWords(col(vecCol), queryVec.length)
+    val ham = words.zip(qWords).map { case (w, qw) =>
+      call_function("bit_count", w.bitwiseXOR(lit(qw)))
+    }.reduceLeft(_ + _)
+    val candidates = emb
+      .select(col(idCol).as("id"), ham.as("ham"))
+      .orderBy(col("ham"), col("id"))
+      .limit(rerank)
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidates.join(vecs, "id")
+      .select(col("id"), vecL2(col("v"), typedLit(queryVec)).as("score"))
+      .orderBy(col("score"), col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))))
+      .select(col("rank"), col("id"), roundTo(col("score"), 4).as("value"))
+  }
+}
