@@ -583,6 +583,28 @@ object Oracles {
          |SELECT a_id, b_id, (round((j) * 10000.0) / 10000.0) AS jaccard
          |FROM p WHERE j >= 0.65 ORDER BY a_id, b_id""".stripMargin,
 
+    // winnowing (k=8, w=4): gram hashes re-derived with the identical
+    // base-31 mod-1e9+7 polynomial over the normalized chars, window
+    // minima, per-doc distinct, df-capped posting join — all integers.
+    "dedup_winnow" ->
+      """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(s) - 6), i ->
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(range(0, 8), j -> CAST(ascii(substr(s, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |          (a, c) -> (a * 31 + c) % 1000000007)) AS gh
+        |      FROM n WHERE len(s) >= 8),
+        |m AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(1, len(gh) - 3) + 1),
+        |        j -> list_min(list_slice(gh, CAST(j AS INT), CAST(j + 3 AS INT))))) AS fps FROM g),
+        |f AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+        |kept AS (SELECT fp FROM f GROUP BY fp HAVING count(*) >= 2 AND count(*) <= 20),
+        |fk AS (SELECT f.doc_id, f.fp FROM f JOIN kept USING (fp))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM fk a JOIN fk b USING (fp)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 5
+        |ORDER BY 1, 2""".stripMargin,
+
     // ================= C. text analysis =================
 
     "text_langid" ->

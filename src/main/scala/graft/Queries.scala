@@ -403,6 +403,14 @@ object Queries {
   def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPrefixPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Winnowing-fingerprint overlap pairs (MOSS): substring-level overlap
+    * detection — docs sharing ≥ 5 selected k-gram fingerprints (k=8,
+    * w=4, ubiquitous fingerprints df > 20 dropped) — see
+    * [[operators.Dedup.winnowPairs]].
+    */
+  def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
+    Dedup.winnowPairs(Tables.documents(spark, dir), "doc_id", "text")
+
   /** Canonical-doc assignment from minhash near-dup pairs (est ≥ 0.5):
     * every document maps to the min id of its duplicate cluster.
     */

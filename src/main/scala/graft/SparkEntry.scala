@@ -41,6 +41,7 @@ object SparkEntry {
     "dedup_simhash" -> (Queries.dedupSimhash _),
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_jaccard_prefix" -> (Queries.dedupJaccardPrefix _),
+    "dedup_winnow" -> (Queries.dedupWinnow _),
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_incremental" -> (Queries.dedupIncremental _),

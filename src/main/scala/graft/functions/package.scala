@@ -156,4 +156,10 @@ package object functions {
 
   /** Σ code-point length over ARRAY<STRING>, one codegen pass. */
   def sumStrLen(arr: Column): Column = col(SumStrLen(expr(arr)))
+
+  /** Winnowing fingerprint selection (sorted distinct window-min k-gram
+    * hashes) — see [[WinnowHashes]].
+    */
+  def winnowHashes(text: Column, k: Int, w: Int): Column =
+    col(WinnowHashes(expr(text), k, w))
 }

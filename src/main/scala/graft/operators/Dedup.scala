@@ -356,6 +356,46 @@ object Dedup {
     out
   }
 
+  /** Winnowing-fingerprint overlap pairs (Schleimer/Wilkerson/Aiken,
+    * SIGMOD 2003 — MOSS): documents reporting how many selected
+    * fingerprints they share. The winnowing guarantee makes this a
+    * SUBSTRING-overlap detector (any shared run of ≥ w + k − 1
+    * normalized chars is caught), complementing the set-similarity
+    * dedups — it finds partial plagiarism/quotation, not just
+    * whole-document near-duplicates.
+    *
+    * Scale shape: fingerprint selection is one codegen map pass keeping
+    * ~2/(w+1) of the grams ([[graft.functions.WinnowHashes]]); the
+    * posting-list join ships narrow (fp, id) rows, and the `maxDf` cap
+    * drops ubiquitous fingerprints (boilerplate grams) so no posting
+    * list exceeds maxDf — candidate work is Σ df² over RETAINED
+    * fingerprints, bounded per fp, never corpus². df bounds are exact
+    * integers; the pair count is an integer — nothing to round.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 4, maxDf: Int = 20, minShared: Int = 5): DataFrame = {
+    // same normalization chain as corpus_normalize (proven cross-engine)
+    val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
+    val fps = docs
+      .select(col(idCol).as("doc_id"), explode(winnowHashes(norm, k, w)).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kept = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("fp")
+    val filtered = fps.join(kept, "fp")
+    val result = filtered.select(col("fp"), col("doc_id").as("a_id"))
+      .join(filtered.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("a_id", "b_id")
+    // Materialize, then release the fingerprint cache (see minhashPairs).
+    val out = result.localCheckpoint(true)
+    fps.unpersist()
+    out
+  }
+
   /** Connected-component canonicalization: every doc maps to the smallest
     * id in its near-dup cluster (the step that turns candidate pairs
     * into an actual dedup decision). Min-label propagation — the Pregel
