@@ -813,6 +813,23 @@ object Oracles {
          |SELECT g.doc_id, count(*) AS n_shared FROM g JOIN ev USING (gram)
          |WHERE g.b < 80 GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
+    // overlapping token chunks: start offsets 0, 48, 96 … < n_tok, tail
+    // chunk short, digest = md5 of the space-joined chunk tokens.
+    "corpus_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start_tok
+         |      FROM t WHERE len(toks) > 0),
+         |ch AS (SELECT doc_id,
+         |         CAST(start_tok // 48 AS INT) AS chunk_idx,
+         |         CAST(start_tok AS INT) AS start_tok,
+         |         list_slice(toks, CAST(start_tok + 1 AS INT),
+         |                    CAST(least(start_tok + 64, len(toks)) AS INT)) AS chunk
+         |       FROM c)
+         |SELECT doc_id, chunk_idx, start_tok,
+         |  CAST(len(chunk) AS INT) AS n_toks,
+         |  md5(array_to_string(chunk, ' ')) AS digest
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
     // casefold + punctuation/whitespace collapse; the regex dialect
     // subset ([^a-z0-9]+) behaves identically in Java and DuckDB (same
     // construction as the tokenizer oracle).
@@ -1009,6 +1026,17 @@ object Oracles {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         |  count(*) AS n, (round((sum(value)) * 100.0) / 100.0) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // hopping windows: every event explodes into its 4 covering window
+    // slots (1 h window / 15 min hop); exact long 1e-4-unit sums.
+    "events_hopping" ->
+      """WITH x AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4 FROM events),
+        |h AS (SELECT event_type, v4,
+        |        ((t_us // 900000000) - r.range) * 900000000 AS win_start
+        |      FROM x, range(0, 4) r)
+        |SELECT win_start, event_type, count(*) AS n, CAST(sum(v4) AS BIGINT) AS sum_v4
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "events_topn" ->
       """SELECT event_type,

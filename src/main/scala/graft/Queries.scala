@@ -487,6 +487,13 @@ object Queries {
       .withColumn("n_chars", length(col("norm_text")))
       .orderBy("doc_id")
 
+  /** RAG/context chunking: 64-token chunks, stride 48 (16-token
+    * overlap) — see [[operators.Corpus.chunk]].
+    */
+  def corpusChunk(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.chunk(Tables.documents(spark, dir), "doc_id", "text",
+      chunkTokens = 64, strideTokens = 48)
+
   /** Test-set decontamination: train-split docs sharing a word 5-gram
     * with the held-out test split (broadcast eval-gram set).
     */
@@ -738,6 +745,26 @@ object Queries {
         .select("user_id"), "user_id",
       ev.where(col("event_type") === "view").select("user_id"), "user_id",
       mBits = 1 << 12, kHashes = 3)
+  }
+
+  /** Hopping (sliding) windows: 1-hour windows advancing every 15 min —
+    * each event lands in exactly 4 windows via a map-side explode of its
+    * window slots (no self-join, no range join); aggregates are exact
+    * 1e-4-unit long sums like [[eventsRollup]]. The overlap factor is
+    * the only cost multiplier, so the plan scales like the tumbling
+    * twin × window/hop.
+    */
+  def eventsHopping(spark: SparkSession, dir: String): DataFrame = {
+    val hopUs = 15L * 60 * 1000000
+    Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t_us"),
+        floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
+      .select(col("event_type"), col("v4"), expr(s"t_us div $hopUs").as("slot"),
+        explode(sequence(lit(0), lit(3))).as("back"))
+      .withColumn("win_start", (col("slot") - col("back")) * hopUs)
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+      .orderBy("win_start", "event_type")
   }
 
   /** Tumbling-window event aggregation (batch twin of the streaming path). */

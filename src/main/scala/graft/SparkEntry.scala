@@ -62,6 +62,7 @@ object SparkEntry {
     "corpus_stats" -> (Queries.corpusStats _),
     "corpus_quantiles" -> (Queries.corpusQuantiles _),
     "corpus_normalize" -> (Queries.corpusNormalize _),
+    "corpus_chunk" -> (Queries.corpusChunk _),
     "corpus_decontaminate" -> (Queries.corpusDecontaminate _),
     "corpus_tfidf" -> (Queries.corpusTfidf _),
     "corpus_bigram_lm" -> (Queries.corpusBigramLm _),
@@ -79,6 +80,7 @@ object SparkEntry {
     "events_hll" -> (Queries.eventsHll _),
     "events_bloom" -> (Queries.eventsBloom _),
     "events_windowed" -> (Queries.eventsWindowed _),
+    "events_hopping" -> (Queries.eventsHopping _),
     "events_topn" -> (Queries.eventsTopN _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_salted_agg" -> (Queries.eventsSaltedAgg _),

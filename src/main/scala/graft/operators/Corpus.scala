@@ -193,6 +193,34 @@ object Corpus {
       .orderBy("w1", "rank")
   }
 
+  /** Fixed-size overlapping token chunking — the RAG/context-window prep
+    * step (chunk size `chunkTokens`, stride `strideTokens`; overlap =
+    * size − stride). Start offsets explode map-side off the one
+    * tokenizer pass (no shuffle except the presentation sort); each
+    * chunk reports its token span and a content digest, the narrow form
+    * an embedding/indexing stage consumes. Deterministic by
+    * construction: offsets are 0, stride, 2·stride … < n_tok, the tail
+    * chunk may be short, every token is covered, and docs with zero
+    * tokens chunk to nothing.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int = 64, strideTokens: Int = 48): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1 && strideTokens <= chunkTokens,
+      "stride must not exceed chunk size (or tokens would be skipped)")
+    docs
+      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(strideTokens))).as("start_tok"))
+      .withColumn("chunk", slice(col("toks"), col("start_tok") + 1, lit(chunkTokens)))
+      .select(col("doc_id"),
+        (col("start_tok") / strideTokens).cast("int").as("chunk_idx"),
+        col("start_tok"),
+        size(col("chunk")).as("n_toks"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("digest"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 5, trainPct: Int = 80, testFrom: Int = 90): DataFrame = {
     require(n >= 2 && trainPct > 0 && testFrom >= trainPct,

@@ -60,4 +60,24 @@ class CorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("chunk: full coverage, stride offsets, bounded sizes, short tail only at the end") {
+    val tokCounts = docs.select(col("doc_id"),
+        size(graft.functions.wordTokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = Corpus.chunk(docs, "doc_id", "text", chunkTokens = 64, strideTokens = 48)
+      .collect().groupBy(_.getLong(0))
+    tokCounts.filter(_._2 > 0).foreach { case (id, n) =>
+      val rows = chunks(id).sortBy(_.getInt(1))
+      // offsets are exactly 0, 48, 96 … < n
+      assert(rows.map(_.getInt(2)).toSeq === (0 until n by 48).toSeq, s"doc $id")
+      // every chunk spans [start, min(start+64, n)) — so tokens are covered
+      rows.foreach { r =>
+        val (start, len) = (r.getInt(2), r.getInt(3))
+        assert(len === math.min(64, n - start), s"doc $id chunk at $start")
+      }
+    }
+    // docs with zero tokens produce no chunks
+    assert(chunks.keySet === tokCounts.filter(_._2 > 0).keySet)
+  }
 }
