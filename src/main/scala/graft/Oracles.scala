@@ -782,6 +782,29 @@ object Oracles {
          |SELECT w1, rank, w2, c12, c1, (round((c12 / c1) * 10000.0) / 10000.0) AS p
          |FROM sc WHERE rank <= 3 ORDER BY w1, rank""".stripMargin,
 
+    // bigram-LM doc scoring: the add-one model's per-bigram ln(p) fixed
+    // once to 1e-6 integers; per-doc totals are exact integer sums.
+    "corpus_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |u AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+         |g AS (SELECT doc_id, unnest(sh) AS gm FROM sh),
+         |db AS (SELECT doc_id, split_part(gm, ' ', 1) AS w1, split_part(gm, ' ', 2) AS w2,
+         |         count(*) AS nij
+         |       FROM g GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(sum(nij) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+         |c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |model AS (SELECT w1, w2,
+         |            CAST(floor(ln((c12 + 1.0) / (c1 + v)) * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |          FROM c2 JOIN c1t USING (w1) CROSS JOIN u),
+         |d AS (SELECT doc_id, CAST(sum(nij) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(nij * s6) AS BIGINT) AS ss
+         |      FROM db JOIN model USING (w1, w2) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  (round((ss / (n_bigrams * 1000000.0)) * 10000.0) / 10000.0) AS lm_score
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     // tf·idf with exact-rational idf: (tf·N)/df is ONE double division
     // of exact longs — identical bits in both engines, so rank order
     // and the 4-dp score can't knife-edge.

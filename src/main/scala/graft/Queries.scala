@@ -508,6 +508,13 @@ object Queries {
   def corpusBigramLm(spark: SparkSession, dir: String): DataFrame =
     operators.Corpus.bigramLm(Tables.documents(spark, dir), "text", k = 3)
 
+  /** Per-document mean bigram log-probability under the corpus's own
+    * add-one bigram LM (the CCNet perplexity-filter analog) — see
+    * [[operators.Corpus.lmScore]].
+    */
+  def corpusLmScore(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.lmScore(Tables.documents(spark, dir), "doc_id", "text")
+
   /** The composed end-to-end corpus pipeline in ONE query: cleaning
     * (language ∧ quality ∧ exact-dedup canonical) → deterministic
     * train/val/test split → per-split shard statistics (docs, BPE-ish

@@ -193,6 +193,47 @@ object Corpus {
       .orderBy("w1", "rank")
   }
 
+  /** Bigram-LM document scoring — the CCNet/KenLM-style quality filter:
+    * score every document by its mean log-probability under the
+    * corpus's own add-one-smoothed bigram model,
+    * p(w₂|w₁) = (c₁₂ + 1) / (c₁ + V). Junk (rare-bigram-heavy) docs
+    * score low; templated/fluent docs score high — the standard
+    * perplexity-based pretraining filter with the LM trained in the
+    * same query.
+    *
+    * Cross-engine exactness: each bigram's log-prob is fixed ONCE in
+    * the model table via floor(ln(p)·10⁶ + 0.5); per-doc totals are
+    * then exact integer sums (order-independent at any parallelism),
+    * divided a single time. Scale shape: doc-bigram instances collapse
+    * to per-doc distinct counts BEFORE joining the model (the join
+    * ships |distinct bigrams per doc| rows, not |tokens|), and the
+    * model itself is two partial aggregations bounded by observed
+    * vocab², never by corpus size.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+    val vDf = toks.select(explode(col("toks")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val db = toks
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("gm"))
+      .select(col("doc_id"),
+        substring_index(col("gm"), " ", 1).as("w1"),
+        substring_index(col("gm"), " ", -1).as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("nij"))
+    val c12 = db.groupBy("w1", "w2").agg(sum("nij").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val model = c12.join(c1, "w1").crossJoin(vDf)
+      .select(col("w1"), col("w2"),
+        floor(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))) * 1000000.0 + lit(0.5))
+          .cast("long").as("s6"))
+    db.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum("nij").as("n_bigrams"), sum(col("nij") * col("s6")).as("ss"))
+      .select(col("doc_id"), col("n_bigrams"),
+        roundTo(col("ss") / (col("n_bigrams") * lit(1000000.0)), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** Fixed-size overlapping token chunking — the RAG/context-window prep
     * step (chunk size `chunkTokens`, stride `strideTokens`; overlap =
     * size − stride). Start offsets explode map-side off the one

@@ -61,6 +61,16 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("lmScore: corpus-fluent docs outscore injected gibberish; identical docs tie") {
+    val s = spark; import s.implicits._
+    val fluent = (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val junk = Seq((99L, "zxqv gkjh wqpo mnbv asdf qwer tyui"))
+    val scores = Corpus.lmScore((fluent ++ junk).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(99L) < scores(1L), "gibberish must score below fluent text")
+    fluent.foreach { case (i, _) => assert(scores(i) === scores(1L)) }
+  }
+
   test("chunk: full coverage, stride offsets, bounded sizes, short tail only at the end") {
     val tokCounts = docs.select(col("doc_id"),
         size(graft.functions.wordTokens(col("text"))).as("n"))
