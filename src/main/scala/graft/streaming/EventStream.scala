@@ -35,6 +35,22 @@ object EventStream {
         unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Hopping 1-hour windows sliding every 15 min, per event_type: the
+    * streaming twin of Queries.eventsHopping — identical window
+    * membership (each event lands in 4 open windows), exact long
+    * 1e-4-unit sums; state = open windows × types, overlap factor 4,
+    * watermark-evicted like the tumbling case.
+    */
+  def hoppingAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 10000 + lit(0.5)).cast("long")).as("sum_v4"))
+      .select(
+        unix_micros(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_v4"))
+
   /** Watermarked exactly-once dedup by event_id (late duplicates beyond
     * the watermark are dropped by definition).
     */

@@ -102,6 +102,47 @@ class PlanSpec extends SparkSpec {
       s"gaps-and-islands must not re-shuffle per stage:\n$p")
   }
 
+  test("ann_binary: hamming candidate stage is a TakeOrdered over sign words") {
+    val p = plan(Queries.annBinary(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"hamming top-rerank must be a bounded heap:\n$p")
+    assert(p.contains("sign_bits"), "candidate scan must rank on the packed sign words")
+  }
+
+  test("q6: every predicate reaches the parquet scan, schema prunes to two columns") {
+    val p = plan(Queries.q6Forecast(spark, sf001))
+    val pushed = "PushedFilters: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), s"all three predicates must push down: $pushed")
+    val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"),
+      s"scan must prune to the used columns: $readSchema")
+  }
+
+  test("hll: register state is a two-level partial aggregation (map-side combine)") {
+    val p = plan(Queries.eventsHll(spark, sf001))
+    assert(p.contains("partial_max"), "register max must combine map-side")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-key register sum must combine map-side")
+  }
+
+  test("bloom: the set-bit table broadcasts; probes never shuffle for the verdict join") {
+    val p = plan(Queries.eventsBloom(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"bit table must broadcast:\n$p")
+  }
+
+  test("hopping windows: map-side explode + partial agg, one key exchange") {
+    val p = plan(Queries.eventsHopping(spark, sf001))
+    assert(p.contains("partial_sum"), "window sums must combine map-side")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2, // agg hash + presentation range
+      s"slot explode must not add exchanges:\n$p")
+  }
+
+  test("chunk: one scan, no exchange except the presentation sort") {
+    val p = plan(Queries.corpusChunk(spark, sf001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, s"chunking must be map-side:\n$p")
+  }
+
   test("column pruning: fingerprint scan reads only (doc_id, text)") {
     val p = plan(Queries.textFingerprint(spark, sf001))
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")

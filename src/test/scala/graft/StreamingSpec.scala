@@ -48,6 +48,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hoppingAgg equals the batch hopping query's window membership") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val stream = MemoryStream[Ev]
+    val q = EventStream.hoppingAgg(stream.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hopagg").outputMode("complete").start()
+    try {
+      stream.addData(sample.take(4))
+      q.processAllAvailable()
+      stream.addData(sample.drop(4))
+      q.processAllAvailable()
+
+      val streamed = s.table("hopagg")
+        .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+      // batch twin computed the explode way (the Queries.eventsHopping plan)
+      val hopUs = 15L * 60 * 1000000
+      val batch = sample.toDF()
+        .select(col("event_type"), unix_micros(col("ts")).as("t_us"),
+          floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
+        .select(col("event_type"), col("v4"), expr(s"t_us div $hopUs").as("slot"),
+          explode(sequence(lit(0), lit(3))).as("back"))
+        .withColumn("win_start", (col("slot") - col("back")) * hopUs)
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+        .orderBy("win_start", "event_type").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      // every event appears in exactly 4 windows
+      assert(streamed.map(_(2).asInstanceOf[Long]).sum === 4L * sample.size)
+    } finally q.stop()
+  }
+
   test("watermarked dedupByEventId collapses replayed event_ids") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
