@@ -3,20 +3,23 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{IvfIndex, Knn, LshIndex, Upsert}
+import graft.operators.{BinaryIndex, IvfIndex, Knn, LshIndex, Upsert}
 
 /** Index kinds, mirroring the reference's `IndexType`
   * (reference: src/core/index_factory.rs:72-168). `FLAT` is exact brute
   * force in both engines; the reference's two ANN graph backends (HNSW,
   * USEARCH) map to the distributed ANN layouts with the same contract —
-  * approximate k-NN with tunable recall: `IVF` (cluster pruning) and
-  * `LSH` (hyperplane buckets).
+  * approximate k-NN with tunable recall: `IVF` (cluster pruning),
+  * `LSH` (hyperplane buckets), and `BINARY` (training-free sign-bit
+  * hamming candidates + exact re-rank, the faiss IndexBinaryFlat
+  * analog).
   */
 sealed trait IndexType
 object IndexType {
   case object FLAT extends IndexType
   case object IVF extends IndexType
   case object LSH extends IndexType
+  case object BINARY extends IndexType
 }
 
 /** reference: src/core/index_factory.rs:41-48 (L2, InnerProduct) + the
@@ -50,8 +53,10 @@ case class IndexParams(
     ivfClusters: Int = 16,
     nprobe: Int = 4,
     lshBits: Int = 4,
-    lshRadius: Int = 1) {
-  require(ivfClusters >= 1 && nprobe >= 1 && lshBits >= 1 && lshRadius >= 0,
+    lshRadius: Int = 1,
+    binaryRerank: Int = 100) {
+  require(ivfClusters >= 1 && nprobe >= 1 && lshBits >= 1 && lshRadius >= 0
+      && binaryRerank >= 1,
     "index params must be positive (lshRadius may be 0)")
 }
 
@@ -220,6 +225,12 @@ class VectorIndex private (
         } else
           LshIndex.search(base, "id", "vectors", planes, vector, k,
             radius = params.lshRadius, metric = key.metricType.name)
+      case IndexType.BINARY =>
+        // training-free: sign words recompute map-side on every search,
+        // so there is no layout column to preserve or reload (and the
+        // empty state degrades for free — no fitted artifact to miss)
+        BinaryIndex.search(base, "id", "vectors", vector, k,
+          rerank = math.max(k, params.binaryRerank), metric = key.metricType.name)
     }
 
   /** k-NN GRAPH over the whole index: every vector's top-k neighbors in
@@ -252,8 +263,10 @@ class VectorIndex private (
   def save(path: String): Unit = {
     import spark.implicits._
     Seq((key.indexType.toString, key.dim, key.metricType.name,
-        params.ivfClusters, params.nprobe, params.lshBits, params.lshRadius))
-      .toDF("index_type", "dim", "metric", "ivf_clusters", "nprobe", "lsh_bits", "lsh_radius")
+        params.ivfClusters, params.nprobe, params.lshBits, params.lshRadius,
+        params.binaryRerank))
+      .toDF("index_type", "dim", "metric", "ivf_clusters", "nprobe", "lsh_bits",
+        "lsh_radius", "binary_rerank")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     key.indexType match {
       case IndexType.IVF =>
@@ -269,7 +282,10 @@ class VectorIndex private (
         if (bare.isEmpty) bare.write.mode("overwrite").parquet(s"$path/data")
         else LshIndex.writePartitioned(bare, "vectors",
           LshIndex.planes(nBits = params.lshBits, dim = key.dim, seed = 42L), s"$path/data")
-      case IndexType.FLAT =>
+      case IndexType.FLAT | IndexType.BINARY =>
+        // BINARY's sign words are a training-free map-side derivation, so
+        // the persisted form is just the data (a hamming scan reads every
+        // row anyway — there is no pruning layout to materialize)
         bare.write.mode("overwrite").parquet(s"$path/data")
     }
   }
@@ -298,10 +314,11 @@ object VectorIndex {
   def load(spark: SparkSession, path: String): VectorIndex = {
     val m = spark.read.parquet(s"$path/meta").collect().head
     val indexType = m.getAs[String]("index_type") match {
-      case "FLAT" => IndexType.FLAT
-      case "IVF"  => IndexType.IVF
-      case "LSH"  => IndexType.LSH
-      case other  => throw new IllegalArgumentException(s"unknown index_type $other")
+      case "FLAT"   => IndexType.FLAT
+      case "IVF"    => IndexType.IVF
+      case "LSH"    => IndexType.LSH
+      case "BINARY" => IndexType.BINARY
+      case other    => throw new IllegalArgumentException(s"unknown index_type $other")
     }
     val metric = m.getAs[String]("metric") match {
       case "l2"     => Metric.L2
@@ -310,7 +327,8 @@ object VectorIndex {
       case other    => throw new IllegalArgumentException(s"unknown metric $other")
     }
     val params = IndexParams(m.getAs[Int]("ivf_clusters"), m.getAs[Int]("nprobe"),
-      m.getAs[Int]("lsh_bits"), m.getAs[Int]("lsh_radius"))
+      m.getAs[Int]("lsh_bits"), m.getAs[Int]("lsh_radius"),
+      m.getAs[Int]("binary_rerank"))
     val state = spark.read.parquet(s"$path/data")
     val centroids =
       if (indexType == IndexType.IVF && state.columns.contains("cluster"))

@@ -244,11 +244,13 @@ object BinaryIndex {
     }.toArray
 
   /** Hamming-candidate scan + exact re-rank (shape mirrors
-    * [[PqIndex.search]]: narrow integer TakeOrdered, then a by-id fetch
-    * of `rerank` raw vectors).
+    * [[PqIndex.search]]: narrow integer TakeOrdered, then the exact
+    * metric over the `rerank` survivors only, fetched by id via a
+    * broadcast semi-join).
     */
   def search(emb: DataFrame, idCol: String, vecCol: String,
-             queryVec: Array[Float], k: Int, rerank: Int): DataFrame = {
+             queryVec: Array[Float], k: Int, rerank: Int,
+             metric: String = "l2"): DataFrame = {
     require(rerank >= k)
     val qWords = signWordsOf(queryVec)
     val words = signWords(col(vecCol), queryVec.length)
@@ -256,16 +258,11 @@ object BinaryIndex {
       call_function("bit_count", w.bitwiseXOR(lit(qw)))
     }.reduceLeft(_ + _)
     val candidates = emb
-      .select(col(idCol).as("id"), ham.as("ham"))
-      .orderBy(col("ham"), col("id"))
+      .select(col(idCol).as("cand_id"), ham.as("ham"))
+      .orderBy(col("ham"), col("cand_id"))
       .limit(rerank)
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    candidates.join(vecs, "id")
-      .select(col("id"), vecL2(col("v"), typedLit(queryVec)).as("score"))
-      .orderBy(col("score"), col("id"))
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("score"), col("id"))))
-      .select(col("rank"), col("id"), roundTo(col("score"), 4).as("value"))
+      .select("cand_id")
+    val pruned = emb.join(broadcast(candidates), col(idCol) === col("cand_id"), "leftsemi")
+    Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
   }
 }

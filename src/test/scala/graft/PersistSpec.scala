@@ -140,8 +140,8 @@ class PersistSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 5)
   }
 
-  test("empty index save -> load round trip (FLAT, IVF and LSH degrade cleanly)") {
-    for (kind <- Seq(IndexType.FLAT, IndexType.IVF, IndexType.LSH)) {
+  test("empty index save -> load round trip (FLAT, IVF, LSH and BINARY degrade cleanly)") {
+    for (kind <- Seq(IndexType.FLAT, IndexType.IVF, IndexType.LSH, IndexType.BINARY)) {
       val idx = VectorIndex.create(spark, kind, 2, Metric.L2)
       val path = tmp(s"graft-empty-$kind")
       idx.save(path)
@@ -149,6 +149,27 @@ class PersistSpec extends SparkSpec {
       assert(re.count === 0L)
       assert(re.search(Array(1f, 0f), 3).collect().isEmpty)
     }
+  }
+
+  test("VectorIndex BINARY save -> load round trip; rerank ≥ n equals FLAT") {
+    var bin = VectorIndex.create(spark, IndexType.BINARY, 4, Metric.L2,
+      IndexParams(binaryRerank = 1000))
+    var flat = VectorIndex.create(spark, IndexType.FLAT, 4, Metric.L2)
+    val rnd = new scala.util.Random(3)
+    for (i <- 0L until 30L) {
+      val v = Array.fill(4)(rnd.nextGaussian().toFloat)
+      bin = bin.insert(i, v); flat = flat.insert(i, v)
+    }
+    val q = Array(0.5f, -0.5f, 0.25f, 0f)
+    // rerank covers the whole table ⇒ the hamming cut excludes nothing
+    assert(bin.search(q, 5).collect().map(_.toSeq).toSeq
+      === flat.search(q, 5).collect().map(_.toSeq).toSeq)
+    val path = tmp("graft-vidx-binary")
+    bin.save(path)
+    val re = VectorIndex.load(spark, path)
+    assert(re.key === bin.key && re.params === bin.params)
+    assert(re.search(q, 5).collect().map(_.toSeq).toSeq
+      === bin.search(q, 5).collect().map(_.toSeq).toSeq)
   }
 
   test("VectorIndex FLAT save -> load round trip") {
