@@ -176,7 +176,8 @@ object Oracles {
     * id), nprobe probe pruning, exact L2 re-rank — the DuckDB twin of
     * [[operators.IvfIndex.search]] given the same centroids.
     */
-  private def ivfSql(centroids: Array[Array[Float]], queryId: Long, k: Int, nprobe: Int): String =
+  private def ivfSql(centroids: Array[Array[Float]], queryId: Long, k: Int, nprobe: Int,
+                     andWhere: String = ""): String =
     s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
        |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
@@ -186,7 +187,7 @@ object Oracles {
        |probe AS (SELECT c.cid FROM cents c, q ORDER BY ${l2sq("q.qv", "c.cv")}, c.cid LIMIT $nprobe),
        |d AS (SELECT e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score
        |      FROM embeddings e JOIN cl ON cl.vec_id = e.vec_id, q
-       |      WHERE cl.cid IN (SELECT cid FROM probe))
+       |      WHERE cl.cid IN (SELECT cid FROM probe)$andWhere)
        |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
        |       (round((score) * 10000.0) / 10000.0) AS value
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
@@ -383,6 +384,11 @@ object Oracles {
       "knn_join_ivf" -> knnJoinSql(centroids, k = 3),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
+      // the reference's filtered ANN search (hnsw_index.rs
+      // search_vectors_filter): same centroids, label predicate ANDed
+      // into the pruned scan — filter and probe compose.
+      "filtered_ann_ivf" -> ivfSql(centroids, queryId = 12L, k = 10, nprobe = 4,
+        andWhere = " AND e.label = 2"),
       "dedup_embedding" -> embeddingLshSql(dedupPlanes, minCosine = 0.35))
   }
 

@@ -167,6 +167,23 @@ object Queries {
       centroids, queryVec(spark, dir, 2L), k = 10, nprobe = 4, metric = "l2")
   }
 
+  /** Metadata-filtered approximate search — the reference's
+    * `search_vectors_filter` (hnsw_index.rs) composed with the IVF
+    * layout: the label predicate AND the nprobe cluster filter both
+    * reach the scan, so at scale the read is (matching partitions) ∩
+    * (probed clusters) — pruning composes, it doesn't pick one.
+    * Centroids are fit on the FULL table (the filter narrows the
+    * search, not the index); the parameter-literal oracle mirrors both
+    * predicates.
+    */
+  def filteredAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    operators.IvfIndex.search(emb.where(col("label") === 2),
+      "vec_id", "embedding", centroids,
+      queryVec(spark, dir, 12L), k = 10, nprobe = 4, metric = "l2")
+  }
+
   /** LSH-bucketed ANN: 4 seeded hyperplanes (16 buckets), multi-probe
     * Hamming radius 1 (5 of 16 buckets), exact re-rank. Rows-only driver
     * check; behavior properties in AnnSpec.

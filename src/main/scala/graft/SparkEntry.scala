@@ -29,6 +29,7 @@ object SparkEntry {
     "ann_binary" -> (Queries.annBinary _),
     "knn_range" -> (Queries.knnRange _),
     "filtered_knn_eq" -> (Queries.filteredKnnEq _),
+    "filtered_ann_ivf" -> (Queries.filteredAnnIvf _),
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),
     "upsert" -> (Queries.upsert _),
     "delete_ids" -> (Queries.deleteIds _),
