@@ -470,6 +470,40 @@ object Oracles {
          |SELECT id, (round((score) * 10000.0) / 10000.0) AS value
          |FROM d WHERE score <= 1.25 ORDER BY score, id""".stripMargin,
 
+    // CDC fold: per key the highest (ver, op, payload) change wins;
+    // surviving 'D' rows tombstone; unchanged base rows pass through.
+    "cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT vec_id, 1 AS ver, 'U' AS op, label + 50 AS label FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL SELECT vec_id, 2, 'U', label + 60 FROM embeddings WHERE vec_id % 20 = 0
+        |  UNION ALL SELECT vec_id, 3, 'D', -1 FROM embeddings WHERE vec_id % 30 = 0
+        |  UNION ALL SELECT vec_id + 2000000, 1, 'I', -7 FROM embeddings WHERE vec_id % 97 = 0),
+        |latest AS (SELECT vec_id, op, label FROM ch
+        |           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY ver DESC, op DESC, label DESC) = 1)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT vec_id FROM latest)
+        |UNION ALL SELECT vec_id, label FROM latest WHERE op <> 'D'
+        |ORDER BY vec_id""".stripMargin,
+
+    // per-(label, dim) exact 1e-6-fixed component sums, one division.
+    "vector_centroids" ->
+      """SELECT label, dd.range - 1 AS d, count(*) AS n,
+        |  (round((CAST(sum(CAST(floor(CAST(embedding[dd.range] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+        |          / (count(*) * 1000000.0)) * 10000.0) / 10000.0) AS mean
+        |FROM embeddings CROSS JOIN range(1, 65) dd
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // per-label top-2 by (distance, id) — identical sequential double
+    // arithmetic, rank within group.
+    "knn_per_label" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 13),
+         |d AS (SELECT e.label, e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q)
+         |SELECT label,
+         |       CAST(row_number() OVER (PARTITION BY label ORDER BY score, id) AS INT) AS rank,
+         |       id, (round((score) * 10000.0) / 10000.0) AS value
+         |FROM d QUALIFY rank <= 2 ORDER BY label, rank""".stripMargin,
+
     "upsert" ->
       """WITH upd AS (
         |  SELECT vec_id, label + 100 AS label FROM embeddings WHERE vec_id % 7 = 0

@@ -363,6 +363,54 @@ object Queries {
     Upsert.delete(emb, victims, "vec_id").orderBy("vec_id")
   }
 
+  /** CDC batch apply — the reference's three mutation verbs (insert /
+    * upsert / delete) as one change log folded into the state in a
+    * single MERGE-shaped pass ([[Upsert.applyCdc]]): per key the
+    * highest-version change wins; surviving D rows tombstone. The
+    * synthetic log exercises all three verbs plus intra-batch
+    * versioning (vec_id%20 keys carry TWO updates — v2 must win;
+    * vec_id%30 keys end deleted; %97 keys insert fresh ids).
+    */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "label")
+    val u1 = emb.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), lit(1L).as("ver"), lit("U").as("op"), (col("label") + 50).as("label"))
+    val u2 = emb.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), lit(2L).as("ver"), lit("U").as("op"), (col("label") + 60).as("label"))
+    val del = emb.where(col("vec_id") % 30 === 0)
+      .select(col("vec_id"), lit(3L).as("ver"), lit("D").as("op"), lit(-1).as("label"))
+    val ins = emb.where(col("vec_id") % 97 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"), lit(1L).as("ver"), lit("I").as("op"), lit(-7).as("label"))
+    Upsert.applyCdc(emb, u1.unionAll(u2).unionAll(del).unionAll(ins), "vec_id", "ver")
+      .orderBy("vec_id")
+  }
+
+  /** Per-label class centroids of the embedding table (cluster
+    * prototypes / per-class mean vectors): each float component fixed
+    * to an exact 1e-6 long once, per-(label, dim) sums exact in any
+    * aggregation order, ONE division at the end — the posexplode is
+    * map-side and the only shuffle is the (label, dim) partial agg,
+    * ≤ |labels|·dim rows at any table size.
+    */
+  def vectorCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * 1000000.0 + lit(0.5)).cast("long")).as("s6"))
+      .select(col("label"), col("d"), col("n"),
+        roundTo(col("s6") / (col("n") * lit(1000000.0)), 4).as("mean"))
+      .orderBy("label", "d")
+
+  /** Diversity retrieval: top-2 nearest per label for one query — see
+    * [[operators.Knn.searchGrouped]] (bounded-heap per group, never a
+    * full per-group sort).
+    */
+  def knnPerLabel(spark: SparkSession, dir: String): DataFrame =
+    Knn.searchGrouped(Tables.embeddings(spark, dir), "vec_id", "embedding", "label",
+        queryVec(spark, dir, 13L), k = 2, metric = "l2")
+      .orderBy("label", "rank")
+
   /** Point lookup (reference: query_handle.rs — get document by id). */
   def queryById(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)

@@ -33,6 +33,9 @@ object SparkEntry {
     "filtered_knn_ne" -> (Queries.filteredKnnNe _),
     "upsert" -> (Queries.upsert _),
     "delete_ids" -> (Queries.deleteIds _),
+    "cdc_apply" -> (Queries.cdcApply _),
+    "vector_centroids" -> (Queries.vectorCentroids _),
+    "knn_per_label" -> (Queries.knnPerLabel _),
     "query_by_id" -> (Queries.queryById _),
     "filter_index_build" -> (Queries.filterIndexBuild _),
     "index_stats" -> (Queries.indexStats _),

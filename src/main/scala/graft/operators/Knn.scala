@@ -121,6 +121,36 @@ object Knn {
         roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
   }
 
+  /** Per-group top-k for one query — the diversity-retrieval shape
+    * ("best k per label/source/shard" instead of a single global list):
+    * the same [[TopKNeighbors]] bounded-heap partial aggregation keyed
+    * by the group column, so the shuffle is O(groups × k) heaps and no
+    * group is ever sorted whole (a window row_number would sort every
+    * group's full candidate set at scale).
+    */
+  def searchGrouped(
+      base: DataFrame,
+      idCol: String,
+      vecCol: String,
+      groupCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      metric: String): DataFrame = {
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
+    val flip = metric == "ip" || metric == "cosine"
+    base
+      .select(col(groupCol), col(idCol).as("id"),
+        score(metric, col(vecCol), typedLit(queryVec)).as("dist"))
+      .groupBy(col(groupCol))
+      .agg(topk(col("id"), col("dist")).as("nn"))
+      .select(col(groupCol), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col(groupCol),
+        (col("pos") + 1).as("rank"),
+        col("n.id").as("id"),
+        roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+  }
+
   /** IVF-accelerated batch k-NN — the 100 TB batch-ANN shape: the base
     * table gets a cluster column (codegen map pass; at real scale the
     * parquet partition key), each query row explodes to its nprobe probe

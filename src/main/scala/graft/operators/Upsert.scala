@@ -49,4 +49,31 @@ object Upsert {
     */
   def delete(base: DataFrame, ids: DataFrame, key: String): DataFrame =
     base.join(ids.select(col(key)), Seq(key), "left_anti")
+
+  /** Apply a CDC batch — the generalized mutation log the reference's
+    * three verbs (insert/upsert/delete) produce, folded into the state
+    * in ONE pass: `changes` carries (key, `ordCol` version, `op` ∈
+    * I/U/D, payload…); per key the HIGHEST version wins (ties broken by
+    * op then payload, deterministically), a surviving D tombstones the
+    * key, anything else replaces/creates it. Shape: one window over the
+    * (small) change batch + one anti join on the key — the MERGE INTO
+    * WHEN MATCHED/NOT MATCHED/DELETE pattern with no per-row loop.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, key: String, ordCol: String): DataFrame = {
+    val cols = base.columns.toSeq
+    require(changes.columns.toSeq == Seq(key, ordCol, "op") ++ cols.filterNot(_ == key),
+      s"changes must be ($key, $ordCol, op, <payload>)")
+    val rest = cols.filterNot(_ == key)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ordCol).desc +: col("op").desc +:
+        (if (rest.isEmpty) Nil else Seq(struct(rest.map(col): _*).desc)): _*)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn", ordCol)
+    val applied = latest.where(col("op") =!= "D").drop("op").select(cols.map(col): _*)
+    base.join(latest.select(col(key)), Seq(key), "left_anti")
+      .select(cols.map(col): _*)
+      .unionAll(applied)
+  }
 }

@@ -68,6 +68,38 @@ class KnnSpec extends SparkSpec {
     assert(left === Set(1L, 3L))
   }
 
+  test("applyCdc: highest version wins, D tombstones, I creates, base passes through") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val changes = Seq(
+      (2L, 1L, "U", "b1"), (2L, 2L, "U", "b2"),   // two versions: v2 wins
+      (3L, 1L, "U", "c1"), (3L, 2L, "D", "-"),    // update then delete: gone
+      (4L, 2L, "D", "-"), (4L, 1L, "U", "d1"),    // delete is the later version
+      (9L, 1L, "I", "z")                          // fresh insert
+    ).toDF("k", "ver", "op", "v")
+    val got = Upsert.applyCdc(base, changes, "k", "ver").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a", 2L -> "b2", 9L -> "z"))
+  }
+
+  test("searchGrouped equals the window-ranked brute force per group") {
+    val emb = Tables.embeddings(spark, sf001).cache()
+    val qv = emb.where(col("vec_id") === 13L).select("embedding").first().getSeq[Float](0).toArray
+    val got = Knn.searchGrouped(emb, "vec_id", "embedding", "label", qv, k = 2, metric = "l2")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(col("score"), col("id"))
+    val expected = emb.select(col("label"), col("vec_id").as("id"),
+        graft.functions.vecL2(col("embedding"),
+          org.apache.spark.sql.functions.typedLit(qv)).as("score"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= 2)
+      .select(col("label"), col("rank"), col("id"),
+        graft.functions.roundTo(col("score"), 4).as("value"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected)
+    emb.unpersist()
+  }
+
   test("upsert merge rejects mismatched schemas") {
     val s = spark; import s.implicits._
     val base = Seq((1L, "a")).toDF("k", "v")
