@@ -1090,6 +1090,38 @@ object Oracles {
         |  count(*) AS n, (round((sum(value)) * 100.0) / 100.0) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // fixed-size stratified sample: deterministic hash rank per stratum.
+    "events_stratified" ->
+      s"""WITH h AS (SELECT event_type, event_id, user_id,
+         |             ${tokenHash60("'strat:' || CAST(event_id AS VARCHAR)")} AS h FROM events)
+         |SELECT event_type,
+         |       CAST(row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS INT) AS pick,
+         |       event_id, user_id
+         |FROM h QUALIFY pick <= 50 ORDER BY event_type, pick""".stripMargin,
+
+    // histogram sketch: exact integer bins of the 1e-4-fixed value,
+    // midpoint estimate at the ⌈n/2⌉ cumulative bin, exact rank-selected
+    // median alongside.
+    "events_histogram" ->
+      """WITH x AS (SELECT event_type, event_id,
+        |             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4 FROM events),
+        |b AS (SELECT event_type, v4 // 100000 AS bin, count(*) AS c FROM x GROUP BY 1, 2),
+        |e AS (SELECT event_type, bin, c,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |        sum(c) OVER (PARTITION BY event_type) AS n,
+        |        count(*) OVER (PARTITION BY event_type) AS nb
+        |      FROM b),
+        |est AS (SELECT event_type, max(n) AS n_events, max(nb) AS n_bins, min(bin) AS p50_bin
+        |        FROM e WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |r AS (SELECT event_type, event_id, v4,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY v4, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS n FROM x),
+        |ex AS (SELECT event_type, (round((v4 / 10000.0) * 10000.0) / 10000.0) AS p50_exact
+        |       FROM r WHERE rn = (n + 1) // 2)
+        |SELECT est.event_type, est.n_events, est.n_bins, ex.p50_exact,
+        |       est.p50_bin * 10.0 + 5.0 AS p50_est
+        |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin,
+
     // hopping windows: every event explodes into its 4 covering window
     // slots (1 h window / 15 min hop); exact long 1e-4-unit sums.
     "events_hopping" ->

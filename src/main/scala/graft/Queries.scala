@@ -819,6 +819,62 @@ object Queries {
       mBits = 1 << 12, kHashes = 3)
   }
 
+  /** Fixed-size stratified sample: exactly min(n, 50) events per
+    * event_type, chosen by deterministic hash rank (NOT by time or
+    * value — the hash decorrelates the sample from every attribute).
+    * Complements rate-based [[corpusSample]]: rates give proportions,
+    * this gives a hard per-stratum budget (the eval-set shape).
+    * Window rank over the hash runs per stratum; at scale the same cut
+    * is the bounded-heap TakeOrdered per group ([[operators.Knn]]'s
+    * aggregator) — 5 strata here keeps the window form readable.
+    */
+  def eventsStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = tokenHash60(concat(lit("strat:"), col("event_id").cast("string")))
+    val w = Window.partitionBy("event_type").orderBy(col("h"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 50)
+      .select(col("event_type"), col("rn").as("pick"), col("event_id"), col("user_id"))
+      .orderBy("event_type", "pick")
+  }
+
+  /** Equi-width histogram sketch of `value` per event type, with the
+    * bin-estimated median NEXT TO the exact rank-selected median — the
+    * fixed-memory quantile-sketch artifact (t-digest/KLL's job) in
+    * deterministic form: bins are exact integer buckets of the
+    * 1e-4-fixed value (width 10.0), the estimate is the midpoint of the
+    * first bin whose cumulative count reaches ⌈n/2⌉. Bin state is
+    * ≤ range/width rows per type at ANY input size (the sketch
+    * promise); the exact leg is what it replaces at scale.
+    */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("event_id"),
+      floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
+    val bins = ev.withColumn("bin", expr("v4 div 100000"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("event_type").orderBy("bin")
+    val tot = Window.partitionBy("event_type")
+    val est = bins
+      .withColumn("cum", sum("c").over(wcum))
+      .withColumn("n", sum("c").over(tot))
+      .withColumn("nb", count(lit(1)).over(tot))
+      .where(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("event_type")
+      .agg(max("n").as("n_events"), max("nb").as("n_bins"), min("bin").as("p50_bin"))
+      .select(col("event_type"), col("n_events"), col("n_bins"),
+        (col("p50_bin") * 10.0 + 5.0).as("p50_est"))
+    val wrank = Window.partitionBy("event_type").orderBy("v4", "event_id")
+    val exact = ev
+      .withColumn("rn", row_number().over(wrank))
+      .withColumn("n", count(lit(1)).over(tot))
+      .where(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), roundTo(col("v4") / 10000.0, 4).as("p50_exact"))
+    est.join(exact, "event_type")
+      .select("event_type", "n_events", "n_bins", "p50_exact", "p50_est")
+      .orderBy("event_type")
+  }
+
   /** Hopping (sliding) windows: 1-hour windows advancing every 15 min —
     * each event lands in exactly 4 windows via a map-side explode of its
     * window slots (no self-join, no range join); aggregates are exact

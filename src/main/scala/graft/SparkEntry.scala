@@ -84,6 +84,8 @@ object SparkEntry {
     "q10_returns" -> (Queries.q10Returns _),
     "events_hll" -> (Queries.eventsHll _),
     "events_bloom" -> (Queries.eventsBloom _),
+    "events_histogram" -> (Queries.eventsHistogram _),
+    "events_stratified" -> (Queries.eventsStratified _),
     "events_windowed" -> (Queries.eventsWindowed _),
     "events_hopping" -> (Queries.eventsHopping _),
     "events_topn" -> (Queries.eventsTopN _),
