@@ -954,6 +954,21 @@ object Oracles {
         |  md5(substr(text, CAST(frame_off + 1 AS INT), 32)) AS frame_digest
         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // frame-fingerprint near-dup: same stride sampling as
+    // multimodal_frames, distinct digests per doc, df-capped posting join.
+    "multimodal_neardup" ->
+      """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
+        |        octet_length(encode(text)) % 16 + 1 AS n_frames FROM documents),
+        |x AS (SELECT doc_id,
+        |        md5(substr(text, CAST(r.range * (n_bytes // n_frames) + 1 AS INT), 32)) AS fd
+        |      FROM f, range(0, 16) r WHERE r.range < n_frames),
+        |fr AS (SELECT DISTINCT doc_id, fd FROM x),
+        |kept AS (SELECT fd FROM fr GROUP BY fd HAVING count(*) >= 2 AND count(*) <= 20),
+        |fk AS (SELECT fr.doc_id, fr.fd FROM fr JOIN kept USING (fd))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM fk a JOIN fk b USING (fd) WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
     // decode-stub features re-derived independently: 8-bucket byte
     // histogram (top 3 bits; text is pure ASCII so ascii(char) = byte),
     // normalized in FLOAT32 (DuckDB FLOAT/FLOAT division = JVM float
@@ -1089,6 +1104,25 @@ object Oracles {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
         |  count(*) AS n, (round((sum(value)) * 100.0) / 100.0) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // incremental-view merge must equal the plain full aggregation —
+    // the oracle IS the recompute, proving merge(partials) ≡ full.
+    "events_windowed_merge" ->
+      """WITH x AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
+        |             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4 FROM events)
+        |SELECT hour_start, event_type, count(*) AS n, CAST(sum(v4) AS BIGINT) AS sum_v4
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // z-order interleave re-derived bit by bit in integer arithmetic.
+    "layout_zorder" ->
+      """WITH x AS (SELECT event_id, user_id,
+        |             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num
+        |           FROM events)
+        |SELECT event_id, user_id, day_num,
+        |  CAST(list_sum(list_transform(range(0, 16), i ->
+        |    (((user_id % 65536) >> i) & 1) * (1::BIGINT << (2 * i)) +
+        |    (((day_num % 65536) >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS z
+        |FROM x ORDER BY z, event_id""".stripMargin,
 
     // fixed-size stratified sample: deterministic hash rank per stratum.
     "events_stratified" ->

@@ -671,6 +671,31 @@ object Queries {
         md5(col("frame")).as("frame_digest"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Multimodal near-duplicate pairs by shared frame fingerprints: two
+    * media items are near-dups when ≥ 2 of their sampled-frame digests
+    * coincide (ubiquitous frames, digest df > 20, dropped — intro/outro
+    * boilerplate). The video-dedup shape: frames come from the same
+    * stride sampling as [[multimodalFrames]], the pair join ships only
+    * narrow (digest, id) posting rows with df-bounded lists — the
+    * frame-level twin of [[dedupWinnow]]'s text postings.
+    */
+  def multimodalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = multimodalFrames(spark, dir)
+      .select(col("doc_id"), col("frame_digest").as("fd"))
+      .distinct()
+    val kept = frames.groupBy("fd").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= 20)
+      .select("fd")
+    val filtered = frames.join(kept, "fd")
+    filtered.select(col("fd"), col("doc_id").as("a_id"))
+      .join(filtered.select(col("fd"), col("doc_id").as("b_id")), Seq("fd"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 2)
+      .orderBy("a_id", "b_id")
+  }
+
   /** The multimodal → vector bridge: payloads decode partition-wise
     * ([[operators.Multimodal.decode]] — the mapInPandas-shaped path) to
     * an 8-dim feature sketch, and the sketches feed the exact k-NN
@@ -895,6 +920,29 @@ object Queries {
       .orderBy("win_start", "event_type")
   }
 
+  /** Incremental view maintenance: the materialized hourly aggregate
+    * (over 90% of the stream) merged with a new micro-batch's partial
+    * aggregate (the other 10%) by RE-AGGREGATING THE PARTIALS — counts
+    * and exact long sums are commutative monoids, so the merge never
+    * rescans the base data. The oracle is the plain full aggregation:
+    * the gate proves merge(partial, delta) ≡ recompute, which is the
+    * contract a 100 TB rolling view relies on (per-batch cost ∝ batch,
+    * not history).
+    */
+  def eventsWindowedMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("ts"), col("event_type"), col("event_id"),
+      floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
+    def hourly(df: DataFrame): DataFrame = df
+      .groupBy(unix_timestamp(date_trunc("HOUR", col("ts"))).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("v4").as("sum_v4"))
+    val view = hourly(ev.where(col("event_id") % 10 =!= 0)) // the standing view
+    val delta = hourly(ev.where(col("event_id") % 10 === 0)) // the arriving batch
+    view.unionAll(delta)
+      .groupBy("hour_start", "event_type")
+      .agg(sum("n").as("n"), sum("sum_v4").as("sum_v4"))
+      .orderBy("hour_start", "event_type")
+  }
+
   /** Tumbling-window event aggregation (batch twin of the streaming path). */
   def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -1099,6 +1147,22 @@ object Queries {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** Z-order (Morton) layout key over (user_id, day): rows sorted by
+    * the interleaved value cluster in BOTH dimensions at once, so
+    * min/max file stats admit data skipping on either column — the
+    * multi-dimensional lakehouse layout (Delta/Iceberg Z-ORDER), here
+    * as the deterministic key derivation (codegen
+    * [[graft.functions.InterleaveBits]]); ZorderSpec proves the
+    * locality property the layout buys.
+    */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("day_num"))
+      .select(col("event_id"), col("user_id"), col("day_num"),
+        interleaveBits(pmod(col("user_id"), lit(65536L)), pmod(col("day_num"), lit(65536L)), 16).as("z"))
+      .orderBy("z", "event_id")
 
   /** Gap-based sessionization: new session when >30 min since the user's
     * previous event. Integer-microsecond timestamps keep the gap test

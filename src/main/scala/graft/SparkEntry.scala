@@ -76,6 +76,7 @@ object SparkEntry {
     "multimodal_meta" -> (Queries.multimodalMeta _),
     "multimodal_frames" -> (Queries.multimodalFrames _),
     "multimodal_embed" -> (Queries.multimodalEmbed _),
+    "multimodal_neardup" -> (Queries.multimodalNeardup _),
     // E. analytics / events
     "q1_agg" -> (Queries.q1Agg _),
     "q3_shipping" -> (Queries.q3Shipping _),
@@ -87,7 +88,9 @@ object SparkEntry {
     "events_histogram" -> (Queries.eventsHistogram _),
     "events_stratified" -> (Queries.eventsStratified _),
     "events_windowed" -> (Queries.eventsWindowed _),
+    "events_windowed_merge" -> (Queries.eventsWindowedMerge _),
     "events_hopping" -> (Queries.eventsHopping _),
+    "layout_zorder" -> (Queries.layoutZorder _),
     "events_topn" -> (Queries.eventsTopN _),
     "events_sessionize" -> (Queries.eventsSessionize _),
     "events_salted_agg" -> (Queries.eventsSaltedAgg _),

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -121,6 +121,45 @@ object NearestCentroids {
       c += 1
     }
     bestI.filter(_ >= 0)
+  }
+}
+
+/** Z-order (Morton) bit interleave of two non-negative longs: bit i of
+  * `left` lands at result bit 2i, bit i of `right` at 2i+1, `nBits`
+  * bits each (≤ 31). Rows sorted by this value cluster in BOTH
+  * dimensions at once — the multi-dimensional data-skipping layout
+  * (Delta/Iceberg Z-ORDER): min/max stats of a z-sorted file admit
+  * pruning on either column, where a single-column sort only prunes
+  * its own.
+  */
+case class InterleaveBits(left: Expression, right: Expression, nBits: Int)
+    extends BinaryExpression {
+  require(nBits >= 1 && nBits <= 31)
+  override def prettyName: String = "interleave_bits"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    InterleaveBits.zip(a.asInstanceOf[Long], b.asInstanceOf[Long], nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.InterleaveBits.zip($a, $b, $nBits);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object InterleaveBits {
+  def zip(a: Long, b: Long, nBits: Int): Long = {
+    var z = 0L
+    var i = 0
+    while (i < nBits) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
   }
 }
 

@@ -60,6 +60,10 @@ package object functions {
   def signBits(vec: Column, offset: Int, width: Int): Column =
     col(SignBits(expr(vec), offset, width))
 
+  /** Z-order (Morton) interleave of two non-negative longs, nBits each. */
+  def interleaveBits(a: Column, b: Column, nBits: Int): Column =
+    col(InterleaveBits(expr(a), expr(b), nBits))
+
   /** 60-bit SimHash over pre-hashed tokens (ARRAY<LONG>). */
   def simHash60(tokenHashes: Column): Column = col(SimHash60(expr(tokenHashes)))
 
