@@ -822,6 +822,36 @@ object Oracles {
          |SELECT w1, rank, w2, c12, c1, (round((c12 / c1) * 10000.0) / 10000.0) AS p
          |FROM sc WHERE rank <= 3 ORDER BY w1, rank""".stripMargin,
 
+    // TextRank: the same three exact integer PageRank rounds unrolled —
+    // every contribution is ⌊⌊pr·850/1000⌋·c12/c1⌋, so the trajectory
+    // is engine-reproducible with no float anywhere.
+    "corpus_textrank" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |sh AS (SELECT CASE WHEN len(toks) < 2 THEN [] ELSE
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+         |g AS (SELECT unnest(sh) AS gm FROM sh),
+         |e0 AS (SELECT split_part(gm, ' ', 1) AS u, split_part(gm, ' ', 2) AS v, count(*) AS c12
+         |       FROM g GROUP BY 1, 2),
+         |c1t AS (SELECT u, CAST(sum(c12) AS BIGINT) AS c1 FROM e0 GROUP BY 1),
+         |e AS (SELECT e0.u, e0.v, CAST(e0.c12 AS BIGINT) AS c12, c1t.c1 FROM e0 JOIN c1t USING (u)),
+         |nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+         |pr0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+         |m1 AS (SELECT e.v, CAST(sum((((p.pr * 850) // 1000) * e.c12) // e.c1) AS BIGINT) AS m
+         |       FROM e JOIN pr0 p ON p.node = e.u GROUP BY e.v),
+         |pr1 AS (SELECT node, CAST(150000000 + coalesce(m, 0) AS BIGINT) AS pr
+         |        FROM nodes LEFT JOIN m1 ON m1.v = node),
+         |m2 AS (SELECT e.v, CAST(sum((((p.pr * 850) // 1000) * e.c12) // e.c1) AS BIGINT) AS m
+         |       FROM e JOIN pr1 p ON p.node = e.u GROUP BY e.v),
+         |pr2 AS (SELECT node, CAST(150000000 + coalesce(m, 0) AS BIGINT) AS pr
+         |        FROM nodes LEFT JOIN m2 ON m2.v = node),
+         |m3 AS (SELECT e.v, CAST(sum((((p.pr * 850) // 1000) * e.c12) // e.c1) AS BIGINT) AS m
+         |       FROM e JOIN pr2 p ON p.node = e.u GROUP BY e.v),
+         |pr3 AS (SELECT node, CAST(150000000 + coalesce(m, 0) AS BIGINT) AS pr
+         |        FROM nodes LEFT JOIN m3 ON m3.v = node)
+         |SELECT CAST(row_number() OVER (ORDER BY pr DESC, node) AS INT) AS rank,
+         |       node AS word, pr
+         |FROM pr3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+
     // bigram-LM doc scoring: the add-one model's per-bigram ln(p) fixed
     // once to 1e-6 integers; per-doc totals are exact integer sums.
     "corpus_lm_score" ->

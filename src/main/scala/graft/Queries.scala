@@ -573,6 +573,13 @@ object Queries {
   def corpusBigramLm(spark: SparkSession, dir: String): DataFrame =
     operators.Corpus.bigramLm(Tables.documents(spark, dir), "text", k = 3)
 
+  /** TextRank keyword ranking: 3 exact integer PageRank rounds over the
+    * word co-occurrence graph, top-20 — see
+    * [[operators.Corpus.textrank]].
+    */
+  def corpusTextrank(spark: SparkSession, dir: String): DataFrame =
+    operators.Corpus.textrank(Tables.documents(spark, dir), "text", iters = 3, k = 20)
+
   /** Per-document mean bigram log-probability under the corpus's own
     * add-one bigram LM (the CCNet perplexity-filter analog) — see
     * [[operators.Corpus.lmScore]].

@@ -71,6 +71,7 @@ object SparkEntry {
     "corpus_tfidf" -> (Queries.corpusTfidf _),
     "corpus_bigram_lm" -> (Queries.corpusBigramLm _),
     "corpus_lm_score" -> (Queries.corpusLmScore _),
+    "corpus_textrank" -> (Queries.corpusTextrank _),
     "corpus_pipeline" -> (Queries.corpusPipeline _),
     // D. multimodal
     "multimodal_meta" -> (Queries.multimodalMeta _),

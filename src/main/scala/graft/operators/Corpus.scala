@@ -193,6 +193,53 @@ object Corpus {
       .orderBy("w1", "rank")
   }
 
+  /** TextRank keyword ranking (Mihalcea/Tarau 2004 — PageRank over the
+    * word co-occurrence graph): nodes are words, edges are observed
+    * bigrams weighted c₁₂/c₁, damping 0.85, `iters` fixed-point
+    * rounds, top-`k` words by final rank.
+    *
+    * The iteration is EXACT integer arithmetic at scale 10⁹:
+    * pr'(v) = 0.15·10⁹ + Σ_{u→v} ⌊⌊pr(u)·850/1000⌋·c₁₂/c₁⌋ — every
+    * contribution is a floor-divided long, so per-node sums are
+    * order-independent and the whole trajectory (and final ranking) is
+    * engine-reproducible: the oracle unrolls the same three rounds in
+    * SQL. Shape: one bigram count shuffle builds the edge table; each
+    * round is an edge⋈rank join + partial-agg sum keyed by the
+    * destination — the Pregel shape, like cluster resolution, with a
+    * fixed round count so the plan is statically bounded (no
+    * checkpoint needed).
+    */
+  def textrank(docs: DataFrame, textCol: String, iters: Int = 3, k: Int = 20): DataFrame = {
+    require(iters >= 1 && k >= 1)
+    val edges0 = docs
+      .select(explode(wordShingles(wordTokens(col(textCol)), 2)).as("gm"))
+      .select(substring_index(col("gm"), " ", 1).as("u"),
+        substring_index(col("gm"), " ", -1).as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c12"))
+    val outW = edges0.groupBy("u").agg(sum("c12").as("c1"))
+    val edges = edges0.join(outW, "u")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges0.select(col("u").as("node"))
+      .unionAll(edges0.select(col("v").as("node")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var pr = nodes.withColumn("pr", lit(1000000000L))
+    for (_ <- 1 to iters) {
+      val contrib = edges.join(pr.withColumnRenamed("node", "u"), "u")
+        .select(col("v").as("node"),
+          expr("((((pr * 850) div 1000) * c12) div c1)").as("m"))
+        .groupBy("node").agg(sum("m").as("in_m"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(150000000L) + coalesce(col("in_m"), lit(0L))).as("pr"))
+    }
+    val out = pr.orderBy(col("pr").desc, col("node")).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+      .select(col("rank"), col("node").as("word"), col("pr"))
+      .localCheckpoint(true)
+    edges.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Bigram-LM document scoring — the CCNet/KenLM-style quality filter:
     * score every document by its mean log-probability under the
     * corpus's own add-one-smoothed bigram model,

@@ -61,6 +61,19 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("textrank: partition-invariant, ranks contiguous, hub words rank high") {
+    val a = Corpus.textrank(docs, "text", iters = 3, k = 20).collect()
+    val b = Corpus.textrank(docs.repartition(7), "text", iters = 3, k = 20).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq, "exact integer PR must not depend on partitioning")
+    assert(a.map(_.getInt(0)).toSeq === (1 to 20))
+    val prs = a.map(_.getLong(2)).toSeq
+    assert(prs === prs.sortBy(-_), "rank order must follow pr desc")
+    // a high-frequency function word must appear among the keywords of
+    // any natural-language corpus (hubs of the co-occurrence graph)
+    val words = a.map(_.getString(1)).toSet
+    assert(words.exists(Set("the", "of", "and", "a", "to").contains), s"got $words")
+  }
+
   test("lmScore: corpus-fluent docs outscore injected gibberish; identical docs tie") {
     val s = spark; import s.implicits._
     val fluent = (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
