@@ -34,8 +34,12 @@ object Sketch {
     * yardstick — at real scale you drop it; it is the expensive thing
     * this sketch replaces.
     */
-  def hllDistinct(df: DataFrame, keyCol: String, item: Column): DataFrame = {
-    val m = 256 // p = 8: top 8 bits select the register
+  /** The HLL register table (key, reg, mj): a pure max-merge
+    * aggregation, so the SAME expression chain maintains the state over
+    * a batch table or a stream (max is the streaming-state update;
+    * StreamingSpec asserts stream ≡ batch).
+    */
+  def hllRegisters(df: DataFrame, keyCol: String, item: Column): DataFrame = {
     val h = tokenHash60(item) // 60-bit deterministic hash
     val base = df.select(col(keyCol), h.as("h"))
       .select(col(keyCol),
@@ -44,9 +48,14 @@ object Sketch {
     // rank = leading zeros of the 52-bit suffix + 1, via bit length
     val rank = when(col("suffix") === 0, lit(53))
       .otherwise(lit(53) - length(bin(col("suffix"))))
-    val regs = base.select(col(keyCol), col("reg"), rank.as("rank"))
+    base.select(col(keyCol), col("reg"), rank.as("rank"))
       .groupBy(keyCol, "reg")
       .agg(max("rank").as("mj"))
+  }
+
+  def hllDistinct(df: DataFrame, keyCol: String, item: Column): DataFrame = {
+    val m = 256 // p = 8: top 8 bits select the register
+    val regs = hllRegisters(df, keyCol, item)
     val summary = regs.groupBy(keyCol)
       .agg(
         count(lit(1)).as("n_regs"),

@@ -80,6 +80,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL register state equals the batch sketch (max-merge), replay-immune") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    def regsOf(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketch.hllRegisters(df, "event_type",
+        concat(col("user_id").cast("string"), lit(":"), date_format(col("ts"), "yyyy-MM-dd")))
+
+    val stream = MemoryStream[Ev]
+    val q = regsOf(stream.toDF())
+      .writeStream.format("memory").queryName("hllregs").outputMode("complete").start()
+    try {
+      stream.addData(sample.take(3))
+      q.processAllAvailable()
+      stream.addData(sample.drop(3))
+      stream.addData(sample.take(2)) // replay: max-merge makes dups free
+      q.processAllAvailable()
+      val streamed = s.table("hllregs")
+        .orderBy("event_type", "reg").collect().map(_.toSeq).toSeq
+      val batch = regsOf(sample.toDF())
+        .orderBy("event_type", "reg").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermarked dedupByEventId collapses replayed event_ids") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
