@@ -1083,6 +1083,32 @@ object Oracles {
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin,
 
+    // ratio of the two ROUNDED aggregates — one joined pass, broadcast dim.
+    "q14_promo" ->
+      """WITH a AS (SELECT
+        |  (round((sum(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)) * 100.0) / 100.0) AS promo_revenue,
+        |  (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS total_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT promo_revenue, total_revenue,
+        |  (round((100.0 * promo_revenue / total_revenue) * 10000.0) / 10000.0) AS promo_pct
+        |FROM a""".stripMargin,
+
+    // user-journey Markov transitions: lag window + MLE n/n_from.
+    "events_markov" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+        |l AS (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_type
+        |      FROM x),
+        |c AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT prev_type, next_type, n,
+        |        sum(n) OVER (PARTITION BY prev_type) AS n_from FROM c)
+        |SELECT prev_type, next_type, n, (round((n / n_from) * 10000.0) / 10000.0) AS p
+        |FROM f ORDER BY prev_type, next_type""".stripMargin,
+
     // HyperLogLog register state re-derived from the same md5 hash:
     // exact-integer register sum S = Σ 2^(60-Mj) in DECIMAL(38,0), one
     // double division at the end — identical expression tree to

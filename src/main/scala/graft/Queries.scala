@@ -950,6 +950,47 @@ object Queries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** User-journey Markov transitions: counts and MLE probabilities of
+    * (previous event type → next event type) steps per user timeline.
+    * One user-keyed window (lag) + one partial-agg count shuffle; the
+    * probability is a single long/long division like the bigram LM's
+    * MLE, so it is engine-exact.
+    */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum("n").over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        roundTo(col("n") / col("n_from"), 4).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** TPC-H Q14-style promotion revenue share: what fraction of one
+    * month's revenue came from ECONOMY-type parts. Part is the
+    * broadcast dim; the month filter pushes to the lineitem scan; the
+    * output is one ratio of two aggregates computed in a single pass
+    * (conditional sum over the same joined rows).
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit(Timestamp.valueOf("1996-03-01 00:00:00")) &&
+             col("l_shipdate") < lit(Timestamp.valueOf("1996-04-01 00:00:00")))
+    val part = Tables.part(spark, dir)
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        roundTo(sum(when(col("p_type") === "ECONOMY",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))), 2).as("promo_revenue"),
+        roundTo(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        roundTo(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4).as("promo_pct"))
+  }
+
   /** Tumbling-window event aggregation (batch twin of the streaming path). */
   def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -83,6 +83,8 @@ object SparkEntry {
     "q3_shipping" -> (Queries.q3Shipping _),
     "q5_local" -> (Queries.q5Local _),
     "q6_forecast" -> (Queries.q6Forecast _),
+    "q14_promo" -> (Queries.q14Promo _),
+    "events_markov" -> (Queries.eventsMarkov _),
     "q10_returns" -> (Queries.q10Returns _),
     "events_hll" -> (Queries.eventsHll _),
     "events_bloom" -> (Queries.eventsBloom _),
