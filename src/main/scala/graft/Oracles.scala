@@ -113,6 +113,32 @@ object Oracles {
        |          list_sum(list_transform(range(1, 33), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 32.0 AS e
        |        FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id)""".stripMargin
 
+  /** The full prefix-filter jaccard pair query (j ≥ 13/20) as a
+    * nestable parenthesized SELECT with its own WITH scope — shared by
+    * dedup_jaccard_prefix and the dedup_recall_eval composition.
+    */
+  private lazy val jaccardPairsSelect: String =
+    s"""(WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+       |bg AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
+       |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh FROM t),
+       |g0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh, tk -> ${tokenHash60("tk")}))) AS g FROM bg),
+       |g AS (SELECT doc_id, g, len(g) AS sz FROM g0 WHERE len(g) > 0),
+       |e AS (SELECT doc_id, sz, unnest(g) AS gram FROM g),
+       |dfq AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
+       |pre AS (SELECT e.doc_id, e.sz, e.gram,
+       |          row_number() OVER (PARTITION BY e.doc_id ORDER BY dfq.df, e.gram) AS rn
+       |        FROM e JOIN dfq USING (gram)
+       |        QUALIFY rn <= e.sz - ((13 * e.sz + 19) // 20) + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM pre a JOIN pre b ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |         WHERE a.sz * 20 >= b.sz * 13 AND b.sz * 20 >= a.sz * 13
+       |           AND (1 + least(a.sz - a.rn, b.sz - b.rn)) * 33 >= (a.sz + b.sz) * 13),
+       |p AS (SELECT a_id, b_id,
+       |        CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
+       |        CAST(ga.sz + gb.sz - len(list_intersect(ga.g, gb.g)) AS DOUBLE) AS j
+       |      FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
+       |SELECT a_id, b_id, j FROM p WHERE j >= 0.65)""".stripMargin
+
   /** BM25 pipeline as a reusable CTE chain ending in `bm(rank, doc_id,
     * s6)` — top-`k` by the exact-integer score (each term contribution is
     * fixed via floor(x·10⁶ + 0.5), floor of the BINARY value, so the
@@ -601,27 +627,24 @@ object Oracles {
     // token within each side's first sz - ceil(13*sz/20) + 1 under the
     // global (df, hash) order; prefix lengths in exact integer math.
     "dedup_jaccard_prefix" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |bg AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
-         |         list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh FROM t),
-         |g0 AS (SELECT doc_id, list_sort(list_distinct(list_transform(sh, tk -> ${tokenHash60("tk")}))) AS g FROM bg),
-         |g AS (SELECT doc_id, g, len(g) AS sz FROM g0 WHERE len(g) > 0),
-         |e AS (SELECT doc_id, sz, unnest(g) AS gram FROM g),
-         |dfq AS (SELECT gram, count(*) AS df FROM e GROUP BY gram),
-         |pre AS (SELECT e.doc_id, e.sz, e.gram,
-         |          row_number() OVER (PARTITION BY e.doc_id ORDER BY dfq.df, e.gram) AS rn
-         |        FROM e JOIN dfq USING (gram)
-         |        QUALIFY rn <= e.sz - ((13 * e.sz + 19) // 20) + 1),
-         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |         FROM pre a JOIN pre b ON a.gram = b.gram AND a.doc_id < b.doc_id
-         |         WHERE a.sz * 20 >= b.sz * 13 AND b.sz * 20 >= a.sz * 13
-         |           AND (1 + least(a.sz - a.rn, b.sz - b.rn)) * 33 >= (a.sz + b.sz) * 13),
-         |p AS (SELECT a_id, b_id,
-         |        CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE) /
-         |        CAST(ga.sz + gb.sz - len(list_intersect(ga.g, gb.g)) AS DOUBLE) AS j
-         |      FROM cand JOIN g ga ON ga.doc_id = a_id JOIN g gb ON gb.doc_id = b_id)
-         |SELECT a_id, b_id, (round((j) * 10000.0) / 10000.0) AS jaccard
-         |FROM p WHERE j >= 0.65 ORDER BY a_id, b_id""".stripMargin,
+      s"""SELECT a_id, b_id, (round((j) * 10000.0) / 10000.0) AS jaccard
+         |FROM $jaccardPairsSelect jp ORDER BY a_id, b_id""".stripMargin,
+
+    // precision/recall of the minhash sketch (est ≥ 0.65) against the
+    // PROVABLY-complete prefix-filter jaccard pairs at the same
+    // threshold — both sides re-derived independently, composed via
+    // subquery-scoped WITH blocks; counts exact, two long divisions.
+    "dedup_recall_eval" ->
+      s"""WITH truth AS (SELECT a_id, b_id FROM $jaccardPairsSelect jp),
+         |sketch AS (SELECT a_id, b_id FROM
+         |  (WITH $minhashCtes SELECT a_id, b_id FROM est WHERE e >= 0.65) ms),
+         |tc AS (SELECT count(*) AS n_truth FROM truth),
+         |sc AS (SELECT count(*) AS n_sketch FROM sketch),
+         |hc AS (SELECT count(*) AS n_hit FROM truth JOIN sketch USING (a_id, b_id))
+         |SELECT n_truth, n_sketch, n_hit,
+         |  (round((n_hit / n_truth) * 10000.0) / 10000.0) AS recall,
+         |  (round((n_hit / n_sketch) * 10000.0) / 10000.0) AS prec
+         |FROM tc, sc, hc""".stripMargin,
 
     // winnowing (k=8, w=4): gram hashes re-derived with the identical
     // base-31 mod-1e9+7 polynomial over the normalized chars, window

@@ -476,6 +476,27 @@ object Queries {
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** In-query quality evaluation of the MinHash sketch against ground
+    * truth — the dedup twin of [[annRecallEval]]: candidates from LSH
+    * banding at est ≥ 0.65 measured against the PROVABLY-complete
+    * prefix-filter jaccard pairs at the same threshold. One constant
+    * row (n_truth, n_sketch, n_hit, recall, prec) the oracle
+    * re-derives end-to-end — "measure, don't guess" for the dedup
+    * family's recall envelope.
+    */
+  def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val truth = Dedup.jaccardPrefixPairs(docs, "doc_id", "text").select("a_id", "b_id")
+    val sketch = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.65).select("a_id", "b_id")
+    val hits = truth.join(sketch, Seq("a_id", "b_id"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(sketch.agg(count(lit(1)).as("n_sketch")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_truth"), col("n_sketch"), col("n_hit"),
+        roundTo(col("n_hit") / col("n_truth"), 4).as("recall"),
+        roundTo(col("n_hit") / col("n_sketch"), 4).as("prec"))
+  }
+
   /** Canonical-doc assignment from minhash near-dup pairs (est ≥ 0.5):
     * every document maps to the min id of its duplicate cluster.
     */

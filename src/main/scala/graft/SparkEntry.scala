@@ -46,6 +46,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Queries.dedupNgramJaccard _),
     "dedup_jaccard_prefix" -> (Queries.dedupJaccardPrefix _),
     "dedup_winnow" -> (Queries.dedupWinnow _),
+    "dedup_recall_eval" -> (Queries.dedupRecallEval _),
     "dedup_clusters" -> (Queries.dedupClusters _),
     "dedup_embedding" -> (Queries.dedupEmbedding _),
     "dedup_incremental" -> (Queries.dedupIncremental _),
