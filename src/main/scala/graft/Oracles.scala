@@ -1252,6 +1252,27 @@ object Oracles {
         |  event_id, (round((value) * 10000.0) / 10000.0) AS value
         |FROM events QUALIFY rank <= 5 ORDER BY event_type, rank""".stripMargin,
 
+    // aggregate-filtered semi-join: exact integer-valued quantity sums.
+    "q18_large" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+        |  (round((o_totalprice) * 100.0) / 100.0) AS o_totalprice,
+        |  (round((sum_qty) * 100.0) / 100.0) AS sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY (round((o_totalprice) * 100.0) / 100.0) DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+
+    // salted replicated join must equal the plain join + aggregate.
+    "events_salted_join" ->
+      """WITH dim AS (SELECT user_id, min(event_id) AS first_event_id FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(e.event_id - d.first_event_id) AS BIGINT) AS delta_sum
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // salted two-phase aggregation must equal the plain GROUP BY —
     // aggregates are order-exact longs, so salting cannot show through.
     "events_salted_agg" ->

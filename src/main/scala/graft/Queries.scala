@@ -1012,6 +1012,43 @@ object Queries {
         roundTo(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4).as("promo_pct"))
   }
 
+  /** TPC-H Q18-style large-volume orders: the aggregate-filtered
+    * semi-join shape — a HAVING over the fact table's own aggregation
+    * gates which orders survive, then dims join on. l_quantity is
+    * integer-valued, so the parallel double sum is EXACT (machine
+    * integers) and the > 150 cut can't knife-edge.
+    */
+  def q18Large(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .where(col("sum_qty") > 150)
+    Tables.orders(spark, dir).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        roundTo(col("o_totalprice"), 2).as("o_totalprice"),
+        roundTo(col("sum_qty"), 2).as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** The OTHER skew guard under the hard gate: [[operators.Skew.saltedJoin]]
+    * replicates the small per-user dim across 8 salts so one hot user
+    * cannot pin a join task; the oracle is the PLAIN join + aggregate,
+    * so salting must be invisible in the result (exact long sums).
+    */
+  def eventsSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select("user_id", "event_type", "event_id")
+    val dim = Tables.events(spark, dir)
+      .groupBy("user_id").agg(min("event_id").as("first_event_id"))
+    operators.Skew.saltedJoin(ev, dim, "user_id", numSalts = 8)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("event_id") - col("first_event_id")).as("delta_sum"))
+      .orderBy("event_type")
+  }
+
   /** Tumbling-window event aggregation (batch twin of the streaming path). */
   def eventsWindowed(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

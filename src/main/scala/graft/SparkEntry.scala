@@ -85,6 +85,8 @@ object SparkEntry {
     "q5_local" -> (Queries.q5Local _),
     "q6_forecast" -> (Queries.q6Forecast _),
     "q14_promo" -> (Queries.q14Promo _),
+    "q18_large" -> (Queries.q18Large _),
+    "events_salted_join" -> (Queries.eventsSaltedJoin _),
     "events_markov" -> (Queries.eventsMarkov _),
     "q10_returns" -> (Queries.q10Returns _),
     "events_hll" -> (Queries.eventsHll _),
