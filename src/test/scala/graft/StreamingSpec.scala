@@ -319,6 +319,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC: a change-log stream foreachBatch-applied maintains the merged state") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // change-log records: (key, version, op, value)
+    val stream = MemoryStream[(Long, Long, String, String)]
+    var state = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .localCheckpoint(true)
+    val q = stream.toDF().toDF("k", "ver", "op", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        state = graft.operators.Upsert
+          .applyCdc(state, batch.select("k", "ver", "op", "v"), "k", "ver")
+          .localCheckpoint(true)
+      }
+      .start()
+    try {
+      stream.addData((2L, 1L, "U", "B"), (9L, 1L, "I", "z"))
+      q.processAllAvailable()
+      stream.addData((3L, 2L, "D", "-"), (9L, 2L, "U", "Z"))
+      q.processAllAvailable()
+      val got = state.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === Map(1L -> "a", 2L -> "B", 9L -> "Z"))
+    } finally q.stop()
+  }
+
   test("file-source stream over the real events parquet reproduces the batch aggregation") {
     val agg = EventStream.windowedAgg(graft.sources.Tables.eventsStream(spark, sf001))
     val q = agg.writeStream.format("memory").queryName("filewin").outputMode("complete").start()
