@@ -260,6 +260,32 @@ object Oracles {
        |SELECT $k AS k, $nprobe AS nprobe, n_hits,
        |       (round((n_hits / $k) * 10000.0) / 10000.0) AS recall FROM h""".stripMargin
 
+  /** recall@k at several nprobe settings in one statement — the shared
+    * assignment/exact legs factor out, each probe set is its own LIMIT.
+    */
+  private def recallCurveSql(centroids: Array[Array[Float]], queryId: Long,
+                             k: Int, nprobes: Seq[Int]): String = {
+    val branches = nprobes.map { np =>
+      s"""b$np AS (SELECT $np AS nprobe, count(*) AS n_hits FROM exact
+         |WHERE id IN (SELECT e.vec_id FROM embeddings e JOIN cl ON cl.vec_id = e.vec_id, q
+         |             WHERE cl.cid IN (SELECT c.cid FROM cents c, q
+         |                              ORDER BY ${l2sq("q.qv", "c.cv")}, c.cid LIMIT $np)
+         |             ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k))""".stripMargin
+    }.mkString(",\n")
+    val union = nprobes.map(np => s"SELECT * FROM b$np").mkString(" UNION ALL ")
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |exact AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |          ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k),
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |$branches
+       |SELECT nprobe, n_hits, (round((n_hits / $k) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY nprobe""".stripMargin
+  }
+
   /** k-NN graph: same single-probe cluster blocking as
     * [[operators.Knn.knnJoinIvf]] — assignment (argmin centroid, ties to
     * lowest id), same-cluster pairs, exact L2 rank.
@@ -409,6 +435,8 @@ object Oracles {
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
       "knn_join_ivf" -> knnJoinSql(centroids, k = 3),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
+      "ann_recall_curve" -> recallCurveSql(centroids, queryId = 4L, k = 10,
+        nprobes = Seq(1, 2, 4, 8, 16)),
       "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
       // the reference's filtered ANN search (hnsw_index.rs
       // search_vectors_filter): same centroids, label predicate ANDed

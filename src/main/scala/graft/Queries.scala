@@ -110,6 +110,29 @@ object Queries {
         roundTo(col("n_hits") / lit(10L), 4).as("recall"))
   }
 
+  /** The IVF tuning CURVE: recall@10 of every nprobe in {1,2,4,8,16}
+    * against the exact answer, one row per setting — the faiss
+    * bench-loop artifact users run before picking an operating point.
+    * All legs share one fitted quantizer and one exact top-k; each
+    * approximate leg is a pruned TakeOrdered, so the whole curve costs
+    * ~Σ(nprobe)/K ≈ 2 extra scans.
+    */
+  def annRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val qv = queryVec(spark, dir, 4L)
+    val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    Seq(1, 2, 4, 8, 16).map { np =>
+      val approx = operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
+        qv, k = 10, nprobe = np, metric = "l2").select(col("id"))
+      exact.join(approx, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
   /** k-NN graph over the whole embedding table: top-3 neighbors per
     * vector within its own IVF cluster (single-probe blocking).
     */

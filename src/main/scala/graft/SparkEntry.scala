@@ -109,7 +109,8 @@ object SparkEntry {
     "events_scd2" -> (Queries.eventsScd2 _),
     "events_rollup" -> (Queries.eventsRollup _),
     "events_moving_avg" -> (Queries.eventsMovingAvg _),
-    "ann_recall_eval" -> (Queries.annRecallEval _)
+    "ann_recall_eval" -> (Queries.annRecallEval _),
+    "ann_recall_curve" -> (Queries.annRecallCurve _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -225,11 +225,15 @@ object Corpus {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var pr = nodes.withColumn("pr", lit(1000000000L))
     for (_ <- 1 to iters) {
-      val contrib = edges.join(pr.withColumnRenamed("node", "u"), "u")
+      // the rank table is vocab-bounded (≪ edges, ≪ corpus) at any data
+      // size, so it BROADCASTS into the persisted edge table — edges
+      // never re-shuffle across rounds; only the (node, m) partial agg
+      // and the tiny rank merge move
+      val contrib = edges.join(broadcast(pr.withColumnRenamed("node", "u")), "u")
         .select(col("v").as("node"),
           expr("((((pr * 850) div 1000) * c12) div c1)").as("m"))
         .groupBy("node").agg(sum("m").as("in_m"))
-      pr = nodes.join(contrib, Seq("node"), "left")
+      pr = nodes.join(broadcast(contrib), Seq("node"), "left")
         .select(col("node"), (lit(150000000L) + coalesce(col("in_m"), lit(0L))).as("pr"))
     }
     val out = pr.orderBy(col("pr").desc, col("node")).limit(k)
