@@ -93,6 +93,53 @@ object StopwordVotes {
   }
 }
 
+/** Space-joined word n-shingles of a token array in ONE pass —
+  * bit-identical to the built-in chain
+  * `transform(sequence(1, size(toks) - (n-1)), i -> concat_ws(' ',
+  * element_at(toks, i) … element_at(toks, i+n-1)))` (with the short-
+  * input empty guard), which re-evaluates an interpreted lambda with n
+  * element_at calls per shingle — the linear cousin of the nested-HOF
+  * trap. Feeds the bigram family (LM table, LM scoring, TextRank).
+  */
+case class WordShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def prettyName: String = "word_shingle_strings"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    WordShingleStrings.join(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordShingleStrings.join($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordShingleStrings {
+  private val Sep = UTF8String.fromString(" ")
+
+  def join(arr: ArrayData, n: Int): ArrayData = {
+    val cnt = arr.numElements() - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 case class TokenizeWords(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tokenize_words"
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

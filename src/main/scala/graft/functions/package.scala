@@ -117,9 +117,16 @@ package object functions {
   def tokenHash60(tok: Column): Column =
     F.conv(F.substring(F.md5(tok.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Space-joined word n-shingles, one codegen pass (≡ [[wordShingles]],
+    * equivalence fuzz-tested) — the hot-path form for the bigram family.
+    */
+  def wordShingleStrings(tokens: Column, n: Int): Column =
+    col(WordShingleStrings(expr(tokens), n))
+
   /** Word n-gram shingles: ["a","b","c"] with n=2 → ["a b","b c"].
     * (Guarded: sequence(1, 0) would count DOWN in Spark, so short inputs
-    * return an empty array explicitly.)
+    * return an empty array explicitly. Kept as the equivalence-test
+    * reference for [[wordShingleStrings]] and for one-off call sites.)
     */
   def wordShingles(tokens: Column, n: Int): Column =
     F.when(F.size(tokens) < n, F.array().cast("array<string>"))

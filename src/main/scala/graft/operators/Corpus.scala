@@ -178,7 +178,7 @@ object Corpus {
   def bigramLm(docs: DataFrame, textCol: String, k: Int = 3): DataFrame = {
     require(k >= 1, "need a positive per-context cut")
     val pairs = docs
-      .select(explode(wordShingles(wordTokens(col(textCol)), 2)).as("gm"))
+      .select(explode(wordShingleStrings(wordTokens(col(textCol)), 2)).as("gm"))
       .select(substring_index(col("gm"), " ", 1).as("w1"),
         substring_index(col("gm"), " ", -1).as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -212,7 +212,7 @@ object Corpus {
   def textrank(docs: DataFrame, textCol: String, iters: Int = 3, k: Int = 20): DataFrame = {
     require(iters >= 1 && k >= 1)
     val edges0 = docs
-      .select(explode(wordShingles(wordTokens(col(textCol)), 2)).as("gm"))
+      .select(explode(wordShingleStrings(wordTokens(col(textCol)), 2)).as("gm"))
       .select(substring_index(col("gm"), " ", 1).as("u"),
         substring_index(col("gm"), " ", -1).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("c12"))
@@ -266,7 +266,7 @@ object Corpus {
     val vDf = toks.select(explode(col("toks")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     val db = toks
-      .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("gm"))
+      .select(col("doc_id"), explode(wordShingleStrings(col("toks"), 2)).as("gm"))
       .select(col("doc_id"),
         substring_index(col("gm"), " ", 1).as("w1"),
         substring_index(col("gm"), " ", -1).as("w2"))

@@ -61,6 +61,20 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("wordShingleStrings kernel equals the built-in wordShingles chain (incl. edge cases)") {
+    val s = spark; import s.implicits._
+    val real = docs.select(col("text"))
+    val edge = Seq("", "one", "one two", "  punct!! only?? ", "ünïcodé mixé tokens here",
+      "a b c d e f g").toDF("text")
+    for (df <- Seq(real, edge); n <- Seq(2, 3)) {
+      val cmp = df.select(
+        graft.functions.wordShingleStrings(graft.functions.wordTokens(col("text")), n).as("fast"),
+        graft.functions.wordShingles(graft.functions.wordTokens(col("text")), n).as("ref"))
+        .where(not(col("fast") === col("ref")))
+      assert(cmp.count() === 0L, s"n=$n mismatch")
+    }
+  }
+
   test("textrank: partition-invariant, ranks contiguous, hub words rank high") {
     val a = Corpus.textrank(docs, "text", iters = 3, k = 20).collect()
     val b = Corpus.textrank(docs.repartition(7), "text", iters = 3, k = 20).collect()
