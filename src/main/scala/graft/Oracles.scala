@@ -547,6 +547,20 @@ object Oracles {
         |FROM embeddings CROSS JOIN range(1, 65) dd
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // exact centroid separation: integer cross-multiplied numerators
+    // (HUGEINT sums), one sqrt + one division at the end.
+    "vector_centroid_dist" ->
+      """WITH c AS (SELECT label, dd.range - 1 AS d, count(*) AS n,
+        |        CAST(sum(CAST(floor(CAST(embedding[dd.range] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s6
+        |      FROM embeddings CROSS JOIN range(1, 65) dd GROUP BY 1, 2),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b, max(a.n) AS na, max(b.n) AS nb,
+        |        sum(CAST(a.s6 * b.n - b.s6 * a.n AS HUGEINT) * CAST(a.s6 * b.n - b.s6 * a.n AS HUGEINT)) AS num
+        |      FROM c a JOIN c b ON a.d = b.d AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  (round((sqrt(CAST(num AS DOUBLE)) / (na * nb * 1000000.0)) * 10000.0) / 10000.0) AS dist
+        |FROM p ORDER BY label_a, label_b""".stripMargin,
+
     // per-label top-2 by (distance, id) — identical sequential double
     // arithmetic, rank within group.
     "knn_per_label" ->

@@ -425,6 +425,34 @@ object Queries {
         roundTo(col("s6") / (col("n") * lit(1000000.0)), 4).as("mean"))
       .orderBy("label", "d")
 
+  /** Pairwise L2 distances between the per-label class centroids
+    * (cluster-separation diagnostics — which classes overlap). Exact
+    * despite the means being ratios: mean_a − mean_b =
+    * (s6a·nb − s6b·na)/(na·nb·10⁶), so the squared-distance NUMERATOR
+    * Σ(s6a·nb − s6b·na)² accumulates as exact DECIMAL(38,0) integers
+    * in any order; one sqrt and one division at the end (both
+    * correctly-rounded IEEE ops). |labels|²·dim work on a
+    * |labels|·dim table — trivial at any corpus size.
+    */
+  def vectorCentroidDist(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * 1000000.0 + lit(0.5)).cast("long")).as("s6"))
+    val a = c.select(col("label").as("label_a"), col("d"), col("n").as("na"), col("s6").as("s6a"))
+    val b = c.select(col("label").as("label_b"), col("d"), col("n").as("nb"), col("s6").as("s6b"))
+    a.join(b, Seq("d"))
+      .where(col("label_a") < col("label_b"))
+      .withColumn("term", (col("s6a") * col("nb") - col("s6b") * col("na")).cast("decimal(38,0)"))
+      .groupBy("label_a", "label_b")
+      .agg(max("na").as("na"), max("nb").as("nb"), sum(col("term") * col("term")).as("num"))
+      .select(col("label_a"), col("label_b"),
+        roundTo(sqrt(col("num").cast("double")) /
+          (col("na") * col("nb") * lit(1000000.0)), 4).as("dist"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Diversity retrieval: top-2 nearest per label for one query — see
     * [[operators.Knn.searchGrouped]] (bounded-heap per group, never a
     * full per-group sort).

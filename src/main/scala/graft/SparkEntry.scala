@@ -35,6 +35,7 @@ object SparkEntry {
     "delete_ids" -> (Queries.deleteIds _),
     "cdc_apply" -> (Queries.cdcApply _),
     "vector_centroids" -> (Queries.vectorCentroids _),
+    "vector_centroid_dist" -> (Queries.vectorCentroidDist _),
     "knn_per_label" -> (Queries.knnPerLabel _),
     "query_by_id" -> (Queries.queryById _),
     "filter_index_build" -> (Queries.filterIndexBuild _),
