@@ -433,7 +433,9 @@ object Oracles {
       // change the answer, only where the pruning happens (file listing).
       "ann_ivf_persisted" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
-      "knn_join_ivf" -> knnJoinSql(centroids, k = 3),
+      // the graph build scales K with n (fitScaled) — splice THOSE centroids
+      "knn_join_ivf" -> knnJoinSql(
+        operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L), k = 3),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "ann_recall_curve" -> recallCurveSql(centroids, queryId = 4L, k = 10,
         nprobes = Seq(1, 2, 4, 8, 16)),
@@ -652,17 +654,20 @@ object Oracles {
          |       FROM cand JOIN sg sa ON sa.doc_id = a_id JOIN sg sb ON sb.doc_id = b_id)
          |SELECT a_id, b_id, hamming FROM hm WHERE hamming <= 8 ORDER BY a_id, b_id""".stripMargin,
 
+    // block key = min gram hash (1-permutation MinHash bucket): content-
+    // governed block sizes, P(same block) = J — mirrors Queries.scala.
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT source AS blk, doc_id,
+      s"""WITH sh AS (SELECT doc_id,
          |  CASE WHEN len(text) < 3 THEN [] ELSE
          |    list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)) END AS sh
          |  FROM documents),
-         |g AS (SELECT blk, doc_id, list_distinct(list_transform(sh, s -> ${tokenHash60("s")})) AS g
+         |g AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${tokenHash60("s")})) AS g
          |      FROM sh),
+         |gb AS (SELECT doc_id, g, list_min(g) AS blk FROM g),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |        CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS j
-        |      FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |      FROM gb a JOIN gb b ON a.blk = b.blk AND a.doc_id < b.doc_id)
         |SELECT a_id, b_id, (round((j) * 10000.0) / 10000.0) AS jaccard FROM p WHERE j >= 0.65 ORDER BY a_id, b_id""".stripMargin,
 
     // df-ordered prefix filtering: a pair with J >= 13/20 must share a
@@ -1140,24 +1145,34 @@ object Oracles {
 
     // pure filter + single-row aggregate; the Spark side's value is the
     // pushed-down scan, which cannot show through in the result.
+    // exact 1e-4-dollar integer units (cents × discount-hundredths),
+    // integer half-up to cents — mirrors the Spark side term-for-term.
     "q6_forecast" ->
-      """SELECT (round((sum(l_extendedprice * l_discount)) * 100.0) / 100.0) AS revenue
+      """WITH s AS (SELECT sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |                     * CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS u4
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
-        |  AND l_quantity < 24""".stripMargin,
+        |  AND l_quantity < 24)
+        |SELECT CAST(((u4 + 50) // 100) / 100.0 AS DOUBLE) AS revenue FROM s""".stripMargin,
 
-    // ratio of the two ROUNDED aggregates — one joined pass, broadcast dim.
+    // exact 1e-4-dollar integer units like q6; the pct is ONE double
+    // division of the two exact long sums, identical to the Spark side.
     "q14_promo" ->
       """WITH a AS (SELECT
-        |  (round((sum(CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)) * 100.0) / 100.0) AS promo_revenue,
-        |  (round((sum(l_extendedprice * (1.0 - l_discount))) * 100.0) / 100.0) AS total_revenue
+        |  sum(CASE WHEN p_type = 'ECONOMY'
+        |        THEN CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |             * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |        ELSE 0 END) AS promo_u4,
+        |  sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS total_u4
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
-        |SELECT promo_revenue, total_revenue,
-        |  (round((100.0 * promo_revenue / total_revenue) * 10000.0) / 10000.0) AS promo_pct
+        |SELECT CAST(((promo_u4 + 50) // 100) / 100.0 AS DOUBLE) AS promo_revenue,
+        |  CAST(((total_u4 + 50) // 100) / 100.0 AS DOUBLE) AS total_revenue,
+        |  CAST(round((100.0 * promo_u4 / total_u4) * 10000.0) / 10000.0 AS DOUBLE) AS promo_pct
         |FROM a""".stripMargin,
 
     // user-journey Markov transitions: lag window + MLE n/n_from.
@@ -1274,7 +1289,7 @@ object Oracles {
         |ex AS (SELECT event_type, (round((v4 / 10000.0) * 10000.0) / 10000.0) AS p50_exact
         |       FROM r WHERE rn = (n + 1) // 2)
         |SELECT est.event_type, est.n_events, est.n_bins, ex.p50_exact,
-        |       est.p50_bin * 10.0 + 5.0 AS p50_est
+        |       CAST(est.p50_bin * 10.0 + 5.0 AS DOUBLE) AS p50_est
         |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin,
 
     // hopping windows: every event explodes into its 4 covering window

@@ -134,11 +134,14 @@ object Queries {
   }
 
   /** k-NN graph over the whole embedding table: top-3 neighbors per
-    * vector within its own IVF cluster (single-probe blocking).
+    * vector within its own IVF cluster (single-probe blocking). The
+    * cluster count SCALES with the table — K = max(16, ⌈n/100⌉) via
+    * [[operators.IvfIndex.fitScaled]] — so per-cluster pair work stays
+    * bounded at any data size (the Σ|cluster|² premise).
     */
   def knnJoin(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
     operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2")
       .orderBy("q_id", "rank")
   }
@@ -508,9 +511,23 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
 
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
-      blockCol = "source", n = 3, minJaccard = 0.65)
+  /** Char-3-gram Jaccard ≥ 0.65 pairs, blocked on each document's
+    * MINIMUM gram hash — a 1-permutation MinHash bucket. Two docs land
+    * in the same block with probability exactly J(A,B) (the MinHash
+    * identity), so every J ≥ 0.65 pair is caught w.p. ≥ 0.65 and block
+    * sizes are governed by CONTENT (docs whose rarest-hashed gram
+    * coincides — i.e. near-duplicate clusters), never by corpus size.
+    * Blocking on a fixed-cardinality column like `source` would grow
+    * blocks ∝ n and make the in-block pair scan O(n²) at 100 TB;
+    * this key keeps it Σ|cluster|². Completeness, when required, is
+    * [[dedupJaccardPrefix]]'s job.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("njblk", array_min(charShingleHash60(col("text"), 3)))
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      blockCol = "njblk", n = 3, minJaccard = 0.65)
+  }
 
   /** Corpus-global word-3-shingle Jaccard ≥ 13/20 via df-ordered prefix
     * filtering + PPJoin length/position prunes — provably complete (no
@@ -893,7 +910,13 @@ object Queries {
              col("l_shipdate") < lit(Timestamp.valueOf("1997-01-01 00:00:00")) &&
              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
              col("l_quantity") < 24)
-      .agg(roundTo(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      // price and discount are 2-dp decimals: fix both to integer
+      // hundredths, so the summed revenue is an exact long in 1e-4
+      // dollar units — order-independent at any parallelism — then
+      // half-up round to cents in integer space (no float .5 edge).
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+               floor(col("l_discount") * 100 + lit(0.5)).cast("long")).as("u4"))
+      .select((expr("(u4 + 50) div 100") / 100.0).as("revenue"))
 
   /** HyperLogLog daily-active-user-days per event type, next to the
     * exact distinct count — see [[operators.Sketch.hllDistinct]]. The
@@ -928,18 +951,17 @@ object Queries {
     * value — the hash decorrelates the sample from every attribute).
     * Complements rate-based [[corpusSample]]: rates give proportions,
     * this gives a hard per-stratum budget (the eval-set shape).
-    * Window rank over the hash runs per stratum; at scale the same cut
-    * is the bounded-heap TakeOrdered per group ([[operators.Knn]]'s
-    * aggregator) — 5 strata here keeps the window form readable.
+    * The cut is [[operators.TopKStrat]]'s bounded-heap partial
+    * aggregation — shuffle volume O(strata × 50) at ANY input size. A
+    * row_number window here would sort every stratum end-to-end: with 5
+    * event types that is a full sort of the table at 100 TB.
     */
   def eventsStratified(spark: SparkSession, dir: String): DataFrame = {
     val h = tokenHash60(concat(lit("strat:"), col("event_id").cast("string")))
-    val w = Window.partitionBy("event_type").orderBy(col("h"), col("event_id"))
-    Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), col("user_id"), h.as("h"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= 50)
-      .select(col("event_type"), col("rn").as("pick"), col("event_id"), col("user_id"))
+    operators.Stats.stratifiedSample(
+        Tables.events(spark, dir), "event_type", "event_id", "user_id", h, k = 50)
+      .select(col("stratum").as("event_type"), col("pick"),
+        col("id").as("event_id"), col("payload").as("user_id"))
       .orderBy("event_type", "pick")
   }
 
@@ -955,7 +977,8 @@ object Queries {
   def eventsHistogram(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("event_type"), col("event_id"),
       floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
-    val bins = ev.withColumn("bin", expr("v4 div 100000"))
+    // floor division (matches DuckDB //) even for negative v4
+    val bins = ev.withColumn("bin", expr("(v4 - pmod(v4, 100000L)) div 100000"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
     val wcum = Window.partitionBy("event_type").orderBy("bin")
     val tot = Window.partitionBy("event_type")
@@ -991,7 +1014,7 @@ object Queries {
     Tables.events(spark, dir)
       .select(col("event_type"), unix_micros(col("ts")).as("t_us"),
         floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
-      .select(col("event_type"), col("v4"), expr(s"t_us div $hopUs").as("slot"),
+      .select(col("event_type"), col("v4"), expr(s"(t_us - pmod(t_us, ${hopUs}L)) div $hopUs").as("slot"),
         explode(sequence(lit(0), lit(3))).as("back"))
       .withColumn("win_start", (col("slot") - col("back")) * hopUs)
       .groupBy("win_start", "event_type")
@@ -1054,13 +1077,21 @@ object Queries {
       .where(col("l_shipdate") >= lit(Timestamp.valueOf("1996-03-01 00:00:00")) &&
              col("l_shipdate") < lit(Timestamp.valueOf("1996-04-01 00:00:00")))
     val part = Tables.part(spark, dir)
+    // Same integer-cents fixing as q6: revenue terms become exact longs
+    // in 1e-4 dollar units (price_cents × (100 - discount_cents)), so
+    // both sums are order-independent; cents rounding is integer
+    // half-up and the pct ratio is one double division of two exact
+    // longs, written identically in the oracle.
+    val u4 = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+             (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
       .agg(
-        roundTo(sum(when(col("p_type") === "ECONOMY",
-          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))), 2).as("promo_revenue"),
-        roundTo(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("total_revenue"))
-      .select(col("promo_revenue"), col("total_revenue"),
-        roundTo(lit(100.0) * col("promo_revenue") / col("total_revenue"), 4).as("promo_pct"))
+        sum(when(col("p_type") === "ECONOMY", u4).otherwise(lit(0L))).as("promo_u4"),
+        sum(u4).as("total_u4"))
+      .select(
+        (expr("(promo_u4 + 50) div 100") / 100.0).as("promo_revenue"),
+        (expr("(total_u4 + 50) div 100") / 100.0).as("total_revenue"),
+        roundTo(lit(100.0) * col("promo_u4") / col("total_u4"), 4).as("promo_pct"))
   }
 
   /** TPC-H Q18-style large-volume orders: the aggregate-filtered

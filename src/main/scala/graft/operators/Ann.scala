@@ -57,6 +57,21 @@ object IvfIndex {
       (emb.queryExecution.analyzed.semanticHash(), vecCol, k),
       _ => fit(emb, vecCol, k, seed))
 
+  /** K scaled with the data: K = max(minK, ⌈n / targetClusterSize⌉), so
+    * expected cluster size — and with it the Σ|cluster|² per-task work of
+    * cluster-blocked operators like [[Knn.knnJoinIvf]] — stays BOUNDED as
+    * the table grows. A fixed K breaks that premise: at 100× data each
+    * cluster is 100× larger and block-local pair work grows 10,000×.
+    * Returns the fitted K alongside the centroids (callers thread it to
+    * probes/oracles). Counting n is a metadata-only pass on parquet.
+    */
+  def fitScaled(emb: DataFrame, vecCol: String, targetClusterSize: Long,
+                minK: Int = 16, seed: Long = 42L): Array[Array[Float]] = {
+    val n = emb.count()
+    val k = math.max(minK.toLong, (n + targetClusterSize - 1) / targetClusterSize)
+    fitCached(emb, vecCol, math.min(k, Int.MaxValue.toLong).toInt, seed)
+  }
+
   /** Cluster-assignment column (codegen'd; the "index build" map pass). */
   def assign(vec: Column, centroids: Array[Array[Float]]): Column =
     graft.functions.nearestCentroid(vec, centroids)

@@ -1,7 +1,41 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** One candidate row flowing into the bounded stratified-sample heap. */
+case class StratRow(h: Long, id: Long, payload: Long)
+
+/** Bounded lowest-k by (h, id) — the [[TopKNeighbors]] shape keyed by
+  * stratum: each partition ships at most ~max(2k, 64) rows per stratum
+  * into the shuffle (map-side combine), so a fixed-budget stratified
+  * sample never materializes or sorts a whole stratum. A row_number
+  * window does: it sorts every stratum end-to-end, which at 100 TB with
+  * a handful of strata is a full sort of the table.
+  */
+class TopKStrat(k: Int) extends Aggregator[StratRow, Seq[StratRow], Seq[StratRow]] {
+  private val cap = math.max(2 * k, 64)
+
+  private def compact(buf: Seq[StratRow]): Seq[StratRow] =
+    buf.sortBy(r => (r.h, r.id)).take(k)
+
+  override def zero: Seq[StratRow] = Vector.empty
+
+  override def reduce(buf: Seq[StratRow], in: StratRow): Seq[StratRow] = {
+    val next = buf :+ in
+    if (next.size >= cap) compact(next) else next
+  }
+
+  override def merge(a: Seq[StratRow], b: Seq[StratRow]): Seq[StratRow] = compact(a ++ b)
+
+  override def finish(buf: Seq[StratRow]): Seq[StratRow] = compact(buf)
+
+  override def bufferEncoder: Encoder[Seq[StratRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[StratRow]]()
+  override def outputEncoder: Encoder[Seq[StratRow]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[StratRow]]()
+}
 
 /** Exact-integer statistical operators. Parallel double summation is
   * order-nondeterministic (IEEE addition does not associate), so
@@ -43,6 +77,25 @@ object Stats {
         lhs * lhs > lit(k * k) * rhs
       })
       .drop("mk", "x", "n", "s", "q")
+  }
+
+  /** Fixed-budget stratified sample: the min(n, k) rows per stratum
+    * with the LOWEST (hashCol, idCol) — a deterministic hash rank, so
+    * the sample is decorrelated from every attribute. Runs as a
+    * [[TopKStrat]] bounded-heap partial aggregation: shuffle volume is
+    * O(strata × k) regardless of input size (never a per-stratum sort).
+    * Output: (stratum, pick, id, payload), pick = 1-based hash rank.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       payloadCol: String, hashCol: Column, k: Int): DataFrame = {
+    val topk = udaf(new TopKStrat(k), Encoders.product[StratRow])
+    df.select(col(stratumCol).as("stratum"), hashCol.as("h"),
+        col(idCol).cast("long").as("id"), col(payloadCol).cast("long").as("payload"))
+      .groupBy("stratum")
+      .agg(topk(col("h"), col("id"), col("payload")).as("picks"))
+      .select(col("stratum"), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("pick"),
+        col("p.id").as("id"), col("p.payload").as("payload"))
   }
 
   /** PROVABLY-EXACT heavy hitters (keys with count·(k+1) > n) via the

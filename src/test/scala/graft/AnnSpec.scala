@@ -109,6 +109,30 @@ class AnnSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("fitScaled: K grows with n, so per-cluster candidate work is bounded on 10x data") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(13)
+    def emb(n: Int): Seq[Emb] =
+      (0 until n).map(i => Emb(i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val smallDf = emb(500).toDF()
+    val bigDf = emb(5000).toDF()
+    val small = IvfIndex.fitScaled(smallDf, "embedding", targetClusterSize = 50L)
+    val big = IvfIndex.fitScaled(bigDf, "embedding", targetClusterSize = 50L)
+    assert(small.length === 16, "below minK*target the floor holds") // ceil(500/50)=10 < 16
+    assert(big.length === 100, "K = ceil(n/target) once above the floor")
+    // the knnJoinIvf premise: expected per-row candidate count Σ|c|²/n
+    // must not grow ∝ n — with scaled K it stays ~targetClusterSize
+    def meanCand(df: org.apache.spark.sql.DataFrame, cents: Array[Array[Float]], n: Long): Double = {
+      val sizes = df.select(graft.functions.nearestCentroid(col("embedding"), cents).as("c"))
+        .groupBy("c").count().collect().map(_.getLong(1))
+      sizes.map(x => x.toDouble * x).sum / n
+    }
+    val c1 = meanCand(smallDf, small, 500)
+    val c10 = meanCand(bigDf, big, 5000)
+    assert(c10 <= 4.0 * c1,
+      s"per-row candidate work must stay bounded on 10x data: $c1 -> $c10")
+  }
+
   test("probeBuckets enumerates exactly the Hamming ball") {
     assert(LshIndex.probeBuckets(0, 4, 0) === Seq(0))
     assert(LshIndex.probeBuckets(0, 4, 1).toSet === Set(0, 1, 2, 4, 8))

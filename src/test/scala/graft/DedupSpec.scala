@@ -179,4 +179,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 5L }) // doc 5 is alone in block "b"
     assert(pairs.contains((1L, 2L)))
   }
+
+  test("min-gram blocking: block sizes are content-governed, bounded under 3x corpus growth") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic distinct corpora; corpus(3n) extends corpus(n)
+    def corpus(n: Int): Seq[Doc] = {
+      val rnd = new scala.util.Random(11)
+      (1 to n).map(i =>
+        Doc(i.toLong, Seq.fill(8)(rnd.alphanumeric.take(6).mkString).mkString(" "), "x"))
+    }
+    def maxBlock(n: Int): Long = corpus(n).toDF()
+      .select(array_min(graft.functions.charShingleHash60(col("text"), 3)).as("blk"))
+      .groupBy("blk").count().agg(max("count")).head().getLong(0)
+    val small = maxBlock(300)
+    val big = maxBlock(900)
+    // blocking on a constant-cardinality column grows blocks ∝ n (O(n²)
+    // pair scans); the min-gram MinHash bucket must not
+    assert(big <= math.max(2 * small, 4L),
+      s"max block must not grow with the corpus: $small -> $big at 3x docs")
+    // and exact duplicates always share a block (min over identical grams)
+    val dupBlocks = (docs :+ Doc(6, docs.head.text, "b")).toDF()
+      .select(col("doc_id"),
+        array_min(graft.functions.charShingleHash60(col("text"), 3)).as("blk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dupBlocks(1L) === dupBlocks(2L) && dupBlocks(1L) === dupBlocks(6L))
+  }
 }

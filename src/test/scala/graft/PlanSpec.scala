@@ -143,6 +143,16 @@ class PlanSpec extends SparkSpec {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1, s"chunking must be map-side:\n$p")
   }
 
+  test("stratified sample: bounded-heap partial agg, no per-stratum Window sort") {
+    val p = plan(Queries.eventsStratified(spark, sf001))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"expect partial + final bounded-heap aggregation:\n$p")
+    assert(!p.contains("Window"), s"a window rank would full-sort every stratum:\n$p")
+    // the ONLY Sort allowed is the 250-row presentation orderBy (after the agg)
+    assert("""\(\d+\) Sort""".r.findAllIn(p).size <= 1,
+      s"no per-stratum sort of the base table:\n$p")
+  }
+
   test("column pruning: fingerprint scan reads only (doc_id, text)") {
     val p = plan(Queries.textFingerprint(spark, sf001))
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
