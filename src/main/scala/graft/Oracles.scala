@@ -286,6 +286,33 @@ object Oracles {
        |FROM ($union) u ORDER BY nprobe""".stripMargin
   }
 
+  /** LSH tuning curve: shared exact leg, one bucket assignment, one
+    * Hamming-ball branch per radius — the DuckDB twin of
+    * [[Queries.annLshRecallCurve]].
+    */
+  private def lshRecallCurveSql(planes: Array[Array[Float]], queryId: Long,
+                                k: Int, radii: Seq[Int]): String = {
+    val branches = radii.map { r =>
+      s"""b$r AS (SELECT $r AS radius, count(*) AS n_hits FROM exact
+         |WHERE id IN (SELECT e.vec_id FROM embeddings e JOIN bk ON bk.vec_id = e.vec_id, q, ctr
+         |             WHERE bit_count(xor(bk.bucket, ctr.center)) <= $r
+         |             ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k))""".stripMargin
+    }.mkString(",\n")
+    val union = radii.map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""WITH pl AS ${paramRows(planes, "p", "wv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |exact AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |          ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k),
+       |bdot AS (SELECT e.vec_id, pl.p, ${dot("e.embedding", "pl.wv")} AS d
+       |         FROM embeddings e CROSS JOIN pl),
+       |bk AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bdot GROUP BY vec_id),
+       |ctr AS (SELECT bucket AS center FROM bk WHERE vec_id = $queryId),
+       |$branches
+       |SELECT radius, n_hits, (round((n_hits / $k) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY radius""".stripMargin
+  }
+
   /** k-NN graph: same single-probe cluster blocking as
     * [[operators.Knn.knnJoinIvf]] — assignment (argmin centroid, ties to
     * lowest id), same-cluster pairs, exact L2 rank.
@@ -440,6 +467,8 @@ object Oracles {
       "ann_recall_curve" -> recallCurveSql(centroids, queryId = 4L, k = 10,
         nprobes = Seq(1, 2, 4, 8, 16)),
       "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
+      "ann_lsh_recall_curve" -> lshRecallCurveSql(planes, queryId = 3L, k = 10,
+        radii = Seq(0, 1, 2, 3, 4)),
       // the reference's filtered ANN search (hnsw_index.rs
       // search_vectors_filter): same centroids, label predicate ANDed
       // into the pruned scan — filter and probe compose.

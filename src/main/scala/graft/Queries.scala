@@ -133,6 +133,31 @@ object Queries {
     }.reduce(_ unionAll _).orderBy("nprobe")
   }
 
+  /** LSH tuning curve: recall@10 of [[operators.LshIndex.search]] at
+    * multi-probe Hamming radius ∈ {0,1,2,3,4} in ONE query — the
+    * usearch `ef_search` tuning experience (reference:
+    * src/core/index/usearch_index.rs) that [[annRecallCurve]] gives the
+    * IVF nprobe knob. One shared exact leg; the bucket column is a pure
+    * map-side pass, so each radius branch is a pruned scan + bounded
+    * top-k. radius = nBits probes every bucket ⇒ the curve provably
+    * ends at recall 1.0.
+    */
+  def annLshRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val planes = operators.LshIndex.planes(nBits = 4, dim = 64)
+    val qv = queryVec(spark, dir, 3L)
+    val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    Seq(0, 1, 2, 3, 4).map { r =>
+      val approx = operators.LshIndex.search(emb, "vec_id", "embedding", planes,
+        qv, k = 10, radius = r, metric = "l2").select(col("id"))
+      exact.join(approx, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(r).as("radius"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("radius")
+  }
+
   /** k-NN graph over the whole embedding table: top-3 neighbors per
     * vector within its own IVF cluster (single-probe blocking). The
     * cluster count SCALES with the table — K = max(16, ⌈n/100⌉) via

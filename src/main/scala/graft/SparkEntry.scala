@@ -22,6 +22,7 @@ object SparkEntry {
     "ann_ivf" -> (Queries.annIvf _),
     "ann_ivf_persisted" -> (Queries.annIvfPersisted _),
     "ann_lsh" -> (Queries.annLsh _),
+    "ann_lsh_recall_curve" -> (Queries.annLshRecallCurve _),
     "ann_pq" -> (Queries.annPq _),
     "ann_ivfpq" -> (Queries.annIvfPq _),
     "ann_pq_persisted" -> (Queries.annPqPersisted _),

@@ -54,9 +54,10 @@ case class IndexParams(
     nprobe: Int = 4,
     lshBits: Int = 4,
     lshRadius: Int = 1,
-    binaryRerank: Int = 100) {
+    binaryRerank: Int = 100,
+    lshBands: Int = 1) {
   require(ivfClusters >= 1 && nprobe >= 1 && lshBits >= 1 && lshRadius >= 0
-      && binaryRerank >= 1,
+      && binaryRerank >= 1 && lshBands >= 1,
     "index params must be positive (lshRadius may be 0)")
 }
 
@@ -95,8 +96,14 @@ class VectorIndex private (
   private def withFreshState(next: DataFrame): VectorIndex =
     new VectorIndex(key, params, spark, next, None)
 
-  /** State without persisted-layout columns (for mutations that union). */
-  private def bare: DataFrame = state.drop(LayoutCols: _*)
+  /** State without persisted-layout columns (for mutations that union).
+    * A banded-LSH layout holds one copy of every row per band, so keep a
+    * single band (each band is a complete copy) before dropping.
+    */
+  private def bare: DataFrame = {
+    val single = if (state.columns.contains("band")) state.where(col("band") === 0) else state
+    single.drop(LayoutCols: _*)
+  }
 
   /** reference: insert_index_handle.rs — append (id, vectors). */
   def insert(id: Long, vector: Array[Float], data: String = null): VectorIndex = {
@@ -104,9 +111,13 @@ class VectorIndex private (
     insertAll(rowsDf(spark, Seq((id, vector, Option(data)))))
   }
 
-  /** Bulk append; `rows` needs columns (id, vectors[, data]). */
+  /** Bulk append; `rows` needs columns (id, vectors[, data]). The dim
+    * check (reference BAD_REQUEST, app_error.rs) is part of the plan —
+    * a raise_error gate inside the vectors column — so it costs no extra
+    * job and fires on the first action touching a bad row.
+    */
   def insertAll(rows: DataFrame): VectorIndex =
-    withFreshState(bare.unionByName(normalize(rows), allowMissingColumns = false))
+    withFreshState(bare.unionByName(normalize(rows, key.dim), allowMissingColumns = false))
 
   /** reference: db/vector_database.rs:24-83 — latest-wins: replace the
     * vector for an existing id and overwrite its scalar document.
@@ -117,7 +128,7 @@ class VectorIndex private (
   }
 
   def upsertAll(rows: DataFrame): VectorIndex =
-    withFreshState(Upsert.merge(bare, normalize(rows), "id"))
+    withFreshState(Upsert.merge(bare, normalize(rows, key.dim), "id"))
 
   /** Tombstone a single id (reference: the remove half of
     * VectorDatabase::upsert — FaissIndex::remove_vectors,
@@ -134,9 +145,12 @@ class VectorIndex private (
 
   /** reference: router/handle/query_handle.rs — point lookup by id. */
   def query(id: Long): DataFrame =
-    state.where(col("id") === id).select("id", "vectors", "data")
+    bare.where(col("id") === id).select("id", "vectors", "data")
 
-  def count: Long = state.count()
+  /** Logical cardinality — one per id even on a banded layout (whose
+    * physical state holds one copy per band).
+    */
+  def count: Long = bare.count()
 
   /** reference: router/handle/search_index_handle.rs:47-105 — k nearest
     * ids with distances, ascending (rank, id, value). FLAT is exact;
@@ -213,6 +227,18 @@ class VectorIndex private (
               IvfIndex.search(base, "id", "vectors", centroids, vector, k,
                 nprobe = math.min(params.nprobe, centroids.length), metric = key.metricType.name)
         }
+      case IndexType.LSH if params.lshBands > 1 =>
+        // banded (OR-amplified) LSH: same total bits spent as
+        // bands × nBits single tables — recall 1-(1-p^nBits)^bands
+        val bp = LshIndex.bandPlanes(params.lshBands, params.lshBits, key.dim, seed = 42L)
+        if (base.columns.contains("band"))
+          // Loaded layout: (band, bucket) partition columns — the any-band
+          // probe disjunction prunes at file-listing time.
+          LshIndex.searchBandedPruned(base, "id", "vectors", bp, vector, k,
+            radius = params.lshRadius, metric = key.metricType.name)
+        else
+          LshIndex.searchBanded(base, "id", "vectors", bp, vector, k,
+            radius = params.lshRadius, metric = key.metricType.name)
       case IndexType.LSH =>
         val planes = LshIndex.planes(nBits = params.lshBits, dim = key.dim, seed = 42L)
         if (base.columns.contains("bucket")) {
@@ -264,9 +290,9 @@ class VectorIndex private (
     import spark.implicits._
     Seq((key.indexType.toString, key.dim, key.metricType.name,
         params.ivfClusters, params.nprobe, params.lshBits, params.lshRadius,
-        params.binaryRerank))
+        params.binaryRerank, params.lshBands))
       .toDF("index_type", "dim", "metric", "ivf_clusters", "nprobe", "lsh_bits",
-        "lsh_radius", "binary_rerank")
+        "lsh_radius", "binary_rerank", "lsh_bands")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     key.indexType match {
       case IndexType.IVF =>
@@ -280,6 +306,10 @@ class VectorIndex private (
         // A partitionBy write of an empty DataFrame emits no part files and
         // load() would fail schema inference — same guard as the IVF branch.
         if (bare.isEmpty) bare.write.mode("overwrite").parquet(s"$path/data")
+        else if (params.lshBands > 1)
+          LshIndex.writeBandPartitioned(bare, "vectors",
+            LshIndex.bandPlanes(params.lshBands, params.lshBits, key.dim, seed = 42L),
+            s"$path/data")
         else LshIndex.writePartitioned(bare, "vectors",
           LshIndex.planes(nBits = params.lshBits, dim = key.dim, seed = 42L), s"$path/data")
       case IndexType.FLAT | IndexType.BINARY =>
@@ -294,7 +324,7 @@ class VectorIndex private (
 object VectorIndex {
 
   /** Persisted-layout columns that only exist on a [[load]]ed state. */
-  private val LayoutCols = Seq("cluster", "bucket")
+  private val LayoutCols = Seq("cluster", "bucket", "band")
 
   /** reference: router/handle/create_index_handle.rs — registry init
     * keyed by (index_type, dim, metric_type); dim must be ≥ 1.
@@ -326,9 +356,15 @@ object VectorIndex {
       case "cosine" => Metric.Cosine
       case other    => throw new IllegalArgumentException(s"unknown metric $other")
     }
+    // meta columns added after a save format shipped get defaults, so
+    // indexes saved by older builds stay loadable (binary_rerank arrived
+    // after the 7-column format, lsh_bands after the 8-column one)
+    val fields = m.schema.fieldNames.toSet
+    def intOr(name: String, default: Int): Int =
+      if (fields.contains(name)) m.getAs[Int](name) else default
     val params = IndexParams(m.getAs[Int]("ivf_clusters"), m.getAs[Int]("nprobe"),
       m.getAs[Int]("lsh_bits"), m.getAs[Int]("lsh_radius"),
-      m.getAs[Int]("binary_rerank"))
+      intOr("binary_rerank", 100), intOr("lsh_bands", 1))
     val state = spark.read.parquet(s"$path/data")
     val centroids =
       if (indexType == IndexType.IVF && state.columns.contains("cluster"))
@@ -342,10 +378,16 @@ object VectorIndex {
     rows.toDF("id", "vectors", "data")
   }
 
-  private def normalize(rows: DataFrame): DataFrame = {
+  private def normalize(rows: DataFrame, dim: Int): DataFrame = {
     val withData = if (rows.columns.contains("data")) rows
                    else rows.withColumn("data", lit(null).cast("string"))
+    // the bulk-path dim contract (reference: BAD_REQUEST, app_error.rs)
+    // lives INSIDE the vectors expression so column pruning can never
+    // drop it while the vectors themselves are in use
+    val checked = when(size(col("vectors")) === dim, col("vectors").cast("array<float>"))
+      .otherwise(raise_error(concat(
+        lit("vector dim "), size(col("vectors")).cast("string"), lit(s" != index dim $dim"))))
     withData.select(col("id").cast("long"),
-      col("vectors").cast("array<float>"), col("data").cast("string"))
+      checked.as("vectors"), col("data").cast("string"))
   }
 }

@@ -207,6 +207,60 @@ object LshIndex {
     Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
   }
 
+  /** Banded (multi-table) LSH search: a vector is a candidate when, in
+    * ANY band, its bucket is within Hamming `radius` of the query's
+    * bucket in that band — recall 1 − (1 − p^nBits)^bands vs the
+    * single-band p^nBits at equal total bits (the classic LSH
+    * amplification trade: same memory, OR-construction recall). The
+    * predicate is a pure map-side disjunction of bucket tests — still a
+    * pruned scan + bounded top-k, never a join.
+    */
+  def searchBanded(emb: DataFrame, idCol: String, vecCol: String,
+                   bandPlanes: Array[Array[Array[Float]]], queryVec: Array[Float],
+                   k: Int, radius: Int, metric: String = "l2"): DataFrame = {
+    val pred = bandPlanes.map { planes =>
+      val probed = probeBuckets(bucketOf(queryVec, planes), planes.length, radius)
+      bucket(col(vecCol), planes).isin(probed: _*)
+    }.reduce(_ || _)
+    Knn.searchExact(emb.where(pred), idCol, vecCol, queryVec, k, metric)
+  }
+
+  /** Banded persisted layout: one copy of every row PER BAND, partitioned
+    * by (band, bucket) — the multi-band probe becomes a file-listing
+    * prune over `bands × |Hamming ball|` partitions. Storage is ×bands
+    * (the standard LSH amplification cost); any single band (e.g.
+    * band=0) is a complete copy of the data.
+    */
+  def writeBandPartitioned(emb: DataFrame, vecCol: String,
+                           bandPlanes: Array[Array[Array[Float]]], path: String): Unit =
+    emb.select(col("*"),
+        posexplode(array(bandPlanes.map(p => bucket(col(vecCol), p)): _*))
+          .as(Seq("band", "bucket")))
+      .write.mode("overwrite").partitionBy("band", "bucket").parquet(path)
+
+  def searchBandedPersisted(spark: SparkSession, path: String, idCol: String, vecCol: String,
+                            bandPlanes: Array[Array[Array[Float]]], queryVec: Array[Float],
+                            k: Int, radius: Int, metric: String = "l2"): DataFrame =
+    searchBandedPruned(spark.read.parquet(path), idCol, vecCol, bandPlanes,
+      queryVec, k, radius, metric)
+
+  /** Search a [[writeBandPartitioned]]-shaped DataFrame (has band/bucket
+    * partition columns): OR of per-band (band, bucket-ball) predicates —
+    * both are partition columns, so the disjunction prunes at file
+    * listing — then a by-id dedup (a row can match several bands) before
+    * the exact re-rank.
+    */
+  def searchBandedPruned(state: DataFrame, idCol: String, vecCol: String,
+                         bandPlanes: Array[Array[Array[Float]]], queryVec: Array[Float],
+                         k: Int, radius: Int, metric: String = "l2"): DataFrame = {
+    val pred = bandPlanes.zipWithIndex.map { case (planes, b) =>
+      val probed = probeBuckets(bucketOf(queryVec, planes), planes.length, radius)
+      col("band") === b && col("bucket").isin(probed: _*)
+    }.reduce(_ || _)
+    Knn.searchExact(state.where(pred).dropDuplicates(idCol),
+      idCol, vecCol, queryVec, k, metric)
+  }
+
   /** The LSH twin of [[IvfIndex.writePartitioned]]: bucket as the parquet
     * partition column, so multi-probe search over a reloaded index prunes
     * at file-listing time. Planes are seed-deterministic, so only the

@@ -132,6 +132,46 @@ class ApiSpec extends SparkSpec {
     assert(recallLsh(0) <= recallLsh(4))
   }
 
+  test("banded LSH: recall >= single-band at equal total bits (OR amplification)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"),
+        lit(null).cast("string").as("data"))
+    val flat = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2).insertAll(emb)
+    // equal memory: 8 bits as one table vs 2 bands x 4 bits
+    val single = VectorIndex.create(spark, IndexType.LSH, 64, Metric.L2,
+      IndexParams(lshBits = 8, lshRadius = 0)).insertAll(emb)
+    val banded = VectorIndex.create(spark, IndexType.LSH, 64, Metric.L2,
+      IndexParams(lshBits = 4, lshRadius = 0, lshBands = 2)).insertAll(emb)
+    def recall(idx: VectorIndex, qv: Array[Float]): Double = {
+      val exact = flat.search(qv, 10).collect().map(_.getLong(1)).toSet
+      val got = idx.search(qv, 10).collect().map(_.getLong(1)).toSet
+      (got & exact).size / 10.0
+    }
+    val qids = Seq(5L, 11L, 23L, 42L, 77L)
+    val qvs = qids.map(q =>
+      emb.where(col("id") === q).select("vectors").first().getSeq[Float](0).toArray)
+    val rSingle = qvs.map(recall(single, _)).sum / qids.size
+    val rBanded = qvs.map(recall(banded, _)).sum / qids.size
+    assert(rBanded >= rSingle,
+      s"2x4-bit bands must not lose to one 8-bit table: $rBanded < $rSingle")
+  }
+
+  test("bulk insertAll/upsertAll reject dim-mismatched rows at action time (BAD_REQUEST)") {
+    val s = spark; import s.implicits._
+    val bad = Seq((1L, Array(1f, 2f)), (2L, Array(1f, 2f, 3f))).toDF("id", "vectors")
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 3, Metric.L2)
+    val e1 = intercept[Exception](idx.insertAll(bad).count)
+    assert(e1.getMessage.contains("!= index dim 3") ||
+      Option(e1.getCause).exists(_.getMessage.contains("!= index dim 3")))
+    val e2 = intercept[Exception](idx.upsertAll(bad).count)
+    assert(e2.getMessage.contains("!= index dim 3") ||
+      Option(e2.getCause).exists(_.getMessage.contains("!= index dim 3")))
+    // well-formed bulk rows still pass the in-plan gate
+    val good = Seq((1L, Array(1f, 2f, 3f))).toDF("id", "vectors")
+    assert(idx.insertAll(good).count === 1L)
+  }
+
   test("searchBatch: per-query top-k equals looped single search (FLAT and IVF)") {
     val s = spark; import s.implicits._
     val rows = (0 until 200).map(i => (i.toLong, Array(i.toFloat, (i % 7).toFloat), None: Option[String]))

@@ -140,6 +140,46 @@ class PersistSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 5)
   }
 
+  test("banded LSH save -> load: (band, bucket)-partitioned, same answer, pruned") {
+    val rows = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"))
+    val idx = VectorIndex.create(spark, IndexType.LSH, 64, Metric.L2,
+      IndexParams(lshBits = 4, lshRadius = 0, lshBands = 2)).insertAll(rows)
+    val q = rows.where(col("id") === 3L).select("vectors").first().getSeq[Float](0).toArray
+
+    val path = tmp("graft-vidx-lsh-banded")
+    idx.save(path)
+    val reloaded = VectorIndex.load(spark, path)
+    assert(reloaded.params.lshBands === 2)
+    val live = idx.search(q, 10).collect().map(_.toSeq).toSeq
+    val loaded = reloaded.search(q, 10)
+    assert(loaded.collect().map(_.toSeq).toSeq === live)
+    // radius 0 probes ONE bucket per band: <= 2 of up to 32 (band, bucket)
+    // partitions survive the file-listing prune
+    val scan = scanOf(loaded)
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount <= 2)
+    // mutations on the loaded banded state see ONE copy of each row
+    assert(reloaded.count === idx.count)
+  }
+
+  test("pre-lsh_bands meta (8-column save format) still loads with default bands=1") {
+    val rows = Tables.embeddings(spark, sf001).limit(20)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"))
+    val idx = VectorIndex.create(spark, IndexType.LSH, 64, Metric.L2).insertAll(rows)
+    val path = tmp("graft-vidx-oldmeta")
+    idx.save(path)
+    // rewrite meta WITHOUT the lsh_bands column (the older wire format)
+    val s = spark; import s.implicits._
+    Seq(("LSH", 64, "l2", 16, 4, 4, 1, 100))
+      .toDF("index_type", "dim", "metric", "ivf_clusters", "nprobe", "lsh_bits",
+        "lsh_radius", "binary_rerank")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val reloaded = VectorIndex.load(spark, path)
+    assert(reloaded.params.lshBands === 1 && reloaded.params.binaryRerank === 100)
+    assert(reloaded.count === 20L)
+  }
+
   test("empty index save -> load round trip (FLAT, IVF, LSH and BINARY degrade cleanly)") {
     for (kind <- Seq(IndexType.FLAT, IndexType.IVF, IndexType.LSH, IndexType.BINARY)) {
       val idx = VectorIndex.create(spark, kind, 2, Metric.L2)
