@@ -683,16 +683,23 @@ object Oracles {
          |       FROM cand JOIN sg sa ON sa.doc_id = a_id JOIN sg sb ON sb.doc_id = b_id)
          |SELECT a_id, b_id, hamming FROM hm WHERE hamming <= 8 ORDER BY a_id, b_id""".stripMargin,
 
-    // block key = min gram hash (1-permutation MinHash bucket): content-
-    // governed block sizes, P(same block) = J — mirrors Queries.scala.
+    // block key = min 8-gram hash among grams with df <= 100 (the
+    // rare-gram cap): |block| <= df <= 100 by construction — mirrors
+    // Dedup.ngramJaccardPairsRareBlocked. Gram hash is the winnow
+    // polynomial (base-31 mod 1e9+7 over code points, CharShinglePoly).
     "dedup_ngram_jaccard" ->
-      s"""WITH sh AS (SELECT doc_id,
-         |  CASE WHEN len(text) < 3 THEN [] ELSE
-         |    list_transform(range(1, len(text) - 1), i -> substr(text, i, 3)) END AS sh
-         |  FROM documents),
-         |g AS (SELECT doc_id, list_distinct(list_transform(sh, s -> ${tokenHash60("s")})) AS g
-         |      FROM sh),
-         |gb AS (SELECT doc_id, g, list_min(g) AS blk FROM g),
+      """WITH g0 AS (SELECT doc_id,
+        |  CASE WHEN len(text) < 8 THEN [] ELSE
+        |    list_transform(range(1, len(text) - 6), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(0, 8), j -> CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |        (a, c) -> (a * 31 + c) % 1000000007)) END AS gh
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(gh) AS g FROM g0),
+        |ex AS (SELECT doc_id, unnest(g) AS gh FROM g),
+        |rare AS (SELECT gh FROM ex GROUP BY gh HAVING count(*) <= 100),
+        |blks AS (SELECT doc_id, min(gh) AS blk FROM ex JOIN rare USING (gh) GROUP BY doc_id),
+        |gb AS (SELECT g.doc_id, g.g, blks.blk FROM g JOIN blks ON g.doc_id = blks.doc_id),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
         |        CAST(len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS DOUBLE) AS j

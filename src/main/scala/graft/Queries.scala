@@ -536,23 +536,25 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
 
-  /** Char-3-gram Jaccard ≥ 0.65 pairs, blocked on each document's
-    * MINIMUM gram hash — a 1-permutation MinHash bucket. Two docs land
-    * in the same block with probability exactly J(A,B) (the MinHash
-    * identity), so every J ≥ 0.65 pair is caught w.p. ≥ 0.65 and block
-    * sizes are governed by CONTENT (docs whose rarest-hashed gram
-    * coincides — i.e. near-duplicate clusters), never by corpus size.
-    * Blocking on a fixed-cardinality column like `source` would grow
-    * blocks ∝ n and make the in-block pair scan O(n²) at 100 TB;
-    * this key keeps it Σ|cluster|². Completeness, when required, is
-    * [[dedupJaccardPrefix]]'s job.
+  /** Char-8-gram Jaccard ≥ 0.65 pairs, blocked on each document's
+    * df-capped rare-gram minimum ([[operators.Dedup.withRareGramBlock]]
+    * fused into [[operators.Dedup.ngramJaccardPairsRareBlocked]]):
+    * |block| ≤ df(blocking gram) ≤ 100 BY CONSTRUCTION at any corpus
+    * size, so the in-block pair scan is bounded everywhere — unlike a
+    * fixed-cardinality key like `source` (blocks ∝ n ⇒ O(n²)) or a
+    * plain min-gram MinHash (a ubiquitous small-hash gram collects a
+    * Θ(n) block on templated corpora). Gram width 8 (winnowing's k):
+    * the char-3-gram space saturates on a small vocabulary (377
+    * distinct grams corpus-wide at sf0.1 — none rare), while 8-grams
+    * span word boundaries and stay discriminative. Completeness, when
+    * required, is [[dedupJaccardPrefix]]'s job; cap-exceeding duplicate
+    * clusters are [[dedupExact]]/[[dedupMinhash]]'s.
     */
-  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("njblk", array_min(charShingleHash60(col("text"), 3)))
-    Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      blockCol = "njblk", n = 3, minJaccard = 0.65)
-  }
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // chunks = 1: blocks are ≤ dfCap docs, so the big-block triangle
+    // fan-out would be pure replication
+    Dedup.ngramJaccardPairsRareBlocked(Tables.documents(spark, dir),
+      "doc_id", "text", n = 8, minJaccard = 0.65, dfCap = 100L, chunks = 1)
 
   /** Corpus-global word-3-shingle Jaccard ≥ 13/20 via df-ordered prefix
     * filtering + PPJoin length/position prunes — provably complete (no

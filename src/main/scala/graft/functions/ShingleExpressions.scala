@@ -68,6 +68,28 @@ object Hash60 {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  private val PolyMod = 1000000007L
+
+  /** Base-31 mod-1e9+7 polynomial hashes of every char n-shingle over
+    * the CODE POINTS (matching RollingFingerprint / the oracle's
+    * ascii(substr) walk). O(n) work per gram with zero allocation.
+    */
+  def charShinglePolys(s: UTF8String, n: Int): ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val m = cps.length - n + 1
+    if (m <= 0) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc * 31L + cps(i + j)) % PolyMod; j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** |A ∩ B| for two ASCENDING-sorted long arrays via a single merge scan —
@@ -129,6 +151,31 @@ case class WordShingleHash60(child: Expression, n: Int) extends UnaryExpression 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.functions.Hash60.wordShingleHashes($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Base-31 mod-1e9+7 polynomial hash of every char n-shingle, in one
+  * pass over the code points — the same cross-engine-proven polynomial
+  * as [[RollingFingerprint]]/[[WinnowHashes]] (the DuckDB twin is a
+  * `list_reduce` over `ascii(substr(...))`). ~1000× cheaper per gram
+  * than [[CharShingleHash60]]'s md5 (no digest, no per-gram
+  * allocation); the 1e9+7 hash space means rare corpus-wide collisions,
+  * identical on both engines (the winnowing trade, accepted there too).
+  */
+case class CharShinglePoly(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def prettyName: String = "char_shingle_poly"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    Hash60.charShinglePolys(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Hash60.charShinglePolys($a, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

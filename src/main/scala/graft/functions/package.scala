@@ -81,6 +81,12 @@ package object functions {
   def charShingleHash60(text: Column, n: Int): Column =
     col(CharShingleHash60(expr(text), n))
 
+  /** Base-31 mod-1e9+7 polynomial hash of every char n-shingle, one
+    * codegen pass (no md5 — see [[CharShinglePoly]]).
+    */
+  def charShinglePoly(text: Column, n: Int): Column =
+    col(CharShinglePoly(expr(text), n))
+
   /** Per-language stopword match counts over a token array, one pass. */
   def stopwordVotes(tokens: Column, sets: Array[Array[String]]): Column =
     col(StopwordVotes(expr(tokens), sets))

@@ -192,6 +192,36 @@ object Dedup {
     out
   }
 
+  /** Content block key with a PROVABLE size bound for
+    * [[ngramJaccardPairs]]: each doc's block is its MINIMUM char-n-gram
+    * hash among grams with document frequency ≤ dfCap. Every member of
+    * block g contains gram g, so |block| ≤ df(g) ≤ dfCap — a constant
+    * bound at ANY corpus size, the same df-cap discipline as
+    * [[winnowPairs]]' postings. (A plain min over ALL grams degenerates
+    * on templated corpora: one ubiquitous gram with a globally small
+    * hash collects a Θ(n) block — measured 3838 of 5000 docs at sf0.1.)
+    *
+    * Recall envelope: near-dup pairs share their rare grams, so their
+    * df-capped minima agree with probability ≈ their Jaccard restricted
+    * to rare grams. Docs with NO rare gram (pure template, or a
+    * duplicate cluster larger than dfCap) get NULL and never pair —
+    * exact dedup and minhash banding own those regimes.
+    *
+    * Scale shape: the char-n-gram df table is alphabet-bounded
+    * (≤ |Σ|^n distinct grams) so the rare side BROADCASTS at any data
+    * size; the explode is a map-side pass + one bounded-key partial agg.
+    */
+  def withRareGramBlock(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, dfCap: Long, out: String = "blk"): DataFrame = {
+    val g = docs.select(col(idCol).as("__bid"),
+      array_distinct(charShinglePoly(col(textCol), n)).as("gs"))
+    val ex = g.select(col("__bid"), explode(col("gs")).as("gh"))
+    val rare = ex.groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+    val blk = ex.join(broadcast(rare.select("gh")), "gh")
+      .groupBy("__bid").agg(min("gh").as(out))
+    docs.join(blk, docs(idCol) === blk("__bid"), "left").drop("__bid")
+  }
+
   /** Character n-gram Jaccard similarity pairs, blocked on a grouping
     * column (never global O(n²) — pairs only form within a block).
     *
@@ -201,7 +231,8 @@ object Dedup {
     * |A∩B| ≤ min and |A∪B| ≥ max) prunes pairs before any set op.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, n: Int, minJaccard: Double): DataFrame = {
+                        blockCol: String, n: Int, minJaccard: Double,
+                        chunks: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -215,6 +246,51 @@ object Dedup {
       .select(col(blockCol).cast("string").as("blk"), col(idCol).as("doc_id"),
         sort_array(array_distinct(charShingleHash60(col(textCol), n))).as("g"))
       .as[(String, Long, Array[Long])]
+    blockPairScan(grams, minJaccard, chunks)
+  }
+
+  /** [[ngramJaccardPairs]] with the [[withRareGramBlock]] key FUSED into
+    * the same pipeline: the common-gram set (df > dfCap — the bounded
+    * complement) is one tiny aggregated array broadcast into a map-side
+    * projection, so the block key costs array_except + array_min on the
+    * gram set the pair scan needs anyway — no second shingle pass over
+    * the text, no re-join of gram arrays by id. |block| ≤ dfCap by
+    * construction (see [[withRareGramBlock]]).
+    */
+  def ngramJaccardPairsRareBlocked(docs: DataFrame, idCol: String, textCol: String,
+                                   n: Int, minJaccard: Double, dfCap: Long,
+                                   chunks: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // persisted like minhashSignatures: the gram table is read twice (df
+    // agg + block derivation) and — the expensive lesson — explode over
+    // an INLINE array expression re-evaluates it per output element
+    // (O(len²)/doc); exploding the materialized column is linear.
+    val g = docs.select(col(idCol).as("doc_id"),
+        sort_array(array_distinct(charShinglePoly(col(textCol), n))).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val common = g.select(explode(col("g")).as("gh"))
+      .groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") > dfCap)
+      .agg(collect_list("gh").as("common")) // global agg: always exactly 1 row
+    val grams = g.crossJoin(broadcast(common))
+      .select(array_min(array_except(col("g"), col("common"))).cast("string").as("blk"),
+        col("doc_id"), col("g"))
+      .where(col("blk").isNotNull) // no rare gram: exact dedup / minhash own it
+      .as[(String, Long, Array[Long])]
+    // materialize, then release the gram cache (see minhashPairs)
+    val out = blockPairScan(grams, minJaccard, chunks).localCheckpoint(true)
+    g.unpersist()
+    out
+  }
+
+  /** Block-local exact-Jaccard pair enumeration over (blk, id, sorted
+    * gram hashes) rows.
+    */
+  private def blockPairScan(grams: org.apache.spark.sql.Dataset[(String, Long, Array[Long])],
+                            minJaccard: Double, chunks: Int): DataFrame = {
+    require(chunks >= 1 && chunks <= 64, "chunks must be in [1, 64]")
+    val spark = grams.sparkSession
+    import spark.implicits._
 
     // Triangle distribution of the per-block all-pairs work: each doc
     // hashes to one of C sub-chunks, and every unordered chunk pair
@@ -224,7 +300,13 @@ object Dedup {
     // factor is C (each doc joins the C chunk-pairs it belongs to);
     // pairs are enumerated exactly once because a cross pair {u, v}
     // exists only in its one (chunk(u), chunk(v)) group.
-    val C = 8
+    // `chunks` trades replication for parallelism: every doc ships
+    // `chunks` copies of its gram array, and a block fans out into
+    // chunks·(chunks+1)/2 tasks. Worth it for COARSE block keys (few
+    // huge blocks that would serialize on one core); pure overhead for
+    // content-bounded keys like a minhash bucket, where blocks are
+    // already small — pass chunks = 1 there.
+    val C = chunks
     val tasks = grams.flatMap { case (blk, id, g) =>
       val c = (id % C + C) % C
       (0 until C.toInt).map { o =>

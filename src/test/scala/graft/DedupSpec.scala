@@ -180,29 +180,34 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
-  test("min-gram blocking: block sizes are content-governed, bounded under 3x corpus growth") {
+  test("rare-gram blocking: max block <= dfCap even on a templated corpus growing 3x") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions._
-    // deterministic distinct corpora; corpus(3n) extends corpus(n)
+    // worst case for naive min-gram blocking: every doc shares a long
+    // template (so ubiquitous grams dominate), only the tail differs;
+    // corpus(3n) extends corpus(n)
     def corpus(n: Int): Seq[Doc] = {
       val rnd = new scala.util.Random(11)
       (1 to n).map(i =>
-        Doc(i.toLong, Seq.fill(8)(rnd.alphanumeric.take(6).mkString).mkString(" "), "x"))
+        Doc(i.toLong, "the quick brown fox jumps over the lazy dog again and again "
+          + rnd.alphanumeric.take(12).mkString, "x"))
     }
-    def maxBlock(n: Int): Long = corpus(n).toDF()
-      .select(array_min(graft.functions.charShingleHash60(col("text"), 3)).as("blk"))
+    val dfCap = 8L
+    def maxBlock(n: Int): Long = Dedup.withRareGramBlock(corpus(n).toDF(),
+        "doc_id", "text", n = 3, dfCap = dfCap, out = "blk")
+      .where(col("blk").isNotNull)
       .groupBy("blk").count().agg(max("count")).head().getLong(0)
-    val small = maxBlock(300)
-    val big = maxBlock(900)
-    // blocking on a constant-cardinality column grows blocks ∝ n (O(n²)
-    // pair scans); the min-gram MinHash bucket must not
-    assert(big <= math.max(2 * small, 4L),
-      s"max block must not grow with the corpus: $small -> $big at 3x docs")
-    // and exact duplicates always share a block (min over identical grams)
-    val dupBlocks = (docs :+ Doc(6, docs.head.text, "b")).toDF()
-      .select(col("doc_id"),
-        array_min(graft.functions.charShingleHash60(col("text"), 3)).as("blk"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(dupBlocks(1L) === dupBlocks(2L) && dupBlocks(1L) === dupBlocks(6L))
+    // |block| <= df(blocking gram) <= dfCap BY CONSTRUCTION, at both sizes
+    assert(maxBlock(300) <= dfCap)
+    assert(maxBlock(900) <= dfCap)
+    // near-identical pairs still co-block: their rare suffix grams agree
+    val nd = (1 to 40).map(i =>
+      Doc(i.toLong, s"totally unique payload number $i with rare content xyzzy$i", "x")) ++
+      Seq(Doc(100L, "totally unique payload number 7 with rare content xyzzy7!", "x"))
+    val blks = Dedup.withRareGramBlock(nd.toDF(), "doc_id", "text", n = 3,
+        dfCap = 8L, out = "blk")
+      .collect().map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[java.lang.Long]("blk"))).toMap
+    assert(blks(7L).isDefined && blks(7L) === blks(100L),
+      "a near-duplicate pair must share its rare-gram block")
   }
 }

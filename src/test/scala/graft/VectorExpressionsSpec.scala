@@ -65,6 +65,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("charShinglePoly matches a naive per-gram polynomial (incl. edge cases)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    def naive(t: String, n: Int): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      (0 to cps.length - n).map { i =>
+        cps.slice(i, i + n).foldLeft(0L)((a, c) => (a * 31L + c) % 1000000007L)
+      }
+    }
+    val texts = Seq("", "ab", "abc", "hello world spark", "aaaaaaaa", "héllo wörld ☃ snow")
+    val got = texts.toDF("t")
+      .select(graft.functions.charShinglePoly(col("t"), 3).as("g"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(got.toSeq === texts.map(naive(_, 3)))
+    val got8 = texts.toDF("t")
+      .select(graft.functions.charShinglePoly(col("t"), 8).as("g"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(got8.toSeq === texts.map(naive(_, 8)))
+  }
+
   test("wordShingleHash60 / charShingleHash60 match the built-in transform chain") {
     val s = spark; import s.implicits._
     val df = Seq("the quick brown fox jumps", "ab", "", "one two three")
