@@ -207,9 +207,12 @@ object Dedup {
     * duplicate cluster larger than dfCap) get NULL and never pair —
     * exact dedup and minhash banding own those regimes.
     *
-    * Scale shape: the char-n-gram df table is alphabet-bounded
-    * (≤ |Σ|^n distinct grams) so the rare side BROADCASTS at any data
-    * size; the explode is a map-side pass + one bounded-key partial agg.
+    * Scale shape: the df agg is one partial-agg shuffle over (doc, gram)
+    * postings; the rare join is a standard keyed equi-join (NO broadcast
+    * hint — the rare set is bounded by min(|Σ|^n, postings/dfCap), small
+    * enough that AQE auto-broadcasts it at moderate scale but NOT
+    * driver-collectable in general, so the plan must stay a join); the
+    * block table that joins back is one narrow (id, long) row per doc.
     */
   def withRareGramBlock(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, dfCap: Long, out: String = "blk"): DataFrame = {
@@ -217,7 +220,7 @@ object Dedup {
       array_distinct(charShinglePoly(col(textCol), n)).as("gs"))
     val ex = g.select(col("__bid"), explode(col("gs")).as("gh"))
     val rare = ex.groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
-    val blk = ex.join(broadcast(rare.select("gh")), "gh")
+    val blk = ex.join(rare.select("gh"), "gh")
       .groupBy("__bid").agg(min("gh").as(out))
     docs.join(blk, docs(idCol) === blk("__bid"), "left").drop("__bid")
   }
@@ -250,32 +253,35 @@ object Dedup {
   }
 
   /** [[ngramJaccardPairs]] with the [[withRareGramBlock]] key FUSED into
-    * the same pipeline: the common-gram set (df > dfCap — the bounded
-    * complement) is one tiny aggregated array broadcast into a map-side
-    * projection, so the block key costs array_except + array_min on the
-    * gram set the pair scan needs anyway — no second shingle pass over
-    * the text, no re-join of gram arrays by id. |block| ≤ dfCap by
-    * construction (see [[withRareGramBlock]]).
+    * the same pipeline over ONE persisted gram table: postings → df agg
+    * → rare join → per-doc min becomes the block key, gram arrays rejoin
+    * by id from the cache — a second shingle pass never runs. The rare
+    * join carries no broadcast hint (the rare set is bounded by
+    * min(|Σ|^n, postings/dfCap) — AQE broadcasts it while it is small,
+    * and the plan stays a lawful keyed join when it is not).
+    * |block| ≤ dfCap by construction (see [[withRareGramBlock]]).
     */
   def ngramJaccardPairsRareBlocked(docs: DataFrame, idCol: String, textCol: String,
                                    n: Int, minJaccard: Double, dfCap: Long,
                                    chunks: Int = 1): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // persisted like minhashSignatures: the gram table is read twice (df
-    // agg + block derivation) and — the expensive lesson — explode over
-    // an INLINE array expression re-evaluates it per output element
-    // (O(len²)/doc); exploding the materialized column is linear.
+    // persisted like minhashSignatures: the gram table is read three
+    // times (df agg, block key, pair-scan rejoin) and — the expensive
+    // lesson — explode over an INLINE array expression re-evaluates it
+    // per output element (O(len²)/doc); exploding the materialized
+    // column is linear.
     val g = docs.select(col(idCol).as("doc_id"),
         sort_array(array_distinct(charShinglePoly(col(textCol), n))).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val common = g.select(explode(col("g")).as("gh"))
-      .groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") > dfCap)
-      .agg(collect_list("gh").as("common")) // global agg: always exactly 1 row
-    val grams = g.crossJoin(broadcast(common))
-      .select(array_min(array_except(col("g"), col("common"))).cast("string").as("blk"),
-        col("doc_id"), col("g"))
-      .where(col("blk").isNotNull) // no rare gram: exact dedup / minhash own it
+    val ex = g.select(col("doc_id"), explode(col("g")).as("gh"))
+    val rare = ex.groupBy("gh").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+    val blk = ex.join(rare.select("gh"), "gh")
+      .groupBy("doc_id").agg(min("gh").cast("string").as("blk"))
+    // docs with no rare gram simply have no blk row (inner join drops
+    // them): exact dedup / minhash banding own those regimes
+    val grams = g.join(blk, "doc_id")
+      .select(col("blk"), col("doc_id"), col("g"))
       .as[(String, Long, Array[Long])]
     // materialize, then release the gram cache (see minhashPairs)
     val out = blockPairScan(grams, minJaccard, chunks).localCheckpoint(true)
