@@ -1256,6 +1256,24 @@ object Oracles {
 
     // Bloom bit positions re-derived from the same md5 hashes; positive
     // ⇔ every one of the probe's distinct positions is a set bit.
+    // Count-Min Sketch: d=4 x w=256 integer counters, one-sided
+    // frequency estimates for the deterministic 1% user sample — all
+    // exact integers, re-derived end-to-end.
+    "events_cms" ->
+      s"""WITH b AS (SELECT user_id, r.i AS i,
+         |    ${tokenHash60("'cms' || CAST(r.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)")} % 256 AS bkt
+         |  FROM events, range(0, 4) r(i)),
+         |counters AS (SELECT i, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+         |pk AS (SELECT DISTINCT user_id FROM events WHERE user_id % 23 = 0),
+         |pb AS (SELECT pk.user_id, r.i AS i,
+         |    ${tokenHash60("'cms' || CAST(r.i AS VARCHAR) || ':' || CAST(pk.user_id AS VARCHAR)")} % 256 AS bkt
+         |  FROM pk, range(0, 4) r(i)),
+         |est AS (SELECT user_id, min(coalesce(c, 0)) AS cms_est
+         |        FROM pb LEFT JOIN counters USING (i, bkt) GROUP BY 1),
+         |exact AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1)
+         |SELECT est.user_id, exact.n_exact, est.cms_est
+         |FROM est JOIN exact USING (user_id) ORDER BY user_id""".stripMargin,
+
     "events_bloom" ->
       s"""WITH members AS (SELECT DISTINCT user_id FROM events
          |                 WHERE event_type = 'purchase' AND value > 200),

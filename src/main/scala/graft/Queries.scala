@@ -958,6 +958,21 @@ object Queries {
       item = concat(col("user_id").cast("string"), lit(":"),
         date_format(col("ts"), "yyyy-MM-dd")))
 
+  /** Count-Min Sketch per-user event frequencies next to the exact
+    * counts — the point-frequency member of the sketch suite (HLL =
+    * distinct, Bloom = membership, Misra–Gries = heavy hitters,
+    * histogram = quantiles): d=4 × w=256 integer counters, probed for
+    * the deterministic ~1% user sample (user_id ≡ 0 mod 23). Estimates
+    * are one-sided (est ≥ exact, collisions only inflate); see
+    * [[operators.Sketch.cmsFrequency]].
+    */
+  def eventsCms(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    operators.Sketch.cmsFrequency(ev, "user_id",
+        ev.where(pmod(col("user_id"), lit(23L)) === 0), "user_id", d = 4, w = 256)
+      .withColumnRenamed("k", "user_id")
+  }
+
   /** Bloom-filter membership gate: did this viewer ever make a
     * high-value (> 200) purchase? Filter built over those purchasers,
     * probed by every view user — see [[operators.Sketch.bloomGate]].

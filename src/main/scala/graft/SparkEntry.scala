@@ -93,6 +93,7 @@ object SparkEntry {
     "q10_returns" -> (Queries.q10Returns _),
     "events_hll" -> (Queries.eventsHll _),
     "events_bloom" -> (Queries.eventsBloom _),
+    "events_cms" -> (Queries.eventsCms _),
     "events_histogram" -> (Queries.eventsHistogram _),
     "events_stratified" -> (Queries.eventsStratified _),
     "events_windowed" -> (Queries.eventsWindowed _),

@@ -81,6 +81,60 @@ object Sketch {
       .orderBy(keyCol)
   }
 
+  /** Count-Min Sketch frequency estimates next to the exact counts —
+    * the Cormode–Muthukrishnan point-frequency sketch, completing the
+    * sketch suite (HLL = distinct, Bloom = membership, Misra–Gries =
+    * heavy hitters, histogram = quantiles, CMS = per-key frequency).
+    *
+    * State is d×w integer counters as a (row, bucket) → count partial
+    * aggregation: ≤ d·w rows at ANY input size, and counters are
+    * SUM-mergeable, so the same chain maintains streaming state the way
+    * [[hllRegisters]]' max-merge does. Estimates are one-sided:
+    * est = min_i C[i][h_i(k)] ≥ exact always (collisions only inflate
+    * — property-tested), with error ≤ εn at probability 1−δ for
+    * w = ⌈e/ε⌉, d = ⌈ln(1/δ)⌉. Deterministic md5 row hashes + pure
+    * integer counts make the state bit-reproducible and independently
+    * re-derivable by the oracle. The probe side joins the d·w-row
+    * counter table (broadcast — it IS the sketch, bounded by
+    * construction) map-side; the exact leg rides along as the accuracy
+    * yardstick it replaces at scale.
+    */
+  private def cmsBucket(i: Int, w: Int, c: Column): Column =
+    pmod(tokenHash60(concat(lit(s"cms$i:"), c.cast("string"))), lit(w.toLong))
+
+  /** The CMS counter table (i, b, c): a pure count/sum aggregation, so
+    * the same chain maintains the state over a batch table or a stream
+    * (StreamingSpec asserts stream ≡ batch). Unlike [[hllRegisters]]'
+    * max-merge, sum-merged counts are NOT replay-immune — feed an
+    * exactly-once source or dedup upstream (e.g. the watermarked
+    * event-id dedup) before counting.
+    */
+  def cmsCounters(df: DataFrame, keyCol: String, d: Int, w: Int): DataFrame = {
+    require(d >= 1 && w >= 2)
+    df.select(posexplode(
+        array((0 until d).map(i => cmsBucket(i, w, col(keyCol))): _*)).as(Seq("i", "b")))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+  }
+
+  def cmsFrequency(df: DataFrame, keyCol: String, probes: DataFrame, probeCol: String,
+                   d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2)
+    def bucket(i: Int, c: Column): Column = cmsBucket(i, w, c)
+    val counters = cmsCounters(df, keyCol, d, w)
+    val probeBuckets = probes.select(col(probeCol).as("k")).distinct()
+      .select(col("k"), posexplode(
+        array((0 until d).map(i => bucket(i, col("k"))): _*)).as(Seq("i", "b")))
+    val est = probeBuckets
+      .join(broadcast(counters), Seq("i", "b"), "left")
+      .groupBy("k")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+    val exact = df.select(col(keyCol).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("k"), "left")
+      .select(col("k"), coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("cms_est"))
+      .orderBy("k")
+  }
+
   /** Bloom-filter membership gate: build a filter over `members`, probe
     * every `probes` row, and report per probe both the filter's verdict
     * and the ground truth (so false positives are visible rows and the

@@ -35,6 +35,28 @@ class SketchSpec extends SparkSpec {
     for ((k, (_, est)) <- byKey) assert(res2(k) === est, s"$k estimate must be state-deterministic")
   }
 
+  test("cmsFrequency: one-sided (est >= exact always), exact when w >> keys, partition-invariant") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(17)
+    // skewed frequencies over many keys so buckets genuinely collide at w=64
+    val rows = (1 to 5000).map(_ => s"u${(math.pow(rnd.nextDouble(), 2) * 400).toInt}")
+    val df = rows.toDF("k").repartition(7)
+    val probes = df.distinct()
+    val res = Sketch.cmsFrequency(df, "k", probes, "k", d = 4, w = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(res.nonEmpty)
+    for ((k, exact, est) <- res)
+      assert(est >= exact, s"$k: CMS must never underestimate ($est < $exact)")
+    // with width >> distinct keys, collisions vanish and est == exact
+    val wide = Sketch.cmsFrequency(df, "k", probes, "k", d = 4, w = 1 << 14)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    for ((exact, est) <- wide) assert(est === exact)
+    // counters are a sum-merge: partitioning can't move the estimate
+    val rep = Sketch.cmsFrequency(df.repartition(3), "k", probes, "k", d = 4, w = 64)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    for ((k, _, est) <- res) assert(rep(k) === est)
+  }
+
   test("bloomGate: zero false negatives, exact truth column, partition-invariant") {
     val s = spark; import s.implicits._
     val rnd = new Random(13)

@@ -106,6 +106,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS counters equal the batch counters (sum-merge state)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = graft.operators.Sketch.cmsCounters(stream.toDF(), "user_id", d = 4, w = 64)
+      .writeStream.format("memory").queryName("cmsregs").outputMode("complete").start()
+    try {
+      stream.addData(sample.take(3))
+      q.processAllAvailable()
+      stream.addData(sample.drop(3)) // incremental adds; sum-merge is NOT replay-immune
+      q.processAllAvailable()
+      val streamed = s.table("cmsregs").orderBy("i", "b").collect().map(_.toSeq).toSeq
+      val batch = graft.operators.Sketch.cmsCounters(sample.toDF(), "user_id", d = 4, w = 64)
+        .orderBy("i", "b").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermarked dedupByEventId collapses replayed event_ids") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
