@@ -286,6 +286,23 @@ object Oracles {
        |FROM ($union) u ORDER BY nprobe""".stripMargin
   }
 
+  /** k-NN graph recall: the approx leg is [[knnJoinSql]] verbatim (as a
+    * subquery); the exact leg is the brute-force all-pairs top-k; the
+    * row is edge-set intersection counts + one rounded division.
+    */
+  private def graphRecallSql(centroids: Array[Array[Float]], k: Int): String =
+    s"""WITH approx AS (SELECT q_id, n_id FROM (${knnJoinSql(centroids, k)}) a),
+       |d AS (SELECT x.vec_id AS q_id, y.vec_id AS n_id, ${l2("x.embedding", "y.embedding")} AS s
+       |      FROM embeddings x JOIN embeddings y ON x.vec_id <> y.vec_id),
+       |ex AS (SELECT q_id, n_id FROM d
+       |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY s, n_id) <= $k),
+       |tc AS (SELECT count(*) AS n_exact FROM ex),
+       |ac AS (SELECT count(*) AS n_approx FROM approx),
+       |hc AS (SELECT count(*) AS n_hit FROM ex JOIN approx USING (q_id, n_id))
+       |SELECT n_exact, n_approx, n_hit,
+       |  (round((n_hit / n_exact) * 10000.0) / 10000.0) AS recall
+       |FROM tc, ac, hc""".stripMargin
+
   /** LSH tuning curve: shared exact leg, one bucket assignment, one
     * Hamming-ball branch per radius — the DuckDB twin of
     * [[Queries.annLshRecallCurve]].
@@ -462,6 +479,8 @@ object Oracles {
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
       // the graph build scales K with n (fitScaled) — splice THOSE centroids
       "knn_join_ivf" -> knnJoinSql(
+        operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L), k = 3),
+      "knn_graph_recall" -> graphRecallSql(
         operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L), k = 3),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "ann_recall_curve" -> recallCurveSql(centroids, queryId = 4L, k = 10,

@@ -158,6 +158,30 @@ object Queries {
     }.reduce(_ unionAll _).orderBy("radius")
   }
 
+  /** Recall of the IVF-blocked k-NN graph ([[knnJoin]]) against the
+    * exact brute-force graph — the "measure, don't guess" artifact for
+    * the graph build, like [[annRecallEval]] for search and
+    * [[dedupRecallEval]] for dedup. The exact leg is [[knnJoin]]'s own
+    * operator run with ONE degenerate centroid (everything co-blocked ⇒
+    * provably exact top-k); the comparison is edge-set intersection.
+    * One constant row (n_exact, n_approx, n_hit, recall) — all integer
+    * counts + one rounded division, re-derived end-to-end by the oracle.
+    */
+  def knnGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+    val approx = operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
+      k = 3, metric = "l2").select(col("q_id"), col("n_id"))
+    val exact = operators.Knn.knnJoinIvf(emb, "vec_id", "embedding",
+      Array(Array.fill(64)(0f)), k = 3, metric = "l2").select(col("q_id"), col("n_id"))
+    val hits = exact.join(approx, Seq("q_id", "n_id"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        roundTo(col("n_hit") / col("n_exact"), 4).as("recall"))
+  }
+
   /** k-NN graph over the whole embedding table: top-3 neighbors per
     * vector within its own IVF cluster (single-probe blocking). The
     * cluster count SCALES with the table — K = max(16, ⌈n/100⌉) via

@@ -18,6 +18,7 @@ object SparkEntry {
     "knn_batch" -> (Queries.knnBatch _),
     "knn_batch_ivf" -> (Queries.knnBatchIvf _),
     "knn_join_ivf" -> (Queries.knnJoin _),
+    "knn_graph_recall" -> (Queries.knnGraphRecall _),
     "ann_ivf_exact" -> (Queries.annIvfExact _),
     "ann_ivf" -> (Queries.annIvf _),
     "ann_ivf_persisted" -> (Queries.annIvfPersisted _),
