@@ -1275,6 +1275,24 @@ object Oracles {
 
     // Bloom bit positions re-derived from the same md5 hashes; positive
     // ⇔ every one of the probe's distinct positions is a set bit.
+    // single-pass numeric profile: one agg row, unpivoted per column;
+    // extrema in exact 1e-4 integer units.
+    "table_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = cols.map { c =>
+        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ${c}__nulls,
+           |  count(DISTINCT $c) AS ${c}__nd,
+           |  min(CAST(floor($c * 10000.0 + 0.5) AS BIGINT)) AS ${c}__min,
+           |  max(CAST(floor($c * 10000.0 + 0.5) AS BIGINT)) AS ${c}__max""".stripMargin
+      }.mkString(",\n")
+      val rows = cols.map { c =>
+        s"SELECT '$c' AS column_name, n, ${c}__nulls AS n_null, ${c}__nd AS n_distinct, " +
+          s"${c}__min AS min_fx, ${c}__max AS max_fx FROM a"
+      }.mkString(" UNION ALL ")
+      s"""WITH a AS (SELECT count(*) AS n, $aggs FROM lineitem)
+         |$rows ORDER BY column_name""".stripMargin
+    },
+
     // Count-Min Sketch: d=4 x w=256 integer counters, one-sided
     // frequency estimates for the deterministic 1% user sample — all
     // exact integers, re-derived end-to-end.

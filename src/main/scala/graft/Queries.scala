@@ -982,6 +982,14 @@ object Queries {
       item = concat(col("user_id").cast("string"), lit(":"),
         date_format(col("ts"), "yyyy-MM-dd")))
 
+  /** Single-scan profile of lineitem's four numeric measure columns —
+    * see [[operators.Stats.profileNumeric]]. Plan-guarded: one scan,
+    * partial agg, per-column rows unpivoted from ONE agg row.
+    */
+  def tableProfile(spark: SparkSession, dir: String): DataFrame =
+    operators.Stats.profileNumeric(Tables.lineitem(spark, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
   /** Count-Min Sketch per-user event frequencies next to the exact
     * counts — the point-frequency member of the sketch suite (HLL =
     * distinct, Bloom = membership, Misra–Gries = heavy hitters,

@@ -95,6 +95,7 @@ object SparkEntry {
     "events_hll" -> (Queries.eventsHll _),
     "events_bloom" -> (Queries.eventsBloom _),
     "events_cms" -> (Queries.eventsCms _),
+    "table_profile" -> (Queries.tableProfile _),
     "events_histogram" -> (Queries.eventsHistogram _),
     "events_stratified" -> (Queries.eventsStratified _),
     "events_windowed" -> (Queries.eventsWindowed _),

@@ -79,6 +79,36 @@ object Stats {
       .drop("mk", "x", "n", "s", "q")
   }
 
+  /** Single-scan numeric column profile — the warehouse ANALYZE /
+    * data-profiling primitive: per column (n, n_null, n_distinct,
+    * min, max) with extrema fixed to exact 10^-scale integer units.
+    * ONE scan + one aggregation (the multi-distinct runs through
+    * Spark's Expand — still a single pass over the data); the
+    * per-column rows unpivot from the single agg row via stack, so
+    * adding columns never adds scans. Exact n_distinct is the
+    * expensive leg at 100 TB — the HLL sketch ([[Sketch.hllDistinct]])
+    * is the scale path; this is the truth it approximates.
+    */
+  def profileNumeric(df: DataFrame, cols: Seq[String], scale: Int = 4): DataFrame = {
+    require(cols.nonEmpty)
+    val p = math.pow(10, scale)
+    def fixed(c: Column) = floor(c * p + lit(0.5)).cast("long")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__nd"),
+        min(fixed(col(c))).as(s"${c}__min"),
+        max(fixed(col(c))).as(s"${c}__max"))
+    }
+    val one = df.agg(count(lit(1)).as("n"), aggs: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', `${c}__nulls`, `${c}__nd`, `${c}__min`, `${c}__max`").mkString(", ")
+    one.select(col("n"),
+        expr(s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_fx, max_fx)"))
+      .select("column_name", "n", "n_null", "n_distinct", "min_fx", "max_fx")
+      .orderBy("column_name")
+  }
+
   /** Fixed-budget stratified sample: the min(n, k) rows per stratum
     * with the LOWEST (hashCol, idCol) — a deterministic hash rank, so
     * the sample is decorrelated from every attribute. Runs as a

@@ -153,6 +153,22 @@ class PlanSpec extends SparkSpec {
       s"no per-stratum sort of the base table:\n$p")
   }
 
+  test("table_profile: ONE scan feeds all per-column stats (unpivot, not re-scan)") {
+    val p = plan(Queries.tableProfile(spark, sf001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"profiling 4 columns must not scan 4 times:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum") || p.contains("partial_min"),
+      "stats must combine map-side")
+  }
+
+  test("cms: counter state is a partial agg; the probe join broadcasts the sketch") {
+    val p = plan(Queries.eventsCms(spark, sf001))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "counter build must combine map-side")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the d x w counter table must broadcast to the probe side:\n$p")
+  }
+
   test("column pruning: fingerprint scan reads only (doc_id, text)") {
     val p = plan(Queries.textFingerprint(spark, sf001))
     val readSchema = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
