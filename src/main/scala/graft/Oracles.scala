@@ -1059,24 +1059,29 @@ object Oracles {
 
     // percentile_disc by rank selection: position ⌈q·n/100⌉ in exact
     // integer math under the deterministic (n_tok, doc_id) order.
+    // rank selection over the value distribution (bounded-cardinality
+    // window), mirroring Queries.corpusQuantiles.
     "corpus_quantiles" ->
-      """WITH b AS (SELECT source, doc_id,
+      """WITH b AS (SELECT source,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_tok
         |  FROM documents),
-        |r AS (SELECT source, n_tok,
-        |        row_number() OVER (PARTITION BY source ORDER BY n_tok, doc_id) AS rn,
-        |        count(*) OVER (PARTITION BY source) AS n_docs
-        |      FROM b)
+        |c AS (SELECT source, n_tok, count(*) AS c FROM b GROUP BY 1, 2),
+        |e AS (SELECT source, n_tok,
+        |        sum(c) OVER (PARTITION BY source ORDER BY n_tok) AS cum,
+        |        sum(c) OVER (PARTITION BY source) AS n_docs
+        |      FROM c)
         |SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
-        |  max(CASE WHEN rn = (n_docs * 50 + 99) // 100 THEN n_tok END) AS p50,
-        |  max(CASE WHEN rn = (n_docs * 90 + 99) // 100 THEN n_tok END) AS p90,
-        |  max(CASE WHEN rn = (n_docs * 99 + 99) // 100 THEN n_tok END) AS p99
-        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+        |  min(CASE WHEN cum >= (n_docs * 50 + 99) // 100 THEN n_tok END) AS p50,
+        |  min(CASE WHEN cum >= (n_docs * 90 + 99) // 100 THEN n_tok END) AS p90,
+        |  min(CASE WHEN cum >= (n_docs * 99 + 99) // 100 THEN n_tok END) AS p99
+        |FROM e GROUP BY source ORDER BY source""".stripMargin,
 
     // bin = floor(exclusive-running-sum / 512.0): 512 is a power of two,
     // so the double division is exact and floor agrees on both engines.
+    // packing shards: window partitions capped at 1000 rows (see
+    // Queries.packSequences — never a per-source full sort)
     "pack_sequences" ->
-      """WITH n AS (SELECT doc_id, source AS grp,
+      """WITH n AS (SELECT doc_id, source || ':' || CAST(doc_id // 1000 AS VARCHAR) AS grp,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_tok
         |  FROM documents)
         |SELECT doc_id, grp, n_tok,

@@ -675,10 +675,22 @@ object Queries {
   def corpusClean(spark: SparkSession, dir: String): DataFrame =
     operators.Corpus.clean(Tables.documents(spark, dir), "doc_id", "text")
 
-  /** Token-budget contiguous packing per source stream. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame =
-    operators.Corpus.packSequences(Tables.documents(spark, dir), "doc_id", "text",
-      groupCol = "source", budget = 512)
+  /** Token-budget contiguous packing per (source, 1000-doc shard)
+    * stream. Packing is a running prefix sum — inherently serial within
+    * a stream — so the stream must be BOUNDED: sharding by doc_id div
+    * 1000 caps every window partition at 1000 rows (embarrassingly
+    * parallel, at most one partial bin wasted per shard — exactly how a
+    * real pipeline packs per input file). Partitioning the window by
+    * `source` alone would serialize the whole corpus through a handful
+    * of sort tasks at 100 TB.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("pack_shard",
+        concat(col("source"), lit(":"), expr("doc_id div 1000").cast("string")))
+    operators.Corpus.packSequences(docs, "doc_id", "text",
+      groupCol = "pack_shard", budget = 512)
+  }
 
   /** Canonical text normalization (casefold + punctuation/whitespace
     * collapse) — the first pass of every dedup/tokenize pipeline, as its
@@ -1323,20 +1335,27 @@ object Queries {
     */
   def corpusQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(spark, dir).select(
-      col("source"), col("doc_id"),
+      col("source"),
       regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")).as("n_tok"))
-    val w = Window.partitionBy("source").orderBy("n_tok", "doc_id")
-    val cnt = Window.partitionBy("source")
+    // exact rank selection over the VALUE DISTRIBUTION, not the rows:
+    // after the (source, n_tok) partial-agg count, the cumulative window
+    // spans only the distinct token-count values (bounded by max doc
+    // length) — never a per-source sort of the corpus. The q-th
+    // percentile is the smallest value whose cumulative count reaches
+    // ⌈q·n/100⌉ — identical to the row-rank definition.
+    val counts = base.groupBy("source", "n_tok").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("source").orderBy("n_tok")
+    val tot = Window.partitionBy("source")
     def pos(q: Int): Column = expr(s"(n_docs * $q + 99) div 100") // integer ⌈q·n/100⌉
-    base
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_docs", count(lit(1)).over(cnt))
+    counts
+      .withColumn("cum", sum("c").over(w))
+      .withColumn("n_docs", sum("c").over(tot))
       .groupBy("source")
       .agg(
         max("n_docs").as("n_docs"),
-        max(when(col("rn") === pos(50), col("n_tok"))).as("p50"),
-        max(when(col("rn") === pos(90), col("n_tok"))).as("p90"),
-        max(when(col("rn") === pos(99), col("n_tok"))).as("p99"))
+        min(when(col("cum") >= pos(50), col("n_tok"))).as("p50"),
+        min(when(col("cum") >= pos(90), col("n_tok"))).as("p90"),
+        min(when(col("cum") >= pos(99), col("n_tok"))).as("p99"))
       .orderBy("source")
   }
 
