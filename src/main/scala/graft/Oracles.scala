@@ -1388,6 +1388,26 @@ object Oracles {
         |       CAST(est.p50_bin * 10.0 + 5.0 AS DOUBLE) AS p50_est
         |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin,
 
+    // 1-hour resample + forward fill: grid bounded by the time span;
+    // per-slot close via lexicographic struct max — mirrors
+    // Queries.eventsResample.
+    "events_resample" ->
+      """WITH x AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us, event_id,
+        |             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v4 FROM events),
+        |s AS (SELECT event_type, t_us, event_id, v4, t_us // 3600000000 AS slot FROM x),
+        |obs AS (SELECT event_type, slot, count(*) AS n_obs,
+        |          max({'t': t_us, 'e': event_id, 'v': v4}) AS m FROM s GROUP BY 1, 2),
+        |b AS (SELECT min(slot) AS lo, max(slot) AS hi FROM s),
+        |ty AS (SELECT DISTINCT event_type FROM s),
+        |grid AS (SELECT ty.event_type, unnest(generate_series(b.lo, b.hi)) AS slot FROM ty, b),
+        |j AS (SELECT grid.event_type, grid.slot, coalesce(obs.n_obs, 0) AS n_obs,
+        |        struct_extract(obs.m, 'v') AS close_v4
+        |      FROM grid LEFT JOIN obs USING (event_type, slot))
+        |SELECT event_type, slot * 3600000000 AS win_start, CAST(n_obs AS BIGINT) AS n_obs,
+        |  last_value(close_v4 IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY slot
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_v4
+        |FROM j ORDER BY event_type, win_start""".stripMargin,
+
     // hopping windows: every event explodes into its 4 covering window
     // slots (1 h window / 15 min hop); exact long 1e-4-unit sums.
     "events_hopping" ->

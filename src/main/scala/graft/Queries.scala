@@ -1108,6 +1108,39 @@ object Queries {
       .orderBy("win_start", "event_type")
   }
 
+  /** Time-series resampling with forward fill — the gap-fill primitive
+    * (pandas `resample().ffill()` / SQL gap-fill): events collapse to a
+    * 1-hour grid; empty slots carry the last observed CLOSE value
+    * forward. Per-slot close = the latest event's value via one
+    * deterministic lexicographic struct-max (no per-slot sort); the
+    * grid's cardinality is bounded by the TIME SPAN (slots × types),
+    * not the data size — like histogram bins, the per-type fill window
+    * runs over bounded grid rows after the partial agg, so the plan
+    * survives any event volume. Exact 1e-4-unit integer values
+    * throughout.
+    */
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t_us"), col("event_id"),
+        floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
+      .withColumn("slot", expr(s"(t_us - pmod(t_us, ${hourUs}L)) div $hourUs"))
+    val obs = ev.groupBy("event_type", "slot")
+      .agg(count(lit(1)).as("n_obs"),
+        max(struct(col("t_us"), col("event_id"), col("v4"))).getField("v4").as("close_v4"))
+    val bounds = ev.agg(min("slot").as("lo"), max("slot").as("hi"))
+    val grid = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("slot"))
+    val w = Window.partitionBy("event_type").orderBy("slot")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("event_type", "slot"), "left")
+      .select(col("event_type"), (col("slot") * hourUs).as("win_start"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("close_v4"), ignoreNulls = true).over(w).as("fill_v4"))
+      .orderBy("event_type", "win_start")
+  }
+
   /** Incremental view maintenance: the materialized hourly aggregate
     * (over 90% of the stream) merged with a new micro-batch's partial
     * aggregate (the other 10%) by RE-AGGREGATING THE PARTIALS — counts

@@ -101,6 +101,7 @@ object SparkEntry {
     "events_windowed" -> (Queries.eventsWindowed _),
     "events_windowed_merge" -> (Queries.eventsWindowedMerge _),
     "events_hopping" -> (Queries.eventsHopping _),
+    "events_resample" -> (Queries.eventsResample _),
     "layout_zorder" -> (Queries.layoutZorder _),
     "events_topn" -> (Queries.eventsTopN _),
     "events_sessionize" -> (Queries.eventsSessionize _),
