@@ -161,6 +161,14 @@ class PlanSpec extends SparkSpec {
       "stats must combine map-side")
   }
 
+  test("resample: slot collapse is a partial agg; the grid bounds broadcast") {
+    val p = plan(Queries.eventsResample(spark, sf001))
+    assert(p.contains("partial_count") || p.contains("partial_max"),
+      "per-slot close/count must combine map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row slot bounds must broadcast into the grid:\n$p")
+  }
+
   test("cms: counter state is a partial agg; the probe join broadcasts the sketch") {
     val p = plan(Queries.eventsCms(spark, sf001))
     assert(p.contains("partial_count") || p.contains("partial_sum"),
