@@ -161,6 +161,15 @@ class PersistSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount <= 2)
     // mutations on the loaded banded state see ONE copy of each row
     assert(reloaded.count === idx.count)
+    // batch search and point query on the loaded banded state run over
+    // the single logical copy (no duplicate rows, no duplicate hits)
+    val queries = rows.limit(3).select(col("id").as("q_id"), col("vectors").as("q_vec"))
+    val liveB = idx.searchBatch(queries, 5).collect().map(_.toSeq).sortBy(_.toString)
+    val loadB = reloaded.searchBatch(queries, 5).collect().map(_.toSeq).sortBy(_.toString)
+    assert(loadB.toSeq === liveB.toSeq)
+    assert(reloaded.query(3L).count() === 1L)
+    // insert after load invalidates the layout but keeps one copy per id
+    assert(reloaded.insert(999L, Array.fill(64)(0.5f)).count === idx.count + 1)
   }
 
   test("pre-lsh_bands meta (8-column save format) still loads with default bands=1") {
