@@ -106,6 +106,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stratified sample equals the batch cut (bounded-heap state)") {
+    val s = spark; import s.implicits._
+    import graft.functions.tokenHash60
+    implicit val sqlCtx = s.sqlContext
+    def cut(df: org.apache.spark.sql.DataFrame) = {
+      val h = tokenHash60(concat(col("event_id").cast("string")))
+      graft.operators.Stats.stratifiedSample(df, "event_type", "event_id", "user_id", h, k = 3)
+    }
+    val stream = MemoryStream[Ev]
+    val q = cut(stream.toDF())
+      .writeStream.format("memory").queryName("stratstream").outputMode("complete").start()
+    try {
+      stream.addData(sample.take(3))
+      q.processAllAvailable()
+      stream.addData(sample.drop(3)) // incremental adds (heap merge is order-invariant)
+      q.processAllAvailable()
+      val streamed = s.table("stratstream")
+        .orderBy("stratum", "pick").collect().map(_.toSeq).toSeq
+      val batch = cut(sample.toDF()).orderBy("stratum", "pick").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming CMS counters equal the batch counters (sum-merge state)") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
