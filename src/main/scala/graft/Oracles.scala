@@ -1586,6 +1586,48 @@ object Oracles {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  min(event_id) AS first_event_id, max(event_id) AS last_event_id,
         |  (round((sum(value)) * 100.0) / 100.0) AS sum_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // k-NN classification: eval slice vs the rest of the corpus (no
+    // self match), top-10 by (l2, n_id) — the searchBatch heap order —
+    // then label mode with smallest-label tie-break.
+    "knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         |d AS (SELECT q.q_id, e.vec_id AS n_id, ${l2("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id % 100 <> 0),
+         |nn AS (SELECT q_id, n_id FROM d
+         |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= 10),
+         |v AS (SELECT nn.q_id, e.label, count(*) AS votes
+         |      FROM nn JOIN embeddings e ON e.vec_id = nn.n_id GROUP BY 1, 2),
+         |p AS (SELECT q_id, label AS pred_label, votes FROM v
+         |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) = 1)
+         |SELECT p.q_id, e.label AS true_label, p.pred_label, p.votes
+         |FROM p JOIN embeddings e ON e.vec_id = p.q_id
+         |ORDER BY p.q_id""".stripMargin,
+
+    // Welch t from exact integer-cent moments; the only floating step
+    // is the final identical double expression tree on both engines.
+    "events_ttest" ->
+      """WITH e AS (SELECT event_type, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events),
+        |m AS (SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |             CAST(sum(c * c) AS BIGINT) AS q FROM e GROUP BY 1)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS n_a, b.n AS n_b,
+        |  (round(((CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+        |   / sqrt(((CAST(a.q AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
+        |        + ((CAST(b.q AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)) / CAST(b.n AS DOUBLE))) * 10000.0) / 10000.0) AS t
+        |FROM m a JOIN m b ON a.event_type < b.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
+
+    // day × type crosstab, exact integer cents, empty cells 0.
+    "events_pivot" ->
+      """WITH e AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day, event_type,
+        |             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c FROM events)
+        |SELECT day,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN c END), 0) AS BIGINT) AS click,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN c END), 0) AS BIGINT) AS error,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN c END), 0) AS BIGINT) AS purchase,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN c END), 0) AS BIGINT) AS signup,
+        |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN c END), 0) AS BIGINT) AS view
+        |FROM e GROUP BY day ORDER BY day""".stripMargin
   )
 }

@@ -1500,4 +1500,78 @@ object Queries {
         roundTo(sum("value"), 2).as("sum_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** k-NN majority-vote classification of the held-out eval slice
+    * (vec_id % 100 == 0) against the REST of the corpus (no self-match
+    * by construction — train/test split semantics): top-10 L2
+    * neighbors per query via the bounded-heap partial aggregate, label
+    * votes as a second partial agg, mode with smallest-label tie-break
+    * resolved by a struct max — never a per-query sort. The faiss-eval
+    * "k-NN accuracy" loop as one distributed query; at scale the only
+    * shuffles are O(queries × k) heaps and the narrow label join.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val hold = col("vec_id") % 100 === 0
+    val queries = emb.where(hold)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val nn = Knn.searchBatch(emb.where(!hold), "vec_id", "embedding",
+      queries, "q_id", "q_vec", k = 10, metric = "l2")
+    val voted = nn
+      .join(Tables.embeddings(spark, dir).select(col("vec_id").as("n_id"), col("label")), "n_id")
+      .groupBy("q_id", "label").agg(count(lit(1)).as("votes"))
+      .groupBy("q_id")
+      .agg(max(struct(col("votes"), (-col("label")).as("neg_label"))).as("m"))
+      .select(col("q_id"), (-col("m.neg_label")).as("pred_label"),
+        col("m.votes").as("votes"))
+    voted
+      .join(Tables.embeddings(spark, dir).where(hold)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select("q_id", "true_label", "pred_label", "votes")
+      .orderBy("q_id")
+  }
+
+  /** Welch two-sample t between every event-type pair on `value`. The
+    * per-type moments (n, Σv, Σv²) are EXACT integer cents — one
+    * partial-aggregated scan, 5 rows out — and the t statistic is the
+    * only floating step: identical double expression trees on both
+    * engines over the same exact integers, so the 4-dp result is
+    * engine-reproducible (no parallel-float-sum order dependence).
+    * The tiny moment×moment pair join is broadcast (never Cartesian).
+    */
+  def eventsTtest(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(col("c") * col("c")).as("q"))
+    val a = m.select(col("event_type").as("type_a"), col("n").as("n_a"),
+      col("s").as("s_a"), col("q").as("q_a"))
+    val b = m.select(col("event_type").as("type_b"), col("n").as("n_b"),
+      col("s").as("s_b"), col("q").as("q_b"))
+    def d(c: Column): Column = c.cast("double")
+    val meanA = d(col("s_a")) / d(col("n_a"))
+    val meanB = d(col("s_b")) / d(col("n_b"))
+    val varA = (d(col("q_a")) - d(col("s_a")) * d(col("s_a")) / d(col("n_a"))) / (d(col("n_a")) - lit(1.0))
+    val varB = (d(col("q_b")) - d(col("s_b")) * d(col("s_b")) / d(col("n_b"))) / (d(col("n_b")) - lit(1.0))
+    a.join(broadcast(b), col("type_a") < col("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        roundTo((meanA - meanB) / sqrt(varA / d(col("n_a")) + varB / d(col("n_b"))), 4).as("t"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Day × event-type pivot matrix of exact integer-cent revenue: the
+    * BI crosstab as ONE partial-aggregated shuffle keyed by day
+    * (explicit pivot value list — no driver-side distinct pass), empty
+    * cells filled with 0. Output rows ∝ days, never data size.
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum("c"))
+      .na.fill(0L)
+      .orderBy("day")
 }

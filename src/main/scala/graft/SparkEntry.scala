@@ -39,6 +39,7 @@ object SparkEntry {
     "vector_centroids" -> (Queries.vectorCentroids _),
     "vector_centroid_dist" -> (Queries.vectorCentroidDist _),
     "knn_per_label" -> (Queries.knnPerLabel _),
+    "knn_classify" -> (Queries.knnClassify _),
     "query_by_id" -> (Queries.queryById _),
     "filter_index_build" -> (Queries.filterIndexBuild _),
     "index_stats" -> (Queries.indexStats _),
@@ -114,6 +115,8 @@ object SparkEntry {
     "events_heavy_hitters" -> (Queries.eventsHeavyHitters _),
     "events_scd2" -> (Queries.eventsScd2 _),
     "events_rollup" -> (Queries.eventsRollup _),
+    "events_ttest" -> (Queries.eventsTtest _),
+    "events_pivot" -> (Queries.eventsPivot _),
     "events_moving_avg" -> (Queries.eventsMovingAvg _),
     "ann_recall_eval" -> (Queries.annRecallEval _),
     "ann_recall_curve" -> (Queries.annRecallCurve _)

@@ -119,4 +119,31 @@ class KnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toList
     assert(t === List((1L, 0, 0), (2L, 2, 6), (3L, 3, 3)))
   }
+
+  test("knnClassify agrees with an independent window-ranked majority vote") {
+    val got = Queries.knnClassify(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
+
+    // independent path: rank by (l2, id) with a window, vote in Scala
+    val emb = Tables.embeddings(spark, sf001).cache()
+    val hold = col("vec_id") % 100 === 0
+    val q = emb.where(hold)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("label").as("tl"))
+    val ranked = emb.where(!hold).crossJoin(q)
+      .select(col("q_id"), col("tl"), col("label"),
+        graft.functions.vecL2(col("embedding"), col("q_vec")).as("d"), col("vec_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id").orderBy(col("d"), col("vec_id"))))
+      .where(col("rk") <= 10)
+      .collect().groupBy(_.getLong(0))
+    val expected = ranked.map { case (qid, rows) =>
+      val votes = rows.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+      val (lbl, n) = votes.toSeq.maxBy { case (l, n) => (n, -l) }
+      (qid, rows.head.getInt(1), lbl, n.toLong)
+    }.toList.sortBy(_._1)
+    emb.unpersist()
+
+    assert(got === expected)
+    assert(got.forall { case (_, _, _, v) => v >= 1L && v <= 10L })
+  }
 }

@@ -53,4 +53,52 @@ class StatsSpec extends SparkSpec {
       assert(expected.nonEmpty, "test must exercise a non-empty answer")
     }
   }
+
+  test("eventsTtest matches a driver-side Welch t from the raw values") {
+    import org.apache.spark.sql.functions._
+    val got = Queries.eventsTtest(spark, sf001).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+    val cents = graft.sources.Tables.events(spark, sf001)
+      .select(col("event_type"), floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def mom(vs: Array[Long]) = {
+      val n = vs.length.toDouble
+      val s = vs.sum.toDouble
+      val q = vs.map(v => v * v).sum.toDouble
+      (n, s / n, (q - s * s / n) / (n - 1.0))
+    }
+    for (((ta, tb), (na, nb, t)) <- got) {
+      val (an, am, av) = mom(cents(ta)); val (bn, bm, bv) = mom(cents(tb))
+      assert(na === an.toLong && nb === bn.toLong)
+      val expT = (am - bm) / math.sqrt(av / an + bv / bn)
+      assert(math.abs(t - expT) < 5e-5, s"$ta vs $tb: $t vs $expT")
+    }
+    assert(got.size === 10, "5 types give 10 unordered pairs")
+  }
+
+  test("eventsPivot cells re-total to the plain per-day sum and per-type sums") {
+    import org.apache.spark.sql.functions._
+    val pv = Queries.eventsPivot(spark, sf001)
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    assert(pv.columns.toSeq === ("day" +: types))
+
+    val base = graft.sources.Tables.events(spark, sf001)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+    val byDay = base.groupBy("day").agg(sum("c").as("tot")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val rowTotals = pv.collect()
+      .map(r => (r.getString(0), types.indices.map(i => r.getLong(i + 1)).sum)).toMap
+    assert(rowTotals === byDay, "pivot row margins must equal the plain day totals")
+
+    val byType = base.groupBy("event_type").agg(sum("c").as("tot")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val colTotals = types.zipWithIndex.map { case (t, i) =>
+      (t, pv.collect().map(_.getLong(i + 1)).sum)
+    }.toMap
+    assert(colTotals === byType, "pivot column margins must equal the plain type totals")
+  }
 }
