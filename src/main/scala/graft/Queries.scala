@@ -172,8 +172,8 @@ object Queries {
     val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
     val approx = operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
       k = 3, metric = "l2").select(col("q_id"), col("n_id"))
-    val exact = operators.Knn.knnJoinIvf(emb, "vec_id", "embedding",
-      Array(Array.fill(64)(0f)), k = 3, metric = "l2").select(col("q_id"), col("n_id"))
+    val exact = operators.Knn.knnJoinExact(emb, "vec_id", "embedding",
+      k = 3, metric = "l2").select(col("q_id"), col("n_id"))
     val hits = exact.join(approx, Seq("q_id", "n_id"))
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(approx.agg(count(lit(1)).as("n_approx")))

@@ -213,6 +213,49 @@ object Knn {
     * data (bounded |cluster|), keeping per-task work constant; vectors
     * alone in their cluster simply yield no edges (both engines agree).
     */
+  /** EXACT k-NN graph (brute-force all-pairs), parallelized by salting:
+    * base rows hash into `salts` groups, every query row replicates into
+    * each group, and the per-query heaps partial-merge across groups —
+    * so the O(n²) distance work spreads over `salts` × shuffle
+    * partitions instead of collapsing onto one key the way a degenerate
+    * single-cluster [[knnJoinIvf]] does. Still inherently quadratic —
+    * this is the ground-truth leg for graph-recall evals at bench
+    * scale, not a 100 TB path (that is [[knnJoinIvf]]'s job).
+    */
+  def knnJoinExact(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      metric: String,
+      salts: Int = 32): DataFrame = {
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
+    // explicit repartition on both sides: the pre-join salt tables are
+    // tiny by bytes (pairs only explode inside the join), so an AQE-
+    // coalesced shuffle would collapse the quadratic work back onto a
+    // few tasks — pin HashPartitioning(salt, salts) on both sides so the
+    // join runs one task per salt group with no extra exchange.
+    val left = emb.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("salt", explode(typedLit((0 until salts).toArray)))
+      .repartition(salts, col("salt"))
+    val right = emb.select(col(idCol).as("id"), col(vecCol).as("n_vec"))
+      .withColumn("salt", pmod(col("id"), lit(salts)).cast("int"))
+      .repartition(salts, col("salt"))
+    val scored = left.join(right, Seq("salt"))
+      .where(col("q_id") =!= col("id"))
+      .select(col("q_id"), col("id"), score(metric, col("n_vec"), col("q_vec")).as("dist"))
+    val flip = metric == "ip" || metric == "cosine"
+    scored
+      .groupBy(col("q_id"))
+      .agg(topk(col("id"), col("dist")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(
+        col("q_id"),
+        (col("pos") + 1).as("rank"),
+        col("n.id").as("n_id"),
+        roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+  }
+
   def knnJoinIvf(
       emb: DataFrame,
       idCol: String,

@@ -120,6 +120,17 @@ class KnnSpec extends SparkSpec {
     assert(t === List((1L, 0, 0), (2L, 2, 6), (3L, 3, 3)))
   }
 
+  test("knnJoinExact (salted all-pairs) equals the degenerate-single-cluster IVF join") {
+    val emb = Tables.embeddings(spark, sf001)
+    val a = Knn.knnJoinExact(emb, "vec_id", "embedding", k = 3, metric = "l2", salts = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val b = Knn.knnJoinIvf(emb, "vec_id", "embedding", Array(Array.fill(64)(0f)),
+        k = 3, metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("knnClassify agrees with an independent window-ranked majority vote") {
     val got = Queries.knnClassify(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toList
