@@ -497,9 +497,16 @@ object Dedup {
     // The dup-pair graph is orders of magnitude smaller than the corpus
     // (bounded by LSH banding), so iteration tables run on a handful of
     // partitions — per-round scheduling otherwise dominates.
+    // Both edge directions from ONE pass over the pair pipeline: a
+    // unionAll(pairs, pairs.swapped) would evaluate the upstream
+    // candidate-pair plan twice before the persist (measured ~2× the
+    // whole minhash leg at sf0.1) — the map-side explode duplicates
+    // each row instead.
     val edges = pairs
-      .select(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v"))
-      .unionAll(pairs.select(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v")))
+      .select(explode(array(
+        struct(col("a_id").cast("long").as("u"), col("b_id").cast("long").as("v")),
+        struct(col("b_id").cast("long").as("u"), col("a_id").cast("long").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .coalesce(graphPartitions)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -541,19 +548,22 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
     }
     while (changed && iter < 12) {
-      // three propagation rounds per materialization: the plan stays
-      // constant-depth (27 nodes from a checkpoint), and driver-side
-      // action latency — which dominates at small graph sizes — is paid
-      // once per three rounds. With pointer jumping each round squares
-      // path lengths, so one cycle already resolves diameter ≤ 8.
-      val next = step(step(step(labels)))
+      // ONE propagation round per materialization. The r3 version ran
+      // three nested steps per checkpoint to amortize driver latency,
+      // but measured cost is SUPER-linear in plan depth (3-step cycle
+      // 2.4 s vs 1-step cycle 0.28 s at sf0.1 — AQE re-plans every
+      // stage of the 9-shuffle nested DAG), so shallow-and-often wins
+      // at every graph size; the 12-round bound is unchanged. Pointer
+      // jumping still squares path lengths per round ⇒ O(log diameter)
+      // rounds + one confirming cycle.
+      val next = step(labels)
         .coalesce(graphPartitions)
         .localCheckpoint(true)
       val nextSum = labelSum(next)
       changed = nextSum != prevSum
       prevSum = nextSum
       labels = next
-      iter += 3
+      iter += 1
     }
     edges.unpersist()
     docs.select(col(idCol).cast("long").as("doc_id"))
