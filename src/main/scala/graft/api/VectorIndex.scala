@@ -3,16 +3,19 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryIndex, IvfIndex, Knn, LshIndex, Upsert}
+import graft.operators.{BinaryIndex, IvfIndex, Knn, LshIndex, PqIndex, Upsert}
 
 /** Index kinds, mirroring the reference's `IndexType`
   * (reference: src/core/index_factory.rs:72-168). `FLAT` is exact brute
   * force in both engines; the reference's two ANN graph backends (HNSW,
   * USEARCH) map to the distributed ANN layouts with the same contract —
   * approximate k-NN with tunable recall: `IVF` (cluster pruning),
-  * `LSH` (hyperplane buckets), and `BINARY` (training-free sign-bit
+  * `LSH` (hyperplane buckets), `BINARY` (training-free sign-bit
   * hamming candidates + exact re-rank, the faiss IndexBinaryFlat
-  * analog).
+  * analog), and `PQ` (product-quantized ADC candidates + exact
+  * re-rank — the faiss "PQx" compression family; saved layouts keep
+  * the 8-byte codes column hot and touch raw vectors only for
+  * re-ranked survivors).
   */
 sealed trait IndexType
 object IndexType {
@@ -20,6 +23,7 @@ object IndexType {
   case object IVF extends IndexType
   case object LSH extends IndexType
   case object BINARY extends IndexType
+  case object PQ extends IndexType
 }
 
 /** reference: src/core/index_factory.rs:41-48 (L2, InnerProduct) + the
@@ -55,9 +59,11 @@ case class IndexParams(
     lshBits: Int = 4,
     lshRadius: Int = 1,
     binaryRerank: Int = 100,
-    lshBands: Int = 1) {
+    lshBands: Int = 1,
+    pqSubspaces: Int = 8,
+    pqRerank: Int = 100) {
   require(ivfClusters >= 1 && nprobe >= 1 && lshBits >= 1 && lshRadius >= 0
-      && binaryRerank >= 1 && lshBands >= 1,
+      && binaryRerank >= 1 && lshBands >= 1 && pqSubspaces >= 1 && pqRerank >= 1,
     "index params must be positive (lshRadius may be 0)")
 }
 
@@ -75,7 +81,8 @@ class VectorIndex private (
     val params: IndexParams,
     private val spark: SparkSession,
     private val state: DataFrame,
-    private val loadedCentroids: Option[Array[Array[Float]]] = None) {
+    private val loadedCentroids: Option[Array[Array[Float]]] = None,
+    private val loadedCodebooks: Option[Array[Array[Array[Float]]]] = None) {
 
   import VectorIndex._
 
@@ -87,14 +94,14 @@ class VectorIndex private (
     * cluster/bucket assignment valid, so pruning survives).
     */
   private def withState(next: DataFrame): VectorIndex =
-    new VectorIndex(key, params, spark, next, loadedCentroids)
+    new VectorIndex(key, params, spark, next, loadedCentroids, loadedCodebooks)
 
   /** Layout-invalidating state swap: new/changed rows have no persisted
     * partition assignment, so drop the layout columns and fall back to
     * the computed-assignment search path.
     */
   private def withFreshState(next: DataFrame): VectorIndex =
-    new VectorIndex(key, params, spark, next, None)
+    new VectorIndex(key, params, spark, next, None, None)
 
   /** State without persisted-layout columns (for mutations that union).
     * A banded-LSH layout holds one copy of every row per band, so keep a
@@ -257,6 +264,20 @@ class VectorIndex private (
         // empty state degrades for free — no fitted artifact to miss)
         BinaryIndex.search(base, "id", "vectors", vector, k,
           rerank = math.max(k, params.binaryRerank), metric = key.metricType.name)
+      case IndexType.PQ =>
+        val books = loadedCodebooks.getOrElse(
+          PqIndex.fitCached(bare, "vectors", key.dim, params.pqSubspaces, PqKsub, seed = 42L))
+        if (books.isEmpty)
+          Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
+        else {
+          // Loaded layout: the persisted codes column makes the ADC
+          // stage a narrow id+codes columnar scan; fresh/mutated states
+          // encode map-side from the vectors (at scale that select IS
+          // the ingest-time codes materialization).
+          val codesCol = if (base.columns.contains("codes")) Some("codes") else None
+          PqIndex.searchAnyMetric(base, "id", "vectors", codesCol, books, vector, k,
+            rerank = math.max(k, params.pqRerank), metric = key.metricType.name)
+        }
     }
 
   /** k-NN GRAPH over the whole index: every vector's top-k neighbors in
@@ -290,9 +311,9 @@ class VectorIndex private (
     import spark.implicits._
     Seq((key.indexType.toString, key.dim, key.metricType.name,
         params.ivfClusters, params.nprobe, params.lshBits, params.lshRadius,
-        params.binaryRerank, params.lshBands))
+        params.binaryRerank, params.lshBands, params.pqSubspaces, params.pqRerank))
       .toDF("index_type", "dim", "metric", "ivf_clusters", "nprobe", "lsh_bits",
-        "lsh_radius", "binary_rerank", "lsh_bands")
+        "lsh_radius", "binary_rerank", "lsh_bands", "pq_m", "pq_rerank")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     key.indexType match {
       case IndexType.IVF =>
@@ -312,6 +333,19 @@ class VectorIndex private (
             s"$path/data")
         else LshIndex.writePartitioned(bare, "vectors",
           LshIndex.planes(nBits = params.lshBits, dim = key.dim, seed = 42L), s"$path/data")
+      case IndexType.PQ =>
+        // "codes hot, vectors cold": the persisted rows carry the 8-byte
+        // codes column next to the raw vectors — a loaded ADC scan reads
+        // only (id, codes) via parquet column pruning, and the exact
+        // re-rank joins the vectors column for `pqRerank` survivors.
+        val books = PqIndex.fitCached(bare, "vectors", key.dim, params.pqSubspaces, PqKsub, seed = 42L)
+        if (books.isEmpty) bare.write.mode("overwrite").parquet(s"$path/data")
+        else {
+          PqIndex.writeCodebooks(spark, books, s"$path/codebooks")
+          bare.withColumn("codes",
+              PqIndex.encode(col("vectors"), books).cast("array<tinyint>"))
+            .write.mode("overwrite").parquet(s"$path/data")
+        }
       case IndexType.FLAT | IndexType.BINARY =>
         // BINARY's sign words are a training-free map-side derivation, so
         // the persisted form is just the data (a hamming scan reads every
@@ -324,7 +358,12 @@ class VectorIndex private (
 object VectorIndex {
 
   /** Persisted-layout columns that only exist on a [[load]]ed state. */
-  private val LayoutCols = Seq("cluster", "bucket", "band")
+  private val LayoutCols = Seq("cluster", "bucket", "band", "codes")
+
+  /** Sub-quantizer codebook size (4-bit codes; the 8×16 convention the
+    * PQ query family fixes — 8 bytes of code per 64-dim vector).
+    */
+  private val PqKsub = 16
 
   /** reference: router/handle/create_index_handle.rs — registry init
     * keyed by (index_type, dim, metric_type); dim must be ≥ 1.
@@ -332,6 +371,8 @@ object VectorIndex {
   def create(spark: SparkSession, indexType: IndexType, dim: Int, metricType: Metric,
              params: IndexParams = IndexParams()): VectorIndex = {
     require(dim >= 1, "dim must be at least 1")
+    require(indexType != IndexType.PQ || dim % params.pqSubspaces == 0,
+      s"PQ needs dim divisible by pqSubspaces (${params.pqSubspaces})")
     val empty = rowsDf(spark, Seq.empty)
     new VectorIndex(IndexKey(indexType, dim, metricType), params, spark, empty)
   }
@@ -348,6 +389,7 @@ object VectorIndex {
       case "IVF"    => IndexType.IVF
       case "LSH"    => IndexType.LSH
       case "BINARY" => IndexType.BINARY
+      case "PQ"     => IndexType.PQ
       case other    => throw new IllegalArgumentException(s"unknown index_type $other")
     }
     val metric = m.getAs[String]("metric") match {
@@ -364,13 +406,19 @@ object VectorIndex {
       if (fields.contains(name)) m.getAs[Int](name) else default
     val params = IndexParams(m.getAs[Int]("ivf_clusters"), m.getAs[Int]("nprobe"),
       m.getAs[Int]("lsh_bits"), m.getAs[Int]("lsh_radius"),
-      intOr("binary_rerank", 100), intOr("lsh_bands", 1))
+      intOr("binary_rerank", 100), intOr("lsh_bands", 1),
+      intOr("pq_m", 8), intOr("pq_rerank", 100))
     val state = spark.read.parquet(s"$path/data")
     val centroids =
       if (indexType == IndexType.IVF && state.columns.contains("cluster"))
         Some(IvfIndex.readCentroids(spark, s"$path/centroids"))
       else None
-    new VectorIndex(IndexKey(indexType, m.getAs[Int]("dim"), metric), params, spark, state, centroids)
+    val codebooks =
+      if (indexType == IndexType.PQ && state.columns.contains("codes"))
+        Some(PqIndex.readCodebooks(spark, s"$path/codebooks"))
+      else None
+    new VectorIndex(IndexKey(indexType, m.getAs[Int]("dim"), metric), params, spark,
+      state, centroids, codebooks)
   }
 
   private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {

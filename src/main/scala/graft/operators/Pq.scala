@@ -164,6 +164,55 @@ object PqIndex {
     * exact integer; raw vectors are joined BY ID for the `rerank`
     * survivors only — the two-stage shape faiss IVFPQ serves with.
     */
+  /** Persist the fitted codebooks — m × ksub rows of (subspace,
+    * centroid, vec), the PQ analog of [[IvfIndex.writeCentroids]]
+    * (O(m·ksub·dsub) floats — driver-sized at any corpus scale).
+    */
+  def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+                     codebooks: Array[Array[Array[Float]]], path: String): Unit = {
+    import spark.implicits._
+    codebooks.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(path).collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+      }
+
+  /** Facade search under ANY index metric, optionally over a
+    * pre-encoded `codes` column (the loaded "codes hot" layout): ADC
+    * L2 candidates (narrow integer TakeOrdered — reads only id+codes
+    * when the column is persisted, thanks to parquet column pruning) →
+    * broadcast semi-join prune → exact re-rank of the `rerank`
+    * survivors under the index metric. Mirrors [[BinaryIndex.search]]'s
+    * contract: the coarse stage is metric-agnostic structure (L2 /
+    * hamming), the metric applies in the exact re-rank.
+    */
+  def searchAnyMetric(emb: DataFrame, idCol: String, vecCol: String,
+                      codesCol: Option[String], codebooks: Array[Array[Array[Float]]],
+                      queryVec: Array[Float], k: Int, rerank: Int,
+                      metric: String = "l2"): DataFrame = {
+    require(rerank >= k)
+    val table = adcTable(queryVec, codebooks)
+    val codes = codesCol match {
+      case Some(c) => emb.select(col(idCol).as("cand_id"), col(c).cast("array<int>").as("codes"))
+      case None    => emb.select(col(idCol).as("cand_id"), encode(col(vecCol), codebooks).as("codes"))
+    }
+    val candidates = codes
+      .select(col("cand_id"), adcScore(col("codes"), table).as("adc9"))
+      .orderBy(col("adc9"), col("cand_id"))
+      .limit(rerank)
+      .select("cand_id")
+    val pruned = emb.join(broadcast(candidates), col(idCol) === col("cand_id"), "leftsemi")
+    Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
+  }
+
   /** Materialize the codes table — (id, m tinyint codes) ≈ 8 bytes of
     * index per vector at m=8 — the artifact a 100 TB deployment keeps
     * hot while the raw vector table stays cold. Encode runs once at

@@ -221,6 +221,22 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](idx.insert(1L, Array(1f, 2f))) // dim mismatch
     intercept[IllegalArgumentException](idx.search(Array.empty[Float], 1)) // empty vector
     intercept[IllegalArgumentException](idx.search(Array(1f, 2f, 3f), 0)) // bad k
+    intercept[IllegalArgumentException]( // PQ dim must split into subspaces
+      VectorIndex.create(spark, IndexType.PQ, 5, Metric.L2, IndexParams(pqSubspaces = 8)))
+  }
+
+  test("PQ facade: cosine metric applies in the exact re-rank (rerank >= n equals FLAT)") {
+    def fill(i0: VectorIndex): VectorIndex = {
+      val rnd = new scala.util.Random(11)
+      (0L until 40L).foldLeft(i0)((ix, i) =>
+        ix.insert(i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    }
+    val pq = fill(VectorIndex.create(spark, IndexType.PQ, 4, Metric.Cosine,
+      IndexParams(pqSubspaces = 2, pqRerank = 1000)))
+    val flat = fill(VectorIndex.create(spark, IndexType.FLAT, 4, Metric.Cosine))
+    val q = Array(0.5f, -0.25f, 1f, 0.125f)
+    assert(pq.search(q, 5).collect().map(_.toSeq).toSeq
+      === flat.search(q, 5).collect().map(_.toSeq).toSeq)
   }
 
   test("inner-product and cosine metrics rank by similarity descending") {

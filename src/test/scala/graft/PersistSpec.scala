@@ -34,6 +34,18 @@ class PersistSpec extends SparkSpec {
     find(df.queryExecution.executedPlan).head
   }
 
+  /** ALL FileSourceScanExec nodes of a physical plan (AQE-descending). */
+  private def scansOf(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def find(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case f: FileSourceScanExec    => Seq(f)
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan)
+      case q: QueryStageExec        => find(q.plan)
+    }.flatten
+    find(df.queryExecution.executedPlan)
+  }
+
   test("IvfIndex writePartitioned -> searchPersisted: same answer, pruned file listing") {
     val emb = Tables.embeddings(spark, sf001)
     val centroids = IvfIndex.fitCached(emb, "embedding", k = 16)
@@ -219,6 +231,42 @@ class PersistSpec extends SparkSpec {
     assert(re.key === bin.key && re.params === bin.params)
     assert(re.search(q, 5).collect().map(_.toSeq).toSeq
       === bin.search(q, 5).collect().map(_.toSeq).toSeq)
+  }
+
+  test("VectorIndex PQ save -> load round trip; loaded ADC stage scans codes, not vectors") {
+    val emb = Tables.embeddings(spark, sf001).limit(100)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"))
+    val pq = VectorIndex.create(spark, IndexType.PQ, 64, Metric.L2,
+        IndexParams(pqSubspaces = 8, pqRerank = 1000))
+      .insertAll(emb)
+    val flat = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2).insertAll(emb)
+    val q = Tables.embeddings(spark, sf001).where(col("vec_id") === 7L)
+      .select("embedding").first().getSeq[Float](0).toArray
+    // pqRerank ≥ n ⇒ the ADC cut excludes nothing ⇒ exactly the FLAT answer
+    assert(pq.search(q, 5).collect().map(_.toSeq).toSeq
+      === flat.search(q, 5).collect().map(_.toSeq).toSeq)
+
+    val path = tmp("graft-vidx-pq")
+    pq.save(path)
+    assert(spark.read.parquet(s"$path/data").columns.contains("codes"))
+    val re = VectorIndex.load(spark, path)
+    assert(re.key === pq.key && re.params === pq.params)
+    val res = re.search(q, 5)
+    assert(res.collect().map(_.toSeq).toSeq
+      === pq.search(q, 5).collect().map(_.toSeq).toSeq)
+    // "codes hot, vectors cold": the ADC candidate stage must read the
+    // persisted codes column WITHOUT the 256-byte vectors column
+    val adcScans = scansOf(res).filter { s =>
+      val f = s.schema.fieldNames
+      f.contains("codes") && !f.contains("vectors")
+    }
+    assert(adcScans.nonEmpty, "loaded PQ search must have a narrow id+codes scan")
+
+    // post-load mutation drops the persisted layout and still serves
+    // (a far-away vector, so the new row is the unambiguous nearest)
+    val far = Array.fill(64)(100f)
+    val mutated = re.insert(100000L, far)
+    assert(mutated.search(far, 1).collect().head.getLong(1) === 100000L)
   }
 
   test("VectorIndex FLAT save -> load round trip") {
