@@ -1438,6 +1438,151 @@ object Oracles {
         |ORDER BY (round((o_totalprice) * 100.0) / 100.0) DESC, o_orderkey
         |LIMIT 100""".stripMargin,
 
+    // EXISTS → left-semi join with the ship-lag residual (Q4 adapted:
+    // this schema has no commit/receipt dates, so "late" = any line
+    // shipped > 60 days after the order date).
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bidirectional two-nation trade volume by ship year; exact 1e-4
+    // integer units as in q6/q14.
+    "q7_volume" ->
+      """WITH f AS (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS u4
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT supp_nation, cust_nation, l_year,
+        |  CAST(((sum(u4) + 50) // 100) / 100.0 AS DOUBLE) AS revenue
+        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // market share = ONE double division of two exact long sums
+    // (q14 promo_pct discipline).
+    "q8_share" ->
+      """WITH f AS (SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS u4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE EXISTS (SELECT 1 FROM nation n2 JOIN region ON n2.n_regionkey = r_regionkey
+        |                WHERE c_nationkey = n2.n_nationkey AND r_name = 'ASIA')),
+        |a AS (SELECT o_year,
+        |    sum(CASE WHEN supp_nation = 'NATION_3' THEN u4 ELSE 0 END) AS nation_u4,
+        |    sum(u4) AS total_u4
+        |  FROM f GROUP BY 1)
+        |SELECT o_year,
+        |  CAST(((nation_u4 + 50) // 100) / 100.0 AS DOUBLE) AS nation_revenue,
+        |  CAST(((total_u4 + 50) // 100) / 100.0 AS DOUBLE) AS total_revenue,
+        |  CAST(round((1.0 * nation_u4 / total_u4) * 10000.0) / 10000.0 AS DOUBLE) AS mkt_share
+        |FROM a ORDER BY o_year""".stripMargin,
+
+    // profit may be negative: unrounded double division of the exact
+    // 1e-4-unit long (truncating div vs flooring // diverge below 0,
+    // so no cents-rounding here). p_retailprice proxies the missing
+    // partsupp supplycost.
+    "q9_profit" ->
+      """WITH f AS (SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+        |    - CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) * 100
+        |      * CAST(l_quantity AS BIGINT) AS amount_u4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT nation, o_year,
+        |  CAST(CAST(sum(amount_u4) AS DOUBLE) / 10000.0 AS DOUBLE) AS profit
+        |FROM f GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // outer join preserves zero-order customers into the c_count=0
+    // bucket; both aggregates are exact long counts.
+    "q13_distribution" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // aggregate-then-argmax on exact-long equality; ties surface as
+    // extra rows exactly like the reference SQL's = (SELECT max ...).
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS total_u4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |  CAST(((total_u4 + 50) // 100) / 100.0 AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_u4 = (SELECT max(total_u4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // correlated per-part average in exact integers:
+    // 5·qty·cnt < sum_qty avoids any float threshold; avg_yearly is one
+    // double division of an exact cents long by 700.
+    "q17_small_qty" ->
+      """WITH pq AS (SELECT l_partkey AS pq_partkey,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sum_q, count(*) AS cnt_q
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |  / 700.0 AS DOUBLE) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+        |JOIN pq ON l_partkey = pq_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt_q < sum_q""".stripMargin,
+
+    // three disjunctive brand/size/quantity bands over the part join.
+    "q19_disjunctive" ->
+      """WITH f AS (SELECT
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)) AS u4
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+        |SELECT CAST(((sum(u4) + 50) // 100) / 100.0 AS DOUBLE) AS revenue FROM f""".stripMargin,
+
+    // anti join against recent orders; the above-average cut is exact
+    // integer (bal_cents · cnt > sum_cents). Nation group stands in for
+    // the missing phone country code.
+    "q22_global" ->
+      """WITH s AS (SELECT sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS sum_c,
+        |    count(*) AS cnt_c
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey % 5 AS cntry_grp, count(*) AS numcust,
+        |  CAST(CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS DOUBLE) AS totacctbal
+        |FROM customer, s
+        |WHERE CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) * cnt_c > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // salted replicated join must equal the plain join + aggregate.
     "events_salted_join" ->
       """WITH dim AS (SELECT user_id, min(event_id) AS first_event_id FROM events GROUP BY 1)

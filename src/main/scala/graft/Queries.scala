@@ -1234,6 +1234,230 @@ object Queries {
       .limit(100)
   }
 
+  /** Discounted revenue in exact 1e-4-dollar integer units — the q6/q14
+    * idiom: price and discount are 2-dp decimals, fixed to integer
+    * hundredths so parallel sums are order-independent longs.
+    */
+  private def revenueU4: Column =
+    floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
+
+  /** Exact-long 1e-4 units → dollars: integer half-up to cents via
+    * integral `div`, then one double division by 100 — bit-identical to
+    * the oracle's `((u4 + 50) // 100) / 100.0` (nonnegative sums only;
+    * `div` truncates where `//` floors).
+    */
+  private def u4ToDollars(u4Col: String): Column =
+    expr(s"(($u4Col + 50) div 100) / 100.0")
+
+  /** TPC-H Q4-style priority check, adapted to this schema (no
+    * commit/receipt dates): an order counts when ANY line item shipped
+    * more than 60 days after the order date — an EXISTS that plans as a
+    * left-semi join on the order key with the lag predicate as the
+    * join residual. At scale the semi join shuffles both sides once on
+    * l_orderkey/o_orderkey and keeps no lineitem payload.
+    */
+  def q4Priority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("o_orderdate") < lit(Timestamp.valueOf("1996-04-01 00:00:00")))
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), "leftsemi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q7 volume shipping: bidirectional trade flow between two
+    * nations by ship year. The two-row nation dims are pre-filtered to
+    * the pair and broadcast; the pair-direction disjunction applies
+    * after both broadcasts (it couples the two sides, so it cannot push
+    * below either join). Fact-fact joins shuffle on their natural keys.
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n1 = Tables.nation(spark, dir).where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("l_shipdate") < lit(Timestamp.valueOf("1998-01-01 00:00:00")))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+             (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revenueU4).as("u4"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        u4ToDollars("u4").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 market share: one nation's supplier share of ASIA-region
+    * ECONOMY-part revenue per order year. The share is ONE double
+    * division of two exact long sums (q14's promo_pct discipline) — a
+    * conditional aggregate, not a self-join.
+    */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).where(col("p_type") === "ECONOMY").select("p_partkey")
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"), "leftsemi")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", revenueU4).otherwise(lit(0L))).as("nation_u4"),
+        sum(revenueU4).as("total_u4"))
+      .select(col("o_year"),
+        u4ToDollars("nation_u4").as("nation_revenue"),
+        u4ToDollars("total_u4").as("total_revenue"),
+        roundTo(lit(1.0) * col("nation_u4") / col("total_u4"), 4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q9-style product-type profit by supplier nation and year,
+    * with p_retailprice standing in for the missing partsupp
+    * supplycost. Profit can be negative, so the exact-long 1e-4 units
+    * convert via unrounded double division (truncating `div` and
+    * flooring `//` diverge below zero — the ADVICE floor-consistency
+    * rule), not the cents-rounding idiom.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).where(col("p_name").like("%red%"))
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).cast("long").as("retail_c2"))
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("nation"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(revenueU4 - col("retail_c2") * lit(100L) * col("l_quantity").cast("long"))
+        .as("profit_u4"))
+      .select(col("nation"), col("o_year"),
+        (col("profit_u4").cast("double") / 10000.0).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q13 customer order-count distribution: the outer-join-then-
+    * double-aggregate shape — customers with zero qualifying orders
+    * must survive into the c_count=0 bucket, which an inner join would
+    * silently drop. Both aggregations are exact long counts.
+    */
+  def q13Distribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(spark, dir)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 top supplier: the aggregate-then-argmax shape. The
+    * per-supplier revenue aggregates once; the scalar max comes from a
+    * single-row broadcast joined back on exact-long equality (ties
+    * surface as extra rows, same as the reference SQL's `= (SELECT
+    * max ...)`), so no second scan and no window over the whole table.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("l_shipdate") < lit(Timestamp.valueOf("1996-04-01 00:00:00")))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueU4).as("total_u4"))
+    val maxRev = rev.agg(max("total_u4").as("max_u4"))
+    Tables.supplier(spark, dir)
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_u4") === col("max_u4"))
+      .select(col("s_suppkey"), col("s_name"), u4ToDollars("total_u4").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 small-quantity-order revenue: the correlated-average
+    * shape. The per-part average is a separate aggregation joined back
+    * on the part key, and the `quantity < 0.2 * avg` cut is written in
+    * integers (5·qty·cnt < sum_qty — quantities are integer-valued), so
+    * the threshold cannot knife-edge. avg_yearly is one double division
+    * of an exact cents long by the constant 700.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("pq_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_q"), count(lit(1)).as("cnt_q"))
+    val brand = Tables.part(spark, dir).where(col("p_brand") === "Brand#3").select("p_partkey")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .join(perPart, col("l_partkey") === col("pq_partkey"))
+      .where(col("l_quantity").cast("long") * lit(5L) * col("cnt_q") < col("sum_q"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")).as("c2"))
+      .select((col("c2").cast("double") / 700.0).as("avg_yearly"))
+  }
+
+  /** TPC-H Q19 discounted revenue: three disjunctive brand/size/
+    * quantity bands. The point at scale is predicate planning —
+    * Catalyst's OR-factoring pushes the per-side envelopes of the
+    * disjunction below the join (a brand/size disjunct to the part
+    * scan, a quantity disjunct to the lineitem scan) even though no
+    * single branch predicate spans one table. One exact-long sum out.
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(revenueU4).as("u4"))
+      .select(u4ToDollars("u4").as("revenue"))
+  }
+
+  /** TPC-H Q22-style global sales opportunity: above-average-balance
+    * customers with no recent orders, bucketed by nation group (the
+    * schema has no phone country code). Anti join against recent
+    * orders; the global average threshold is a one-row broadcast and
+    * the comparison is exact-integer (bal_cents · cnt > sum_cents).
+    */
+  def q22Global(spark: SparkSession, dir: String): DataFrame = {
+    val balC2 = floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+    val cust = Tables.customer(spark, dir)
+    val avgStats = cust.where(col("c_acctbal") > 0.0)
+      .agg(sum(balC2).as("sum_c"), count(lit(1)).as("cnt_c"))
+    val recent = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(Timestamp.valueOf("1999-01-01 00:00:00")))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgStats))
+      .where(balC2 * col("cnt_c") > col("sum_c"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy((col("c_nationkey") % 5).as("cntry_grp"))
+      .agg(count(lit(1)).as("numcust"),
+        (sum(balC2).cast("double") / 100.0).as("totacctbal"))
+      .orderBy("cntry_grp")
+  }
+
   /** The OTHER skew guard under the hard gate: [[operators.Skew.saltedJoin]]
     * replicates the small per-user dim across 8 salts so one hot user
     * cannot pin a join task; the oracle is the PLAIN join + aggregate,

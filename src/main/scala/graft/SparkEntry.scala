@@ -90,6 +90,15 @@ object SparkEntry {
     "q6_forecast" -> (Queries.q6Forecast _),
     "q14_promo" -> (Queries.q14Promo _),
     "q18_large" -> (Queries.q18Large _),
+    "q4_priority" -> (Queries.q4Priority _),
+    "q7_volume" -> (Queries.q7Volume _),
+    "q8_share" -> (Queries.q8Share _),
+    "q9_profit" -> (Queries.q9Profit _),
+    "q13_distribution" -> (Queries.q13Distribution _),
+    "q15_top_supplier" -> (Queries.q15TopSupplier _),
+    "q17_small_qty" -> (Queries.q17SmallQty _),
+    "q19_disjunctive" -> (Queries.q19Disjunctive _),
+    "q22_global" -> (Queries.q22Global _),
     "events_salted_join" -> (Queries.eventsSaltedJoin _),
     "events_markov" -> (Queries.eventsMarkov _),
     "q10_returns" -> (Queries.q10Returns _),

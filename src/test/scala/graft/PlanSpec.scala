@@ -184,4 +184,33 @@ class PlanSpec extends SparkSpec {
       && !readSchema.contains("source") && !readSchema.contains("n_chars"),
       s"scan must prune to the two used columns: $readSchema")
   }
+
+  test("q4: EXISTS plans as a LeftSemi join; the date range reaches the orders scan") {
+    val p = plan(Queries.q4Priority(spark, sf001))
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi join, not inner+distinct:\n$p")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r.findFirstIn(p).nonEmpty,
+      s"order-date range must reach the scan:\n$p")
+  }
+
+  test("q19: OR-factored envelopes push to BOTH scans (quantity -> lineitem, brand/size -> part)") {
+    val p = plan(Queries.q19Disjunctive(spark, sf001))
+    assert("PushedFilters: \\[[^\\]]*Or\\([^\\]]*l_quantity".r.findFirstIn(p).nonEmpty,
+      s"quantity disjunct envelope must reach the lineitem scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*Or\\([^\\]]*p_brand".r.findFirstIn(p).nonEmpty,
+      s"brand/size disjunct envelope must reach the part scan:\n$p")
+  }
+
+  test("q22: NOT EXISTS is a LeftAnti join; the 1-row avg threshold broadcasts") {
+    val p = plan(Queries.q22Global(spark, sf001))
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the global-average row must broadcast, never shuffle customers:\n$p")
+  }
+
+  test("q13: zero-order customers survive via a left outer join; both aggs are two-phase") {
+    val p = plan(Queries.q13Distribution(spark, sf001))
+    assert(p.contains("LeftOuter"), s"inner join would drop the c_count=0 bucket:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"per-customer and distribution aggs must both combine map-side:\n$p")
+  }
 }
