@@ -866,6 +866,59 @@ object Oracles {
 
     // ================= C2. corpus preparation =================
 
+    // Efraimidis–Spirakis weighted sample: key = -ln(u)/w, deterministic
+    // u from the doc-id hash, w = n_chars; ln and the divisions are
+    // written identically on both sides so the double keys are
+    // bit-identical and the top-50 cut cannot flap.
+    "corpus_weighted_sample" ->
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |  -ln((${tokenHash60("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+         |      / 1152921504606846976.0) / n_chars AS es_key
+         |  FROM documents)
+         |SELECT CAST(row_number() OVER (ORDER BY es_key, doc_id) AS INT) AS pick,
+         |  doc_id, n_chars,
+         |  (round((es_key) * 1000000000.0) / 1000000000.0) AS es_key
+         |FROM k ORDER BY es_key, doc_id LIMIT 50""".stripMargin,
+
+    // doc-as-query BM25 (leave-self-out) scored against the exact
+    // embedding top-10 as relevance truth: recall@10 = exact long / 10,
+    // mrr = one division of the exact integer best rank.
+    "retrieval_recall_eval" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |st AS (SELECT count(*) AS n_corpus, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+         |q AS (SELECT DISTINCT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+         |      FROM t WHERE doc_id IN (7, 107, 207, 307, 407)),
+         |p0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         |p AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM p0
+         |      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |contrib AS (SELECT p.doc_id, p.term,
+         |    CAST(floor(ln((st.n_corpus - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_corpus)))))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |  FROM p JOIN dfq USING (term) CROSS JOIN st),
+         |scored AS (SELECT q.q_id, c.doc_id, CAST(sum(c.s6) AS BIGINT) AS s6
+         |  FROM contrib c JOIN q ON c.term = q.term
+         |  WHERE c.doc_id <> q.q_id GROUP BY 1, 2),
+         |bm AS (SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, doc_id) AS INT) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |qv AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id IN (7, 107, 207, 307, 407)),
+         |tr AS (SELECT q_id, id FROM (
+         |    SELECT qv.q_id, e.vec_id AS id,
+         |      row_number() OVER (PARTITION BY qv.q_id
+         |        ORDER BY ${l2("e.embedding", "qv.qv")}, e.vec_id) AS r
+         |    FROM embeddings e, qv WHERE e.vec_id <> qv.q_id)
+         |  WHERE r <= 10),
+         |hit AS (SELECT b.q_id, count(*) AS n_hits, min(b.rank) AS best
+         |        FROM bm b JOIN tr ON b.q_id = tr.q_id AND b.doc_id = tr.id GROUP BY 1)
+         |SELECT g.q_id AS q_doc, coalesce(h.n_hits, 0) AS n_hits,
+         |  coalesce(h.n_hits, 0) / 10.0 AS recall_at_10,
+         |  coalesce(1.0 / h.best, 0.0) AS mrr
+         |FROM (SELECT DISTINCT q_id FROM qv) g LEFT JOIN hit h ON g.q_id = h.q_id
+         |ORDER BY q_doc""".stripMargin,
+
     // rates mirror Queries.sampleRates; the hash bucket reuses the
     // corpus_split construction with a distinct salt.
     "corpus_sample" ->
@@ -1582,6 +1635,28 @@ object Oracles {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bloom-pruned join: the oracle replays the same md5-derived bit
+    // positions, so candidate counts (bloom survivors, FPs included)
+    // AND the verified join result are both checked exactly.
+    "bloom_pruned_join" ->
+      s"""WITH bo AS (SELECT o_orderkey FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'),
+         |bits AS (SELECT DISTINCT ${tokenHash60("'bloom' || CAST(r.range AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")} % 4096 AS bit
+         |         FROM bo, range(0, 3) r),
+         |cand AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+         |  WHERE ${tokenHash60("'bloom0:' || CAST(l_orderkey AS VARCHAR)")} % 4096 IN (SELECT bit FROM bits)
+         |    AND ${tokenHash60("'bloom1:' || CAST(l_orderkey AS VARCHAR)")} % 4096 IN (SELECT bit FROM bits)
+         |    AND ${tokenHash60("'bloom2:' || CAST(l_orderkey AS VARCHAR)")} % 4096 IN (SELECT bit FROM bits)),
+         |j AS (SELECT c.*, bo.o_orderkey FROM cand c LEFT JOIN bo ON c.l_orderkey = bo.o_orderkey)
+         |SELECT count(*) AS n_candidates, count(o_orderkey) AS n_joined,
+         |  CAST(((sum(CASE WHEN o_orderkey IS NOT NULL
+         |        THEN CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+         |             * (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))
+         |        ELSE 0 END) + 50) // 100) / 100.0 AS DOUBLE) AS revenue
+         |FROM j""".stripMargin,
 
     // salted replicated join must equal the plain join + aggregate.
     "events_salted_join" ->

@@ -386,6 +386,66 @@ object Queries {
   def textRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetition(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** Retrieval-quality eval: recall@10 and MRR of doc-as-query BM25
+    * ([[operators.Retrieval.bm25TopKBatch]], leave-self-out) against
+    * the exact embedding top-10 as relevance ground truth — the
+    * measured-quality artifact the keyword leg was missing (the ANN
+    * legs have recall curves; this closes the loop for BM25). Five
+    * fixed query docs at any SF, so every stage is query-set-bounded:
+    * batch BM25 shuffles O(queries × k), the truth leg is the batch
+    * exact-kNN bounded heap, and the verdict join is 50 rows a side.
+    */
+  def retrievalRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val qids = Seq(7L, 107L, 207L, 307L, 407L)
+    val docs = Tables.documents(spark, dir)
+    val qterms = docs.where(col("doc_id").isin(qids: _*))
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(wordTokens(col("text")))).as("term"))
+    val bm = operators.Retrieval.bm25TopKBatch(docs, "doc_id", "text", qterms,
+      k = 10, excludeQueryDoc = true)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // self is always rank 1 (distance 0), so top-11 minus self = the
+    // leave-self-out top-10 relevance set
+    val truth = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
+        k = 11, metric = "l2")
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id").as("t_q"), col("n_id").as("t_id"))
+    val hits = bm.join(truth, col("q_id") === col("t_q") && col("doc_id") === col("t_id"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("best_rank"))
+    queries.select(col("q_id").as("q_doc"))
+      .join(hits, col("q_doc") === col("q_id"), "left")
+      .select(col("q_doc"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / 10.0).as("recall_at_10"),
+        coalesce(lit(1.0) / col("best_rank"), lit(0.0)).as("mrr"))
+      .orderBy("q_doc")
+  }
+
+  /** Weighted sample without replacement (Efraimidis–Spirakis one-pass
+    * reservoir): selection key = −ln(u)/w with a deterministic per-doc
+    * uniform u and weight w = n_chars — an exponential race where
+    * longer docs win proportionally more often. The whole sample is a
+    * map-side key computation + one TakeOrdered bounded heap: O(n)
+    * scan, O(k) shuffle rows at any corpus size. Complements the
+    * rate-based mixture sample (proportions) and the stratified sample
+    * (hard per-stratum budgets) with importance weighting.
+    */
+  def corpusWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (tokenHash60(concat(lit("wsample:"), col("doc_id").cast("string")))
+      .cast("double") + 1.0) / lit(1.152921504606846976e18)
+    val key = -log(u) / col("n_chars")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), key.as("es_key"))
+      .orderBy(col("es_key"), col("doc_id"))
+      .limit(50)
+      .withColumn("pick", row_number().over(Window.orderBy(col("es_key"), col("doc_id"))))
+      .select(col("pick"), col("doc_id"), col("n_chars"),
+        roundTo(col("es_key"), 9).as("es_key"))
+  }
+
   /** The mixture-sampling rates the corpus_sample query and its oracle
     * share: heavy downsampling of four named sources, 80% of the rest.
     */
@@ -1248,7 +1308,11 @@ object Queries {
     * `div` truncates where `//` floors).
     */
   private def u4ToDollars(u4Col: String): Column =
-    expr(s"(($u4Col + 50) div 100) / 100.0")
+    // the div stays inside expr (integral divide); the final division is
+    // the SCALA double operator — inside expr, `100.0` would parse as a
+    // SQL DECIMAL literal and the whole column would come out DECIMAL
+    // where the oracle emits DOUBLE (the r3 events_histogram hash trap)
+    expr(s"($u4Col + 50) div 100") / 100.0
 
   /** TPC-H Q4-style priority check, adapted to this schema (no
     * commit/receipt dates): an order counts when ANY line item shipped
@@ -1456,6 +1520,30 @@ object Queries {
       .agg(count(lit(1)).as("numcust"),
         (sum(balC2).cast("double") / 100.0).as("totacctbal"))
       .orderBy("cntry_grp")
+  }
+
+  /** Bloom-pruned join under the hard gate: the probe side (lineitem)
+    * is gated MAP-SIDE by a Bloom filter fitted on the build side's
+    * keys ([[operators.Sketch.bloomPrune]] — the runtime-filter
+    * pushdown shape) before any shuffle; the real join then re-verifies
+    * survivors, so the result must equal the plain join exactly while
+    * n_candidates > n_joined makes the false-positive overhead a
+    * visible, oracle-checked quantity. At 100 TB this is the difference
+    * between shuffling 0.3% of the fact table and all of it.
+    */
+  def bloomPrunedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+             col("o_orderdate") >= lit(Timestamp.valueOf("1996-01-01 00:00:00")) &&
+             col("o_orderdate") < lit(Timestamp.valueOf("1996-02-01 00:00:00")))
+      .select("o_orderkey")
+    val cand = operators.Sketch.bloomPrune(urgent, "o_orderkey",
+      Tables.lineitem(spark, dir), "l_orderkey", mBits = 1 << 12, kHashes = 3)
+    cand.join(urgent, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("n_candidates"),
+        count(col("o_orderkey")).as("n_joined"),
+        sum(when(col("o_orderkey").isNotNull, revenueU4).otherwise(lit(0L))).as("u4"))
+      .select(col("n_candidates"), col("n_joined"), u4ToDollars("u4").as("revenue"))
   }
 
   /** The OTHER skew guard under the hard gate: [[operators.Skew.saltedJoin]]

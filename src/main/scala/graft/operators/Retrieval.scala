@@ -77,6 +77,58 @@ object Retrieval {
       .select(col("rank"), col("doc_id"), roundTo(col("s6") / lit(1000000.0), 4).as("score"))
   }
 
+  /** Batch BM25: many queries scored in one plan, each query a SET of
+    * terms arriving as DATA rows (q_id, term) — the bulk-evaluation /
+    * doc-as-query shape, vs [[bm25TopK]]'s single literal query.
+    *
+    * Scale shape: the postings prune to the union of query vocabularies
+    * BEFORE any shuffle (semi join against the distinct term set —
+    * bounded by queries × terms/query, so it broadcasts), then tf is a
+    * partial-agg count per (doc, term). df and the 1-row corpus stats
+    * are shared across all queries. Per-(query, doc) sums fan out via
+    * the term→query join (query-set-bounded, broadcast like
+    * [[bm25TopK]]'s df), and the final cut is the [[Stats]] bounded-heap
+    * stratified aggregator — shuffle O(queries × k), never a per-query
+    * sort of the scored corpus.
+    *
+    * `excludeQueryDoc` drops doc_id == q_id before the cut (the
+    * leave-self-out eval convention when queries are corpus docs).
+    */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    queryTerms: DataFrame, k: Int,
+                    k1: Double = 1.2, b: Double = 0.75,
+                    excludeQueryDoc: Boolean = false): DataFrame = {
+    require(k >= 1)
+    val toksDf = docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = toksDf.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
+    val vocab = queryTerms.select("term").distinct()
+    val postings = toksDf
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "leftsemi")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val idf = log((col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / (col("sum_dl").cast("double") / col("n_corpus")))))
+
+    val contrib = postings
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        floor(idf * tfNorm * lit(1000000.0) + lit(0.5)).cast("long").as("s6"))
+    val scoredAll = contrib
+      .join(broadcast(queryTerms.select(col("q_id"), col("term"))), Seq("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("s6").as("s6"))
+    val scored = if (excludeQueryDoc) scoredAll.where(col("doc_id") =!= col("q_id")) else scoredAll
+    Stats.stratifiedSample(scored, "q_id", "doc_id", "s6", -col("s6"), k)
+      .select(col("stratum").as("q_id"), col("pick").as("rank"),
+        col("id").as("doc_id"), col("payload").as("s6"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09):
     * rrf(d) = Σ_legs 1/(c + rank_leg(d)), missing leg contributes 0.
     * Ranks are exact ints, so every fused score is the same short sum of

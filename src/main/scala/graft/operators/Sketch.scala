@@ -150,6 +150,29 @@ object Sketch {
     * already that one. Deterministic md5 position hashes keep the
     * verdict engine-reproducible.
     */
+  /** Map-side Bloom prune of a join's PROBE side: fit the set-bit
+    * positions over the build side's join keys (≤ mBits CONSTANT
+    * values — the driver-sized fit-artifact shape of KMeans centroids /
+    * PQ codebooks, and the exact analog of Spark's own runtime
+    * bloom-filter pushdown), then gate probe rows with a codegen InSet
+    * test per hash BEFORE they reach the shuffle. False positives
+    * survive to the real join, which re-verifies — the sketch can only
+    * cost shuffle rows, never correctness. Returns the pruned probe.
+    */
+  def bloomPrune(build: DataFrame, buildCol: String,
+                 probe: DataFrame, probeCol: String,
+                 mBits: Int = 1 << 12, kHashes: Int = 3): DataFrame = {
+    require(kHashes >= 1 && mBits >= 2)
+    def positions(c: Column): Seq[Column] = (0 until kHashes).map { i =>
+      pmod(tokenHash60(concat(lit(s"bloom$i:"), c.cast("string"))), lit(mBits.toLong))
+    }
+    val bits: Array[Long] = build
+      .select(explode(array(positions(col(buildCol)): _*)).as("bit")).distinct()
+      .collect().map(_.getLong(0))
+    if (bits.isEmpty) probe.where(lit(false))
+    else probe.where(positions(col(probeCol)).map(_.isin(bits: _*)).reduce(_ && _))
+  }
+
   def bloomGate(members: DataFrame, memberCol: String,
                 probes: DataFrame, probeCol: String,
                 mBits: Int = 1 << 16, kHashes: Int = 3): DataFrame = {

@@ -185,6 +185,30 @@ class PlanSpec extends SparkSpec {
       s"scan must prune to the two used columns: $readSchema")
   }
 
+  test("bloom join: the InSet probe gate evaluates below the join, next to the scan") {
+    val p = plan(Queries.bloomPrunedJoin(spark, sf001))
+    // the pruning filter must be a plain Filter containing the hash
+    // IN/INSET membership test, not a join condition — map-side,
+    // pre-shuffle (IN converts to INSET above ~10 elements)
+    assert("Filter[\\s\\S]{0,4000}?(INSET|(l_orderkey[^\\n]{0,200} IN \\())".r.findFirstIn(p).nonEmpty,
+      s"bloom positions must gate as an In/InSet filter:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("retrieval eval: both top-k cuts are bounded heaps, never a Window over scores") {
+    val p = plan(Queries.retrievalRecallEval(spark, sf001))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4,
+      s"BM25 and truth top-k must be partial+final bounded-heap aggs:\n$p")
+    assert(!p.contains("Window"), s"no rank window over the scored corpus:\n$p")
+  }
+
+  test("weighted sample: one scan, TakeOrdered cut (window only over the 50 survivors)") {
+    val p = plan(Queries.corpusWeightedSample(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must be a bounded heap:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"key computation must ride the single scan:\n$p")
+  }
+
   test("q4: EXISTS plans as a LeftSemi join; the date range reaches the orders scan") {
     val p = plan(Queries.q4Priority(spark, sf001))
     assert(p.contains("LeftSemi"), s"EXISTS must be a semi join, not inner+distinct:\n$p")

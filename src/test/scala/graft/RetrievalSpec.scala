@@ -45,6 +45,58 @@ class RetrievalSpec extends SparkSpec {
     assert(res(2L) < res(1L) * 2.5, s"k1 saturation must cap the gain, got $res")
   }
 
+  test("bm25 batch: per-query ranking equals the single-query operator; self-exclusion works") {
+    val s = spark; import s.implicits._
+    // query 1 = the literal terms of bm25TopK's test; query 2 = different terms
+    val qterms = Seq((1L, "spark"), (1L, "broadcast"), (2L, "gardening"), (2L, "shuffle"))
+      .toDF("q_id", "term")
+    val batch = Retrieval.bm25TopKBatch(corpus.toDF(), "doc_id", "text", qterms, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("s6")))
+    for (q <- Seq(1L, 2L)) {
+      val single = Retrieval.bm25TopK(corpus.toDF(), "doc_id", "text",
+          qterms.where(col("q_id") === q).select("term").collect().map(_.getString(0)).toSeq,
+          k = 5)
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc_id")))
+      val got = batch.filter(_._1 == q).sortBy(_._2).map(t => (t._2, t._3))
+      assert(got.toSeq === single.toSeq, s"batch ranking for query $q diverges")
+    }
+    // leave-self-out: doc 2's own tokens as its query must not return doc 2
+    val selfTerms = Seq((2L, "spark"), (2L, "nothing"), (2L, "else"), (2L, "about"))
+      .toDF("q_id", "term")
+    val loo = Retrieval.bm25TopKBatch(corpus.toDF(), "doc_id", "text", selfTerms,
+      k = 5, excludeQueryDoc = true).collect()
+    assert(!loo.exists(r => r.getAs[Long]("doc_id") == 2L),
+      "excludeQueryDoc must drop the query doc itself")
+    assert(loo.nonEmpty, "other spark docs still rank")
+  }
+
+  test("weighted sample: an overwhelming weight always wins; equal weights reduce to hash order") {
+    val s = spark; import s.implicits._
+    // Efraimidis–Spirakis key = -ln(u)/w: w -> infinity drives the key
+    // to ~0, so a doc with astronomically larger weight must be picked
+    // first at any u. (The gate checks exact keys on the real corpus;
+    // this checks the SEMANTICS of the race on constructed weights.)
+    import graft.functions._
+    def keyOf(weightCol: org.apache.spark.sql.Column) =
+      -log((tokenHash60(concat(lit("wsample:"), col("id").cast("string")))
+        .cast("double") + 1.0) / lit(1.152921504606846976e18)) / weightCol
+    val docs = Seq.tabulate(100)(i => (i.toLong, if (i == 37) 1e12 else 1.0))
+      .toDF("id", "w")
+    val first = docs.select(col("id"), keyOf(col("w")).as("k"))
+      .orderBy("k", "id").limit(1).collect().head.getLong(0)
+    assert(first === 37L, "the heavy doc must win the exponential race")
+    // equal weights: the ranking is exactly the ranking of -ln(u), i.e.
+    // pure hash order — weights cancel
+    val eq = docs.select(col("id"), keyOf(lit(1.0)).as("k")).orderBy("k", "id")
+      .limit(10).collect().map(_.getLong(0)).toSeq
+    val byHash = docs.select(col("id"),
+        (-log((tokenHash60(concat(lit("wsample:"), col("id").cast("string")))
+          .cast("double") + 1.0) / lit(1.152921504606846976e18))).as("k"))
+      .orderBy("k", "id").limit(10).collect().map(_.getLong(0)).toSeq
+    assert(eq === byHash)
+  }
+
   test("rrf: a doc ranked well in both legs beats single-leg winners; missing legs contribute 0") {
     val s = spark; import s.implicits._
     val legA = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")

@@ -79,4 +79,34 @@ class SketchSpec extends SparkSpec {
     assert(got.exists { case (_, pos, mem) => pos && !mem },
       "expected ≥1 false positive at this fill factor")
   }
+
+  test("bloomPrune: every true join row survives; pruned ⊆ probe; empty build prunes all") {
+    val s = spark; import s.implicits._
+    val rnd = new Random(29)
+    val build = Seq.tabulate(60)(i => i.toLong * 7) // multiples of 7
+    val probe = Seq.tabulate(500)(_ => rnd.nextLong(800).abs)
+    val pruned = Sketch.bloomPrune(
+      build.toDF("b").repartition(4), "b",
+      probe.toDF("p").repartition(6), "p",
+      mBits = 1 << 9, kHashes = 3)
+      .collect().map(_.getLong(0))
+    val buildSet = build.toSet
+    // no false negatives: every probe value that actually joins survives
+    probe.filter(buildSet.contains).foreach { v =>
+      assert(pruned.contains(v), s"bloom dropped true join key $v")
+    }
+    // soundness: survivors are a sub-multiset of the probe rows
+    assert(pruned.length <= probe.length)
+    val probeCounts = probe.groupBy(identity).view.mapValues(_.size).toMap
+    pruned.groupBy(identity).foreach { case (v, rows) =>
+      assert(rows.size <= probeCounts(v), s"pruning duplicated probe row $v")
+    }
+    // with 2^9 bits and 180 set, non-joining survivors must exist —
+    // the join must re-verify, the sketch alone is not the answer
+    assert(pruned.exists(v => !buildSet.contains(v)),
+      "expected ≥1 false-positive survivor at this fill factor")
+    // empty build side prunes everything (vacuous filter, no crash)
+    assert(Sketch.bloomPrune(Seq.empty[Long].toDF("b"), "b",
+      probe.toDF("p"), "p", mBits = 1 << 9, kHashes = 3).count() === 0L)
+  }
 }
