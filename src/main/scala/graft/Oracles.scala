@@ -1636,6 +1636,41 @@ object Oracles {
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // pairwise Pearson correlations from exact HUGEINT moments of
+    // integer-fixed units; double arithmetic only in the final
+    // expression, written identically to the Spark side.
+    "table_corr" ->
+      """WITH x AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,
+        |  CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d FROM lineitem),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(q) AS HUGEINT) AS sq, CAST(sum(p) AS HUGEINT) AS sp, CAST(sum(d) AS HUGEINT) AS sd,
+        |  CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sqq,
+        |  CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS spp,
+        |  CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd,
+        |  CAST(sum(CAST(q AS HUGEINT) * p) AS HUGEINT) AS sqp,
+        |  CAST(sum(CAST(q AS HUGEINT) * d) AS HUGEINT) AS sqd,
+        |  CAST(sum(CAST(p AS HUGEINT) * d) AS HUGEINT) AS spd FROM x)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (round((CAST(n * sqp - sq * sp AS DOUBLE)
+        |    / sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * spp - sp * sp AS DOUBLE))) * 1000000.0) / 1000000.0) AS corr_qty_price,
+        |  (round((CAST(n * sqd - sq * sd AS DOUBLE)
+        |    / sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE))) * 1000000.0) / 1000000.0) AS corr_qty_disc,
+        |  (round((CAST(n * spd - sp * sd AS DOUBLE)
+        |    / sqrt(CAST(n * spp - sp * sp AS DOUBLE) * CAST(n * sdd - sd * sd AS DOUBLE))) * 1000000.0) / 1000000.0) AS corr_price_disc
+        |FROM m""".stripMargin,
+
+    // quality-percentile cut: threshold by exact rank selection over the
+    // 4-dp-fixed score distribution (≤ 10001 distinct units), then an
+    // integer comparison per doc.
+    "corpus_quality_filter" ->
+      s"""WITH $langScoreCtes,
+         |s4t AS (SELECT doc_id, score, CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS s4 FROM sc),
+         |cnt AS (SELECT s4, count(*) AS c FROM s4t GROUP BY 1),
+         |cm AS (SELECT s4, sum(c) OVER (ORDER BY s4) AS cum, sum(c) OVER () AS n_docs FROM cnt),
+         |th AS (SELECT min(CASE WHEN cum >= (n_docs * 75 + 99) // 100 THEN s4 END) AS s4_p75 FROM cm)
+         |SELECT doc_id, score FROM s4t, th WHERE s4 >= s4_p75 ORDER BY doc_id""".stripMargin,
+
     // Bloom-pruned join: the oracle replays the same md5-derived bit
     // positions, so candidate counts (bloom survivors, FPs included)
     // AND the verified join result are both checked exactly.

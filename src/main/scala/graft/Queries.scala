@@ -1522,6 +1522,67 @@ object Queries {
       .orderBy("cntry_grp")
   }
 
+  /** Pairwise Pearson correlation over lineitem's numeric columns — the
+    * companion ANALYZE primitive to [[tableProfile]]: every moment
+    * (n, Σx, Σx², Σxy) is an exact DECIMAL(38) sum of integer-fixed
+    * units (quantity integral, price/discount in cents) gathered in ONE
+    * scan + one 1-row partial aggregation; each correlation then comes
+    * from the exact moments with double arithmetic only in the final
+    * expression (written identically in the oracle). No row leaves the
+    * scan stage — the shuffle is the 10-column single row.
+    */
+  def tableCorr(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("p"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("d"))
+    val m = li.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("q"))).as("sq"), sum(dec(col("p"))).as("sp"), sum(dec(col("d"))).as("sd"),
+      sum(dec(col("q")) * dec(col("q"))).as("sqq"),
+      sum(dec(col("p")) * dec(col("p"))).as("spp"),
+      sum(dec(col("d")) * dec(col("d"))).as("sdd"),
+      sum(dec(col("q")) * dec(col("p"))).as("sqp"),
+      sum(dec(col("q")) * dec(col("d"))).as("sqd"),
+      sum(dec(col("p")) * dec(col("d"))).as("spd"))
+    def corrOf(sxy: String, sx: String, sy: String, sxx: String, syy: String): Column = {
+      val num = (col("n") * col(sxy) - col(sx) * col(sy)).cast("double")
+      val vx = (col("n") * col(sxx) - col(sx) * col(sx)).cast("double")
+      val vy = (col("n") * col(syy) - col(sy) * col(sy)).cast("double")
+      roundTo(num / sqrt(vx * vy), 6)
+    }
+    m.select(col("n").cast("long").as("n"),
+      corrOf("sqp", "sq", "sp", "sqq", "spp").as("corr_qty_price"),
+      corrOf("sqd", "sq", "sd", "sqq", "sdd").as("corr_qty_disc"),
+      corrOf("spd", "sp", "sd", "spp", "sdd").as("corr_price_disc"))
+  }
+
+  /** Quality-percentile corpus cut: keep documents at or above the 75th
+    * percentile of the (4-dp-fixed) quality score. The threshold uses
+    * the [[corpusQuantiles]] exact-rank idiom over the VALUE
+    * DISTRIBUTION — the cumulative window spans ≤ 10⁴+1 distinct score
+    * units regardless of corpus size — and broadcasts back as one row,
+    * so the cut itself is a map-side integer comparison. The "top
+    * quality quartile" selection every training-mixture pipeline runs.
+    */
+  def corpusQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.langQuality(Tables.documents(spark, dir), "doc_id", "text")
+      .select(col("doc_id"), col("score"),
+        floor(col("score") * 10000.0 + lit(0.5)).cast("long").as("s4"))
+    val counts = scored.groupBy("s4").agg(count(lit(1)).as("c"))
+    // single-partition window is safe: rows = distinct score units ≤ 10001
+    val cum = counts
+      .withColumn("cum", sum("c").over(Window.orderBy("s4")))
+      .withColumn("n_docs", sum("c").over(Window.partitionBy(lit(1))))
+    val thresh = cum.agg(
+      min(when(col("cum") >= expr("(n_docs * 75 + 99) div 100"), col("s4"))).as("s4_p75"))
+    scored.crossJoin(broadcast(thresh))
+      .where(col("s4") >= col("s4_p75"))
+      .select(col("doc_id"), col("score"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom-pruned join under the hard gate: the probe side (lineitem)
     * is gated MAP-SIDE by a Bloom filter fitted on the build side's
     * keys ([[operators.Sketch.bloomPrune]] — the runtime-filter

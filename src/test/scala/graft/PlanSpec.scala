@@ -209,6 +209,27 @@ class PlanSpec extends SparkSpec {
       s"key computation must ride the single scan:\n$p")
   }
 
+  test("table_corr: all ten moments ride one scan and one partial+final agg") {
+    val p = plan(Queries.tableCorr(spark, sf001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"one scan for the whole moment matrix:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "moments must combine map-side")
+  }
+
+  test("quality filter: threshold broadcasts back; windows only after the distinct-unit agg") {
+    val p = plan(Queries.corpusQualityFilter(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 1-row threshold must broadcast, never shuffle the docs:\n$p")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size <= 2,
+      s"score leg + filter leg only — no extra scans:\n$p")
+    // the single-partition windows are safe ONLY because they run on the
+    // ≤ 10001 distinct score units — i.e. strictly above an aggregation
+    val winIdx = p.indexOf(") Window")
+    val aggIdx = p.indexOf(") HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0, s"expected both Window and HashAggregate:\n$p")
+  }
+
   test("q4: EXISTS plans as a LeftSemi join; the date range reaches the orders scan") {
     val p = plan(Queries.q4Priority(spark, sf001))
     assert(p.contains("LeftSemi"), s"EXISTS must be a semi join, not inner+distinct:\n$p")
