@@ -1671,20 +1671,27 @@ object Oracles {
          |th AS (SELECT min(CASE WHEN cum >= (n_docs * 75 + 99) // 100 THEN s4 END) AS s4_p75 FROM cm)
          |SELECT doc_id, score FROM s4t, th WHERE s4 >= s4_p75 ORDER BY doc_id""".stripMargin,
 
-    // Bloom-pruned join: the oracle replays the same md5-derived bit
-    // positions, so candidate counts (bloom survivors, FPs included)
-    // AND the verified join result are both checked exactly.
+    // Bloom-pruned join: the oracle replays the same integer position
+    // family (h = (key % P)² % P squared to decorrelate sequential ids,
+    // then the (2i+1)·h + (i²+7) minhash-permutation spelling), so
+    // candidate counts (bloom survivors, FPs included) AND the verified
+    // join result are both checked exactly.
     "bloom_pruned_join" ->
       s"""WITH bo AS (SELECT o_orderkey FROM orders
          |  WHERE o_orderpriority = '1-URGENT'
          |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |    AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'),
-         |bits AS (SELECT DISTINCT ${tokenHash60("'bloom' || CAST(r.range AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")} % 4096 AS bit
-         |         FROM bo, range(0, 3) r),
-         |cand AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
-         |  WHERE ${tokenHash60("'bloom0:' || CAST(l_orderkey AS VARCHAR)")} % 4096 IN (SELECT bit FROM bits)
-         |    AND ${tokenHash60("'bloom1:' || CAST(l_orderkey AS VARCHAR)")} % 4096 IN (SELECT bit FROM bits)
-         |    AND ${tokenHash60("'bloom2:' || CAST(l_orderkey AS VARCHAR)")} % 4096 IN (SELECT bit FROM bits)),
+         |bits AS (SELECT DISTINCT ((2 * r.range + 1)
+         |      * (((o_orderkey % 2147483647) * (o_orderkey % 2147483647)) % 2147483647)
+         |      + (r.range * r.range + 7)) % 2147483647 % 4096 AS bit
+         |    FROM bo, range(0, 3) r),
+         |lh AS (SELECT l_orderkey, l_extendedprice, l_discount,
+         |    ((l_orderkey % 2147483647) * (l_orderkey % 2147483647)) % 2147483647 AS h
+         |  FROM lineitem),
+         |cand AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lh
+         |  WHERE (1 * h + 7) % 2147483647 % 4096 IN (SELECT bit FROM bits)
+         |    AND (3 * h + 8) % 2147483647 % 4096 IN (SELECT bit FROM bits)
+         |    AND (5 * h + 11) % 2147483647 % 4096 IN (SELECT bit FROM bits)),
          |j AS (SELECT c.*, bo.o_orderkey FROM cand c LEFT JOIN bo ON c.l_orderkey = bo.o_orderkey)
          |SELECT count(*) AS n_candidates, count(o_orderkey) AS n_joined,
          |  CAST(((sum(CASE WHEN o_orderkey IS NOT NULL

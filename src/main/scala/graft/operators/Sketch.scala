@@ -163,8 +163,20 @@ object Sketch {
                  probe: DataFrame, probeCol: String,
                  mBits: Int = 1 << 12, kHashes: Int = 3): DataFrame = {
     require(kHashes >= 1 && mBits >= 2)
-    def positions(c: Column): Seq[Column] = (0 until kHashes).map { i =>
-      pmod(tokenHash60(concat(lit(s"bloom$i:"), c.cast("string"))), lit(mBits.toLong))
+    // Integer-only position family (keys are integral ids): square the
+    // key mod the Mersenne prime to decorrelate sequential ids, then
+    // the (2i+1)·h + (i²+7) permutation family (the minhash-permutation
+    // spelling) — a few muls/mods per row in codegen, ~100× cheaper
+    // than an md5-based hash on the probe side's hot path, and exactly
+    // replayable in the oracle's integer SQL. All intermediates stay
+    // below 2⁶³ for any long key.
+    def positions(c: Column): Seq[Column] = {
+      val P = 2147483647L
+      val r = pmod(c.cast("long"), lit(P))
+      val h = pmod(r * r, lit(P))
+      (0 until kHashes).map { i =>
+        pmod(h * lit(2L * i + 1) + lit(i.toLong * i + 7L), lit(P)) % lit(mBits.toLong)
+      }
     }
     val bits: Array[Long] = build
       .select(explode(array(positions(col(buildCol)): _*)).as("bit")).distinct()
