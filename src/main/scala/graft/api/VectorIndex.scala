@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryIndex, IvfIndex, Knn, LshIndex, PqIndex, Upsert}
+import graft.operators.{BinaryIndex, IvfIndex, Knn, LshIndex, PqIndex, SqIndex, Upsert}
 
 /** Index kinds, mirroring the reference's `IndexType`
   * (reference: src/core/index_factory.rs:72-168). `FLAT` is exact brute
@@ -15,7 +15,11 @@ import graft.operators.{BinaryIndex, IvfIndex, Knn, LshIndex, PqIndex, Upsert}
   * analog), and `PQ` (product-quantized ADC candidates + exact
   * re-rank — the faiss "PQx" compression family; saved layouts keep
   * the 8-byte codes column hot and touch raw vectors only for
-  * re-ranked survivors).
+  * re-ranked survivors), `IVFPQ` (the faiss "IVFx,PQy" workhorse:
+  * cluster partition-prune × narrow codes scan × by-id re-rank — the
+  * three multiplied savings), and `SQ8` (per-dimension scalar
+  * quantization: training bounds instead of codebooks, 1 byte/dim,
+  * reconstruction-distance candidates + exact re-rank).
   */
 sealed trait IndexType
 object IndexType {
@@ -24,6 +28,8 @@ object IndexType {
   case object LSH extends IndexType
   case object BINARY extends IndexType
   case object PQ extends IndexType
+  case object IVFPQ extends IndexType
+  case object SQ8 extends IndexType
 }
 
 /** reference: src/core/index_factory.rs:41-48 (L2, InnerProduct) + the
@@ -61,9 +67,11 @@ case class IndexParams(
     binaryRerank: Int = 100,
     lshBands: Int = 1,
     pqSubspaces: Int = 8,
-    pqRerank: Int = 100) {
+    pqRerank: Int = 100,
+    sqRerank: Int = 100) {
   require(ivfClusters >= 1 && nprobe >= 1 && lshBits >= 1 && lshRadius >= 0
-      && binaryRerank >= 1 && lshBands >= 1 && pqSubspaces >= 1 && pqRerank >= 1,
+      && binaryRerank >= 1 && lshBands >= 1 && pqSubspaces >= 1 && pqRerank >= 1
+      && sqRerank >= 1,
     "index params must be positive (lshRadius may be 0)")
 }
 
@@ -82,7 +90,8 @@ class VectorIndex private (
     private val spark: SparkSession,
     private val state: DataFrame,
     private val loadedCentroids: Option[Array[Array[Float]]] = None,
-    private val loadedCodebooks: Option[Array[Array[Array[Float]]]] = None) {
+    private val loadedCodebooks: Option[Array[Array[Array[Float]]]] = None,
+    private val loadedBounds: Option[(Array[Double], Array[Double])] = None) {
 
   import VectorIndex._
 
@@ -94,14 +103,14 @@ class VectorIndex private (
     * cluster/bucket assignment valid, so pruning survives).
     */
   private def withState(next: DataFrame): VectorIndex =
-    new VectorIndex(key, params, spark, next, loadedCentroids, loadedCodebooks)
+    new VectorIndex(key, params, spark, next, loadedCentroids, loadedCodebooks, loadedBounds)
 
   /** Layout-invalidating state swap: new/changed rows have no persisted
     * partition assignment, so drop the layout columns and fall back to
     * the computed-assignment search path.
     */
   private def withFreshState(next: DataFrame): VectorIndex =
-    new VectorIndex(key, params, spark, next, None, None)
+    new VectorIndex(key, params, spark, next, None, None, None)
 
   /** State without persisted-layout columns (for mutations that union).
     * A banded-LSH layout holds one copy of every row per band, so keep a
@@ -180,7 +189,7 @@ class VectorIndex private (
   def searchBatch(queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
     key.indexType match {
-      case IndexType.IVF =>
+      case IndexType.IVF | IndexType.IVFPQ =>
         val centroids = loadedCentroids.getOrElse(
           IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L))
         if (centroids.isEmpty)
@@ -278,6 +287,37 @@ class VectorIndex private (
           PqIndex.searchAnyMetric(base, "id", "vectors", codesCol, books, vector, k,
             rerank = math.max(k, params.pqRerank), metric = key.metricType.name)
         }
+      case IndexType.IVFPQ =>
+        // the faiss "IVFx,PQy" composition: coarse cluster prune (a
+        // file-listing partition prune on a loaded layout), ADC over the
+        // 8-byte codes of the survivors, exact re-rank under the metric
+        val centroids = loadedCentroids.getOrElse(
+          IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L))
+        val books = loadedCodebooks.getOrElse(
+          PqIndex.fitCached(bare, "vectors", key.dim, params.pqSubspaces, PqKsub, seed = 42L))
+        if (centroids.isEmpty || books.isEmpty)
+          Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
+        else {
+          val probed = IvfIndex.probes(vector, centroids, math.min(params.nprobe, centroids.length))
+          val pruned =
+            if (base.columns.contains("cluster")) base.where(col("cluster").isin(probed: _*))
+            else base.where(IvfIndex.assign(col("vectors"), centroids).isin(probed: _*))
+          val codesCol = if (base.columns.contains("codes")) Some("codes") else None
+          PqIndex.searchAnyMetric(pruned, "id", "vectors", codesCol, books, vector, k,
+            rerank = math.max(k, params.pqRerank), metric = key.metricType.name)
+        }
+      case IndexType.SQ8 =>
+        // training bounds instead of codebooks (1 byte/dim); candidates
+        // by distance-to-reconstruction in one codegen scan, exact
+        // re-rank under the metric. No pruning layout — like BINARY the
+        // coarse scan touches every row, just 4x narrower at scale.
+        val (mins, maxs) = loadedBounds.getOrElse(
+          SqIndex.fitBoundsCached(bare, "vectors"))
+        if (mins.isEmpty)
+          Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
+        else
+          SqIndex.searchAnyMetric(base, "id", "vectors", mins, maxs, vector, k,
+            rerank = math.max(k, params.sqRerank), metric = key.metricType.name)
     }
 
   /** k-NN GRAPH over the whole index: every vector's top-k neighbors in
@@ -291,7 +331,7 @@ class VectorIndex private (
   def knnGraph(k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
     val centroids = key.indexType match {
-      case IndexType.IVF =>
+      case IndexType.IVF | IndexType.IVFPQ =>
         loadedCentroids.getOrElse(
           IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L))
       case _ => Array.empty[Array[Float]]
@@ -311,9 +351,10 @@ class VectorIndex private (
     import spark.implicits._
     Seq((key.indexType.toString, key.dim, key.metricType.name,
         params.ivfClusters, params.nprobe, params.lshBits, params.lshRadius,
-        params.binaryRerank, params.lshBands, params.pqSubspaces, params.pqRerank))
+        params.binaryRerank, params.lshBands, params.pqSubspaces, params.pqRerank,
+        params.sqRerank))
       .toDF("index_type", "dim", "metric", "ivf_clusters", "nprobe", "lsh_bits",
-        "lsh_radius", "binary_rerank", "lsh_bands", "pq_m", "pq_rerank")
+        "lsh_radius", "binary_rerank", "lsh_bands", "pq_m", "pq_rerank", "sq_rerank")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     key.indexType match {
       case IndexType.IVF =>
@@ -346,6 +387,29 @@ class VectorIndex private (
               PqIndex.encode(col("vectors"), books).cast("array<tinyint>"))
             .write.mode("overwrite").parquet(s"$path/data")
         }
+      case IndexType.IVFPQ =>
+        // both trained artifacts persist; data partitions by cluster
+        // (file-listing prune) AND carries the codes column (narrow ADC
+        // scan inside the surviving partitions) — the layout that makes
+        // the three multiplied savings real on reload
+        val centroids = IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L)
+        val books = PqIndex.fitCached(bare, "vectors", key.dim, params.pqSubspaces, PqKsub, seed = 42L)
+        if (centroids.isEmpty || books.isEmpty)
+          bare.write.mode("overwrite").parquet(s"$path/data")
+        else {
+          IvfIndex.writeCentroids(spark, centroids, s"$path/centroids")
+          PqIndex.writeCodebooks(spark, books, s"$path/codebooks")
+          bare
+            .withColumn("codes", PqIndex.encode(col("vectors"), books).cast("array<tinyint>"))
+            .withColumn("cluster", IvfIndex.assign(col("vectors"), centroids))
+            .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/data")
+        }
+      case IndexType.SQ8 =>
+        // dim tiny (mn, mx) rows — the trained artifact; the data itself
+        // needs no layout column (the coarse scan reads every row)
+        val (mins, maxs) = SqIndex.fitBoundsCached(bare, "vectors")
+        if (mins.nonEmpty) SqIndex.writeBounds(spark, mins, maxs, s"$path/bounds")
+        bare.write.mode("overwrite").parquet(s"$path/data")
       case IndexType.FLAT | IndexType.BINARY =>
         // BINARY's sign words are a training-free map-side derivation, so
         // the persisted form is just the data (a hamming scan reads every
@@ -371,7 +435,8 @@ object VectorIndex {
   def create(spark: SparkSession, indexType: IndexType, dim: Int, metricType: Metric,
              params: IndexParams = IndexParams()): VectorIndex = {
     require(dim >= 1, "dim must be at least 1")
-    require(indexType != IndexType.PQ || dim % params.pqSubspaces == 0,
+    require((indexType != IndexType.PQ && indexType != IndexType.IVFPQ)
+        || dim % params.pqSubspaces == 0,
       s"PQ needs dim divisible by pqSubspaces (${params.pqSubspaces})")
     val empty = rowsDf(spark, Seq.empty)
     new VectorIndex(IndexKey(indexType, dim, metricType), params, spark, empty)
@@ -390,6 +455,8 @@ object VectorIndex {
       case "LSH"    => IndexType.LSH
       case "BINARY" => IndexType.BINARY
       case "PQ"     => IndexType.PQ
+      case "IVFPQ"  => IndexType.IVFPQ
+      case "SQ8"    => IndexType.SQ8
       case other    => throw new IllegalArgumentException(s"unknown index_type $other")
     }
     val metric = m.getAs[String]("metric") match {
@@ -407,18 +474,27 @@ object VectorIndex {
     val params = IndexParams(m.getAs[Int]("ivf_clusters"), m.getAs[Int]("nprobe"),
       m.getAs[Int]("lsh_bits"), m.getAs[Int]("lsh_radius"),
       intOr("binary_rerank", 100), intOr("lsh_bands", 1),
-      intOr("pq_m", 8), intOr("pq_rerank", 100))
+      intOr("pq_m", 8), intOr("pq_rerank", 100), intOr("sq_rerank", 100))
     val state = spark.read.parquet(s"$path/data")
     val centroids =
-      if (indexType == IndexType.IVF && state.columns.contains("cluster"))
+      if ((indexType == IndexType.IVF || indexType == IndexType.IVFPQ)
+          && state.columns.contains("cluster"))
         Some(IvfIndex.readCentroids(spark, s"$path/centroids"))
       else None
     val codebooks =
-      if (indexType == IndexType.PQ && state.columns.contains("codes"))
+      if ((indexType == IndexType.PQ || indexType == IndexType.IVFPQ)
+          && state.columns.contains("codes"))
         Some(PqIndex.readCodebooks(spark, s"$path/codebooks"))
       else None
+    val bounds =
+      if (indexType == IndexType.SQ8) {
+        // a bounds dir exists iff the saved state was non-empty
+        val bp = new org.apache.hadoop.fs.Path(s"$path/bounds")
+        val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(bp)) Some(SqIndex.readBounds(spark, s"$path/bounds")) else None
+      } else None
     new VectorIndex(IndexKey(indexType, m.getAs[Int]("dim"), metric), params, spark,
-      state, centroids, codebooks)
+      state, centroids, codebooks, bounds)
   }
 
   private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {

@@ -78,6 +78,44 @@ object SqIndex {
       .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(col("score"), col("id"))))
       .select(col("rank"), col("id"), roundTo(sqrt(col("score")), 4).as("value"))
+
+  /** The facade contract shared with [[BinaryIndex.search]] and
+    * [[PqIndex.searchAnyMetric]]: a metric-agnostic coarse stage
+    * (reconstruction-L2 candidates, one codegen scan + TakeOrdered) and
+    * the index metric applied only in the exact re-rank of the `rerank`
+    * survivors.
+    */
+  def searchAnyMetric(emb: DataFrame, idCol: String, vecCol: String,
+                      mins: Array[Double], maxs: Array[Double],
+                      queryVec: Array[Float], k: Int, rerank: Int,
+                      metric: String = "l2"): DataFrame = {
+    require(rerank >= k)
+    val candidates = emb
+      .select(col(idCol).as("cand_id"),
+        sq8ReconstructL2Sq(col(vecCol), mins, maxs, queryVec).as("sq"))
+      .orderBy(col("sq"), col("cand_id"))
+      .limit(rerank)
+      .select("cand_id")
+    val pruned = emb.join(broadcast(candidates), col(idCol) === col("cand_id"), "leftsemi")
+    Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
+  }
+
+  /** Persist the trained per-dimension bounds (dim tiny rows) so a
+    * reloaded index serves without re-running the bounds aggregates —
+    * the SQ analog of [[IvfIndex.writeCentroids]].
+    */
+  def writeBounds(spark: org.apache.spark.sql.SparkSession,
+                  mins: Array[Double], maxs: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    mins.indices.map(d => (d, mins(d), maxs(d))).toDF("d", "mn", "mx")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readBounds(spark: org.apache.spark.sql.SparkSession,
+                 path: String): (Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(path).orderBy("d").collect()
+    (rows.map(_.getAs[Double]("mn")), rows.map(_.getAs[Double]("mx")))
+  }
 }
 
 object PqIndex {

@@ -223,6 +223,26 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](idx.search(Array(1f, 2f, 3f), 0)) // bad k
     intercept[IllegalArgumentException]( // PQ dim must split into subspaces
       VectorIndex.create(spark, IndexType.PQ, 5, Metric.L2, IndexParams(pqSubspaces = 8)))
+    intercept[IllegalArgumentException]( // ... and so must IVFPQ
+      VectorIndex.create(spark, IndexType.IVFPQ, 5, Metric.L2, IndexParams(pqSubspaces = 8)))
+  }
+
+  test("IVFPQ and SQ8 facades: metric applies in the exact re-rank (rerank >= n equals FLAT)") {
+    def fill(i0: VectorIndex): VectorIndex = {
+      val rnd = new scala.util.Random(13)
+      (0L until 40L).foldLeft(i0)((ix, i) =>
+        ix.insert(i, Array.fill(4)(rnd.nextGaussian().toFloat)))
+    }
+    val flat = fill(VectorIndex.create(spark, IndexType.FLAT, 4, Metric.Cosine))
+    // nprobe = K probes every cluster; rerank ≥ n keeps every candidate
+    val ivfpq = fill(VectorIndex.create(spark, IndexType.IVFPQ, 4, Metric.Cosine,
+      IndexParams(ivfClusters = 2, nprobe = 2, pqSubspaces = 2, pqRerank = 1000)))
+    val sq = fill(VectorIndex.create(spark, IndexType.SQ8, 4, Metric.Cosine,
+      IndexParams(sqRerank = 1000)))
+    val q = Array(0.5f, -0.25f, 1f, 0.125f)
+    val expected = flat.search(q, 5).collect().map(_.toSeq).toSeq
+    assert(ivfpq.search(q, 5).collect().map(_.toSeq).toSeq === expected)
+    assert(sq.search(q, 5).collect().map(_.toSeq).toSeq === expected)
   }
 
   test("PQ facade: cosine metric applies in the exact re-rank (rerank >= n equals FLAT)") {

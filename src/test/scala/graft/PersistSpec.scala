@@ -269,6 +269,86 @@ class PersistSpec extends SparkSpec {
     assert(mutated.search(far, 1).collect().head.getLong(1) === 100000L)
   }
 
+  test("VectorIndex IVFPQ save -> load: cluster-pruned AND narrow codes scan") {
+    val emb = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"))
+    val q = Tables.embeddings(spark, sf001).where(col("vec_id") === 7L)
+      .select("embedding").first().getSeq[Float](0).toArray
+
+    // nprobe = K and pqRerank ≥ n ⇒ neither stage excludes anything ⇒ FLAT
+    val full = VectorIndex.create(spark, IndexType.IVFPQ, 64, Metric.L2,
+        IndexParams(ivfClusters = 8, nprobe = 8, pqSubspaces = 8, pqRerank = 1000))
+      .insertAll(emb)
+    val flat = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2).insertAll(emb)
+    assert(full.search(q, 5).collect().map(_.toSeq).toSeq
+      === flat.search(q, 5).collect().map(_.toSeq).toSeq)
+
+    // the serving configuration: low nprobe, bounded re-rank
+    val idx = VectorIndex.create(spark, IndexType.IVFPQ, 64, Metric.L2,
+        IndexParams(ivfClusters = 8, nprobe = 2, pqSubspaces = 8, pqRerank = 50))
+      .insertAll(emb)
+    val path = tmp("graft-vidx-ivfpq")
+    idx.save(path)
+    val data = spark.read.parquet(s"$path/data")
+    assert(data.columns.contains("codes") && data.columns.contains("cluster"))
+    val re = VectorIndex.load(spark, path)
+    assert(re.key === idx.key && re.params === idx.params)
+    val res = re.search(q, 5)
+    // loaded (partition-pruned, persisted codes) ≡ live (computed
+    // assignment, map-side encode): same centroids, same codebooks
+    assert(res.collect().map(_.toSeq).toSeq
+      === idx.search(q, 5).collect().map(_.toSeq).toSeq)
+
+    // the multiplied savings are visible in one plan: the loaded search
+    // (a) partition-prunes the cluster dirs at file-listing time and
+    // (b) reads codes without the 256-byte vectors column
+    val scans = scansOf(res)
+    val prunedScans = scans.filter(_.partitionFilters.nonEmpty)
+    assert(prunedScans.nonEmpty, "loaded IVFPQ search must partition-prune")
+    assert(prunedScans.exists(_.selectedPartitions.partitionCount <= 2))
+    assert(scans.exists { s =>
+      val f = s.schema.fieldNames
+      f.contains("codes") && !f.contains("vectors")
+    }, "loaded IVFPQ search must have a narrow codes scan")
+
+    // post-load mutation invalidates the layout and still serves
+    val far = Array.fill(64)(100f)
+    assert(re.insert(100000L, far).search(far, 1).collect().head.getLong(1) === 100000L)
+  }
+
+  test("VectorIndex SQ8 save -> load: bounds persist, re-rank equals FLAT") {
+    val emb = Tables.embeddings(spark, sf001).limit(100)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"))
+    val sq = VectorIndex.create(spark, IndexType.SQ8, 64, Metric.L2,
+        IndexParams(sqRerank = 1000)).insertAll(emb)
+    val flat = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2).insertAll(emb)
+    val q = Tables.embeddings(spark, sf001).where(col("vec_id") === 7L)
+      .select("embedding").first().getSeq[Float](0).toArray
+    // sqRerank ≥ n ⇒ the reconstruction cut excludes nothing ⇒ FLAT
+    assert(sq.search(q, 5).collect().map(_.toSeq).toSeq
+      === flat.search(q, 5).collect().map(_.toSeq).toSeq)
+
+    val path = tmp("graft-vidx-sq8")
+    sq.save(path)
+    // the trained artifact (dim rows of bounds) is on disk
+    assert(spark.read.parquet(s"$path/bounds").count() === 64L)
+    val re = VectorIndex.load(spark, path)
+    assert(re.key === sq.key && re.params === sq.params)
+    assert(re.search(q, 5).collect().map(_.toSeq).toSeq
+      === sq.search(q, 5).collect().map(_.toSeq).toSeq)
+  }
+
+  test("empty IVFPQ and SQ8 indexes save -> load -> search degrade cleanly") {
+    for (kind <- Seq(IndexType.IVFPQ, IndexType.SQ8)) {
+      val idx = VectorIndex.create(spark, kind, 8, Metric.L2)
+      val path = tmp(s"graft-vidx-empty-$kind")
+      idx.save(path)
+      val re = VectorIndex.load(spark, path)
+      assert(re.key === idx.key)
+      assert(re.search(Array.fill(8)(1f), 3).count() === 0L)
+    }
+  }
+
   test("VectorIndex FLAT save -> load round trip") {
     val idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.Cosine)
       .insert(1L, Array(1f, 0f), """{"k":1}""")
