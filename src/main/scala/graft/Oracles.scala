@@ -880,6 +880,27 @@ object Oracles {
          |  (round((es_key) * 1000000000.0) / 1000000000.0) AS es_key
          |FROM k ORDER BY es_key, doc_id LIMIT 50""".stripMargin,
 
+    // Equal-share domain mixing: the rates are integer basis points
+    // derived from exact per-source char totals (budget = min source),
+    // the keep set replays the same doc-id hash — every reported value
+    // is an exact integer on both engines.
+    "corpus_mix" ->
+      s"""WITH t AS (SELECT source, count(*) AS docs_in,
+         |      CAST(sum(n_chars) AS BIGINT) AS chars_in
+         |    FROM documents GROUP BY source),
+         |b AS (SELECT min(chars_in) AS budget FROM t),
+         |r AS (SELECT source, docs_in, chars_in,
+         |      (budget * 10000) // chars_in AS rate_bp FROM t, b),
+         |k AS (SELECT d.source, count(*) AS docs_kept,
+         |      CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+         |    FROM documents d JOIN r ON d.source = r.source
+         |    WHERE ${tokenHash60("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bp
+         |    GROUP BY d.source)
+         |SELECT r.source, r.docs_in, r.chars_in, CAST(r.rate_bp AS BIGINT) AS rate_bp,
+         |  CAST(coalesce(k.docs_kept, 0) AS BIGINT) AS docs_kept,
+         |  CAST(coalesce(k.chars_kept, 0) AS BIGINT) AS chars_kept
+         |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin,
+
     // doc-as-query BM25 (leave-self-out) scored against the exact
     // embedding top-10 as relevance truth: recall@10 = exact long / 10,
     // mrr = one division of the exact integer best rank.

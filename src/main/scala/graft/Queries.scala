@@ -458,6 +458,43 @@ object Queries {
     operators.Corpus.sampleMixture(Tables.documents(spark, dir), "doc_id", "source",
       sampleRates, defaultRate = 80)
 
+  /** Domain-mixture rebalancing to an EQUAL per-source character share —
+    * the static data-mixing step of a training pipeline. Unlike
+    * [[corpusSample]] (rates given), the rates are DERIVED from the
+    * data: budget = min over sources of chars_s (the largest equal share
+    * servable without upsampling), rate_s = ⌊budget·10⁴ / chars_s⌋ basis
+    * points, keep = deterministic doc-id hash mod 10⁴ under the source's
+    * rate. Per-source totals are one S-row partial agg; the rates rejoin
+    * the scan by source (hint-free keyed join — AQE broadcasts the tiny
+    * side); the keep decision is map-side. Every value crossing the gate
+    * is an exact integer, so the report (in/out docs and chars, achieved
+    * rate) cannot flap.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars")
+    val totals = docs.groupBy("source").agg(sum("n_chars").as("chars_in"))
+    // budget = min source total, taken as a window over the S aggregated
+    // rows (bounded by source cardinality) so the totals leg is scanned
+    // once, not twice
+    val rates = totals
+      .withColumn("budget", min(col("chars_in")).over(Window.partitionBy()))
+      .select(col("source"), expr("(budget * 10000) div chars_in").as("rate_bp"))
+    // one pass over the rated scan produces both the in- and kept-side
+    // report (keep folded into conditional aggregates — no second leg,
+    // no outer join)
+    val keep = pmod(tokenHash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+      lit(10000L)) < col("rate_bp")
+    docs.join(rates, "source")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum("n_chars").as("chars_in"),
+        min("rate_bp").as("rate_bp"),
+        sum(when(keep, lit(1L)).otherwise(lit(0L))).as("docs_kept"),
+        sum(when(keep, col("n_chars")).otherwise(lit(0L))).as("chars_kept"))
+      .orderBy("source")
+  }
+
   /** The skew guard under the hard gate: event_type is low-cardinality
     * (every key is hot), so the aggregation runs through
     * [[operators.Skew.saltedAggregate]] — hot-key combine state spreads

@@ -209,6 +209,18 @@ class PlanSpec extends SparkSpec {
       s"key computation must ride the single scan:\n$p")
   }
 
+  test("corpus_mix: rates broadcast back onto the scan; in+kept report is ONE joined agg") {
+    val p = plan(Queries.corpusMix(spark, sf001))
+    // totals leg + rated-report leg: exactly two scans of documents
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 2,
+      s"totals leg + one rated report pass — no third scan, no outer join leg:\n$p")
+    // the S-row rates side must broadcast into the big scan, never shuffle it
+    assert(p.contains("BroadcastHashJoin"),
+      s"derived rates must broadcast onto the documents scan:\n$p")
+    assert(p.contains("partial_sum"), "report aggregates must combine map-side")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join anywhere in the mix plan:\n$p")
+  }
+
   test("table_corr: all ten moments ride one scan and one partial+final agg") {
     val p = plan(Queries.tableCorr(spark, sf001))
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
