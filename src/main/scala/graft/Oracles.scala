@@ -748,6 +748,21 @@ object Oracles {
          |  (round((n_hit / n_sketch) * 10000.0) / 10000.0) AS prec
          |FROM tc, sc, hc""".stripMargin,
 
+    // exact duplicated 8-word spans: the oracle rebuilds every span from
+    // the same token stream and the comparison is exact strings and
+    // exact counts throughout.
+    "dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] ELSE
+         |         list_transform(range(1, len(toks) - 6), i ->
+         |           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         |           || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) END AS sh
+         |       FROM t),
+         |s AS (SELECT doc_id, unnest(sh) AS span FROM sh)
+         |SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 50""".stripMargin,
+
     // winnowing (k=8, w=4): gram hashes re-derived with the identical
     // base-31 mod-1e9+7 polynomial over the normalized chars, window
     // minima, per-doc distinct, df-capped posting join — all integers.

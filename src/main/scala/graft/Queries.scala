@@ -692,6 +692,29 @@ object Queries {
   def dedupWinnow(spark: SparkSession, dir: String): DataFrame =
     Dedup.winnowPairs(Tables.documents(spark, dir), "doc_id", "text")
 
+  /** EXACT duplicated-span mining — the exact-substring member of the
+    * dedup family (Lee et al. 2022's "dedup repeated spans" pass;
+    * [[dedupWinnow]] is its SAMPLED counterpart): every 8-word span
+    * recurring across ≥ 2 documents, with document and occurrence
+    * counts. The shingle pass is one codegen kernel riding the scan
+    * (explode is map-side), the per-span counts are two-phase partial
+    * aggregation (the single distinct column plans as (span, doc)
+    * partial-dedup → (span) count — no Expand), and the report cut is a
+    * TakeOrdered bounded heap. At 100 TB the group key would be a
+    * 128-bit span digest with min(span) kept as the exemplar to hold
+    * shuffle bytes flat; the query keys on the raw span so the gate
+    * compares exact strings end to end.
+    */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(wordShingleStrings(wordTokens(col("text")), 8)).as("span"))
+      .groupBy("span")
+      .agg(count_distinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(50)
+
   /** In-query quality evaluation of the MinHash sketch against ground
     * truth — the dedup twin of [[annRecallEval]]: candidates from LSH
     * banding at est ≥ 0.65 measured against the PROVABLY-complete

@@ -209,6 +209,17 @@ class PlanSpec extends SparkSpec {
       s"key computation must ride the single scan:\n$p")
   }
 
+  test("dedup_spans: map-side shingle explode, two-phase distinct agg (no Expand), TakeOrdered cut") {
+    val p = plan(Queries.dedupSpans(spark, sf001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"the shingle pass must ride the single scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"report cut must be a bounded heap:\n$p")
+    // one distinct column plans as (span, doc) partial-dedup -> (span)
+    // count; a second distinct child would force a row-multiplying Expand
+    assert(!p.contains("Expand"), s"single-distinct agg must not Expand:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, "expect two partial+final agg phases")
+  }
+
   test("corpus_mix: rates broadcast back onto the scan; in+kept report is ONE joined agg") {
     val p = plan(Queries.corpusMix(spark, sf001))
     // totals leg + rated-report leg: exactly two scans of documents
