@@ -1855,6 +1855,20 @@ object Oracles {
         |FROM ad JOIN coh USING (user_id) WHERE ad.d - coh.cd <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // DAU/MAU stickiness: the 28-day rolling distinct replayed via the
+    // same day-mirror (each user-day feeds its 28 target days); both
+    // counts exact integers, stickiness one identical double division.
+    "events_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |      CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num
+        |    FROM events),
+        |dau AS (SELECT day_num, count(*) AS dau FROM ud GROUP BY day_num),
+        |sp AS (SELECT user_id, day_num + r.range AS t_day FROM ud, range(0, 28) r),
+        |mau AS (SELECT t_day, count(DISTINCT user_id) AS mau FROM sp GROUP BY t_day)
+        |SELECT d.day_num, CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+        |  (round((CAST(d.dau AS DOUBLE) / m.mau) * 10000.0) / 10000.0) AS stickiness
+        |FROM dau d JOIN mau m ON d.day_num = m.t_day ORDER BY d.day_num""".stripMargin,
+
     // stage chain on integer microseconds: first view, first click
     // strictly after it, first purchase strictly after that.
     "events_funnel" ->

@@ -1895,6 +1895,40 @@ object Queries {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** DAU / MAU engagement (stickiness): distinct users per day next to
+    * the 28-day rolling distinct-user count ending that day — the
+    * complement of [[eventsRetention]]'s cohort view. Exact at scale
+    * via the day-mirror trick: each (user, day) activity row
+    * contributes to the 28 target days it keeps the user "monthly
+    * active" for — a map-side explode of a 28-long sequence — so the
+    * rolling distinct is an ordinary (target_day, user) two-phase
+    * distinct aggregation: never a per-day set union, never a window
+    * over user sets. Shuffle is 28 × |user-days| narrow integer rows
+    * with map-side dedup; both counts are exact longs and stickiness
+    * is one double division of two exact longs.
+    */
+  def eventsDauMau(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long").as("day_num"))
+      .distinct()
+    // the mirror offset doubles as the DAU marker (offset 0 = active ON
+    // the target day), so one aggregation over one exploded pass yields
+    // both counts — no second scan, no dau-mau join
+    ud.select(col("user_id"),
+        posexplode(sequence(col("day_num"), col("day_num") + 27))
+          .as(Seq("off", "t_day")))
+      .groupBy("t_day")
+      .agg(
+        count_distinct(col("user_id")).as("mau"),
+        sum(when(col("off") === 0, lit(1L)).otherwise(lit(0L))).as("dau"))
+      .where(col("dau") >= 1)
+      .select(col("t_day").as("day_num"), col("dau"), col("mau"),
+        roundTo(col("dau").cast("double") / col("mau"), 4).as("stickiness"))
+      .orderBy("day_num")
+  }
+
   /** Z-order (Morton) layout key over (user_id, day): rows sorted by
     * the interleaved value cluster in BOTH dimensions at once, so
     * min/max file stats admit data skipping on either column — the

@@ -209,6 +209,15 @@ class PlanSpec extends SparkSpec {
       s"key computation must ride the single scan:\n$p")
   }
 
+  test("events_dau_mau: one scan, day-mirror explode, no Window over user sets, no Expand") {
+    val p = plan(Queries.eventsDauMau(spark, sf001))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      s"dau and mau must both ride the single exploded pass:\n$p")
+    assert(!p.contains(") Window"), s"rolling distinct must never be a window:\n$p")
+    assert(!p.contains("Expand"), s"single-distinct agg must not Expand:\n$p")
+    assert(p.contains("Generate"), "the 28-day mirror is a map-side explode")
+  }
+
   test("dedup_spans: map-side shingle explode, two-phase distinct agg (no Expand), TakeOrdered cut") {
     val p = plan(Queries.dedupSpans(spark, sf001))
     assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
