@@ -1751,6 +1751,21 @@ object Oracles {
         |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // skew profile: per-key counts replayed exactly; the argmax is the
+    // deterministic struct-max (ties to the largest key), the ratio one
+    // identical double division of exact longs.
+    "events_skew_profile" ->
+      """WITH kv AS (SELECT 'user_id' AS col_name, CAST(user_id AS VARCHAR) AS key FROM events
+        |            UNION ALL SELECT 'event_type', event_type FROM events),
+        |c AS (SELECT col_name, key, count(*) AS cnt FROM kv GROUP BY 1, 2),
+        |p AS (SELECT col_name, count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        max(cnt) AS max_cnt FROM c GROUP BY 1),
+        |t AS (SELECT c.col_name, max(c.key) AS top_key FROM c JOIN p USING (col_name)
+        |      WHERE c.cnt = p.max_cnt GROUP BY 1)
+        |SELECT p.col_name, p.n_keys, p.n_rows, p.max_cnt, t.top_key,
+        |  (round((CAST(p.max_cnt * p.n_keys AS DOUBLE) / p.n_rows) * 10000.0) / 10000.0) AS skew_ratio
+        |FROM p JOIN t USING (col_name) ORDER BY p.col_name""".stripMargin,
+
     // the exact-integer k-sigma rule: int128 moment sums, squared-
     // deviation comparison — no float in the membership test.
     "events_anomaly" ->

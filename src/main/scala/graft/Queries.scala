@@ -512,6 +512,37 @@ object Queries {
           "max_event_id" -> ((col("event_id"), "max"))))
       .orderBy("event_type")
 
+  /** Per-key skew profile of the two join/agg key columns — the
+    * measurement artifact the salting decision needs ([[eventsSaltedAgg]]
+    * and [[eventsSaltedJoin]] are the cures; this is the diagnosis):
+    * key cardinality, hottest key and its count, and skew ratio =
+    * max_cnt / mean_cnt (1.0 = uniform; ≳ numSalts ⇒ salt). Both
+    * columns ride one scan via a map-side (col, key) explode; the
+    * per-key counts combine map-side; the profile is an S-row second
+    * agg. The hottest key is the struct-max argmax (ties to the
+    * lexicographically largest key — deterministic), and the ratio is
+    * one double division of exact longs.
+    */
+  def eventsSkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val kv = Tables.events(spark, dir)
+      .select(explode(array(
+        struct(lit("user_id").as("col_name"), col("user_id").cast("string").as("key")),
+        struct(lit("event_type").as("col_name"), col("event_type").as("key")))).as("kv"))
+      .select(col("kv.col_name").as("col_name"), col("kv.key").as("key"))
+    kv.groupBy("col_name", "key").agg(count(lit(1)).as("cnt"))
+      .groupBy("col_name")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"),
+        max(struct(col("cnt"), col("key"))).as("top"))
+      .select(col("col_name"), col("n_keys"), col("n_rows"), col("max_cnt"),
+        col("top.key").as("top_key"),
+        roundTo((col("max_cnt") * col("n_keys")).cast("double") / col("n_rows"), 4)
+          .as("skew_ratio"))
+      .orderBy("col_name")
+  }
+
   /** Latest-wins upsert (reference: VectorDatabase::upsert,
     * src/db/vector_database.rs:24-83). Updates: every vec_id % 7 == 0 gets
     * label+100; every vec_id % 97 == 0 also inserts a brand-new id.
