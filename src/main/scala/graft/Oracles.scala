@@ -1473,7 +1473,8 @@ object Oracles {
         |        count(*) OVER (PARTITION BY event_type) AS n FROM x),
         |ex AS (SELECT event_type, (round((v4 / 10000.0) * 10000.0) / 10000.0) AS p50_exact
         |       FROM r WHERE rn = (n + 1) // 2)
-        |SELECT est.event_type, est.n_events, est.n_bins, ex.p50_exact,
+        |SELECT est.event_type, CAST(est.n_events AS BIGINT) AS n_events,
+        |       est.n_bins, ex.p50_exact,
         |       CAST(est.p50_bin * 10.0 + 5.0 AS DOUBLE) AS p50_est
         |FROM est JOIN ex USING (event_type) ORDER BY est.event_type""".stripMargin,
 
