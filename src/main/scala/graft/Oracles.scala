@@ -763,6 +763,36 @@ object Oracles {
          |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY n_docs DESC, n_occ DESC, span LIMIT 50""".stripMargin,
 
+    // span scrub: same spans, same min-doc ownership; the kept token
+    // stream is rebuilt with an ORDER BY-qualified string_agg so the
+    // reconstructed text is exact, not order-lucky.
+    "corpus_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 8 THEN [] ELSE
+         |         list_transform(range(1, len(toks) - 6), i ->
+         |           toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         |           || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]) END AS sh
+         |       FROM t),
+         |occ0 AS (SELECT doc_id, unnest(list_transform(range(0, len(sh)),
+         |           i -> {'pos': i, 'span': sh[CAST(i + 1 AS INT)]})) AS u FROM sh),
+         |occ AS (SELECT doc_id, u.pos AS pos, u.span AS span FROM occ0),
+         |own AS (SELECT span, min(doc_id) AS keeper FROM occ GROUP BY span),
+         |cov AS (SELECT DISTINCT o.doc_id, o.pos + r.range AS cpos
+         |        FROM occ o JOIN own USING (span), range(0, 8) r
+         |        WHERE o.doc_id > own.keeper),
+         |tp0 AS (SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+         |          i -> {'tpos': i, 'tok': toks[CAST(i + 1 AS INT)]})) AS u FROM t),
+         |tp AS (SELECT doc_id, u.tpos AS tpos, u.tok AS tok FROM tp0),
+         |kept AS (SELECT tp.doc_id, count(*) AS n_tok_kept,
+         |           string_agg(tp.tok, ' ' ORDER BY tp.tpos) AS kept_text
+         |         FROM tp WHERE NOT EXISTS (SELECT 1 FROM cov c
+         |           WHERE c.doc_id = tp.doc_id AND c.cpos = tp.tpos)
+         |         GROUP BY tp.doc_id)
+         |SELECT t.doc_id, CAST(len(t.toks) AS INT) AS n_tok_in,
+         |  CAST(coalesce(k.n_tok_kept, 0) AS BIGINT) AS n_tok_kept,
+         |  coalesce(k.kept_text, '') AS kept_text
+         |FROM t LEFT JOIN kept k USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+
     // winnowing (k=8, w=4): gram hashes re-derived with the identical
     // base-31 mod-1e9+7 polynomial over the normalized chars, window
     // minima, per-doc distinct, df-capped posting join — all integers.

@@ -746,6 +746,44 @@ object Queries {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
       .limit(50)
 
+  /** The ACTIONABLE companion of [[dedupSpans]] — the transform the
+    * repeated-span report feeds (Lee et al. 2022's actual dedup pass):
+    * every occurrence of a cross-document 8-word span is excised from
+    * the token stream EXCEPT in the span's canonical owner (min
+    * doc_id), and the surviving tokens are reassembled in order.
+    * Output per doc: tokens in, tokens kept, and the scrubbed
+    * token-space text (reconstruction is exact on both engines: Spark
+    * sorts the (pos, token) structs, the oracle uses an ORDER
+    * BY-qualified string_agg). All joins are equi-joins on
+    * (doc, position) or (span); covered positions are a bounded 8×
+    * explode of the foreign occurrences; nothing is quadratic.
+    */
+  def corpusSpanScrub(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), wordTokens(col("text")).as("toks"))
+    val occ = toks.select(col("doc_id"),
+      posexplode(wordShingleStrings(col("toks"), 8)).as(Seq("pos", "span")))
+    val owner = occ.groupBy("span").agg(min("doc_id").as("keeper"))
+    val covered = occ.join(owner, "span")
+      .where(col("doc_id") > col("keeper"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("cpos"))
+      .distinct()
+    val tokPos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos", "tok")))
+    val kept = tokPos.join(covered,
+        tokPos("doc_id") === covered("doc_id") && col("tpos") === col("cpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s("tok"))).as("kept_text"))
+    toks.select(col("doc_id"), size(col("toks")).as("n_tok_in"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok_in"),
+        coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
+
   /** In-query quality evaluation of the MinHash sketch against ground
     * truth — the dedup twin of [[annRecallEval]]: candidates from LSH
     * banding at est ≥ 0.65 measured against the PROVABLY-complete
