@@ -756,33 +756,11 @@ object Queries {
     * sorts the (pos, token) structs, the oracle uses an ORDER
     * BY-qualified string_agg). All joins are equi-joins on
     * (doc, position) or (span); covered positions are a bounded 8×
-    * explode of the foreign occurrences; nothing is quadratic.
+    * explode of the foreign occurrences; nothing is quadratic — see
+    * [[operators.Dedup.spanScrub]].
     */
-  def corpusSpanScrub(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), wordTokens(col("text")).as("toks"))
-    val occ = toks.select(col("doc_id"),
-      posexplode(wordShingleStrings(col("toks"), 8)).as(Seq("pos", "span")))
-    val owner = occ.groupBy("span").agg(min("doc_id").as("keeper"))
-    val covered = occ.join(owner, "span")
-      .where(col("doc_id") > col("keeper"))
-      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("cpos"))
-      .distinct()
-    val tokPos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos", "tok")))
-    val kept = tokPos.join(covered,
-        tokPos("doc_id") === covered("doc_id") && col("tpos") === col("cpos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tok_kept"),
-        concat_ws(" ", transform(
-          array_sort(collect_list(struct(col("tpos"), col("tok")))),
-          s => s("tok"))).as("kept_text"))
-    toks.select(col("doc_id"), size(col("toks")).as("n_tok_in"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tok_in"),
-        coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
-      .orderBy("doc_id")
-  }
+  def corpusSpanScrub(spark: SparkSession, dir: String): DataFrame =
+    Dedup.spanScrub(Tables.documents(spark, dir), "doc_id", "text", spanLen = 8)
 
   /** In-query quality evaluation of the MinHash sketch against ground
     * truth — the dedup twin of [[annRecallEval]]: candidates from LSH

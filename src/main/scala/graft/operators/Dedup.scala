@@ -621,4 +621,52 @@ object Dedup {
     buckets.unpersist()
     out
   }
+
+  /** Exact repeated-span SCRUB — the actionable transform behind the
+    * duplicated-span report (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": remove every duplicated
+    * occurrence, keep one): each occurrence of a cross-document
+    * `spanLen`-word span is excised from the token stream EXCEPT in the
+    * span's canonical owner (min id), and surviving tokens are
+    * reassembled in position order.
+    *
+    * Scale shape: one codegen shingle pass rides the scan; ownership is
+    * a (span) partial agg; covered positions are a bounded spanLen×
+    * explode of the foreign occurrences; the excision is a
+    * (doc, position) anti equi-join; reassembly sorts each doc's
+    * surviving (pos, token) structs locally. Nothing is quadratic and
+    * no driver-side state exists. Note the splice semantics: removing a
+    * block can make its neighbors adjacent, so scrubbing is (like the
+    * paper's suffix-array pass) NOT idempotent by construction — new
+    * spans can form across splice points.
+    *
+    * Output: (doc_id, n_tok_in, n_tok_kept, kept_text).
+    */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String,
+                spanLen: Int = 8): DataFrame = {
+    require(spanLen >= 2)
+    val toks = docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+    val occ = toks.select(col("doc_id"),
+      posexplode(wordShingleStrings(col("toks"), spanLen)).as(Seq("pos", "span")))
+    val owner = occ.groupBy("span").agg(min("doc_id").as("keeper"))
+    val covered = occ.join(owner, "span")
+      .where(col("doc_id") > col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("cpos"))
+      .distinct()
+    val tokPos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos", "tok")))
+    val kept = tokPos.join(covered,
+        tokPos("doc_id") === covered("doc_id") && col("tpos") === col("cpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s("tok"))).as("kept_text"))
+    toks.select(col("doc_id"), size(col("toks")).as("n_tok_in"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok_in"),
+        coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy("doc_id")
+  }
 }

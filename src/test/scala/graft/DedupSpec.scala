@@ -210,4 +210,22 @@ class DedupSpec extends SparkSpec {
     assert(blks(7L).isDefined && blks(7L) === blks(100L),
       "a near-duplicate pair must share its rare-gram block")
   }
+
+  test("spanScrub: foreign span occurrences excised, owner untouched, order-exact splice") {
+    val s = spark; import s.implicits._
+    // doc 1 owns the 8-word span "a b c d e f g h"; doc 2 repeats it
+    // (wrapped in z ... y); doc 3 is clean; doc 4 is too short to span
+    val corpus = Seq(
+      Doc(1L, "a b c d e f g h x", "s"),
+      Doc(2L, "z a b c d e f g h y", "s"),
+      Doc(3L, "totally separate words only here now fine ok", "s"),
+      Doc(4L, "tiny doc", "s"))
+    val out = Dedup.spanScrub(corpus.toDF(), "doc_id", "text", spanLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((9, 9L, "a b c d e f g h x")))  // owner keeps all
+    assert(out(2L) === ((10, 2L, "z y")))               // 8-block excised, splice exact
+    assert(out(3L) === ((8, 8L, "totally separate words only here now fine ok")))
+    assert(out(4L) === ((2, 2L, "tiny doc")))           // sub-span doc untouched
+  }
 }
