@@ -1849,6 +1849,26 @@ object Oracles {
         |FROM runs WINDOW wv AS (PARTITION BY user_id ORDER BY run)
         |ORDER BY user_id, version""".stripMargin,
 
+    // point-in-time enrichment: the same SCD2 runs, then each purchase
+    // picks max(run) among versions with valid_from <= t — provably the
+    // containing version since versions partition the timeline.
+    "events_scd2_enrich" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |             CAST(json_extract(props, '$.k') AS INT) AS v FROM events),
+        |b AS (SELECT *, CASE WHEN lag(v) OVER w IS NULL OR lag(v) OVER w <> v THEN 1 ELSE 0 END AS brk
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |r AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS INT) AS run FROM b),
+        |runs AS (SELECT user_id, run, v, min(t_us) AS valid_from FROM r GROUP BY 1, 2, 3),
+        |p AS (SELECT user_id, t_us, event_id FROM x WHERE event_type = 'purchase'),
+        |j AS (SELECT p.user_id, p.t_us, p.event_id, max(rr.run) AS version
+        |      FROM p JOIN runs rr ON p.user_id = rr.user_id AND rr.valid_from <= p.t_us
+        |      GROUP BY 1, 2, 3)
+        |SELECT j.user_id, j.t_us, j.event_id, CAST(j.version AS INT) AS version, runs.v
+        |FROM j JOIN runs ON runs.user_id = j.user_id AND runs.run = j.version
+        |ORDER BY j.user_id, j.t_us, j.event_id""".stripMargin,
+
     // heavy hitters = count·(k+1) > n with k = ceil(d/1.2); the MG
     // candidate pass is a complete superset, so the plain GROUP BY /
     // HAVING is the exact same answer.

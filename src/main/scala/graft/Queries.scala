@@ -1803,6 +1803,33 @@ object Queries {
       valueCol = get_json_object(col("props"), "$.k").cast("int"),
       ordCol = "t_us", tieCol = "event_id")
 
+  /** Point-in-time dimension enrichment — [[eventsScd2]]'s table
+    * composed with the as-of join (the warehouse pattern both operators
+    * exist for): each purchase is attributed to the dimension VERSION
+    * valid at its event time. Because SCD2 versions partition each
+    * key's timeline (valid_to = next valid_from), "latest valid_from
+    * ≤ t" IS the containing version — so the enrichment runs as
+    * [[operators.AsOf.joinPrior]]'s one-shuffle union shape (no
+    * interval explode, no pair blow-up), and every stage shuffles on
+    * the same user_id key hash.
+    */
+  def eventsScd2Enrich(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_id"),
+      col("event_type"), col("props"), unix_micros(col("ts")).as("t_us"))
+    val dim = operators.Scd.type2(
+        ev.select("user_id", "event_id", "props", "t_us"),
+        keyCol = "user_id",
+        valueCol = get_json_object(col("props"), "$.k").cast("int"),
+        ordCol = "t_us", tieCol = "event_id")
+      .select(col("user_id"), col("valid_from").as("t_us"),
+        col("version"), col("v"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select("user_id", "t_us", "event_id")
+    operators.AsOf.joinPrior(purchases, dim, "user_id", "t_us",
+        payload = Seq("version", "v"), tieCol = "version")
+      .orderBy("user_id", "t_us", "event_id")
+  }
+
   /** Exact heavy hitters over user_id: per-partition Misra–Gries
     * candidates (bounded memory) + broadcast-gated exact re-count.
     */
