@@ -658,6 +658,25 @@ object Oracles {
       s"""WITH $minhashCtes
          |SELECT a_id, b_id, (round((e) * 10000.0) / 10000.0) AS est_sim FROM est WHERE e >= 0.25 ORDER BY a_id, b_id""".stripMargin,
 
+    // graph cohesion of the near-dup pairs: the oracle counts triangles
+    // by the independent a<b<c three-way join (no orientation), wedges
+    // from exact degree sums.
+    "dedup_graph_stats" ->
+      s"""WITH $minhashCtes,
+         |edges AS (SELECT a_id AS x, b_id AS y FROM est WHERE e >= 0.25),
+         |deg AS (SELECT v, count(*) AS d FROM
+         |          (SELECT x AS v FROM edges UNION ALL SELECT y FROM edges) GROUP BY v),
+         |ns AS (SELECT count(*) AS n_nodes,
+         |         CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+         |ne AS (SELECT count(*) AS n_edges FROM edges),
+         |tri AS (SELECT count(*) AS n_triangles FROM edges e1
+         |        JOIN edges e2 ON e2.x = e1.y
+         |        JOIN edges e3 ON e3.x = e1.x AND e3.y = e2.y)
+         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN 0.0
+         |       ELSE (round((3.0 * n_triangles / n_wedges) * 10000.0) / 10000.0) END AS global_cc
+         |FROM ns, ne, tri""".stripMargin,
+
     // Duplicate-cluster canonicalization: transitive closure of the
     // est >= 0.5 minhash pairs (recursive CTE), min id per component.
     "dedup_clusters" ->

@@ -688,6 +688,50 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
 
+  /** Triangle count + global clustering coefficient of the near-dup
+    * pair graph — the third graph metric next to connected components
+    * ([[dedupClusters]]) and PageRank ([[corpusTextrank]]): how
+    * CLIQUE-LIKE the duplicate neighborhoods are (cc → 1 means dup
+    * groups are tight clusters; cc → 0 means chains, i.e. transitive
+    * closure is doing real work). Spark-first shape: every edge is
+    * oriented from its lower-(degree, id) endpoint, so each triangle
+    * has exactly ONE source vertex with two out-edges and wedge
+    * enumeration is Σ outdeg² with outdeg = O(√m) — the classic
+    * bounded-orientation trick, never Σ deg² on hub vertices. The
+    * closing-edge check is an equi-join against the normalized edge
+    * set. Wedge totals are exact integers from the degree table; the
+    * coefficient is one double expression of exact longs.
+    */
+  def dedupGraphStats(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        minEst = 0.25)
+      .select(col("a_id").as("x"), col("b_id").as("y")) // x < y, distinct
+    val deg = edges.select(explode(array(col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+    val oriented = withDeg.select(
+        when(col("dx") < col("dy") ||
+             (col("dx") === col("dy") && col("x") < col("y")),
+          struct(col("x").as("u"), col("y").as("w")))
+        .otherwise(struct(col("y").as("u"), col("x").as("w"))).as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"))
+    val wedge = oriented.select(col("u"), col("w").as("w1"))
+      .join(oriented.select(col("u"), col("w").as("w2")), "u")
+      .where(col("w1") < col("w2"))
+    val tri = wedge.join(edges, col("w1") === col("x") && col("w2") === col("y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    val edgeStats = edges.agg(count(lit(1)).as("n_edges"))
+    nodeStats.crossJoin(edgeStats).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(roundTo(lit(3.0) * col("n_triangles") / col("n_wedges"), 4))
+          .as("global_cc"))
+  }
+
   /** Char-8-gram Jaccard ≥ 0.65 pairs, blocked on each document's
     * df-capped rare-gram minimum ([[operators.Dedup.withRareGramBlock]]
     * fused into [[operators.Dedup.ngramJaccardPairsRareBlocked]]):
