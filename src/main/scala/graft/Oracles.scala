@@ -418,6 +418,41 @@ object Oracles {
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
   }
 
+  /** PQ rerank tuning curve: shared codebook/ADC chain, one branch per
+    * rerank budget — the DuckDB twin of [[Queries.annPqRecallCurve]].
+    */
+  private def pqRecallCurveSql(books: Array[Array[Array[Float]]], queryId: Long,
+                               k: Int, reranks: Seq[Int]): String = {
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    def sub(v: String) = s"list_slice($v, (cb.pid // $ksub) * $dsub + 1, (cb.pid // $ksub) * $dsub + $dsub)"
+    val branches = reranks.map { r =>
+      s"""b$r AS (SELECT $r AS rerank, count(*) AS n_hits FROM exact
+         |WHERE id IN (SELECT e.vec_id FROM embeddings e
+         |             JOIN (SELECT id FROM adc ORDER BY adc9, id LIMIT $r) cand
+         |               ON cand.id = e.vec_id, q
+         |             ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k))""".stripMargin
+    }.mkString(",\n")
+    val union = reranks.map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""WITH cb AS ${paramRows(books.flatten, "pid", "cv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |exact AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |          ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k),
+       |asg AS (SELECT e.vec_id, cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |          ${l2sq(sub("e.embedding"), "cb.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cb),
+       |code AS (SELECT vec_id, j, c FROM asg
+       |         QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1),
+       |qt AS (SELECT cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |         CAST(floor(${l2sq(sub("q.qv"), "cb.cv")} * 1000000000.0 + 0.5) AS BIGINT) AS d9
+       |       FROM cb CROSS JOIN q),
+       |adc AS (SELECT code.vec_id AS id, CAST(sum(qt.d9) AS BIGINT) AS adc9
+       |        FROM code JOIN qt USING (j, c) GROUP BY code.vec_id),
+       |$branches
+       |SELECT rerank, n_hits, (round((n_hits / $k) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY rerank""".stripMargin
+  }
+
   /** IVFPQ: IVF cluster assignment + nprobe pruning (literal centroids)
     * feeding the PQ code/ADC/re-rank chain (literal codebooks) — the
     * DuckDB twin of [[operators.PqIndex.searchIvf]].
@@ -469,6 +504,8 @@ object Oracles {
     val pqBooks = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
     Map(
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
+      "ann_pq_recall_curve" -> pqRecallCurveSql(pqBooks, queryId = 5L, k = 10,
+        reranks = Seq(10, 25, 50, 100, 500)),
       "ann_ivfpq" -> ivfpqSql(centroids, pqBooks, queryId = 6L, k = 10, nprobe = 4, rerank = 100),
       // persisted codes must not change the answer, only what gets read
       "ann_pq_persisted" -> pqSql(pqBooks, queryId = 8L, k = 10, rerank = 100),

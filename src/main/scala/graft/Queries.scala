@@ -158,6 +158,29 @@ object Queries {
     }.reduce(_ unionAll _).orderBy("radius")
   }
 
+  /** PQ tuning curve: recall@10 of [[operators.PqIndex.search]] at
+    * rerank ∈ {10, 25, 50, 100, 500} — the `pqRerank` knob's measured
+    * tradeoff (how many ADC candidates survive to the exact re-rank),
+    * completing the tuning-curve family (IVF nprobe, LSH radius).
+    * Shared exact leg; rerank ≥ n keeps every candidate ⇒ the curve
+    * provably ends at 1.0.
+    */
+  def annPqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val qv = queryVec(spark, dir, 5L)
+    val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    Seq(10, 25, 50, 100, 500).map { r =>
+      val approx = operators.PqIndex.search(emb, "vec_id", "embedding", books, qv,
+        k = 10, rerank = r).select(col("id"))
+      exact.join(approx, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(r).as("rerank"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("rerank")
+  }
+
   /** Recall of the IVF-blocked k-NN graph ([[knnJoin]]) against the
     * exact brute-force graph — the "measure, don't guess" artifact for
     * the graph build, like [[annRecallEval]] for search and
