@@ -52,23 +52,36 @@ object Bench {
     }
     val ok = merged.collect { case (k, Right(t)) => k -> t }
     val errs = merged.collect { case (k, Left(e)) => k -> e }
-    // 4dp per-query times keep the whole line ~2 KB: stdout-tail
-    // capture truncated the full-precision form mid-stream (BENCH_r03).
     def f(v: Double): String = "%.4f".format(v)
-    val qs = ok.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
     val es = errs.toSeq.sortBy(_._1).map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"errors":$es,"n_errors":${errs.size},"sf":"$sfDir"}"""
-    // belt and braces: the artifact also lands in a file, so a clipped
-    // stdout tail can never lose the per-query numbers again
+    // FULL artifact (every query, 4dp) goes to a file: the driver's
+    // stdout capture keeps only the last ~2000 chars, which a
+    // 125-query map overflows (BENCH_r03/r04 both recorded parsed:null).
+    val qsFull = ok.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"queries":$qsFull,"errors":$es,"n_errors":${errs.size},"sf":"$sfDir"}"""
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line + "\n").getBytes("UTF-8"))
+      (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    println(line)
+    // stdout gets ONE parse-safe line hard-budgeted to fit entirely
+    // inside that 2000-char tail (sbt appends ~100 chars after us):
+    // summary + as many SLOWEST-first per-query entries as fit.
+    val budget = 1700
+    val slowFirst = ok.toSeq.sortBy { case (k, v) => (-v, k) }
+    val head = new StringBuilder(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_errors":${errs.size},"full":"$outFile","errors":$es,"queries":{""")
+    var n = 0
+    slowFirst.foreach { case (k, v) =>
+      val entry = (if (n > 0) "," else "") + "\"" + k + "\":" + f(v)
+      // +N for the closing `},"omitted":NNN}`
+      if (head.length + entry.length + 20 <= budget) { head.append(entry); n += 1 }
+    }
+    head.append(s"""},"omitted":${ok.size - n}}""")
+    println(head.toString)
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)
   }

@@ -2004,6 +2004,84 @@ object Oracles {
         |       (SELECT count(*) FROM c) AS n_click_users,
         |       (SELECT count(*) FROM p) AS n_purchase_users""".stripMargin,
 
+    // ordered funnel with per-step 1 h timeout: two stacked running-min
+    // windows over the SAME (user, time) order — identical frame
+    // semantics to the Spark plan (prior rows only).
+    "events_window_funnel" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_view_min FROM x),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND t_view_min IS NOT NULL
+        |                       AND t <= t_view_min + 3600000000 THEN t END AS t_click_ok FROM w1),
+        |w3 AS (SELECT *, min(t_click_ok) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_click_min FROM w2),
+        |u AS (SELECT user_id,
+        |        max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+        |        max(CASE WHEN t_click_ok IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+        |        max(CASE WHEN event_type = 'purchase' AND t_click_min IS NOT NULL
+        |                  AND t <= t_click_min + 3600000000 THEN 1 ELSE 0 END) AS s3
+        |      FROM w3 GROUP BY user_id)
+        |SELECT count(*) FILTER (WHERE s1 = 1) AS n_stage1,
+        |       count(*) FILTER (WHERE s2 = 1) AS n_stage2,
+        |       count(*) FILTER (WHERE s3 = 1) AS n_stage3 FROM u""".stripMargin,
+
+    "events_path_topk" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |l AS (SELECT event_type,
+        |        lag(event_type, 1) OVER w AS p1,
+        |        lag(event_type, 2) OVER w AS p2
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |c AS (SELECT p2 || '>' || p1 || '>' || event_type AS path, count(*) AS n
+        |      FROM l WHERE p2 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // HLL set algebra: per-set registers from the same tokenHash60,
+    // union = per-register max-merge, intersection by
+    // inclusion-exclusion over the ROUNDED estimates (identical double
+    // tree to the Spark side).
+    "events_hll_setops" ->
+      s"""WITH e AS (SELECT event_type AS s, CAST(user_id AS VARCHAR) AS item
+         |           FROM events WHERE event_type IN ('view', 'purchase')),
+         |h AS (SELECT s, ${tokenHash60("item")} AS h FROM e),
+         |r AS (SELECT s, h >> 52 AS reg, h & 4503599627370495 AS suffix FROM h),
+         |rk AS (SELECT s, reg,
+         |         max(CASE WHEN suffix = 0 THEN 53 ELSE 53 - len(bin(suffix)) END) AS mj
+         |       FROM r GROUP BY 1, 2),
+         |au AS (SELECT 'union' AS s, reg, max(mj) AS mj FROM rk GROUP BY 2),
+         |ar AS (SELECT * FROM rk UNION ALL SELECT * FROM au),
+         |sm AS (SELECT s, count(*) AS n_regs,
+         |         sum(CAST(1::BIGINT << (60 - mj) AS DECIMAL(38,0))) AS sp FROM ar GROUP BY 1),
+         |t AS (SELECT s, n_regs, 256 - n_regs AS v_zero,
+         |        sp + CAST(256 - n_regs AS DECIMAL(38,0)) * CAST('1152921504606846976' AS DECIMAL(38,0)) AS s_total
+         |      FROM sm),
+         |es AS (SELECT s, v_zero,
+         |         0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 1152921504606846976.0 / CAST(s_total AS DOUBLE) AS est_raw
+         |       FROM t),
+         |f AS (SELECT s, CASE WHEN est_raw <= 640.0 AND v_zero > 0
+         |             THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) ELSE est_raw END AS est
+         |      FROM es),
+         |p AS (SELECT
+         |        max(CASE WHEN s = 'view' THEN (round(est * 10000.0) / 10000.0) END) AS est_view,
+         |        max(CASE WHEN s = 'purchase' THEN (round(est * 10000.0) / 10000.0) END) AS est_purchase,
+         |        max(CASE WHEN s = 'union' THEN (round(est * 10000.0) / 10000.0) END) AS est_union
+         |      FROM f),
+         |fl AS (SELECT user_id,
+         |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+         |       FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1),
+         |ex AS (SELECT count(*) FILTER (WHERE v = 1) AS n_view,
+         |         count(*) FILTER (WHERE p = 1) AS n_purchase,
+         |         count(*) AS n_union,
+         |         count(*) FILTER (WHERE v = 1 AND p = 1) AS n_inter FROM fl)
+         |SELECT ex.n_view, ex.n_purchase, ex.n_union, ex.n_inter,
+         |  p.est_view, p.est_purchase, p.est_union,
+         |  (round((p.est_view + p.est_purchase - p.est_union) * 10000.0) / 10000.0) AS est_inter
+         |FROM ex, p""".stripMargin,
+
     "events_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, event_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us

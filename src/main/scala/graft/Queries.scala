@@ -1933,6 +1933,97 @@ object Queries {
       .crossJoin(p.agg(count(lit(1)).as("n_purchase_users")))
   }
 
+  /** Ordered funnel with a per-step 1-hour timeout (the ClickHouse
+    * `windowFunnel` shape): a user reaches stage 2 with a click at most
+    * 1 h after some EARLIER view, stage 3 with a purchase at most 1 h
+    * after such a click. Unlike [[eventsFunnel]] (3 keyed join+agg
+    * passes, no timeout), this is ONE user_id shuffle end to end: two
+    * stacked running-min windows over the same (user, time) order
+    * compute each row's earliest qualifying prior stage, and the
+    * per-user flags aggregate on the partitioning the window already
+    * established — linear per user, no self-join, no pair blow-up.
+    */
+  def eventsWindowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 3600L * 1000000L // 1 h in integer µs — no float time math
+    val prior = Window.partitionBy("user_id").orderBy("t", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("t_view_min",
+        min(when(col("event_type") === "view", col("t"))).over(prior))
+      .withColumn("t_click_ok",
+        when(col("event_type") === "click" && col("t_view_min").isNotNull &&
+          col("t") <= col("t_view_min") + winUs, col("t")))
+      .withColumn("t_click_min", min(col("t_click_ok")).over(prior))
+    staged.groupBy("user_id")
+      .agg(
+        max((col("event_type") === "view").cast("int")).as("s1"),
+        max(col("t_click_ok").isNotNull.cast("int")).as("s2"),
+        max((col("event_type") === "purchase" && col("t_click_min").isNotNull &&
+          col("t") <= col("t_click_min") + winUs).cast("int")).as("s3"))
+      .agg(
+        count(when(col("s1") === 1, 1)).as("n_stage1"),
+        count(when(col("s2") === 1, 1)).as("n_stage2"),
+        count(when(col("s3") === 1, 1)).as("n_stage3"))
+  }
+
+  /** Top-10 most frequent 3-step event-type paths (user-journey n-gram
+    * mining): two lag windows over one (user, time) sort emit each
+    * row's trigram map-side, then a partial-aggregated count and a
+    * TakeOrdered cut — one key shuffle + one narrow (path, n) shuffle,
+    * never a sequence collect per user.
+    */
+  def eventsPathTopk(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("p1", lag("event_type", 1).over(byUser))
+      .withColumn("p2", lag("event_type", 2).over(byUser))
+      .where(col("p2").isNotNull)
+      .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
+  /** HLL as an ALGEBRA: the distinct-viewer and distinct-purchaser
+    * register states max-merge into the union's state, and
+    * inclusion–exclusion prices the overlap — no re-scan of the data to
+    * answer a set question the two sketches already contain (the reason
+    * register tables, ≤ 256 rows per set at any size, are worth
+    * persisting). Exact counts ride along as the yardstick; estimates
+    * via [[operators.Sketch.hllEstimate]] on the merged state.
+    */
+  def eventsHllSetops(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_type").as("s"), col("user_id").cast("string").as("item"))
+    val regs = operators.Sketch.hllRegisters(ev, "s", col("item"))
+    val union = regs.groupBy("reg").agg(max("mj").as("mj"))
+      .select(lit("union").as("s"), col("reg"), col("mj"))
+    val est = operators.Sketch.hllEstimate(regs.unionByName(union), "s")
+      .agg(
+        max(when(col("s") === "view", col("hll_est"))).as("est_view"),
+        max(when(col("s") === "purchase", col("hll_est"))).as("est_purchase"),
+        max(when(col("s") === "union", col("hll_est"))).as("est_union"))
+      .withColumn("est_inter",
+        roundTo(col("est_view") + col("est_purchase") - col("est_union"), 4))
+    val exact = Tables.events(spark, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        max((col("event_type") === "view").cast("int")).as("v"),
+        max((col("event_type") === "purchase").cast("int")).as("p"))
+      .agg(
+        count(when(col("v") === 1, 1)).as("n_view"),
+        count(when(col("p") === 1, 1)).as("n_purchase"),
+        count(lit(1)).as("n_union"),
+        count(when(col("v") === 1 && col("p") === 1, 1)).as("n_inter"))
+    exact.crossJoin(est)
+  }
+
   /** Exact per-source token-length percentiles (p50/p90/p99) by rank
     * selection — percentile_disc semantics in pure integer arithmetic
     * (position ⌈q·n⌉ under the deterministic (n_tok, doc_id) order), so

@@ -53,9 +53,15 @@ object Sketch {
       .agg(max("rank").as("mj"))
   }
 
-  def hllDistinct(df: DataFrame, keyCol: String, item: Column): DataFrame = {
+  /** The Flajolet et al. 2007 estimator applied to ANY register table
+    * (key, reg, mj) — including max-MERGED states: registers from
+    * different sets combined by per-register max estimate the UNION'S
+    * cardinality, which is what makes HLL an algebra, not just a
+    * counter (see [[graft.Queries.eventsHllSetops]]). Output:
+    * (key, n_regs, v_zero, hll_est), hll_est rounded to 4dp.
+    */
+  def hllEstimate(regs: DataFrame, keyCol: String): DataFrame = {
     val m = 256 // p = 8: top 8 bits select the register
-    val regs = hllRegisters(df, keyCol, item)
     val summary = regs.groupBy(keyCol)
       .agg(
         count(lit(1)).as("n_regs"),
@@ -72,10 +78,15 @@ object Sketch {
     val est = when(col("est_raw") <= lit(2.5 * m) && col("v_zero") > 0,
         lit(m.toDouble) * log(lit(m.toDouble) / col("v_zero").cast("double")))
       .otherwise(col("est_raw"))
-    val exact = df.groupBy(keyCol).agg(count_distinct(item).as("n_exact"))
     summary
       .withColumn("est_raw", estRaw)
       .withColumn("hll_est", roundTo(est, 4))
+      .select(col(keyCol), col("n_regs"), col("v_zero"), col("hll_est"))
+  }
+
+  def hllDistinct(df: DataFrame, keyCol: String, item: Column): DataFrame = {
+    val exact = df.groupBy(keyCol).agg(count_distinct(item).as("n_exact"))
+    hllEstimate(hllRegisters(df, keyCol, item), keyCol)
       .join(exact, keyCol)
       .select(col(keyCol), col("n_exact"), col("n_regs"), col("v_zero"), col("hll_est"))
       .orderBy(keyCol)

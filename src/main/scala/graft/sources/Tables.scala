@@ -24,16 +24,29 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark has no native
-    * type for. Read nanos as LONG and integer-divide down to micros
-    * (`div`, not `/` — a double round-trip would lose precision above
-    * 2^53 ns). The source data is microsecond-aligned so this is exact.
+  /** Some generations of events.parquet store TIMESTAMP(NANOS), which
+    * Spark has no native type for: with nanosAsLong those read as LONG
+    * and are integer-divided down to micros (`div`, not `/` — a double
+    * round-trip would lose precision above 2^53 ns; the source data is
+    * microsecond-aligned so this is exact). Newer generations store
+    * TIMESTAMP(MICROS), which arrives as a native timestamp — detect
+    * from the loaded schema rather than assuming either layout.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session tz is UTC, so NTZ wall-clock → the same instants the
+        // nanos layout produced; unix_micros & co. need TimestampType
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
