@@ -1067,6 +1067,35 @@ object Oracles {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank, word, n, n_docs
          |FROM v ORDER BY n DESC, word LIMIT 50""".stripMargin,
 
+    // entropy from the (source, word) count table: each ln c fixed to a
+    // 1e-6 integer once, weighted sum in DECIMAL (18,0)×(18,0) products
+    // keep both engines inside decimal width limits; the entropy
+    // expression is the identical double tree.
+    "corpus_entropy" ->
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+         |w AS (SELECT source, unnest(toks) AS word FROM t),
+         |c AS (SELECT source, word, count(*) AS c FROM w GROUP BY 1, 2),
+         |s AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_types,
+         |        CAST(sum(CAST(c AS DECIMAL(18,0)) *
+         |          CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) AS s_fixed
+         |      FROM c GROUP BY 1)
+         |SELECT source, n_tokens, n_types,
+         |  (round((ln(CAST(n_tokens AS DOUBLE)) - s_fixed / (CAST(n_tokens AS DOUBLE) * 1000000.0)) * 10000.0) / 10000.0) AS entropy_nats,
+         |  (round((CAST(n_types AS DOUBLE) / n_tokens) * 10000.0) / 10000.0) AS type_token_ratio
+         |FROM s ORDER BY source""".stripMargin,
+
+    // first BPE merge iteration: pair explode over the DISTINCT-word
+    // table only; weights are word counts.
+    "corpus_bpe_step" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |w0 AS (SELECT unnest(toks) AS word FROM t),
+         |wc AS (SELECT word, count(*) AS n_w FROM w0 GROUP BY 1),
+         |p AS (SELECT word, n_w, unnest(range(1, length(word))) AS i
+         |      FROM wc WHERE length(word) >= 2),
+         |c AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, CAST(sum(n_w) AS BIGINT) AS n
+         |      FROM p GROUP BY 1)
+         |SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
     // lang CASE + rounded quality score + min-id canonical, composed —
     // each leg identical to its standalone oracle above.
     "corpus_clean" ->
@@ -1273,6 +1302,27 @@ object Oracles {
         |  octet_length(encode(text)) % 480 AS height,
         |  octet_length(encode(text)) % 16 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // scene cuts on the 1-D ink-density feature per stride-sampled
+    // frame; same char-window sampling both sides, lag window per doc.
+    "multimodal_scene_cuts" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS nc FROM documents),
+        |g AS (SELECT doc_id, text, CAST(nc % 16 + 1 AS BIGINT) AS n_frames,
+        |        nc // (nc % 16 + 1) AS stride FROM d),
+        |f AS (SELECT doc_id, n_frames, stride, text,
+        |        unnest(range(0, n_frames)) AS frame_idx FROM g),
+        |ft AS (SELECT doc_id, n_frames, frame_idx,
+        |         length(replace(substr(text, CAST(frame_idx * stride AS INT) + 1, 32), ' ', '')) AS feat
+        |       FROM f),
+        |w AS (SELECT doc_id, n_frames, frame_idx, feat,
+        |        lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM ft),
+        |c AS (SELECT doc_id, n_frames, frame_idx,
+        |        CASE WHEN prev IS NOT NULL AND abs(feat - prev) >= 4 THEN 1 ELSE 0 END AS cut
+        |      FROM w)
+        |SELECT doc_id, max(n_frames) AS n_frames,
+        |  count(*) FILTER (WHERE cut = 1) AS n_cuts,
+        |  min(CASE WHEN cut = 1 THEN frame_idx END) AS first_cut
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // DuckDB can't substring BLOBs, so the oracle slices the VARCHAR;
     // documents.text is pure ASCII (asserted: len == octet_length), so

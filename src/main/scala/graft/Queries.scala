@@ -938,6 +938,57 @@ object Queries {
       .withColumn("n_chars", length(col("norm_text")))
       .orderBy("doc_id")
 
+  /** Per-source unigram token entropy + type-token ratio — the lexical
+    * diversity signals quality pipelines cut on (low-entropy sources are
+    * boilerplate/spam). H = ln(n) − (Σ c·ln c)/n over the (source, word)
+    * count table, which partial-aggregates to ≤ sources × vocab rows at
+    * ANY corpus size. Each ln c is fixed to a 1e-6 integer ONCE per
+    * distinct count (the [[corpusLmScore]] discipline) and the weighted
+    * sum runs in DECIMAL(38,0), so the aggregation is order-independent;
+    * the entropy itself is the only double expression — identical tree
+    * in the oracle.
+    */
+  def corpusEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("source"), explode(wordTokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("decimal(18,0)") *
+          floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("decimal(18,0)")).as("s_fixed"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        roundTo(log(col("n_tokens").cast("double")) -
+          col("s_fixed").cast("double") / (col("n_tokens").cast("double") * lit(1e6)), 4)
+          .as("entropy_nats"),
+        roundTo(col("n_types").cast("double") / col("n_tokens"), 4)
+          .as("type_token_ratio"))
+      .orderBy("source")
+  }
+
+  /** The first BPE merge iteration (the tokenizer-training inner loop):
+    * adjacent within-word character-pair frequencies weighted by word
+    * count, top-20. The pair explode runs over the DISTINCT-word table
+    * (bounded by vocabulary, not corpus — the word-count aggregation is
+    * the only corpus-scale pass), and the cut is a TakeOrdered. A full
+    * BPE trainer is this query iterated with a merge applied per round.
+    */
+  def corpusBpeStep(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(wordTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_w"))
+      .where(length(col("word")) >= 2)
+      // guard BEFORE the explode: Spark's sequence(1, 0) yields a
+      // DESCENDING [1, 0], not an empty array
+      .select(col("word"), col("n_w"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n_w"))
+      .groupBy("pair").agg(sum("n_w").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   /** RAG/context chunking: 64-token chunks, stride 48 (16-token
     * overlap) — see [[operators.Corpus.chunk]].
     */
@@ -1063,6 +1114,39 @@ object Queries {
         octet_length(col("frame")).as("frame_len"),
         md5(col("frame")).as("frame_digest"))
       .orderBy("doc_id", "frame_idx")
+
+  /** Scene-cut detection over the stride-sampled frame stream (the
+    * video shot-boundary shape, on the same deterministic frame
+    * sampling as [[multimodalFrames]]): each frame reduces to a 1-D
+    * "ink density" feature (non-space chars in its 32-char window — the
+    * stub stand-in for a luminance/embedding distance), and a cut fires
+    * where the feature jumps ≥ 4 vs the previous frame. The lag window
+    * partitions by asset and every partition is bounded by
+    * frames-per-asset (≤ 17 here, a constant at any corpus size), so
+    * the whole operator is map-side explode + bounded window + partial
+    * agg.
+    */
+  def multimodalSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val frames = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("nc"))
+      .withColumn("n_frames", (col("nc") % 16 + 1).cast("long"))
+      .select(col("doc_id"), col("n_frames"), col("text"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"),
+        expr("nc div n_frames").as("stride"))
+      .withColumn("feat", length(regexp_replace(
+        expr("substring(text, CAST(frame_idx * stride AS INT) + 1, 32)"), " ", "")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("prev", lag("feat", 1).over(byDoc))
+      .withColumn("cut",
+        (col("prev").isNotNull && abs(col("feat") - col("prev")) >= 4).cast("int"))
+      .groupBy("doc_id")
+      .agg(
+        max("n_frames").as("n_frames"),
+        count(when(col("cut") === 1, 1)).as("n_cuts"),
+        min(when(col("cut") === 1, col("frame_idx"))).as("first_cut"))
+      .orderBy("doc_id")
+  }
 
   /** Multimodal near-duplicate pairs by shared frame fingerprints: two
     * media items are near-dups when ≥ 2 of their sampled-frame digests
