@@ -1809,6 +1809,48 @@ object Oracles {
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Q16 adapted: part-supplier relationships from lineitem, the
+    // complaint exclusion as the under-review supplier NOT IN.
+    "q16_supplier_cnt" ->
+      """WITH pr AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+        |       WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)),
+        |l AS (SELECT l_partkey, l_suppkey FROM lineitem
+        |      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM l JOIN pr ON l_partkey = p_partkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin,
+
+    // Q21 adapted: sole-latest-shipper suppliers of multi-supplier
+    // orders via two aggregate gates on the order key.
+    "q21_waiting" ->
+      """WITH po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |        max(l_shipdate) AS max_ship FROM lineitem GROUP BY 1),
+        |ls AS (SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |       FROM lineitem l JOIN po USING (l_orderkey)
+        |       WHERE po.n_supp >= 2 AND l.l_shipdate = po.max_ship),
+        |solo AS (SELECT l_orderkey FROM ls GROUP BY 1 HAVING count(*) = 1),
+        |b AS (SELECT ls.l_suppkey FROM ls JOIN solo USING (l_orderkey))
+        |SELECT s_name, count(*) AS numwait
+        |FROM b JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    // per-dimension vector profile: float32 fixed to exact 1e-6
+    // integers, HUGEINT moments, doubles only in the final expressions.
+    "vector_stats" ->
+      """WITH e AS (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+        |v AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |        CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT) AS xf
+        |      FROM e),
+        |m AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n, sum(xf) AS s, sum(xf * xf) AS q,
+        |        min(xf) AS mn, max(xf) AS mx FROM v GROUP BY 1)
+        |SELECT dim, CAST(n AS BIGINT) AS n,
+        |  (round((CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) * 1000000.0) / 1000000.0) AS mean,
+        |  (round((sqrt(CAST(n * q - s * s AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1000000000000.0))) * 1000000.0) / 1000000.0) AS std,
+        |  (round((CAST(mn AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS min_v,
+        |  (round((CAST(mx AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS max_v
+        |FROM m ORDER BY dim""".stripMargin,
+
     // pairwise Pearson correlations from exact HUGEINT moments of
     // integer-fixed units; double arithmetic only in the final
     // expression, written identically to the Spark side.

@@ -1780,6 +1780,93 @@ object Queries {
       .orderBy("cntry_grp")
   }
 
+  /** TPC-H Q16 adapted (no partsupp table): how many distinct suppliers
+    * serve each surviving (brand, type, size) part segment, with the
+    * part-supplier relationships taken from lineitem and Q16's
+    * complaint-supplier exclusion mapped to the under-review
+    * (negative-acctbal) suppliers. Shapes: the exclusion list is a tiny
+    * broadcast LeftAnti, part is the broadcast dim with its predicates
+    * pushed to the scan, and the distinct count is Spark's two-phase
+    * (partial-distinct, merge) aggregation — no row set ever collects.
+    */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val underReview = Tables.supplier(spark, dir)
+      .where(col("s_acctbal") < 0).select("s_suppkey")
+    val part = Tables.part(spark, dir)
+      .where(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(underReview), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(20)
+  }
+
+  /** TPC-H Q21 adapted (no commit/receipt dates): suppliers who were
+    * the SOLE bottleneck of multi-supplier orders — they alone shipped
+    * on the order's latest ship date. The EXISTS/NOT-EXISTS pair of the
+    * original becomes two aggregate gates on the same order key: the
+    * per-order (n_supp, max_ship) profile joins back on l_orderkey (one
+    * key shuffle reused), and "no other supplier also late" is a
+    * count-of-late-suppliers = 1 filter — never a lineitem×lineitem
+    * self-join pair blow-up.
+    */
+  def q21Waiting(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(count_distinct(col("l_suppkey")).as("n_supp"),
+        max("l_shipdate").as("max_ship"))
+    val lateSupp = li.join(perOrder, "l_orderkey")
+      .where(col("n_supp") >= 2 && col("l_shipdate") === col("max_ship"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val solo = lateSupp.groupBy("l_orderkey").agg(count(lit(1)).as("n_late"))
+      .where(col("n_late") === 1).select("l_orderkey")
+    lateSupp.join(solo, "l_orderkey")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(spark, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
+  /** Per-dimension profile of the embedding column — [[tableProfile]]
+    * for vectors: n / mean / std / min / max per coordinate, the
+    * artifact SQ8 bounds and normalization layers are fitted from. Each
+    * float32 fixes to an exact 1e-6 integer (posexplode is the only
+    * data-scale pass; the (dim, moment) state is 64 rows at ANY corpus
+    * size), moment sums run in DECIMAL(38,0) ([[tableCorr]]'s int128
+    * discipline — n·Q − S² stays exact far past 2^53), and doubles
+    * appear only in the final mean/std expressions, mirrored in the
+    * oracle.
+    */
+  def vectorStats(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val xf = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("xf"))
+    xf.groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(col("xf"))).as("s"),
+        sum(dec(col("xf")) * dec(col("xf"))).as("q"),
+        min("xf").as("mn"), max("xf").as("mx"))
+      .select(col("dim"), col("n"),
+        roundTo(col("s").cast("double") / (col("n").cast("double") * lit(1e6)), 6)
+          .as("mean"),
+        roundTo(sqrt(
+          (dec(col("n")) * col("q") - col("s") * col("s")).cast("double") /
+            (col("n").cast("double") * col("n").cast("double") * lit(1e12))), 6)
+          .as("std"),
+        roundTo(col("mn").cast("double") / lit(1e6), 6).as("min_v"),
+        roundTo(col("mx").cast("double") / lit(1e6), 6).as("max_v"))
+      .orderBy("dim")
+  }
+
   /** Pairwise Pearson correlation over lineitem's numeric columns — the
     * companion ANALYZE primitive to [[tableProfile]]: every moment
     * (n, Σx, Σx², Σxy) is an exact DECIMAL(38) sum of integer-fixed
