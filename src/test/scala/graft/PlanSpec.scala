@@ -290,4 +290,44 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       s"per-customer and distribution aggs must both combine map-side:\n$p")
   }
+
+  test("window funnel: ONE user_id exchange feeds both windows AND the per-user agg") {
+    val p = plan(Queries.eventsWindowFunnel(spark, sf001))
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size == 1,
+      s"both running-min windows and the flag agg must reuse one user_id shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"the funnel is windows over one stream — no join stage belongs here:\n$p")
+  }
+
+  test("path topk: trigram count is partial-aggregated, cut by TakeOrdered") {
+    val p = plan(Queries.eventsPathTopk(spark, sf001))
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"path counts must combine map-side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be a bounded heap, not a global sort:\n$p")
+  }
+
+  test("bpe step: pair explode runs over the aggregated word table; TakeOrdered cut") {
+    val p = plan(Queries.corpusBpeStep(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be a bounded heap:\n$p")
+    // the Generate (explode) must sit ABOVE the word-count aggregate —
+    // pair rows explode from distinct words, never from corpus tokens
+    val gen = p.linesIterator.indexWhere(_.contains("Generate"))
+    assert(gen >= 0, s"expected the pair explode:\n$p")
+  }
+
+  test("q16: exclusion and part dim both broadcast; distinct supplier count is two-phase") {
+    val p = plan(Queries.q16SupplierCnt(spark, sf001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"under-review anti join and part dim must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"count(distinct) must partial-aggregate:\n$p")
+  }
+
+  test("vector_stats: moments partial-aggregate above the posexplode") {
+    val p = plan(Queries.vectorStats(spark, sf001))
+    assert(p.contains("Generate"), s"expected posexplode:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-dim moments must combine map-side:\n$p")
+  }
 }
