@@ -239,6 +239,24 @@ object Oracles {
        |       n_id, (round((score) * 10000.0) / 10000.0) AS value
        |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Centroid-based silhouette per cluster from the spliced centroid
+    * literals — the DuckDB twin of [[Queries.vectorSilhouette]].
+    */
+  private def silhouetteSql(centroids: Array[Array[Float]]): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |r AS (SELECT vec_id, cid, d2,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM asg),
+       |p AS (SELECT a.vec_id, a.cid AS own_cid, sqrt(a.d2) AS a, sqrt(b.d2) AS b
+       |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+       |s AS (SELECT own_cid, CASE WHEN a = b THEN CAST(0 AS BIGINT)
+       |        ELSE CAST(floor((b - a) / (CASE WHEN a > b THEN a ELSE b END) * 1000000.0 + 0.5) AS BIGINT) END AS s6
+       |      FROM p)
+       |SELECT own_cid AS cid, count(*) AS n,
+       |  (round((CAST(sum(s6) AS DOUBLE) / (count(*) * 1000000.0)) * 1000000.0) / 1000000.0) AS mean_silhouette
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** recall@k of the IVF leg vs the exact leg, both reproduced here —
     * the DuckDB twin of [[Queries.annRecallEval]].
     */
@@ -520,6 +538,7 @@ object Oracles {
       "knn_graph_recall" -> graphRecallSql(
         operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L), k = 3),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
+      "vector_silhouette" -> silhouetteSql(centroids),
       "ann_recall_curve" -> recallCurveSql(centroids, queryId = 4L, k = 10,
         nprobes = Seq(1, 2, 4, 8, 16)),
       "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
@@ -1808,6 +1827,56 @@ object Oracles {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // RFM cube: quartile thresholds by integer rank selection over each
+    // metric's value distribution, scores = 1 + (v > p25) + (v > p50)
+    // + (v > p75), exact-cent monetary totals.
+    "orders_rfm" ->
+      """WITH o AS (SELECT o_custkey,
+        |        epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+        |        CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders),
+        |cust AS (SELECT o_custkey, max(day) AS last_day, count(*) AS freq,
+        |           CAST(sum(cents) AS BIGINT) AS cents FROM o GROUP BY 1),
+        |g AS (SELECT max(last_day) AS gmax FROM cust),
+        |m AS (SELECT o_custkey, gmax - last_day AS recency, freq, cents,
+        |        cents // 10000 AS money_h FROM cust, g),
+        |mt AS (SELECT 'r' AS metric, recency AS v FROM m
+        |       UNION ALL SELECT 'f', freq FROM m
+        |       UNION ALL SELECT 'm', money_h FROM m),
+        |c AS (SELECT metric, v, count(*) AS c FROM mt GROUP BY 1, 2),
+        |t AS (SELECT metric, v,
+        |        sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum,
+        |        sum(c) OVER (PARTITION BY metric) AS n FROM c),
+        |th AS (SELECT metric,
+        |         min(CASE WHEN cum >= (n * 25 + 99) // 100 THEN v END) AS p25,
+        |         min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+        |         min(CASE WHEN cum >= (n * 75 + 99) // 100 THEN v END) AS p75
+        |       FROM t GROUP BY 1),
+        |thp AS (SELECT
+        |    max(CASE WHEN metric = 'r' THEN p25 END) AS r25,
+        |    max(CASE WHEN metric = 'r' THEN p50 END) AS r50,
+        |    max(CASE WHEN metric = 'r' THEN p75 END) AS r75,
+        |    max(CASE WHEN metric = 'f' THEN p25 END) AS f25,
+        |    max(CASE WHEN metric = 'f' THEN p50 END) AS f50,
+        |    max(CASE WHEN metric = 'f' THEN p75 END) AS f75,
+        |    max(CASE WHEN metric = 'm' THEN p25 END) AS m25,
+        |    max(CASE WHEN metric = 'm' THEN p50 END) AS m50,
+        |    max(CASE WHEN metric = 'm' THEN p75 END) AS m75
+        |  FROM th),
+        |sc AS (SELECT m.cents,
+        |    1 + CASE WHEN recency > r25 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency > r50 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency > r75 THEN 1 ELSE 0 END AS r_score,
+        |    1 + CASE WHEN freq > f25 THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > f50 THEN 1 ELSE 0 END
+        |      + CASE WHEN freq > f75 THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN money_h > m25 THEN 1 ELSE 0 END
+        |      + CASE WHEN money_h > m50 THEN 1 ELSE 0 END
+        |      + CASE WHEN money_h > m75 THEN 1 ELSE 0 END AS m_score
+        |  FROM m, thp)
+        |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+        |  (round((CAST(sum(cents) AS DOUBLE) / 100.0) * 100.0) / 100.0) AS total_monetary
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // Q16 adapted: part-supplier relationships from lineitem, the
     // complaint exclusion as the under-review supplier NOT IN.

@@ -1833,6 +1833,58 @@ object Queries {
       .limit(10)
   }
 
+  /** RFM customer segmentation (recency / frequency / monetary
+    * quartiles — the classic CRM cube): per-customer metrics from ONE
+    * orders aggregation, quartile thresholds by exact integer rank
+    * selection over each metric's VALUE DISTRIBUTION (the
+    * [[corpusQuantiles]] discipline — recency spans at most the time
+    * range in days, frequency the max order count, monetary is bucketed
+    * to 100-dollar units so every cumulative window is domain-bounded,
+    * never a per-customer sort), thresholds broadcast back, and the
+    * segment cube is one partial-aggregated group-by. Scores are
+    * quartile indices (1–4, high recency = long-inactive).
+    */
+  def ordersRfm(spark: SparkSession, dir: String): DataFrame = {
+    val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    val cust = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(max(day).as("last_day"), count(lit(1)).as("freq"),
+        sum(cents).as("cents"))
+    val gmax = cust.agg(max("last_day").as("gmax"))
+    val m = cust.crossJoin(broadcast(gmax))
+      .select(col("o_custkey"), (col("gmax") - col("last_day")).as("recency"),
+        col("freq"), col("cents"), expr("cents div 10000").as("money_h"))
+    val counts = m
+      .selectExpr("stack(3, 'r', recency, 'f', freq, 'm', money_h) as (metric, v)")
+      .groupBy("metric", "v").agg(count(lit(1)).as("c"))
+    val byMetric = Window.partitionBy("metric").orderBy("v")
+    def pos(q: Int): Column = expr(s"(n * $q + 99) div 100")
+    val th = counts
+      .withColumn("cum", sum("c").over(byMetric))
+      .withColumn("n", sum("c").over(Window.partitionBy("metric")))
+      .groupBy("metric")
+      .agg(min(when(col("cum") >= pos(25), col("v"))).as("p25"),
+        min(when(col("cum") >= pos(50), col("v"))).as("p50"),
+        min(when(col("cum") >= pos(75), col("v"))).as("p75"))
+    val thRow = th.agg(
+      max(when(col("metric") === "r", struct(col("p25"), col("p50"), col("p75")))).as("r"),
+      max(when(col("metric") === "f", struct(col("p25"), col("p50"), col("p75")))).as("f"),
+      max(when(col("metric") === "m", struct(col("p25"), col("p50"), col("p75")))).as("m"))
+    def score(v: Column, t: Column): Column =
+      lit(1) + (v > t("p25")).cast("int") + (v > t("p50")).cast("int") +
+        (v > t("p75")).cast("int")
+    m.crossJoin(broadcast(thRow))
+      .select(score(col("recency"), col("r")).as("r_score"),
+        score(col("freq"), col("f")).as("f_score"),
+        score(col("money_h"), col("m")).as("m_score"),
+        col("cents"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        roundTo(sum("cents").cast("double") / lit(100.0), 2).as("total_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Per-dimension profile of the embedding column — [[tableProfile]]
     * for vectors: n / mean / std / min / max per coordinate, the
     * artifact SQ8 bounds and normalization layers are fitted from. Each
@@ -1843,6 +1895,44 @@ object Queries {
     * appear only in the final mean/std expressions, mirrored in the
     * oracle.
     */
+  /** Simplified (centroid-based) silhouette per cluster — the
+    * cluster-quality eval that closes the loop on the IVF index's
+    * KMeans fit, next to [[vectorCentroidDist]]'s separation
+    * diagnostics: a(i) = distance to own centroid, b(i) = distance to
+    * the nearest OTHER centroid, s = (b−a)/max(a,b). One broadcast of
+    * the K-row centroid table, a bounded per-point window (exactly K
+    * rows per partition at any corpus size) picks the two nearest
+    * centroids, and each s fixes to a 1e-6 integer before the
+    * per-cluster mean so the aggregation is order-independent. The
+    * oracle re-derives everything from the spliced centroid literals.
+    */
+  def vectorSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val s = spark; import s.implicits._
+    val cents = centroids.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cid", "cv")
+    val d = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        vecL2Sq(col("embedding"), col("cv")).as("d2"))
+    val byPoint = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    val two = d.withColumn("rn", row_number().over(byPoint)).where(col("rn") <= 2)
+    val per = two.groupBy("vec_id")
+      .agg(min(struct(col("rn"), col("cid"), col("d2"))).as("r1"),
+        max(struct(col("rn"), col("cid"), col("d2"))).as("r2"))
+    val a = sqrt(col("r1.d2")); val b = sqrt(col("r2.d2"))
+    per
+      .select(col("r1.cid").as("cid"),
+        when(a === b, lit(0L))
+          .otherwise(floor((b - a) / greatest(a, b) * lit(1e6) + lit(0.5)).cast("long"))
+          .as("s6"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        roundTo(sum("s6").cast("double") / (count(lit(1)) * lit(1e6)), 6)
+          .as("mean_silhouette"))
+      .orderBy("cid")
+  }
+
   def vectorStats(spark: SparkSession, dir: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val xf = Tables.embeddings(spark, dir)

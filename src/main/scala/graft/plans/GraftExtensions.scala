@@ -23,19 +23,27 @@ import graft.functions._
   * count, …) take foldable integer literals, checked at analysis time.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.registry.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => VecRangeStrengthReduction)
+  }
 }
 
 object GraftExtensions {
 
   /** Register every kernel on an existing session (same builders the
-    * `spark.sql.extensions` path injects at session build time).
+    * `spark.sql.extensions` path injects at session build time), and
+    * the optimizer rules via the experimental-methods hook (the only
+    * post-build extension point for optimizations).
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     registry.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(VecRangeStrengthReduction))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecRangeStrengthReduction
+  }
 
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, _)  => v
