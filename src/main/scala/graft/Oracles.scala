@@ -714,6 +714,35 @@ object Oracles {
       s"""WITH $minhashCtes
          |SELECT a_id, b_id, (round((e) * 10000.0) / 10000.0) AS est_sim FROM est WHERE e >= 0.25 ORDER BY a_id, b_id""".stripMargin,
 
+    // near-dup pairs rolled up by unordered source pair (least/greatest
+    // canonicalization) — same minhash legs as dedup_minhash.
+    "dedup_cross_source" ->
+      s"""WITH $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM est WHERE e >= 0.25),
+         |j AS (SELECT least(da.source, db.source) AS source_a,
+         |        greatest(da.source, db.source) AS source_b
+         |      FROM pairs p JOIN documents da ON p.a_id = da.doc_id
+         |      JOIN documents db ON p.b_id = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Zipf coverage: rank/cumsum over the vocabulary table only;
+    // coverages from exact long sums, one division each.
+    "corpus_zipf_coverage" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |w0 AS (SELECT unnest(toks) AS word FROM t),
+         |wc AS (SELECT word, count(*) AS n FROM w0 GROUP BY 1),
+         |rk AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS r,
+         |         sum(n) OVER (ORDER BY n DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |       FROM wc),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS n_vocab FROM wc)
+         |SELECT max(tt.n_vocab) AS n_vocab, max(tt.tot) AS n_tokens,
+         |  (round((CAST(max(CASE WHEN r <= 1 THEN cum END) AS DOUBLE) / max(tt.tot)) * 1000000.0) / 1000000.0) AS cov_1,
+         |  (round((CAST(max(CASE WHEN r <= 10 THEN cum END) AS DOUBLE) / max(tt.tot)) * 1000000.0) / 1000000.0) AS cov_10,
+         |  (round((CAST(max(CASE WHEN r <= 100 THEN cum END) AS DOUBLE) / max(tt.tot)) * 1000000.0) / 1000000.0) AS cov_100,
+         |  (round((CAST(max(CASE WHEN r <= 1000 THEN cum END) AS DOUBLE) / max(tt.tot)) * 1000000.0) / 1000000.0) AS cov_1000
+         |FROM rk, tt""".stripMargin,
+
     // graph cohesion of the near-dup pairs: the oracle counts triangles
     // by the independent a<b<c three-way join (no orientation), wedges
     // from exact degree sums.

@@ -711,6 +711,55 @@ object Queries {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text", maxHamming = 8)
 
+  /** Cross-source contamination matrix: near-dup pairs rolled up by
+    * (source, source) — the diagnostic that tells a corpus curator
+    * WHERE duplication lives (within a crawl snapshot vs leaking across
+    * sources). The pair table is the already-bounded minhash candidate
+    * output (narrow ids); sources attach via two doc_id-keyed joins,
+    * and the unordered source pair canonicalizes with least/greatest so
+    * (A,B) and (B,A) count together. Cost beyond the dedup pass itself:
+    * two keyed joins on the SMALL pair table + one partial agg.
+    */
+  def dedupCrossSource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.25)
+      .select("a_id", "b_id")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.withColumnRenamed("doc_id", "a_id").withColumnRenamed("source", "sa"), "a_id")
+      .join(src.withColumnRenamed("doc_id", "b_id").withColumnRenamed("source", "sb"), "b_id")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Zipf coverage curve: what fraction of the corpus's token mass the
+    * top-N vocabulary words cover (N = 1/10/100/1000) — the
+    * tokenizer-budget diagnostic (how small a vocab still covers the
+    * stream). The rank/cumsum window runs over the VOCABULARY table
+    * (bounded by distinct words, never corpus rows); coverages are one
+    * conditional aggregation of exact long cumulative sums, divided
+    * once.
+    */
+  def corpusZipfCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(spark, dir)
+      .select(explode(wordTokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val byMass = Window.orderBy(col("n").desc, col("word"))
+    val ranked = wc
+      .withColumn("r", row_number().over(byMass))
+      .withColumn("cum", sum("n").over(
+        byMass.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def cov(k: Int): Column =
+      roundTo(max(when(col("r") <= k, col("cum"))).cast("double") / max("tot"), 6)
+        .as(s"cov_$k")
+    ranked
+      .crossJoin(broadcast(wc.agg(sum("n").as("tot"), count(lit(1)).as("n_vocab"))))
+      .agg(max("n_vocab").as("n_vocab"), max("tot").as("n_tokens"),
+        cov(1), cov(10), cov(100), cov(1000))
+  }
+
   /** Triangle count + global clustering coefficient of the near-dup
     * pair graph — the third graph metric next to connected components
     * ([[dedupClusters]]) and PageRank ([[corpusTextrank]]): how

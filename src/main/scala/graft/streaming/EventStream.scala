@@ -99,6 +99,61 @@ object EventStream {
 
   private val gapUs: Long = 30L * 60 * 1000000
 
+  /** Per-user funnel progress — the streaming state for [[windowFunnel]]:
+    * earliest view, earliest QUALIFYING click (≤ 1 h after that view),
+    * and the monotone stage flags. A few dozen bytes per user.
+    */
+  case class FunnelState(minViewUs: Long, minClickOkUs: Long,
+                         s1: Boolean, s2: Boolean, s3: Boolean)
+
+  /** Current per-user stage flags, re-emitted each micro-batch the user
+    * appears in. Flags are MONOTONE (a reached stage never un-reaches),
+    * so any downstream max-merge of updates equals the final state —
+    * the property StreamingSpec exploits.
+    */
+  case class FunnelOut(user_id: Long, s1: Int, s2: Int, s3: Int)
+
+  private val funnelWindowUs: Long = 3600L * 1000000L
+
+  /** Streaming twin of [[graft.Queries.eventsWindowFunnel]] (ordered
+    * 3-stage funnel, 1 h per-step timeout) as a mapGroupsWithState
+    * state machine: each event consults the state built from PRIOR
+    * events only (exactly the batch twin's
+    * unbounded-preceding-to-1-preceding frame), then folds itself in.
+    * Events are sorted per (user, micro-batch); across batches the
+    * state carries the chain, so a time-ordered replay reproduces the
+    * batch answer exactly. Timestamps convert to integer microseconds
+    * (getTime ms + sub-ms nanos) — the same unix_micros the batch twin
+    * compares in.
+    */
+  def windowFunnel(events: Dataset[(Long, Long, Timestamp, String)]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout()) {
+        case (userId, it, state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(Long.MaxValue, Long.MaxValue, s1 = false, s2 = false, s3 = false))
+          def micros(ts: Timestamp): Long =
+            ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+          it.toSeq.sortBy(e => (micros(e._3), e._2)).foreach { case (_, _, ts, typ) =>
+            val t = micros(ts)
+            // read prior-row state first; the row's own contribution
+            // (a view's min-update) folds in last, so a view can never
+            // qualify its own-row click — matching the batch frame
+            if (typ == "click" && st.minViewUs != Long.MaxValue &&
+                t <= st.minViewUs + funnelWindowUs)
+              st = st.copy(s2 = true, minClickOkUs = math.min(st.minClickOkUs, t))
+            if (typ == "purchase" && st.minClickOkUs != Long.MaxValue &&
+                t <= st.minClickOkUs + funnelWindowUs)
+              st = st.copy(s3 = true)
+            if (typ == "view")
+              st = st.copy(s1 = true, minViewUs = math.min(st.minViewUs, t))
+          }
+          state.update(st)
+          FunnelOut(userId, if (st.s1) 1 else 0, if (st.s2) 1 else 0, if (st.s3) 1 else 0)
+      }
+  }
+
   /** Streaming gap-sessionization via flatMapGroupsWithState — the
     * custom-state path the reference's incremental inserts would need for
     * session analytics. State per user is one open session (a few dozen

@@ -48,6 +48,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowFunnel replays the sf0.001 events to the batch answer") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val rows = graft.sources.Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+      .sortBy(r => (r._3.getTime, r._2)) // time-ordered replay
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val stream = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = EventStream.windowFunnel(stream.toDS())
+      .writeStream.format("memory").queryName("funnelst").outputMode("update").start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+
+      // flags are monotone, so max over all emitted updates == final state
+      val streamed = s.table("funnelst")
+        .groupBy("user_id")
+        .agg(max("s1").as("s1"), max("s2").as("s2"), max("s3").as("s3"))
+        .agg(sum("s1").cast("long"), sum("s2").cast("long"), sum("s3").cast("long"))
+        .collect()(0)
+      val batch = Queries.eventsWindowFunnel(spark, sf001).collect()(0)
+      assert(streamed.getLong(0) == batch.getLong(batch.fieldIndex("n_stage1")))
+      assert(streamed.getLong(1) == batch.getLong(batch.fieldIndex("n_stage2")))
+      assert(streamed.getLong(2) == batch.getLong(batch.fieldIndex("n_stage3")))
+      assert(streamed.getLong(0) > 0)
+    } finally q.stop()
+  }
+
   test("streaming hoppingAgg equals the batch hopping query's window membership") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
