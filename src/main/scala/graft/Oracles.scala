@@ -1522,6 +1522,28 @@ object Oracles {
         |SELECT prev_type, next_type, n, (round((n / n_from) * 10000.0) / 10000.0) AS p
         |FROM f ORDER BY prev_type, next_type""".stripMargin,
 
+    // stationary distribution: the identical integer fixed-point
+    // trajectory unrolled (⌊v·n / n_from⌋ per round, 3 rounds).
+    "events_markov_steady" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+        |l AS (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev
+        |      FROM x),
+        |c AS (SELECT prev, event_type AS next, count(*) AS n
+        |      FROM l WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT prev, next, n, CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS n_from FROM c),
+        |p0 AS (SELECT DISTINCT prev AS state, CAST(200000 AS BIGINT) AS v FROM c),
+        |p1 AS (SELECT f.next AS state, CAST(sum(v * n // n_from) AS BIGINT) AS v
+        |       FROM f JOIN p0 ON f.prev = p0.state GROUP BY 1),
+        |p2 AS (SELECT f.next AS state, CAST(sum(v * n // n_from) AS BIGINT) AS v
+        |       FROM f JOIN p1 ON f.prev = p1.state GROUP BY 1),
+        |p3 AS (SELECT f.next AS state, CAST(sum(v * n // n_from) AS BIGINT) AS v
+        |       FROM f JOIN p2 ON f.prev = p2.state GROUP BY 1)
+        |SELECT state, v AS pi6,
+        |  (round((CAST(v AS DOUBLE) / 1000000.0) * 10000.0) / 10000.0) AS p
+        |FROM p3 ORDER BY state""".stripMargin,
+
     // HyperLogLog register state re-derived from the same md5 hash:
     // exact-integer register sum S = Σ 2^(60-Mj) in DECIMAL(38,0), one
     // double division at the end — identical expression tree to

@@ -1552,6 +1552,37 @@ object Queries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Stationary distribution of the user-journey Markov chain
+    * ([[eventsMarkov]]'s matrix) by three power-iteration rounds in
+    * EXACT fixed-point integers (the [[corpusTextrank]] discipline:
+    * contribution = ⌊v·n / n_from⌋, so the trajectory is
+    * engine-reproducible and the oracle unrolls it identically). The
+    * transition matrix is a BOUNDED types² table (25 rows here — the
+    * one corpus-scale pass is the lag + count that builds it), so each
+    * iteration is a tiny join + agg with constant plan size; no
+    * driver-side collect anywhere.
+    */
+  def eventsMarkovSteady(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum("n").over(Window.partitionBy("prev")))
+    var pi = trans.select(col("prev").as("state")).distinct()
+      .withColumn("v", lit(200000L)) // 1e6 mass over the 5 states
+    for (_ <- 1 to 3)
+      pi = trans.join(pi, col("prev") === col("state"))
+        .select(col("next"), expr("v * n div n_from").as("c"))
+        .groupBy(col("next").as("state")).agg(sum("c").as("v"))
+    pi.select(col("state"), col("v").as("pi6"),
+        roundTo(col("v").cast("double") / lit(1e6), 4).as("p"))
+      .orderBy("state")
+  }
+
   /** TPC-H Q14-style promotion revenue share: what fraction of one
     * month's revenue came from ECONOMY-type parts. Part is the
     * broadcast dim; the month filter pushes to the lineitem scan; the
