@@ -1929,6 +1929,68 @@ object Oracles {
         |  (round((CAST(sum(cents) AS DOUBLE) / 100.0) * 100.0) / 100.0) AS total_monetary
         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // Q2 adapted: per-part argmin (s_acctbal, s_suppkey) among EUROPE
+    // suppliers of STANDARD size-10..20 parts.
+    "q2_min_supplier" ->
+      """WITH supp AS (SELECT s_suppkey, s_name, s_acctbal
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |parts AS (SELECT p_partkey FROM part
+        |          WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20),
+        |rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |j AS (SELECT p.p_partkey, s.s_suppkey, s.s_name, s.s_acctbal,
+        |        row_number() OVER (PARTITION BY p.p_partkey
+        |                           ORDER BY s.s_acctbal, s.s_suppkey) AS rn
+        |      FROM rel JOIN parts p ON l_partkey = p.p_partkey
+        |      JOIN supp s ON l_suppkey = s.s_suppkey)
+        |SELECT p_partkey, s_suppkey, s_name,
+        |  (round((s_acctbal) * 100.0) / 100.0) AS s_acctbal
+        |FROM j WHERE rn = 1 ORDER BY p_partkey""".stripMargin,
+
+    // Q11 adapted: per-nation shipped value in exact integer units,
+    // 1-row global total threshold in integers.
+    "q11_important_stock" ->
+      """WITH v AS (SELECT s_nationkey,
+        |        CAST(CAST(l_quantity AS BIGINT) *
+        |             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT) AS v
+        |      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey),
+        |bn AS (SELECT n_name, sum(v) AS v FROM v
+        |       JOIN nation ON s_nationkey = n_nationkey GROUP BY 1),
+        |t AS (SELECT sum(v) AS tot FROM bn)
+        |SELECT n_name, CAST(v AS BIGINT) AS value_c2q
+        |FROM bn, t WHERE v * 10 > tot
+        |ORDER BY value_c2q DESC, n_name""".stripMargin,
+
+    // Q12 adapted: ship-lag buckets (> 60 days = SLOW) × priority
+    // counts, integer epoch-day math.
+    "q12_ship_lag" ->
+      """WITH li AS (SELECT l_orderkey,
+        |        epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000 AS ship_day
+        |      FROM lineitem),
+        |o AS (SELECT o_orderkey, o_orderpriority,
+        |        epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS order_day
+        |      FROM orders),
+        |j AS (SELECT CASE WHEN ship_day - order_day > 60 THEN 'SLOW' ELSE 'FAST' END AS ship_mode,
+        |        o_orderpriority FROM li JOIN o ON l_orderkey = o_orderkey)
+        |SELECT ship_mode,
+        |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+        |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q20 adapted: suppliers holding > 1/6 of a part's shipped
+    // quantity, EUROPE only; integer 6·q_ps > q_p cut.
+    "q20_excess_supp" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |ps AS (SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS q_ps FROM li GROUP BY 1, 2),
+        |p AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS q_p FROM li GROUP BY 1),
+        |supp AS (SELECT s_suppkey, s_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+        |d AS (SELECT ps.l_suppkey FROM ps JOIN p USING (l_partkey) WHERE ps.q_ps * 6 > p.q_p)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS n_dominated_parts
+        |FROM d JOIN supp s ON d.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2 ORDER BY n_dominated_parts DESC, s_name LIMIT 20""".stripMargin,
+
     // Q16 adapted: part-supplier relationships from lineitem, the
     // complaint exclusion as the under-review supplier NOT IN.
     "q16_supplier_cnt" ->

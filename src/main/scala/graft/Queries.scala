@@ -1860,6 +1860,112 @@ object Queries {
       .orderBy("cntry_grp")
   }
 
+  /** TPC-H Q2 adapted (no partsupp: relationships from lineitem, min
+    * supplycost → min account balance): for each STANDARD part sized
+    * 10–20, the EUROPE supplier with the lowest (s_acctbal, s_suppkey).
+    * Dims chain broadcast region→nation→supplier; the one corpus-scale
+    * pass is the distinct (part, supp) projection of lineitem; argmin
+    * is a struct-min partial aggregation, never a per-part sort.
+    */
+  def q2MinSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).where(col("r_name") === "EUROPE")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal")
+    val parts = Tables.part(spark, dir)
+      .where(col("p_type") === "STANDARD" && col("p_size").between(10, 20))
+      .select("p_partkey")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey")
+      .agg(min(struct(col("s_acctbal"), col("s_suppkey"), col("s_name"))).as("m"))
+      .select(col("p_partkey"), col("m.s_suppkey").as("s_suppkey"),
+        col("m.s_name").as("s_name"), roundTo(col("m.s_acctbal"), 2).as("s_acctbal"))
+      .orderBy("p_partkey")
+  }
+
+  /** TPC-H Q11 adapted (no partsupp: "stock value" = shipped
+    * qty × price from lineitem, grouped by supplier nation): nations
+    * holding more than 1/10 of global value. Per-row value fixes to
+    * exact integer 1e-2-dollar·qty units summed in DECIMAL(38,0)
+    * ([[tableCorr]] discipline — exact far past 2^53 at 100 TB); the
+    * global total is a 1-row broadcast compared in exact integers
+    * (value·10 > total), the [[q22Global]] threshold shape.
+    */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_suppkey"),
+      (col("l_quantity").cast("long") *
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .cast("decimal(38,0)").as("v"))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    val byNation = li
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(sum("v").as("v"))
+    val total = byNation.agg(sum("v").as("tot"))
+    byNation.crossJoin(broadcast(total))
+      .where(col("v") * 10 > col("tot"))
+      .select(col("n_name"), col("v").cast("long").as("value_c2q"))
+      .orderBy(col("value_c2q").desc, col("n_name"))
+  }
+
+  /** TPC-H Q12 adapted (no ship mode / commit / receipt dates: "mode"
+    * = ship-lag bucket, SLOW when the line shipped more than 60 days
+    * after the order): per bucket, how many high- vs low-priority
+    * orders rode it. Day math in integer epoch days; the orders side
+    * of the keyed join carries only (key, priority); one conditional
+    * aggregation.
+    */
+  def q12ShipLag(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("ship_day"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("order_day"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("ship_mode",
+        when(col("ship_day") - col("order_day") > 60, "SLOW").otherwise("FAST"))
+      .groupBy("ship_mode")
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+          .as("low_line_count"))
+      .orderBy("ship_mode")
+  }
+
+  /** TPC-H Q20 adapted (no partsupp availability: "excess" = shipped
+    * concentration — a supplier holding more than 1/6 of a part's
+    * total shipped quantity): per EUROPE supplier, how many parts it
+    * dominates. Both aggregates key on l_partkey (the per-(part, supp)
+    * and per-part sums reuse one shuffle family); quantities are
+    * integral doubles cast to exact longs, the 1/6 cut written in
+    * integers (6·q_ps > q_p); dims broadcast.
+    */
+  def q20ExcessSupp(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("q"))
+    val perPs = li.groupBy("l_partkey", "l_suppkey").agg(sum("q").as("q_ps"))
+    val perP = li.groupBy("l_partkey").agg(sum("q").as("q_p"))
+    val region = Tables.region(spark, dir).where(col("r_name") === "EUROPE")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    perPs.join(perP, "l_partkey")
+      .where(col("q_ps") * 6 > col("q_p"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_name")
+      .agg(count(lit(1)).as("n_dominated_parts"))
+      .orderBy(col("n_dominated_parts").desc, col("s_name"))
+      .limit(20)
+  }
+
   /** TPC-H Q16 adapted (no partsupp table): how many distinct suppliers
     * serve each surviving (brand, type, size) part segment, with the
     * part-supplier relationships taken from lineitem and Q16's
