@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants of the round-5 operators — properties that
+  * must hold on ANY data, checked on sf0.001 (the hash gate pins the
+  * exact values; these pin the semantics).
+  */
+class InvariantSpec extends SparkSpec {
+
+  test("orders_rfm: segment counts total the customer count; scores stay in 1..4") {
+    val seg = Queries.ordersRfm(spark, sf001).collect()
+    val nCust = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(seg.map(_.getLong(seg(0).fieldIndex("n_customers"))).sum == nCust)
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val vs = seg.map(r => r.getInt(r.fieldIndex(c)))
+      assert(vs.forall(v => v >= 1 && v <= 4), c)
+    }
+  }
+
+  test("vector_silhouette: every point is counted once; means stay in [-1, 1]") {
+    val rows = Queries.vectorSilhouette(spark, sf001).collect()
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    assert(rows.forall { r =>
+      val s = r.getDouble(2); s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9
+    })
+  }
+
+  test("corpus_zipf_coverage: coverages are monotone and end at a full-vocab 1.0 bound") {
+    val r = Queries.corpusZipfCoverage(spark, sf001).collect()(0)
+    def c(name: String): Double = r.getDouble(r.fieldIndex(name))
+    assert(c("cov_1") <= c("cov_10") + 1e-12)
+    assert(c("cov_10") <= c("cov_100") + 1e-12)
+    assert(c("cov_100") <= c("cov_1000") + 1e-12)
+    assert(c("cov_1000") <= 1.0 + 1e-12)
+    assert(c("cov_1") > 0.0)
+    if (r.getLong(r.fieldIndex("n_vocab")) <= 1000)
+      assert(math.abs(c("cov_1000") - 1.0) < 1e-9)
+  }
+
+  test("events_hll_setops: inclusion-exclusion holds exactly; union bounded by the parts") {
+    val r = Queries.eventsHllSetops(spark, sf001).collect()(0)
+    def l(name: String): Long = r.getLong(r.fieldIndex(name))
+    assert(l("n_union") + l("n_inter") == l("n_view") + l("n_purchase"))
+    def d(name: String): Double = r.getDouble(r.fieldIndex(name))
+    assert(d("est_union") <= d("est_view") + d("est_purchase") + 1e-9)
+    assert(math.abs(d("est_view") + d("est_purchase") - d("est_union") - d("est_inter")) < 1e-6)
+  }
+
+  test("events_markov_steady: mass stays within floor-loss of 1e6 and never grows") {
+    val rows = Queries.eventsMarkovSteady(spark, sf001).collect()
+    val mass = rows.map(_.getLong(1)).sum
+    // each of 3 rounds loses < (#states × #targets) from the floors
+    assert(mass <= 1000000L)
+    assert(mass >= 1000000L - 3L * 25 * 1)
+  }
+
+  test("q12 buckets and q16/q20 outputs are internally consistent") {
+    val q12 = Queries.q12ShipLag(spark, sf001).collect()
+    val totalLines = spark.read.parquet(s"$sf001/lineitem.parquet").count()
+    assert(q12.map(r => r.getLong(1) + r.getLong(2)).sum == totalLines)
+    val q20 = Queries.q20ExcessSupp(spark, sf001).collect()
+    assert(q20.forall(_.getLong(2) >= 1))
+  }
+}
