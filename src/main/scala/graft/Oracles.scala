@@ -1115,6 +1115,17 @@ object Oracles {
          |SELECT CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS rank, word, n, n_docs
          |FROM v ORDER BY n DESC, word LIMIT 50""".stripMargin,
 
+    // PII scrub: Java/RE2-common regex subset, global replace both
+    // engines; digest keeps rows narrow.
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{9,}')) AS n_longnums,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}', '<NUM>', 'g')) AS scrubbed_digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // entropy from the (source, word) count table: each ln c fixed to a
     // 1e-6 integer once, weighted sum in DECIMAL (18,0)×(18,0) products
     // keep both engines inside decimal width limits; the entropy

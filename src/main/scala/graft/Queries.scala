@@ -987,6 +987,30 @@ object Queries {
       .withColumn("n_chars", length(col("norm_text")))
       .orderBy("doc_id")
 
+  /** PII scrubbing (the redaction pass every training corpus runs):
+    * emails and long digit runs replaced by placeholder tokens, with
+    * per-doc match counts so the pipeline can audit redaction volume.
+    * Pure map-side string kernel — zero shuffle bar the presentation
+    * sort; the output carries a digest of the scrubbed text (narrow
+    * rows) and the patterns are written in the regex subset Java and
+    * RE2 interpret identically (character classes, +, bounded repeats
+    * — no backrefs/lookarounds), so the oracle replays the exact
+    * transform. The synthetic corpus contains no PII (counts 0, text
+    * unchanged) — InvariantSpec proves the actual redaction on
+    * synthetic PII strings.
+    */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val num = "[0-9]{9,}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(num)).as("n_longnums"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          num, "<NUM>")).as("scrubbed_digest"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source unigram token entropy + type-token ratio — the lexical
     * diversity signals quality pipelines cut on (low-entropy sources are
     * boilerplate/spam). H = ln(n) − (Σ c·ln c)/n over the (source, word)

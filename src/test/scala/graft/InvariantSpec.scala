@@ -57,6 +57,29 @@ class InvariantSpec extends SparkSpec {
     assert(mass >= 1000000L - 3L * 25 * 1)
   }
 
+  test("text_pii_scrub actually redacts synthetic PII and counts matches") {
+    val s = spark; import s.implicits._
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val num = "[0-9]{9,}"
+    val df = Seq(
+      (1L, "contact me at alice.smith@example.com or bob@test.org today"),
+      (2L, "card 1234567890123456 and ssn 123456789 leak"),
+      (3L, "clean text with short 12345 number")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).as("n_emails"),
+        regexp_count(col("text"), lit(num)).as("n_longnums"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          num, "<NUM>").as("scrubbed"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 2 && out(0).getString(3) ==
+      "contact me at <EMAIL> or <EMAIL> today")
+    assert(out(1).getInt(2) == 2 && out(1).getString(3) ==
+      "card <NUM> and ssn <NUM> leak")
+    assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0 &&
+      out(2).getString(3) == "clean text with short 12345 number")
+  }
+
   test("q12 buckets and q16/q20 outputs are internally consistent") {
     val q12 = Queries.q12ShipLag(spark, sf001).collect()
     val totalLines = spark.read.parquet(s"$sf001/lineitem.parquet").count()
