@@ -324,6 +324,25 @@ class PlanSpec extends SparkSpec {
       s"count(distinct) must partial-aggregate:\n$p")
   }
 
+  test("q21: one l_orderkey exchange feeds the per-order window (no lineitem self-join)") {
+    val p = plan(Queries.q21Waiting(spark, sf001))
+    assert(!p.contains("SortMergeJoin"),
+      s"the per-order profile must be a window, not an agg+self-join:\n$p")
+    assert("Arguments: hashpartitioning\\(l_orderkey".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("q2: dims broadcast; per-part argmin is a struct-min partial agg, no Window") {
+    val p = plan(Queries.q2MinSupplier(spark, sf001))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Window"), s"argmin must be min(struct), never row_number:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q11: the global threshold is a 1-row broadcast, never a nation shuffle join") {
+    val p = plan(Queries.q11ImportantStock(spark, sf001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("vector_stats: moments partial-aggregate above the posexplode") {
     val p = plan(Queries.vectorStats(spark, sf001))
     assert(p.contains("Generate"), s"expected posexplode:\n$p")
