@@ -1533,6 +1533,57 @@ object Oracles {
         |SELECT prev_type, next_type, n, (round((n / n_from) * 10000.0) / 10000.0) AS p
         |FROM f ORDER BY prev_type, next_type""".stripMargin,
 
+    // lag-k autocorrelation over the dense hourly grid: HUGEINT
+    // moments, doubles only in the final Pearson expression.
+    "events_autocorr" -> {
+      val lags = Seq(1, 2, 3, 6, 12, 24)
+      val lagCols = lags.map(k => s"CAST(lag(c, $k) OVER w AS HUGEINT) AS c_$k").mkString(",\n|        ")
+      val parts = lags.map(k =>
+        s"SELECT $k AS lag_h, count(*) AS n, sum(c) AS sx, sum(c_$k) AS sy, " +
+          s"sum(c * c) AS sxx, sum(c_$k * c_$k) AS syy, sum(c * c_$k) AS sxy " +
+          s"FROM l WHERE c_$k IS NOT NULL").mkString("\n|      UNION ALL ")
+      s"""WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h FROM events),
+         |hc AS (SELECT h, count(*) AS c FROM e GROUP BY 1),
+         |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hc),
+         |sp AS (SELECT unnest(generate_series(h0, h1)) AS h FROM b),
+         |g AS (SELECT sp.h, coalesce(hc.c, 0) AS c FROM sp LEFT JOIN hc ON sp.h = hc.h),
+         |l AS (SELECT h, CAST(c AS HUGEINT) AS c,
+         |        $lagCols
+         |      FROM g WINDOW w AS (ORDER BY h)),
+         |m AS ($parts)
+         |SELECT lag_h, n,
+         |  (round((CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) /
+         |    sqrt(CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) *
+         |         CAST(CAST(n AS HUGEINT) * syy - sy * sy AS DOUBLE))) * 10000.0) / 10000.0) AS r
+         |FROM m ORDER BY lag_h""".stripMargin
+    },
+
+    // k-anonymity report: QI-group sizes, small-group rollup.
+    "customer_k_anonymity" ->
+      """WITH qi AS (SELECT c_mktsegment, c_nationkey,
+        |        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k, count(*) AS g
+        |      FROM customer GROUP BY 1, 2, 3)
+        |SELECT count(*) AS n_groups,
+        |  count(*) FILTER (WHERE g < 5) AS n_small_groups,
+        |  CAST(sum(g) AS BIGINT) AS n_customers,
+        |  CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT) AS n_at_risk,
+        |  (round((CAST(sum(CASE WHEN g < 5 THEN g ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(g) AS BIGINT)) * 10000.0) / 10000.0) AS at_risk_frac
+        |FROM qi""".stripMargin,
+
+    // FK orphan audit: NOT IN anti-semantics over non-null keys.
+    "table_fk_check" ->
+      """SELECT * FROM (
+        |  SELECT 'orders->customer' AS relationship, count(*) AS n_orphans
+        |    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL SELECT 'lineitem->orders', count(*)
+        |    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL SELECT 'lineitem->part', count(*)
+        |    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |  UNION ALL SELECT 'lineitem->supplier', count(*)
+        |    FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |) ORDER BY relationship""".stripMargin,
+
     // stationary distribution: the identical integer fixed-point
     // trajectory unrolled (⌊v·n / n_from⌋ per round, 3 rounds).
     "events_markov_steady" ->

@@ -1576,6 +1576,103 @@ object Queries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Lag-k autocorrelation of the hourly event-count series (k = 1, 2,
+    * 3, 6, 12, 24) — the seasonality diagnostic behind forecasting and
+    * anomaly baselines. The corpus-scale pass is ONE hourly count
+    * aggregation; everything after runs on the grid, whose size is
+    * bounded by the TIME SPAN (720 rows/month at any data volume): a
+    * lag window per k over the dense grid (missing hours = 0 via a
+    * generated spine), then Pearson from exact HUGEINT-style moments
+    * ([[tableCorr]] discipline) with doubles only in the final r_k.
+    */
+  def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val hourly = Tables.events(spark, dir)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val bounds = hourly.agg(min("h").as("h0"), max("h").as("h1"))
+    val spine = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
+    val grid = spine.join(hourly, Seq("h"), "left")
+      .select(col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val byTime = Window.orderBy("h") // grid is time-span-bounded, single partition is fine
+    val lags = Seq(1, 2, 3, 6, 12, 24)
+    val lagged = lags.foldLeft(grid) { (df, k) =>
+      df.withColumn(s"c_$k", lag("c", k).over(byTime))
+    }
+    val pairs = lags.map { k =>
+      lagged.where(col(s"c_$k").isNotNull)
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec(col("c"))).as("sx"), sum(dec(col(s"c_$k"))).as("sy"),
+          sum(dec(col("c")) * dec(col("c"))).as("sxx"),
+          sum(dec(col(s"c_$k")) * dec(col(s"c_$k"))).as("syy"),
+          sum(dec(col("c")) * dec(col(s"c_$k"))).as("sxy"))
+        .select(lit(k).as("lag_h"), col("n"),
+          roundTo((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+            .as("r"))
+    }
+    pairs.reduce(_ unionByName _).orderBy("lag_h")
+  }
+
+  /** k-anonymity audit of the quasi-identifier combination
+    * (mktsegment, nation, acctbal rounded to $1000) — the
+    * re-identification risk report a privacy review runs before data
+    * leaves the house: how many QI groups are smaller than k = 5, and
+    * what fraction of customers sit in them. One partial-aggregated
+    * group-by (state bounded by the QI domain) + one conditional
+    * rollup.
+    */
+  def customerKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val qi = Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("cast(floor(c_acctbal / 1000.0) as long)").as("bal_k"))
+      .groupBy("c_mktsegment", "c_nationkey", "bal_k")
+      .agg(count(lit(1)).as("g"))
+    qi.agg(
+      count(lit(1)).as("n_groups"),
+      count(when(col("g") < k, 1)).as("n_small_groups"),
+      sum("g").as("n_customers"),
+      sum(when(col("g") < k, col("g")).otherwise(lit(0L))).as("n_at_risk"))
+      .select(col("n_groups"), col("n_small_groups"), col("n_customers"),
+        col("n_at_risk"),
+        roundTo(col("n_at_risk").cast("double") / col("n_customers"), 4)
+          .as("at_risk_frac"))
+  }
+
+  /** Referential-integrity audit across the star schema's four foreign
+    * keys — the data-quality gate a warehouse load runs: orphan counts
+    * per relationship via LeftAnti against the (broadcast where small)
+    * parent key set. Each check is one scan + one anti join; the
+    * orders→customer / lineitem→{orders, part, supplier} edges cover
+    * every FK in the schema.
+    */
+  def tableFkCheck(spark: SparkSession, dir: String): DataFrame = {
+    def orphans(name: String, child: DataFrame, fk: String,
+                parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val p = parent.select(col(pk))
+      val pp = if (bcast) broadcast(p) else p
+      child.select(col(fk))
+        .join(pp, col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    Seq(
+      orphans("orders->customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey", bcast = true),
+      orphans("lineitem->orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey", bcast = false),
+      orphans("lineitem->part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey", bcast = true),
+      orphans("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey", bcast = true))
+      .reduce(_ unionByName _)
+      .orderBy("relationship")
+  }
+
   /** Stationary distribution of the user-journey Markov chain
     * ([[eventsMarkov]]'s matrix) by three power-iteration rounds in
     * EXACT fixed-point integers (the [[corpusTextrank]] discipline:
