@@ -2095,6 +2095,38 @@ object Oracles {
         |  (round((CAST(mx AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS max_v
         |FROM m ORDER BY dim""".stripMargin,
 
+    // distributed PCA: HUGEINT Gram/covariance re-derived from the
+    // data, 3 power-iteration rounds unrolled in the identical
+    // fixed-point integer arithmetic (trunc-toward-zero renorm).
+    "embedding_pca_power" -> {
+      def round(k: Int): String =
+        s"""W$k AS (SELECT C.d, sum(C.c * V${k - 1}.v) AS w FROM C JOIN V${k - 1} ON C.e = V${k - 1}.d GROUP BY 1),
+           |M$k AS (SELECT max(abs(w)) AS m FROM W$k),
+           |V$k AS (SELECT d, CASE WHEN w >= 0 THEN (w * 1000000) // m
+           |               ELSE -(((-w) * 1000000) // m) END AS v FROM W$k, M$k)""".stripMargin
+      s"""WITH E1 AS (SELECT embedding, unnest(range(1, 65)) AS d FROM embeddings),
+         |F AS (SELECT embedding, CAST(d - 1 AS INT) AS d,
+         |        CAST(floor(CAST(embedding[CAST(d AS INT)] AS DOUBLE) * 10000.0 + 0.5) AS HUGEINT) AS fd
+         |      FROM E1),
+         |E2 AS (SELECT d, fd, embedding, unnest(range(1, 65)) AS e FROM F),
+         |P AS (SELECT d, CAST(e - 1 AS INT) AS e,
+         |        fd * CAST(floor(CAST(embedding[CAST(e AS INT)] AS DOUBLE) * 10000.0 + 0.5) AS HUGEINT) AS p
+         |      FROM E2),
+         |G AS (SELECT d, e, sum(p) AS g FROM P GROUP BY 1, 2),
+         |S AS (SELECT d, sum(fd) AS s FROM F GROUP BY 1),
+         |N AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+         |C AS (SELECT G.d, G.e, n * G.g - sa.s * sb.s AS c
+         |      FROM G JOIN S sa ON G.d = sa.d JOIN S sb ON G.e = sb.d, N),
+         |V0 AS (SELECT CAST(dd - 1 AS INT) AS d, CAST(1000000 AS HUGEINT) AS v
+         |       FROM (SELECT unnest(range(1, 65)) AS dd)),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT d AS dim, CAST(v AS BIGINT) AS loading,
+         |  (round((CAST(v AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS loading_frac
+         |FROM V3 ORDER BY dim""".stripMargin
+    },
+
     // pairwise Pearson correlations from exact HUGEINT moments of
     // integer-fixed units; double arithmetic only in the final
     // expression, written identically to the Spark side.

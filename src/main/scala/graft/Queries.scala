@@ -2196,6 +2196,59 @@ object Queries {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Top principal direction of the embedding cloud by power iteration
+    * — distributed PCA with an EXACT-reproducible trajectory. The
+    * corpus-scale work is the relational Gram matrix: each row explodes
+    * to its dim² outer-product contributions MAP-SIDE (two stacked
+    * posexplodes, no self-join) and partial-aggregates to a 64×64
+    * integer moment table; the covariance C = n·G − S·Sᵀ is exact
+    * DECIMAL(38,0). Three power-iteration rounds then run on that
+    * BOUNDED artifact (4096 rows — driver-side BigInt, the
+    * centroids/codebook convention) in fixed-point integers with
+    * trunc-toward-zero renormalization, so the oracle unrolls the
+    * identical integer trajectory from its own covariance. Output:
+    * per-dim loading of the dominant eigenvector (1e-6 units).
+    */
+  def embeddingPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fix(c: Column): Column =
+      floor(c.cast("double") * lit(1e4) + lit(0.5)).cast("long")
+    val emb = Tables.embeddings(spark, dir)
+    val e1 = emb.select(col("embedding"), posexplode(col("embedding")).as(Seq("d", "xd")))
+      .select(col("embedding"), col("d"), fix(col("xd")).as("fd"))
+    val g = e1.select(col("d"), col("fd"), posexplode(col("embedding")).as(Seq("e", "xe")))
+      .select(col("d"), col("e"), (col("fd") * fix(col("xe"))).as("p"))
+      .groupBy("d", "e").agg(sum(dec(col("p"))).as("g"))
+    val s = e1.groupBy("d").agg(sum(dec(col("fd"))).as("s"))
+    val n = emb.count() // metadata-only pass on parquet
+    val cov = g
+      .join(broadcast(s.withColumnRenamed("d", "sd").withColumnRenamed("s", "s_d")),
+        col("d") === col("sd"))
+      .join(broadcast(s.withColumnRenamed("d", "se").withColumnRenamed("s", "s_e")),
+        col("e") === col("se"))
+      .select(col("d"), col("e"),
+        (lit(n).cast("decimal(38,0)") * col("g") - col("s_d") * col("s_e")).as("c"))
+    // bounded-artifact iteration: 4096 covariance cells, BigInt exact
+    val cells = cov.collect().map(r => ((r.getInt(0), r.getInt(1)),
+      BigInt(r.getDecimal(2).toBigInteger)))
+    val dim = 64
+    val cm = cells.toMap
+    var v = Array.fill(dim)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(dim) { d =>
+        (0 until dim).map(e => cm.getOrElse((d, e), BigInt(0)) * v(e)).sum
+      }
+      val m = w.map(_.abs).max
+      v = w.map(x => x * 1000000 / m) // BigInt / truncates toward zero
+    }
+    val sess = spark; import sess.implicits._
+    v.zipWithIndex.map { case (x, d) => (d, x.toLong) }.toSeq
+      .toDF("dim", "loading")
+      .select(col("dim"), col("loading"),
+        roundTo(col("loading").cast("double") / lit(1e6), 6).as("loading_frac"))
+      .orderBy("dim")
+  }
+
   /** Per-dimension profile of the embedding column — [[tableProfile]]
     * for vectors: n / mean / std / min / max per coordinate, the
     * artifact SQ8 bounds and normalization layers are fitted from. Each
