@@ -1533,6 +1533,44 @@ object Oracles {
         |SELECT prev_type, next_type, n, (round((n / n_from) * 10000.0) / 10000.0) AS p
         |FROM f ORDER BY prev_type, next_type""".stripMargin,
 
+    // ABC/Pareto supplier revenue concentration: exact 1e-4-unit longs,
+    // integer threshold comparisons, supplier-bounded window.
+    "orders_pareto" ->
+      """WITH r AS (SELECT l_suppkey,
+        |        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |          (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS rev
+        |      FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_suppkey, rev,
+        |        CAST(sum(rev) OVER (ORDER BY rev DESC, l_suppkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(rev) OVER () AS BIGINT) AS tot FROM r),
+        |cl AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |               WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc_class,
+        |         rev, tot FROM w)
+        |SELECT abc_class, count(*) AS n_suppliers,
+        |  ((CAST(sum(rev) AS BIGINT) + 50) // 100) / 100.0 AS revenue,
+        |  (round((CAST(sum(rev) AS DOUBLE) / max(tot)) * 10000.0) / 10000.0) AS share
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // inter-event gap percentiles: rank selection over the (type, gap)
+    // value distribution, the corpus_quantiles discipline.
+    "events_gap_stats" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |l AS (SELECT event_type,
+        |        (t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) // 1000000 AS gap_s
+        |      FROM x),
+        |c AS (SELECT event_type, gap_s, count(*) AS c FROM l
+        |      WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT event_type, gap_s,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+        |        sum(c) OVER (PARTITION BY event_type) AS n FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN gap_s END) AS p50_s,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN gap_s END) AS p90_s,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // lag-k autocorrelation over the dense hourly grid: HUGEINT
     // moments, doubles only in the final Pearson expression.
     "events_autocorr" -> {

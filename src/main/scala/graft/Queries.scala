@@ -1576,6 +1576,71 @@ object Queries {
       .orderBy("prev_type", "next_type")
   }
 
+  /** ABC / Pareto analysis of supplier revenue concentration (the
+    * 80/95 cumulative-share classification): the corpus-scale pass is
+    * ONE per-supplier revenue aggregation in exact 1e-4-dollar longs;
+    * the rank/cumsum window runs over the SUPPLIER dimension (bounded),
+    * class thresholds compare in integers (cum·100 ≤ tot·80), and the
+    * report is one partial-aggregated rollup per class.
+    */
+  def ordersPareto(spark: SparkSession, dir: String): DataFrame = {
+    val u4 = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
+    val rev = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), u4.as("u4"))
+      .groupBy("l_suppkey").agg(sum("u4").as("rev"))
+    val byRev = Window.orderBy(col("rev").desc, col("l_suppkey"))
+    rev
+      .withColumn("cum", sum("rev").over(
+        byRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // the grand total rides the SAME sorted supplier-bounded window —
+      // no second lineitem aggregation
+      .withColumn("tot", sum("rev").over(
+        byRev.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("abc_class",
+        when(col("cum") * 100 <= col("tot") * 80, "A")
+          .when(col("cum") * 100 <= col("tot") * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_suppliers"), sum("rev").as("rev_u4"),
+        max("tot").as("tot"))
+      .select(col("abc_class"), col("n_suppliers"),
+        (expr("(rev_u4 + 50) div 100") / 100.0).as("revenue"),
+        roundTo(col("rev_u4").cast("double") / col("tot"), 4).as("share"))
+      .orderBy("abc_class")
+  }
+
+  /** Inter-event gap percentiles per event type (engagement-cadence
+    * profile): gap = seconds since the user's previous event (one lag
+    * window on the user_id shuffle), then EXACT rank selection over the
+    * (type, gap) VALUE distribution — the [[corpusQuantiles]]
+    * discipline; the cumulative window spans distinct gap values,
+    * bounded by the time span in seconds, never a per-type sort of the
+    * event stream.
+    */
+  def eventsGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("prev_t", lag("t", 1).over(byUser))
+      .where(col("prev_t").isNotNull)
+      .select(col("event_type"), expr("(t - prev_t) div 1000000").as("gap_s"))
+    val counts = gaps.groupBy("event_type", "gap_s").agg(count(lit(1)).as("c"))
+    val byGap = Window.partitionBy("event_type").orderBy("gap_s")
+    val perType = Window.partitionBy("event_type")
+    def pos(q: Int): Column = expr(s"(n * $q + 99) div 100")
+    counts
+      .withColumn("cum", sum("c").over(byGap))
+      .withColumn("n", sum("c").over(perType))
+      .groupBy("event_type")
+      .agg(max("n").as("n_gaps"),
+        min(when(col("cum") >= pos(50), col("gap_s"))).as("p50_s"),
+        min(when(col("cum") >= pos(90), col("gap_s"))).as("p90_s"),
+        min(when(col("cum") >= pos(99), col("gap_s"))).as("p99_s"))
+      .orderBy("event_type")
+  }
+
   /** Lag-k autocorrelation of the hourly event-count series (k = 1, 2,
     * 3, 6, 12, 24) — the seasonality diagnostic behind forecasting and
     * anomaly baselines. The corpus-scale pass is ONE hourly count
