@@ -746,18 +746,32 @@ object Queries {
     val wc = Tables.documents(spark, dir)
       .select(explode(wordTokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-    val byMass = Window.orderBy(col("n").desc, col("word"))
-    val ranked = wc
-      .withColumn("r", row_number().over(byMass))
-      .withColumn("cum", sum("n").over(
-        byMass.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // counts-of-counts: words with equal frequency are interchangeable
+    // for token MASS, so the top-N mass needs only the (frequency →
+    // #words) distribution — the cumulative window spans distinct
+    // frequencies (O(√tokens) under any Zipf-ish law), never the
+    // vocabulary itself. Top-N mass = cum_mass at the first crossing
+    // row minus the excess words' mass at that row's frequency —
+    // provably equal to ranking word-by-word (the oracle keeps the
+    // word-rank formulation and the hash gate proves the equivalence).
+    val cc = wc.groupBy("n").agg(count(lit(1)).as("m"))
+      .withColumn("mass", col("n") * col("m"))
+    val byFreq = Window.orderBy(col("n").desc)
+    val cum = cc
+      .withColumn("cum_w", sum("m").over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_mass", sum("mass").over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def massTop(k: Int): Column = // mass of the k highest-frequency words
+      coalesce(
+        min(when(col("cum_w") >= k,
+          struct(col("cum_w"),
+            (col("cum_mass") - (col("cum_w") - k) * col("n")).as("mk"))))("mk"),
+        max("cum_mass"))
     def cov(k: Int): Column =
-      roundTo(max(when(col("r") <= k, col("cum"))).cast("double") / max("tot"), 6)
-        .as(s"cov_$k")
-    ranked
-      .crossJoin(broadcast(wc.agg(sum("n").as("tot"), count(lit(1)).as("n_vocab"))))
-      .agg(max("n_vocab").as("n_vocab"), max("tot").as("n_tokens"),
-        cov(1), cov(10), cov(100), cov(1000))
+      roundTo(massTop(k).cast("double") / max("cum_mass"), 6).as(s"cov_$k")
+    cum.agg(max("cum_w").as("n_vocab"), max("cum_mass").as("n_tokens"),
+      cov(1), cov(10), cov(100), cov(1000))
   }
 
   /** Triangle count + global clustering coefficient of the near-dup
