@@ -1666,9 +1666,12 @@ object Queries {
     */
   def eventsAutocorr(spark: SparkSession, dir: String): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // the grid is time-span-bounded — checkpoint it so the bounds agg
+    // and the spine join read the tiny table, not a second events scan
     val hourly = Tables.events(spark, dir)
       .select(expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("h"))
       .groupBy("h").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val bounds = hourly.agg(min("h").as("h0"), max("h").as("h1"))
     val spine = bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))
     val grid = spine.join(hourly, Seq("h"), "left")
@@ -2704,7 +2707,11 @@ object Queries {
     val ev = Tables.events(spark, dir)
       .where(col("event_type").isin("view", "purchase"))
       .select(col("event_type").as("s"), col("user_id").cast("string").as("item"))
-    val regs = operators.Sketch.hllRegisters(ev, "s", col("item"))
+    // materialize the ≤ 512-row register state once (localCheckpoint)
+    // so the per-set estimate AND the union max-merge read the same
+    // tiny table instead of re-scanning events per leg — in production
+    // this IS the persisted sketch table
+    val regs = operators.Sketch.hllRegisters(ev, "s", col("item")).localCheckpoint()
     val union = regs.groupBy("reg").agg(max("mj").as("mj"))
       .select(lit("union").as("s"), col("reg"), col("mj"))
     val est = operators.Sketch.hllEstimate(regs.unionByName(union), "s")
