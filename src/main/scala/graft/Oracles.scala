@@ -714,6 +714,17 @@ object Oracles {
       s"""WITH $minhashCtes
          |SELECT a_id, b_id, (round((e) * 10000.0) / 10000.0) AS est_sim FROM est WHERE e >= 0.25 ORDER BY a_id, b_id""".stripMargin,
 
+    // dedup threshold curve: conditional counts over the same minhash
+    // pair legs; cuts compare the ROUNDED estimate like the Spark side
+    // (1/32-multiple estimates never knife-edge the 0.4/0.6/0.8 cuts).
+    "dedup_threshold_curve" ->
+      s"""WITH $minhashCtes
+         |SELECT count(*) FILTER (WHERE e >= 0.25) AS n_025,
+         |  count(*) FILTER (WHERE e >= 0.25 AND (round((e) * 10000.0) / 10000.0) >= 0.4) AS n_040,
+         |  count(*) FILTER (WHERE e >= 0.25 AND (round((e) * 10000.0) / 10000.0) >= 0.6) AS n_060,
+         |  count(*) FILTER (WHERE e >= 0.25 AND (round((e) * 10000.0) / 10000.0) >= 0.8) AS n_080
+         |FROM est""".stripMargin,
+
     // near-dup pairs rolled up by unordered source pair (least/greatest
     // canonicalization) — same minhash legs as dedup_minhash.
     "dedup_cross_source" ->
@@ -1532,6 +1543,31 @@ object Oracles {
         |        sum(n) OVER (PARTITION BY prev_type) AS n_from FROM c)
         |SELECT prev_type, next_type, n, (round((n / n_from) * 10000.0) / 10000.0) AS p
         |FROM f ORDER BY prev_type, next_type""".stripMargin,
+
+    // new vs returning: first-seen day per user, per-day conditional
+    // counts on integer epoch days.
+    "events_new_vs_returning" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+        |SELECT day,
+        |  count(*) FILTER (WHERE day = first_day) AS n_new,
+        |  count(*) FILTER (WHERE day <> first_day) AS n_returning
+        |FROM ud JOIN f USING (user_id) GROUP BY day ORDER BY day""".stripMargin,
+
+    // month-over-month growth: exact-long monthly revenue, lag over the
+    // bounded month grid, one double division.
+    "lineitem_monthly_growth" ->
+      """WITH m AS (SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS month,
+        |        CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) *
+        |          (100 - CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS rev_u4
+        |      FROM lineitem GROUP BY 1),
+        |l AS (SELECT month, rev_u4, lag(rev_u4) OVER (ORDER BY month) AS prev_u4 FROM m)
+        |SELECT month, ((rev_u4 + 50) // 100) / 100.0 AS revenue,
+        |  CASE WHEN prev_u4 IS NOT NULL THEN
+        |    (round((CAST(rev_u4 - prev_u4 AS DOUBLE) * 100.0 / prev_u4) * 10000.0) / 10000.0)
+        |  END AS growth_pct
+        |FROM l ORDER BY month""".stripMargin,
 
     // ABC/Pareto supplier revenue concentration: exact 1e-4-unit longs,
     // integer threshold comparisons, supplier-bounded window.

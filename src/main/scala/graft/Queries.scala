@@ -1624,6 +1624,64 @@ object Queries {
       .orderBy("abc_class")
   }
 
+  /** Daily new-vs-returning user split (the standard growth-accounting
+    * report): a user's first-seen day comes from one user-keyed min
+    * aggregation; each active (user, day) then classifies map-side
+    * against it (same user_id shuffle family), and the report is a
+    * per-day conditional count — integer day math throughout.
+    */
+  def eventsNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .distinct()
+    val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+    ud.join(first, "user_id")
+      .groupBy("day")
+      .agg(
+        count(when(col("day") === col("first_day"), 1)).as("n_new"),
+        count(when(col("day") =!= col("first_day"), 1)).as("n_returning"))
+      .orderBy("day")
+  }
+
+  /** Month-over-month revenue growth: monthly revenue in exact
+    * 1e-4-dollar longs (ONE corpus-scale aggregation; the month grid is
+    * time-span-bounded), lag window over the grid, growth = one double
+    * division of exact longs.
+    */
+  def lineitemMonthlyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val u4 = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
+    val monthly = Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"), u4.as("u4"))
+      .groupBy("month").agg(sum("u4").as("rev_u4"))
+    val byMonth = Window.orderBy("month") // month grid: span-bounded
+    monthly
+      .withColumn("prev_u4", lag("rev_u4", 1).over(byMonth))
+      .select(col("month"),
+        (expr("(rev_u4 + 50) div 100") / 100.0).as("revenue"),
+        when(col("prev_u4").isNotNull,
+          roundTo((col("rev_u4") - col("prev_u4")).cast("double") * 100.0 /
+            col("prev_u4"), 4)).as("growth_pct"))
+      .orderBy("month")
+  }
+
+  /** The dedup threshold tuning curve: candidate-pair volume at
+    * similarity cuts 0.25 / 0.4 / 0.6 / 0.8 from ONE minhash pass —
+    * what the 0.25-threshold pair table already contains, rolled into
+    * the knob-sweep artifact (the dedup twin of the nprobe / radius /
+    * rerank curves). Zero extra corpus work beyond [[dedupMinhash]].
+    */
+  def dedupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashPairs(Tables.documents(spark, dir),
+      "doc_id", "text", minEst = 0.25)
+    pairs.agg(
+      count(lit(1)).as("n_025"),
+      count(when(col("est_sim") >= 0.4, 1)).as("n_040"),
+      count(when(col("est_sim") >= 0.6, 1)).as("n_060"),
+      count(when(col("est_sim") >= 0.8, 1)).as("n_080"))
+  }
+
   /** Inter-event gap percentiles per event type (engagement-cadence
     * profile): gap = seconds since the user's previous event (one lag
     * window on the user_id shuffle), then EXACT rank selection over the
