@@ -53,13 +53,22 @@ object Bench {
     val ok = merged.collect { case (k, Right(t)) => k -> t }
     val errs = merged.collect { case (k, Left(e)) => k -> e }
     def f(v: Double): String = "%.4f".format(v)
-    val es = errs.toSeq.sortBy(_._1).map { case (k, e) => s"\"" + k + "\":\"" + e + "\"" }
+    // Proper JSON string escape (the timeAll sanitize already strips
+    // specials, but the artifact must stay valid JSON regardless of what
+    // a future exception message contains).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => " "
+      case c            => c.toString
+    } + "\""
+    val es = errs.toSeq.sortBy(_._1).map { case (k, e) => jstr(k) + ":" + jstr(e) }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     // FULL artifact (every query, 4dp) goes to a file: the driver's
     // stdout capture keeps only the last ~2000 chars, which a
     // 125-query map overflows (BENCH_r03/r04 both recorded parsed:null).
-    val qsFull = ok.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qsFull = ok.toSeq.sortBy(_._1).map { case (k, v) => jstr(k) + ":" + f(v) }
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"queries":$qsFull,"errors":$es,"n_errors":${errs.size},"sf":"$sfDir"}"""
@@ -67,20 +76,31 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    // stdout gets ONE parse-safe line hard-budgeted to fit entirely
-    // inside that 2000-char tail (sbt appends ~100 chars after us):
-    // summary + as many SLOWEST-first per-query entries as fit.
-    val budget = 1700
+    // stdout gets ONE parse-safe line as the FINAL line, after a sentinel.
+    // Hard budget 1200 chars so the whole line survives inside the
+    // driver's ~2000-char tail even with sbt's trailer and stray WARN
+    // noise; error entries share the same budget (each truncated).
+    // build.sbt routes forked-run stdout RAW (no "[info] " prefix), so
+    // this line IS valid JSON as captured.
+    val budget = 1200
     val slowFirst = ok.toSeq.sortBy { case (k, v) => (-v, k) }
     val head = new StringBuilder(
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":"$sfDir","n_queries":${ok.size},"n_errors":${errs.size},"full":"$outFile","errors":$es,"queries":{""")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","sf":${jstr(sfDir)},"n_queries":${ok.size},"n_errors":${errs.size},"full":${jstr(outFile)},"errors":{""")
+    var ne = 0
+    errs.toSeq.sortBy(_._1).foreach { case (k, e) =>
+      val entry = (if (ne > 0) "," else "") + jstr(k) + ":" + jstr(e.take(80))
+      if (head.length + entry.length + 60 <= budget) { head.append(entry); ne += 1 }
+    }
+    val errOmitted = errs.size - ne
+    head.append(s"""},"queries":{""")
     var n = 0
     slowFirst.foreach { case (k, v) =>
-      val entry = (if (n > 0) "," else "") + "\"" + k + "\":" + f(v)
-      // +N for the closing `},"omitted":NNN}`
-      if (head.length + entry.length + 20 <= budget) { head.append(entry); n += 1 }
+      val entry = (if (n > 0) "," else "") + jstr(k) + ":" + f(v)
+      // +60 covers the closing `},"omitted":NNN,"errors_omitted":NNN}`
+      if (head.length + entry.length + 60 <= budget) { head.append(entry); n += 1 }
     }
-    head.append(s"""},"omitted":${ok.size - n}}""")
+    head.append(s"""},"omitted":${ok.size - n},"errors_omitted":$errOmitted}""")
+    println("GRAFT_BENCH_JSON")
     println(head.toString)
     spark.stop()
     if (errs.nonEmpty) sys.exit(1)

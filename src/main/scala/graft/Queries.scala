@@ -2338,48 +2338,36 @@ object Queries {
 
   /** Top principal direction of the embedding cloud by power iteration
     * — distributed PCA with an EXACT-reproducible trajectory. The
-    * corpus-scale work is the relational Gram matrix: each row explodes
-    * to its dim² outer-product contributions MAP-SIDE (two stacked
-    * posexplodes, no self-join) and partial-aggregates to a 64×64
-    * integer moment table; the covariance C = n·G − S·Sᵀ is exact
-    * DECIMAL(38,0). Three power-iteration rounds then run on that
-    * BOUNDED artifact (4096 rows — driver-side BigInt, the
-    * centroids/codebook convention) in fixed-point integers with
+    * corpus-scale work is ONE [[graft.operators.GramMoments]] pass: each
+    * row does its dim² fixed-point multiply-adds inside the aggregate
+    * buffer (no dim² row explode — the row-generation CPU of the
+    * relational formulation was ~64× this), and the shuffle is a single
+    * dim²+dim+1 long buffer per partition. The covariance C = n·G − S·Sᵀ
+    * is then formed driver-side in exact BigInt on that BOUNDED artifact
+    * (4096 cells — the centroids/codebook convention), and three
+    * power-iteration rounds run in fixed-point integers with
     * trunc-toward-zero renormalization, so the oracle unrolls the
     * identical integer trajectory from its own covariance. Output:
     * per-dim loading of the dominant eigenvector (1e-6 units).
     */
   def embeddingPcaPower(spark: SparkSession, dir: String): DataFrame = {
-    def dec(c: Column): Column = c.cast("decimal(38,0)")
-    def fix(c: Column): Column =
-      floor(c.cast("double") * lit(1e4) + lit(0.5)).cast("long")
-    val emb = Tables.embeddings(spark, dir)
-    val e1 = emb.select(col("embedding"), posexplode(col("embedding")).as(Seq("d", "xd")))
-      .select(col("embedding"), col("d"), fix(col("xd")).as("fd"))
-    val g = e1.select(col("d"), col("fd"), posexplode(col("embedding")).as(Seq("e", "xe")))
-      .select(col("d"), col("e"), (col("fd") * fix(col("xe"))).as("p"))
-      .groupBy("d", "e").agg(sum(dec(col("p"))).as("g"))
-    val s = e1.groupBy("d").agg(sum(dec(col("fd"))).as("s"))
-    val n = emb.count() // metadata-only pass on parquet
-    val cov = g
-      .join(broadcast(s.withColumnRenamed("d", "sd").withColumnRenamed("s", "s_d")),
-        col("d") === col("sd"))
-      .join(broadcast(s.withColumnRenamed("d", "se").withColumnRenamed("s", "s_e")),
-        col("e") === col("se"))
-      .select(col("d"), col("e"),
-        (lit(n).cast("decimal(38,0)") * col("g") - col("s_d") * col("s_e")).as("c"))
-    // bounded-artifact iteration: 4096 covariance cells, BigInt exact
-    val cells = cov.collect().map(r => ((r.getInt(0), r.getInt(1)),
-      BigInt(r.getDecimal(2).toBigInteger)))
     val dim = 64
-    val cm = cells.toMap
+    val emb = Tables.embeddings(spark, dir)
+    val gram = udaf(new operators.GramMoments(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val m = emb.agg(gram(col("embedding")).as("m")).head.getSeq[Long](0)
+    val n = BigInt(m(dim * dim + dim))
+    def sD(d: Int) = BigInt(m(dim * dim + d))
+    // covariance cells in exact BigInt: n·G − S·Sᵀ
+    val cm = (for (d <- 0 until dim; e <- 0 until dim)
+      yield (d, e) -> (n * BigInt(m(d * dim + e)) - sD(d) * sD(e))).toMap
     var v = Array.fill(dim)(BigInt(1000000))
     for (_ <- 1 to 3) {
       val w = Array.tabulate(dim) { d =>
         (0 until dim).map(e => cm.getOrElse((d, e), BigInt(0)) * v(e)).sum
       }
-      val m = w.map(_.abs).max
-      v = w.map(x => x * 1000000 / m) // BigInt / truncates toward zero
+      val mx = w.map(_.abs).max
+      v = w.map(x => x * 1000000 / mx) // BigInt / truncates toward zero
     }
     val sess = spark; import sess.implicits._
     v.zipWithIndex.map { case (x, d) => (d, x.toLong) }.toSeq
@@ -2404,11 +2392,15 @@ object Queries {
     * KMeans fit, next to [[vectorCentroidDist]]'s separation
     * diagnostics: a(i) = distance to own centroid, b(i) = distance to
     * the nearest OTHER centroid, s = (b−a)/max(a,b). One broadcast of
-    * the K-row centroid table, a bounded per-point window (exactly K
-    * rows per partition at any corpus size) picks the two nearest
-    * centroids, and each s fixes to a 1e-6 integer before the
-    * per-cluster mean so the aggregation is order-independent. The
-    * oracle re-derives everything from the spliced centroid literals.
+    * the K-row centroid table, then the two nearest centroids per point
+    * come from a [[graft.operators.TopKNeighbors]] bounded-heap partial
+    * aggregation — the K per-point candidate rows are co-located by
+    * construction, so the heap collapses them MAP-SIDE and the shuffle
+    * carries one 2-entry buffer per point instead of the 16×-inflated
+    * row set a window row_number would sort. Each s fixes to a 1e-6
+    * integer before the per-cluster mean so the aggregation is
+    * order-independent. The oracle re-derives everything from the
+    * spliced centroid literals.
     */
   def vectorSilhouette(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -2419,14 +2411,16 @@ object Queries {
     val d = emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cid"),
         vecL2Sq(col("embedding"), col("cv")).as("d2"))
-    val byPoint = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    val two = d.withColumn("rn", row_number().over(byPoint)).where(col("rn") <= 2)
-    val per = two.groupBy("vec_id")
-      .agg(min(struct(col("rn"), col("cid"), col("d2"))).as("r1"),
-        max(struct(col("rn"), col("cid"), col("d2"))).as("r2"))
-    val a = sqrt(col("r1.d2")); val b = sqrt(col("r2.d2"))
+    // bounded heap keeps (dist, id)-min 2 per point; same tie-break as
+    // the oracle's ORDER BY d2, cid
+    val top2 = udaf(new operators.TopKNeighbors(2),
+      org.apache.spark.sql.Encoders.product[operators.Neighbor])
+    val per = d.groupBy("vec_id")
+      .agg(top2(col("cid").cast("long"), col("d2")).as("nn"))
+    val a = sqrt(element_at(col("nn"), 1).getField("dist"))
+    val b = sqrt(element_at(col("nn"), 2).getField("dist"))
     per
-      .select(col("r1.cid").as("cid"),
+      .select(element_at(col("nn"), 1).getField("id").cast("int").as("cid"),
         when(a === b, lit(0L))
           .otherwise(floor((b - a) / greatest(a, b) * lit(1e6) + lit(0.5)).cast("long"))
           .as("s6"))

@@ -654,9 +654,12 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("cpos"))
       .distinct()
+    // both sides descend from `toks` — alias explicitly so the equi-keys
+    // resolve by name, not by Spark's positional self-join fallback
     val tokPos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("tpos", "tok")))
-    val kept = tokPos.join(covered,
-        tokPos("doc_id") === covered("doc_id") && col("tpos") === col("cpos"), "left_anti")
+    val kept = tokPos.as("tp").join(covered.as("cv"),
+        col("tp.doc_id") === col("cv.doc_id") && col("tp.tpos") === col("cv.cpos"),
+        "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok_kept"),
         concat_ws(" ", transform(

@@ -85,11 +85,18 @@ object Knn {
         roundTo(if (flip) -col("score") else col("score"), 4).as("value"))
   }
 
-  /** Batch k-NN: top-k per query row, queries broadcast against the base.
+  /** Batch k-NN: top-k per query row against the full base table.
     *
-    * The broadcast hash join keeps the base table partition-local; the
-    * TopKNeighbors aggregator then partially aggregates per partition, so
-    * the only shuffle is O(#queries × k) buffered heaps.
+    * The query set is treated as corpus-proportional (in the serving flow
+    * it IS a slice of the corpus), so it is NEVER broadcast — a broadcast
+    * that grows linearly with the data OOMs the driver at 100× scale.
+    * Instead the base hashes into `salts` groups and each query row
+    * replicates into every group: a plain shuffle equi-join on the salt
+    * key spreads the O(|base| × |queries|) distance work over
+    * salts × partitions, and the [[TopKNeighbors]] partial agg merges the
+    * per-salt heaps so the post-join shuffle stays O(#queries × k).
+    * Replication cost is O(|queries| × salts) narrow rows — bounded and
+    * chosen by the caller, unlike a broadcast which is unbounded.
     */
   def searchBatch(
       base: DataFrame,
@@ -99,15 +106,27 @@ object Knn {
       queryId: String,
       queryVec: String,
       k: Int,
-      metric: String): DataFrame = {
-    val spark = base.sparkSession
+      metric: String,
+      salts: Int = 32): DataFrame = {
     val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
 
-    val scored = base.crossJoin(broadcast(queries))
+    // explicit repartition pins HashPartitioning(salt, salts) on both
+    // sides: pre-join rows are narrow, so AQE would coalesce the exchange
+    // and collapse the quadratic work onto a few tasks.
+    val left = queries
+      .select(col(queryId).as("q_id"), col(queryVec).as("q_vec"))
+      .withColumn("salt", explode(typedLit((0 until salts).toArray)))
+      .repartition(salts, col("salt"))
+    val right = base
+      .select(col(baseId).as("id"), col(baseVec).as("b_vec"))
+      .withColumn("salt", pmod(hash(col("id")), lit(salts)))
+      .repartition(salts, col("salt"))
+
+    val scored = left.join(right, Seq("salt"))
       .select(
-        col(queryId).as("q_id"),
-        col(baseId).as("id"),
-        score(metric, col(baseVec), col(queryVec)).as("dist"))
+        col("q_id"),
+        col("id"),
+        score(metric, col("b_vec"), col("q_vec")).as("dist"))
 
     val flip = metric == "ip" || metric == "cosine"
     scored
@@ -179,7 +198,12 @@ object Knn {
       col(queryId).as("q_id"), col(queryVec).as("q_vec"),
       explode(nearestCentroids(col(queryVec), centroids, nprobe)).as("cluster"))
 
-    val scored = clustered.join(broadcast(probed), "cluster")
+    // co-partitioned shuffle equi-join on cluster id, same shape as
+    // [[knnJoinIvf]]: both sides are corpus-proportional, so neither is
+    // ever broadcast-hinted (AQE may still pick a broadcast from RUNTIME
+    // sizes at small SF — a size-based decision that reverses itself at
+    // scale, unlike a forced hint).
+    val scored = clustered.join(probed, "cluster")
       .select(
         col("q_id"),
         col(baseId).as("id"),

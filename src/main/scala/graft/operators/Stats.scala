@@ -45,6 +45,56 @@ class TopKStrat(k: Int) extends Aggregator[StratRow, Seq[StratRow], Seq[StratRow
   * like DuckDB's int128 sums), making the decision boundary itself
   * exact: no epsilon, no flaky boundary rows at any cluster size.
   */
+/** One-pass Gram/sum/count moment accumulator over an embedding column —
+  * the state behind exact distributed PCA: a dim×dim integer Gram matrix
+  * (inputs fixed to 1e-4 units), the per-dim fixed sums, and the row
+  * count, all in a single flat Array[Long] buffer. Each input row does
+  * its dim² multiply-adds INSIDE the aggregate buffer (no dim² row
+  * explode, no shuffle beyond one buffer per partition); the shuffled
+  * state is dim²+dim+1 longs regardless of corpus size.
+  *
+  * Overflow discipline: |fixed| ≤ 1e4 for unit-range embeddings ⇒ each
+  * Gram cell grows ≤ 1e8 per row, so Long holds ~9×10^10 rows; add/
+  * multiplyExact makes the bound a loud failure, and past it the state
+  * widens to decimal — never a silent wrap.
+  */
+class GramMoments(dim: Int) extends Aggregator[Seq[Float], Array[Long], Array[Long]] {
+  // layout: [0, dim²) gram row-major, [dim², dim²+dim) sums, last = n
+  override def zero: Array[Long] = new Array[Long](dim * dim + dim + 1)
+
+  override def reduce(b: Array[Long], x: Seq[Float]): Array[Long] = {
+    val f = new Array[Long](dim)
+    var i = 0
+    while (i < dim) { f(i) = math.floor(x(i) * 1e4 + 0.5).toLong; i += 1 }
+    var d = 0
+    while (d < dim) {
+      val fd = f(d); val off = d * dim
+      var e = 0
+      while (e < dim) {
+        b(off + e) = Math.addExact(b(off + e), Math.multiplyExact(fd, f(e)))
+        e += 1
+      }
+      b(dim * dim + d) = Math.addExact(b(dim * dim + d), fd)
+      d += 1
+    }
+    b(dim * dim + dim) += 1
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) = Math.addExact(a(i), b(i)); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
 object Stats {
 
   /** Per-key k-sigma outliers with a fully integer decision rule.

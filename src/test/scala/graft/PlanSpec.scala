@@ -343,6 +343,60 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  /** Plan the query as a 100 TB cluster would: with the size-based
+    * broadcast threshold off, any BroadcastExchange left in the plan is a
+    * FORCED broadcast that would still fire when the side is huge.
+    */
+  private def planAtScale(df: => DataFrame)(check: DataFrame => Unit): Unit = {
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      check(df)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  private def assertNoForcedBroadcast(df: DataFrame, name: String): Unit = {
+    val hinted = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hinted.isEmpty,
+      s"$name: no broadcast() hint may touch a corpus-derived side: $hinted")
+  }
+
+  test("knn_batch: corpus-derived query leg never broadcast; salted shuffle equi-join") {
+    planAtScale(Queries.knnBatch(spark, sf001)) { df =>
+      assertNoForcedBroadcast(df, "knn_batch")
+      val p = plan(df)
+      assert(!p.contains("BroadcastExchange"),
+        s"at scale the batch search must be a shuffle join, never a broadcast:\n$p")
+      assert("hashpartitioning\\(salt".r.findFirstIn(p).nonEmpty,
+        s"the quadratic distance work must spread over the pinned salt partitioning:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"per-query top-k must be partial+final bounded heaps:\n$p")
+    }
+  }
+
+  test("knn_batch_ivf: co-partitioned equi-join on cluster, no broadcast of the query leg") {
+    planAtScale(Queries.knnBatchIvf(spark, sf001)) { df =>
+      assertNoForcedBroadcast(df, "knn_batch_ivf")
+      val p = plan(df)
+      assert(!p.contains("BroadcastExchange"),
+        s"at scale the IVF batch path must shuffle on cluster, never broadcast:\n$p")
+      assert("hashpartitioning\\(cluster".r.findFirstIn(p).nonEmpty,
+        s"both sides must co-partition on the cluster id:\n$p")
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+        s"per-query top-k must be partial+final bounded heaps:\n$p")
+    }
+  }
+
+  test("vector_silhouette: two-nearest is a bounded-heap partial agg, never a Window") {
+    val p = plan(Queries.vectorSilhouette(spark, sf001))
+    assert(!p.contains(") Window"),
+      s"a row_number window would 16×-inflate the shuffle on a unique key:\n$p")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"per-point two-nearest must be partial+final bounded heaps:\n$p")
+  }
+
   test("vector_stats: moments partial-aggregate above the posexplode") {
     val p = plan(Queries.vectorStats(spark, sf001))
     assert(p.contains("Generate"), s"expected posexplode:\n$p")
