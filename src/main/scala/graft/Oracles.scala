@@ -1649,13 +1649,17 @@ object Oracles {
     "table_fk_check" ->
       """SELECT * FROM (
         |  SELECT 'orders->customer' AS relationship, count(*) AS n_orphans
-        |    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |    FROM orders WHERE o_custkey IS NOT NULL
+        |     AND o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
         |  UNION ALL SELECT 'lineitem->orders', count(*)
-        |    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |    FROM lineitem WHERE l_orderkey IS NOT NULL
+        |     AND l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
         |  UNION ALL SELECT 'lineitem->part', count(*)
-        |    FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+        |    FROM lineitem WHERE l_partkey IS NOT NULL
+        |     AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
         |  UNION ALL SELECT 'lineitem->supplier', count(*)
-        |    FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+        |    FROM lineitem WHERE l_suppkey IS NOT NULL
+        |     AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL)
         |) ORDER BY relationship""".stripMargin,
 
     // stationary distribution: the identical integer fixed-point

@@ -464,6 +464,8 @@ object Queries {
       .select(col("doc_id"), col("n_chars"), key.as("es_key"))
       .orderBy(col("es_key"), col("doc_id"))
       .limit(50)
+      // cardinality bound: global window runs over the 50 post-limit
+      // survivors only (TakeOrdered cut), never the corpus
       .withColumn("pick", row_number().over(Window.orderBy(col("es_key"), col("doc_id"))))
       .select(col("pick"), col("doc_id"), col("n_chars"),
         roundTo(col("es_key"), 9).as("es_key"))
@@ -756,6 +758,9 @@ object Queries {
     // word-rank formulation and the hash gate proves the equivalence).
     val cc = wc.groupBy("n").agg(count(lit(1)).as("m"))
       .withColumn("mass", col("n") * col("m"))
+    // cardinality bound: the window input is the counts-of-counts table
+    // — one row per DISTINCT frequency, O(√total-tokens) at any corpus
+    // size (heavy-tail identity), never the vocab or the corpus
     val byFreq = Window.orderBy(col("n").desc)
     val cum = cc
       .withColumn("cum_w", sum("m").over(
@@ -1603,6 +1608,8 @@ object Queries {
     val rev = Tables.lineitem(spark, dir)
       .select(col("l_suppkey"), u4.as("u4"))
       .groupBy("l_suppkey").agg(sum("u4").as("rev"))
+    // cardinality bound: window input is one row per supplier (dimension
+    // table cardinality, post-agg), never lineitem rows
     val byRev = Window.orderBy(col("rev").desc, col("l_suppkey"))
     rev
       .withColumn("cum", sum("rev").over(
@@ -1794,7 +1801,12 @@ object Queries {
                 parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
       val p = parent.select(col(pk))
       val pp = if (bcast) broadcast(p) else p
+      // NULL FKs are pinned non-orphans on BOTH sides: left_anti would
+      // count them while the oracle's NOT IN silently drops every row
+      // once any parent key is NULL — make the semantics explicit here
+      // and in the oracle (fk IS NOT NULL AND fk NOT IN (...)).
       child.select(col(fk))
+        .where(col(fk).isNotNull)
         .join(pp, col(fk) === col(pk), "left_anti")
         .agg(count(lit(1)).as("n_orphans"))
         .select(lit(name).as("relationship"), col("n_orphans"))

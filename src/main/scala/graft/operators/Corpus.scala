@@ -51,6 +51,7 @@ object Corpus {
       .agg(sum("tf").as("n"), count(lit(1)).as("n_docs"))
       .orderBy(col("n").desc, col("word"))
       .limit(k)
+      // cardinality bound: window runs over the k post-limit rows only
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("word"))))
       .select("rank", "word", "n", "n_docs")
       .orderBy("rank")
@@ -211,11 +212,16 @@ object Corpus {
     */
   def textrank(docs: DataFrame, textCol: String, iters: Int = 3, k: Int = 20): DataFrame = {
     require(iters >= 1 && k >= 1)
+    // Persist the RAW bigram counts: everything downstream (out-degree,
+    // edge table, node set) derives from this vocab²-bounded table, so
+    // the corpus-scale tokenize+shingle pass runs exactly ONCE — without
+    // this persist it re-runs for each derivation (it did: 3 scans).
     val edges0 = docs
       .select(explode(wordShingleStrings(wordTokens(col(textCol)), 2)).as("gm"))
       .select(substring_index(col("gm"), " ", 1).as("u"),
         substring_index(col("gm"), " ", -1).as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val outW = edges0.groupBy("u").agg(sum("c12").as("c1"))
     val edges = edges0.join(outW, "u")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -237,10 +243,11 @@ object Corpus {
         .select(col("node"), (lit(150000000L) + coalesce(col("in_m"), lit(0L))).as("pr"))
     }
     val out = pr.orderBy(col("pr").desc, col("node")).limit(k)
+      // cardinality bound: window runs over the k post-limit rows only
       .withColumn("rank", row_number().over(Window.orderBy(col("pr").desc, col("node"))))
       .select(col("rank"), col("node").as("word"), col("pr"))
       .localCheckpoint(true)
-    edges.unpersist(); nodes.unpersist()
+    edges.unpersist(); nodes.unpersist(); edges0.unpersist()
     out
   }
 

@@ -57,12 +57,18 @@ object GraftExtensions {
 
   private def entry(name: String, usage: String)(
       builder: Seq[Expression] => Expression)
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    // 2-arg ExpressionInfo (className, name): the richer constructors
-    // validate `source` against a fixed set that excludes libraries
-    (FunctionIdentifier(name),
-      new ExpressionInfo(s"graft.functions ($usage)", name),
-      builder)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = {
+    // 2-arg ExpressionInfo (className, name): the richer usage-bearing
+    // constructors validate `source` against a fixed set that excludes
+    // libraries, so DESCRIBE FUNCTION gets the REAL expression class
+    // (probed by building against no-op args) and the usage string stays
+    // here as call-site documentation only.
+    val clazz = (1 to 3).view.flatMap { n =>
+      try Some(builder(Seq.fill(n)(Literal(1))).getClass.getName)
+      catch { case _: Throwable => None }
+    }.headOption.getOrElse("graft.functions")
+    (FunctionIdentifier(name), new ExpressionInfo(clazz, name), builder)
+  }
 
   /** (identifier, info, builder) triples — one per kernel. */
   val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

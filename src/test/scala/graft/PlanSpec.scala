@@ -397,6 +397,40 @@ class PlanSpec extends SparkSpec {
       s"per-point two-nearest must be partial+final bounded heaps:\n$p")
   }
 
+  test("global windows: every single-partition exchange sits above a bounding operator") {
+    // A Window.orderBy with no partitionBy (and any global sort that is
+    // not the presentation orderBy) compiles to an Exchange to
+    // SinglePartition. Each such exchange in the inventory is bounded
+    // today — fed by an aggregation (dimension-bounded) or a limit
+    // (post-TakeOrdered) — and this guard pins that: a future edit that
+    // slides a global window under the bound collapses the corpus onto
+    // one task and goes red here, not slow on a cluster.
+    import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec, GlobalLimitExec, LocalLimitExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def bounded(p: SparkPlan): Boolean = p match {
+        case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
+        case _: TakeOrderedAndProjectExec | _: GlobalLimitExec | _: LocalLimitExec    => true
+        case leaf if leaf.children.isEmpty => false
+        case other => other.children.forall(bounded)
+      }
+      for ((name, fn) <- SparkEntry.queries) {
+        val plan = fn(spark, sf001).queryExecution.executedPlan
+        plan.foreach {
+          case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+            assert(bounded(e.child),
+              s"$name: single-partition exchange over an UNBOUNDED input — a global " +
+              s"window/sort here collapses the corpus onto one task:\n${e.child}")
+          case _ => ()
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("vector_stats: moments partial-aggregate above the posexplode") {
     val p = plan(Queries.vectorStats(spark, sf001))
     assert(p.contains("Generate"), s"expected posexplode:\n$p")

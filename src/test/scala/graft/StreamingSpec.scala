@@ -56,7 +56,10 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
-      .sortBy(r => (r._3.getTime, r._2)) // time-ordered replay
+      // time-ordered replay on the SAME microsecond key the batch state
+      // machine sorts by — millisecond getTime alone could reorder two
+      // sub-millisecond-separated events across the micro-batch split
+      .sortBy(r => (r._3.getTime / 1000 * 1000000 + r._3.getNanos / 1000, r._2))
     val (first, second) = rows.splitAt(rows.length / 2)
 
     val stream = MemoryStream[(Long, Long, Timestamp, String)]
