@@ -12,13 +12,14 @@ Usage: python3 scripts/check.py [sfdir] [--skip-verify] [only_query ...]
 import json, math, subprocess, sys, os, glob
 
 SF = "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify"
 args = [a for a in sys.argv[1:]]
 skip = "--skip-verify" in args
 args = [a for a in args if a != "--skip-verify"]
 if args and os.path.isdir(args[0]):
     SF = args[0]; args = args[1:]
 only = set(args)
+# per-SF dump dir: concurrent checks at different SFs must not race
+OUT = f"/tmp/graft_verify_{os.path.basename(SF.rstrip('/'))}"
 
 if not skip:
     r = subprocess.run(

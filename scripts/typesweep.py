@@ -20,7 +20,6 @@ import json
 import os
 import sys
 
-OUT = "/tmp/graft_verify"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 BENIGN = {frozenset(p) for p in (
@@ -30,7 +29,8 @@ BENIGN = {frozenset(p) for p in (
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    out = f"/tmp/graft_verify_{os.path.basename(sf.rstrip('/'))}"
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
@@ -40,7 +40,7 @@ def main() -> int:
     for q, sql in sorted(oracle.items()):
         try:
             sdf = con.sql(
-                f"describe select * from read_parquet('{OUT}/{q}/*.parquet')").fetchall()
+                f"describe select * from read_parquet('{out}/{q}/*.parquet')").fetchall()
             odf = con.sql(f"describe ({sql})").fetchall()
         except Exception as e:  # noqa: BLE001 - report and keep sweeping
             print(f"ERR  {q}: {str(e)[:120]}")

@@ -514,9 +514,30 @@ object Oracles {
     * [[Queries.annIvf]], [[Queries.knnBatchIvf]], [[Queries.annLsh]],
     * [[Queries.dedupEmbedding]].
     */
+  /** SemDeDup drop list given literal centroids: cluster assignment
+    * (argmin, ties to lowest id), within-cluster cosine pairs, per-victim
+    * canonical survivor — the DuckDB twin of [[operators.Dedup.semanticDrop]].
+    */
+  private def semanticSql(centroids: Array[Array[Float]], minCosine: Double): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cid AS cluster,
+       |             ${cosine("ea.embedding", "eb.embedding")} AS c
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id)
+       |SELECT b_id AS vec_id, min(a_id) AS canonical_id, cluster,
+       |       (round(max(c) * 10000.0) / 10000.0) AS max_cos
+       |FROM p WHERE c >= $minCosine
+       |GROUP BY b_id, cluster ORDER BY vec_id""".stripMargin
+
   def dynamic(spark: SparkSession, dir: String): Map[String, String] = {
     val emb = sources.Tables.embeddings(spark, dir)
     val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val scaledCents = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
     val planes = operators.LshIndex.planes(nBits = 4, dim = 64)
     val dedupPlanes = operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64)
     val pqBooks = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
@@ -533,10 +554,9 @@ object Oracles {
       "ann_ivf_persisted" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
       // the graph build scales K with n (fitScaled) — splice THOSE centroids
-      "knn_join_ivf" -> knnJoinSql(
-        operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L), k = 3),
-      "knn_graph_recall" -> graphRecallSql(
-        operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L), k = 3),
+      "knn_join_ivf" -> knnJoinSql(scaledCents, k = 3),
+      "knn_graph_recall" -> graphRecallSql(scaledCents, k = 3),
+      "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "vector_silhouette" -> silhouetteSql(centroids),
       "ann_recall_curve" -> recallCurveSql(centroids, queryId = 4L, k = 10,
@@ -2586,6 +2606,73 @@ object Oracles {
         |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN c END), 0) AS BIGINT) AS purchase,
         |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN c END), 0) AS BIGINT) AS signup,
         |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN c END), 0) AS BIGINT) AS view
-        |FROM e GROUP BY day ORDER BY day""".stripMargin
+        |FROM e GROUP BY day ORDER BY day""".stripMargin,
+
+    // minhash clusters (the dedup_clusters chain) rolled up per source:
+    // document/character savings of canonical-only retention.
+    "dedup_savings" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM est WHERE e >= 0.5),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+         |canon AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u),
+         |lab AS (SELECT d.doc_id, d.source, d.n_chars,
+         |               (coalesce(c.canonical, d.doc_id) <> d.doc_id) AS is_dup
+         |        FROM documents d LEFT JOIN canon c ON c.id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(sum(CASE WHEN is_dup THEN n_chars ELSE 0 END) AS BIGINT) AS chars_dropped,
+         |  (round((CAST(sum(CASE WHEN is_dup THEN n_chars ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n_chars) AS DOUBLE)) * 10000.0) / 10000.0) AS pct_chars_dropped
+         |FROM lab GROUP BY source ORDER BY source""".stripMargin,
+
+    // within-order part-pair co-occurrence with lift; deterministic
+    // top-20 cut by (pair_n DESC, part_a, part_b).
+    "orders_basket_affinity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+        |cnt AS (SELECT pk, count(*) AS cnt FROM li GROUP BY pk),
+        |pr AS (SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS pair_n
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |       GROUP BY a.pk, b.pk)
+        |SELECT part_a, part_b, pair_n,
+        |  (round((CAST(pair_n * n_orders AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE)) * 10000.0) / 10000.0) AS lift
+        |FROM pr JOIN cnt ca ON ca.pk = pr.part_a JOIN cnt cb ON cb.pk = pr.part_b CROSS JOIN no
+        |ORDER BY pair_n DESC, part_a, part_b LIMIT 20""".stripMargin,
+
+    // OLS slope of quantity on cent-fixed discount from exact integer
+    // moments; doubles only in the final division (table_corr style).
+    "lineitem_discount_elasticity" ->
+      """WITH x AS (SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS ship_month,
+        |  CAST(l_quantity AS BIGINT) AS q,
+        |  CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d FROM lineitem),
+        |m AS (SELECT ship_month, CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(d) AS HUGEINT) AS sd, CAST(sum(q) AS HUGEINT) AS sq,
+        |  CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd,
+        |  CAST(sum(CAST(d AS HUGEINT) * q) AS HUGEINT) AS sdq
+        |  FROM x GROUP BY ship_month)
+        |SELECT ship_month, CAST(n AS BIGINT) AS n,
+        |  (round((CAST(n * sdq - sd * sq AS DOUBLE)
+        |    / CAST(n * sdd - sd * sd AS DOUBLE)) * 1000000.0) / 1000000.0) AS slope_qty_disc,
+        |  (round((CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0) / 10000.0) AS mean_qty
+        |FROM m ORDER BY ship_month""".stripMargin,
+
+    // hourly volume buckets that are 3σ outliers for their event type —
+    // the all-integer sigma rule of events_anomaly on COUNTS.
+    "events_burst" ->
+      """WITH b AS (SELECT event_type,
+        |  epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+        |  CAST(count(*) AS HUGEINT) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS nb,
+        |        CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS q
+        |      FROM b GROUP BY event_type)
+        |SELECT b.event_type, b.bucket_us, CAST(b.x AS BIGINT) AS n
+        |FROM b JOIN m USING (event_type)
+        |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
+        |ORDER BY b.event_type, b.bucket_us""".stripMargin
   )
 }

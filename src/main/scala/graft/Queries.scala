@@ -3048,4 +3048,117 @@ object Queries {
       .agg(sum("c"))
       .na.fill(0L)
       .orderBy("day")
+
+  // =====================================================================
+  // Round-6 additions: semantic dedup, dedup accounting, affinity /
+  // elasticity analytics, burst detection
+  // =====================================================================
+
+  /** SemDeDup over the embedding table: centroids fit at target cluster
+    * size 100 (K scales with n — the same fitScaled discipline as the
+    * k-NN graph build), cosine ≥ 0.35 within a cluster ⇒ drop. The
+    * parameter-literal oracle re-derives assignment and pairs from the
+    * spliced centroids ([[Oracles.dynamic]]).
+    */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+    Dedup.semanticDrop(emb, "vec_id", "embedding", centroids, minCosine = 0.35)
+  }
+
+  /** The dedup business case as a report: per source, how many documents
+    * and characters the minhash near-dup clusters (est ≥ 0.5, canonical =
+    * min id) would remove. Reuses the [[Dedup.resolveClusters]] machinery;
+    * the rollup itself is one narrow (source) aggregation.
+    */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.5)
+      .select("a_id", "b_id")
+    Dedup.resolveClusters(docs, "doc_id", pairs)
+      .join(docs.select("doc_id", "source", "n_chars"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup").cast("long")).as("n_dropped"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("is_dup"), col("n_chars")).otherwise(lit(0L))).as("chars_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("chars_total"), col("chars_dropped"),
+        roundTo(col("chars_dropped").cast("double") / col("chars_total").cast("double"), 4)
+          .as("pct_chars_dropped"))
+      .orderBy("source")
+  }
+
+  /** Market-basket affinity over order baskets: top-20 part pairs by
+    * within-order co-occurrence, with lift = P(a,b) / (P(a)·P(b)). The
+    * self-join is co-partitioned on the order key and each order
+    * contributes at most C(|basket|, 2) pairs — basket size is
+    * data-bounded (≤ 7 in TPC-H shapes), so the pair explosion is
+    * linear in lineitems at any scale; part-frequency joins are plain
+    * shuffle equi-joins (AQE broadcasts them while they fit).
+    */
+  def ordersBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
+    val cnt = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
+    li.select(col("ok"), col("pk").as("part_a"))
+      .join(li.select(col("ok"), col("pk").as("part_b")), "ok")
+      .where(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b").agg(count(lit(1)).as("pair_n"))
+      .join(cnt.select(col("pk").as("part_a"), col("cnt").as("cnt_a")), "part_a")
+      .join(cnt.select(col("pk").as("part_b"), col("cnt").as("cnt_b")), "part_b")
+      .crossJoin(nOrders)
+      .select(col("part_a"), col("part_b"), col("pair_n"),
+        roundTo((col("pair_n") * col("n_orders")).cast("double")
+          / (col("cnt_a") * col("cnt_b")).cast("double"), 4).as("lift"))
+      .orderBy(col("pair_n").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  /** Per-ship-month OLS slope of quantity on discount — the pricing
+    * what-if primitive, computed from exact integer moments (discount in
+    * cents) in ONE scan + one months-bounded aggregation; doubles enter
+    * only in the final slope division, written identically in the oracle
+    * (the [[tableCorr]] discipline).
+    */
+  def lineitemDiscountElasticity(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val li = Tables.lineitem(spark, dir).select(
+      date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+      col("l_quantity").cast("long").as("q"),
+      floor(col("l_discount") * 100 + lit(0.5)).cast("long").as("d"))
+    li.groupBy("ship_month")
+      .agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("d"))).as("sd"), sum(dec(col("q"))).as("sq"),
+        sum(dec(col("d")) * dec(col("d"))).as("sdd"),
+        sum(dec(col("d")) * dec(col("q"))).as("sdq"))
+      .select(col("ship_month"), col("n").cast("long").as("n"),
+        roundTo((col("n") * col("sdq") - col("sd") * col("sq")).cast("double")
+          / (col("n") * col("sdd") - col("sd") * col("sd")).cast("double"), 6)
+          .as("slope_qty_disc"),
+        roundTo(col("sq").cast("double") / col("n").cast("double"), 4).as("mean_qty"))
+      .orderBy("ship_month")
+  }
+
+  /** Burst detection: hour buckets whose event count exceeds that event
+    * type's mean by 3σ (high side only — a burst, not a lull). The
+    * bucketed counts are one partial-aggregated shuffle (rows ∝ types ×
+    * hours, not events); the σ decision is
+    * [[operators.Stats.sigmaOutliers]]'s all-integer rule, so membership
+    * is bit-reproducible. Complements events_anomaly (per-row VALUE
+    * outliers) with per-bucket VOLUME outliers.
+    */
+  def eventsBurst(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .groupBy("event_type", "bucket_us")
+      .agg(count(lit(1)).as("hits"))
+    operators.Stats.sigmaOutliers(counts, keyCol = "event_type", valueCol = "hits",
+        k = 3, scale = 0, highOnly = true)
+      .select(col("event_type"), col("bucket_us"), col("hits").as("n"))
+      .orderBy("event_type", "bucket_us")
+  }
 }

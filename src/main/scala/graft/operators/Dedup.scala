@@ -672,4 +672,38 @@ object Dedup {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
       .orderBy("doc_id")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * removal by coarse-clustering the embedding space and comparing
+    * cosine ONLY within a cluster — the blocking key is the k-means
+    * cell, so pair work is Σ|cluster|² instead of corpus². With
+    * centroids fit at a target cluster size (K grows with n,
+    * [[IvfIndex.fitScaled]]) that sum is O(n × targetClusterSize) —
+    * linear in the corpus, embarrassingly parallel per cluster, and the
+    * only shuffle is the (cluster) equi-join key. Cross-cluster dups
+    * are deliberately out of reach (the SemDeDup trade); the measured
+    * gap vs exhaustive search is the dedup_recall_eval idiom.
+    *
+    * Returns the DROP list: one row per discarded vector with its
+    * canonical survivor (the min lower id among ≥-threshold in-cluster
+    * neighbors), the cluster, and the strongest cosine that condemned it.
+    */
+  def semanticDrop(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[Array[Float]], minCosine: Double): DataFrame = {
+    val clustered = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      nearestCentroid(col(vecCol), centroids).as("cluster"),
+      col(vecCol).as("v"))
+    val a = clustered.select(col("cluster"), col("vec_id").as("a_id"), col("v").as("va"))
+    val b = clustered.select(col("cluster"), col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("c", vecCosine(col("va"), col("vb")))
+      .where(col("c") >= minCosine)
+      .groupBy(col("cluster"), col("b_id"))
+      .agg(min(col("a_id")).as("canonical_id"), max(col("c")).as("mc"))
+      .select(col("b_id").as("vec_id"), col("canonical_id"), col("cluster"),
+        roundTo(col("mc"), 4).as("max_cos"))
+      .orderBy("vec_id")
+  }
 }

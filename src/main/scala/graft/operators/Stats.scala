@@ -109,7 +109,8 @@ object Stats {
     * outlier rows.
     */
   def sigmaOutliers(df: DataFrame, keyCol: String, valueCol: String,
-                    k: Int = 3, scale: Int = 4): DataFrame = {
+                    k: Int = 3, scale: Int = 4,
+                    highOnly: Boolean = false): DataFrame = {
     require(k >= 1 && scale >= 0 && scale <= 9)
     val p = math.pow(10, scale)
     // floor of the binary value — identical in every IEEE engine (the
@@ -124,7 +125,9 @@ object Stats {
       .where({
         val lhs = (col("n") * col("x") - col("s"))
         val rhs = (col("n") * col("q") - col("s") * col("s"))
-        lhs * lhs > lit(k * k) * rhs
+        val two = lhs * lhs > lit(k * k) * rhs
+        // highOnly keeps x > μ deviations only (n·x − S > 0, still exact)
+        if (highOnly) two && lhs > lit(0) else two
       })
       .drop("mk", "x", "n", "s", "q")
   }

@@ -228,4 +228,40 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === ((8, 8L, "totally separate words only here now fine ok")))
     assert(out(4L) === ((2, 2L, "tiny doc")))           // sub-span doc untouched
   }
+
+  test("semanticDrop: within-cluster near-dups dropped to min survivor; cross-cluster pairs out of reach") {
+    val s = spark; import s.implicits._
+    // two clusters on orthogonal axes; explicit centroids, no fitting
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val emb = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),     // c0 anchor
+      (2L, Seq(0.99f, 0.1f, 0f, 0f)), // c0, cos≈0.995 vs 1 → dropped
+      (3L, Seq(0f, 1f, 0f, 0f)),     // c1 anchor
+      (4L, Seq(1f, 0.05f, 0f, 0f)),  // c0, cos≈0.999 vs 1 → dropped, canonical min = 1
+      (5L, Seq(0.6f, 0.8f, 0f, 0f))  // lands in c1; cos vs 3 = 0.8 < τ → kept
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDrop(emb, "vec_id", "embedding", cents, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(2L, 4L))
+    assert(out(2L)._1 === 1L && out(4L)._1 === 1L) // canonical = min in-cluster neighbor
+    assert(out.values.forall { case (_, cl, c) => cl === 0 && c >= 0.9 })
+    // 5 is a 0.8-cosine neighbor of 3 INSIDE c1 and near c0's members too,
+    // but below τ / cross-cluster — SemDeDup's documented miss profile
+    assert(!out.contains(5L) && !out.contains(3L) && !out.contains(1L))
+  }
+
+  test("dedup_savings accounting is consistent with resolveClusters at sf0.001") {
+    val out = Queries.dedupSavings(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val totalDropped = out.map(_.getLong(2)).sum
+    out.foreach { r =>
+      val (nDocs, nDropped, charsTotal, charsDropped, pct) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nDropped <= nDocs && charsDropped <= charsTotal)
+      assert(pct >= 0.0 && pct <= 1.0)
+    }
+    val clusters = Queries.dedupClusters(spark, sf001)
+    val expectDropped = clusters.where(org.apache.spark.sql.functions.col("is_dup")).count()
+    assert(totalDropped === expectDropped)
+  }
 }

@@ -101,4 +101,62 @@ class StatsSpec extends SparkSpec {
     }.toMap
     assert(colTotals === byType, "pivot column margins must equal the plain type totals")
   }
+
+  test("sigmaOutliers highOnly keeps spikes, drops low-side outliers") {
+    val s = spark; import s.implicits._
+    // key 'a': 100 values at 10, one at 500 (high outlier), one at -480
+    // (low outlier, symmetric magnitude)
+    val rows = Seq.tabulate(100)(i => ("a", i.toLong, 10.0)) ++
+      Seq(("a", 900L, 500.0), ("a", 901L, -480.0))
+    val df = rows.toDF("k", "id", "v")
+    val both = Stats.sigmaOutliers(df, "k", "v", k = 3, scale = 0)
+      .collect().map(_.getLong(1)).toSet
+    val high = Stats.sigmaOutliers(df, "k", "v", k = 3, scale = 0, highOnly = true)
+      .collect().map(_.getLong(1)).toSet
+    assert(both === Set(900L, 901L))
+    assert(high === Set(900L))
+  }
+
+  test("events_burst: returned buckets are strictly above their type's mean hourly count") {
+    import org.apache.spark.sql.functions._
+    val bursts = Queries.eventsBurst(spark, sf001).collect()
+    val means = sources.Tables.events(spark, sf001)
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))).as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("n"))
+      .groupBy("event_type").agg(avg("n").as("mean"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    bursts.foreach { r =>
+      assert(r.getLong(2).toDouble > means(r.getString(0)),
+        s"burst bucket must exceed the type mean: $r")
+    }
+  }
+
+  test("orders_basket_affinity: deterministic top-20, pair ordering and lift consistency at sf0.001") {
+    val out = Queries.ordersBasketAffinity(spark, sf001).collect()
+    assert(out.length <= 20 && out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "part_a < part_b")
+      assert(r.getDouble(3) > 0.0, "lift positive")
+    }
+    val ns = out.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "pair_n descending")
+  }
+
+  test("lineitem_discount_elasticity matches a brute-force per-month OLS at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val out = Queries.lineitemDiscountElasticity(spark, sf001).collect()
+    assert(out.nonEmpty)
+    // brute-force recompute for the first month from raw rows
+    val m0 = out.head.getString(0)
+    val rows = sources.Tables.lineitem(spark, sf001)
+      .where(date_format(col("l_shipdate"), "yyyy-MM") === m0)
+      .select(col("l_quantity").cast("double"), col("l_discount"))
+      .collect().map(r => (math.round(r.getDouble(1) * 100).toDouble, r.getDouble(0)))
+    val n = rows.length.toDouble
+    val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+    val sxx = rows.map(t => t._1 * t._1).sum; val sxy = rows.map(t => t._1 * t._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(out.head.getLong(1) === rows.length.toLong)
+    assert(math.abs(out.head.getDouble(2) - slope) < 1e-4)
+  }
 }
