@@ -2673,6 +2673,68 @@ object Oracles {
         |SELECT b.event_type, b.bucket_us, CAST(b.x AS BIGINT) AS n
         |FROM b JOIN m USING (event_type)
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
-        |ORDER BY b.event_type, b.bucket_us""".stripMargin
+        |ORDER BY b.event_type, b.bucket_us""".stripMargin,
+
+    // Cohort LTV: cents-fixed revenue (exact long sums), doubles only in
+    // the two final divisions — same discipline as orders_rfm.
+    "events_cohort_ltv" ->
+      """WITH uw AS (SELECT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS w,
+        |        count(*) AS n_ev,
+        |        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM events GROUP BY 1, 2),
+        |c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY 1)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST((uw.w - c.cw) // 7 AS INT) AS week_offset,
+        |  count(*) AS n_users, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue,
+        |  round(CAST(sum(cents) AS DOUBLE) / (count(*) * 100.0), 2) AS ltv_per_user
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Per-source novelty over normalized char-8-gram poly hashes (the
+    // dedup_winnow normalization + the dedup_ngram_jaccard hash).
+    "text_ngram_novelty" ->
+      """WITH n AS (SELECT doc_id, source,
+        |        trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s FROM documents),
+        |g0 AS (SELECT doc_id, source,
+        |  CASE WHEN len(s) < 8 THEN [] ELSE
+        |    list_transform(range(1, len(s) - 6), i ->
+        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(0, 8), j -> CAST(ascii(substr(s, CAST(i + j AS INT), 1)) AS BIGINT))),
+        |        (a, c) -> (a * 31 + c) % 1000000007)) END AS gh
+        |  FROM n),
+        |sh AS (SELECT doc_id, source, unnest(list_distinct(gh)) AS g FROM g0),
+        |bg AS (SELECT g, count(*) AS df, min(source) AS source FROM sh GROUP BY g),
+        |own AS (SELECT source, count(*) AS n_unique FROM bg WHERE df = 1 GROUP BY source),
+        |tot AS (SELECT source, count(*) AS n_grams FROM (SELECT DISTINCT source, g FROM sh) GROUP BY source)
+        |SELECT tot.source, n_grams, coalesce(n_unique, 0) AS n_unique,
+        |  round(CAST(coalesce(n_unique, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE), 4) AS novelty
+        |FROM tot LEFT JOIN own ON tot.source = own.source
+        |ORDER BY tot.source""".stripMargin,
+
+    // Drift: integer split point, integer bins, shares as single
+    // divisions of exact longs — bit-identical across engines.
+    "table_drift" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+        |r AS (SELECT event_type, min(cents) AS lo, max(cents) AS hi FROM e GROUP BY 1),
+        |b AS (SELECT e.event_type,
+        |        CAST(least(19, ((e.cents - r.lo) * 20) // (r.hi - r.lo + 1)) AS INT) AS bin,
+        |        CASE WHEN e.us <= mid.mid_us THEN 1 ELSE 0 END AS early
+        |      FROM e JOIN r USING (event_type), mid),
+        |cnt AS (SELECT event_type, bin,
+        |          CAST(sum(early) AS BIGINT) AS n_early,
+        |          CAST(sum(1 - early) AS BIGINT) AS n_late
+        |        FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n_early) AS BIGINT) AS t_early,
+        |        CAST(sum(n_late) AS BIGINT) AS t_late FROM cnt GROUP BY 1)
+        |SELECT cnt.event_type, bin, n_early, n_late,
+        |  round(CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE), 4) AS share_early,
+        |  round(CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE), 4) AS share_late,
+        |  round(abs(CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE)
+        |        - CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE)), 4) AS delta
+        |FROM cnt JOIN t USING (event_type)
+        |ORDER BY cnt.event_type, bin""".stripMargin
   )
 }

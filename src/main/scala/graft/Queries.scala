@@ -3161,4 +3161,105 @@ object Queries {
       .select(col("event_type"), col("bucket_us"), col("hits").as("n"))
       .orderBy("event_type", "bucket_us")
   }
+
+  /** Cohort LTV: users bucketed by first-activity week; per
+    * (cohort_week, week_offset) the active-user count, event count and
+    * exact-cents revenue with the per-active-user average. Scale shape:
+    * ONE user_id-keyed shuffle yields both the per-(user, week) cents
+    * rollup and the per-user cohort min — the join reuses that
+    * partitioning (co-partitioned, no extra exchange) — and the final
+    * aggregate is (weeks × offsets)-bounded. Cents fixing
+    * (floor(v·100 + 0.5) of the BINARY double) makes every revenue sum
+    * an exact long in any aggregation order; doubles appear only in the
+    * two final divisions, spelled identically in the oracle.
+    */
+  def eventsCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("user_id", "w")
+      .agg(count(lit(1)).as("n_ev"), sum("cents").as("cents"))
+    val cohort = uw.groupBy("user_id").agg(min("w").as("cw"))
+    uw.join(cohort, "user_id")
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(col("w"), col("cw")) / 7).cast("int").as("week_offset"),
+        col("n_ev"), col("cents"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_ev").as("n_events"),
+        roundTo(sum("cents").cast("double") / lit(100.0), 2).as("revenue"),
+        roundTo(sum("cents").cast("double") / (count(lit(1)) * lit(100.0)), 2)
+          .as("ltv_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Per-source n-gram novelty — the "is this source adding anything
+    * new" signal a corpus-mixing pipeline reads before upweighting a
+    * source. Per source: distinct normalized char-8-gram count, the
+    * subset of those grams that exist in NO other document corpus-wide
+    * (global df = 1 ⇒ the gram's one document IS its owner source), and
+    * the novelty ratio. Scale shape: both aggregations shuffle only
+    * narrow (gram-hash, …) integer rows with map-side partial agg —
+    * the same cost class as corpus_vocab — and the per-doc gram sets
+    * are deduped inside the row (array_distinct) before any explode.
+    */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(charShinglePoly(norm, 8))).as("g"))
+    // global df per gram; a singleton gram's min(source) is its owner
+    val byGram = sh.groupBy("g")
+      .agg(count(lit(1)).as("df"), min("source").as("source"))
+    val owned = byGram.where(col("df") === 1)
+      .groupBy("source").agg(count(lit(1)).as("n_unique"))
+    val totals = sh.select("source", "g").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_grams"))
+    totals.join(owned, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        roundTo(coalesce(col("n_unique"), lit(0L)).cast("double")
+          / col("n_grams").cast("double"), 4).as("novelty"))
+      .orderBy("source")
+  }
+
+  /** Distribution drift, early vs late half: per event_type, the value
+    * distribution over 20 equal-width cent bins in the first vs second
+    * half of the table's time range, with per-bin share delta — the
+    * data-quality check a pipeline runs before trusting week-over-week
+    * aggregates. All decisions are integer: the split point is the
+    * midpoint of [min, max] event micros, the bin is exact long math
+    * over the type's cent range, and shares are single divisions of
+    * exact longs (bit-identical in any engine). Scale shape: one scan;
+    * the per-type [lo, hi] and global midpoint are tiny broadcast
+    * aggregates; the final rollup is (types × 20)-bounded.
+    */
+  def tableDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val mid = ev.agg((min("us") + max("us")).as("mm"))
+      .select(expr("mm div 2").as("mid_us"))
+    val range = ev.groupBy("event_type")
+      .agg(min("cents").as("lo"), max("cents").as("hi"))
+    val binned = ev.join(broadcast(range), "event_type").crossJoin(broadcast(mid))
+      .select(col("event_type"),
+        // exact long bin arithmetic (div, not double /) mirrors the oracle's //
+        expr("cast(least(19L, ((cents - lo) * 20) div (hi - lo + 1)) as int)").as("bin"),
+        (col("us") <= col("mid_us")).as("early"))
+      .groupBy("event_type", "bin")
+      .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
+    val tot = binned.groupBy("event_type")
+      .agg(sum("n_early").as("t_early"), sum("n_late").as("t_late"))
+    binned.join(tot, "event_type")
+      .select(col("event_type"), col("bin"), col("n_early"), col("n_late"),
+        roundTo(col("n_early").cast("double") / col("t_early").cast("double"), 4)
+          .as("share_early"),
+        roundTo(col("n_late").cast("double") / col("t_late").cast("double"), 4)
+          .as("share_late"),
+        roundTo(abs(col("n_early").cast("double") / col("t_early").cast("double")
+          - col("n_late").cast("double") / col("t_late").cast("double")), 4).as("delta"))
+      .orderBy("event_type", "bin")
+  }
 }
