@@ -1120,6 +1120,92 @@ object Oracles {
          |FROM (SELECT DISTINCT q_id FROM qv) g LEFT JOIN hit h ON g.q_id = h.q_id
          |ORDER BY q_doc""".stripMargin,
 
+    // MMR diversified top-5: greedy steps unrolled (sel_k grows one
+    // pick per step); sims fixed to 1e-6 integers so every argmax
+    // compares exact longs — mirrors Knn.mmrDiversify bit-for-bit.
+    "embedding_mmr" -> {
+      val head =
+        s"""WITH qv AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+           |       WHERE vec_id IN (7, 107, 207, 307, 407)),
+           |sc AS (SELECT qv.q_id, e.vec_id AS c_id, e.embedding AS v,
+           |         ${cosine("e.embedding", "qv.qvec")} AS cs
+           |       FROM embeddings e, qv WHERE e.vec_id <> qv.q_id),
+           |cand AS (SELECT q_id, c_id, v,
+           |    CAST(floor(cs * 1000000.0 + 0.5) AS BIGINT) AS simq6
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_id) AS rn FROM sc)
+           |  WHERE rn <= 20),
+           |pair AS (SELECT a.q_id, a.c_id AS ai, b.c_id AS bi,
+           |    CAST(floor(${cosine("a.v", "b.v")} * 1000000.0 + 0.5) AS BIGINT) AS p6
+           |  FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+           |s1 AS (SELECT q_id, c_id, 7 * simq6 AS sc FROM cand
+           |  QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY 7 * simq6 DESC, c_id) = 1),
+           |sel1 AS (SELECT q_id, c_id FROM s1)""".stripMargin
+      val steps = (2 to 5).map { k =>
+        val selOut =
+          if (k < 5)
+            s""",
+               |sel$k AS (SELECT q_id, c_id FROM sel${k - 1} UNION ALL SELECT q_id, c_id FROM s$k)""".stripMargin
+          else ""
+        s""",
+           |m$k AS (SELECT p.q_id, p.ai AS c_id, max(p.p6) AS m6 FROM pair p
+           |       JOIN sel${k - 1} s ON p.q_id = s.q_id AND p.bi = s.c_id GROUP BY 1, 2),
+           |s$k AS (SELECT c.q_id, c.c_id, 7 * c.simq6 - 3 * m.m6 AS sc
+           |  FROM cand c JOIN m$k m ON c.q_id = m.q_id AND c.c_id = m.c_id
+           |  LEFT JOIN sel${k - 1} x ON c.q_id = x.q_id AND c.c_id = x.c_id
+           |  WHERE x.c_id IS NULL
+           |  QUALIFY row_number() OVER (PARTITION BY c.q_id
+           |    ORDER BY 7 * c.simq6 - 3 * m.m6 DESC, c.c_id) = 1)$selOut""".stripMargin
+      }.mkString
+      val tail = (1 to 5).map { k =>
+        s"SELECT q_id, $k AS pick, c_id AS vec_id, round(CAST(sc AS DOUBLE) / 10000000.0, 4) AS mmr FROM s$k"
+      }.mkString("\n", "\nUNION ALL ", "\nORDER BY q_id, pick")
+      head + steps + tail
+    },
+
+    // NDCG@10: literal integer milli-discounts (no log in either
+    // engine), DCG an exact long sum, NDCG one division by the
+    // constant ideal DCG 29966114 = Σ (11-i)·w_i.
+    "retrieval_ndcg" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |st AS (SELECT count(*) AS n_corpus, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+         |q AS (SELECT DISTINCT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+         |      FROM t WHERE doc_id IN (7, 107, 207, 307, 407)),
+         |p0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         |p AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM p0
+         |      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |contrib AS (SELECT p.doc_id, p.term,
+         |    CAST(floor(ln((st.n_corpus - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_corpus)))))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |  FROM p JOIN dfq USING (term) CROSS JOIN st),
+         |scored AS (SELECT q.q_id, c.doc_id, CAST(sum(c.s6) AS BIGINT) AS s6
+         |  FROM contrib c JOIN q ON c.term = q.term
+         |  WHERE c.doc_id <> q.q_id GROUP BY 1, 2),
+         |bm AS (SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, doc_id) AS INT) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |qv AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id IN (7, 107, 207, 307, 407)),
+         |tr AS (SELECT q_id, id, r FROM (
+         |    SELECT qv.q_id, e.vec_id AS id,
+         |      row_number() OVER (PARTITION BY qv.q_id
+         |        ORDER BY ${l2("e.embedding", "qv.qv")}, e.vec_id) AS r
+         |    FROM embeddings e, qv WHERE e.vec_id <> qv.q_id)
+         |  WHERE r <= 10),
+         |j AS (SELECT b.q_id,
+         |    CASE b.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 WHEN 3 THEN 500000
+         |      WHEN 4 THEN 430677 WHEN 5 THEN 386853 WHEN 6 THEN 356207
+         |      WHEN 7 THEN 333333 WHEN 8 THEN 315465 WHEN 9 THEN 301030
+         |      ELSE 289065 END AS w,
+         |    coalesce(11 - tr.r, 0) AS rel
+         |  FROM bm b LEFT JOIN tr ON b.q_id = tr.q_id AND b.doc_id = tr.id),
+         |d AS (SELECT q_id, CAST(sum(rel * w) AS BIGINT) AS dcg FROM j GROUP BY 1)
+         |SELECT g.q_id AS q_doc, coalesce(d.dcg, 0) AS dcg,
+         |  round(CAST(coalesce(d.dcg, 0) AS DOUBLE) / 29966114.0, 4) AS ndcg
+         |FROM (SELECT DISTINCT q_id FROM qv) g LEFT JOIN d ON g.q_id = d.q_id
+         |ORDER BY q_doc""".stripMargin,
+
     // rates mirror Queries.sampleRates; the hash bucket reuses the
     // corpus_split construction with a distinct salt.
     "corpus_sample" ->

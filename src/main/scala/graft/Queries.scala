@@ -3162,6 +3162,78 @@ object Queries {
       .orderBy("event_type", "bucket_us")
   }
 
+  /** NDCG@10 of the BM25 keyword ranking against graded embedding
+    * ground truth (rel = 11 − L2-rank of the leave-self-out top-10) —
+    * the graded-relevance companion to [[retrievalRecallEval]]'s binary
+    * recall/MRR. Cross-engine exactness: the position discount
+    * 1/log2(i+1) is a LITERAL integer milli-weight table (no log in
+    * either engine), so DCG is an exact long sum and NDCG one double
+    * division by the constant ideal DCG. Scale shape: identical to
+    * retrieval_recall_eval — BM25 postings pruned to query vocab
+    * pre-shuffle, truth via the salted searchBatch bounded-heap agg,
+    * the rel-assignment window bounded at 11 rows per query.
+    */
+  def retrievalNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val qids = Seq(7L, 107L, 207L, 307L, 407L)
+    val docs = Tables.documents(spark, dir)
+    val qterms = docs.where(col("doc_id").isin(qids: _*))
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(wordTokens(col("text")))).as("term"))
+    val bm = operators.Retrieval.bm25TopKBatch(docs, "doc_id", "text", qterms,
+      k = 10, excludeQueryDoc = true)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
+        k = 11, metric = "l2")
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("t_rank", row_number().over(
+        Window.partitionBy("q_id").orderBy("rank")))
+      .select(col("q_id").as("t_q"), col("n_id").as("t_id"),
+        (lit(11) - col("t_rank")).cast("long").as("rel"))
+    // floor(1e6/log2(i+1) + 0.5) for i = 1..10; idcg = Σ (11-i)·w_i
+    val w = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+      356207L, 333333L, 315465L, 301030L, 289065L)
+    val idcg = 29966114.0
+    val dcg = bm
+      .join(truth, col("q_id") === col("t_q") && col("doc_id") === col("t_id"), "left")
+      .groupBy("q_id")
+      .agg(sum(coalesce(col("rel"), lit(0L)) * element_at(typedLit(w), col("rank")))
+        .as("dcg"))
+    queries.select(col("q_id").as("q_doc"))
+      .join(dcg, col("q_doc") === col("q_id"), "left")
+      .select(col("q_doc"), coalesce(col("dcg"), lit(0L)).as("dcg"),
+        roundTo(coalesce(col("dcg"), lit(0L)).cast("double") / lit(idcg), 4).as("ndcg"))
+      .orderBy("q_doc")
+  }
+
+  /** MMR-diversified top-5 (λ = 0.7) from each query's cosine top-20
+    * candidate list — the diversity re-rank a retrieval stack applies
+    * before returning results (see [[operators.Knn.mmrDiversify]] for
+    * the exactness + scale story). Candidates come from the salted
+    * bounded-heap batch search; the greedy loop touches only the
+    * 20-candidate lists, never the corpus.
+    */
+  def embeddingMmr(spark: SparkSession, dir: String): DataFrame = {
+    val qids = Seq(7L, 107L, 207L, 307L, 407L)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val cand = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
+        k = 21, metric = "cosine")
+      .where(col("n_id") =!= col("q_id"))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id").orderBy("rank")))
+      .where(col("rn") <= 20)
+      .select(col("q_id"), col("n_id"))
+    val withVecs = cand
+      .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("c_vec")), "n_id")
+      .join(queries, "q_id")
+    Knn.mmrDiversify(withVecs, "q_id", "n_id", "q_vec", "c_vec", k = 5, lambda10 = 7)
+      .select(col("q_id"), col("pick"), col("vec_id"),
+        roundTo(col("sc6").cast("double") / lit(1.0e7), 4).as("mmr"))
+      .orderBy("q_id", "pick")
+  }
+
   /** Cohort LTV: users bucketed by first-activity week; per
     * (cohort_week, week_offset) the active-user count, event count and
     * exact-cents revenue with the per-active-user average. Scale shape:

@@ -280,6 +280,97 @@ object Knn {
         roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick k results maximizing
+    * λ·sim(q, c) − (1−λ)·max_{s ∈ selected} sim(c, s) — the diversity
+    * pass a retrieval stack runs on its candidate list before returning
+    * it. Input = one row per (query, candidate) with both vectors;
+    * output = (q_id, pick, vec_id, sc6) where pick is the 1-based
+    * selection order and sc6 the λ-scaled score in 1e-7 units.
+    *
+    * Scale shape: the greedy loop is quadratic ONLY in the per-query
+    * candidate-list length (a constant the caller fixed upstream with a
+    * bounded top-k'), and runs inside `flatMapGroups` partitioned by
+    * query — O(queries × k'²) work, perfectly parallel, no state beyond
+    * one candidate list in memory at a time. mapGroups (not a Catalyst
+    * expression) is the right tool here: the loop's argmax recursion is
+    * inherently sequential per query and its input is already bounded.
+    *
+    * Cross-engine exactness: similarities are cosine in the exact
+    * accumulation order of [[graft.functions.VecCosine]] fixed to 1e-6
+    * integers via floor(x·1e6 + 0.5) of the BINARY double, and the
+    * selection compares exact longs (λ = lambda10/10 so the score is
+    * 10·λ·sim6 − 10·(1−λ)·max6, an integer) with ties to the smaller
+    * candidate id — bit-reproducible in any engine.
+    */
+  def mmrDiversify(
+      cands: DataFrame,
+      qIdCol: String,
+      cIdCol: String,
+      qVecCol: String,
+      cVecCol: String,
+      k: Int,
+      lambda10: Int): DataFrame = {
+    require(k >= 1 && lambda10 >= 0 && lambda10 <= 10)
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val rows = cands
+      .select(col(qIdCol).cast("long"), col(cIdCol).cast("long"),
+        col(qVecCol), col(cVecCol))
+      .as[(Long, Long, Seq[Float], Seq[Float])]
+    rows.groupByKey(_._1).flatMapGroups { (q, it) =>
+      val cs = it.toArray.sortBy(_._2)
+      // same op tree as VecCosine.nullSafeEval ⇒ bit-identical doubles
+      def cos6(a: Array[Float], b: Array[Float]): Long = {
+        val n = math.min(a.length, b.length)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val c = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+        math.floor(c * 1e6 + 0.5).toLong
+      }
+      val qv = cs(0)._3.toArray
+      val vecs = cs.map(_._4.toArray)
+      val ids = cs.map(_._2)
+      val simq = vecs.map(v => cos6(qv, v))
+      val n = cs.length
+      val taken = new Array[Boolean](n)
+      // max similarity to the selected set so far, per candidate
+      val maxSel = Array.fill(n)(Long.MinValue)
+      val out = Vector.newBuilder[(Long, Int, Long, Long)]
+      var step = 1
+      while (step <= math.min(k, n)) {
+        var best = -1; var bestSc = Long.MinValue
+        var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val sc =
+              if (step == 1) lambda10 * simq(i)
+              else lambda10 * simq(i) - (10 - lambda10) * maxSel(i)
+            if (sc > bestSc || (sc == bestSc && (best < 0 || ids(i) < ids(best)))) {
+              best = i; bestSc = sc
+            }
+          }
+          i += 1
+        }
+        taken(best) = true
+        out += ((q, step, ids(best), bestSc))
+        var j = 0
+        while (j < n) {
+          if (!taken(j)) {
+            val p = cos6(vecs(j), vecs(best))
+            if (p > maxSel(j)) maxSel(j) = p
+          }
+          j += 1
+        }
+        step += 1
+      }
+      out.result()
+    }.toDF("q_id", "pick", "vec_id", "sc6")
+  }
+
   def knnJoinIvf(
       emb: DataFrame,
       idCol: String,
