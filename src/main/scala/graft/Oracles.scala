@@ -757,6 +757,22 @@ object Oracles {
          |SELECT source_a, source_b, count(*) AS n_pairs
          |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Contrastive triplets: minhash positives + hash-arithmetic
+    // negative draw stepped past collisions (doc_ids dense 0..n-1).
+    "corpus_contrastive_pairs" ->
+      s"""WITH $minhashCtes,
+         |nn AS (SELECT count(*) AS n_docs FROM documents),
+         |p AS (SELECT a_id, b_id, (round((e) * 10000.0) / 10000.0) AS est_sim FROM est WHERE e >= 0.5),
+         |h AS (SELECT a_id, b_id, est_sim,
+         |        ${tokenHash60("'neg:' || CAST(a_id AS VARCHAR) || ':' || CAST(b_id AS VARCHAR)")} % n_docs AS h0,
+         |        n_docs FROM p, nn)
+         |SELECT a_id AS anchor_id, b_id AS pos_id,
+         |  CASE WHEN h0 <> a_id AND h0 <> b_id THEN h0
+         |       WHEN (h0 + 1) % n_docs <> a_id AND (h0 + 1) % n_docs <> b_id THEN (h0 + 1) % n_docs
+         |       ELSE (h0 + 2) % n_docs END AS neg_id,
+         |  est_sim
+         |FROM h ORDER BY anchor_id, pos_id""".stripMargin,
+
     // Zipf coverage: rank/cumsum over the vocabulary table only;
     // coverages from exact long sums, one division each.
     "corpus_zipf_coverage" ->
@@ -2760,6 +2776,21 @@ object Oracles {
         |FROM b JOIN m USING (event_type)
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
+
+    // Seasonality grid: arithmetic dow from epoch days, exact counts,
+    // shares/ratios single-division deterministic.
+    "events_seasonality" ->
+      """WITH c AS (SELECT event_type,
+        |        CAST((CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) - DATE '1970-01-01' AS BIGINT) + 4) % 7 AS INT) AS dow,
+        |        CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+        |        count(*) AS n
+        |      FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM c GROUP BY 1)
+        |SELECT c.event_type, dow, hod, n,
+        |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share,
+        |  round(CAST(n AS DOUBLE) * 168.0 / CAST(t AS DOUBLE), 4) AS ratio_vs_uniform
+        |FROM c JOIN t USING (event_type)
+        |ORDER BY c.event_type, dow, hod""".stripMargin,
 
     // Cohort LTV: cents-fixed revenue (exact long sums), doubles only in
     // the two final divisions — same discipline as orders_rfm.

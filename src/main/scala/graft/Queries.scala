@@ -3234,6 +3234,58 @@ object Queries {
       .orderBy("q_id", "pick")
   }
 
+  /** Contrastive-training triplet mining: (anchor, positive, negative)
+    * rows for embedding fine-tuning — positives are minhash near-dup
+    * pairs (est ≥ 0.5, the same evidence dedup acts on), negatives a
+    * deterministic hash-derived corpus index (doc_ids are dense
+    * 0..n−1) stepped past collisions with the pair, so the sample is
+    * reproducible with no RNG state. Scale shape: cost = the near-dup
+    * pair volume (content-bounded, see minhashPairs) plus a 1-row
+    * count broadcast; the negative draw is pure map-side arithmetic.
+    */
+  def corpusContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.5)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    def step(k: Int): Column = pmod(col("h0") + k, col("n_docs"))
+    pairs.crossJoin(broadcast(n))
+      .withColumn("h0", pmod(tokenHash60(
+        concat(lit("neg:"), col("a_id").cast("string"), lit(":"), col("b_id").cast("string"))),
+        col("n_docs")))
+      .select(col("a_id").as("anchor_id"), col("b_id").as("pos_id"),
+        when(col("h0") =!= col("a_id") && col("h0") =!= col("b_id"), col("h0"))
+          .when(step(1) =!= col("a_id") && step(1) =!= col("b_id"), step(1))
+          .otherwise(step(2)).as("neg_id"),
+        col("est_sim"))
+      .orderBy("anchor_id", "pos_id")
+  }
+
+  /** Seasonality profile: per event_type, the day-of-week × hour-of-day
+    * activity grid with each cell's share of the type's volume and its
+    * ratio against the uniform-rate expectation (1/168) — the load-shape
+    * fingerprint capacity planning and anomaly baselines read. One
+    * partial-agg scan to a (types × 168)-bounded table; dow is computed
+    * arithmetically from epoch days ((d + 4) mod 7, 0 = Sunday) so both
+    * engines agree without calendar-API quirks; shares are single
+    * divisions of exact longs.
+    */
+  def eventsSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"),
+        pmod(datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01"))) + 4, lit(7))
+          .as("dow"),
+        hour(col("ts")).as("hod"))
+      .groupBy("event_type", "dow", "hod")
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("event_type").agg(sum("n").as("t"))
+    cells.join(tot, "event_type")
+      .select(col("event_type"), col("dow"), col("hod"), col("n"),
+        roundTo(col("n").cast("double") / col("t").cast("double"), 4).as("share"),
+        roundTo(col("n").cast("double") * lit(168.0) / col("t").cast("double"), 4)
+          .as("ratio_vs_uniform"))
+      .orderBy("event_type", "dow", "hod")
+  }
+
   /** Cohort LTV: users bucketed by first-activity week; per
     * (cohort_week, week_offset) the active-user count, event count and
     * exact-cents revenue with the per-active-user average. Scale shape:
