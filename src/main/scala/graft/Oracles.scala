@@ -2777,6 +2777,45 @@ object Oracles {
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
 
+    // CUPED: exact integer moments (HUGEINT mirrors decimal(38,0)),
+    // theta/means the only doubles, identical expression trees.
+    "events_abtest_cuped" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS c FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+        |per AS (SELECT user_id,
+        |        CAST(sum(CASE WHEN us <= mid_us THEN c ELSE 0 END) AS BIGINT) AS x,
+        |        CAST(sum(CASE WHEN us > mid_us THEN c ELSE 0 END) AS BIGINT) AS y
+        |      FROM e, mid GROUP BY user_id),
+        |pooled AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |        sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy FROM per),
+        |v AS (SELECT CAST(user_id % 2 AS INT) AS variant, count(*) AS n_users,
+        |        sum(CAST(x AS HUGEINT)) AS vx, sum(CAST(y AS HUGEINT)) AS vy
+        |      FROM per GROUP BY 1)
+        |SELECT variant, n_users,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta,
+        |  round(CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE), 4) AS mean_y,
+        |  round(CAST(vy AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * (CAST(vx AS DOUBLE) / CAST(n_users AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 4)
+        |    AS mean_y_cuped
+        |FROM v, pooled ORDER BY variant""".stripMargin,
+
+    // Epoch plan: all-integer allocation/rate/yield arithmetic.
+    "corpus_epoch_plan" ->
+      s"""WITH t AS (SELECT source, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |s AS (SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |      FROM t GROUP BY source),
+         |p AS (SELECT source, n_docs, n_tokens,
+         |        (1000000 * (CAST(substr(source, 4) AS BIGINT) + 1)) // 210 AS alloc_tokens
+         |      FROM s)
+         |SELECT source, n_docs, n_tokens, alloc_tokens,
+         |  least(10000, (alloc_tokens * 10000) // n_tokens) AS rate_bp,
+         |  (n_tokens * least(10000, (alloc_tokens * 10000) // n_tokens)) // 10000 AS expected_tokens
+         |FROM p ORDER BY source""".stripMargin,
+
     // Seasonality grid: arithmetic dow from epoch days, exact counts,
     // shares/ratios single-division deterministic.
     "events_seasonality" ->

@@ -3260,6 +3260,74 @@ object Queries {
       .orderBy("anchor_id", "pos_id")
   }
 
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): users
+    * split into variants by id parity; Y = post-period spend, covariate
+    * X = pre-period spend (halves of the time range), and the adjusted
+    * metric Y − θ·(X − E[X]) with θ = cov(X,Y)/var(X) pooled across
+    * variants. Scale shape: ONE user-keyed shuffle builds per-user
+    * (x, y); pooled + per-variant moments are tiny decimal aggregates
+    * (exact integers, broadcast back); θ and the means are the only
+    * doubles, derived from exact integer moments in an expression tree
+    * the oracle mirrors verbatim.
+    */
+  def eventsAbtestCuped(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+    val mid = ev.agg((min("us") + max("us")).as("mm")).select(expr("mm div 2").as("mid_us"))
+    val per = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("us") <= col("mid_us"), col("c")).otherwise(0L)).as("x"),
+        sum(when(col("us") > col("mid_us"), col("c")).otherwise(0L)).as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def d(c: Column): Column = c.cast("double")
+    val pooled = per.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    val theta = d(col("n") * col("sxy") - col("sx") * col("sy")) /
+      d(col("n") * col("sxx") - col("sx") * col("sx"))
+    val mx = d(col("sx")) / d(col("n"))
+    per.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(dec(col("x"))).as("vx"), sum(dec(col("y"))).as("vy"))
+      .crossJoin(broadcast(pooled))
+      .select(col("variant"), col("n_users"),
+        roundTo(theta, 6).as("theta"),
+        roundTo(d(col("vy")) / d(col("n_users")), 4).as("mean_y"),
+        roundTo(d(col("vy")) / d(col("n_users"))
+          - theta * (d(col("vx")) / d(col("n_users")) - mx), 4).as("mean_y_cuped"))
+      .orderBy("variant")
+  }
+
+  /** Epoch planner: given a literal token budget and per-source mix
+    * weights, the per-source sampling plan (allocation, rate in basis
+    * points, expected token yield) a training run reads before writing
+    * its shards — Chinchilla-style data-mix budgeting as a query. ALL
+    * integer arithmetic (weights are exact rationals k/210, rates in
+    * bp, div throughout), so the plan is bit-reproducible; cost is one
+    * token-counting scan + a sources-bounded aggregate.
+    */
+  def corpusEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000000L // target tokens per epoch (parameter literal)
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(wordTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    // weight of srcK = (K+1)/210 — exact rational, Σ = 1 over 20 sources
+    perSrc
+      .withColumn("w_num", expr("cast(substr(source, 4) as long) + 1"))
+      .withColumn("alloc_tokens", expr(s"($budget * w_num) div 210"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("(alloc_tokens * 10000) div n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("alloc_tokens"), col("rate_bp"),
+        expr("(n_tokens * rate_bp) div 10000").as("expected_tokens"))
+      .orderBy("source")
+  }
+
   /** Seasonality profile: per event_type, the day-of-week × hour-of-day
     * activity grid with each cell's share of the type's volume and its
     * ratio against the uniform-rate expectation (1/168) — the load-shape
