@@ -2777,6 +2777,21 @@ object Oracles {
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
 
+    // Embedding drift: vector_centroid_dist's exact cross-multiplied
+    // numerator, applied early-half vs late-half within each label.
+    "embedding_drift" ->
+      """WITH nn AS (SELECT count(*) AS n_all FROM embeddings),
+        |c AS (SELECT label, (vec_id * 2 < n_all) AS early, dd.range - 1 AS d, count(*) AS n,
+        |        CAST(sum(CAST(floor(CAST(embedding[dd.range] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s6
+        |      FROM embeddings CROSS JOIN range(1, 65) dd, nn GROUP BY 1, 2, 3),
+        |p AS (SELECT a.label, max(a.n) AS n_early, max(b.n) AS n_late,
+        |        sum(CAST(a.s6 * b.n - b.s6 * a.n AS HUGEINT) * CAST(a.s6 * b.n - b.s6 * a.n AS HUGEINT)) AS num
+        |      FROM c a JOIN c b ON a.label = b.label AND a.d = b.d AND a.early AND NOT b.early
+        |      GROUP BY 1)
+        |SELECT label, n_early, n_late,
+        |  (round((sqrt(CAST(num AS DOUBLE)) / (n_early * n_late * 1000000.0)) * 10000.0) / 10000.0) AS drift
+        |FROM p ORDER BY label""".stripMargin,
+
     // CUPED: exact integer moments (HUGEINT mirrors decimal(38,0)),
     // theta/means the only doubles, identical expression trees.
     "events_abtest_cuped" ->

@@ -3260,6 +3260,40 @@ object Queries {
       .orderBy("anchor_id", "pos_id")
   }
 
+  /** Embedding drift monitor: per-label L2 shift between the centroid
+    * of the first half of the id space and the second (the model-rot /
+    * re-embedding check a vector store runs after an encoder update).
+    * Exact despite mean ratios — the [[vectorCentroidDist]] trick:
+    * shift numerator Σ_d (s6a·nb − s6b·na)² accumulates as exact
+    * decimal integers in any order; one sqrt + one division at the
+    * end. Cost: one posexplode scan into a (labels × 2 × dim)-bounded
+    * aggregate.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val nTot = emb.agg(count(lit(1)).as("n_all"))
+    val c = emb.crossJoin(broadcast(nTot))
+      .select(col("label"), (col("vec_id") * 2 < col("n_all")).as("early"),
+        posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy("label", "early", "d")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * 1000000.0 + lit(0.5)).cast("long")).as("s6"))
+    def dec(x: Column): Column = x.cast("decimal(38,0)")
+    val e = c.where(col("early"))
+      .select(col("label"), col("d"), col("n").as("na"), col("s6").as("s6a"))
+    val l = c.where(!col("early"))
+      .select(col("label"), col("d"), col("n").as("nb"), col("s6").as("s6b"))
+    val diff = dec(col("s6a")) * dec(col("nb")) - dec(col("s6b")) * dec(col("na"))
+    e.join(l, Seq("label", "d"))
+      .groupBy("label")
+      .agg(max("na").as("n_early"), max("nb").as("n_late"),
+        sum(diff * diff).as("num"))
+      .select(col("label"), col("n_early"), col("n_late"),
+        roundTo(sqrt(col("num").cast("double"))
+          / (col("n_early") * col("n_late") * lit(1000000.0)), 4).as("drift"))
+      .orderBy("label")
+  }
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM 2013): users
     * split into variants by id parity; Y = post-period spend, covariate
     * X = pre-period spend (halves of the time range), and the adjusted
