@@ -2777,6 +2777,18 @@ object Oracles {
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
 
+    // EWMA: list_reduce replays the engine's sequential fold exactly
+    // (same op order per step, first element as init) — no pow().
+    "events_ewma_forecast" ->
+      """WITH h AS (SELECT event_type,
+        |        epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS b,
+        |        count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_buckets,
+        |  CAST(arg_max(n, b) AS BIGINT) AS last_n,
+        |  (round((list_reduce(list(CAST(n AS DOUBLE) ORDER BY b),
+        |     (a, x) -> 0.3 * x + 0.7 * a)) * 10000.0) / 10000.0) AS ewma_forecast
+        |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Embedding drift: vector_centroid_dist's exact cross-multiplied
     // numerator, applied early-half vs late-half within each label.
     "embedding_drift" ->

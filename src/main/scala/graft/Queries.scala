@@ -3260,6 +3260,33 @@ object Queries {
       .orderBy("anchor_id", "pos_id")
   }
 
+  /** EWMA next-hour volume forecast per event type (α = 0.3): hourly
+    * counts fold through s ← 0.3·x + 0.7·s in bucket order inside the
+    * codegen `aggregate` higher-order function — the oracle replays the
+    * IDENTICAL sequential fold with list_reduce, so the trajectory is
+    * bit-exact with no pow() in either engine (libm pow ULP differences
+    * are exactly what this formulation avoids). Scale shape: the fold
+    * runs over the (types × hours)-bounded bucket table, never over
+    * events; collect_list is per-type and hours-bounded.
+    */
+  def eventsEwmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))).as("b"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n"))
+    hourly.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("b"), col("n")))).as("xs"),
+        count(lit(1)).as("n_buckets"))
+      .select(col("event_type"), col("n_buckets"),
+        element_at(col("xs"), -1).getField("n").as("last_n"),
+        roundTo(aggregate(
+          expr("slice(xs, 2, size(xs) - 1)"),
+          element_at(col("xs"), 1).getField("n").cast("double"),
+          (acc, e) => lit(0.3) * e.getField("n").cast("double") + lit(0.7) * acc), 4)
+          .as("ewma_forecast"))
+      .orderBy("event_type")
+  }
+
   /** Embedding drift monitor: per-label L2 shift between the centroid
     * of the first half of the id space and the second (the model-rot /
     * re-embedding check a vector store runs after an encoder update).

@@ -203,6 +203,25 @@ class VectorIndex private (
     }
   }
 
+  /** Diversified batch search: fetch each query's cosine top-`fetchK`,
+    * then MMR re-rank (λ = lambda10/10) down to `k` — the
+    * redundancy-aware result list a RAG retriever wants when the store
+    * holds near-duplicates. Runs [[searchBatch]]'s bounded-heap kernel
+    * for candidates, then [[Knn.mmrDiversify]]'s per-query greedy pass
+    * (O(queries × fetchK²), never corpus-quadratic).
+    */
+  def searchDiverse(queries: DataFrame, k: Int, fetchK: Int,
+                    lambda10: Int = 7): DataFrame = {
+    require(k >= 1 && fetchK >= k, "need fetchK >= k >= 1")
+    val cand = searchBatch(queries, fetchK)
+      .select(col("q_id"), col("n_id"))
+      .join(bare.select(col("id").as("n_id"), col("vectors").as("c_vec")), "n_id")
+      .join(queries.select(col("q_id"), col("q_vec")), "q_id")
+    Knn.mmrDiversify(cand, "q_id", "n_id", "q_vec", "c_vec", k, lambda10)
+      .select(col("q_id"), col("pick"), col("vec_id").as("n_id"),
+        graft.functions.roundTo(col("sc6").cast("double") / lit(1.0e7), 4).as("mmr"))
+  }
+
   /** reference: core/index/filter_index.rs:23-104 — int-field pre-filter
     * (`field` is a top-level int field of the json `data` document) then
     * k-NN over the surviving ids.

@@ -270,4 +270,27 @@ class ApiSpec extends SparkSpec {
     assert(cos(0).getLong(1) === 1L)
     assert(cos(0).getDouble(2) === 1.0) // cosine similarity, not distance
   }
+
+  test("searchDiverse: MMR defers the near-duplicate a plain top-k returns") {
+    val s = spark; import s.implicits._
+    // id 0/1 = twins near the query axis; id 2 = relevant + rotated out
+    // of their plane; id 3 = anti-query filler
+    val rows = Seq(
+      (0L, Array(0.99f, 0.14f, 0.0f), None: Option[String]),
+      (1L, Array(0.99f, 0.14f, 0.0f), None),
+      (2L, Array(0.9f, 0.0f, 0.435f), None),
+      (3L, Array(-0.5f, 0.86f, 0.0f), None))
+    val idx = VectorIndex.create(spark, IndexType.FLAT, 3, Metric.Cosine)
+      .insertAll(rows.toDF("id", "vectors", "data"))
+    val queries = Seq((9L, Array(1f, 0f, 0f))).toDF("q_id", "q_vec")
+    // plain batch top-2 = both twins
+    val plain = idx.searchBatch(queries, k = 2).collect().map(_.getLong(2)).toSet
+    assert(plain === Set(0L, 1L))
+    // diversified top-2 (λ = 0.5) = one twin + the rotated vector
+    val div = idx.searchDiverse(queries, k = 2, fetchK = 4, lambda10 = 5)
+      .orderBy("pick").collect()
+    assert(div.map(_.getLong(2)).toSeq === Seq(0L, 2L))
+    // picks cover k and stay within the fetched candidate set
+    assert(div.map(_.getInt(1)).toSeq === Seq(1, 2))
+  }
 }

@@ -477,4 +477,39 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
     assert(batchOp.toSeq === twin.toSeq)
   }
+
+  test("streaming burst detection: sigma rule over streamed hourly counts equals the batch query") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val rows = graft.sources.Tables.events(spark, sf001)
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(2), r.getString(3), r.getTimestamp(1), r.getDouble(4)))
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    // the counts leg streams (windowedAgg, complete mode); the sigma
+    // decision reads each snapshot — the same all-integer rule the
+    // batch query applies, so the final snapshot must agree exactly
+    val stream = MemoryStream[Ev]
+    val q = EventStream.windowedAgg(stream.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("burstcounts").outputMode("complete").start()
+    try {
+      stream.addData(first)
+      q.processAllAvailable()
+      stream.addData(second)
+      q.processAllAvailable()
+
+      val counts = s.table("burstcounts")
+        .select((col("hour_start") * 1000000L).as("bucket_us"), col("event_type"), col("n").as("hits"))
+      val streamedBursts = operators.Stats
+        .sigmaOutliers(counts, keyCol = "event_type", valueCol = "hits",
+          k = 3, scale = 0, highOnly = true)
+        .select(col("event_type"), col("bucket_us"), col("hits"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Queries.eventsBurst(spark, sf001)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamedBursts === batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
 }
