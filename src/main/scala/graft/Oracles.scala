@@ -2777,6 +2777,25 @@ object Oracles {
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
 
+    // Langid confusion: declared lang × the langScoreCtes prediction.
+    "text_language_confusion" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |c AS (SELECT doc_id, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
+         |        ${stopCount(stopFr)} AS n_fr, ${stopCount(stopEs)} AS n_es FROM t),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+         |       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+         |       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+         |       WHEN n_fr >= n_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred FROM c),
+         |cells AS (SELECT d.lang, p.lang_pred, count(*) AS n
+         |          FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS t FROM cells GROUP BY 1)
+         |SELECT cells.lang, lang_pred, n,
+         |  round(CAST(n AS DOUBLE) / CAST(t AS DOUBLE), 4) AS share
+         |FROM cells JOIN tot USING (lang)
+         |ORDER BY cells.lang, lang_pred""".stripMargin,
+
     // EWMA: list_reduce replays the engine's sequential fold exactly
     // (same op order per step, first element as init) — no pow().
     "events_ewma_forecast" ->

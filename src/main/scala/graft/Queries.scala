@@ -3260,6 +3260,26 @@ object Queries {
       .orderBy("anchor_id", "pos_id")
   }
 
+  /** Language-ID confusion matrix: declared `lang` column × predicted
+    * language with per-cell share of the declared class — the accuracy
+    * artifact that turns text_langid from a transform into a measured
+    * classifier. One map-side langid pass (stopwordVotes kernel) into a
+    * (langs²)-bounded aggregate; shares are single divisions.
+    */
+  def textLanguageConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pred = TextAnalysis.langId(docs, "doc_id", "text").select("doc_id", "lang_pred")
+    val cells = docs.select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy("lang", "lang_pred")
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.groupBy("lang").agg(sum("n").as("t"))
+    cells.join(tot, "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        roundTo(col("n").cast("double") / col("t").cast("double"), 4).as("share"))
+      .orderBy("lang", "lang_pred")
+  }
+
   /** EWMA next-hour volume forecast per event type (α = 0.3): hourly
     * counts fold through s ← 0.3·x + 0.7·s in bucket order inside the
     * codegen `aggregate` higher-order function — the oracle replays the
