@@ -3363,19 +3363,25 @@ object Queries {
       .withColumn("variant", pmod(col("user_id"), lit(2)).cast("int"))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     def d(c: Column): Column = c.cast("double")
-    val pooled = per.agg(
-      count(lit(1)).cast("decimal(38,0)").as("n"),
-      sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
-      sum(dec(col("x")) * dec(col("x"))).as("sxx"),
-      sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    // pooled moments = window sums over the 2-row variant table (exact
+    // integer sums of sums), so the per-user table is aggregated ONCE
+    // and the events table scanned exactly twice (plan-guarded) — a
+    // separate pooled aggregate would recompute the user rollup
+    val w = Window.partitionBy()
+    val v = per.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"),
+        sum(dec(col("x"))).as("vx"), sum(dec(col("y"))).as("vy"),
+        sum(dec(col("x")) * dec(col("x"))).as("vxx"),
+        sum(dec(col("x")) * dec(col("y"))).as("vxy"))
+      .withColumn("n", sum(dec(col("n_users"))).over(w))
+      .withColumn("sx", sum(col("vx")).over(w))
+      .withColumn("sy", sum(col("vy")).over(w))
+      .withColumn("sxx", sum(col("vxx")).over(w))
+      .withColumn("sxy", sum(col("vxy")).over(w))
     val theta = d(col("n") * col("sxy") - col("sx") * col("sy")) /
       d(col("n") * col("sxx") - col("sx") * col("sx"))
     val mx = d(col("sx")) / d(col("n"))
-    per.groupBy("variant")
-      .agg(count(lit(1)).as("n_users"),
-        sum(dec(col("x"))).as("vx"), sum(dec(col("y"))).as("vy"))
-      .crossJoin(broadcast(pooled))
-      .select(col("variant"), col("n_users"),
+    v.select(col("variant"), col("n_users"),
         roundTo(theta, 6).as("theta"),
         roundTo(d(col("vy")) / d(col("n_users")), 4).as("mean_y"),
         roundTo(d(col("vy")) / d(col("n_users"))
@@ -3452,8 +3458,12 @@ object Queries {
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy("user_id", "w")
       .agg(count(lit(1)).as("n_ev"), sum("cents").as("cents"))
-    val cohort = uw.groupBy("user_id").agg(min("w").as("cw"))
-    uw.join(cohort, "user_id")
+    // cohort min as a window over the (user, week) rollup: per-user
+    // partitions are calendar-bounded (≤ #weeks rows), and the events
+    // table is scanned ONCE — a join against a separately-aggregated
+    // cohort table would re-scan and re-aggregate the raw events
+    // (plan-guarded in PlanSpec)
+    uw.withColumn("cw", min("w").over(Window.partitionBy("user_id")))
       .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
         (datediff(col("w"), col("cw")) / 7).cast("int").as("week_offset"),
         col("n_ev"), col("cents"))
@@ -3511,11 +3521,16 @@ object Queries {
     val ev = Tables.events(spark, dir).select(col("event_type"),
       unix_micros(col("ts")).as("us"),
       floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-    val mid = ev.agg((min("us") + max("us")).as("mm"))
-      .select(expr("mm div 2").as("mid_us"))
+    // ONE stats pass yields both the per-type cent range and the global
+    // time midpoint (a window over the types-bounded aggregate — never
+    // a second events scan); the single broadcast table carries both,
+    // so the events table is read exactly twice (plan-guarded)
     val range = ev.groupBy("event_type")
-      .agg(min("cents").as("lo"), max("cents").as("hi"))
-    val binned = ev.join(broadcast(range), "event_type").crossJoin(broadcast(mid))
+      .agg(min("cents").as("lo"), max("cents").as("hi"),
+        min("us").as("mn"), max("us").as("mx"))
+      .withColumn("mid_us", expr("(min(mn) OVER () + max(mx) OVER ()) div 2"))
+      .select("event_type", "lo", "hi", "mid_us")
+    val binned = ev.join(broadcast(range), "event_type")
       .select(col("event_type"),
         // exact long bin arithmetic (div, not double /) mirrors the oracle's //
         expr("cast(least(19L, ((cents - lo) * 20) div (hi - lo + 1)) as int)").as("bin"),
@@ -3523,9 +3538,13 @@ object Queries {
       .groupBy("event_type", "bin")
       .agg(sum(when(col("early"), 1L).otherwise(0L)).as("n_early"),
         sum(when(!col("early"), 1L).otherwise(0L)).as("n_late"))
-    val tot = binned.groupBy("event_type")
-      .agg(sum("n_early").as("t_early"), sum("n_late").as("t_late"))
-    binned.join(tot, "event_type")
+    // per-type totals as windows over the (types × 20)-bounded bin
+    // table — a totals self-join would recompute the whole binned
+    // aggregate (and re-scan events) for the second leg
+    val wt = Window.partitionBy("event_type")
+    binned
+      .withColumn("t_early", sum("n_early").over(wt))
+      .withColumn("t_late", sum("n_late").over(wt))
       .select(col("event_type"), col("bin"), col("n_early"), col("n_late"),
         roundTo(col("n_early").cast("double") / col("t_early").cast("double"), 4)
           .as("share_early"),

@@ -437,4 +437,47 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"per-dim moments must combine map-side:\n$p")
   }
+
+  test("embedding_mmr: greedy stage is grouped-map over keyed groups, candidates via bounded heap") {
+    val p = plan(Queries.embeddingMmr(spark, sf001))
+    // the quadratic loop must sit in a per-query FlatMapGroups (keyed
+    // exchange), never a self-join of the candidate table with itself
+    assert(p.contains("MapGroups"), s"greedy MMR must run in mapGroups:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"candidate fetch must be the TopKNeighbors partial agg:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no unkeyed join may appear in the MMR pipeline:\n$p")
+  }
+
+  // the formatted plan names each scan once in the tree AND once in the
+  // detail section — count only the numbered detail entries
+  private def scanCount(p: String): Int = """\(\d+\) Scan parquet""".r.findAllIn(p).size
+
+  test("events_cohort_ltv: cohort min rides the rollup — ONE scan, no self-join") {
+    val p = plan(Queries.eventsCohortLtv(spark, sf001))
+    assert(scanCount(p) == 1,
+      s"the cohort leg must not re-scan/re-aggregate the events table:\n$p")
+    assert(!p.contains("Join"),
+      s"cohort assignment is a window over the rollup, not a join:\n$p")
+  }
+
+  test("table_drift / cuped: stat legs broadcast back onto exactly TWO event scans") {
+    for ((name, q) <- Seq("table_drift" -> Queries.tableDrift(spark, sf001),
+                          "events_abtest_cuped" -> Queries.eventsAbtestCuped(spark, sf001))) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"),
+        s"$name: tiny stat aggregates must broadcast, not shuffle-join:\n$p")
+      assert(scanCount(p) <= 2,
+        s"$name: the events table must not be re-scanned per stat leg:\n$p")
+    }
+  }
+
+  test("events_ewma_forecast: fold runs above the bucket agg, never over raw events") {
+    val p = plan(Queries.eventsEwmaForecast(spark, sf001))
+    // two-phase bucket count + two-phase collect_list-over-buckets —
+    // the aggregate() HOF itself is a projection, not a shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"hourly counts must combine map-side:\n$p")
+    assert(!p.contains("Window"), s"no window function belongs in the fold:\n$p")
+  }
 }
