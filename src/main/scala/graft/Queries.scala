@@ -907,8 +907,15 @@ object Queries {
     */
   def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val truth = Dedup.jaccardPrefixPairs(docs, "doc_id", "text").select("a_id", "b_id")
-    val sketch = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.65).select("a_id", "b_id")
+    // ONE tokenize+shingle pass feeds both legs (truth + sketch) — at
+    // corpus scale the shingle kernel is the dominant map cost and must
+    // not run twice; both inner results are eagerly checkpointed, so
+    // the cache releases before this query returns
+    val sh = Dedup.shingleHashes(docs, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val truth = Dedup.jaccardPrefixPairsFromShingles(sh).select("a_id", "b_id")
+    val sketch = Dedup.minhashPairsFromShingles(sh, minEst = 0.65).select("a_id", "b_id")
+    sh.unpersist()
     val hits = truth.join(sketch, Seq("a_id", "b_id"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(sketch.agg(count(lit(1)).as("n_sketch")))

@@ -46,10 +46,22 @@ object Dedup {
     * it is read twice (banding + est_sim join-back) and at 100 TB the
     * equivalent is a materialized signature table (~260 B/doc).
     */
+  /** The word n-shingle hash pass both near-dup families consume:
+    * (doc_id, gh = 60-bit hashes of word n-grams), one codegen pass.
+    * Callers that run SEVERAL dedup legs over the same corpus (e.g.
+    * dedup_recall_eval's truth + sketch) persist THIS frame once and
+    * feed the `...FromShingles` variants — tokenize/shingle is the
+    * dominant map-side cost at corpus scale and must not run per leg.
+    */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      wordShingleHash60(wordTokens(col(textCol)), n).as("gh"))
+
   private def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), minHashSig(wordShingleHash60(col("toks"), 3), 32).as("sig"))
+    signaturesFromShingles(shingleHashes(docs, idCol, textCol))
+
+  private def signaturesFromShingles(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), minHashSig(col("gh"), 32).as("sig"))
       .where(col("sig").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -62,8 +74,12 @@ object Dedup {
     * bytes per row regardless of document size — and signatures rejoin by
     * id only for the already-deduped candidate pairs.
     */
-  def minhashPairs(docs: DataFrame, idCol: String, textCol: String, minEst: Double): DataFrame = {
-    val signed = minhashSignatures(docs, idCol, textCol)
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String, minEst: Double): DataFrame =
+    minhashPairsFromShingles(shingleHashes(docs, idCol, textCol), minEst)
+
+  /** [[minhashPairs]] over a pre-shingled (doc_id, gh) frame. */
+  def minhashPairsFromShingles(sh: DataFrame, minEst: Double): DataFrame = {
+    val signed = signaturesFromShingles(sh)
 
     val bands = signed
       .select(col("doc_id"),
@@ -389,14 +405,19 @@ object Dedup {
     */
   def jaccardPrefixPairs(docs: DataFrame, idCol: String, textCol: String,
                          shingleN: Int = 3,
-                         minJNum: Int = 13, minJDen: Int = 20): DataFrame = {
-    val minJ = minJNum.toDouble / minJDen.toDouble
+                         minJNum: Int = 13, minJDen: Int = 20): DataFrame =
     // word n-gram (default 3-shingle, matching [[minhashPairs]]) sets —
     // selective on templated corpora where plain unigram vocabulary is
     // shared by nearly all documents
-    val g = docs
-      .select(col(idCol).as("doc_id"),
-        sort_array(array_distinct(wordShingleHash60(wordTokens(col(textCol)), shingleN))).as("g"))
+    jaccardPrefixPairsFromShingles(
+      shingleHashes(docs, idCol, textCol, shingleN), minJNum, minJDen)
+
+  /** [[jaccardPrefixPairs]] over a pre-shingled (doc_id, gh) frame. */
+  def jaccardPrefixPairsFromShingles(sh: DataFrame,
+                                     minJNum: Int = 13, minJDen: Int = 20): DataFrame = {
+    val minJ = minJNum.toDouble / minJDen.toDouble
+    val g = sh
+      .select(col("doc_id"), sort_array(array_distinct(col("gh"))).as("g"))
       .where(size(col("g")) > 0)
       .withColumn("sz", size(col("g")))
       .persist(StorageLevel.MEMORY_AND_DISK)
