@@ -436,6 +436,25 @@ object Oracles {
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
   }
 
+  /** Per-subspace PQ reconstruction MSE from the same codebook literals
+    * — the DuckDB twin of [[Queries.pqDistortion]] (assignment ties to
+    * the lower code id, error integer-fixed like the ADC tables).
+    */
+  private def pqDistortionSql(books: Array[Array[Array[Float]]]): String = {
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    def sub(v: String) = s"list_slice($v, (cb.pid // $ksub) * $dsub + 1, (cb.pid // $ksub) * $dsub + $dsub)"
+    s"""WITH cb AS ${paramRows(books.flatten, "pid", "cv")},
+       |asg AS (SELECT e.vec_id, cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |          ${l2sq(sub("e.embedding"), "cb.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cb),
+       |best AS (SELECT vec_id, j, CAST(floor(d2 * 1000000000.0 + 0.5) AS BIGINT) AS e9
+       |         FROM asg QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1)
+       |SELECT CAST(j AS INT) AS j, count(*) AS n,
+       |  (round((CAST(sum(e9) AS DOUBLE) / (count(*) * 1000000000.0)) * 1000000.0) / 1000000.0) AS mse
+       |FROM best GROUP BY j ORDER BY j""".stripMargin
+  }
+
   /** PQ rerank tuning curve: shared codebook/ADC chain, one branch per
     * rerank budget — the DuckDB twin of [[Queries.annPqRecallCurve]].
     */
@@ -543,6 +562,7 @@ object Oracles {
     val pqBooks = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
     Map(
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
+      "pq_distortion" -> pqDistortionSql(pqBooks),
       "ann_pq_recall_curve" -> pqRecallCurveSql(pqBooks, queryId = 5L, k = 10,
         reranks = Seq(10, 25, 50, 100, 500)),
       "ann_ivfpq" -> ivfpqSql(centroids, pqBooks, queryId = 6L, k = 10, nprobe = 4, rerank = 100),

@@ -320,6 +320,34 @@ object Queries {
       queryVec(spark, dir, 5L), k = 10, rerank = 100)
   }
 
+  /** PQ codebook quality report: per-subspace mean squared
+    * reconstruction error over the corpus — the "measure, don't guess"
+    * artifact for the quantizer itself (which subspaces carry the
+    * distortion budget), next to ann_pq_recall_curve's end-to-end view.
+    * Per-row errors are integer-fixed (floor(d²·10⁹ + 0.5), the ADC
+    * discipline) so the per-subspace sums are exact longs in any order;
+    * the oracle re-derives assignment AND error from the same codebook
+    * literals. One map pass over the corpus into an (m)-bounded agg.
+    */
+  def pqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val dsub = books.head.head.length
+    val errs = books.zipWithIndex.map { case (book, j) =>
+      val sub = slice(col("embedding"), j * dsub + 1, dsub)
+      val cent = element_at(typedLit(book), nearestCentroid(sub, book) + 1)
+      floor(vecL2Sq(sub, cent) * 1000000000.0 + lit(0.5)).cast("long").as(s"e$j")
+    }
+    emb.select(errs.toSeq: _*)
+      .select(posexplode(array((0 until books.length).map(j => col(s"e$j")): _*))
+        .as(Seq("j", "e9")))
+      .groupBy("j")
+      .agg(count(lit(1)).as("n"), sum("e9").as("s9"))
+      .select(col("j"), col("n"),
+        roundTo(col("s9").cast("double") / (col("n") * lit(1000000000.0)), 6).as("mse"))
+      .orderBy("j")
+  }
+
   /** PQ serving from the persisted codes table ("codes hot, vectors
     * cold"): the 8-byte-per-vector codes parquet is written once per
     * (sf dir, JVM); the timed path ADC-scans only that narrow table and
