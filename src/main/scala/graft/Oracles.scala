@@ -2797,6 +2797,23 @@ object Oracles {
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
 
+    // Mix shift: integer midpoint split, share deltas single-division.
+    "events_mix_shift" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM e),
+        |c AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+        |        CAST(sum(CASE WHEN us > mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |      FROM e, mid GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS t_early,
+        |        CAST(sum(n_late) AS BIGINT) AS t_late FROM c)
+        |SELECT event_type, n_early, n_late,
+        |  round(CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE), 4) AS share_early,
+        |  round(CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE), 4) AS share_late,
+        |  round(abs(CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE)
+        |        - CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE)), 4) AS delta
+        |FROM c, t ORDER BY event_type""".stripMargin,
+
     // Langid confusion: declared lang × the langScoreCtes prediction.
     "text_language_confusion" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),

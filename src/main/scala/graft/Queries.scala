@@ -3450,6 +3450,37 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Composition drift, early vs late half: each event TYPE's share of
+    * total volume in the two halves of the time range with the per-type
+    * delta — the mix-shift companion to [[tableDrift]]'s within-type
+    * value drift (a metric can move because values changed OR because
+    * the mix changed; this separates the two). Same all-integer split
+    * discipline; the 1-row midpoint aggregate broadcasts back (two
+    * scans — a global window over raw events would single-partition
+    * the table), totals as windows over the types-bounded counts.
+    */
+  def eventsMixShift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val mm = ev.agg((min("us") + max("us")).as("s")).select(expr("s div 2").as("mid_us"))
+    val counts = ev.crossJoin(broadcast(mm))
+      .groupBy("event_type")
+      .agg(sum(when(col("us") <= col("mid_us"), 1L).otherwise(0L)).as("n_early"),
+        sum(when(col("us") > col("mid_us"), 1L).otherwise(0L)).as("n_late"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("t_early", sum("n_early").over(w))
+      .withColumn("t_late", sum("n_late").over(w))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        roundTo(col("n_early").cast("double") / col("t_early").cast("double"), 4)
+          .as("share_early"),
+        roundTo(col("n_late").cast("double") / col("t_late").cast("double"), 4)
+          .as("share_late"),
+        roundTo(abs(col("n_early").cast("double") / col("t_early").cast("double")
+          - col("n_late").cast("double") / col("t_late").cast("double")), 4).as("delta"))
+      .orderBy("event_type")
+  }
+
   /** Seasonality profile: per event_type, the day-of-week × hour-of-day
     * activity grid with each cell's share of the type's volume and its
     * ratio against the uniform-rate expectation (1/168) — the load-shape
