@@ -455,6 +455,22 @@ object Oracles {
        |FROM best GROUP BY j ORDER BY j""".stripMargin
   }
 
+  /** IVF cluster-balance report from the same centroid literals. */
+  private def ivfImbalanceSql(centroids: Array[Array[Float]]): String = {
+    val k = centroids.length
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |c AS (SELECT cid AS cluster, count(*) AS n FROM cl GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+       |SELECT CAST(cluster AS INT) AS cluster, n,
+       |  (round((CAST(n AS DOUBLE) / CAST(t AS DOUBLE)) * 10000.0) / 10000.0) AS share,
+       |  (round((CAST(n AS DOUBLE) * $k.0 / CAST(t AS DOUBLE)) * 10000.0) / 10000.0) AS balance
+       |FROM c, t ORDER BY cluster""".stripMargin
+  }
+
   /** PQ rerank tuning curve: shared codebook/ADC chain, one branch per
     * rerank budget — the DuckDB twin of [[Queries.annPqRecallCurve]].
     */
@@ -563,6 +579,7 @@ object Oracles {
     Map(
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
       "pq_distortion" -> pqDistortionSql(pqBooks),
+      "ann_ivf_imbalance" -> ivfImbalanceSql(centroids),
       "ann_pq_recall_curve" -> pqRecallCurveSql(pqBooks, queryId = 5L, k = 10,
         reranks = Seq(10, 25, 50, 100, 500)),
       "ann_ivfpq" -> ivfpqSql(centroids, pqBooks, queryId = 6L, k = 10, nprobe = 4, rerank = 100),
@@ -1059,6 +1076,33 @@ object Oracles {
          |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank, doc_id,
          |  (round((rrf) * 1000000.0) / 1000000.0) AS rrf, rank_vec, rank_text
          |FROM fuse ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Weighted hybrid: same legs as hybrid_rrf, 1e-4-fixed scores,
+    // min-max inside each 50-row leg, 0.6/0.4 blend — identical tree.
+    "hybrid_weighted" ->
+      s"""WITH ${bm25Ctes(50)},
+         |f AS (SELECT doc_id,
+         |  list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
+         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
+         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS features
+         |  FROM documents),
+         |vq AS (SELECT features AS qv FROM f WHERE doc_id = 7),
+         |vd AS (SELECT f.doc_id, ${l2("f.features", "vq.qv")} AS score FROM f, vq),
+         |vleg AS (SELECT doc_id, CAST(round(score * 10000.0) AS BIGINT) AS v4
+         |         FROM vd ORDER BY score, doc_id LIMIT 50),
+         |va AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+         |         ELSE CAST(mx - v4 AS DOUBLE) / CAST(mx - mn AS DOUBLE) END AS na
+         |       FROM (SELECT doc_id, v4, max(v4) OVER () AS mx, min(v4) OVER () AS mn FROM vleg)),
+         |tleg AS (SELECT doc_id, CAST(round((CAST(s6 AS DOUBLE) / 1000000.0) * 10000.0) AS BIGINT) AS s4 FROM bm),
+         |tb AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+         |         ELSE CAST(s4 - mn AS DOUBLE) / CAST(mx - mn AS DOUBLE) END AS nb
+         |       FROM (SELECT doc_id, s4, max(s4) OVER () AS mx, min(s4) OVER () AS mn FROM tleg)),
+         |fuse AS (SELECT coalesce(va.doc_id, tb.doc_id) AS doc_id,
+         |           0.6 * coalesce(na, 0.0) + 0.4 * coalesce(nb, 0.0) AS h
+         |         FROM va FULL OUTER JOIN tb ON va.doc_id = tb.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY h DESC, doc_id) AS INT) AS rank, doc_id,
+         |  (round((h) * 1000000.0) / 1000000.0) AS hybrid
+         |FROM fuse ORDER BY h DESC, doc_id LIMIT 20""".stripMargin,
 
     // word-2/3-gram shingle strings hashed exactly like the minhash
     // oracle; per-doc fractions are single divisions of exact longs.

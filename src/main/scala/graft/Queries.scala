@@ -320,6 +320,29 @@ object Queries {
       queryVec(spark, dir, 5L), k = 10, rerank = 100)
   }
 
+  /** IVF index health: per-cluster population with share and balance
+    * factor (n·K / total — 1.0 is perfectly even; a hot cluster shows
+    * >1 and is the partition a probe storm would hammer). One
+    * assignment map pass into a K-bounded aggregate; the oracle
+    * re-derives assignment from the fitted centroid literals. The
+    * companion knob report to ann_recall_curve: recall says WHETHER to
+    * probe more, balance says what probing will COST.
+    */
+  def annIvfImbalance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val kk = centroids.length
+    emb.select(nearestCentroid(col("embedding"), centroids).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      // ≤ K rows — the unpartitioned window is index-arity-bounded
+      .withColumn("t", sum("n").over(Window.partitionBy()))
+      .select(col("cluster"), col("n"),
+        roundTo(col("n").cast("double") / col("t").cast("double"), 4).as("share"),
+        roundTo(col("n").cast("double") * lit(kk.toDouble) / col("t").cast("double"), 4)
+          .as("balance"))
+      .orderBy("cluster")
+  }
+
   /** PQ codebook quality report: per-subspace mean squared
     * reconstruction error over the corpus — the "measure, don't guess"
     * artifact for the quantizer itself (which subspaces carry the
@@ -429,6 +452,27 @@ object Queries {
     val textLeg = operators.Retrieval.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 50)
       .select(col("doc_id"), col("rank"))
     operators.Retrieval.rrfFuse(vecLeg, textLeg, k = 20)
+  }
+
+  /** Alpha-weighted hybrid search (α = 0.6 vector, 0.4 keyword) over
+    * the same two legs as [[hybridRrf]] — the score-blend fusion mode
+    * next to RRF's rank blend (both knobs ship in real vector stores;
+    * they disagree exactly when one leg's scores are bunched). Legs are
+    * 1e-4-fixed before the k'-bounded min-max normalization
+    * ([[operators.Retrieval.weightedFuse]]).
+    */
+  def hybridWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val media = docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val feats = operators.Multimodal.decode(media).toDF().select(col("doc_id"), col("features"))
+    val probeText = docs.where(col("doc_id") === 7L).select("text").first().getString(0)
+    val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
+    val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
+      .select(col("id").as("doc_id"),
+        floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
+    val textLeg = operators.Retrieval.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 50)
+      .select(col("doc_id"), floor(col("score") * 10000 + lit(0.5)).cast("long").as("s4"))
+    operators.Retrieval.weightedFuse(vecLeg, textLeg, k = 20)
   }
 
   /** Gopher-style repetition signals (top-2-gram fraction, duplicate

@@ -139,6 +139,41 @@ object Retrieval {
     * the fusion is a full outer join of two k-row tables — driver-trivial
     * at any corpus scale; the heavy lifting already happened in the legs.
     */
+  /** Alpha-weighted hybrid fusion (the "alpha" knob vector stores
+    * expose next to RRF): min-max-normalize each leg's score inside its
+    * own top-k' list, then blend α·vec + (1−α)·text. `distLeg` carries
+    * (doc_id, v4) 1e-4-fixed DISTANCES (lower better), `scoreLeg`
+    * (doc_id, s4) 1e-4-fixed SCORES (higher better); normalization is
+    * a single exact-long subtraction/division per row, so the blend is
+    * two multiplies and an add — the identical tree in the oracle.
+    * The unpartitioned min/max windows run over the k'-bounded leg
+    * lists (never the corpus) — cardinality-bounded by construction.
+    */
+  def weightedFuse(distLeg: DataFrame, scoreLeg: DataFrame, k: Int,
+                   alpha: Double = 0.6): DataFrame = {
+    val w = Window.partitionBy()
+    val a = distLeg
+      .withColumn("mx", max("v4").over(w)).withColumn("mn", min("v4").over(w))
+      .select(col("doc_id"),
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("mx") - col("v4")).cast("double")
+            / (col("mx") - col("mn")).cast("double")).as("na"))
+    val b = scoreLeg
+      .withColumn("mx", max("s4").over(w)).withColumn("mn", min("s4").over(w))
+      .select(col("doc_id"),
+        when(col("mx") === col("mn"), lit(1.0))
+          .otherwise((col("s4") - col("mn")).cast("double")
+            / (col("mx") - col("mn")).cast("double")).as("nb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (lit(alpha) * coalesce(col("na"), lit(0.0))
+          + lit(1.0 - alpha) * coalesce(col("nb"), lit(0.0))).as("h"))
+      .orderBy(col("h").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("h").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), graft.functions.roundTo(col("h"), 6).as("hybrid"))
+  }
+
   def rrfFuse(legA: DataFrame, legB: DataFrame, k: Int, c: Int = 60): DataFrame = {
     val a = legA.select(col("doc_id"), col("rank").as("rank_a"))
     val b = legB.select(col("doc_id"), col("rank").as("rank_b"))
