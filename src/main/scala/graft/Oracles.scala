@@ -2889,6 +2889,26 @@ object Oracles {
         |     (a, x) -> 0.3 * x + 0.7 * a)) * 10000.0) / 10000.0) AS ewma_forecast
         |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // Forecast backtest: fold over the prefix (last bucket held out),
+    // same list_reduce replay; naive error is an exact integer.
+    "events_forecast_eval" ->
+      """WITH h AS (SELECT event_type,
+        |        epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS b,
+        |        count(*) AS n FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, count(*) AS n_buckets,
+        |        list(CAST(n AS DOUBLE) ORDER BY b) AS xs,
+        |        CAST(arg_max(n, b) AS BIGINT) AS actual
+        |      FROM h GROUP BY 1),
+        |e AS (SELECT event_type, n_buckets, actual,
+        |        CAST(xs[len(xs) - 1] AS BIGINT) AS naive_pred,
+        |        list_reduce(list_slice(xs, 1, len(xs) - 1), (acc, x) -> 0.3 * x + 0.7 * acc) AS ewma_raw
+        |      FROM a WHERE n_buckets >= 3)
+        |SELECT event_type, n_buckets, actual,
+        |  (round((ewma_raw) * 10000.0) / 10000.0) AS ewma_pred,
+        |  (round((abs(CAST(actual AS DOUBLE) - ewma_raw)) * 10000.0) / 10000.0) AS ewma_abs_err,
+        |  abs(actual - naive_pred) AS naive_abs_err
+        |FROM e ORDER BY event_type""".stripMargin,
+
     // Embedding drift: vector_centroid_dist's exact cross-multiplied
     // numerator, applied early-half vs late-half within each label.
     "embedding_drift" ->

@@ -3386,6 +3386,38 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Forecast backtest: hold out each type's LAST hour bucket, forecast
+    * it with the EWMA fold over the prefix and with the naive
+    * last-value rule, and report both absolute errors — the artifact
+    * that says whether [[eventsEwmaForecast]]'s smoothing actually
+    * beats doing nothing. Same bounded fold shape (types × hours
+    * buckets, sequential fold replayed by list_reduce); errors are
+    * |exact long − fold double| rounded once.
+    */
+  def eventsForecastEval(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))).as("b"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n"))
+    hourly.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("b"), col("n")))).as("xs"),
+        count(lit(1)).as("n_buckets"))
+      .where(col("n_buckets") >= 3)
+      .select(col("event_type"), col("n_buckets"),
+        element_at(col("xs"), -1).getField("n").as("actual"),
+        element_at(col("xs"), -2).getField("n").as("naive_pred"),
+        aggregate(
+          expr("slice(xs, 2, size(xs) - 2)"),
+          element_at(col("xs"), 1).getField("n").cast("double"),
+          (acc, e) => lit(0.3) * e.getField("n").cast("double") + lit(0.7) * acc)
+          .as("ewma_raw"))
+      .select(col("event_type"), col("n_buckets"), col("actual"),
+        roundTo(col("ewma_raw"), 4).as("ewma_pred"),
+        roundTo(abs(col("actual").cast("double") - col("ewma_raw")), 4).as("ewma_abs_err"),
+        abs(col("actual") - col("naive_pred")).as("naive_abs_err"))
+      .orderBy("event_type")
+  }
+
   /** Embedding drift monitor: per-label L2 shift between the centroid
     * of the first half of the id space and the second (the model-rot /
     * re-embedding check a vector store runs after an encoder update).
