@@ -455,6 +455,32 @@ object Oracles {
        |FROM best GROUP BY j ORDER BY j""".stripMargin
   }
 
+  /** PQ code-utilization entropy from the same codebook literals:
+    * assignment re-derived per subspace, entropy integer-fixed per
+    * distinct count (the corpus_entropy discipline) — the DuckDB twin
+    * of [[Queries.pqCodeEntropy]].
+    */
+  private def pqCodeEntropySql(books: Array[Array[Array[Float]]]): String = {
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    def sub(v: String) = s"list_slice($v, (cb.pid // $ksub) * $dsub + 1, (cb.pid // $ksub) * $dsub + $dsub)"
+    s"""WITH cb AS ${paramRows(books.flatten, "pid", "cv")},
+       |asg AS (SELECT e.vec_id, cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |          ${l2sq(sub("e.embedding"), "cb.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cb),
+       |best AS (SELECT vec_id, j, c FROM asg
+       |         QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1),
+       |cc AS (SELECT j, c, CAST(count(*) AS BIGINT) AS cnt FROM best GROUP BY 1, 2),
+       |s AS (SELECT j, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS n_used,
+       |        CAST(sum(CAST(cnt AS DECIMAL(18,0)) *
+       |          CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS DECIMAL(18,0))) AS DOUBLE) AS s_fixed
+       |      FROM cc GROUP BY 1)
+       |SELECT CAST(j AS INT) AS j, n_used,
+       |  (round((ln(CAST(n AS DOUBLE)) - s_fixed / (CAST(n AS DOUBLE) * 1000000.0)) * 10000.0) / 10000.0) AS entropy_nats,
+       |  (round((CAST(n_used AS DOUBLE) / $ksub.0) * 10000.0) / 10000.0) AS utilization
+       |FROM s ORDER BY j""".stripMargin
+  }
+
   /** IVF cluster-balance report from the same centroid literals. */
   private def ivfImbalanceSql(centroids: Array[Array[Float]]): String = {
     val k = centroids.length
@@ -579,6 +605,7 @@ object Oracles {
     Map(
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
       "pq_distortion" -> pqDistortionSql(pqBooks),
+      "pq_code_entropy" -> pqCodeEntropySql(pqBooks),
       "ann_ivf_imbalance" -> ivfImbalanceSql(centroids),
       "ann_pq_recall_curve" -> pqRecallCurveSql(pqBooks, queryId = 5L, k = 10,
         reranks = Seq(10, 25, 50, 100, 500)),
@@ -1322,6 +1349,24 @@ object Oracles {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{9,}', '<NUM>', 'g')) AS scrubbed_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // readability profile: per-doc exact longs from in-row list ops,
+    // sources-bounded rollup, three final double divisions.
+    "text_readability" ->
+      s"""WITH t AS (SELECT source, text, $toks AS toks FROM documents),
+         |d AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_words,
+         |        CAST(coalesce(list_sum(list_transform(toks, w -> len(w))), 0) AS BIGINT) AS n_wc,
+         |        CAST(len(list_filter(toks, w -> len(w) >= 7)) AS BIGINT) AS n_long,
+         |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_vg
+         |      FROM t),
+         |s AS (SELECT source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_words,
+         |        CAST(sum(n_wc) AS BIGINT) AS wc, CAST(sum(n_long) AS BIGINT) AS nl,
+         |        CAST(sum(n_vg) AS BIGINT) AS nv FROM d GROUP BY 1)
+         |SELECT source, n_docs, n_words,
+         |  (round((CAST(wc AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000.0) / 10000.0) AS avg_word_len,
+         |  (round((CAST(nl AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000.0) / 10000.0) AS long_word_share,
+         |  (round((CAST(nv AS DOUBLE) / CAST(n_words AS DOUBLE)) * 10000.0) / 10000.0) AS syllables_per_word
+         |FROM s ORDER BY source""".stripMargin,
 
     // entropy from the (source, word) count table: each ln c fixed to a
     // 1e-6 integer once, weighted sum in DECIMAL (18,0)×(18,0) products
@@ -2840,6 +2885,43 @@ object Oracles {
         |FROM b JOIN m USING (event_type)
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
+
+    // CUSUM changepoint: dev_k = H·cum_k − k·T exact BIGINT windows over
+    // the (types × hours)-bounded bucket table, argmax |dev| with
+    // earliest-bucket tie-break; doubles only in shift/means.
+    "events_changepoint" ->
+      """WITH b AS (SELECT event_type,
+        |  epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS bucket_us,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, bucket_us, n,
+        |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_us) AS BIGINT) AS k,
+        |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket_us) AS BIGINT) AS cum,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS h,
+        |  CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        |  FROM b),
+        |d AS (SELECT *, h * cum - k * t AS dev FROM w)
+        |SELECT event_type, bucket_us AS cut_us, dev,
+        |  (round((CAST(abs(dev) AS DOUBLE) / (CAST(h AS DOUBLE) * CAST(t AS DOUBLE))) * 1000000.0) / 1000000.0) AS shift,
+        |  (round((CAST(cum AS DOUBLE) / CAST(k AS DOUBLE)) * 10000.0) / 10000.0) AS mean_before,
+        |  CASE WHEN h = k THEN NULL
+        |       ELSE (round((CAST(t - cum AS DOUBLE) / CAST(h - k AS DOUBLE)) * 10000.0) / 10000.0) END AS mean_after
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY abs(dev) DESC, bucket_us) = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // type co-usage: pair + marginal counts off the distinct (user,
+    // type) table; jaccard one double division.
+    "events_user_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(count(*) AS BIGINT) AS n_both
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT type_a, type_b, ma.m AS n_a, mb.m AS n_b, n_both,
+        |  (round((CAST(n_both AS DOUBLE) / CAST(ma.m + mb.m - n_both AS DOUBLE)) * 10000.0) / 10000.0) AS jaccard
+        |FROM p JOIN m ma ON ma.event_type = type_a JOIN m mb ON mb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     // Mix shift: integer midpoint split, share deltas single-division.
     "events_mix_shift" ->

@@ -3696,4 +3696,143 @@ object Queries {
           - col("n_late").cast("double") / col("t_late").cast("double")), 4).as("delta"))
       .orderBy("event_type", "bin")
   }
+
+  /** CUSUM mean-shift changepoint per event type over the hourly count
+    * series — the "did the level change, and when" monitor next to
+    * [[eventsBurst]]'s single-hour spikes and [[tableDrift]]'s
+    * distribution deltas. The centered prefix deviation is kept exact:
+    * dev_k = H·cum_k − k·T (H buckets, T total events, cum_k the prefix
+    * count) is all-long arithmetic, and the cut is argmax |dev| with
+    * ties to the earliest bucket — bit-identical in any engine; doubles
+    * appear only in the reported shift/means. Scale shape: the raw scan
+    * partial-aggregates to (types × hours) rows before any window, and
+    * every window partition is time-span-bounded (≤ #hours rows per
+    * type) — the events_autocorr bound.
+    */
+  def eventsChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))).as("bucket_us"))
+      .groupBy("event_type", "bucket_us").agg(count(lit(1)).as("n"))
+    val wOrd = Window.partitionBy("event_type").orderBy("bucket_us")
+    val wAll = Window.partitionBy("event_type")
+    counts
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("cum", sum("n").over(wOrd))
+      .withColumn("h", count(lit(1)).over(wAll))
+      .withColumn("t", sum("n").over(wAll))
+      .withColumn("dev", col("h") * col("cum") - col("k") * col("t"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("event_type").orderBy(abs(col("dev")).desc, col("bucket_us"))))
+      .where(col("r") === 1)
+      .select(col("event_type"), col("bucket_us").as("cut_us"), col("dev"),
+        roundTo(abs(col("dev")).cast("double")
+          / (col("h").cast("double") * col("t").cast("double")), 6).as("shift"),
+        roundTo(col("cum").cast("double") / col("k").cast("double"), 4).as("mean_before"),
+        when(col("h") === col("k"), lit(null).cast("double"))
+          .otherwise(roundTo((col("t") - col("cum")).cast("double")
+            / (col("h") - col("k")).cast("double"), 4)).as("mean_after"))
+      .orderBy("event_type")
+  }
+
+  /** Per-source readability profile — the complexity signals a quality
+    * pipeline cuts on next to [[textQuality]]'s spam ratios: average
+    * word length, long-word (≥ 7 chars) share, and vowel-group density
+    * (the classic syllables-per-word proxy). Everything aggregates from
+    * exact longs computed per document inside the row (higher-order
+    * array functions over the token list — no explode, no per-token
+    * shuffle rows), so the per-source sums are order-independent and
+    * the only doubles are the three final divisions. One scan into a
+    * sources-bounded agg.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val toks = wordTokens(col("text"))
+    val perDoc = Tables.documents(spark, dir).select(
+      col("source"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long")).as("n_wc"),
+      size(filter(toks, w => length(w) >= 7)).cast("long").as("n_long"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("n_vg"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_wc").as("wc"), sum("n_long").as("nl"), sum("n_vg").as("nv"))
+      .select(col("source"), col("n_docs"), col("n_words"),
+        roundTo(col("wc").cast("double") / col("n_words").cast("double"), 4)
+          .as("avg_word_len"),
+        roundTo(col("nl").cast("double") / col("n_words").cast("double"), 4)
+          .as("long_word_share"),
+        roundTo(col("nv").cast("double") / col("n_words").cast("double"), 4)
+          .as("syllables_per_word"))
+      .orderBy("source")
+  }
+
+  /** Event-type co-usage matrix: for every type pair, how many users
+    * touch both and the Jaccard overlap of their user sets — the
+    * audience-overlap readout behind cross-sell and funnel design. The
+    * per-user type set is collected in ONE user-keyed shuffle of narrow
+    * distinct (user, type) rows (types-bounded per user), pairs are
+    * enumerated inside the row (types² ≤ 25 here, and always
+    * dimension-bounded), and the rollup output is types²-bounded — no
+    * self-join re-scans the events table. Per-type user counts ride the
+    * same pass: each user contributes its singleton types too, so ONE
+    * aggregation yields both the pair and the marginal counts.
+    */
+  def eventsUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .groupBy("user_id").agg(sort_array(collect_set("event_type")).as("ts"))
+    // (a, a) rows carry the marginals; (a, b) a < b rows the overlaps.
+    // Marginals attach as windows over this types²-bounded table — a
+    // join against a separately-built marginal table would recompute
+    // the whole events scan once per join leg.
+    val pairs = perUser.select(explode(col("ts")).as("a"), col("ts"))
+      .select(col("a"), explode(col("ts")).as("b"))
+      .where(col("a") <= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("n_a", max(when(col("a") === col("b"), col("n")))
+        .over(Window.partitionBy("a")))
+      .withColumn("n_b", max(when(col("a") === col("b"), col("n")))
+        .over(Window.partitionBy("b")))
+      .where(col("a") < col("b"))
+      .select(col("a").as("type_a"), col("b").as("type_b"),
+        col("n_a"), col("n_b"), col("n").as("n_both"),
+        roundTo(col("n").cast("double")
+          / (col("n_a") + col("n_b") - col("n")).cast("double"), 4).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** PQ code-utilization entropy — the codebook-health twin of
+    * [[pqDistortion]]: per subspace, how many of the ksub codes the
+    * corpus actually uses and the entropy of the code distribution
+    * (a starved codebook wastes its bits; H → ln ksub is ideal).
+    * Assignment reuses the fitted codebook literals; entropy follows
+    * the [[corpusEntropy]] discipline — each ln c fixed to a 1e-6
+    * integer once per distinct count, DECIMAL weighted sum, double only
+    * in the final expression. One map pass into an (m × ksub)-bounded
+    * agg.
+    */
+  def pqCodeEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val dsub = books.head.head.length
+    val codes = books.zipWithIndex.map { case (book, j) =>
+      nearestCentroid(slice(col("embedding"), j * dsub + 1, dsub), book).as(s"c$j")
+    }
+    emb.select(codes.toSeq: _*)
+      .select(posexplode(array((0 until books.length).map(j => col(s"c$j")): _*))
+        .as(Seq("j", "code")))
+      .groupBy("j", "code").agg(count(lit(1)).as("c"))
+      .groupBy("j")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_used"),
+        sum(col("c").cast("decimal(18,0)") *
+          floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("decimal(18,0)")).as("s_fixed"))
+      .select(col("j"), col("n_used"),
+        roundTo(log(col("n").cast("double")) -
+          col("s_fixed").cast("double") / (col("n").cast("double") * lit(1e6)), 4)
+          .as("entropy_nats"),
+        roundTo(col("n_used").cast("double") / lit(books.head.length.toDouble), 4)
+          .as("utilization"))
+      .orderBy("j")
+  }
 }
