@@ -481,6 +481,27 @@ object Oracles {
        |FROM s ORDER BY j""".stripMargin
   }
 
+  /** 2σ distance outliers from the same centroid literals: assignment,
+    * 1e-6 fixed distances, the exact-integer sigma rule in HUGEINT —
+    * the DuckDB twin of [[Queries.embeddingOutliers]].
+    */
+  private def embeddingOutliersSql(centroids: Array[Array[Float]]): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid AS cluster, sqrt(d2) AS d FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |x AS (SELECT vec_id, cluster, d,
+       |        CAST(floor(d * 1000000.0 + 0.5) AS HUGEINT) AS x FROM cl),
+       |m AS (SELECT cluster, CAST(count(*) AS HUGEINT) AS n,
+       |        CAST(sum(x) AS HUGEINT) AS s, CAST(sum(x * x) AS HUGEINT) AS q
+       |      FROM x GROUP BY 1)
+       |SELECT vec_id, CAST(x.cluster AS INT) AS cluster,
+       |  (round((d) * 10000.0) / 10000.0) AS dist
+       |FROM x JOIN m USING (cluster)
+       |WHERE (n * x.x - s) * (n * x.x - s) > 4 * (n * q - s * s) AND (n * x.x - s) > 0
+       |ORDER BY vec_id""".stripMargin
+
   /** IVF cluster-balance report from the same centroid literals. */
   private def ivfImbalanceSql(centroids: Array[Array[Float]]): String = {
     val k = centroids.length
@@ -606,6 +627,7 @@ object Oracles {
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
       "pq_distortion" -> pqDistortionSql(pqBooks),
       "pq_code_entropy" -> pqCodeEntropySql(pqBooks),
+      "embedding_outliers" -> embeddingOutliersSql(centroids),
       "ann_ivf_imbalance" -> ivfImbalanceSql(centroids),
       "ann_pq_recall_curve" -> pqRecallCurveSql(pqBooks, queryId = 5L, k = 10,
         reranks = Seq(10, 25, 50, 100, 500)),
@@ -1349,6 +1371,17 @@ object Oracles {
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{9,}', '<NUM>', 'g')) AS scrubbed_digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // shard plan: global token prefix-sum (two-level scan on the Spark
+    // side; the oracle states the spec directly as one window).
+    "corpus_shard_plan" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |        CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |      FROM t)
+         |SELECT doc_id, n_tok AS n_tokens, start, start // 1000 AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // readability profile: per-doc exact longs from in-row list ops,
     // sources-bounded rollup, three final double divisions.

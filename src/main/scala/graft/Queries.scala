@@ -3801,6 +3801,63 @@ object Queries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Token-budget shard plan — the writer-side layout step every
+    * pretraining pipeline runs after [[packSequences]]: assign each
+    * document (in stable doc_id order) its exclusive token-offset
+    * `start` and the 1000-token shard it opens in, so downstream
+    * writers emit fixed-budget files deterministically. The global
+    * prefix sum is the textbook two-level distributed scan (Blelloch):
+    * within-bucket cumsums run in 64-doc windows (bounded), bucket
+    * offsets come from a window over the 64×-reduced bucket table, and
+    * the two join back co-partitioned on the bucket key. The bucket
+    * window is the recursion point — each extra level buys another 64×,
+    * so three levels cover 10¹² docs with ≤ 4096-row windows; nothing
+    * ever globally sorts the corpus itself.
+    */
+  def corpusShardPlan(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(wordTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("bk", expr("doc_id div 64"))
+    val within = docs.withColumn("cum_in",
+      sum("n_tok").over(Window.partitionBy("bk").orderBy("doc_id")))
+    val offsets = docs.groupBy("bk").agg(sum("n_tok").as("bt"))
+      .withColumn("off", coalesce(sum("bt").over(
+        Window.orderBy("bk").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "off")
+    within.join(offsets, "bk")
+      .select(col("doc_id"), col("n_tok").as("n_tokens"),
+        (col("off") + col("cum_in") - col("n_tok")).as("start"),
+        expr(s"(off + cum_in - n_tok) div $budget").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** Embedding outliers — the "mis-embedded row" quality filter an
+    * ingest pipeline runs before indexing: vectors whose distance to
+    * their assigned IVF centroid exceeds the cluster mean by 2σ (high
+    * side — the distance distribution's right tail is thin, so 2σ is
+    * the useful operating point). Membership is the all-integer
+    * [[operators.Stats.sigmaOutliers]]
+    * rule over 1e-6-fixed distances — (n·x − S)² > 4(n·Q − S²) in exact
+    * DECIMAL — so the flag set is bit-reproducible; the oracle
+    * re-derives assignment and the same rule from the centroid
+    * literals. Two map passes (assignment, then flag against the
+    * K-bounded broadcast moments) — the standard two-pass z-score.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val withD = emb
+      .select(col("vec_id"), nearestCentroid(col("embedding"), centroids).as("cluster"),
+        col("embedding"))
+      .withColumn("d", vecL2(col("embedding"),
+        element_at(typedLit(centroids), col("cluster") + 1)))
+      .select("vec_id", "cluster", "d")
+    operators.Stats.sigmaOutliers(withD, "cluster", "d", k = 2, scale = 6, highOnly = true)
+      .select(col("vec_id"), col("cluster"), roundTo(col("d"), 4).as("dist"))
+      .orderBy("vec_id")
+  }
+
   /** PQ code-utilization entropy — the codebook-health twin of
     * [[pqDistortion]]: per subspace, how many of the ksub codes the
     * corpus actually uses and the entropy of the code distribution
