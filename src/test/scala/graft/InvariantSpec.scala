@@ -87,4 +87,94 @@ class InvariantSpec extends SparkSpec {
     val q20 = Queries.q20ExcessSupp(spark, sf001).collect()
     assert(q20.forall(_.getLong(2) >= 1))
   }
+
+  test("corpus_shard_plan: starts are the exact prefix sum; shards follow the 1000-token budget") {
+    val rows = Queries.corpusShardPlan(spark, sf001).orderBy("doc_id").collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("start")) == cum, s"doc ${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("shard")) == cum / 1000L)
+      cum += r.getLong(r.fieldIndex("n_tokens"))
+    }
+  }
+
+  test("events_changepoint: the reported cut maximizes |H·cum − k·T| over a replayed series") {
+    val got = Queries.eventsChangepoint(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val buckets = sources.Tables.events(spark, sf001)
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = buckets.groupBy(_._1)
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (t, rows) =>
+      val counts = rows.groupBy(_._2).map { case (b, g) => (b, g.size.toLong) }
+        .toSeq.sortBy(_._1)
+      val h = counts.size.toLong
+      val total = counts.map(_._2).sum
+      var cum = 0L
+      val devs = counts.zipWithIndex.map { case ((b, n), i) =>
+        cum += n; (b, h * cum - (i + 1) * total)
+      }
+      val best = devs.minBy { case (b, d) => (-math.abs(d), b) }
+      assert(got(t) == best, s"type $t")
+    }
+  }
+
+  test("events_user_overlap: jaccard consistent with counts; overlap bounded by marginals") {
+    val rows = Queries.eventsUserOverlap(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, nb, both) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(both >= 1 && both <= math.min(na, nb))
+      val j = both.toDouble / (na + nb - both)
+      assert(math.abs(r.getDouble(5) - math.round(j * 1e4) / 1e4) < 1e-9)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
+  test("text_readability: shares in [0,1], word length and syllable density positive") {
+    val rows = Queries.textReadability(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("avg_word_len")) >= 1.0)
+      val ls = r.getDouble(r.fieldIndex("long_word_share"))
+      assert(ls >= 0.0 && ls <= 1.0)
+      assert(r.getDouble(r.fieldIndex("syllables_per_word")) > 0.0)
+    }
+  }
+
+  test("pq_code_entropy: entropy bounded by ln(ksub); utilization consistent with n_used") {
+    val rows = Queries.pqCodeEntropy(spark, sf001).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val used = r.getLong(r.fieldIndex("n_used"))
+      assert(used >= 1 && used <= 16)
+      val h = r.getDouble(r.fieldIndex("entropy_nats"))
+      assert(h >= -1e-9 && h <= math.log(16.0) + 1e-9)
+      assert(math.abs(r.getDouble(r.fieldIndex("utilization")) - used / 16.0) < 1e-9)
+    }
+  }
+
+  test("embedding_outliers: flagged rows are rare and strictly above their cluster mean distance") {
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    val rows = Queries.embeddingOutliers(spark, sf001).collect()
+    assert(rows.length < n / 10, "2-sigma high-side flags must be a small tail")
+    // recompute per-cluster mean distance from the same fitted centroids
+    val emb = sources.Tables.embeddings(spark, sf001)
+    val cents = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val d = emb.select(col("vec_id"), col("embedding"),
+        functions.nearestCentroid(col("embedding"), cents).as("cluster"))
+      .withColumn("d", functions.vecL2(col("embedding"),
+        element_at(typedLit(cents), col("cluster") + 1)))
+      .select("vec_id", "cluster", "d")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val mean = d.groupBy(_._2).map { case (c, g) => c -> g.map(_._3).sum / g.size }
+    val byId = d.map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { r =>
+      val (c, dist) = byId(r.getLong(0))
+      assert(c == r.getInt(1))
+      assert(dist > mean(c), s"vec ${r.getLong(0)} not above cluster mean")
+    }
+  }
 }
