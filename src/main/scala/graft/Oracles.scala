@@ -366,6 +366,30 @@ object Oracles {
        |       n_id, (round((score) * 10000.0) / 10000.0) AS value
        |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** In-degree histogram of the within-cluster k-NN graph from the same
+    * scaled centroids — the DuckDB twin of [[Queries.knnHubness]].
+    */
+  private def knnHubnessSql(centroids: Array[Array[Float]], k: Int): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |e2 AS (SELECT q_id, n_id FROM d
+       |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $k),
+       |ic AS (SELECT n_id, CAST(count(*) AS BIGINT) AS c FROM e2 GROUP BY 1),
+       |ind AS (SELECT e.vec_id, CAST(coalesce(ic.c, 0) AS BIGINT) AS indeg
+       |        FROM embeddings e LEFT JOIN ic ON ic.n_id = e.vec_id),
+       |h AS (SELECT indeg, CAST(count(*) AS BIGINT) AS n_vectors FROM ind GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS tot FROM h)
+       |SELECT indeg, n_vectors,
+       |  (round((CAST(n_vectors AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000.0) / 10000.0) AS share
+       |FROM h, t ORDER BY indeg""".stripMargin
+
   /** LSH bucketed search: sign-of-dot bucket per vector over the literal
     * hyperplanes, Hamming-radius multi-probe around the query's bucket,
     * exact L2 re-rank — the DuckDB twin of [[operators.LshIndex.search]].
@@ -641,6 +665,7 @@ object Oracles {
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
       // the graph build scales K with n (fitScaled) — splice THOSE centroids
       "knn_join_ivf" -> knnJoinSql(scaledCents, k = 3),
+      "knn_hubness" -> knnHubnessSql(scaledCents, k = 3),
       "knn_graph_recall" -> graphRecallSql(scaledCents, k = 3),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
@@ -2918,6 +2943,25 @@ object Oracles {
         |FROM b JOIN m USING (event_type)
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
+
+    // bot-suspicion leaderboard: exact HUGEINT gap moments, cv from the
+    // identical double tree, TakeOrdered on the 1e-9-fixed cv.
+    "events_bot_score" ->
+      """WITH o AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |g AS (SELECT user_id,
+        |        (t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) // 1000000 AS gap_s
+        |      FROM o),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(gap_s) AS HUGEINT) AS s,
+        |        CAST(sum(CAST(gap_s AS HUGEINT) * CAST(gap_s AS HUGEINT)) AS HUGEINT) AS q
+        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1 HAVING count(*) >= 8),
+        |c AS (SELECT user_id, n_g + 1 AS n_events, n_g AS n_gaps,
+        |        (round((CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE)) * 100.0) / 100.0) AS mean_gap_s,
+        |        sqrt(CAST(n_g * q - s * s AS DOUBLE)) / CAST(s AS DOUBLE) AS cv
+        |      FROM s),
+        |t AS (SELECT user_id, n_events, n_gaps, mean_gap_s,
+        |        (round((cv) * 10000.0) / 10000.0) AS cv
+        |      FROM c ORDER BY CAST(floor(cv * 1000000000.0 + 0.5) AS BIGINT), user_id LIMIT 20)
+        |SELECT * FROM t ORDER BY cv, user_id""".stripMargin,
 
     // CUSUM changepoint: dev_k = H·cum_k − k·T exact BIGINT windows over
     // the (types × hours)-bounded bucket table, argmax |dev| with

@@ -3801,6 +3801,62 @@ object Queries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Bot-suspicion leaderboard: the 20 users whose inter-event cadence
+    * is most machine-regular (lowest coefficient of variation of gap
+    * seconds, ≥ 8 gaps) with their rate stats — the traffic-cleaning
+    * pass an events pipeline runs before any behavioral metric. The
+    * moments are exact (gap seconds by integer div, Σ and Σ² in
+    * DECIMAL(38,0)), cv = √(n·Q − S²)/S is computed from those exact
+    * integers with an identical tree in the oracle, and the cut is a
+    * TakeOrdered on the 1e-9-fixed cv — never a global sort of users.
+    * Per-user lag windows follow the [[eventsGapStats]] bound.
+    */
+  def eventsBotScore(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("prev_t", lag("t", 1).over(byUser))
+      .where(col("prev_t").isNotNull)
+      .select(col("user_id"), expr("(t - prev_t) div 1000000").as("gap_s"))
+    val m = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_g"),
+        sum("gap_s").cast("decimal(38,0)").as("s"),
+        sum(col("gap_s").cast("decimal(38,0)") * col("gap_s").cast("decimal(38,0)")).as("q"))
+      .where(col("n_g") >= 8)
+    val cv = sqrt((col("n_g").cast("decimal(38,0)") * col("q") - col("s") * col("s"))
+      .cast("double")) / col("s").cast("double")
+    m.select(col("user_id"), (col("n_g") + 1).as("n_events"), col("n_g").as("n_gaps"),
+        roundTo(col("s").cast("double") / col("n_g").cast("double"), 2).as("mean_gap_s"),
+        roundTo(cv, 4).as("cv"),
+        floor(cv * lit(1e9) + lit(0.5)).cast("long").as("cvk"))
+      .orderBy("cvk", "user_id").limit(20)
+      .drop("cvk")
+      .orderBy("cv", "user_id")
+  }
+
+  /** k-NN graph hubness histogram — the index-health artifact ANN
+    * papers watch (a hub-dominated graph degrades recall and spreads
+    * load unevenly): distribution of in-degrees over the
+    * [[knnJoin]] graph's edges, including the never-referenced
+    * (in-degree 0) vectors. Edge volume is the graph's own O(n·k);
+    * the in-degree rollup shuffles narrow (vec_id) rows and the
+    * histogram + share windows run on the in-degree-bounded table.
+    */
+  def knnHubness(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+    val edges = operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
+      k = 3, metric = "l2")
+    val indeg = edges.groupBy(col("n_id").as("vec_id")).agg(count(lit(1)).as("c"))
+    emb.select("vec_id").join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("indeg"))
+      .groupBy("indeg").agg(count(lit(1)).as("n_vectors"))
+      .withColumn("tot", sum("n_vectors").over(Window.partitionBy()))
+      .select(col("indeg"), col("n_vectors"),
+        roundTo(col("n_vectors").cast("double") / col("tot").cast("double"), 4).as("share"))
+      .orderBy("indeg")
+  }
+
   /** Token-budget shard plan — the writer-side layout step every
     * pretraining pipeline runs after [[packSequences]]: assign each
     * document (in stable doc_id order) its exclusive token-offset
