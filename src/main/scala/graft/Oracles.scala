@@ -2944,6 +2944,53 @@ object Oracles {
         |WHERE (nb * x - s) * (nb * x - s) > 9 * (nb * q - s * s) AND (nb * x - s) > 0
         |ORDER BY b.event_type, b.bucket_us""".stripMargin,
 
+    // lifecycle ledger: per-user first/lag/lead over distinct (user,
+    // week), each activity row also emits its week+1 churn row, phantom
+    // trailing week cut by the max activity week.
+    "events_churn" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS w FROM events),
+        |c AS (SELECT user_id, w, min(w) OVER (PARTITION BY user_id) AS fw,
+        |        lag(w) OVER (PARTITION BY user_id ORDER BY w) AS pw,
+        |        lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+        |      FROM uw),
+        |r AS (
+        |  SELECT w AS week,
+        |    CASE WHEN w = fw THEN 1 ELSE 0 END AS nn,
+        |    CASE WHEN pw = w - 1 THEN 1 ELSE 0 END AS nr,
+        |    CASE WHEN pw IS NOT NULL AND pw < w - 1 THEN 1 ELSE 0 END AS ns,
+        |    0 AS nc
+        |  FROM c
+        |  UNION ALL
+        |  SELECT w + 1, 0, 0, 0,
+        |    CASE WHEN nw IS NULL OR nw > w + 1 THEN 1 ELSE 0 END FROM c),
+        |a AS (SELECT week, CAST(sum(nn) AS BIGINT) AS n_new,
+        |        CAST(sum(nr) AS BIGINT) AS n_retained,
+        |        CAST(sum(ns) AS BIGINT) AS n_resurrected,
+        |        CAST(sum(nc) AS BIGINT) AS n_churned
+        |      FROM r GROUP BY 1),
+        |m AS (SELECT *, max(CASE WHEN n_new + n_retained + n_resurrected > 0
+        |        THEN week END) OVER () AS mx FROM a)
+        |SELECT week, n_new, n_retained, n_resurrected, n_churned
+        |FROM m WHERE week <= mx ORDER BY week""".stripMargin,
+
+    // distinctive keywords: idf fixed to 1e-6 integers once per word,
+    // exact-long ranking, source-partitioned top-3 window.
+    "corpus_keywords" ->
+      s"""WITH t AS (SELECT source, unnest(list_distinct($toks)) AS word FROM documents),
+         |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS df_s FROM t GROUP BY 1, 2),
+         |wd AS (SELECT word, CAST(sum(df_s) AS BIGINT) AS df FROM sw GROUP BY 1),
+         |sc AS (SELECT source, word, df_s, df,
+         |        df_s * CAST(floor(ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df)
+         |          * 1000000.0 + 0.5) AS BIGINT) AS sf
+         |       FROM sw JOIN wd USING (word)),
+         |r AS (SELECT source, word, df_s, df, sf,
+         |        row_number() OVER (PARTITION BY source ORDER BY sf DESC, word) AS rank
+         |      FROM sc)
+         |SELECT source, CAST(rank AS INT) AS rank, word, df_s, df,
+         |  (round((CAST(sf AS DOUBLE) / 1000000.0) * 10000.0) / 10000.0) AS score
+         |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin,
+
     // bot-suspicion leaderboard: exact HUGEINT gap moments, cv from the
     // identical double tree, TakeOrdered on the 1e-9-fixed cv.
     "events_bot_score" ->

@@ -3801,6 +3801,80 @@ object Queries {
       .orderBy("type_a", "type_b")
   }
 
+  /** Weekly growth accounting — the full user-lifecycle ledger behind
+    * [[eventsNewVsReturning]]: per epoch-week, users who are new (first
+    * week), retained (also active the week before), resurrected (back
+    * after a gap) and churned (active week w−1, absent week w). ONE
+    * events scan: the distinct (user, week) table takes one user-keyed
+    * exchange for the first/lag/lead windows (per-user partitions are
+    * span-bounded in weeks), every activity row then emits its own
+    * week's lifecycle flags AND its potential week+1 churn row in-row
+    * (explode ×2), and the rollup is weeks-bounded. The trailing
+    * phantom week is cut by a window over the weeks-bounded aggregate —
+    * never a second scan.
+    */
+  def eventsChurn(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 604800000000").as("w"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id")
+    val ordered = byUser.orderBy("w")
+    val c = uw
+      .withColumn("fw", min("w").over(byUser))
+      .withColumn("pw", lag("w", 1).over(ordered))
+      .withColumn("nw", lead("w", 1).over(ordered))
+    val rows = c.select(explode(array(
+        struct(col("w").as("week"),
+          when(col("w") === col("fw"), 1L).otherwise(0L).as("nn"),
+          when(col("pw") === col("w") - 1, 1L).otherwise(0L).as("nr"),
+          when(col("pw").isNotNull && col("pw") < col("w") - 1, 1L).otherwise(0L).as("ns"),
+          lit(0L).as("nc")),
+        struct((col("w") + 1).as("week"), lit(0L).as("nn"), lit(0L).as("nr"),
+          lit(0L).as("ns"),
+          when(col("nw").isNull || col("nw") > col("w") + 1, 1L).otherwise(0L).as("nc"))))
+        .as("r"))
+      .select(col("r.*"))
+    rows.groupBy("week")
+      .agg(sum("nn").as("n_new"), sum("nr").as("n_retained"),
+        sum("ns").as("n_resurrected"), sum("nc").as("n_churned"))
+      .withColumn("mx", max(when(col("n_new") + col("n_retained")
+        + col("n_resurrected") > 0, col("week"))).over(Window.partitionBy()))
+      .where(col("week") <= col("mx"))
+      .select("week", "n_new", "n_retained", "n_resurrected", "n_churned")
+      .orderBy("week")
+  }
+
+  /** Distinctive keywords per source: top-3 words by doc-frequency ×
+    * idf (score = df_s · ln(N/df), the "what is this source about"
+    * signal a corpus catalog shows next to [[corpusEntropy]]'s
+    * diversity numbers). The idf factor is fixed to a 1e-6 integer once
+    * per word, so ranking compares exact longs (ties → word) in both
+    * engines. Per-doc word sets dedupe in-row before the explode; the
+    * (source, word) agg and the global-df rollup both shuffle narrow
+    * rows, and the top-3 cut rides a source-partitioned window over the
+    * (sources × vocab) count table — the [[operators.Corpus.bigramLm]]
+    * cost class, never a corpus-scale sort.
+    */
+  def corpusKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val sw = docs
+      .select(col("source"), explode(array_distinct(wordTokens(col("text")))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("df_s"))
+    val wd = sw.groupBy("word").agg(sum("df_s").as("df"))
+    val scored = sw.join(wd, "word")
+      .withColumn("sf", col("df_s") *
+        floor(log(lit(nDocs.toDouble) / col("df")) * lit(1e6) + lit(0.5)).cast("long"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("sf").desc, col("word"))))
+      .where(col("rank") <= 3)
+      .select(col("source"), col("rank"), col("word"), col("df_s"), col("df"),
+        roundTo(col("sf").cast("double") / lit(1e6), 4).as("score"))
+      .orderBy("source", "rank")
+  }
+
   /** Bot-suspicion leaderboard: the 20 users whose inter-event cadence
     * is most machine-regular (lowest coefficient of variation of gap
     * seconds, ≥ 8 gaps) with their rate stats — the traffic-cleaning
