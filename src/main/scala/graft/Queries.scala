@@ -3177,9 +3177,13 @@ object Queries {
     * shuffle equi-joins (AQE broadcasts them while they fit).
     */
   def ordersBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct basket table feeds BOTH self-join legs plus the two
+    // marginal aggregates — materialize it once (localCheckpoint) so
+    // the scan+distinct shuffle doesn't re-run per reference
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .localCheckpoint()
     val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
     val cnt = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
     li.select(col("ok"), col("pk").as("part_a"))

@@ -167,6 +167,59 @@ object EventStream {
     * iterator is sorted per group (micro-batch-local sort, no shuffle
     * beyond the groupByKey hash partitioning).
     */
+  /** Rolling EWMA state for [[ewmaForecast]]: the open hour bucket, its
+    * running count, the fold over CLOSED buckets, and a per-type event
+    * counter (strictly increasing, so "latest emission" is selectable
+    * downstream). A few dozen bytes per event type.
+    */
+  case class EwmaState(bucketUs: Long, openN: Long, ewma: Double,
+                       nClosed: Long, nSeen: Long)
+
+  /** Per-type tentative forecast re-emitted each micro-batch the type
+    * appears in; `ewma_forecast` is UNROUNDED (callers round once at
+    * the edge, like the batch twin's roundTo).
+    */
+  case class EwmaOut(event_type: String, n_seen: Long, n_buckets: Long,
+                     last_n: Long, ewma_forecast: Double)
+
+  /** Streaming twin of [[graft.Queries.eventsEwmaForecast]] (α = 0.3
+    * hourly-volume EWMA) as a mapGroupsWithState fold: only CLOSED hour
+    * buckets enter the persistent state — the open bucket folds in
+    * non-destructively at emission time — so partially-filled buckets
+    * never contaminate the state, and once the final bucket is complete
+    * the emitted value IS the batch fold (identical multiply-add order:
+    * 0.3·n + 0.7·acc, seeded with the first bucket's count).
+    */
+  def ewmaForecast(events: Dataset[(String, Long, Timestamp)]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val hourUs = 3600L * 1000000L
+    events.groupByKey(_._1)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout()) {
+        case (typ, it, state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L, 0.0, 0L, 0L))
+          def micros(ts: Timestamp): Long =
+            ts.getTime / 1000L * 1000000L + ts.getNanos / 1000L
+          it.toSeq.sortBy(e => (micros(e._3), e._2)).foreach { case (_, _, ts) =>
+            val b = micros(ts) / hourUs * hourUs
+            if (st.bucketUs == Long.MinValue)
+              st = st.copy(bucketUs = b, openN = 1L, nSeen = st.nSeen + 1)
+            else if (b == st.bucketUs)
+              st = st.copy(openN = st.openN + 1, nSeen = st.nSeen + 1)
+            else {
+              val closed =
+                if (st.nClosed == 0) st.openN.toDouble
+                else 0.3 * st.openN + 0.7 * st.ewma
+              st = EwmaState(b, 1L, closed, st.nClosed + 1, st.nSeen + 1)
+            }
+          }
+          state.update(st)
+          val tentative =
+            if (st.nClosed == 0) st.openN.toDouble
+            else 0.3 * st.openN + 0.7 * st.ewma
+          EwmaOut(typ, st.nSeen, st.nClosed + 1, st.openN, tentative)
+      }
+  }
+
   def sessionize(events: Dataset[(Long, Long, Timestamp, Double)],
                  watermark: String = "1 hour"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -85,6 +85,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewmaForecast replays the sf0.001 events to the batch fold") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    val rows = graft.sources.Tables.events(spark, sf001)
+      .select(col("event_type"), col("event_id"), col("ts"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2)))
+      .sortBy(r => (r._3.getTime / 1000 * 1000000 + r._3.getNanos / 1000, r._2))
+    val (first, second) = rows.splitAt(rows.length / 2)
+
+    val stream = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = EventStream.ewmaForecast(stream.toDS())
+      .writeStream.format("memory").queryName("ewmast").outputMode("update").start()
+    try {
+      stream.addData(first.toSeq)
+      q.processAllAvailable()
+      stream.addData(second.toSeq)
+      q.processAllAvailable()
+
+      // n_seen is strictly increasing per type, so max(n_seen) selects
+      // the final emission; round exactly like the batch twin's edge
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val streamed = s.table("ewmast")
+        .withColumn("mx", max("n_seen").over(w))
+        .where(col("n_seen") === col("mx"))
+        .select(col("event_type"), col("n_buckets"), col("last_n"),
+          functions.roundTo(col("ewma_forecast"), 4).as("ewma_forecast"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      val batch = Queries.eventsEwmaForecast(spark, sf001)
+        .select("event_type", "n_buckets", "last_n", "ewma_forecast")
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hoppingAgg equals the batch hopping query's window membership") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
