@@ -2974,6 +2974,19 @@ object Oracles {
         |SELECT week, n_new, n_retained, n_resurrected, n_churned
         |FROM m WHERE week <= mx ORDER BY week""".stripMargin,
 
+    // boilerplate report: in-row deduped word-3-grams, narrow df
+    // rollup, TakeOrdered top-20.
+    "corpus_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 3 THEN [] ELSE
+         |  list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS sh FROM t),
+         |g AS (SELECT doc_id, unnest(list_distinct(sh)) AS gram FROM sh),
+         |c AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+         |top AS (SELECT gram, df FROM c ORDER BY df DESC, gram LIMIT 20)
+         |SELECT gram, df,
+         |  (round((CAST(df AS DOUBLE) / CAST((SELECT count(*) FROM documents) AS DOUBLE)) * 10000.0) / 10000.0) AS doc_share
+         |FROM top ORDER BY df DESC, gram""".stripMargin,
+
     // distinctive keywords: idf fixed to 1e-6 integers once per word,
     // exact-long ranking, source-partitioned top-3 window.
     "corpus_keywords" ->

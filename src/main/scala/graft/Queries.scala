@@ -3879,6 +3879,26 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Boilerplate phrase report — the top-20 word-3-grams by document
+    * frequency with their doc share: the repeated-header/footer signal
+    * a CCNet-style cleaning pipeline scrubs, and the opposite tail of
+    * [[textNgramNovelty]]'s df = 1 uniqueness. Per-doc gram sets dedupe
+    * in-row before the explode, the df rollup shuffles narrow gram
+    * rows with map-side combine, and the cut is a TakeOrdered — never
+    * a global gram sort.
+    */
+  def corpusBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    docs.select(explode(array_distinct(
+        wordShingleStrings(wordTokens(col("text")), 3))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("gram")).limit(20)
+      .select(col("gram"), col("df"),
+        roundTo(col("df").cast("double") / lit(nDocs.toDouble), 4).as("doc_share"))
+      .orderBy(col("df").desc, col("gram"))
+  }
+
   /** Bot-suspicion leaderboard: the 20 users whose inter-event cadence
     * is most machine-regular (lowest coefficient of variation of gap
     * seconds, ≥ 8 gaps) with their rate stats — the traffic-cleaning
