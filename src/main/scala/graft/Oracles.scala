@@ -366,6 +366,31 @@ object Oracles {
        |       n_id, (round((score) * 10000.0) / 10000.0) AS value
        |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Label-agreement report over the same within-cluster k-NN graph —
+    * the DuckDB twin of [[Queries.knnLabelConsistency]].
+    */
+  private def knnLabelConsistencySql(centroids: Array[Array[Float]], k: Int): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |e2 AS (SELECT q_id, n_id FROM d
+       |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $k),
+       |pv AS (SELECT e2.q_id, ea.label AS q_label, CAST(count(*) AS BIGINT) AS n_nb,
+       |         CAST(sum(CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+       |       FROM e2 JOIN embeddings ea ON ea.vec_id = e2.q_id
+       |               JOIN embeddings eb ON eb.vec_id = e2.n_id
+       |       GROUP BY 1, 2)
+       |SELECT q_label AS label, CAST(count(*) AS BIGINT) AS n_vectors,
+       |  (round((CAST(sum(n_same) AS DOUBLE) / CAST(sum(n_nb) AS DOUBLE)) * 10000.0) / 10000.0) AS agreement,
+       |  CAST(sum(CASE WHEN n_same = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_disagree
+       |FROM pv GROUP BY 1 ORDER BY label""".stripMargin
+
   /** In-degree histogram of the within-cluster k-NN graph from the same
     * scaled centroids — the DuckDB twin of [[Queries.knnHubness]].
     */
@@ -666,6 +691,7 @@ object Oracles {
       // the graph build scales K with n (fitScaled) — splice THOSE centroids
       "knn_join_ivf" -> knnJoinSql(scaledCents, k = 3),
       "knn_hubness" -> knnHubnessSql(scaledCents, k = 3),
+      "knn_label_consistency" -> knnLabelConsistencySql(scaledCents, k = 3),
       "knn_graph_recall" -> graphRecallSql(scaledCents, k = 3),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
@@ -1894,6 +1920,21 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN gap_s END) AS p50_s,
         |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN gap_s END) AS p90_s,
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact value percentiles by rank selection over the (type, cents)
+    // distribution — the gap_stats pattern on the money column.
+    "events_value_quantiles" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT event_type, cents, count(*) AS c FROM v GROUP BY 1, 2),
+        |t AS (SELECT event_type, cents,
+        |        sum(c) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |        sum(c) OVER (PARTITION BY event_type) AS n FROM c)
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN cents END) AS p90_cents,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cents END) AS p99_cents
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // lag-k autocorrelation over the dense hourly grid: HUGEINT

@@ -3879,6 +3879,64 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Embedding-space label-noise detector: for each label, how often a
+    * vector's within-cluster 3-NN neighbors carry the SAME label (mean
+    * agreement in exact thirds, plus the count of fully-disagreeing
+    * vectors — the mislabeled-row shortlist signal used in data
+    * curation). Reuses the [[knnJoin]] graph (cluster-blocked, O(n·k)
+    * edges); the label join is co-partitioned on vec_id and the rollup
+    * is labels-bounded. Agreement is all-integer (matches per vector ÷
+    * k as a single final division), so the report is bit-reproducible.
+    */
+  def knnLabelConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+    val edges = operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
+      k = 3, metric = "l2")
+    val lab = emb.select(col("vec_id"), col("label"))
+    val perVec = edges
+      .join(lab.select(col("vec_id").as("q_id"), col("label").as("q_label")), "q_id")
+      .join(lab.select(col("vec_id").as("n_id"), col("label").as("n_label")), "n_id")
+      .groupBy("q_id", "q_label")
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L)).as("n_same"))
+    perVec.groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum("n_same").as("n_same"), sum("n_nb").as("n_nb"),
+        sum(when(col("n_same") === 0, 1L).otherwise(0L)).as("n_all_disagree"))
+      .select(col("label"), col("n_vectors"),
+        roundTo(col("n_same").cast("double") / col("n_nb").cast("double"), 4)
+          .as("agreement"),
+        col("n_all_disagree"))
+      .orderBy("label")
+  }
+
+  /** Exact per-type value percentiles (p50/p90/p99 in cents) by rank
+    * selection over the VALUE DISTRIBUTION — the [[eventsGapStats]]
+    * pattern on the money column: one corpus-scale (type, cents) count
+    * aggregation, cumulative windows over the distinct-value table
+    * (bounded by value cardinality, never a per-row sort), percentile =
+    * first value whose cumulative count reaches ⌈n·q/100⌉.
+    */
+  def eventsValueQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy("event_type").orderBy("cents")
+    val perType = Window.partitionBy("event_type")
+    def pos(q: Int): Column = expr(s"(n * $q + 99) div 100")
+    counts
+      .withColumn("cum", sum("c").over(byVal))
+      .withColumn("n", sum("c").over(perType))
+      .groupBy("event_type")
+      .agg(max("n").as("n_events"),
+        min(when(col("cum") >= pos(50), col("cents"))).as("p50_cents"),
+        min(when(col("cum") >= pos(90), col("cents"))).as("p90_cents"),
+        min(when(col("cum") >= pos(99), col("cents"))).as("p99_cents"))
+      .orderBy("event_type")
+  }
+
   /** Boilerplate phrase report — the top-20 word-3-grams by document
     * frequency with their doc share: the repeated-header/footer signal
     * a CCNet-style cleaning pipeline scrubs, and the opposite tail of
