@@ -1922,6 +1922,37 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // rule audit: one aggregation per table, rules unpivoted to rows.
+    "table_rule_audit" ->
+      """WITH li AS (SELECT
+        |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END) AS BIGINT) AS r_qty,
+        |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.10) THEN 1 ELSE 0 END) AS BIGINT) AS r_disc,
+        |  CAST(sum(CASE WHEN NOT (l_tax >= 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS r_tax,
+        |  CAST(sum(CASE WHEN NOT (l_extendedprice > 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS r_price,
+        |  CAST(sum(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')) THEN 1 ELSE 0 END) AS BIGINT) AS r_flag
+        |  FROM lineitem),
+        |o AS (SELECT
+        |  CAST(sum(CASE WHEN NOT (o_totalprice > 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS r_total,
+        |  CAST(sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P')) THEN 1 ELSE 0 END) AS BIGINT) AS r_status,
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_date
+        |  FROM orders),
+        |e AS (SELECT
+        |  CAST(sum(CASE WHEN NOT (value >= 0.0) THEN 1 ELSE 0 END) AS BIGINT) AS r_val,
+        |  CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS r_dup
+        |  FROM events)
+        |SELECT rule, n_violations FROM (
+        |  SELECT 'lineitem_quantity_range' AS rule, r_qty AS n_violations FROM li
+        |  UNION ALL SELECT 'lineitem_discount_range', r_disc FROM li
+        |  UNION ALL SELECT 'lineitem_tax_nonneg', r_tax FROM li
+        |  UNION ALL SELECT 'lineitem_price_positive', r_price FROM li
+        |  UNION ALL SELECT 'lineitem_returnflag_domain', r_flag FROM li
+        |  UNION ALL SELECT 'orders_totalprice_positive', r_total FROM o
+        |  UNION ALL SELECT 'orders_status_domain', r_status FROM o
+        |  UNION ALL SELECT 'orders_date_not_null', r_date FROM o
+        |  UNION ALL SELECT 'events_value_nonneg', r_val FROM e
+        |  UNION ALL SELECT 'events_id_duplicates', r_dup FROM e)
+        |ORDER BY rule""".stripMargin,
+
     // exact value percentiles by rank selection over the (type, cents)
     // distribution — the gap_stats pattern on the money column.
     "events_value_quantiles" ->
@@ -3014,6 +3045,18 @@ object Oracles {
         |        THEN week END) OVER () AS mx FROM a)
         |SELECT week, n_new, n_retained, n_resurrected, n_churned
         |FROM m WHERE week <= mx ORDER BY week""".stripMargin,
+
+    // power-of-2 length histogram: integer bit-length bucket, shares as
+    // windows over the bounded (source × bucket) table.
+    "corpus_length_hist" ->
+      s"""WITH t AS (SELECT source, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+         |b AS (SELECT source, CASE WHEN n_tok <= 0 THEN CAST(0 AS BIGINT)
+         |        ELSE (1::BIGINT << (length(bin(n_tok)) - 1)) END AS bucket FROM t),
+         |c AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs FROM b GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS t FROM c)
+         |SELECT source, bucket, n_docs,
+         |  (round((CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE)) * 10000.0) / 10000.0) AS share
+         |FROM w ORDER BY source, bucket""".stripMargin,
 
     // boilerplate report: in-row deduped word-3-grams, narrow df
     // rollup, TakeOrdered top-20.

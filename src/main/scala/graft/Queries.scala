@@ -3879,6 +3879,56 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Declarative data-quality rule audit (the dbt-tests shape): each
+    * rule is a predicate over one table, the report is violation counts
+    * — what a lakehouse CI gate runs before publishing a partition.
+    * ONE scan per audited table (all of a table's rules are conditional
+    * sums in a single aggregation); output is rules-bounded.
+    */
+  def tableRuleAudit(spark: SparkSession, dir: String): DataFrame = {
+    def viol(c: Column): Column = sum(when(!c, 1L).otherwise(0L))
+    val li = Tables.lineitem(spark, dir).agg(
+      viol(col("l_quantity").between(1, 50)).as("lineitem_quantity_range"),
+      viol(col("l_discount").between(0.0, 0.10)).as("lineitem_discount_range"),
+      viol(col("l_tax") >= 0.0).as("lineitem_tax_nonneg"),
+      viol(col("l_extendedprice") > 0.0).as("lineitem_price_positive"),
+      viol(col("l_returnflag").isin("A", "N", "R")).as("lineitem_returnflag_domain"))
+    val ord = Tables.orders(spark, dir).agg(
+      viol(col("o_totalprice") > 0.0).as("orders_totalprice_positive"),
+      viol(col("o_orderstatus").isin("F", "O", "P")).as("orders_status_domain"),
+      viol(col("o_orderdate").isNotNull).as("orders_date_not_null"))
+    val ev = Tables.events(spark, dir).agg(
+      viol(col("value") >= 0.0).as("events_value_nonneg"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("events_id_duplicates"))
+    def unpivot(df: DataFrame): DataFrame = {
+      val cols = df.columns
+      df.select(posexplode(array(cols.map(c => struct(lit(c).as("rule"),
+        col(c).cast("long").as("n_violations"))): _*)).as(Seq("i", "r")))
+        .select(col("r.rule"), col("r.n_violations"))
+    }
+    unpivot(li).union(unpivot(ord)).union(unpivot(ev)).orderBy("rule")
+  }
+
+  /** Token-length histogram per source in power-of-2 buckets — the
+    * sequence-length profile a packing/sharding planner reads before
+    * choosing context budgets. Bucket = 2^⌊log2 n⌋ by integer bit
+    * length (no floating log), one scan into a (sources × ~12)-bounded
+    * agg, shares as windows over that bounded table.
+    */
+  def corpusLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("source"), size(wordTokens(col("text"))).cast("long").as("n_tok"))
+      // 2^floor(log2 n) via bit length (integer shift, no floating
+      // log/pow): for n >= 1, bucket = 1 << (bits(n) - 1)
+      .withColumn("bucket", when(col("n_tok") <= 0, 0L)
+        .otherwise(expr("cast(shiftleft(1L, length(bin(n_tok)) - 1) as long)")))
+    docs.groupBy("source", "bucket").agg(count(lit(1)).as("n_docs"))
+      .withColumn("t", sum("n_docs").over(Window.partitionBy("source")))
+      .select(col("source"), col("bucket"), col("n_docs"),
+        roundTo(col("n_docs").cast("double") / col("t").cast("double"), 4).as("share"))
+      .orderBy("source", "bucket")
+  }
+
   /** Embedding-space label-noise detector: for each label, how often a
     * vector's within-cluster 3-NN neighbors carry the SAME label (mean
     * agreement in exact thirds, plus the count of fully-disagreeing
