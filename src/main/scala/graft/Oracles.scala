@@ -1922,6 +1922,26 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // KMV sketch: 64 smallest md5-60 hashes per type, (k−1)·2⁶⁰/h_k,
+    // exact fallback under 64 distinct values.
+    "events_kmv" ->
+      s"""WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h AS (SELECT event_type, user_id,
+         |        ${tokenHash60("'kmv:' || CAST(user_id AS VARCHAR)")} AS h FROM ut),
+         |k AS (SELECT event_type, user_id, h FROM h
+         |      QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h, user_id) <= 64),
+         |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         |        CAST(max(h) AS BIGINT) AS hmax FROM k GROUP BY 1),
+         |x AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM ut GROUP BY 1),
+         |e AS (SELECT x.event_type, n_exact, n_kept,
+         |        CASE WHEN n_kept = 64 THEN 63.0 * 1152921504606846976.0 / CAST(hmax AS DOUBLE)
+         |             ELSE CAST(n_kept AS DOUBLE) END AS est
+         |      FROM x JOIN s USING (event_type))
+         |SELECT event_type, n_exact, n_kept,
+         |  (round((est) * 10.0) / 10.0) AS kmv_est,
+         |  (round((abs(est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)) * 10000.0) / 10000.0) AS rel_err
+         |FROM e ORDER BY event_type""".stripMargin,
+
     // rule audit: one aggregation per table, rules unpivoted to rows.
     "table_rule_audit" ->
       """WITH li AS (SELECT

@@ -3879,6 +3879,40 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** KMV (k-minimum-values) distinct-user sketch per event type, priced
+    * against the exact count — the third distinct-count trade-off next
+    * to [[eventsHll]] (fixed registers) and the exact aggregate: keep
+    * the 64 smallest 60-bit hashes per type (the [[operators.Stats
+    * .stratifiedSample]] bounded heap — O(types × 64) shuffle), estimate
+    * (k−1)·2⁶⁰/h₍ₖ₎, degrade to exact when fewer than 64 distinct
+    * values exist. Hashes are the deterministic md5-60 tokenHash60, so
+    * the kept set — and therefore the estimate — is bit-identical in
+    * the oracle.
+    */
+  def eventsKmv(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct table feeds both the sketch and the exact leg —
+    // materialize once
+    val ut = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct().localCheckpoint()
+    val hc = tokenHash60(concat(lit("kmv:"), col("user_id").cast("string")))
+    val picks = operators.Stats.stratifiedSample(ut, "event_type", "user_id", "user_id",
+      hc, k = 64)
+    val s = picks
+      .select(col("stratum").as("event_type"),
+        tokenHash60(concat(lit("kmv:"), col("id").cast("string"))).as("h"))
+      .groupBy("event_type").agg(count(lit(1)).as("n_kept"), max("h").as("hmax"))
+    val x = ut.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+    x.join(s, "event_type")
+      .withColumn("est", when(col("n_kept") === 64,
+        lit(63.0) * lit(1152921504606846976.0) / col("hmax").cast("double"))
+        .otherwise(col("n_kept").cast("double")))
+      .select(col("event_type"), col("n_exact"), col("n_kept"),
+        roundTo(col("est"), 1).as("kmv_est"),
+        roundTo(abs(col("est") - col("n_exact").cast("double"))
+          / col("n_exact").cast("double"), 4).as("rel_err"))
+      .orderBy("event_type")
+  }
+
   /** Declarative data-quality rule audit (the dbt-tests shape): each
     * rule is a predicate over one table, the report is violation counts
     * — what a lakehouse CI gate runs before publishing a partition.
