@@ -1922,6 +1922,44 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // stabbing count: session bounds from the same cumsum chain, hour
+    // buckets unnested per session, hours-bounded rollup.
+    "events_concurrent" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > 1800000000
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |s AS (
+        |  SELECT user_id, t_us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM b),
+        |iv AS (SELECT user_id, sid, min(t_us) AS lo, max(t_us) AS hi FROM s GROUP BY 1, 2),
+        |g AS (SELECT unnest(range(lo // 3600000000, hi // 3600000000 + 1)) AS hb FROM iv)
+        |SELECT hb * 3600000000 AS hour_us, CAST(count(*) AS BIGINT) AS n_active
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // nation HHI: exact HUGEINT rev moments, single-division ratios.
+    "supplier_concentration" ->
+      """WITH li AS (SELECT l_suppkey,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS u4 FROM lineitem),
+        |ps AS (SELECT s.s_nationkey, li.l_suppkey, CAST(sum(u4) AS BIGINT) AS rev
+        |       FROM li JOIN supplier s ON s.s_suppkey = li.l_suppkey GROUP BY 1, 2),
+        |agg AS (SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |          CAST(sum(CAST(rev AS HUGEINT)) AS HUGEINT) AS t,
+        |          CAST(sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS HUGEINT) AS sq,
+        |          CAST(max(rev) AS BIGINT) AS mx
+        |        FROM ps GROUP BY 1)
+        |SELECT n.n_name AS nation, n_suppliers,
+        |  (round((CAST(t AS DOUBLE) / 10000.0) * 100.0) / 100.0) AS revenue,
+        |  (round((CAST(sq AS DOUBLE) / CAST(t * t AS DOUBLE)) * 10000.0) / 10000.0) AS hhi,
+        |  (round((CAST(mx AS DOUBLE) / CAST(t AS DOUBLE)) * 10000.0) / 10000.0) AS top_share
+        |FROM agg JOIN nation n ON n.n_nationkey = agg.s_nationkey
+        |ORDER BY nation""".stripMargin,
+
     // KMV sketch: 64 smallest md5-60 hashes per type, (k−1)·2⁶⁰/h_k,
     // exact fallback under 64 distinct values.
     "events_kmv" ->

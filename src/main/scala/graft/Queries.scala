@@ -3879,6 +3879,65 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Concurrent-session load curve: active 30-min-gap sessions per
+    * hour — the capacity-planning readout behind [[eventsSessionize]].
+    * Session bounds reuse the same per-user cumsum; each session then
+    * explodes into the hour buckets it overlaps (map-side, bounded by
+    * session duration — gap-closed sessions are short by construction)
+    * and the rollup is hours-bounded. No interval self-join, no spine
+    * join: the stabbing count IS the explode + count.
+    */
+  def eventsConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val hourUs = 3600L * 1000000L
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t_us"))
+      .withColumn("brk",
+        when(lag(col("t_us"), 1).over(byUser).isNull ||
+             col("t_us") - lag(col("t_us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("t_us").as("lo"), max("t_us").as("hi"))
+    sessions
+      .select(explode(sequence(expr(s"lo div $hourUs"), expr(s"hi div $hourUs"))).as("hb"))
+      .groupBy("hb").agg(count(lit(1)).as("n_active"))
+      .select((col("hb") * hourUs).as("hour_us"), col("n_active"))
+      .orderBy("hour_us")
+  }
+
+  /** Revenue-concentration report per nation: supplier HHI
+    * (Herfindahl–Hirschman index) and top-supplier share — the market
+    * lens on the TPC-H side. Kept exact where it matters: HHI =
+    * Σ revᵢ² / (Σ revᵢ)² over exact 1e-4-dollar DECIMAL sums (order-
+    * independent), so both ratios are single double divisions of exact
+    * integers. One lineitem scan; supplier/nation dims broadcast;
+    * rollups (suppliers, nations)-bounded.
+    */
+  def supplierConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val u4 = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
+    val li = Tables.lineitem(spark, dir).select(col("l_suppkey"), u4.as("u4"))
+    val sup = Tables.supplier(spark, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_nationkey", "l_suppkey").agg(sum("u4").as("rev"))
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(dec(col("rev"))).as("t"),
+        sum(dec(col("rev")) * dec(col("rev"))).as("sq"),
+        max("rev").as("mx"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("n_suppliers"),
+        roundTo(col("t").cast("double") / lit(10000.0), 2).as("revenue"),
+        roundTo(col("sq").cast("double") / (col("t") * col("t")).cast("double"), 4)
+          .as("hhi"),
+        roundTo(col("mx").cast("double") / col("t").cast("double"), 4).as("top_share"))
+      .orderBy("nation")
+  }
+
   /** KMV (k-minimum-values) distinct-user sketch per event type, priced
     * against the exact count — the third distinct-count trade-off next
     * to [[eventsHll]] (fixed registers) and the exact aggregate: keep
