@@ -1922,6 +1922,23 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // daily KPI table: one narrow projection feeds three aggregation
+    // trees; joins on the days-bounded key.
+    "events_daily_kpis" ->
+      """WITH b AS (SELECT user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        |        (round((CAST(sum(cents) AS DOUBLE) / 100.0) * 100.0) / 100.0) AS revenue
+        |      FROM b GROUP BY 1),
+        |ud AS (SELECT DISTINCT day, user_id FROM b),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |f AS (SELECT user_id, min(day) AS day FROM ud GROUP BY 1),
+        |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new_users FROM f GROUP BY 1)
+        |SELECT r.day, n_events, dau,
+        |  CAST(coalesce(nu.n_new_users, 0) AS BIGINT) AS n_new_users, revenue
+        |FROM r JOIN d USING (day) LEFT JOIN nu USING (day) ORDER BY day""".stripMargin,
+
     // stabbing count: session bounds from the same cumsum chain, hour
     // buckets unnested per session, hours-bounded rollup.
     "events_concurrent" ->

@@ -3879,6 +3879,30 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** The canonical daily KPI table (events, DAU, new users, revenue) —
+    * the one query every product pipeline materializes nightly. ONE
+    * narrow projection of the events scan is checkpointed and feeds all
+    * three aggregation trees (day rollup, distinct-user DAU, first-day
+    * new users); every join after that is on the days-bounded key.
+    */
+  def eventsDailyKpis(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .localCheckpoint()
+    val roll = base.groupBy("day").agg(count(lit(1)).as("n_events"),
+      roundTo(sum("cents").cast("double") / lit(100.0), 2).as("revenue"))
+    val ud = base.select("day", "user_id").distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val newu = ud.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new_users"))
+    roll.join(dau, "day").join(newu, Seq("day"), "left")
+      .select(col("day"), col("n_events"), col("dau"),
+        coalesce(col("n_new_users"), lit(0L)).as("n_new_users"), col("revenue"))
+      .orderBy("day")
+  }
+
   /** Concurrent-session load curve: active 30-min-gap sessions per
     * hour — the capacity-planning readout behind [[eventsSessionize]].
     * Session bounds reuse the same per-user cumsum; each session then
