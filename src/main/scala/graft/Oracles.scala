@@ -1922,6 +1922,27 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // decile mix: boundaries by rank selection over the count
+    // distribution, decile = 1 + #bounds strictly below, bounded mix.
+    "events_user_decile_mix" ->
+      """WITH utc AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |             FROM events GROUP BY 1, 2),
+        |pu AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM utc GROUP BY 1),
+        |dist AS (SELECT n, count(*) AS cn FROM pu GROUP BY 1),
+        |t AS (SELECT n, sum(cn) OVER (ORDER BY n) AS cum, sum(cn) OVER () AS tot FROM dist),
+        |ds AS (SELECT unnest(range(1, 10)) AS d),
+        |bounds AS (SELECT d, min(CASE WHEN cum >= (tot * d * 10 + 99) // 100 THEN n END) AS b
+        |           FROM t CROSS JOIN ds GROUP BY d),
+        |pd AS (SELECT pu.user_id,
+        |         1 + CAST(sum(CASE WHEN pu.n > bounds.b THEN 1 ELSE 0 END) AS BIGINT) AS decile
+        |       FROM pu CROSS JOIN bounds GROUP BY 1),
+        |mix AS (SELECT pd.decile, utc.event_type, CAST(sum(utc.c) AS BIGINT) AS n_events
+        |        FROM utc JOIN pd USING (user_id) GROUP BY 1, 2),
+        |w AS (SELECT *, CAST(sum(n_events) OVER (PARTITION BY decile) AS BIGINT) AS t FROM mix)
+        |SELECT CAST(decile AS INT) AS decile, event_type, n_events,
+        |  (round((CAST(n_events AS DOUBLE) / CAST(t AS DOUBLE)) * 10000.0) / 10000.0) AS share
+        |FROM w ORDER BY decile, event_type""".stripMargin,
+
     // daily KPI table: one narrow projection feeds three aggregation
     // trees; joins on the days-bounded key.
     "events_daily_kpis" ->

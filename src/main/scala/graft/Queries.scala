@@ -3879,6 +3879,38 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Do heavy users behave differently — event-type mix by user
+    * activity decile. Deciles are value-based and fully distributed:
+    * boundaries come from rank selection over the activity-COUNT
+    * distribution (bounded by distinct counts — the [[eventsGapStats]]
+    * pattern, never a global user sort), each user's decile is 1 +
+    * #boundaries strictly below its count (a 9-row broadcast
+    * cross-join, ties land in the lower decile deterministically), and
+    * the mix rolls up to a (10 × types)-bounded table with share
+    * windows over it. One events scan: the (user, type) count table is
+    * checkpointed and feeds both the per-user totals and the mix join.
+    */
+  def eventsUserDecileMix(spark: SparkSession, dir: String): DataFrame = {
+    val utc = Tables.events(spark, dir).groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val pu = utc.groupBy("user_id").agg(sum("c").as("n"))
+    val dist = pu.groupBy("n").agg(count(lit(1)).as("cn"))
+    val t = dist.withColumn("cum", sum("cn").over(Window.orderBy("n")))
+      .withColumn("tot", sum("cn").over(Window.partitionBy()))
+    val bounds = t.crossJoin(spark.range(1, 10).select(col("id").as("d")))
+      .groupBy("d")
+      .agg(min(when(col("cum") >= expr("(tot * d * 10 + 99) div 100"), col("n"))).as("b"))
+    val pd = pu.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg((lit(1L) + sum(when(col("n") > col("b"), 1L).otherwise(0L))).as("decile"))
+    utc.join(pd, "user_id")
+      .groupBy("decile", "event_type").agg(sum("c").as("n_events"))
+      .withColumn("t", sum("n_events").over(Window.partitionBy("decile")))
+      .select(col("decile").cast("int").as("decile"), col("event_type"), col("n_events"),
+        roundTo(col("n_events").cast("double") / col("t").cast("double"), 4).as("share"))
+      .orderBy("decile", "event_type")
+  }
+
   /** The canonical daily KPI table (events, DAU, new users, revenue) —
     * the one query every product pipeline materializes nightly. ONE
     * narrow projection of the events scan is checkpointed and feeds all
