@@ -4227,9 +4227,12 @@ object Queries {
     */
   def corpusShardPlan(spark: SparkSession, dir: String): DataFrame = {
     val budget = 1000L
+    // tokenize ONCE: the narrow (doc_id, n_tok, bk) table feeds both
+    // the within-bucket windows and the bucket-offset leg
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(wordTokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("bk", expr("doc_id div 64"))
+      .localCheckpoint()
     val within = docs.withColumn("cum_in",
       sum("n_tok").over(Window.partitionBy("bk").orderBy("doc_id")))
     val offsets = docs.groupBy("bk").agg(sum("n_tok").as("bt"))

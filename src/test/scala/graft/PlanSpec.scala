@@ -480,4 +480,34 @@ class PlanSpec extends SparkSpec {
       s"hourly counts must combine map-side:\n$p")
     assert(!p.contains("Window"), s"no window function belongs in the fold:\n$p")
   }
+
+  test("r6b events ops scan the events table exactly once (windows and in-row emission reuse it)") {
+    for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        "events_user_overlap" -> (Queries.eventsUserOverlap _),
+        "events_churn" -> (Queries.eventsChurn _),
+        "events_value_quantiles" -> (Queries.eventsValueQuantiles _),
+        "events_changepoint" -> (Queries.eventsChangepoint _),
+        "events_concurrent" -> (Queries.eventsConcurrent _),
+        "events_bot_score" -> (Queries.eventsBotScore _))) {
+      val p = plan(q(spark, sf001))
+      assert("events\\.parquet".r.findAllIn(p).size <= 1, s"$name re-scans events:\n$p")
+    }
+  }
+
+  test("checkpointed intermediates: KPI/decile/KMV/shard-plan legs read the materialized table, not files") {
+    for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        "events_daily_kpis" -> (Queries.eventsDailyKpis _),
+        "events_user_decile_mix" -> (Queries.eventsUserDecileMix _),
+        "events_kmv" -> (Queries.eventsKmv _),
+        "corpus_shard_plan" -> (Queries.corpusShardPlan _))) {
+      val p = plan(q(spark, sf001))
+      assert(!p.contains("Scan parquet"), s"$name still re-scans files per leg:\n$p")
+      assert(p.contains("ExistingRDD"), name)
+    }
+  }
+
+  test("events_bot_score: the leaderboard cut is a bounded heap, never a global user sort") {
+    val p = plan(Queries.eventsBotScore(spark, sf001))
+    assert(p.contains("TakeOrderedAndProject"), s"expect TakeOrdered on the fixed cv:\n$p")
+  }
 }
