@@ -1922,6 +1922,41 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // AQP evidence: deterministic 10% hash sample vs exact, ONE scan,
+    // both sums conditional aggregates in the same rollup.
+    "lineitem_sample_eval" ->
+      s"""WITH li AS (SELECT strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m') AS month,
+         |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+         |    (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS u4,
+         |    (${tokenHash60("'smp:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} % 10 = 0) AS s
+         |  FROM lineitem),
+         |a AS (SELECT month, CAST(sum(u4) AS BIGINT) AS exact_u4,
+         |        CAST(sum(CASE WHEN s THEN u4 ELSE 0 END) AS BIGINT) AS smp_u4,
+         |        CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |        CAST(count(*) AS BIGINT) AS n_rows
+         |      FROM li GROUP BY 1)
+         |SELECT month, n_rows, n_sampled,
+         |  (round((CAST(exact_u4 AS DOUBLE) / 10000.0) * 100.0) / 100.0) AS exact_rev,
+         |  (round((CAST(smp_u4 AS DOUBLE) * 10.0 / 10000.0) * 100.0) / 100.0) AS est_rev,
+         |  (round((abs(CAST(smp_u4 AS DOUBLE) * 10.0 - CAST(exact_u4 AS DOUBLE)) / CAST(exact_u4 AS DOUBLE)) * 10000.0) / 10000.0) AS rel_err
+         |FROM a ORDER BY month""".stripMargin,
+
+    // pad-waste: all-integer per-doc bin arithmetic, 3 literal budgets.
+    "corpus_pad_waste" ->
+      s"""WITH t AS (SELECT CAST(len($toks) AS BIGINT) AS n FROM documents),
+         |a AS (SELECT
+         |  CAST(sum(((n + 127) // 128) * 128) AS BIGINT) AS s128,
+         |  CAST(sum(((n + 255) // 256) * 256) AS BIGINT) AS s256,
+         |  CAST(sum(((n + 511) // 512) * 512) AS BIGINT) AS s512,
+         |  CAST(sum(n) AS BIGINT) AS toks FROM t)
+         |SELECT budget, n_tokens, n_slots,
+         |  (round((CAST(n_slots - n_tokens AS DOUBLE) / CAST(n_slots AS DOUBLE)) * 10000.0) / 10000.0) AS waste
+         |FROM (
+         |  SELECT 128 AS budget, toks AS n_tokens, s128 AS n_slots FROM a
+         |  UNION ALL SELECT 256, toks, s256 FROM a
+         |  UNION ALL SELECT 512, toks, s512 FROM a)
+         |ORDER BY budget""".stripMargin,
+
     // decile mix: boundaries by rank selection over the count
     // distribution, decile = 1 + #bounds strictly below, bounded mix.
     "events_user_decile_mix" ->

@@ -3879,6 +3879,60 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Approximate-query-processing evidence: monthly revenue from a
+    * deterministic 10% hash sample (tokenHash60 of the order key, ×10
+    * scale-up) priced against the exact aggregate — the "is sampling
+    * good enough for this dashboard" artifact. ONE scan: exact and
+    * sampled sums are two conditional aggregates in the same
+    * months-bounded rollup; the sample membership is a map-side hash,
+    * so the estimate is bit-reproducible (no RNG state).
+    */
+  def lineitemSampleEval(spark: SparkSession, dir: String): DataFrame = {
+    val u4 = floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + lit(0.5)).cast("long"))
+    val inSample = pmod(tokenHash60(concat(lit("smp:"),
+      col("l_orderkey").cast("string"), lit(":"), col("l_linenumber").cast("string"))),
+      lit(10L)) === 0
+    Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        u4.as("u4"), inSample.as("s"))
+      .groupBy("month")
+      .agg(sum("u4").as("exact_u4"),
+        sum(when(col("s"), col("u4")).otherwise(0L)).as("smp_u4"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("n_sampled"),
+        count(lit(1)).as("n_rows"))
+      .select(col("month"), col("n_rows"), col("n_sampled"),
+        roundTo(col("exact_u4").cast("double") / lit(10000.0), 2).as("exact_rev"),
+        roundTo(col("smp_u4").cast("double") * lit(10.0) / lit(10000.0), 2).as("est_rev"),
+        roundTo(abs(col("smp_u4").cast("double") * lit(10.0)
+          - col("exact_u4").cast("double")) / col("exact_u4").cast("double"), 4)
+          .as("rel_err"))
+      .orderBy("month")
+  }
+
+  /** Padding-waste report: for context budgets 128 / 256 / 512, the
+    * fraction of padded-slot tokens wasted when each document is padded
+    * into ⌈n/B⌉ bins — the number that decides the packing strategy
+    * next to [[packSequences]]. All-integer per-doc arithmetic, one
+    * tokenize scan into a 3-row agg (budgets are literals).
+    */
+  def corpusPadWaste(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(size(wordTokens(col("text"))).cast("long").as("n"))
+    val budgets = Seq(128L, 256L, 512L)
+    val aggs = budgets.flatMap { b =>
+      Seq(sum(expr(s"((n + $b - 1) div $b) * $b")).as(s"slots_$b"),
+        sum(col("n")).as(s"toks_$b"))
+    }
+    docs.agg(aggs.head, aggs.tail: _*)
+      .select(posexplode(array(budgets.map(b => struct(lit(b).as("budget"),
+        col(s"toks_$b").as("n_tokens"), col(s"slots_$b").as("n_slots"),
+        roundTo((col(s"slots_$b") - col(s"toks_$b")).cast("double")
+          / col(s"slots_$b").cast("double"), 4).as("waste"))): _*)).as(Seq("i", "r")))
+      .select(col("r.budget"), col("r.n_tokens"), col("r.n_slots"), col("r.waste"))
+      .orderBy("budget")
+  }
+
   /** Do heavy users behave differently — event-type mix by user
     * activity decile. Deciles are value-based and fully distributed:
     * boundaries come from rank selection over the activity-COUNT
