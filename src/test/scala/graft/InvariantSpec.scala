@@ -156,6 +156,88 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("events_daily_kpis: new users sum to the user count; dau bounded by events") {
+    val rows = Queries.eventsDailyKpis(spark, sf001).collect()
+    val nUsers = spark.read.parquet(s"$sf001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nUsers)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "dau cannot exceed events")
+      assert(r.getLong(3) <= r.getLong(2), "new users are active users")
+    }
+  }
+
+  test("supplier_concentration: HHI within [1/n, 1]; top share within [1/n, 1]") {
+    val rows = Queries.supplierConcentration(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1).toDouble
+      val hhi = r.getDouble(3)
+      val top = r.getDouble(4)
+      assert(hhi >= 1.0 / n - 1e-4 && hhi <= 1.0 + 1e-9, s"hhi $hhi n $n")
+      assert(top >= 1.0 / n - 1e-4 && top <= 1.0 + 1e-9)
+      assert(hhi <= top + 1e-9 || n == 1, "hhi cannot exceed the top share bound")
+    }
+  }
+
+  test("events_kmv: estimate within 60% of exact at k=64; exact fallback is exact") {
+    val rows = Queries.eventsKmv(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, kept, est) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      if (kept < 64) assert(est == exact.toDouble)
+      else assert(math.abs(est - exact) / exact < 0.6, s"KMV est $est vs $exact")
+    }
+  }
+
+  test("events_user_decile_mix: deciles partition all events; shares sum to 1 per decile") {
+    val rows = Queries.eventsUserDecileMix(spark, sf001).collect()
+    val total = spark.read.parquet(s"$sf001/events.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.groupBy(_.getInt(0)).foreach { case (d, g) =>
+      val s = g.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-2, s"decile $d shares sum $s")
+      assert(d >= 1 && d <= 10)
+    }
+  }
+
+  test("corpus_pad_waste: waste grows with the budget; slots cover tokens") {
+    val rows = Queries.corpusPadWaste(spark, sf001).orderBy("budget").collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+    assert(rows(0).getDouble(3) <= rows(1).getDouble(3) + 1e-9)
+    assert(rows(1).getDouble(3) <= rows(2).getDouble(3) + 1e-9)
+  }
+
+  test("lineitem_sample_eval: estimator is unbiased in aggregate (total est within 20% of exact)") {
+    val rows = Queries.lineitemSampleEval(spark, sf001).collect()
+    val exact = rows.map(_.getDouble(3)).sum
+    val est = rows.map(_.getDouble(4)).sum
+    assert(math.abs(est - exact) / exact < 0.2, s"est $est vs exact $exact")
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("events_concurrent: hourly active sessions bounded by users; hours within the data span") {
+    val rows = Queries.eventsConcurrent(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val nUsers = spark.read.parquet(s"$sf001/events.parquet")
+      .select("user_id").distinct().count()
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= nUsers))
+  }
+
+  test("events_churn: per-week lifecycle counts reconcile with the retained+new+resurrected identity") {
+    val rows = Queries.eventsChurn(spark, sf001).orderBy("week").collect()
+    assert(rows.nonEmpty)
+    // active(w) = new + retained + resurrected; churned(w+1) <= active(w)
+    val active = rows.map(r => r.getLong(0) ->
+      (r.getLong(1) + r.getLong(2) + r.getLong(3))).toMap
+    rows.foreach { r =>
+      val w = r.getLong(0)
+      val churned = r.getLong(4)
+      active.get(w - 1).foreach(prev => assert(churned <= prev, s"week $w"))
+    }
+  }
+
   test("embedding_outliers: flagged rows are rare and strictly above their cluster mean distance") {
     val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
     val rows = Queries.embeddingOutliers(spark, sf001).collect()
