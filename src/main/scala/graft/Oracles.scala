@@ -1922,6 +1922,32 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // dup-vs-quality: 4-dp scores fixed to exact longs, minhash member
+    // set via a subquery-scoped WITH (shadowing per recall_eval
+    // precedent), group means one division of exact sums.
+    "corpus_quality_vs_dup" ->
+      s"""WITH $langScoreCtes,
+         |mp AS (SELECT a_id, b_id FROM
+         |  (WITH $minhashCtes SELECT a_id, b_id FROM est WHERE e >= 0.5) z),
+         |dup AS (SELECT a_id AS doc_id FROM mp UNION SELECT b_id FROM mp),
+         |j AS (SELECT sc.doc_id, CAST(floor(sc.score * 10000.0 + 0.5) AS BIGINT) AS s4,
+         |        CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |      FROM sc LEFT JOIN dup ON dup.doc_id = sc.doc_id)
+         |SELECT CAST(is_dup AS INT) AS is_dup, CAST(count(*) AS BIGINT) AS n_docs,
+         |  (round((CAST(sum(s4) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)) * 10000.0) / 10000.0) AS mean_quality
+         |FROM j GROUP BY 1 ORDER BY is_dup""".stripMargin,
+
+    // fertility: stored char counts over the BPE-proxy regexp count.
+    "corpus_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+        |  FROM documents),
+        |a AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |        CAST(sum(n_bpe) AS BIGINT) AS n_bpe FROM t GROUP BY 1)
+        |SELECT lang, n_docs, n_chars, n_bpe,
+        |  (round((CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE)) * 10000.0) / 10000.0) AS chars_per_token
+        |FROM a ORDER BY lang""".stripMargin,
+
     // AQP evidence: deterministic 10% hash sample vs exact, ONE scan,
     // both sums conditional aggregates in the same rollup.
     "lineitem_sample_eval" ->

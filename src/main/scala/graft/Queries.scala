@@ -3879,6 +3879,51 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Tokenizer fertility per language (chars per BPE-ish token) — the
+    * multilingual budgeting number: languages with high fertility pay
+    * more context per character, which skews both cost and mixing
+    * decisions. One scan (the BPE proxy is a codegen regexp count, the
+    * char count is the stored column) into a langs-bounded agg; the
+    * ratio is one double division of exact longs.
+    */
+  def corpusTokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("n_chars"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+          .cast("long").as("n_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+        sum("n_bpe").as("n_bpe"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bpe"),
+        roundTo(col("n_chars").cast("double") / col("n_bpe").cast("double"), 4)
+          .as("chars_per_token"))
+      .orderBy("lang")
+
+  /** Does near-duplication correlate with low quality — mean quality
+    * score of minhash-near-dup members vs unique documents, the
+    * evidence behind "dedup first, then quality-filter" pipeline
+    * ordering. Scores are the already-rounded 4-dp langQuality outputs
+    * fixed to exact 1e-4 longs, so the group means are one division of
+    * exact sums (order-independent); membership is the minhash pair
+    * table's id set (narrow union + distinct). Cost = the minhash pass
+    * + one quality pass.
+    */
+  def corpusQualityVsDup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.5)
+    val dup = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+    operators.TextAnalysis.langQuality(docs, "doc_id", "text")
+      .select(col("doc_id"), floor(col("score") * 1e4 + lit(0.5)).cast("long").as("s4"))
+      .join(dup.withColumn("d", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(coalesce(col("d"), lit(0L)).cast("int").as("is_dup"))
+      .agg(count(lit(1)).as("n_docs"), sum("s4").as("s4"))
+      .select(col("is_dup"), col("n_docs"),
+        roundTo(col("s4").cast("double") / (col("n_docs").cast("double") * lit(1e4)), 4)
+          .as("mean_quality"))
+      .orderBy("is_dup")
+  }
+
   /** Approximate-query-processing evidence: monthly revenue from a
     * deterministic 10% hash sample (tokenHash60 of the order key, ×10
     * scale-up) priced against the exact aggregate — the "is sampling
