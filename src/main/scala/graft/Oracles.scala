@@ -366,6 +366,43 @@ object Oracles {
        |       n_id, (round((score) * 10000.0) / 10000.0) AS value
        |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Scan-economics report from the same fitted artifacts: probe sets
+    * re-derived in SQL, membership counted in one aggregation — the
+    * DuckDB twin of [[Queries.annCostModel]].
+    */
+  private def annCostModelSql(centroids: Array[Array[Float]], planes: Array[Array[Float]],
+                              ivfQ: Long, lshQ: Long, nprobe: Int, radius: Int,
+                              rerank: Int): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |pl AS ${paramRows(planes, "p", "wv")},
+       |q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $ivfQ),
+       |q3 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $lshQ),
+       |pc AS (SELECT cid FROM (SELECT c.cid, ${l2sq("q2.qv", "c.cv")} AS d2 FROM cents c, q2) z
+       |       QUALIFY row_number() OVER (ORDER BY d2, cid) <= $nprobe),
+       |ctr AS (SELECT CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS center
+       |        FROM (SELECT pl.p, ${dot("q3.qv", "pl.wv")} AS d FROM pl, q3) z),
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |bd AS (SELECT e.vec_id, pl.p, ${dot("e.embedding", "pl.wv")} AS d
+       |       FROM embeddings e CROSS JOIN pl),
+       |bk AS (SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+       |       FROM bd GROUP BY vec_id),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(CASE WHEN cl.cid IN (SELECT cid FROM pc) THEN 1 ELSE 0 END) AS BIGINT) AS n_ivf,
+       |        CAST(sum(CASE WHEN bit_count(xor(bk.bucket, ctr.center)) <= $radius THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh
+       |      FROM cl JOIN bk USING (vec_id), ctr)
+       |SELECT index, rows_scanned,
+       |  (round((CAST(rows_scanned AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0) / 10000.0) AS frac
+       |FROM (
+       |  SELECT n, 'flat' AS index, n AS rows_scanned FROM a
+       |  UNION ALL SELECT n, 'ivf_nprobe4', n_ivf FROM a
+       |  UNION ALL SELECT n, 'lsh_r1', n_lsh FROM a
+       |  UNION ALL SELECT n, 'pq_adc', n + $rerank FROM a
+       |  UNION ALL SELECT n, 'binary', n + $rerank FROM a) u
+       |ORDER BY index""".stripMargin
+
   /** Label-agreement report over the same within-cluster k-NN graph —
     * the DuckDB twin of [[Queries.knnLabelConsistency]].
     */
@@ -692,6 +729,8 @@ object Oracles {
       "knn_join_ivf" -> knnJoinSql(scaledCents, k = 3),
       "knn_hubness" -> knnHubnessSql(scaledCents, k = 3),
       "knn_label_consistency" -> knnLabelConsistencySql(scaledCents, k = 3),
+      "ann_cost_model" -> annCostModelSql(centroids, planes, ivfQ = 2L, lshQ = 3L,
+        nprobe = 4, radius = 1, rerank = 100),
       "knn_graph_recall" -> graphRecallSql(scaledCents, k = 3),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),

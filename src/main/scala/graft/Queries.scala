@@ -3879,6 +3879,47 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Index scan-economics report — rows a single standard query must
+    * touch under each index layout (FLAT full scan; IVF nprobe-4 probed
+    * clusters; LSH radius-1 probed buckets; PQ/BINARY full narrow-code
+    * scan + 100-row exact re-rank) with the fraction of the corpus that
+    * represents. The "what does probing BUY" companion to the recall
+    * curves' "what does it COST in quality": together they are the
+    * tuning story. ONE assignment pass computes every count (cluster
+    * and bucket membership are conditional sums in the same 1-row agg);
+    * probe sets derive from the fitted artifacts exactly as the
+    * serving queries do, and the oracle re-derives them from the same
+    * literals.
+    */
+  def annCostModel(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val planes = operators.LshIndex.planes(nBits = 4, dim = 64)
+    val probedC = operators.IvfIndex.probes(queryVec(spark, dir, 2L), centroids, nprobe = 4)
+    val probedB = operators.LshIndex.probeBuckets(
+      operators.LshIndex.bucketOf(queryVec(spark, dir, 3L), planes), planes.length, radius = 1)
+    val rerank = 100L
+    emb.select(nearestCentroid(col("embedding"), centroids).as("cl"),
+        operators.LshIndex.bucket(col("embedding"), planes).as("bk"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cl").isin(probedC: _*), 1L).otherwise(0L)).as("n_ivf"),
+        sum(when(col("bk").isin(probedB: _*), 1L).otherwise(0L)).as("n_lsh"))
+      .select(posexplode(array(
+        struct(lit("flat").as("index"), col("n").as("rows_scanned"),
+          roundTo(lit(1.0), 4).as("frac")),
+        struct(lit("ivf_nprobe4").as("index"), col("n_ivf").as("rows_scanned"),
+          roundTo(col("n_ivf").cast("double") / col("n").cast("double"), 4).as("frac")),
+        struct(lit("lsh_r1").as("index"), col("n_lsh").as("rows_scanned"),
+          roundTo(col("n_lsh").cast("double") / col("n").cast("double"), 4).as("frac")),
+        struct(lit("pq_adc").as("index"), (col("n") + rerank).as("rows_scanned"),
+          roundTo((col("n") + rerank).cast("double") / col("n").cast("double"), 4).as("frac")),
+        struct(lit("binary").as("index"), (col("n") + rerank).as("rows_scanned"),
+          roundTo((col("n") + rerank).cast("double") / col("n").cast("double"), 4).as("frac"))))
+        .as(Seq("i", "r")))
+      .select(col("r.index"), col("r.rows_scanned"), col("r.frac"))
+      .orderBy("index")
+  }
+
   /** Tokenizer fertility per language (chars per BPE-ish token) — the
     * multilingual budgeting number: languages with high fertility pay
     * more context per character, which skews both cost and mixing
