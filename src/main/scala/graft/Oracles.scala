@@ -1961,6 +1961,18 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // SRM gate: exact long counts, χ² one double expression, flag via
+    // the integer cross-multiplied form.
+    "events_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM u)
+        |SELECT n_a, n_b,
+        |  (round((CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * 10000.0) / 10000.0) AS chi2,
+        |  (100 * (n_a - n_b) * (n_a - n_b) > 384 * (n_a + n_b)) AS srm_flag
+        |FROM c""".stripMargin,
+
     // dup-vs-quality: 4-dp scores fixed to exact longs, minhash member
     // set via a subquery-scoped WITH (shadowing per recall_eval
     // precedent), group means one division of exact sums.

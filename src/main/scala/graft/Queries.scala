@@ -3879,6 +3879,31 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Sample-ratio-mismatch check for the id-parity A/B split — the
+    * experiment-hygiene gate run before reading [[eventsAbtestCuped]]:
+    * χ² = Σ(obs − n/2)²/(n/2) over the two variant user counts against
+    * the 50/50 design, flagged at the 3.84 (p < 0.05, 1 dof) bound.
+    * For two cells the statistic reduces to (a−b)²/n. Counts are exact
+    * longs from one distinct-user pass; χ² is a single double expression
+    * of those longs, identical in the oracle, and the flag comparison
+    * happens on the exact integer cross-multiplied form
+    * 100·(a−b)² > 384·n — all-long, no boundary ULP risk.
+    */
+  def eventsAbSrm(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir).select(col("user_id")).distinct()
+    users.agg(
+        sum(when(pmod(col("user_id"), lit(2L)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("user_id"), lit(2L)) === 1, 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        // χ² for 2 cells vs 50/50: (a−b)² / (a+b)
+        roundTo((col("n_a") - col("n_b")).cast("double")
+          * (col("n_a") - col("n_b")).cast("double")
+          / (col("n_a") + col("n_b")).cast("double"), 4).as("chi2"),
+        // exact integer comparison: 100·(a−b)² > 384·(a+b) ⇔ χ² > 3.84
+        (lit(100L) * (col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+          > lit(384L) * (col("n_a") + col("n_b"))).as("srm_flag"))
+  }
+
   /** Index scan-economics report — rows a single standard query must
     * touch under each index layout (FLAT full scan; IVF nprobe-4 probed
     * clusters; LSH radius-1 probed buckets; PQ/BINARY full narrow-code
