@@ -238,6 +238,80 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("ann_cost_model: probed counts bounded by the corpus; code scans cost n + rerank") {
+    val rows = Queries.annCostModel(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows("flat")._1 == n && rows("flat")._2 == 1.0)
+    assert(rows("pq_adc")._1 == n + 100 && rows("binary")._1 == n + 100)
+    for (k <- Seq("ivf_nprobe4", "lsh_r1")) {
+      val (scanned, frac) = rows(k)
+      assert(scanned >= 1 && scanned <= n, s"$k scanned $scanned")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
+  test("events_ab_srm: variant counts partition the users; flag agrees with the exact statistic") {
+    val r = Queries.eventsAbSrm(spark, sf001).collect()(0)
+    val nUsers = spark.read.parquet(s"$sf001/events.parquet")
+      .select("user_id").distinct().count()
+    val (a, b) = (r.getLong(0), r.getLong(1))
+    assert(a + b == nUsers)
+    assert(r.getDouble(2) >= 0.0)
+    assert(r.getBoolean(3) == (100L * (a - b) * (a - b) > 384L * (a + b)))
+  }
+
+  test("corpus_tokenizer_fertility: at least one char per token, every language present") {
+    val rows = Queries.corpusTokenizerFertility(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 1.0, s"${r.getString(0)} fertility ${r.getDouble(4)}")
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
+  test("corpus_quality_vs_dup: the two groups partition the corpus") {
+    val rows = Queries.corpusQualityVsDup(spark, sf001).collect()
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    rows.foreach { r =>
+      val q = r.getDouble(2)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("corpus_length_hist: buckets are powers of two; per-source shares sum to 1") {
+    val rows = Queries.corpusLengthHist(spark, sf001).collect()
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.foreach { r =>
+      val b = r.getLong(1)
+      assert(b == 0 || (b & (b - 1)) == 0, s"bucket $b not a power of two")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (s, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-2, s"source $s")
+    }
+  }
+
+  test("corpus_keywords: at most three ranked keywords per source, ranks contiguous") {
+    val rows = Queries.corpusKeywords(spark, sf001).collect()
+    rows.groupBy(_.getString(0)).foreach { case (s, g) =>
+      val ranks = g.map(_.getInt(1)).sorted
+      assert(ranks.length <= 3 && ranks.sameElements(1 to ranks.length), s"source $s")
+    }
+  }
+
+  test("corpus_boilerplate: doc frequencies bounded by the corpus and ordered descending") {
+    val rows = Queries.corpusBoilerplate(spark, sf001).collect()
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= nDocs))
+    rows.sliding(2).foreach {
+      case Array(x, y) => assert(x.getLong(1) >= y.getLong(1))
+      case _           => ()
+    }
+  }
+
   test("embedding_outliers: flagged rows are rare and strictly above their cluster mean distance") {
     val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
     val rows = Queries.embeddingOutliers(spark, sf001).collect()
