@@ -462,6 +462,19 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC sink is idempotent: re-delivering an applied batch leaves state unchanged (exactly-once under at-least-once delivery)") {
+    val s = spark; import s.implicits._
+    val base = Seq((1L, "a"), (2L, "b")).toDF("k", "v").localCheckpoint(true)
+    val batch = Seq((2L, 1L, "U", "B"), (5L, 1L, "I", "x"), (1L, 1L, "D", "-"))
+      .toDF("k", "ver", "op", "v")
+    val once = graft.operators.Upsert.applyCdc(base, batch, "k", "ver")
+      .localCheckpoint(true)
+    val twice = graft.operators.Upsert.applyCdc(once, batch, "k", "ver")
+    assert(twice.orderBy("k").collect().map(_.toSeq).toSeq ===
+      once.orderBy("k").collect().map(_.toSeq).toSeq)
+    assert(once.count() == 2) // {2 -> B, 5 -> x}; 1 deleted
+  }
+
   test("file-source stream over the real events parquet reproduces the batch aggregation") {
     val agg = EventStream.windowedAgg(graft.sources.Tables.eventsStream(spark, sf001))
     val q = agg.writeStream.format("memory").queryName("filewin").outputMode("complete").start()
