@@ -48,8 +48,33 @@ object Tables {
       case _ => df
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** Generation-adaptive loaders for the other two non-TPC-H tables —
+    * the same defensive posture the events loader earned in round 5
+    * (the driver regenerates testdata between rounds and physical
+    * types have changed before). Each normalization is CONDITIONAL: on
+    * today's layout it is the identity, so plans (and filter pushdown
+    * on `label`) are untouched.
+    */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "documents")
+    df.schema("n_chars").dataType match {
+      case org.apache.spark.sql.types.IntegerType =>
+        df.withColumn("n_chars",
+          org.apache.spark.sql.functions.col("n_chars")
+            .cast(org.apache.spark.sql.types.LongType))
+      case _ => df
+    }
+  }
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "embeddings")
+    df.schema("label").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("label",
+          org.apache.spark.sql.functions.col("label")
+            .cast(org.apache.spark.sql.types.IntegerType))
+      case _ => df
+    }
+  }
 
   /** `events` as an unbounded file-source stream (the production
     * ingestion path: drop parquet files into a directory, Spark streams
