@@ -1727,6 +1727,17 @@ object Oracles {
         |  octet_length(encode(text)) % 16 + 1 AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // storage accounting: payload byte lengths + stub frame counts,
+    // sources-bounded agg, one final division.
+    "multimodal_bitrate" ->
+      """WITH t AS (SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+        |f AS (SELECT source, nb, nb % 16 + 1 AS nf FROM t),
+        |a AS (SELECT source, count(*) AS n_assets, CAST(sum(nb) AS BIGINT) AS n_bytes,
+        |        CAST(sum(nf) AS BIGINT) AS n_frames FROM f GROUP BY 1)
+        |SELECT source, n_assets, n_bytes, n_frames,
+        |  (round((CAST(n_bytes AS DOUBLE) / CAST(n_frames AS DOUBLE)) * 100.0) / 100.0) AS bytes_per_frame
+        |FROM a ORDER BY source""".stripMargin,
+
     // scene cuts on the 1-D ink-density feature per stride-sampled
     // frame; same char-window sampling both sides, lag window per doc.
     "multimodal_scene_cuts" ->

@@ -1260,6 +1260,24 @@ object Queries {
         (octet_length(col("payload")) % 16 + 1).as("n_frames"))
       .orderBy("doc_id")
 
+  /** Media storage accounting per source — assets, payload bytes,
+    * stub-decoded frame counts and bytes-per-frame: the capacity-plan
+    * rollup a media lake reads before choosing codecs/tiering. One
+    * map-side pass over payload lengths into a sources-bounded agg;
+    * the only double is the final bytes-per-frame division.
+    */
+  def multimodalBitrate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("source"), octet_length(col("payload")).cast("long").as("nb"))
+      .withColumn("nf", col("nb") % 16 + 1)
+      .groupBy("source").agg(count(lit(1)).as("n_assets"),
+        sum("nb").as("n_bytes"), sum("nf").as("n_frames"))
+      .select(col("source"), col("n_assets"), col("n_bytes"), col("n_frames"),
+        roundTo(col("n_bytes").cast("double") / col("n_frames").cast("double"), 2)
+          .as("bytes_per_frame"))
+      .orderBy("source")
+
   /** Frame-sampling plumbing: each media payload explodes into its
     * deterministically-sampled frame windows (offset stride = bytes /
     * n_frames, 32-byte "frames"), with per-frame digest metadata. The
