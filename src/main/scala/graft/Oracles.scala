@@ -3054,6 +3054,35 @@ object Oracles {
         |       count(*) FILTER (WHERE s2 = 1) AS n_stage2,
         |       count(*) FILTER (WHERE s3 = 1) AS n_stage3 FROM u""".stripMargin,
 
+    // funnel latency: the window-funnel qualification chain, first-view
+    // to first-qualifying-purchase seconds, rank-selected percentiles
+    // over the (≤ 7200-value) latency distribution.
+    "events_funnel_latency" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN t END) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_view_min FROM x),
+        |w2 AS (SELECT *, CASE WHEN event_type = 'click' AND t_view_min IS NOT NULL
+        |                       AND t <= t_view_min + 3600000000 THEN t END AS t_click_ok FROM w1),
+        |w3 AS (SELECT *, min(t_click_ok) OVER
+        |         (PARTITION BY user_id ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_click_min FROM w2),
+        |u AS (SELECT user_id,
+        |        min(CASE WHEN event_type = 'view' THEN t END) AS tv,
+        |        min(CASE WHEN event_type = 'purchase' AND t_click_min IS NOT NULL
+        |                  AND t <= t_click_min + 3600000000 THEN t END) AS tp
+        |      FROM w3 GROUP BY user_id),
+        |lat AS (SELECT (tp - tv) // 1000000 AS lat_s FROM u WHERE tp IS NOT NULL),
+        |c AS (SELECT lat_s, count(*) AS c FROM lat GROUP BY 1),
+        |t AS (SELECT lat_s, sum(c) OVER (ORDER BY lat_s) AS cum, sum(c) OVER () AS n FROM c)
+        |SELECT CAST(max(n) AS BIGINT) AS n_completed,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lat_s END) AS p50_s,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lat_s END) AS p90_s,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lat_s END) AS p99_s,
+        |  max(lat_s) AS max_s
+        |FROM t""".stripMargin,
+
     "events_path_topk" ->
       """WITH x AS (SELECT user_id, event_id, event_type,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),

@@ -2836,6 +2836,46 @@ object Queries {
         count(when(col("s3") === 1, 1)).as("n_stage3"))
   }
 
+  /** Funnel conversion-latency percentiles: for users who COMPLETE the
+    * view→click→purchase window funnel, first-view to first-qualifying-
+    * purchase time in seconds, reported as p50/p90/p99/max by rank
+    * selection. Qualification reuses [[eventsWindowFunnel]]'s stacked
+    * prior-row windows (same exact integer-µs chain); the percentile
+    * windows run over the latency-VALUE distribution, which the 2×1 h
+    * step windows bound at 7200 distinct seconds — never a per-user
+    * sort.
+    */
+  def eventsFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 3600L * 1000000L
+    val prior = Window.partitionBy("user_id").orderBy("t", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val staged = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("t_view_min",
+        min(when(col("event_type") === "view", col("t"))).over(prior))
+      .withColumn("t_click_ok",
+        when(col("event_type") === "click" && col("t_view_min").isNotNull &&
+          col("t") <= col("t_view_min") + winUs, col("t")))
+      .withColumn("t_click_min", min(col("t_click_ok")).over(prior))
+    val lat = staged.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("t"))).as("tv"),
+        min(when(col("event_type") === "purchase" && col("t_click_min").isNotNull &&
+          col("t") <= col("t_click_min") + winUs, col("t"))).as("tp"))
+      .where(col("tp").isNotNull)
+      .select(expr("(tp - tv) div 1000000").as("lat_s"))
+    val counts = lat.groupBy("lat_s").agg(count(lit(1)).as("c"))
+    def pos(q: Int): Column = expr(s"(n * $q + 99) div 100")
+    counts
+      .withColumn("cum", sum("c").over(Window.orderBy("lat_s")))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .agg(max("n").as("n_completed"),
+        min(when(col("cum") >= pos(50), col("lat_s"))).as("p50_s"),
+        min(when(col("cum") >= pos(90), col("lat_s"))).as("p90_s"),
+        min(when(col("cum") >= pos(99), col("lat_s"))).as("p99_s"),
+        max("lat_s").as("max_s"))
+  }
+
   /** Top-10 most frequent 3-step event-type paths (user-journey n-gram
     * mining): two lag windows over one (user, time) sort emit each
     * row's trigram map-side, then a partial-aggregated count and a
