@@ -1972,6 +1972,28 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // repeat-purchase KPI: per-customer partial agg, two divisions.
+    "orders_repeat_rate" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        |        CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+        |        CAST(sum(n) AS BIGINT) AS n_orders FROM c)
+        |SELECT n_customers, n_repeat,
+        |  (round((CAST(n_repeat AS DOUBLE) / CAST(n_customers AS DOUBLE)) * 10000.0) / 10000.0) AS repeat_rate,
+        |  (round((CAST(n_orders AS DOUBLE) / CAST(n_customers AS DOUBLE)) * 10000.0) / 10000.0) AS orders_per_customer
+        |FROM a""".stripMargin,
+
+    // hapax share: counts-of-counts per source.
+    "corpus_hapax_share" ->
+      s"""WITH t AS (SELECT source, unnest($toks) AS word FROM documents),
+         |c AS (SELECT source, word, count(*) AS c FROM t GROUP BY 1, 2),
+         |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+         |      FROM c GROUP BY 1)
+         |SELECT source, n_types, n_hapax,
+         |  (round((CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)) * 10000.0) / 10000.0) AS hapax_share
+         |FROM a ORDER BY source""".stripMargin,
+
     // SRM gate: exact long counts, χ² one double expression, flag via
     // the integer cross-multiplied form.
     "events_ab_srm" ->

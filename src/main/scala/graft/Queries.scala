@@ -3937,6 +3937,40 @@ object Queries {
       .orderBy("source", "rank")
   }
 
+  /** Repeat-purchase KPI: customers with ≥ 2 orders, their share, and
+    * mean orders per customer — exact longs off one orders scan into a
+    * per-customer partial agg; the two ratios are single divisions.
+    */
+  def ordersRepeatRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+        sum("n").as("n_orders"))
+      .select(col("n_customers"), col("n_repeat"),
+        roundTo(col("n_repeat").cast("double") / col("n_customers").cast("double"), 4)
+          .as("repeat_rate"),
+        roundTo(col("n_orders").cast("double") / col("n_customers").cast("double"), 4)
+          .as("orders_per_customer"))
+
+  /** Hapax share per source — the fraction of a source's vocabulary
+    * that occurs exactly once (hapax legomena): high hapax share flags
+    * OCR noise / tokenizer damage, low flags templated text. One
+    * (source, word) count pass (≤ sources × vocab rows at any corpus
+    * size), then a sources-bounded rollup of the counts-of-counts.
+    */
+  def corpusHapaxShare(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(wordTokens(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_hapax"),
+        roundTo(col("n_hapax").cast("double") / col("n_types").cast("double"), 4)
+          .as("hapax_share"))
+      .orderBy("source")
+
   /** Sample-ratio-mismatch check for the id-parity A/B split — the
     * experiment-hygiene gate run before reading [[eventsAbtestCuped]]:
     * χ² = Σ(obs − n/2)²/(n/2) over the two variant user counts against
