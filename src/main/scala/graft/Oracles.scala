@@ -1972,6 +1972,20 @@ object Oracles {
         |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN gap_s END) AS p99_s
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // quality deciles: rank selection over the ≤ 10,001-value 4-dp
+    // score distribution.
+    "corpus_quality_deciles" ->
+      s"""WITH $langScoreCtes,
+         |sd AS (SELECT CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS s4 FROM sc),
+         |cd AS (SELECT s4, count(*) AS c FROM sd GROUP BY 1),
+         |td AS (SELECT s4, sum(c) OVER (ORDER BY s4) AS cum, sum(c) OVER () AS n FROM cd),
+         |ds AS (SELECT unnest(range(1, 10)) AS decile),
+         |b AS (SELECT decile, min(CASE WHEN cum >= (n * decile * 10 + 99) // 100 THEN s4 END) AS b4
+         |      FROM td CROSS JOIN ds GROUP BY 1)
+         |SELECT CAST(decile AS INT) AS decile,
+         |  (round((CAST(b4 AS DOUBLE) / 10000.0) * 10000.0) / 10000.0) AS score_boundary
+         |FROM b ORDER BY decile""".stripMargin,
+
     // repeat-purchase KPI: per-customer partial agg, two divisions.
     "orders_repeat_rate" ->
       """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),

@@ -3953,6 +3953,30 @@ object Queries {
         roundTo(col("n_orders").cast("double") / col("n_customers").cast("double"), 4)
           .as("orders_per_customer"))
 
+  /** Quality-score decile boundaries — the distribution readout behind
+    * choosing [[corpusQualityFilter]]'s threshold: the score at each
+    * 10th percentile, by rank selection over the 4-dp score
+    * distribution (≤ 10,001 distinct fixed values at ANY corpus size —
+    * the ordered window is value-bounded by construction). Boundaries
+    * assign via the [[eventsUserDecileMix]] broadcast pattern.
+    */
+  def corpusQualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dist = operators.TextAnalysis.langQuality(docs, "doc_id", "text")
+      .select(floor(col("score") * lit(1e4) + lit(0.5)).cast("long").as("s4"))
+      .groupBy("s4").agg(count(lit(1)).as("c"))
+    dist
+      .withColumn("cum", sum("c").over(Window.orderBy("s4")))
+      .withColumn("n", sum("c").over(Window.partitionBy()))
+      .crossJoin(spark.range(1, 10).select(col("id").as("decile")))
+      .groupBy("decile")
+      .agg(min(when(col("cum") >= expr("(n * decile * 10 + 99) div 100"), col("s4")))
+        .as("b4"))
+      .select(col("decile").cast("int").as("decile"),
+        roundTo(col("b4").cast("double") / lit(1e4), 4).as("score_boundary"))
+      .orderBy("decile")
+  }
+
   /** Hapax share per source — the fraction of a source's vocabulary
     * that occurs exactly once (hapax legomena): high hapax share flags
     * OCR noise / tokenizer damage, low flags templated text. One
