@@ -3381,7 +3381,8 @@ object Oracles {
         |      FROM o),
         |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(gap_s) AS HUGEINT) AS s,
         |        CAST(sum(CAST(gap_s AS HUGEINT) * CAST(gap_s AS HUGEINT)) AS HUGEINT) AS q
-        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1 HAVING count(*) >= 8),
+        |      FROM g WHERE gap_s IS NOT NULL GROUP BY 1
+        |      HAVING count(*) >= 8 AND sum(gap_s) > 0),
         |c AS (SELECT user_id, n_g + 1 AS n_events, n_g AS n_gaps,
         |        (round((CAST(s AS DOUBLE) / CAST(n_g AS DOUBLE)) * 100.0) / 100.0) AS mean_gap_s,
         |        sqrt(CAST(n_g * q - s * s AS DOUBLE)) / CAST(s AS DOUBLE) AS cv

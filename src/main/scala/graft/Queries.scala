@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.storage.StorageLevel
+
 import graft.functions._
 import graft.operators.{Dedup, Knn, TextAnalysis, Upsert}
 import graft.sources.Tables
@@ -3236,12 +3238,15 @@ object Queries {
     */
   def ordersBasketAffinity(spark: SparkSession, dir: String): DataFrame = {
     // the distinct basket table feeds BOTH self-join legs plus the two
-    // marginal aggregates — materialize it once (localCheckpoint) so
-    // the scan+distinct shuffle doesn't re-run per reference
+    // marginal aggregates — persist it once so the scan+distinct
+    // shuffle doesn't re-run per reference. DISK_ONLY persist (not
+    // localCheckpoint): lazy, and recoverable on executor loss — a
+    // corpus-scale intermediate must never live only in non-fault-
+    // tolerant block storage
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
-      .localCheckpoint()
+      .persist(StorageLevel.DISK_ONLY)
     val nOrders = li.select("ok").distinct().agg(count(lit(1)).as("n_orders"))
     val cnt = li.groupBy("pk").agg(count(lit(1)).as("cnt"))
     li.select(col("ok"), col("pk").as("part_a"))
@@ -3920,14 +3925,17 @@ object Queries {
     */
   def corpusKeywords(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
+    // corpus count stays IN-PLAN (1-row agg broadcast-cross-joined into
+    // the scoring expression) — no eager driver-side count() action, the
+    // query is one lazy DAG
+    val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val sw = docs
       .select(col("source"), explode(array_distinct(wordTokens(col("text")))).as("word"))
       .groupBy("source", "word").agg(count(lit(1)).as("df_s"))
     val wd = sw.groupBy("word").agg(sum("df_s").as("df"))
-    val scored = sw.join(wd, "word")
+    val scored = sw.join(wd, "word").crossJoin(broadcast(nd))
       .withColumn("sf", col("df_s") *
-        floor(log(lit(nDocs.toDouble) / col("df")) * lit(1e6) + lit(0.5)).cast("long"))
+        floor(log(col("n_docs") / col("df")) * lit(1e6) + lit(0.5)).cast("long"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy("source").orderBy(col("sf").desc, col("word"))))
@@ -4173,7 +4181,7 @@ object Queries {
     */
   def eventsUserDecileMix(spark: SparkSession, dir: String): DataFrame = {
     val utc = Tables.events(spark, dir).groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("c")).localCheckpoint()
+      .agg(count(lit(1)).as("c")).persist(StorageLevel.DISK_ONLY) // user-scale: lazy + fault-tolerant
     val pu = utc.groupBy("user_id").agg(sum("c").as("n"))
     val dist = pu.groupBy("n").agg(count(lit(1)).as("cn"))
     val t = dist.withColumn("cum", sum("cn").over(Window.orderBy("n")))
@@ -4203,7 +4211,7 @@ object Queries {
       .select(col("user_id"),
         expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      .localCheckpoint()
+      .persist(StorageLevel.DISK_ONLY) // corpus-scale projection: lazy + fault-tolerant
     val roll = base.groupBy("day").agg(count(lit(1)).as("n_events"),
       roundTo(sum("cents").cast("double") / lit(100.0), 2).as("revenue"))
     val ud = base.select("day", "user_id").distinct()
@@ -4289,7 +4297,8 @@ object Queries {
     // the distinct table feeds both the sketch and the exact leg —
     // materialize once
     val ut = Tables.events(spark, dir)
-      .select(col("event_type"), col("user_id")).distinct().localCheckpoint()
+      .select(col("event_type"), col("user_id")).distinct()
+      .persist(StorageLevel.DISK_ONLY) // user-scale distinct: lazy + fault-tolerant
     val hc = tokenHash60(concat(lit("kmv:"), col("user_id").cast("string")))
     val picks = operators.Stats.stratifiedSample(ut, "event_type", "user_id", "user_id",
       hc, k = 64)
@@ -4427,13 +4436,16 @@ object Queries {
     */
   def corpusBoilerplate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count()
+    // corpus count stays IN-PLAN: the 1-row agg joins the 20-row top
+    // table after the TakeOrdered cut — no eager count() action
+    val nd = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     docs.select(explode(array_distinct(
         wordShingleStrings(wordTokens(col("text")), 3))).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("gram")).limit(20)
+      .crossJoin(broadcast(nd))
       .select(col("gram"), col("df"),
-        roundTo(col("df").cast("double") / lit(nDocs.toDouble), 4).as("doc_share"))
+        roundTo(col("df").cast("double") / col("n_docs"), 4).as("doc_share"))
       .orderBy(col("df").desc, col("gram"))
   }
 
@@ -4458,7 +4470,11 @@ object Queries {
       .agg(count(lit(1)).as("n_g"),
         sum("gap_s").cast("decimal(38,0)").as("s"),
         sum(col("gap_s").cast("decimal(38,0)") * col("gap_s").cast("decimal(38,0)")).as("q"))
-      .where(col("n_g") >= 8)
+      // s > 0 guards cv's division: a user whose ≥8 gaps are ALL zero
+      // seconds (single-second burst) would yield cv = 0/0 = NaN, which
+      // Spark's non-ANSI long cast maps to 0 while DuckDB errors — an
+      // engine divergence, and a meaningless cadence score anyway
+      .where(col("n_g") >= 8 && col("s") > 0)
     val cv = sqrt((col("n_g").cast("decimal(38,0)") * col("q") - col("s") * col("s"))
       .cast("double")) / col("s").cast("double")
     m.select(col("user_id"), (col("n_g") + 1).as("n_events"), col("n_g").as("n_gaps"),
@@ -4513,7 +4529,7 @@ object Queries {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), size(wordTokens(col("text"))).cast("long").as("n_tok"))
       .withColumn("bk", expr("doc_id div 64"))
-      .localCheckpoint()
+      .persist(StorageLevel.DISK_ONLY) // doc-scale narrow table: lazy + fault-tolerant
     val within = docs.withColumn("cum_in",
       sum("n_tok").over(Window.partitionBy("bk").orderBy("doc_id")))
     val offsets = docs.groupBy("bk").agg(sum("n_tok").as("bt"))

@@ -69,8 +69,17 @@ object Tables {
     val df = load(spark, dir, "embeddings")
     df.schema("label").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Narrowing is the non-widening (unsafe) direction: guard the
+        // cast so a regenerated dataset with labels outside Int range
+        // fails LOUDLY (raise_error) instead of silently wrapping under
+        // the non-ANSI cast. On in-range data the branch folds to the
+        // plain value and the cast behaves as before.
+        val f = org.apache.spark.sql.functions
+        val label = f.col("label")
         df.withColumn("label",
-          org.apache.spark.sql.functions.col("label")
+          f.when(label.between(Int.MinValue.toLong, Int.MaxValue.toLong), label)
+            .otherwise(f.raise_error(f.concat(
+              f.lit("embeddings.label out of Int range: "), label.cast("string"))))
             .cast(org.apache.spark.sql.types.IntegerType))
       case _ => df
     }

@@ -189,6 +189,15 @@ object EventStream {
     * never contaminate the state, and once the final bucket is complete
     * the emitted value IS the batch fold (identical multiply-add order:
     * 0.3·n + 0.7·acc, seeded with the first bucket's count).
+    *
+    * Late events — a bucket OLDER than the open one arriving in a later
+    * micro-batch — fold into the open bucket instead of re-opening the
+    * old one: re-opening would close the open bucket into the EWMA
+    * early and inflate n_buckets permanently. With an in-order feed
+    * (bucket boundaries respected across micro-batches) the guard is
+    * inert and the final emission equals the batch twin exactly; under
+    * disorder the count total is preserved and only bucket attribution
+    * is approximate — the standard watermark trade-off.
     */
   def ewmaForecast(events: Dataset[(String, Long, Timestamp)]): Dataset[EwmaOut] = {
     import events.sparkSession.implicits._
@@ -203,7 +212,7 @@ object EventStream {
             val b = micros(ts) / hourUs * hourUs
             if (st.bucketUs == Long.MinValue)
               st = st.copy(bucketUs = b, openN = 1L, nSeen = st.nSeen + 1)
-            else if (b == st.bucketUs)
+            else if (b <= st.bucketUs) // open bucket, or LATE (b < open): never re-open a closed bucket
               st = st.copy(openN = st.openN + 1, nSeen = st.nSeen + 1)
             else {
               val closed =

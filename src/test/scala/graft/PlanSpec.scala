@@ -494,15 +494,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("checkpointed intermediates: KPI/decile/KMV/shard-plan legs read the materialized table, not files") {
+  test("persisted intermediates: KPI/decile/KMV/shard-plan legs read the cached table, not files") {
+    // DISK_ONLY persist (lazy + fault-tolerant), not localCheckpoint:
+    // the plan shows ONE parquet scan (inside the InMemoryRelation
+    // definition) and every leg reads InMemoryTableScan
     for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
         "events_daily_kpis" -> (Queries.eventsDailyKpis _),
         "events_user_decile_mix" -> (Queries.eventsUserDecileMix _),
         "events_kmv" -> (Queries.eventsKmv _),
         "corpus_shard_plan" -> (Queries.corpusShardPlan _))) {
       val p = plan(q(spark, sf001))
-      assert(!p.contains("Scan parquet"), s"$name still re-scans files per leg:\n$p")
-      assert(p.contains("ExistingRDD"), name)
+      // formatted explain reprints the cached-plan definition under each
+      // InMemoryTableScan with the SAME node id — count distinct scan ids
+      val nScans = "Scan parquet\\s*\\((\\d+)\\)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet.size
+      val nCacheReads = "InMemoryTableScan".r.findAllIn(p).size
+      assert(nScans <= 1, s"$name still re-scans files per leg ($nScans scans):\n$p")
+      assert(nCacheReads >= 2, s"$name legs must read the persisted table:\n$p")
+      assert(p.contains("disk"), s"$name persist must be DISK_ONLY (spill-safe):\n$p")
     }
   }
 
