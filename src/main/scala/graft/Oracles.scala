@@ -366,6 +366,30 @@ object Oracles {
        |       n_id, (round((score) * 10000.0) / 10000.0) AS value
        |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
 
+  /** Graph reciprocity over the SAME IVF-blocked k-NN graph as
+    * [[knnJoinSql]]: mutual pairs via a self-join of the edge list.
+    */
+  private def knnMutualSql(centroids: Array[Array[Float]], k: Int): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |g AS (SELECT q_id, n_id FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $k),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       |         CAST(count(DISTINCT q_id) AS BIGINT) AS n_nodes FROM g),
+       |mu AS (SELECT CAST(count(*) AS BIGINT) AS n_mutual_pairs
+       |       FROM g a JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id
+       |       WHERE a.q_id < a.n_id)
+       |SELECT st.n_nodes, st.n_edges, mu.n_mutual_pairs,
+       |  (round((CAST(mu.n_mutual_pairs AS DOUBLE) * 2.0 / CAST(st.n_edges AS DOUBLE)) * 10000.0) / 10000.0) AS reciprocity
+       |FROM st, mu""".stripMargin
+
   /** Scan-economics report from the same fitted artifacts: probe sets
     * re-derived in SQL, membership counted in one aggregation — the
     * DuckDB twin of [[Queries.annCostModel]].
@@ -728,6 +752,7 @@ object Oracles {
       // the graph build scales K with n (fitScaled) — splice THOSE centroids
       "knn_join_ivf" -> knnJoinSql(scaledCents, k = 3),
       "knn_hubness" -> knnHubnessSql(scaledCents, k = 3),
+      "knn_mutual" -> knnMutualSql(scaledCents, k = 3),
       "knn_label_consistency" -> knnLabelConsistencySql(scaledCents, k = 3),
       "ann_cost_model" -> annCostModelSql(centroids, planes, ivfQ = 2L, lshQ = 3L,
         nprobe = 4, radius = 1, rerank = 100),
@@ -3626,6 +3651,109 @@ object Oracles {
         |  round(abs(CAST(n_early AS DOUBLE) / CAST(t_early AS DOUBLE)
         |        - CAST(n_late AS DOUBLE) / CAST(t_late AS DOUBLE)), 4) AS delta
         |FROM cnt JOIN t USING (event_type)
-        |ORDER BY cnt.event_type, bin""".stripMargin
+        |ORDER BY cnt.event_type, bin""".stripMargin,
+
+    // Per-label L2-norm profile: squared norm is an exact HUGEINT sum
+    // of 1e-6-fixed components; the norm fixes through the
+    // correctly-rounded IEEE sqrt, so label moments sum exact integers.
+    "vector_norm_profile" ->
+      """WITH v AS (SELECT label,
+        |  CAST(floor(sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)
+        |       * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT))) AS DOUBLE)) + 0.5) AS BIGINT) AS nrm
+        |  FROM embeddings),
+        |m AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+        |        CAST(sum(nrm) AS HUGEINT) AS s, min(nrm) AS mn, max(nrm) AS mx
+        |      FROM v GROUP BY 1)
+        |SELECT label, n_vectors,
+        |  (round((CAST(s AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0)) * 1000000.0) / 1000000.0) AS mean_norm,
+        |  (round((CAST(mn AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS min_norm,
+        |  (round((CAST(mx AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS max_norm
+        |FROM m ORDER BY label""".stripMargin,
+
+    // Grouped-data Gini: for a distinct count c with k users after s
+    // cumulative, 2·Σ i·x_i contributes c·k·(2s+k+1) — exact HUGEINT;
+    // Gini = T/(n·S) − (n+1)/n with the identical double tree.
+    "events_gini" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |d AS (SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM pu GROUP BY 1),
+        |w AS (SELECT c, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY c
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |      FROM d),
+        |g AS (SELECT CAST(c AS HUGEINT) * CAST(cnt AS HUGEINT)
+        |        * (2 * CAST(s AS HUGEINT) + CAST(cnt AS HUGEINT) + 1) AS t2,
+        |        CAST(c AS HUGEINT) * CAST(cnt AS HUGEINT) AS x, cnt FROM w)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_users, CAST(sum(x) AS BIGINT) AS n_events,
+        |  (round((CAST(sum(t2) AS DOUBLE)
+        |      / (CAST(sum(cnt) AS DOUBLE) * CAST(sum(x) AS DOUBLE))
+        |    - (CAST(sum(cnt) AS DOUBLE) + 1.0) / CAST(sum(cnt) AS DOUBLE)) * 1000000.0) / 1000000.0) AS gini
+        |FROM g""".stripMargin,
+
+    // PMI collocations: bigram table + its own left/right marginals,
+    // PMI fixed to a 1e-6 integer for the exact top-20 cut.
+    "corpus_collocations" ->
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |sh AS (SELECT CASE WHEN len(toks) < 2 THEN [] ELSE
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+         |g AS (SELECT unnest(sh) AS gm FROM sh),
+         |p AS (SELECT split_part(gm, ' ', 1) AS w1, split_part(gm, ' ', 2) AS w2,
+         |        CAST(count(*) AS BIGINT) AS c12 FROM g GROUP BY 1, 2),
+         |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM p GROUP BY 1),
+         |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM p GROUP BY 1),
+         |n AS (SELECT CAST(sum(c12) AS DOUBLE) AS nn FROM p),
+         |s AS (SELECT p.w1, p.w2, p.c12, l.c1, r.c2,
+         |        CAST(floor(ln(CAST(p.c12 AS DOUBLE) * n.nn
+         |          / (CAST(l.c1 AS DOUBLE) * CAST(r.c2 AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS pmif
+         |      FROM p JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN n
+         |      WHERE p.c12 >= 5),
+         |k AS (SELECT * FROM s ORDER BY pmif DESC, w1, w2 LIMIT 20)
+         |SELECT w1, w2, c12, c1, c2,
+         |  (round((CAST(pmif AS DOUBLE) / 1000000.0) * 10000.0) / 10000.0) AS pmi
+         |FROM k ORDER BY pmi DESC, w1, w2""".stripMargin,
+
+    // MinHash calibration: estf = m·31250 exact (10⁶/32 integral),
+    // jacf by floor division of exact set counts — no float until the
+    // final per-bucket divide.
+    "dedup_minhash_est_error" ->
+      s"""WITH $minhashSigCtes,
+         |gs AS (SELECT doc_id, list_distinct(hs) AS g FROM hs),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |mm AS (SELECT a_id, b_id,
+         |        CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT) AS m
+         |      FROM cand JOIN sig sa ON sa.doc_id = a_id JOIN sig sb ON sb.doc_id = b_id),
+         |p AS (SELECT mm.m,
+         |        CAST(len(list_intersect(ga.g, gb.g)) AS BIGINT) AS i,
+         |        CAST(len(ga.g) + len(gb.g) - len(list_intersect(ga.g, gb.g)) AS BIGINT) AS u
+         |      FROM mm JOIN gs ga ON ga.doc_id = mm.a_id JOIN gs gb ON gb.doc_id = mm.b_id
+         |      WHERE mm.m >= 16),
+         |f AS (SELECT (m * 10) // 32 AS bucket, m * 31250 AS estf, (i * 1000000) // u AS jacf FROM p),
+         |e AS (SELECT bucket, estf, jacf, abs(estf - jacf) AS errf FROM f)
+         |SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  (round((CAST(sum(estf) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)) * 1000000.0) / 1000000.0) AS mean_est,
+         |  (round((CAST(sum(jacf) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)) * 1000000.0) / 1000000.0) AS mean_jaccard,
+         |  (round((CAST(sum(errf) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0)) * 1000000.0) / 1000000.0) AS mean_abs_err
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Per-dimension p1/p50/p99 by rank selection over the 1e-6-fixed
+    // value distribution — the eventsValueQuantiles shape per dim.
+    "vector_quantile_clip" ->
+      """WITH e AS (SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+        |v AS (SELECT CAST(i - 1 AS INT) AS dim,
+        |        CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS xf
+        |      FROM e),
+        |c AS (SELECT dim, xf, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT dim, xf, CAST(sum(c) OVER (PARTITION BY dim ORDER BY xf) AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER (PARTITION BY dim) AS BIGINT) AS n FROM c),
+        |q AS (SELECT dim, max(n) AS n,
+        |        min(CASE WHEN cum >= (n * 1 + 99) // 100 THEN xf END) AS q01,
+        |        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN xf END) AS q50,
+        |        min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN xf END) AS q99
+        |      FROM w GROUP BY 1)
+        |SELECT dim, n,
+        |  (round((CAST(q01 AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS p01,
+        |  (round((CAST(q50 AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS p50,
+        |  (round((CAST(q99 AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS p99
+        |FROM q ORDER BY dim""".stripMargin
   )
 }

@@ -4603,4 +4603,175 @@ object Queries {
           .as("utilization"))
       .orderBy("j")
   }
+
+  /** Per-label L2-norm profile of the embedding corpus — the "are my
+    * vectors normalized" readout behind choosing cosine vs IP (a
+    * unit-norm corpus makes them equivalent; reference:
+    * index_factory.rs:41-48 MetricType choice) and the sanity gate
+    * before [[annSq8]]'s data-derived bounds. The squared norm is an
+    * EXACT long (Σ xf² over 1e-6-fixed components, all in-row codegen
+    * — no explode, no per-dimension shuffle); the norm fixes to a
+    * 1e-6 integer via the correctly-rounded IEEE sqrt, so per-label
+    * moments sum exact integers in any order. One map pass into a
+    * labels-bounded agg.
+    */
+  def vectorNormProfile(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ss = expr(
+      """aggregate(transform(embedding,
+        |  x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)),
+        |  cast(0 as bigint), (a, v) -> a + v * v)""".stripMargin)
+    Tables.embeddings(spark, dir)
+      .select(col("label"),
+        floor(sqrt(ss.cast("double")) + lit(0.5)).cast("long").as("nrm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(dec(col("nrm"))).as("s"),
+        min("nrm").as("mn"), max("nrm").as("mx"))
+      .select(col("label"), col("n_vectors"),
+        roundTo(col("s").cast("double") / (col("n_vectors").cast("double") * lit(1e6)), 6)
+          .as("mean_norm"),
+        roundTo(col("mn").cast("double") / lit(1e6), 6).as("min_norm"),
+        roundTo(col("mx").cast("double") / lit(1e6), 6).as("max_norm"))
+      .orderBy("label")
+  }
+
+  /** Gini coefficient of per-user event counts — the standard
+    * inequality measure of activity concentration, the single-number
+    * companion to [[ordersPareto]]'s ABC bands and
+    * [[eventsSkewProfile]]'s hot keys. Exact grouped-data form: users
+    * collapse to one row per DISTINCT activity count (the
+    * [[eventsGapStats]] value-bounded shape), and for a group with
+    * value c, size k, preceding cumulative s the sorted-rank sum
+    * 2·Σ i·x_i contributes c·k·(2s + k + 1) — an exact DECIMAL(38,0)
+    * product. Gini = T/(n·S) − (n+1)/n with doubles only in that
+    * final expression, written identically in the oracle. The ordered
+    * window's input is bounded by the number of distinct counts, never
+    * users.
+    */
+  def eventsGini(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val dist = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+    // cardinality bound: one row per distinct per-user count — the
+    // single-partition window never sees user-scale input
+    val byC = Window.orderBy("c")
+    dist
+      .withColumn("s", coalesce(sum("cnt").over(
+        byC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(
+        (dec(col("c")) * dec(col("cnt")) *
+          (lit(2) * dec(col("s")) + dec(col("cnt")) + lit(1))).as("t2"),
+        (dec(col("c")) * dec(col("cnt"))).as("x"),
+        col("cnt"))
+      .agg(sum("t2").as("t2"), sum("x").as("sx"), sum("cnt").as("n"))
+      .select(col("n").cast("long").as("n_users"),
+        col("sx").cast("long").as("n_events"),
+        roundTo(col("t2").cast("double")
+            / (col("n").cast("double") * col("sx").cast("double"))
+          - (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 6)
+          .as("gini"))
+  }
+
+  /** Collocation mining — the top-20 adjacent word bigrams by pointwise
+    * mutual information (c₁₂ ≥ 5): the multi-word-expression detector a
+    * tokenizer-training pipeline runs before merging frequent pairs
+    * (the [[corpusBpeStep]] criterion with association instead of raw
+    * frequency). PMI = ln(c₁₂·N / (c₁·c₂)) over the bigram table's own
+    * left/right marginals, fixed to a 1e-6 integer so the top-20 cut
+    * compares exact longs (TakeOrdered, never a global sort). The
+    * bigram count table is persisted once (DISK_ONLY — lazy,
+    * fault-tolerant) and feeds all three marginal legs, so the corpus
+    * tokenizes exactly once; every join after it is vocab-bounded.
+    */
+  def corpusCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(wordShingleStrings(wordTokens(col("text")), 2)).as("gm"))
+      .select(substring_index(col("gm"), " ", 1).as("w1"),
+        substring_index(col("gm"), " ", -1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(StorageLevel.DISK_ONLY)
+    val left = pairs.groupBy("w1").agg(sum("c12").as("c1"))
+    val right = pairs.groupBy("w2").agg(sum("c12").as("c2"))
+    val tot = pairs.agg(sum("c12").cast("double").as("nn"))
+    val pmif = floor(log(col("c12").cast("double") * col("nn")
+        / (col("c1").cast("double") * col("c2").cast("double"))) * lit(1e6) + lit(0.5))
+      .cast("long")
+    pairs.where(col("c12") >= 5)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), pmif.as("pmif"))
+      .orderBy(col("pmif").desc, col("w1"), col("w2")).limit(20)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        roundTo(col("pmif").cast("double") / lit(1e6), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
+  /** MinHash estimator calibration — see
+    * [[operators.Dedup.minhashEstError]]: per estimate decile, the gap
+    * between the 32-perm signature estimate and the exact
+    * distinct-shingle Jaccard over the LSH candidates.
+    */
+  def dedupMinhashEstError(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.minhashEstError(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** k-NN graph reciprocity — the fraction of directed edges whose
+    * reverse edge also exists (mutual nearest neighbors). A low
+    * reciprocity marks hub domination (the asymmetry twin of
+    * [[knnHubness]]'s in-degree histogram) and is the standard
+    * pre-filter for reciprocal-NN clustering. The graph is the same
+    * IVF-blocked [[knnJoin]] build; the mutuality check is ONE
+    * co-partitioned self-equi-join on the O(n·k) edge list keyed
+    * (q_id, n_id) — never a vector-space pass — and the edge table is
+    * persisted so the graph builds once for both legs.
+    */
+  def knnMutual(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+    val g = operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2")
+      .select(col("q_id"), col("n_id"))
+      .persist(StorageLevel.DISK_ONLY)
+    val stats = g.agg(count(lit(1)).as("n_edges"), countDistinct("q_id").as("n_nodes"))
+    val mu = g.join(g.select(col("q_id").as("n_id"), col("n_id").as("q_id")), Seq("q_id", "n_id"))
+      .where(col("q_id") < col("n_id"))
+      .agg(count(lit(1)).as("n_mutual_pairs"))
+    stats.crossJoin(mu)
+      .select(col("n_nodes"), col("n_edges"), col("n_mutual_pairs"),
+        roundTo(col("n_mutual_pairs").cast("double") * lit(2.0)
+          / col("n_edges").cast("double"), 4).as("reciprocity"))
+  }
+
+  /** Per-dimension clipping bounds (p1 / p50 / p99 of each embedding
+    * dimension) — the robust-range ANALYZE primitive a scalar
+    * quantizer trains from when min/max ([[vectorStats]]) is outlier-
+    * poisoned. Rank selection over the per-dimension distribution of
+    * 1e-6-fixed component values: the ordered windows run on the
+    * (dim × distinct-fixed-value)-bounded count table, never on raw
+    * component rows — the [[eventsValueQuantiles]] shape with dim as
+    * the stratum.
+    */
+  def vectorQuantileClip(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).cast("long").as("xf"))
+      .groupBy("dim", "xf").agg(count(lit(1)).as("c"))
+    val byVal = Window.partitionBy("dim").orderBy("xf")
+    val perDim = Window.partitionBy("dim")
+    def pos(q: Int): Column = expr(s"(n * $q + 99) div 100")
+    counts
+      .withColumn("cum", sum("c").over(byVal))
+      .withColumn("n", sum("c").over(perDim))
+      .groupBy("dim")
+      .agg(max("n").as("n"),
+        min(when(col("cum") >= pos(1), col("xf"))).as("q01"),
+        min(when(col("cum") >= pos(50), col("xf"))).as("q50"),
+        min(when(col("cum") >= pos(99), col("xf"))).as("q99"))
+      .select(col("dim"), col("n"),
+        roundTo(col("q01").cast("double") / lit(1e6), 6).as("p01"),
+        roundTo(col("q50").cast("double") / lit(1e6), 6).as("p50"),
+        roundTo(col("q99").cast("double") / lit(1e6), 6).as("p99"))
+      .orderBy("dim")
+  }
 }

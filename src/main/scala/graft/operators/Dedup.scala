@@ -57,6 +57,63 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       wordShingleHash60(wordTokens(col(textCol)), n).as("gh"))
 
+  /** MinHash estimator calibration — "measure, don't guess" for the
+    * sketch itself: over the LSH candidate pairs with est ≥ 0.5, the
+    * per-decile gap between the signature estimate (m/32) and the EXACT
+    * distinct-shingle Jaccard. All three means are exact-integer sums:
+    * estf = m·31250 (10⁶/32 is integral), jacf = ⌊i·10⁶/u⌋ by floor
+    * division, errf = |estf − jacf| — no float until the final divide.
+    * Cost is candidate-bounded (the banding join), with the shingle
+    * sets riding the SAME persisted signature table, so the corpus
+    * tokenizes once; the output is ≤ 6 rows (deciles 5..10).
+    */
+  def minhashEstError(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = shingleHashes(docs, idCol, textCol)
+      .select(col("doc_id"), minHashSig(col("gh"), 32).as("sig"),
+        array_distinct(col("gh")).as("g"))
+      .where(col("sig").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = base
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)), b =>
+          md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string")))
+            .cast("binary"))).as("buckets"))
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b_id")), Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val paired = cand
+      .join(base.select(col("doc_id").as("a_id"), col("sig").as("sig_a"), col("g").as("g_a")), "a_id")
+      .join(base.select(col("doc_id").as("b_id"), col("sig").as("sig_b"), col("g").as("g_b")), "b_id")
+      .withColumn("m",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)).cast("long"))
+      .where(col("m") >= 16)
+      .withColumn("i", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("u", size(col("g_a")).cast("long") + size(col("g_b")).cast("long") - col("i"))
+      .select(expr("(m * 10) div 32").as("bucket"),
+        (col("m") * lit(31250L)).as("estf"),
+        expr("(i * 1000000) div u").as("jacf"))
+      .withColumn("errf", abs(col("estf") - col("jacf")))
+    val outDf = paired.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("estf").cast("decimal(38,0)")).as("se"),
+        sum(col("jacf").cast("decimal(38,0)")).as("sj"),
+        sum(col("errf").cast("decimal(38,0)")).as("sr"))
+      .select(col("bucket").cast("int").as("bucket"), col("n_pairs"),
+        roundTo(col("se").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
+          .as("mean_est"),
+        roundTo(col("sj").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
+          .as("mean_jaccard"),
+        roundTo(col("sr").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
+          .as("mean_abs_err"))
+      .orderBy("bucket")
+    val out = outDf.localCheckpoint(true) // ≤ 6 rows — then free the sig cache
+    base.unpersist()
+    out
+  }
+
   private def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     signaturesFromShingles(shingleHashes(docs, idCol, textCol))
 

@@ -333,4 +333,91 @@ class InvariantSpec extends SparkSpec {
       assert(dist > mean(c), s"vec ${r.getLong(0)} not above cluster mean")
     }
   }
+
+  test("vector_norm_profile: label moments cover every vector; min <= mean <= max") {
+    val rows = Queries.vectorNormProfile(spark, sf001).collect()
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach { r =>
+      val (mean, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mean + 1e-9 && mean <= mx + 1e-9)
+      assert(mn >= 0.0)
+    }
+  }
+
+  test("vector_quantile_clip: one row per dimension with ordered bounds") {
+    val rows = Queries.vectorQuantileClip(spark, sf001).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9) // p01 <= p50
+      assert(r.getDouble(3) <= r.getDouble(4) + 1e-9) // p50 <= p99
+    }
+  }
+
+  test("events_gini: one row, gini in [0, 1), totals match the events table") {
+    val r = Queries.eventsGini(spark, sf001).collect()(0)
+    val ev = spark.read.parquet(s"$sf001/events.parquet")
+    assert(r.getLong(0) == ev.select("user_id").distinct().count())
+    assert(r.getLong(1) == ev.count())
+    val g = r.getDouble(2)
+    assert(g >= 0.0 && g < 1.0)
+  }
+
+  test("events_gini: hand-checked on a 4-user split 1/1/1/7") {
+    // sorted x = (1,1,1,7): G = 2*(1+2+3+7*4)/(4*10) - 5/4 = 68/40 - 50/40 = 0.45
+    import spark.implicits._
+    val ev = Seq.tabulate(10)(i => (if (i < 3) i.toLong else 3L, i))
+      .toDF("user_id", "e")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val dist = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("cnt"))
+    val byC = org.apache.spark.sql.expressions.Window.orderBy("c")
+    val got = dist
+      .withColumn("s", coalesce(sum("cnt").over(
+        byC.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .select((dec(col("c")) * dec(col("cnt")) *
+          (lit(2) * dec(col("s")) + dec(col("cnt")) + lit(1))).as("t2"),
+        (dec(col("c")) * dec(col("cnt"))).as("x"), col("cnt"))
+      .agg(sum("t2").as("t2"), sum("x").as("sx"), sum("cnt").as("n"))
+      .select((col("t2").cast("double") / (col("n").cast("double") * col("sx").cast("double"))
+        - (col("n").cast("double") + lit(1.0)) / col("n").cast("double")).as("g"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - 0.45) < 1e-12, s"got $got")
+  }
+
+  test("corpus_collocations: at most 20 rows, counts consistent, pmi non-increasing") {
+    val rows = Queries.corpusCollocations(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 5)                    // c12 >= 5
+      assert(r.getLong(2) <= r.getLong(3))         // c12 <= c1
+      assert(r.getLong(2) <= r.getLong(4))         // c12 <= c2
+    }
+    rows.sliding(2).foreach {
+      case Array(x, y) => assert(x.getDouble(5) >= y.getDouble(5) - 1e-12)
+      case _           => ()
+    }
+  }
+
+  test("dedup_minhash_est_error: buckets in 5..10, means in [0,1], est inside its decile") {
+    val rows = Queries.dedupMinhashEstError(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      assert(b >= 5 && b <= 10)
+      val (est, jac, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(est >= b / 10.0 - 1e-9 && est <= (b + 1) / 10.0 + 1e-9)
+      assert(jac >= 0.0 && jac <= 1.0 + 1e-9)
+      assert(err >= 0.0 && err <= 1.0 + 1e-9)
+    }
+  }
+
+  test("knn_mutual: mutual pairs bound the directed edge count; reciprocity in [0,1]") {
+    val r = Queries.knnMutual(spark, sf001).collect()(0)
+    val (nodes, edges, mutual) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nodes > 0 && edges > 0)
+    assert(mutual * 2 <= edges)
+    val rec = r.getDouble(3)
+    assert(rec >= 0.0 && rec <= 1.0 + 1e-9)
+  }
 }
