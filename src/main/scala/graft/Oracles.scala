@@ -3754,6 +3754,69 @@ object Oracles {
         |  (round((CAST(q01 AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS p01,
         |  (round((CAST(q50 AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS p50,
         |  (round((CAST(q99 AS DOUBLE) / 1000000.0) * 1000000.0) / 1000000.0) AS p99
-        |FROM q ORDER BY dim""".stripMargin
+        |FROM q ORDER BY dim""".stripMargin,
+
+    // Cluster-size histogram over the SAME recursive-CC canonical
+    // assignment as dedup_clusters.
+    "dedup_cluster_hist" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         |pairs AS (SELECT a_id, b_id FROM est WHERE e >= 0.5),
+         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+         |canon AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u),
+         |asg AS (SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
+         |        FROM documents d LEFT JOIN canon c ON c.id = d.doc_id),
+         |cs AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz FROM asg GROUP BY 1),
+         |h AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY 1),
+         |tt AS (SELECT CAST(sum(sz * n_clusters) AS DOUBLE) AS tot FROM h)
+         |SELECT sz AS cluster_size, n_clusters, CAST(sz * n_clusters AS BIGINT) AS n_docs,
+         |  (round((CAST(sz * n_clusters AS DOUBLE) / tot) * 10000.0) / 10000.0) AS doc_share
+         |FROM h, tt ORDER BY cluster_size""".stripMargin,
+
+    // Markov row entropies: ln c fixed to a 1e-6 integer per distinct
+    // transition count; H = ln n − Σc·ln c / n with the identical tree.
+    "events_entropy_rate" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+        |l AS (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY t_us, event_id) AS prev_type
+        |      FROM x),
+        |c AS (SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS c
+        |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |a AS (SELECT prev_type, CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_next,
+        |        CAST(sum(CAST(c AS HUGEINT)
+        |          * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)) AS HUGEINT) AS sfx
+        |      FROM c GROUP BY 1)
+        |SELECT prev_type, n AS n_trans, n_next,
+        |  (round((ln(CAST(n AS DOUBLE)) - CAST(sfx AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)) * 10000.0) / 10000.0) AS entropy_nats
+        |FROM a ORDER BY prev_type""".stripMargin,
+
+    // CSN power-law MLE at xmin = 1: ln(2x) fixed per DISTINCT count,
+    // α = 1 + n·10⁶ / Σ with the identical double tree.
+    "events_power_law" ->
+      """WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |d AS (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM pu GROUP BY 1),
+        |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, max(x) AS x_max,
+        |        CAST(sum(CAST(cnt AS HUGEINT)
+        |          * CAST(floor(ln(2.0 * CAST(x AS DOUBLE)) * 1000000.0 + 0.5) AS HUGEINT)) AS HUGEINT) AS s
+        |      FROM d)
+        |SELECT n AS n_users, x_max,
+        |  (round((1.0 + CAST(n AS DOUBLE) * 1000000.0 / CAST(s AS DOUBLE)) * 10000.0) / 10000.0) AS alpha
+        |FROM a""".stripMargin,
+
+    // Band-bucket occupancy: bucket identity differs (md5 vs raw
+    // slice) but group SIZES are identical, and only sizes are output.
+    "dedup_lsh_bucket_profile" ->
+      s"""WITH $minhashSigCtes,
+         |sz AS (SELECT band, bucket, CAST(count(*) AS BIGINT) AS sz FROM bands GROUP BY 1, 2),
+         |a AS (SELECT band, CAST(count(*) AS BIGINT) AS n_buckets, CAST(sum(sz) AS BIGINT) AS n_docs,
+         |        max(sz) AS max_bucket, CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS n_cand_pairs
+         |      FROM sz GROUP BY 1)
+         |SELECT CAST(band AS INT) AS band, n_buckets, n_docs, max_bucket, n_cand_pairs,
+         |  (round((CAST(n_docs AS DOUBLE) / CAST(n_buckets AS DOUBLE)) * 10000.0) / 10000.0) AS mean_bucket
+         |FROM a ORDER BY band""".stripMargin
   )
 }

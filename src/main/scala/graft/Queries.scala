@@ -4774,4 +4774,87 @@ object Queries {
         roundTo(col("q99").cast("double") / lit(1e6), 6).as("p99"))
       .orderBy("dim")
   }
+
+  /** Duplicate-cluster size histogram — the shape readout over
+    * [[dedupClusters]]'s connected components: how many clusters of
+    * each size, their document mass and share. The corpus-scale work
+    * is the CC itself; both rollups here shuffle narrow canonical-id
+    * rows, and the share joins a 1-row in-plan total (no eager
+    * action). The long tail of large clusters is the boilerplate /
+    * template signal a cleaning pipeline inspects first.
+    */
+  def dedupClusterHist(spark: SparkSession, dir: String): DataFrame = {
+    val asg = dedupClusters(spark, dir)
+    val h = asg.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    val tot = h.agg(sum(col("sz") * col("n_clusters")).cast("double").as("tot"))
+    h.crossJoin(broadcast(tot))
+      .select(col("sz").as("cluster_size"), col("n_clusters"),
+        (col("sz") * col("n_clusters")).as("n_docs"),
+        roundTo((col("sz") * col("n_clusters")).cast("double") / col("tot"), 4)
+          .as("doc_share"))
+      .orderBy("cluster_size")
+  }
+
+  /** Markov entropy rate per source state — how predictable the next
+    * event type is given the current one (H → 0: deterministic flows;
+    * H → ln k: noise). Transition counts come from the same per-user
+    * lag pass as [[eventsMarkov]]; each row entropy follows the
+    * [[corpusEntropy]] discipline (ln c fixed to a 1e-6 integer once
+    * per distinct count, DECIMAL weighted sum, doubles only in the
+    * final H = ln n − Σc·ln c / n). The agg is (types²)-bounded.
+    */
+  def eventsEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("prev_type")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_next"),
+        sum(col("c").cast("decimal(18,0)") *
+          floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5))
+            .cast("decimal(18,0)")).as("sfx"))
+      .select(col("prev_type"), col("n").as("n_trans"), col("n_next"),
+        roundTo(log(col("n").cast("double")) -
+          col("sfx").cast("double") / (col("n").cast("double") * lit(1e6)), 4)
+          .as("entropy_nats"))
+      .orderBy("prev_type")
+  }
+
+  /** Power-law exponent of the user-activity distribution — the
+    * Clauset–Shalizi–Newman continuous-MLE approximation at xmin = 1:
+    * α ≈ 1 + n / Σ ln(x/(xmin − ½)) = 1 + n / Σ ln(2x). The tail
+    * exponent tells capacity planning how heavy the heavy users are
+    * (the generative twin of [[eventsGini]]'s inequality number).
+    * Each ln(2x) fixes to a 1e-6 integer once per DISTINCT count, so
+    * the Σ is an exact DECIMAL sum over the value-bounded distribution
+    * table; one user-keyed agg is the only corpus-scale pass.
+    */
+  def eventsPowerLaw(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+      .groupBy("x").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt").as("n"), max("x").as("x_max"),
+        sum(dec(col("cnt")) *
+          dec(floor(log(lit(2.0) * col("x").cast("double")) * lit(1e6) + lit(0.5))))
+          .as("s"))
+      .select(col("n").as("n_users"), col("x_max"),
+        roundTo(lit(1.0) +
+          col("n").cast("double") * lit(1e6) / col("s").cast("double"), 4).as("alpha"))
+  }
+
+  /** LSH band-bucket health profile — see
+    * [[operators.Dedup.lshBucketProfile]]: per band, bucket count, max
+    * and mean occupancy, and the candidate-pair volume Σ sz·(sz−1)/2
+    * the banding join will generate. The proof-by-measurement that the
+    * dedup shuffle is content-bounded, next to
+    * [[annIvfImbalance]]'s cluster-balance readout.
+    */
+  def dedupLshBucketProfile(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.lshBucketProfile(Tables.documents(spark, dir), "doc_id", "text")
 }

@@ -117,6 +117,37 @@ object Dedup {
   private def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     signaturesFromShingles(shingleHashes(docs, idCol, textCol))
 
+  /** LSH band-bucket occupancy profile — the banding join's cost
+    * certificate: per band, the bucket count, max/mean occupancy, and
+    * the candidate-pair volume Σ sz·(sz−1)/2 the self-join will emit.
+    * A band whose max bucket grows with the corpus marks a degenerate
+    * bucket (e.g. empty-ish signatures) that needs a cap; healthy
+    * content-hashed buckets keep sz bounded by true duplicate mass.
+    * One signature pass, (bands × buckets)-bounded rollup, 8-row
+    * output.
+    */
+  def lshBucketProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val signed = minhashSignatures(docs, idCol, textCol)
+    val bands = signed
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)), b =>
+          md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string")))
+            .cast("binary"))).as("buckets"))
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val sz = bands.groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
+    val outDf = sz.groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_docs"), max("sz").as("max_bucket"),
+        sum(expr("(sz * (sz - 1)) div 2").cast("decimal(38,0)")).as("p2"))
+      .select(col("band"), col("n_buckets"), col("n_docs"), col("max_bucket"),
+        col("p2").cast("long").as("n_cand_pairs"),
+        roundTo(col("n_docs").cast("double") / col("n_buckets").cast("double"), 4)
+          .as("mean_bucket"))
+      .orderBy("band")
+    val out = outDf.localCheckpoint(true) // 8 rows — then free the sig cache
+    signed.unpersist()
+    out
+  }
+
   private def signaturesFromShingles(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), minHashSig(col("gh"), 32).as("sig"))
       .where(col("sig").isNotNull)

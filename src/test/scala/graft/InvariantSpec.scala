@@ -412,6 +412,46 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("dedup_cluster_hist: doc mass sums to the corpus; shares sum to 1") {
+    val rows = Queries.dedupClusterHist(spark, sf001).collect()
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-2)
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+  }
+
+  test("events_entropy_rate: H in [0, ln n_next] per row") {
+    val rows = Queries.eventsEntropyRate(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(3)
+      assert(h >= -1e-9, s"negative entropy $h")
+      assert(h <= math.log(r.getLong(2).toDouble) + 1e-6,
+        s"H $h above ln(${r.getLong(2)})")
+    }
+  }
+
+  test("events_power_law: alpha > 1 and user count matches") {
+    val r = Queries.eventsPowerLaw(spark, sf001).collect()(0)
+    val nUsers = spark.read.parquet(s"$sf001/events.parquet")
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) == nUsers)
+    assert(r.getDouble(2) > 1.0)
+  }
+
+  test("dedup_lsh_bucket_profile: 8 bands, every signed doc in every band, pair volume consistent") {
+    val rows = Queries.dedupLshBucketProfile(spark, sf001).collect()
+    assert(rows.length == 8)
+    val docsPerBand = rows.map(_.getLong(2)).distinct
+    assert(docsPerBand.length == 1, "every band sees the same signed docs")
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))           // buckets <= docs
+      assert(r.getLong(3) <= r.getLong(2))           // max bucket <= docs
+      val mx = r.getLong(3)
+      assert(r.getLong(4) >= mx * (mx - 1) / 2)      // pairs >= biggest bucket's pairs
+    }
+  }
+
   test("knn_mutual: mutual pairs bound the directed edge count; reciprocity in [0,1]") {
     val r = Queries.knnMutual(spark, sf001).collect()(0)
     val (nodes, edges, mutual) = (r.getLong(0), r.getLong(1), r.getLong(2))
