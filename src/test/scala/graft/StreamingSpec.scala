@@ -122,6 +122,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ewmaForecast: late events fold into the open bucket, never re-open closed ones") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    def ts(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1 closes hour 10 (events at 10:xx then 11:00);
+    // batch 2 delivers a LATE hour-10 event plus more hour-11 events
+    val stream = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = EventStream.ewmaForecast(stream.toDS())
+      .writeStream.format("memory").queryName("ewmalate").outputMode("update").start()
+    try {
+      stream.addData(Seq(("a", 1L, ts(10, 0)), ("a", 2L, ts(10, 30)), ("a", 3L, ts(11, 0))))
+      q.processAllAvailable()
+      stream.addData(Seq(("a", 4L, ts(10, 45)), ("a", 5L, ts(11, 15))))
+      q.processAllAvailable()
+
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val fin = s.table("ewmalate")
+        .withColumn("mx", max("n_seen").over(w))
+        .where(col("n_seen") === col("mx"))
+        .collect()(0)
+      // every event counted exactly once...
+      assert(fin.getLong(fin.fieldIndex("n_seen")) == 5L)
+      // ...the closed-bucket count never inflated past the true 2
+      // buckets (a re-open would close hour 11 early and yield 3+)...
+      assert(fin.getLong(fin.fieldIndex("n_buckets")) == 2L)
+      // ...and the late hour-10 event landed in the OPEN hour-11 bucket
+      assert(fin.getLong(fin.fieldIndex("last_n")) == 3L)
+      // EWMA state holds exactly the closed hour-10 bucket (2 events)
+      assert(math.abs(fin.getDouble(fin.fieldIndex("ewma_forecast"))
+        - (0.3 * 3 + 0.7 * 2.0)) < 1e-12)
+    } finally q.stop()
+  }
+
   test("streaming hoppingAgg equals the batch hopping query's window membership") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
