@@ -3817,6 +3817,54 @@ object Oracles {
          |      FROM sz GROUP BY 1)
          |SELECT CAST(band AS INT) AS band, n_buckets, n_docs, max_bucket, n_cand_pairs,
          |  (round((CAST(n_docs AS DOUBLE) / CAST(n_buckets AS DOUBLE)) * 10000.0) / 10000.0) AS mean_bucket
-         |FROM a ORDER BY band""".stripMargin
+         |FROM a ORDER BY band""".stripMargin,
+
+    // SLA percentiles by rank selection over the (priority × lag-days)
+    // count table; lag in integer epoch days on both engines.
+    "orders_ship_sla" ->
+      """WITH j AS (SELECT o.o_orderpriority AS priority,
+        |        (epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+        |         - epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) // 86400000000) AS lag_days
+        |      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |c AS (SELECT priority, lag_days, CAST(count(*) AS BIGINT) AS c FROM j GROUP BY 1, 2),
+        |w AS (SELECT priority, lag_days,
+        |        CAST(sum(c) OVER (PARTITION BY priority ORDER BY lag_days) AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER (PARTITION BY priority) AS BIGINT) AS n FROM c)
+        |SELECT priority, max(n) AS n_lines,
+        |  min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN lag_days END) AS p50_days,
+        |  min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN lag_days END) AS p90_days,
+        |  min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN lag_days END) AS p99_days
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same stopword votes + tie-break chain as text_langid, rolled up
+    // by source with shares over the bounded matrix.
+    "corpus_language_mix" ->
+      s"""WITH t AS (SELECT source, $toks AS toks FROM documents),
+         |c AS (SELECT source, ${stopCount(stopEn)} AS n_en, ${stopCount(stopDe)} AS n_de,
+         |        ${stopCount(stopFr)} AS n_fr, ${stopCount(stopEs)} AS n_es FROM t),
+         |lang AS (SELECT source,
+         |  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+         |       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+         |       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+         |       WHEN n_fr >= n_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred FROM c),
+         |g AS (SELECT source, lang_pred, CAST(count(*) AS BIGINT) AS n_docs FROM lang GROUP BY 1, 2),
+         |s AS (SELECT source, CAST(sum(n_docs) AS BIGINT) AS t FROM g GROUP BY 1)
+         |SELECT g.source, g.lang_pred, g.n_docs,
+         |  (round((CAST(n_docs AS DOUBLE) / CAST(t AS DOUBLE)) * 10000.0) / 10000.0) AS share
+         |FROM g JOIN s USING (source) ORDER BY source, lang_pred""".stripMargin,
+
+    // Exact-duplicate vectors: group by the 1e-6-fixed integer array
+    // itself — bit-stable, no float equality.
+    "vector_dedup_exact" ->
+      """WITH f AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS fa
+        |  FROM embeddings),
+        |g AS (SELECT fa, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY fa)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_vectors, CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_removable,
+        |  (round((CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) * 1000000.0) / 1000000.0) AS dup_rate
+        |FROM g""".stripMargin
   )
 }

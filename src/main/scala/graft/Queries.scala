@@ -4857,4 +4857,65 @@ object Queries {
     */
   def dedupLshBucketProfile(spark: SparkSession, dir: String): DataFrame =
     operators.Dedup.lshBucketProfile(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Order-to-ship lag SLA percentiles per order priority — the
+    * p50/p90/p99 companion to [[q12ShipLag]]'s bucketed counts (an SLA
+    * is a tail statement, not a mean). Rank selection over the
+    * (priority × distinct-lag-days) count table — the
+    * [[eventsValueQuantiles]] shape; the only corpus-scale work is the
+    * orderkey-co-partitioned join and one partial agg.
+    */
+  def ordersShipSla(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").as("ship_day"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"),
+      expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("order_day"))
+    val counts = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        (col("ship_day") - col("order_day")).as("lag_days"))
+      .groupBy("priority", "lag_days").agg(count(lit(1)).as("c"))
+    val byLag = Window.partitionBy("priority").orderBy("lag_days")
+    val perP = Window.partitionBy("priority")
+    def pos(q: Int): Column = expr(s"(n * $q + 99) div 100")
+    counts
+      .withColumn("cum", sum("c").over(byLag))
+      .withColumn("n", sum("c").over(perP))
+      .groupBy("priority")
+      .agg(max("n").as("n_lines"),
+        min(when(col("cum") >= pos(50), col("lag_days"))).as("p50_days"),
+        min(when(col("cum") >= pos(90), col("lag_days"))).as("p90_days"),
+        min(when(col("cum") >= pos(99), col("lag_days"))).as("p99_days"))
+      .orderBy("priority")
+  }
+
+  /** Source × predicted-language composition matrix — the corpus
+    * catalog readout over [[textLangid]]'s stopword-vote heuristic:
+    * per source, how many docs land in each language and their share.
+    * One tokenize+vote map pass into a (sources × 5)-bounded agg;
+    * shares ride a source-partitioned window on that bounded table.
+    */
+  def corpusLanguageMix(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langMix(Tables.documents(spark, dir), "source", "text")
+
+  /** Exact-duplicate vector summary — the cheap first dedup pass an
+    * embedding pipeline runs before any LSH ([[dedupEmbedding]] finds
+    * the near-dups this one skips). Vectors compare by their
+    * 1e-6-fixed integer arrays (bit-stable, no float equality), the
+    * group-by key is the fixed array itself, and the output is one
+    * summary row — distinct count, duplicated mass, removable rows,
+    * dup rate.
+    */
+  def vectorDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint))")
+        .as("fa"))
+      .groupBy("fa").agg(count(lit(1)).as("n"))
+      .agg(sum("n").as("n_vectors"), count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L)).as("n_in_dup_groups"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_removable"))
+      .select(col("n_vectors"), col("n_distinct"), col("n_in_dup_groups"),
+        col("n_removable"),
+        roundTo(col("n_removable").cast("double") / col("n_vectors").cast("double"), 6)
+          .as("dup_rate"))
 }

@@ -51,6 +51,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Source × predicted-language composition: the [[langId]] vote per
+    * doc rolled up to a (sources × 5)-bounded share matrix. One
+    * tokenize+vote map pass; the share window runs on the bounded agg.
+    */
+  def langMix(docs: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val sets = Array(stopEn.toArray, stopDe.toArray, stopFr.toArray, stopEs.toArray)
+    docs.select(col(srcCol).as("source"),
+        stopwordVotes(wordTokens(col(textCol)), sets).as("v"))
+      .select(col("source"),
+        langPredCol(col("v").getItem(0), col("v").getItem(1),
+          col("v").getItem(2), col("v").getItem(3)).as("lang_pred"))
+      .groupBy("source", "lang_pred").agg(count(lit(1)).as("n_docs"))
+      .withColumn("t", sum("n_docs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")))
+      .select(col("source"), col("lang_pred"), col("n_docs"),
+        roundTo(col("n_docs").cast("double") / col("t").cast("double"), 4).as("share"))
+      .orderBy("source", "lang_pred")
+  }
+
   /** Heuristic quality score in [0,1] from token count, mean token
     * length, stopword ratio, punctuation ratio. Arithmetic is written in
     * the exact order the oracle mirrors (IEEE ops are order-sensitive).

@@ -452,6 +452,33 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("orders_ship_sla: percentiles ordered, line counts total the join size") {
+    val rows = Queries.ordersShipSla(spark, sf001).collect()
+    val nLines = spark.read.parquet(s"$sf001/lineitem.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nLines)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("corpus_language_mix: doc counts total the corpus; shares sum to 1 per source") {
+    val rows = Queries.corpusLanguageMix(spark, sf001).collect()
+    val nDocs = spark.read.parquet(s"$sf001/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    rows.groupBy(_.getString(0)).foreach { case (src, g) =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 1e-2, src)
+    }
+  }
+
+  test("vector_dedup_exact: identities between the four counts hold") {
+    val r = Queries.vectorDedupExact(spark, sf001).collect()(0)
+    val (nv, nd, dupG, rem) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nv == spark.read.parquet(s"$sf001/embeddings.parquet").count())
+    assert(nd <= nv)
+    assert(rem == nv - nd)
+    assert(dupG >= rem) // each dup group keeps one survivor
+  }
+
   test("knn_mutual: mutual pairs bound the directed edge count; reciprocity in [0,1]") {
     val r = Queries.knnMutual(spark, sf001).collect()(0)
     val (nodes, edges, mutual) = (r.getLong(0), r.getLong(1), r.getLong(2))
