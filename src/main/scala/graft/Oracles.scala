@@ -3865,6 +3865,90 @@ object Oracles {
         |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_in_dup_groups,
         |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_removable,
         |  (round((CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS DOUBLE) / CAST(sum(n) AS DOUBLE)) * 1000000.0) / 1000000.0) AS dup_rate
-        |FROM g""".stripMargin
+        |FROM g""".stripMargin,
+
+    // Session p50/p90/p99 by rank selection over the distinct-value
+    // distributions of the same 30-min-gap sessions as
+    // events_sessionize.
+    "events_session_stats" ->
+      """WITH x AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+        |b AS (SELECT *, CASE WHEN lag(t_us) OVER w IS NULL OR t_us - lag(t_us) OVER w > 1800000000
+        |               THEN 1 ELSE 0 END AS brk
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |s AS (SELECT user_id, t_us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t_us, event_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |      FROM b),
+        |g AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS len,
+        |        (max(t_us) - min(t_us)) // 1000000 AS dur FROM s GROUP BY 1, 2),
+        |lc AS (SELECT len AS v, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |lw AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER () AS BIGINT) AS n FROM lc),
+        |la AS (SELECT 'n_events' AS metric, max(n) AS n_sessions,
+        |        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+        |        min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+        |        min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99 FROM lw),
+        |dc AS (SELECT dur AS v, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |dw AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER () AS BIGINT) AS n FROM dc),
+        |da AS (SELECT 'duration_s' AS metric, max(n) AS n_sessions,
+        |        min(CASE WHEN cum >= (n * 50 + 99) // 100 THEN v END) AS p50,
+        |        min(CASE WHEN cum >= (n * 90 + 99) // 100 THEN v END) AS p90,
+        |        min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN v END) AS p99 FROM dw)
+        |SELECT * FROM la UNION ALL SELECT * FROM da ORDER BY metric""".stripMargin,
+
+    // P@k over the same BM25 + embedding-truth legs as
+    // retrieval_recall_eval; macro-averaged over the 5 queries.
+    "retrieval_precision_curve" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |st AS (SELECT count(*) AS n_corpus, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+         |q AS (SELECT DISTINCT doc_id AS q_id, unnest(list_distinct(toks)) AS term
+         |      FROM t WHERE doc_id IN (7, 107, 207, 307, 407)),
+         |p0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         |p AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM p0
+         |      WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |contrib AS (SELECT p.doc_id, p.term,
+         |    CAST(floor(ln((st.n_corpus - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_corpus)))))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |  FROM p JOIN dfq USING (term) CROSS JOIN st),
+         |scored AS (SELECT q.q_id, c.doc_id, CAST(sum(c.s6) AS BIGINT) AS s6
+         |  FROM contrib c JOIN q ON c.term = q.term
+         |  WHERE c.doc_id <> q.q_id GROUP BY 1, 2),
+         |bm AS (SELECT q_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, doc_id) AS INT) AS rank
+         |  FROM scored QUALIFY rank <= 10),
+         |qv AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |       WHERE vec_id IN (7, 107, 207, 307, 407)),
+         |tr AS (SELECT q_id, id FROM (
+         |    SELECT qv.q_id, e.vec_id AS id,
+         |      row_number() OVER (PARTITION BY qv.q_id
+         |        ORDER BY ${l2("e.embedding", "qv.qv")}, e.vec_id) AS r
+         |    FROM embeddings e, qv WHERE e.vec_id <> qv.q_id)
+         |  WHERE r <= 10),
+         |hit AS (SELECT b.rank FROM bm b JOIN tr ON b.q_id = tr.q_id AND b.doc_id = tr.id),
+         |ks AS (SELECT unnest([1, 3, 5, 10]) AS k),
+         |perk AS (SELECT ks.k, CAST(count(hit.rank) AS BIGINT) AS n_hits
+         |         FROM ks LEFT JOIN hit ON hit.rank <= ks.k GROUP BY ks.k)
+         |SELECT CAST(k AS INT) AS k, CAST(5 AS BIGINT) AS n_queries, n_hits,
+         |  (round((CAST(n_hits AS DOUBLE) / CAST(k * 5 AS DOUBLE)) * 10000.0) / 10000.0) AS p_at_k
+         |FROM perk ORDER BY k""".stripMargin,
+
+    // n deterministic hash-partnered pairs, L2 fixed to 1e-6 integers,
+    // 20 data-derived integer bins (table_drift formula).
+    "vector_pair_sample" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         |p0 AS (SELECT e.vec_id AS a,
+         |         ${tokenHash60("'pair:' || CAST(e.vec_id AS VARCHAR)")} % nn.n AS h, nn.n AS n
+         |       FROM embeddings e, nn),
+         |pr AS (SELECT a, CASE WHEN h = a THEN (h + 1) % n ELSE h END AS b FROM p0),
+         |d AS (SELECT CAST(floor(${l2("ea.embedding", "eb.embedding")} * 1000000.0 + 0.5) AS BIGINT) AS df
+         |      FROM pr JOIN embeddings ea ON ea.vec_id = pr.a JOIN embeddings eb ON eb.vec_id = pr.b),
+         |r AS (SELECT min(df) AS lo, max(df) AS hi, CAST(count(*) AS BIGINT) AS np FROM d),
+         |bb AS (SELECT least(19, ((d.df - r.lo) * 20) // (r.hi - r.lo + 1)) AS bin, r.np FROM d, r)
+         |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  (round((CAST(count(*) AS DOUBLE) / CAST(max(np) AS DOUBLE)) * 10000.0) / 10000.0) AS share
+         |FROM bb GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

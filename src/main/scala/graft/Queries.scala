@@ -4918,4 +4918,110 @@ object Queries {
         col("n_removable"),
         roundTo(col("n_removable").cast("double") / col("n_vectors").cast("double"), 6)
           .as("dup_rate"))
+
+  /** Session-shape SLA: p50/p90/p99 of session length (events) and
+    * duration (seconds) over the same 30-minute-gap sessions as
+    * [[eventsSessionize]] — the tail statement behind timeout and
+    * capacity choices. The session table persists once (DISK_ONLY) and
+    * feeds both metric legs; each percentile is rank selection over a
+    * value-bounded distribution (distinct lengths / distinct
+    * durations), never a session sort.
+    */
+  def eventsSessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val sess = Tables.events(spark, dir)
+      .withColumn("t_us", unix_micros(col("ts")))
+      .withColumn("brk",
+        when(lag(col("t_us"), 1).over(byUser).isNull ||
+             col("t_us") - lag(col("t_us"), 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("len"),
+        expr("(max(t_us) - min(t_us)) div 1000000").as("dur"))
+      .persist(StorageLevel.DISK_ONLY)
+    def pct(vc: String, name: String): DataFrame = {
+      val cnt = sess.groupBy(col(vc).as("v")).agg(count(lit(1)).as("c"))
+      // cardinality bound: one row per distinct value of the metric
+      val byV = Window.orderBy("v")
+      cnt.withColumn("cum", sum("c").over(byV))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .agg(max("n").as("n_sessions"),
+          min(when(col("cum") >= expr("(n * 50 + 99) div 100"), col("v"))).as("p50"),
+          min(when(col("cum") >= expr("(n * 90 + 99) div 100"), col("v"))).as("p90"),
+          min(when(col("cum") >= expr("(n * 99 + 99) div 100"), col("v"))).as("p99"))
+        .select(lit(name).as("metric"), col("n_sessions"),
+          col("p50"), col("p90"), col("p99"))
+    }
+    pct("len", "n_events").unionAll(pct("dur", "duration_s")).orderBy("metric")
+  }
+
+  /** Precision@k curve (k ∈ {1,3,5,10}) of BM25 retrieval against the
+    * embedding-neighborhood relevance set — the cut-depth knob next to
+    * [[retrievalRecallEval]]'s recall@10 and [[retrievalNdcg]]'s
+    * graded gain, completing the IR metric family. Same two legs
+    * (postings pruned to query vocab; bounded-heap exact k-NN truth);
+    * the curve itself is a ≤ 50-row × 4 cut rollup.
+    */
+  def retrievalPrecisionCurve(spark: SparkSession, dir: String): DataFrame = {
+    val qids = Seq(7L, 107L, 207L, 307L, 407L)
+    val docs = Tables.documents(spark, dir)
+    val qterms = docs.where(col("doc_id").isin(qids: _*))
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(wordTokens(col("text")))).as("term"))
+    val bm = operators.Retrieval.bm25TopKBatch(docs, "doc_id", "text", qterms,
+      k = 10, excludeQueryDoc = true)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.where(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val truth = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
+        k = 11, metric = "l2")
+      .where(col("n_id") =!= col("q_id"))
+      .select(col("q_id").as("t_q"), col("n_id").as("t_id"))
+    val hits = bm.join(truth, col("q_id") === col("t_q") && col("doc_id") === col("t_id"))
+      .select(col("rank"))
+    val ks = spark.range(0, 4)
+      .select(element_at(typedLit(Seq(1, 3, 5, 10)), col("id").cast("int") + 1).as("k"))
+    val perK = hits.crossJoin(broadcast(ks)).where(col("rank") <= col("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_hits"))
+    ks.join(perK, Seq("k"), "left")
+      .select(col("k").cast("int").as("k"), lit(qids.length.toLong).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        roundTo(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / (col("k") * lit(qids.length)).cast("double"), 4).as("p_at_k"))
+      .orderBy("k")
+  }
+
+  /** Sampled pair-distance histogram — the distance-concentration
+    * readout ANN planning starts from (a corpus whose pair distances
+    * concentrate gives LSH/IVF nothing to bucket on). One
+    * deterministic partner per vector (hash mod n stepped past self —
+    * the [[corpus_contrastive_pairs]] draw), so the sample is exactly
+    * n pairs via one co-partitioned self-equi-join — never n². L2
+    * fixes to a 1e-6 integer; bins are data-derived over the fixed
+    * range (20 integer-arithmetic buckets, [[tableDrift]] formula);
+    * the pair table persists once and feeds the range agg + the
+    * histogram.
+    */
+  def vectorPairSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val nn = emb.agg(count(lit(1)).as("n"))
+    val pr = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(broadcast(nn))
+      .withColumn("h", pmod(tokenHash60(concat(lit("pair:"), col("a").cast("string"))), col("n")))
+      .select(col("a"), col("va"),
+        when(col("h") === col("a"), pmod(col("h") + 1, col("n"))).otherwise(col("h")).as("b"))
+    val d = pr.join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")), "b")
+      .select(floor(vecL2(col("va"), col("vb")) * lit(1e6) + lit(0.5)).cast("long").as("df"))
+      .persist(StorageLevel.DISK_ONLY)
+    val r = d.agg(min("df").as("lo"), max("df").as("hi"), count(lit(1)).as("np"))
+    d.crossJoin(broadcast(r))
+      .select(expr("least(19, ((df - lo) * 20) div (hi - lo + 1))")
+        .cast("int").as("bin"), col("np"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"), max("np").as("np"))
+      .select(col("bin"), col("n_pairs"),
+        roundTo(col("n_pairs").cast("double") / col("np").cast("double"), 4).as("share"))
+      .orderBy("bin")
+  }
 }

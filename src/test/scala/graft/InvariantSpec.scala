@@ -452,6 +452,37 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("events_session_stats: two metric rows, identical session counts, ordered percentiles") {
+    val rows = Queries.eventsSessionStats(spark, sf001).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(1)).distinct.length == 1, "both metrics over the same sessions")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
+  test("retrieval_precision_curve: four cuts, hit counts monotone in k, p_at_k in [0,1]") {
+    val rows = Queries.retrievalPrecisionCurve(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 3, 5, 10))
+    rows.sliding(2).foreach {
+      case Array(x, y) => assert(x.getLong(2) <= y.getLong(2), "hits monotone in k")
+      case _           => ()
+    }
+    rows.foreach { r =>
+      val p = r.getDouble(3)
+      assert(p >= 0.0 && p <= 1.0 + 1e-9)
+      assert(r.getLong(2) <= r.getInt(0).toLong * r.getLong(1)) // hits <= k * queries
+    }
+  }
+
+  test("vector_pair_sample: exactly n pairs, bins within 0..19, shares sum to 1") {
+    val rows = Queries.vectorPairSample(spark, sf001).collect()
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == n)
+    rows.foreach(r => assert(r.getInt(0) >= 0 && r.getInt(0) <= 19))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-2)
+  }
+
   test("orders_ship_sla: percentiles ordered, line counts total the join size") {
     val rows = Queries.ordersShipSla(spark, sf001).collect()
     val nLines = spark.read.parquet(s"$sf001/lineitem.parquet").count()
