@@ -3949,6 +3949,60 @@ object Oracles {
          |bb AS (SELECT least(19, ((d.df - r.lo) * 20) // (r.hi - r.lo + 1)) AS bin, r.np FROM d, r)
          |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n_pairs,
          |  (round((CAST(count(*) AS DOUBLE) / CAST(max(np) AS DOUBLE)) * 10000.0) / 10000.0) AS share
-         |FROM bb GROUP BY bin ORDER BY bin""".stripMargin
+         |FROM bb GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Same simhash sign/banding chain as dedup_simhash, histogrammed
+    // over ALL candidates (no hamming cut).
+    "dedup_simhash_hamming_hist" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |hs AS (SELECT doc_id, list_transform(toks, t -> ${tokenHash60("t")}) AS hs FROM t),
+         |sg AS (SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+         |         CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |              THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS sig
+         |       FROM hs),
+         |bands AS (SELECT doc_id, sig, r.range AS band, (sig >> (r.range * 15)) & 32767 AS band_key
+         |          FROM sg, range(0, 4) r),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |hm AS (SELECT bit_count(xor(sa.sig, sb.sig)) AS hamming
+         |       FROM cand JOIN sg sa ON sa.doc_id = a_id JOIN sg sb ON sb.doc_id = b_id),
+         |h AS (SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs FROM hm GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_pairs) AS DOUBLE) AS t FROM h)
+         |SELECT hamming, n_pairs,
+         |  (round((CAST(n_pairs AS DOUBLE) / t) * 10000.0) / 10000.0) AS share
+         |FROM h, tt ORDER BY hamming""".stripMargin,
+
+    // Radius knob: conditional counts against the same IEEE double
+    // distance, one scan.
+    "knn_range_count_curve" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 4),
+         |d AS (SELECT ${l2("e.embedding", "q.qv")} AS d FROM embeddings e, q)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN d <= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_r075,
+         |  CAST(sum(CASE WHEN d <= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_r100,
+         |  CAST(sum(CASE WHEN d <= 1.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_r125,
+         |  CAST(sum(CASE WHEN d <= 1.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_r150,
+         |  CAST(sum(CASE WHEN d <= 1.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_r175
+         |FROM d""".stripMargin,
+
+    // Second-order transitions: two lags in the same per-user window
+    // pass; (types³)-bounded rollup and top-3 cut.
+    "events_markov2" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us FROM events),
+        |l AS (SELECT event_type,
+        |        lag(event_type, 1) OVER w AS p1,
+        |        lag(event_type, 2) OVER w AS p2
+        |      FROM x WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)),
+        |c AS (SELECT p2 AS prev2, p1 AS prev1, event_type AS next_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM l WHERE p2 IS NOT NULL GROUP BY 1, 2, 3),
+        |f AS (SELECT prev2, prev1, next_type, n,
+        |        CAST(sum(n) OVER (PARTITION BY prev2, prev1) AS BIGINT) AS n_ctx,
+        |        CAST(row_number() OVER (PARTITION BY prev2, prev1 ORDER BY n DESC, next_type) AS INT) AS rank
+        |      FROM c)
+        |SELECT prev2, prev1, rank, next_type, n, n_ctx,
+        |  (round((n / n_ctx) * 10000.0) / 10000.0) AS p
+        |FROM f WHERE rank <= 3 ORDER BY prev2, prev1, rank""".stripMargin
   )
 }

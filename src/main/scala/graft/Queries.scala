@@ -5024,4 +5024,56 @@ object Queries {
         roundTo(col("n_pairs").cast("double") / col("np").cast("double"), 4).as("share"))
       .orderBy("bin")
   }
+
+  /** SimHash hamming-distance histogram over ALL band candidates — see
+    * [[operators.Dedup.simhashHammingHist]]: the data-driven tuning
+    * evidence for the maxHamming knob.
+    */
+  def dedupSimhashHammingHist(spark: SparkSession, dir: String): DataFrame =
+    operators.Dedup.simhashHammingHist(Tables.documents(spark, dir), "doc_id", "text")
+
+  /** Range-search count curve — neighbors within L2 radius r ∈
+    * {0.75, 1.0, 1.25, 1.5, 1.75} of the standard query, in ONE scan
+    * (conditional sums in a 1-row agg): the radius knob's measured
+    * cost, completing the knob-curve family for [[knnRange]] the way
+    * [[annRecallCurve]] does for nprobe. Thresholds compare the same
+    * IEEE double both engines compute.
+    */
+  def knnRangeCountCurve(spark: SparkSession, dir: String): DataFrame = {
+    val s = vecL2(col("embedding"), typedLit(queryVec(spark, dir, 4L)))
+    Tables.embeddings(spark, dir)
+      .select(s.as("d"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d") <= 0.75, 1L).otherwise(0L)).as("n_r075"),
+        sum(when(col("d") <= 1.0, 1L).otherwise(0L)).as("n_r100"),
+        sum(when(col("d") <= 1.25, 1L).otherwise(0L)).as("n_r125"),
+        sum(when(col("d") <= 1.5, 1L).otherwise(0L)).as("n_r150"),
+        sum(when(col("d") <= 1.75, 1L).otherwise(0L)).as("n_r175"))
+  }
+
+  /** Second-order Markov transitions — top-3 next types per
+    * (prev2, prev1) context with the context's MLE probability: the
+    * sequence-depth knob next to [[eventsMarkov]] (does one more step
+    * of history buy prediction?). Two lag windows in the same per-user
+    * pass; the rollup and the top-3 window are (types³)-bounded.
+    */
+  def eventsMarkov2(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("p1", lag(col("event_type"), 1).over(byUser))
+      .withColumn("p2", lag(col("event_type"), 2).over(byUser))
+      .where(col("p2").isNotNull)
+      .groupBy(col("p2").as("prev2"), col("p1").as("prev1"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_ctx", sum("n").over(Window.partitionBy("prev2", "prev1")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("prev2", "prev1").orderBy(col("n").desc, col("next_type"))))
+      .where(col("rank") <= 3)
+      .select(col("prev2"), col("prev1"), col("rank"), col("next_type"),
+        col("n"), col("n_ctx"), roundTo(col("n") / col("n_ctx"), 4).as("p"))
+      .orderBy("prev2", "prev1", "rank")
+  }
 }

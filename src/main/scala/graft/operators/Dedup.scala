@@ -296,6 +296,47 @@ object Dedup {
     out
   }
 
+  /** SimHash candidate hamming-distance histogram — the tuning
+    * evidence for [[simhashPairs]]' maxHamming knob: over ALL band
+    * candidates (no cut), how many pairs land at each hamming
+    * distance, with shares. The ≤ h envelope's completeness property
+    * holds for h ≤ 3; this histogram shows where the mass actually
+    * sits so the knob is chosen from data, not guessed — the
+    * dedup-side member of the knob-curve family (nprobe / radius /
+    * rerank / threshold). Same banding shuffle; the rollup is
+    * (61)-bounded.
+    */
+  def simhashHammingHist(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val signed = docs
+      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), simHash60(wordShingleHash60(col("toks"), 1)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = signed
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(3)), b =>
+          call_function("shiftright", col("sig"), (b * 15).cast("int")).bitwiseAND(lit(32767L)))
+          .as("keys"))
+      .select(col("doc_id"), posexplode(col("keys")).as(Seq("band", "band_key")))
+    val cand = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+      .join(bands.select(col("band"), col("band_key"), col("doc_id").as("b_id")), Seq("band", "band_key"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val h = cand
+      .join(signed.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(signed.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    val tot = h.agg(sum("n_pairs").cast("double").as("t"))
+    val outDf = h.crossJoin(broadcast(tot))
+      .select(col("hamming"), col("n_pairs"),
+        roundTo(col("n_pairs").cast("double") / col("t"), 4).as("share"))
+      .orderBy("hamming")
+    val out = outDf.localCheckpoint(true) // ≤ 61 rows — then free the sig cache
+    signed.unpersist()
+    out
+  }
+
   /** Content block key with a PROVABLE size bound for
     * [[ngramJaccardPairs]]: each doc's block is its MINIMUM char-n-gram
     * hash among grams with document frequency ≤ dfCap. Every member of

@@ -452,6 +452,33 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("dedup_simhash_hamming_hist: shares sum to 1 and the <=8 mass bounds dedup_simhash") {
+    val rows = Queries.dedupSimhashHammingHist(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-2)
+    val nLe8 = rows.filter(_.getInt(0) <= 8).map(_.getLong(1)).sum
+    val nPairs = Queries.dedupSimhash(spark, sf001).count()
+    assert(nLe8 == nPairs, "histogram mass at <=8 must equal the simhash pair count")
+  }
+
+  test("knn_range_count_curve: counts monotone in radius and bounded by n") {
+    val r = Queries.knnRangeCountCurve(spark, sf001).collect()(0)
+    val cs = (1 to 5).map(r.getLong)
+    assert(cs.sliding(2).forall(p => p(0) <= p(1)), "monotone in radius")
+    assert(cs.last <= r.getLong(0))
+    assert(r.getLong(3) == Queries.knnRange(spark, sf001).count(), "r=1.25 matches knn_range")
+  }
+
+  test("events_markov2: per-context probabilities bounded and ranks dense") {
+    val rows = Queries.eventsMarkov2(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 3)
+      assert(r.getLong(4) <= r.getLong(5))
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+
   test("events_session_stats: two metric rows, identical session counts, ordered percentiles") {
     val rows = Queries.eventsSessionStats(spark, sf001).collect()
     assert(rows.length == 2)
