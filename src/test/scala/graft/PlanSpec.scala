@@ -519,4 +519,54 @@ class PlanSpec extends SparkSpec {
     val p = plan(Queries.eventsBotScore(spark, sf001))
     assert(p.contains("TakeOrderedAndProject"), s"expect TakeOrdered on the fixed cv:\n$p")
   }
+
+  private def distinctScans(p: String): Int =
+    "Scan parquet\\s*\\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+
+  test("r7 persisted intermediates: collocations/session-stats/pair-sample legs read the cache") {
+    for ((name, q, maxScans) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame, Int)](
+        ("corpus_collocations", Queries.corpusCollocations _, 1),
+        ("events_session_stats", Queries.eventsSessionStats _, 1),
+        // pair-sample legitimately scans embeddings three times (the
+        // 1-row count plus the two pair legs); the distance table
+        // itself must come from the cache
+        ("vector_pair_sample", Queries.vectorPairSample _, 3))) {
+      val p = plan(q(spark, sf001))
+      assert(distinctScans(p) <= maxScans, s"$name re-derives per leg:\n$p")
+      assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+        s"$name legs must read the persisted table:\n$p")
+      assert(p.contains("disk"), s"$name persist must be DISK_ONLY:\n$p")
+    }
+  }
+
+  test("r7 single-scan ops: one parquet scan, no extra corpus passes") {
+    for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        "events_gini" -> (Queries.eventsGini _),
+        "events_power_law" -> (Queries.eventsPowerLaw _),
+        "events_entropy_rate" -> (Queries.eventsEntropyRate _),
+        "events_markov2" -> (Queries.eventsMarkov2 _),
+        "vector_norm_profile" -> (Queries.vectorNormProfile _),
+        "vector_quantile_clip" -> (Queries.vectorQuantileClip _),
+        "vector_dedup_exact" -> (Queries.vectorDedupExact _),
+        "corpus_language_mix" -> (Queries.corpusLanguageMix _))) {
+      val p = plan(q(spark, sf001))
+      assert(distinctScans(p) <= 1, s"$name should be a single corpus pass:\n$p")
+    }
+  }
+
+  test("knn_range_count_curve: one scan, one aggregation exchange, no window") {
+    val p = plan(Queries.knnRangeCountCurve(spark, sf001))
+    assert(distinctScans(p) <= 1, s"one scan:\n$p")
+    // distinct node ids: formatted explain prints each node in the tree
+    // AND in the detail section
+    val nEx = "Exchange \\((\\d+)\\)".r.findAllMatchIn(p).map(_.group(1)).toSet.size
+    assert(nEx <= 1, s"only the 1-row agg exchange:\n$p")
+    assert(!p.contains("Window"), s"no window belongs here:\n$p")
+  }
+
+  test("vector_norm_profile: the squared norm folds in-row — no explode, partial agg on labels") {
+    val p = plan(Queries.vectorNormProfile(spark, sf001))
+    assert(!p.toLowerCase.contains("generate"), s"no posexplode of components:\n$p")
+    assert(p.contains("HashAggregate"), p)
+  }
 }
