@@ -4003,6 +4003,64 @@ object Oracles {
         |      FROM c)
         |SELECT prev2, prev1, rank, next_type, n, n_ctx,
         |  (round((n / n_ctx) * 10000.0) / 10000.0) AS p
-        |FROM f WHERE rank <= 3 ORDER BY prev2, prev1, rank""".stripMargin
+        |FROM f WHERE rank <= 3 ORDER BY prev2, prev1, rank""".stripMargin,
+
+    // Detector agreement: the minhash est-pairs (>= 0.5) full-outer-
+    // joined with the simhash hamming<=8 pairs; simhash CTEs renamed
+    // *2 to avoid colliding with the minhash chain's names.
+    "dedup_detector_overlap" ->
+      s"""WITH $minhashCtes,
+         |mp AS (SELECT a_id, b_id FROM est WHERE e >= 0.5),
+         |t2 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |hs2 AS (SELECT doc_id, list_transform(toks, t -> ${tokenHash60("t")}) AS hs FROM t2),
+         |sg2 AS (SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+         |         CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |              THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS sig
+         |       FROM hs2),
+         |bands2 AS (SELECT doc_id, sig, r.range AS band, (sig >> (r.range * 15)) & 32767 AS band_key
+         |           FROM sg2, range(0, 4) r),
+         |cand2 AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |          FROM bands2 a JOIN bands2 b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sp AS (SELECT a_id, b_id FROM (
+         |         SELECT a_id, b_id, bit_count(xor(sa.sig, sb.sig)) AS hamming
+         |         FROM cand2 JOIN sg2 sa ON sa.doc_id = a_id JOIN sg2 sb ON sb.doc_id = b_id)
+         |       WHERE hamming <= 8),
+         |f AS (SELECT CASE WHEN mp.a_id IS NOT NULL THEN 1 ELSE 0 END AS in_m,
+         |             CASE WHEN sp.a_id IS NOT NULL THEN 1 ELSE 0 END AS in_s
+         |      FROM mp FULL OUTER JOIN sp ON mp.a_id = sp.a_id AND mp.b_id = sp.b_id)
+         |SELECT CAST(sum(in_m) AS BIGINT) AS n_minhash, CAST(sum(in_s) AS BIGINT) AS n_simhash,
+         |  CAST(sum(in_m * in_s) AS BIGINT) AS n_both, CAST(count(*) AS BIGINT) AS n_union,
+         |  (round((CAST(sum(in_m * in_s) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS pair_jaccard
+         |FROM f""".stripMargin,
+
+    // Code-symbol density per char by integer division; same regex
+    // char class on both engines.
+    "text_code_detect" ->
+      """WITH d AS (SELECT source, text FROM documents WHERE len(text) > 0),
+        |r AS (SELECT source,
+        |        (len(regexp_extract_all(text, '[{}();=<>]')) * 1000000) // len(text) AS rf
+        |      FROM d),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(CASE WHEN rf >= 20000 THEN 1 ELSE 0 END) AS BIGINT) AS n_code_like,
+        |        CAST(sum(CAST(rf AS HUGEINT)) AS HUGEINT) AS srf
+        |      FROM r GROUP BY 1)
+        |SELECT source, n_docs, n_code_like,
+        |  (round((CAST(n_code_like AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 10000.0) / 10000.0) AS code_rate,
+        |  (round((CAST(srf AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0)) * 1000000.0) / 1000000.0) AS mean_symbol_density
+        |FROM a ORDER BY source""".stripMargin,
+
+    // Heaps-law curve: each word counted once at its minimum decile;
+    // dense doc_ids make the decile pure integer arithmetic.
+    "corpus_vocab_growth" ->
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |w AS (SELECT doc_id, unnest(list_distinct($toks)) AS word FROM documents),
+         |f AS (SELECT word, min(least(9, (doc_id * 10) // nn.n_docs)) AS decile FROM w, nn GROUP BY 1),
+         |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_new_words FROM f GROUP BY 1),
+         |sp AS (SELECT r.range AS decile FROM range(0, 10) r),
+         |gg AS (SELECT sp.decile, CAST(coalesce(g.n_new_words, 0) AS BIGINT) AS n_new_words
+         |       FROM sp LEFT JOIN g ON g.decile = sp.decile)
+         |SELECT CAST(decile AS INT) AS decile, n_new_words,
+         |  CAST(sum(n_new_words) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+         |FROM gg ORDER BY decile""".stripMargin
   )
 }

@@ -5076,4 +5076,80 @@ object Queries {
         col("n"), col("n_ctx"), roundTo(col("n") / col("n_ctx"), 4).as("p"))
       .orderBy("prev2", "prev1", "rank")
   }
+
+  /** Detector-agreement report — do MinHash (est ≥ 0.5) and SimHash
+    * (hamming ≤ 8) flag the SAME near-dup pairs? Pair-set sizes,
+    * intersection, union and pair-set Jaccard in one row: high
+    * agreement justifies running only the cheaper detector at scale;
+    * low agreement means they see different duplicate classes and the
+    * pipeline needs both. Both pair tables are the already-bounded
+    * outputs of their banded pipelines; the overlap is one
+    * co-partitioned full-outer join on (a_id, b_id).
+    */
+  def dedupDetectorOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val m = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.5)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_m"))
+    val s = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_s"))
+    m.join(s, Seq("a_id", "b_id"), "full_outer")
+      .agg(sum(coalesce(col("in_m"), lit(0))).cast("long").as("n_minhash"),
+        sum(coalesce(col("in_s"), lit(0))).cast("long").as("n_simhash"),
+        sum(when(col("in_m").isNotNull && col("in_s").isNotNull, 1L).otherwise(0L))
+          .as("n_both"),
+        count(lit(1)).as("n_union"))
+      .select(col("n_minhash"), col("n_simhash"), col("n_both"), col("n_union"),
+        roundTo(col("n_both").cast("double") / col("n_union").cast("double"), 4)
+          .as("pair_jaccard"))
+  }
+
+  /** Code-vs-prose detector — the filter an LLM corpus runs to route
+    * code into its own pipeline: per source, documents whose
+    * code-symbol density ({};()=<> per char, 1e-6-fixed by integer
+    * division) exceeds 2%, with the rate and mean density. One regex
+    * count per doc (codegen, no UDF), (sources)-bounded agg.
+    */
+  def textCodeDetect(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val rf = expr("(regexp_count(text, '[{}();=<>]') * 1000000) div length(text)")
+    Tables.documents(spark, dir)
+      .where(length(col("text")) > 0)
+      .select(col("source"), rf.as("rf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rf") >= 20000, 1L).otherwise(0L)).as("n_code_like"),
+        sum(dec(col("rf"))).as("srf"))
+      .select(col("source"), col("n_docs"), col("n_code_like"),
+        roundTo(col("n_code_like").cast("double") / col("n_docs").cast("double"), 4)
+          .as("code_rate"),
+        roundTo(col("srf").cast("double") / (col("n_docs").cast("double") * lit(1e6)), 6)
+          .as("mean_symbol_density"))
+      .orderBy("source")
+  }
+
+  /** Vocabulary growth curve (Heaps' law readout) — new distinct words
+    * introduced per doc-id decile and the cumulative vocabulary: how
+    * fast the corpus stops surprising the tokenizer. Each word
+    * contributes ONE row (its minimum decile — a word-keyed min agg
+    * over in-row-deduped doc words); the curve itself is a 10-row
+    * cumulative window. Deciles come from an in-plan doc count, so the
+    * query is one lazy DAG.
+    */
+  def corpusVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(array_distinct(wordTokens(col("text")))).as("word"))
+      .crossJoin(broadcast(nd))
+      .select(expr("least(9, (doc_id * 10) div n_docs)").as("decile"), col("word"))
+      .groupBy("word").agg(min("decile").as("decile"))
+    val spine = spark.range(0, 10).select(col("id").as("decile"))
+    spine.join(firstSeen.groupBy("decile").agg(count(lit(1)).as("nw")), Seq("decile"), "left")
+      .select(col("decile"), coalesce(col("nw"), lit(0L)).as("n_new_words"))
+      .withColumn("cum_vocab", sum("n_new_words").over(
+        Window.orderBy("decile") // 10-row window
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile").cast("int").as("decile"), col("n_new_words"), col("cum_vocab"))
+      .orderBy("decile")
+  }
 }

@@ -452,6 +452,38 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("dedup_detector_overlap: set identities hold and match the standalone detectors") {
+    val r = Queries.dedupDetectorOverlap(spark, sf001).collect()(0)
+    val (nm, ns, nb, nu) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nu == nm + ns - nb, "inclusion-exclusion")
+    assert(nb <= math.min(nm, ns))
+    assert(nm == Queries.dedupMinhash(spark, sf001).where(col("est_sim") >= 0.5).count())
+    assert(ns == Queries.dedupSimhash(spark, sf001).count())
+  }
+
+  test("text_code_detect: rates in [0,1], flagged docs bounded by totals") {
+    val rows = Queries.textCodeDetect(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val rate = r.getDouble(3)
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("corpus_vocab_growth: 10 deciles, cum matches running sum and ends at full vocab") {
+    val rows = Queries.corpusVocabGrowth(spark, sf001).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 10))
+    var run = 0L
+    rows.foreach { r => run += r.getLong(1); assert(r.getLong(2) == run) }
+    val vocab = sources.Tables.documents(spark, sf001)
+      .select(explode(array_distinct(functions.wordTokens(col("text")))).as("w"))
+      .agg(countDistinct("w")).collect()(0).getLong(0)
+    assert(rows.last.getLong(2) == vocab, "curve must end at the full vocabulary size")
+  }
+
   test("dedup_simhash_hamming_hist: shares sum to 1 and the <=8 mass bounds dedup_simhash") {
     val rows = Queries.dedupSimhashHammingHist(spark, sf001).collect()
     assert(rows.nonEmpty)
