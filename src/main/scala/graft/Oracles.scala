@@ -390,6 +390,41 @@ object Oracles {
        |  (round((CAST(mu.n_mutual_pairs AS DOUBLE) * 2.0 / CAST(st.n_edges AS DOUBLE)) * 10000.0) / 10000.0) AS reciprocity
        |FROM st, mu""".stripMargin
 
+  /** Cost + recall per nprobe from the same fitted centroids — the
+    * DuckDB twin of [[Queries.annTradeoffTable]].
+    */
+  private def annTradeoffSql(centroids: Array[Array[Float]], queryId: Long, k: Int,
+                             nprobes: Seq[Int]): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |pops AS (SELECT cid, CAST(count(*) AS BIGINT) AS pop FROM cl GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+       |pord AS (SELECT c.cid, CAST(row_number() OVER (ORDER BY ${l2sq("q.qv", "c.cv")}, c.cid) AS INT) AS pr
+       |         FROM cents c, q),
+       |ex AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |       QUALIFY row_number() OVER (ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id) <= $k),
+       |u AS (SELECT unnest([${nprobes.mkString(", ")}]) AS nprobe),
+       |sc AS (SELECT u.nprobe, CAST(sum(pops.pop) AS BIGINT) AS rows_scanned
+       |       FROM u JOIN pord ON pord.pr <= u.nprobe JOIN pops ON pops.cid = pord.cid
+       |       GROUP BY 1),
+       |ap AS (SELECT u.nprobe, e.vec_id AS id FROM u
+       |       JOIN pord ON pord.pr <= u.nprobe
+       |       JOIN cl ON cl.cid = pord.cid
+       |       JOIN embeddings e ON e.vec_id = cl.vec_id, q
+       |       QUALIFY row_number() OVER (PARTITION BY u.nprobe ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id) <= $k),
+       |ht AS (SELECT ap.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       |       FROM ap JOIN ex ON ap.id = ex.id GROUP BY 1)
+       |SELECT u.nprobe, sc.rows_scanned,
+       |  (round((CAST(sc.rows_scanned AS DOUBLE) / CAST(tot.n AS DOUBLE)) * 10000.0) / 10000.0) AS frac,
+       |  coalesce(ht.n_hits, 0) AS n_hits,
+       |  (round((coalesce(ht.n_hits, 0) / 10.0) * 10000.0) / 10000.0) AS recall
+       |FROM u JOIN sc USING (nprobe) LEFT JOIN ht USING (nprobe), tot
+       |ORDER BY u.nprobe""".stripMargin
+
   /** Scan-economics report from the same fitted artifacts: probe sets
     * re-derived in SQL, membership counted in one aggregation — the
     * DuckDB twin of [[Queries.annCostModel]].
@@ -761,6 +796,8 @@ object Oracles {
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "vector_silhouette" -> silhouetteSql(centroids),
       "ann_recall_curve" -> recallCurveSql(centroids, queryId = 4L, k = 10,
+        nprobes = Seq(1, 2, 4, 8, 16)),
+      "ann_tradeoff_table" -> annTradeoffSql(centroids, queryId = 4L, k = 10,
         nprobes = Seq(1, 2, 4, 8, 16)),
       "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
       "ann_lsh_recall_curve" -> lshRecallCurveSql(planes, queryId = 3L, k = 10,
@@ -4061,6 +4098,40 @@ object Oracles {
          |       FROM sp LEFT JOIN g ON g.decile = sp.decile)
          |SELECT CAST(decile AS INT) AS decile, n_new_words,
          |  CAST(sum(n_new_words) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
-         |FROM gg ORDER BY decile""".stripMargin
+         |FROM gg ORDER BY decile""".stripMargin,
+
+    // Gaps-and-islands streaks: day − row_number groups runs; best
+    // streak per user via rank (streak desc, start asc); top-20 cut on
+    // exact integers.
+    "events_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |        epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM ud),
+        |s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_days,
+        |        min(day) AS start_day FROM r GROUP BY 1, 2),
+        |b AS (SELECT user_id, streak_days, start_day,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY streak_days DESC, start_day) AS rn
+        |      FROM s),
+        |t AS (SELECT user_id, streak_days, start_day FROM b WHERE rn = 1
+        |      ORDER BY streak_days DESC, user_id LIMIT 20)
+        |SELECT * FROM t ORDER BY streak_days DESC, user_id""".stripMargin,
+
+    // Pearson over the id-aligned docs∩embeddings slice: exact HUGEINT
+    // moments, identical final double tree (tableCorr discipline).
+    "corpus_norm_alignment" ->
+      """WITH y AS (SELECT vec_id,
+        |  CAST(floor(sqrt(CAST(list_sum(list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)
+        |       * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT))) AS DOUBLE)) + 0.5) AS BIGINT) AS y
+        |  FROM embeddings),
+        |j AS (SELECT CAST(d.n_chars AS HUGEINT) AS x, CAST(y.y AS HUGEINT) AS y
+        |      FROM documents d JOIN y ON d.doc_id = y.vec_id),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (round((CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) * 10000.0) / 10000.0) AS r
+        |FROM m""".stripMargin
   )
 }

@@ -5152,4 +5152,94 @@ object Queries {
       .select(col("decile").cast("int").as("decile"), col("n_new_words"), col("cum_vocab"))
       .orderBy("decile")
   }
+
+  /** The IVF tradeoff table — cost AND quality per nprobe in one
+    * artifact: rows scanned (probed-cluster population), corpus
+    * fraction, and recall@10, for nprobe ∈ {1,2,4,8,16}. This is the
+    * table an operator actually tunes from; [[annRecallCurve]] gives
+    * what probing BUYS, [[annCostModel]] what it COSTS at one setting —
+    * this joins them across the knob. One assignment pass builds the
+    * K-bounded population table (persisted); each recall leg is the
+    * standard pruned scan + bounded top-k.
+    */
+  def annTradeoffTable(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val qv = queryVec(spark, dir, 4L)
+    val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    val pops = emb.select(nearestCentroid(col("embedding"), centroids).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("pop"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // K rows
+    val tot = emb.agg(count(lit(1)).as("n"))
+    Seq(1, 2, 4, 8, 16).map { np =>
+      val probed = operators.IvfIndex.probes(qv, centroids, np)
+      val scanned = pops.where(col("cluster").isin(probed: _*))
+        .agg(coalesce(sum("pop"), lit(0L)).as("rows_scanned"))
+      val approx = operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
+        qv, k = 10, nprobe = np, metric = "l2").select(col("id"))
+      val rec = exact.join(approx, "id").agg(count(lit(1)).as("n_hits"))
+      scanned.crossJoin(tot).crossJoin(rec)
+        .select(lit(np).as("nprobe"), col("rows_scanned"),
+          roundTo(col("rows_scanned").cast("double") / col("n").cast("double"), 4)
+            .as("frac"),
+          col("n_hits"), roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  /** Longest consecutive-day activity streaks — the top-20 users by
+    * their best run of distinct active days (gaps-and-islands via
+    * day − row_number, the engagement artifact next to
+    * [[eventsDauMau]]'s stickiness). Per-user windows are bounded by
+    * the calendar span; the leaderboard cut is a TakeOrdered on exact
+    * integers, never a global user sort.
+    */
+  def eventsStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
+      .distinct()
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    ud.withColumn("grp", col("day") - row_number().over(byUser))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("streak_days"), min("day").as("start_day"))
+      .groupBy("user_id")
+      // best streak, earliest start on ties — one struct max, no per-user sort
+      .agg(max(struct(col("streak_days"), (-col("start_day")).as("ns"))).as("b"))
+      .select(col("user_id"), col("b.streak_days").as("streak_days"),
+        (-col("b.ns")).as("start_day"))
+      .orderBy(col("streak_days").desc, col("user_id")).limit(20)
+      .orderBy(col("streak_days").desc, col("user_id"))
+  }
+
+  /** Length-vs-norm alignment — is the embedder length-sensitive?
+    * Pearson correlation between document length (chars) and embedding
+    * L2 norm over the id-aligned docs∩embeddings slice, from exact
+    * DECIMAL(38,0) moments gathered in ONE co-partitioned join + 1-row
+    * agg ([[tableCorr]] discipline; doubles only in the final r). A
+    * strong correlation warns that cosine vs IP choice materially
+    * changes ranking.
+    */
+  def corpusNormAlignment(spark: SparkSession, dir: String): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ss = expr(
+      """aggregate(transform(embedding,
+        |  x -> cast(floor(cast(x as double) * 1000000.0 + 0.5) as bigint)),
+        |  cast(0 as bigint), (a, v) -> a + v * v)""".stripMargin)
+    val nrm = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        floor(sqrt(ss.cast("double")) + lit(0.5)).cast("long").as("y"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars").as("x"))
+    val m = docs.join(nrm, col("doc_id") === col("vec_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"))
+    m.select(col("n"),
+      roundTo((dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double")
+        / sqrt((dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+          * (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")), 4)
+        .as("r"))
+  }
 }

@@ -452,6 +452,40 @@ class InvariantSpec extends SparkSpec {
     }
   }
 
+  test("ann_tradeoff_table: monotone in nprobe, ends at full scan + perfect recall") {
+    val rows = Queries.annTradeoffTable(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 8, 16))
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    rows.sliding(2).foreach {
+      case Array(x, y) =>
+        assert(x.getLong(1) <= y.getLong(1), "scanned rows monotone")
+        assert(x.getLong(3) <= y.getLong(3), "hits monotone")
+      case _ => ()
+    }
+    assert(rows.last.getLong(1) == n, "nprobe=K scans everything")
+    assert(rows.last.getDouble(4) == 1.0, "nprobe=K is exact")
+  }
+
+  test("events_streaks: streaks positive and bounded by the calendar span") {
+    val rows = Queries.eventsStreaks(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val span = spark.read.parquet(s"$sf001/events.parquet")
+      .selectExpr("max(unix_micros(cast(ts as timestamp)) div 86400000000) - " +
+        "min(unix_micros(cast(ts as timestamp)) div 86400000000) + 1")
+      .collect()(0).getLong(0)
+    rows.foreach(r => assert(r.getLong(1) >= 1 && r.getLong(1) <= span))
+    rows.sliding(2).foreach {
+      case Array(x, y) => assert(x.getLong(1) >= y.getLong(1))
+      case _           => ()
+    }
+  }
+
+  test("corpus_norm_alignment: r in [-1,1] over the aligned slice") {
+    val r = Queries.corpusNormAlignment(spark, sf001).collect()(0)
+    assert(r.getLong(0) > 0)
+    assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+  }
+
   test("dedup_detector_overlap: set identities hold and match the standalone detectors") {
     val r = Queries.dedupDetectorOverlap(spark, sf001).collect()(0)
     val (nm, ns, nb, nu) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
