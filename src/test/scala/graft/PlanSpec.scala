@@ -415,6 +415,13 @@ class PlanSpec extends SparkSpec {
       def bounded(p: SparkPlan): Boolean = p match {
         case _: HashAggregateExec | _: ObjectHashAggregateExec | _: SortAggregateExec => true
         case _: TakeOrderedAndProjectExec | _: GlobalLimitExec | _: LocalLimitExec    => true
+        // a literal spine (spark.range of a small constant) is bounded
+        case r: org.apache.spark.sql.execution.RangeExec if r.range.numElements <= BigInt(10000) => true
+        // a cached table is bounded iff the plan that produced it is
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          bounded(c.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          bounded(a.inputPlan)
         case leaf if leaf.children.isEmpty => false
         case other => other.children.forall(bounded)
       }
