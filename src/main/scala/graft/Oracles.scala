@@ -425,6 +425,22 @@ object Oracles {
        |FROM u JOIN sc USING (nprobe) LEFT JOIN ht USING (nprobe), tot
        |ORDER BY u.nprobe""".stripMargin
 
+  /** Majority label per cluster from the same fitted centroids — the
+    * DuckDB twin of [[Queries.vectorClusterPurity]].
+    */
+  private def vectorClusterPuritySql(centroids: Array[Array[Float]]): String =
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, e.label, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, label, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |g AS (SELECT cid AS cluster, label, CAST(count(*) AS BIGINT) AS c FROM cl GROUP BY 1, 2),
+       |f AS (SELECT cluster, label, c, CAST(sum(c) OVER (PARTITION BY cluster) AS BIGINT) AS n,
+       |        row_number() OVER (PARTITION BY cluster ORDER BY c DESC, label) AS rk FROM g)
+       |SELECT cluster, label AS majority_label, n AS n_vectors, c AS n_majority,
+       |  (round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 10000.0) / 10000.0) AS purity
+       |FROM f WHERE rk = 1 ORDER BY cluster""".stripMargin
+
   /** Scan-economics report from the same fitted artifacts: probe sets
     * re-derived in SQL, membership counted in one aggregation — the
     * DuckDB twin of [[Queries.annCostModel]].
@@ -799,6 +815,7 @@ object Oracles {
         nprobes = Seq(1, 2, 4, 8, 16)),
       "ann_tradeoff_table" -> annTradeoffSql(centroids, queryId = 4L, k = 10,
         nprobes = Seq(1, 2, 4, 8, 16)),
+      "vector_cluster_purity" -> vectorClusterPuritySql(centroids),
       "ann_lsh" -> lshSql(planes, queryId = 3L, k = 10, radius = 1),
       "ann_lsh_recall_curve" -> lshRecallCurveSql(planes, queryId = 3L, k = 10,
         radii = Seq(0, 1, 2, 3, 4)),
@@ -4132,6 +4149,39 @@ object Oracles {
         |SELECT CAST(n AS BIGINT) AS n,
         |  (round((CAST(n * sxy - sx * sy AS DOUBLE)
         |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))) * 10000.0) / 10000.0) AS r
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // One-row data card: lang votes + rounded quality from the shared
+    // CTE chain, scores fixed to 1e-4 integers before the exact mean.
+    "corpus_report_card" ->
+      s"""WITH $langScoreCtes,
+         |met AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(CASE WHEN lang.lang_pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |          CAST(sum(CAST(floor(sc.score * 10000.0 + 0.5) AS HUGEINT)) AS HUGEINT) AS ss
+         |        FROM lang JOIN sc USING (doc_id)),
+         |tok AS (SELECT CAST(sum(len($toks)) AS BIGINT) AS n_tokens,
+         |          CAST(sum(n_chars) AS BIGINT) AS n_chars FROM documents),
+         |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+         |        FROM (SELECT unnest(list_distinct($toks)) AS w FROM documents))
+         |SELECT n_docs, n_chars, n_tokens, vocab,
+         |  (round((CAST(n_en AS DOUBLE) / CAST(n_docs AS DOUBLE)) * 10000.0) / 10000.0) AS en_share,
+         |  (round((CAST(ss AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)) * 10000.0) / 10000.0) AS mean_quality
+         |FROM met, tok, voc""".stripMargin,
+
+    // User-grain co-occurrence lift: distinct (user, type) marginals +
+    // per-user pair explosion bounded by C(types, 2).
+    "events_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+        |ct AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |        CAST(count(*) AS BIGINT) AS n_both
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_both, ca.cnt AS n_a, cb.cnt AS n_b,
+        |  (round((CAST(p.n_both * nu.n_users AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE)) * 10000.0) / 10000.0) AS lift
+        |FROM p JOIN ct ca ON ca.event_type = p.type_a
+        |       JOIN ct cb ON cb.event_type = p.type_b, nu
+        |ORDER BY p.type_a, p.type_b""".stripMargin
   )
 }

@@ -5242,4 +5242,80 @@ object Queries {
           * (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")), 4)
         .as("r"))
   }
+
+  /** The corpus data card — the one-row summary a dataset catalog
+    * shows: document/char/token/vocab counts, English share, mean
+    * quality. Per-doc scores come from the fused one-scan
+    * [[operators.TextAnalysis.langQuality]] pass and fix to 1e-4
+    * integers before the exact-sum mean; the three 1-row legs
+    * cross-join in-plan (no driver actions).
+    */
+  def corpusReportCard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lq = TextAnalysis.langQuality(docs, "doc_id", "text")
+      .select(col("lang_pred"),
+        floor(col("score") * lit(1e4) + lit(0.5)).cast("long").as("s4"))
+    val met = lq.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("lang_pred") === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(col("s4").cast("decimal(38,0)")).as("ss"))
+    val tok = docs
+      .select(size(wordTokens(col("text"))).cast("long").as("nt"), col("n_chars"))
+      .agg(sum("nt").as("n_tokens"), sum("n_chars").as("n_chars"))
+    val voc = docs.select(explode(array_distinct(wordTokens(col("text")))).as("w"))
+      .agg(countDistinct("w").as("vocab"))
+    met.crossJoin(tok).crossJoin(voc).select(
+      col("n_docs"), col("n_chars"), col("n_tokens"), col("vocab"),
+      roundTo(col("n_en").cast("double") / col("n_docs").cast("double"), 4)
+        .as("en_share"),
+      roundTo(col("ss").cast("double") / (col("n_docs").cast("double") * lit(1e4)), 4)
+        .as("mean_quality"))
+  }
+
+  /** Label purity per IVF cluster — does the geometric partition agree
+    * with the semantic labels? Majority label, its share, and cluster
+    * population per cluster: the classification-side index-health
+    * artifact next to [[annIvfImbalance]]'s load view. One assignment
+    * pass into a (K × labels)-bounded agg; the majority pick is a
+    * window over that bounded table.
+    */
+  def vectorClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val cents = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    emb.select(nearestCentroid(col("embedding"), cents).as("cluster"), col("label"))
+      .groupBy("cluster", "label").agg(count(lit(1)).as("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("cluster")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("c").desc, col("label"))))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("label").as("majority_label"),
+        col("n").as("n_vectors"), col("c").as("n_majority"),
+        roundTo(col("c").cast("double") / col("n").cast("double"), 4).as("purity"))
+      .orderBy("cluster")
+  }
+
+  /** Event-type affinity — which activities co-occur in the same
+    * users, with lift vs independence (the [[ordersBasketAffinity]]
+    * shape at user grain). The distinct (user, type) table persists
+    * once and feeds the marginals AND the pair self-join; each user
+    * contributes ≤ C(types, 2) pairs, so the pair volume is
+    * user-linear at any scale, and the output is types²-bounded.
+    */
+  def eventsTypeAffinity(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist(StorageLevel.DISK_ONLY)
+    val nu = ut.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+    val ct = ut.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), "user_id")
+      .where(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+      .join(ct.select(col("event_type").as("type_a"), col("cnt").as("n_a")), "type_a")
+      .join(ct.select(col("event_type").as("type_b"), col("cnt").as("n_b")), "type_b")
+      .crossJoin(broadcast(nu))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        roundTo((col("n_both") * col("n_users")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
 }
