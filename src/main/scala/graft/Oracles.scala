@@ -4182,6 +4182,131 @@ object Oracles {
         |  (round((CAST(p.n_both * nu.n_users AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE)) * 10000.0) / 10000.0) AS lift
         |FROM p JOIN ct ca ON ca.event_type = p.type_a
         |       JOIN ct cb ON cb.event_type = p.type_b, nu
-        |ORDER BY p.type_a, p.type_b""".stripMargin
+        |ORDER BY p.type_a, p.type_b""".stripMargin,
+
+    // Benford: exact-cents string-head digit, shares/expectations fixed
+    // to 1e-4 ints so dev is an exact integer subtraction.
+    "orders_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |           FROM orders),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_orders FROM g),
+        |f AS (SELECT digit, n,
+        |        CAST(floor(CAST(n AS DOUBLE) / CAST(n_orders AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS s4,
+        |        CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS e4
+        |      FROM g, t)
+        |SELECT digit, n, CAST(s4 AS DOUBLE) / 10000.0 AS share,
+        |  CAST(e4 AS DOUBLE) / 10000.0 AS benford,
+        |  CAST(s4 - e4 AS DOUBLE) / 10000.0 AS dev
+        |FROM f ORDER BY digit""".stripMargin,
+
+    // l-diversity over the k-anonymity QI groups; sensitive attribute =
+    // last key digit. Histogram of per-group distinct counts.
+    "customer_l_diversity" ->
+      """WITH g AS (SELECT c_mktsegment, c_nationkey,
+        |        CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_k,
+        |        CAST(count(*) AS BIGINT) AS g,
+        |        CAST(count(DISTINCT c_custkey % 10) AS BIGINT) AS l
+        |      FROM customer GROUP BY 1, 2, 3)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(g) AS BIGINT) AS n_customers
+        |FROM g GROUP BY 1 ORDER BY l""".stripMargin,
+
+    // PSI drift first-half vs second-half of the time range: integer
+    // midpoint split, Laplace-smoothed shares, ln on one division of
+    // exact cross-products fixed to 1e-6 ints (lm_score recipe).
+    "events_psi" ->
+      """WITH ev AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |mm AS (SELECT (min(t) + max(t)) // 2 AS mid FROM ev),
+        |cnt AS (SELECT event_type,
+        |          CAST(sum(CASE WHEN t <= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |          CAST(sum(CASE WHEN t > mid THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |        FROM ev, mm GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a, CAST(sum(n_b) AS BIGINT) AS tot_b,
+        |          CAST(count(*) AS BIGINT) AS n_types FROM cnt)
+        |SELECT event_type, n_a, n_b,
+        |  (round((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_types AS DOUBLE)) * 10000.0) / 10000.0) AS p_early,
+        |  (round((CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_types AS DOUBLE)) * 10000.0) / 10000.0) AS p_late,
+        |  (round(((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + n_types AS DOUBLE)
+        |      - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + n_types AS DOUBLE))
+        |    * (CAST(CAST(floor(ln(CAST((n_a + 1) * (tot_b + n_types) AS DOUBLE)
+        |        / CAST((n_b + 1) * (tot_a + n_types) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE)
+        |      / 1000000.0)) * 10000.0) / 10000.0) AS psi_contrib
+        |FROM cnt, tot ORDER BY event_type""".stripMargin,
+
+    // Canonical selection: minhash clusters (subquery-scoped recursive
+    // closure, dedup_clusters spelling) × 1e-4-fixed quality; the
+    // keeper is the row_number-1 member by (s4 DESC, doc_id).
+    "dedup_canonical" ->
+      s"""WITH $langScoreCtes,
+         |cl AS (SELECT doc_id, canonical_id FROM
+         |  (WITH RECURSIVE $minhashCtes,
+         |   pairs AS (SELECT a_id, b_id FROM est WHERE e >= 0.5),
+         |   edges AS (SELECT a_id AS u, b_id AS v FROM pairs UNION ALL SELECT b_id, a_id FROM pairs),
+         |   reach(u, v) AS (
+         |     SELECT u, v FROM edges
+         |     UNION
+         |     SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+         |   canon AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u)
+         |   SELECT d.doc_id, coalesce(c.canonical, d.doc_id) AS canonical_id
+         |   FROM documents d LEFT JOIN canon c ON c.id = d.doc_id) z),
+         |m AS (SELECT cl.canonical_id, cl.doc_id,
+         |        CAST(floor(sc.score * 10000.0 + 0.5) AS BIGINT) AS s4
+         |      FROM cl JOIN sc USING (doc_id)),
+         |g AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members,
+         |        CAST(sum(s4) AS HUGEINT) AS ssum FROM m GROUP BY 1),
+         |p AS (SELECT canonical_id, doc_id AS keep_doc_id, s4,
+         |        row_number() OVER (PARTITION BY canonical_id ORDER BY s4 DESC, doc_id) AS rk
+         |      FROM m)
+         |SELECT g.canonical_id, p.keep_doc_id, g.n_members,
+         |  CAST(p.s4 AS DOUBLE) / 10000.0 AS keep_score,
+         |  (round((CAST(g.ssum AS DOUBLE) / (CAST(g.n_members AS DOUBLE) * 10000.0)) * 10000.0) / 10000.0) AS mean_score
+         |FROM g JOIN p USING (canonical_id)
+         |WHERE p.rk = 1 AND g.n_members >= 2
+         |ORDER BY g.canonical_id""".stripMargin,
+
+    // DSIR importance weights: hashed-bigram (256-bucket) LLR of the
+    // high-quality slice vs the raw corpus, per-bucket ln fixed to 1e-6
+    // ints on one division of exact cross-products, per-doc exact dot.
+    "corpus_dsir" ->
+      s"""WITH $langScoreCtes,
+         |tgt AS (SELECT doc_id, CAST(floor(score * 10000.0 + 0.5) AS BIGINT) >= 7500 AS is_t FROM sc),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+         |gm AS (SELECT doc_id, unnest(sh) AS gm FROM sh),
+         |db AS (SELECT doc_id, ${tokenHash60("gm")} % 256 AS bucket, CAST(count(*) AS BIGINT) AS nb
+         |       FROM gm GROUP BY 1, 2),
+         |marg AS (SELECT bucket,
+         |           CAST(sum(CASE WHEN tgt.is_t THEN nb ELSE 0 END) AS BIGINT) AS ct,
+         |           CAST(sum(nb) AS BIGINT) AS cr
+         |         FROM db JOIN tgt USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM marg),
+         |model AS (SELECT bucket,
+         |            CAST(floor(ln(CAST(CAST(ct + 1 AS HUGEINT) * (tr + 256) AS DOUBLE)
+         |              / CAST(CAST(cr + 1 AS HUGEINT) * (tt + 256) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |          FROM marg, tot),
+         |d AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(nb * s6) AS HUGEINT) AS ss
+         |      FROM db JOIN model USING (bucket) GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  (round((CAST(ss AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0)) * 10000.0) / 10000.0) AS dsir_llr
+         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Delete-1 neighborhood blocking + exact levenshtein verify; the
+    // matches-per-record histogram with zero-match records kept.
+    "customer_id_linkage" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+        |v AS (SELECT id, name, unnest(list_prepend(name,
+        |         list_transform(range(1, len(name) + 1),
+        |           i -> substr(name, 1, i - 1) || substr(name, i + 1, len(name))))) AS v
+        |      FROM c),
+        |cand AS (SELECT DISTINCT a.id AS a_id, a.name AS a_name, b.id AS b_id, b.name AS b_name
+        |         FROM v a JOIN v b ON a.v = b.v AND a.id < b.id),
+        |p AS (SELECT a_id, b_id FROM cand WHERE levenshtein(a_name, b_name) <= 1),
+        |m AS (SELECT id, CAST(count(*) AS BIGINT) AS n
+        |      FROM (SELECT a_id AS id FROM p UNION ALL SELECT b_id FROM p) u GROUP BY 1),
+        |j AS (SELECT c.id, coalesce(m.n, 0) AS n_matches FROM c LEFT JOIN m USING (id))
+        |SELECT n_matches, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM j GROUP BY 1 ORDER BY n_matches""".stripMargin
   )
 }

@@ -5318,4 +5318,191 @@ object Queries {
           / (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
       .orderBy("type_a", "type_b")
   }
+
+  /** Benford first-digit audit on order totals — the fraud/synthetic-
+    * data smoke test an ingest pipeline runs on monetary columns:
+    * observed first-significant-digit shares vs the Benford expectation
+    * log10(1 + 1/d). Prices fix to exact cents before the string-head
+    * digit extraction (no float log10 on data), shares and expectations
+    * both fix to 1e-4 integers so the deviation is an exact integer
+    * subtraction. One scan, one 9-row aggregate.
+    */
+  def ordersBenford(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = d.agg(sum("n").as("n_orders"))
+    val share4 = floor(col("n").cast("double") / col("n_orders").cast("double")
+      * lit(1e4) + lit(0.5)).cast("long")
+    val exp4 = floor(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      * lit(1e4) + lit(0.5)).cast("long")
+    d.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (share4.cast("double") / 1e4).as("share"),
+        (exp4.cast("double") / 1e4).as("benford"),
+        ((share4 - exp4).cast("double") / 1e4).as("dev"))
+      .orderBy("digit")
+  }
+
+  /** l-diversity audit over the [[customerKAnonymity]] quasi-identifier
+    * groups — the companion privacy gate: within each (mktsegment,
+    * nation, $1000-balance) group, how many DISTINCT values of the
+    * sensitive attribute (the last key digit stands in for a real
+    * sensitive field) appear? Groups with l = 1 leak the attribute for
+    * every member even when k-anonymous. Output: the l histogram.
+    * Plan: one partial-aggregated group-by bounded by the QI domain,
+    * then a rollup on that bounded table.
+    */
+  def customerLDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("cast(floor(c_acctbal / 1000.0) as long)").as("bal_k"),
+        (col("c_custkey") % 10).as("sens"))
+      .groupBy("c_mktsegment", "c_nationkey", "bal_k")
+      .agg(count(lit(1)).as("g"), count_distinct(col("sens")).as("l"))
+      .groupBy("l")
+      .agg(count(lit(1)).as("n_groups"), sum("g").as("n_customers"))
+      .orderBy("l")
+
+  /** Population-stability-index drift between the first and second half
+    * of the event-time range, per event type — the distribution-shift
+    * monitor a feature pipeline runs between training snapshots. The
+    * split point is the exact integer midpoint of (min, max) micros,
+    * computed in-plan; Laplace-smoothed shares are single divisions of
+    * exact integers; ln(p/q) is taken on ONE double division of exact
+    * cross-products and fixed to 1e-6 integers before the (p−q) product
+    * (the [[Corpus.lmScore]] cross-engine-exactness recipe). Everything
+    * after the one narrow scan is bounded by the event-type domain.
+    */
+  def eventsPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"))
+    val mm = ev.agg(min("t").as("tmin"), max("t").as("tmax"))
+      .select(expr("(tmin + tmax) div 2").as("mid"))
+    val cnt = ev.crossJoin(broadcast(mm))
+      .groupBy("event_type")
+      .agg(sum(when(col("t") <= col("mid"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("t") > col("mid"), 1L).otherwise(0L)).as("n_b"))
+    val tot = cnt.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"),
+      count(lit(1)).as("n_types"))
+    val p = (col("n_a") + 1).cast("double") / (col("tot_a") + col("n_types")).cast("double")
+    val q = (col("n_b") + 1).cast("double") / (col("tot_b") + col("n_types")).cast("double")
+    val l6 = floor(log(((col("n_a") + 1) * (col("tot_b") + col("n_types"))).cast("double")
+      / ((col("n_b") + 1) * (col("tot_a") + col("n_types"))).cast("double"))
+      * lit(1e6) + lit(0.5)).cast("long")
+    cnt.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        roundTo(p, 4).as("p_early"), roundTo(q, 4).as("p_late"),
+        roundTo((p - q) * (l6.cast("double") / 1e6), 4).as("psi_contrib"))
+      .orderBy("event_type")
+  }
+
+  /** Canonical-document selection — the step after duplicate detection
+    * in a curation pipeline: within each minhash near-dup cluster of
+    * ≥ 2 members, KEEP the highest-quality member (ties break to the
+    * lowest doc_id) instead of the arbitrary min-id canonical. Quality
+    * fixes to 1e-4 integers; the keeper is picked by a max(struct)
+    * partial aggregate over cluster-bounded groups — no window, no
+    * per-cluster sort. Cluster resolution and pair mining reuse the
+    * [[dedupClusters]] scale path.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", minEst = 0.5)
+      .select("a_id", "b_id")
+    val cl = Dedup.resolveClusters(docs, "doc_id", pairs)
+      .select("doc_id", "canonical_id")
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        floor(col("score") * lit(1e4) + lit(0.5)).cast("long").as("s4"))
+    cl.join(q, "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("s4").cast("decimal(38,0)")).as("ssum"),
+        max(struct(col("s4"), (-col("doc_id")).as("nid"))).as("best"))
+      .where(col("n_members") >= 2)
+      .select(col("canonical_id"), (-col("best.nid")).as("keep_doc_id"),
+        col("n_members"),
+        (col("best.s4").cast("double") / 1e4).as("keep_score"),
+        roundTo(col("ssum").cast("double")
+          / (col("n_members").cast("double") * lit(1e4)), 4).as("mean_score"))
+      .orderBy("canonical_id")
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-bigram distribution looks like a
+    * TARGET domain (here: the corpus's own high-quality slice, fixed
+    * score ≥ 0.75) versus the raw corpus. Features are bigrams hashed
+    * into 256 buckets; per-bucket log-likelihood ratios use Laplace-
+    * smoothed counts, computed as ln of ONE double division of exact
+    * integer cross-products and fixed to 1e-6 ints; per-doc scores are
+    * then exact integer dot products. Scale shape: one tokenizer pass,
+    * per-doc bucket counts collapse BEFORE any join, the 256-row LLR
+    * model broadcasts, and nothing is ever corpus × corpus.
+    */
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = TextAnalysis.langQuality(docs, "doc_id", "text")
+      .select(col("doc_id"),
+        (floor(col("score") * lit(1e4) + lit(0.5)).cast("long") >= 7500L).as("is_t"))
+    val db = docs
+      .select(col("doc_id"),
+        explode(wordShingleStrings(wordTokens(col("text")), 2)).as("gm"))
+      .select(col("doc_id"), pmod(tokenHash60(col("gm")), lit(256L)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("nb"))
+    val marg = db.join(target, "doc_id")
+      .groupBy("bucket")
+      .agg(sum(when(col("is_t"), col("nb")).otherwise(lit(0L))).as("ct"),
+        sum("nb").as("cr"))
+    val tot = marg.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val model = marg.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        floor(log(((col("ct") + 1).cast("decimal(38,0)") * (col("tr") + 256)).cast("double")
+          / ((col("cr") + 1).cast("decimal(38,0)") * (col("tt") + 256)).cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long").as("s6"))
+    db.join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(sum("nb").as("n_bigrams"),
+        sum(col("nb").cast("decimal(38,0)") * col("s6")).as("ss"))
+      .select(col("doc_id"), col("n_bigrams"),
+        roundTo(col("ss").cast("double")
+          / (col("n_bigrams").cast("double") * lit(1e6)), 4).as("dsir_llr"))
+      .orderBy("doc_id")
+  }
+
+  /** Entity resolution by delete-1 neighborhood blocking — the
+    * record-linkage primitive (FastSS / symmetric-delete): two names
+    * within edit distance 1 ALWAYS share a member of each other's
+    * delete-1 variant set (the name itself at position 0, plus each
+    * one-character deletion), so the variant equi-join finds every such
+    * pair with NO all-pairs comparison; `levenshtein` then verifies
+    * candidates exactly. Blocks are variant-keyed (size bounded by the
+    * alphabet × id density, never corpus-proportional) and the exact
+    * check runs only on candidates. Output: the matches-per-record
+    * histogram, zero-match records included.
+    */
+  def customerIdLinkage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val vars = c.select(col("id"), col("name"),
+      explode(concat(array(col("name")),
+        expr("transform(sequence(1, length(name)), i -> " +
+          "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")))
+        .as("v"))
+    val a = vars.select(col("v"), col("id").as("a_id"), col("name").as("a_name"))
+    val b = vars.select(col("v"), col("id").as("b_id"), col("name").as("b_name"))
+    val pairs = a.join(b, Seq("v"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "a_name", "b_id", "b_name").distinct()
+      .where(levenshtein(col("a_name"), col("b_name")) <= 1)
+    val m = pairs.select(col("a_id").as("id"))
+      .unionByName(pairs.select(col("b_id").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("n"))
+    c.join(m, Seq("id"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("n_matches"))
+      .groupBy("n_matches").agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_matches")
+  }
 }

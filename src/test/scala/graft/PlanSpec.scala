@@ -576,4 +576,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("generate"), s"no posexplode of components:\n$p")
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("corpus_dsir: the 256-bucket LLR model broadcasts; the corpus side never does") {
+    val p = plan(Queries.corpusDsir(spark, sf001))
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("dedup_canonical: keeper picked by max(struct) partial agg, not a per-cluster window") {
+    val p = plan(Queries.dedupCanonical(spark, sf001))
+    assert(!p.contains("Window"), s"no window — max(struct) partial agg picks the keeper:\n$p")
+  }
+
+  test("customer_id_linkage: variant blocking is an equi-join, never a name cross product") {
+    val p = plan(Queries.customerIdLinkage(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delete-1 blocking must stay an equi-join:\n$p")
+  }
+
+  test("events_psi / orders_benford: the 1-row stats leg broadcasts into the bounded table") {
+    for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        "events_psi" -> (Queries.eventsPsi _),
+        "orders_benford" -> (Queries.ordersBenford _))) {
+      val p = plan(q(spark, sf001))
+      assert(p.contains("BroadcastExchange"), s"$name: 1-row leg must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$name: nothing here should sort-merge:\n$p")
+    }
+  }
 }
