@@ -85,6 +85,32 @@ object Oracles {
        |    0.25 * least(sr * 5.0, 1.0) +
        |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score FROM y)""".stripMargin
 
+  /** The DSIR hashed-bigram LLR chain (langScoreCtes included) ending
+    * in `d(doc_id, n_bigrams, ss)` — shared by corpus_dsir and
+    * corpus_dsir_sample. ss is the exact integer dot product of
+    * per-doc bucket counts with the 1e-6-fixed per-bucket LLRs.
+    */
+  private lazy val dsirCtes: String =
+    s"""$langScoreCtes,
+       |tgt AS (SELECT doc_id, CAST(floor(score * 10000.0 + 0.5) AS BIGINT) >= 7500 AS is_t FROM sc),
+       |dsh AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE
+       |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+       |dgm AS (SELECT doc_id, unnest(sh) AS gm FROM dsh),
+       |db AS (SELECT doc_id, ${tokenHash60("gm")} % 256 AS bucket, CAST(count(*) AS BIGINT) AS nb
+       |       FROM dgm GROUP BY 1, 2),
+       |marg AS (SELECT bucket,
+       |           CAST(sum(CASE WHEN tgt.is_t THEN nb ELSE 0 END) AS BIGINT) AS ct,
+       |           CAST(sum(nb) AS BIGINT) AS cr
+       |         FROM db JOIN tgt USING (doc_id) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM marg),
+       |model AS (SELECT bucket,
+       |            CAST(floor(ln(CAST(CAST(ct + 1 AS HUGEINT) * (tr + 256) AS DOUBLE)
+       |              / CAST(CAST(cr + 1 AS HUGEINT) * (tt + 256) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s6
+       |          FROM marg, tot),
+       |d AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       |        CAST(sum(nb * s6) AS HUGEINT) AS ss
+       |      FROM db JOIN model USING (bucket) GROUP BY 1)""".stripMargin
+
   /** The minhash signature/banding pipeline as a reusable CTE chain
     * ending in `est(a_id, b_id, e)` — shared by dedup_minhash and
     * dedup_clusters.
@@ -4269,28 +4295,27 @@ object Oracles {
     // high-quality slice vs the raw corpus, per-bucket ln fixed to 1e-6
     // ints on one division of exact cross-products, per-doc exact dot.
     "corpus_dsir" ->
-      s"""WITH $langScoreCtes,
-         |tgt AS (SELECT doc_id, CAST(floor(score * 10000.0 + 0.5) AS BIGINT) >= 7500 AS is_t FROM sc),
-         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE
-         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
-         |gm AS (SELECT doc_id, unnest(sh) AS gm FROM sh),
-         |db AS (SELECT doc_id, ${tokenHash60("gm")} % 256 AS bucket, CAST(count(*) AS BIGINT) AS nb
-         |       FROM gm GROUP BY 1, 2),
-         |marg AS (SELECT bucket,
-         |           CAST(sum(CASE WHEN tgt.is_t THEN nb ELSE 0 END) AS BIGINT) AS ct,
-         |           CAST(sum(nb) AS BIGINT) AS cr
-         |         FROM db JOIN tgt USING (doc_id) GROUP BY 1),
-         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM marg),
-         |model AS (SELECT bucket,
-         |            CAST(floor(ln(CAST(CAST(ct + 1 AS HUGEINT) * (tr + 256) AS DOUBLE)
-         |              / CAST(CAST(cr + 1 AS HUGEINT) * (tt + 256) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS s6
-         |          FROM marg, tot),
-         |d AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_bigrams,
-         |        CAST(sum(nb * s6) AS HUGEINT) AS ss
-         |      FROM db JOIN model USING (bucket) GROUP BY 1)
+      s"""WITH $dsirCtes
          |SELECT doc_id, n_bigrams,
          |  (round((CAST(ss AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0)) * 10000.0) / 10000.0) AS dsir_llr
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // DSIR resampling: Gumbel-log rank key ln(-ln u) - llr with the
+    // keyed-hash u; identical double spelling on both sides so the
+    // top-50 cut cannot flap.
+    "corpus_dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |k AS (SELECT doc_id, n_bigrams,
+         |        CAST(ss AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0) AS llr_raw,
+         |        ln(-ln((${tokenHash60("'dsirs:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+         |            / 1152921504606846976.0))
+         |          - CAST(ss AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0) AS gkey
+         |      FROM d)
+         |SELECT CAST(row_number() OVER (ORDER BY gkey, doc_id) AS INT) AS pick,
+         |  doc_id, n_bigrams,
+         |  (round((llr_raw) * 10000.0) / 10000.0) AS dsir_llr,
+         |  (round((gkey) * 1000000.0) / 1000000.0) AS gkey
+         |FROM k ORDER BY gkey, doc_id LIMIT 50""".stripMargin,
 
     // Delete-1 neighborhood blocking + exact levenshtein verify; the
     // matches-per-record histogram with zero-match records kept.

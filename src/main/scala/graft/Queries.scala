@@ -5384,6 +5384,15 @@ object Queries {
       .groupBy("event_type")
       .agg(sum(when(col("t") <= col("mid"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("t") > col("mid"), 1L).otherwise(0L)).as("n_b"))
+    psiFromCounts(cnt)
+  }
+
+  /** The PSI formula over a (event_type, n_a, n_b) count table — shared
+    * by [[eventsPsi]] and the streaming drift monitor
+    * ([[streaming.EventStream.runningTypeCounts]] twin), so the
+    * monitor's emitted report IS the batch artifact.
+    */
+  private[graft] def psiFromCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"),
       count(lit(1)).as("n_types"))
     val p = (col("n_a") + 1).cast("double") / (col("tot_a") + col("n_types")).cast("double")
@@ -5442,7 +5451,18 @@ object Queries {
     * per-doc bucket counts collapse BEFORE any join, the 256-row LLR
     * model broadcasts, and nothing is ever corpus × corpus.
     */
-  def corpusDsir(spark: SparkSession, dir: String): DataFrame = {
+  def corpusDsir(spark: SparkSession, dir: String): DataFrame =
+    dsirScores(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"),
+        roundTo(col("llr_raw"), 4).as("dsir_llr"))
+      .orderBy("doc_id")
+
+  /** Shared DSIR scoring chain: (doc_id, n_bigrams, llr_raw) with
+    * llr_raw = ss / (n_bigrams · 10⁶) — one double division of the
+    * exact integer dot product, unrounded so [[corpusDsir]] and
+    * [[corpusDsirSample]] agree bit-for-bit with their oracles.
+    */
+  private def dsirScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val target = TextAnalysis.langQuality(docs, "doc_id", "text")
       .select(col("doc_id"),
@@ -5467,9 +5487,32 @@ object Queries {
       .agg(sum("nb").as("n_bigrams"),
         sum(col("nb").cast("decimal(38,0)") * col("s6")).as("ss"))
       .select(col("doc_id"), col("n_bigrams"),
-        roundTo(col("ss").cast("double")
-          / (col("n_bigrams").cast("double") * lit(1e6)), 4).as("dsir_llr"))
-      .orderBy("doc_id")
+        (col("ss").cast("double")
+          / (col("n_bigrams").cast("double") * lit(1e6))).as("llr_raw"))
+  }
+
+  /** The resampling half of DSIR: an exponential-clock
+    * (Efraimidis–Spirakis) weighted sample of 50 documents with weight
+    * exp(llr) — importance resampling toward the target domain, fully
+    * deterministic (u from the keyed 60-bit hash). The rank key is the
+    * Gumbel-log form ln(−ln u) − llr (monotone in −ln(u)/exp(llr), one
+    * fewer transcendental); selection is a TakeOrdered bounded heap and
+    * the pick index is a window over the 50 post-limit survivors only.
+    */
+  def corpusDsirSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (tokenHash60(concat(lit("dsirs:"), col("doc_id").cast("string")))
+      .cast("double") + 1.0) / lit(1.152921504606846976e18)
+    dsirScores(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("llr_raw"),
+        (log(-log(u)) - col("llr_raw")).as("gkey"))
+      .orderBy(col("gkey"), col("doc_id"))
+      .limit(50)
+      // cardinality bound: global window runs over the 50 post-limit
+      // survivors only (TakeOrdered cut), never the corpus
+      .withColumn("pick", row_number().over(Window.orderBy(col("gkey"), col("doc_id"))))
+      .select(col("pick"), col("doc_id"), col("n_bigrams"),
+        roundTo(col("llr_raw"), 4).as("dsir_llr"),
+        roundTo(col("gkey"), 6).as("gkey"))
   }
 
   /** Entity resolution by delete-1 neighborhood blocking — the

@@ -57,6 +57,17 @@ object EventStream {
   def dedupByEventId(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id")
 
+  /** Running per-type live counts — the streaming half of the PSI
+    * drift monitor (twin of Queries.eventsPsi). A global unwindowed
+    * count per event_type (update mode; state bounded by the type
+    * domain); the sink joins each snapshot against the frozen baseline
+    * counts and applies Queries.psiFromCounts, so the emitted report
+    * IS the batch artifact. No watermark: the monitor's state is a
+    * types-bounded count vector, so there is nothing to evict.
+    */
+  def runningTypeCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n_b"))
+
   /** A versioned vector-record mutation flowing on a stream (the
     * reference's insert/upsert request payload, reference:
     * src/models/request/upsert.rs).

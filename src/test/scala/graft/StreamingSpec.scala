@@ -597,4 +597,48 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming PSI drift monitor: live counts vs frozen baseline equal the batch events_psi") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // Recreate the batch query's split: baseline = events at or before
+    // the integer midpoint of the time range, live = events after it.
+    val ev = graft.sources.Tables.events(spark, sf001)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("t"))
+    val Array(tmin, tmax) = ev.agg(min("t"), max("t")).collect()(0).toSeq.toArray
+    val mid = (tmin.asInstanceOf[Long] + tmax.asInstanceOf[Long]) / 2
+    val baseline = ev.where(col("t") <= mid)
+      .groupBy("event_type").agg(count(lit(1)).as("n_a"))
+    val live = ev.where(col("t") > mid)
+      .select(col("event_id"), lit(0L).as("user_id"), col("event_type"), col("ts"),
+        lit(0.0).as("value"))
+      .collect()
+      .map(r => Ev(r.getLong(0), r.getLong(1), r.getString(2), r.getTimestamp(3), r.getDouble(4)))
+    val (b1, b2) = live.splitAt(live.length / 2)
+
+    val stream = MemoryStream[Ev]
+    val q = EventStream.runningTypeCounts(stream.toDF())
+      .writeStream.format("memory").queryName("driftcounts").outputMode("complete").start()
+    try {
+      stream.addData(b1.toSeq)
+      q.processAllAvailable()
+      stream.addData(b2.toSeq)
+      q.processAllAvailable()
+
+      // the monitor's report: final snapshot joined to the frozen
+      // baseline, through the SAME formula the batch query uses
+      val cnt = baseline.join(s.table("driftcounts"), Seq("event_type"), "full")
+        .select(col("event_type"),
+          coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+      val streamed = Queries.psiFromCounts(cnt)
+        .collect().map(_.toSeq).toSeq
+      val batch = Queries.eventsPsi(spark, sf001)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
