@@ -85,6 +85,25 @@ object Oracles {
        |    0.25 * least(sr * 5.0, 1.0) +
        |    0.25 * (1.0 - least(pr * 10.0, 1.0)) END) * 10000.0) / 10000.0) AS score FROM y)""".stripMargin
 
+  /** Matryoshka truncation recall: exact top-k over list_slice prefixes
+    * vs the full-dimension exact answer — the DuckDB twin of
+    * [[Queries.annMatryoshkaCurve]].
+    */
+  private def matryoshkaSql(queryId: Long, k: Int, dims: Seq[Int]): String = {
+    val branches = dims.map { d =>
+      s"""b$d AS (SELECT $d AS dim, count(*) AS n_hits FROM exact
+         |WHERE id IN (SELECT e.vec_id FROM embeddings e, q
+         |             ORDER BY ${l2sq(s"list_slice(e.embedding, 1, $d)", s"list_slice(q.qv, 1, $d)")}, e.vec_id LIMIT $k))""".stripMargin
+    }.mkString(",\n")
+    val union = dims.map(d => s"SELECT * FROM b$d").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |exact AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |          ORDER BY ${l2sq("e.embedding", "q.qv")}, e.vec_id LIMIT $k),
+       |$branches
+       |SELECT dim, n_hits, (round((n_hits / $k) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY dim""".stripMargin
+  }
+
   /** The DSIR hashed-bigram LLR chain (langScoreCtes included) ending
     * in `d(doc_id, n_bigrams, ss)` — shared by corpus_dsir and
     * corpus_dsir_sample. ss is the exact integer dot product of
@@ -4332,6 +4351,94 @@ object Oracles {
         |      FROM (SELECT a_id AS id FROM p UNION ALL SELECT b_id FROM p) u GROUP BY 1),
         |j AS (SELECT c.id, coalesce(m.n, 0) AS n_matches FROM c LEFT JOIN m USING (id))
         |SELECT n_matches, CAST(count(*) AS BIGINT) AS n_customers
-        |FROM j GROUP BY 1 ORDER BY n_matches""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY n_matches""".stripMargin,
+
+    // MRL truncation curve: exact top-10 on list_slice prefixes vs the
+    // full-dim exact answer; the d = 64 leg closes at recall 1.0.
+    "ann_matryoshka_curve" -> matryoshkaSql(queryId = 4L, k = 10,
+      dims = Seq(8, 16, 32, 64)),
+
+    // CCNet bucketing: lm_score chain (corpus_lm_score spelling), per-
+    // language tercile thresholds by rank selection over the (lang ×
+    // 4-dp score) counts, bucketing by VALUE so ties are deterministic.
+    "corpus_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |u AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)),
+         |sh AS (SELECT doc_id, CASE WHEN len(toks) < 2 THEN [] ELSE
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) END AS sh FROM t),
+         |g AS (SELECT doc_id, unnest(sh) AS gm FROM sh),
+         |db AS (SELECT doc_id, split_part(gm, ' ', 1) AS w1, split_part(gm, ' ', 2) AS w2,
+         |         count(*) AS nij
+         |       FROM g GROUP BY 1, 2, 3),
+         |c2 AS (SELECT w1, w2, CAST(sum(nij) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+         |c1t AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+         |model AS (SELECT w1, w2,
+         |            CAST(floor(ln((c12 + 1.0) / (c1 + v)) * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |          FROM c2 JOIN c1t USING (w1) CROSS JOIN u),
+         |dd AS (SELECT doc_id, CAST(sum(nij) AS BIGINT) AS n_bigrams,
+         |        CAST(sum(nij * s6) AS BIGINT) AS ss
+         |      FROM db JOIN model USING (w1, w2) GROUP BY 1),
+         |lm AS (SELECT doc_id,
+         |        (round((ss / (n_bigrams * 1000000.0)) * 10000.0) / 10000.0) AS lm_score FROM dd),
+         |dl AS (SELECT d2.lang, CAST(floor(lm.lm_score * 10000.0 + 0.5) AS BIGINT) AS s4
+         |       FROM lm JOIN documents d2 USING (doc_id)),
+         |cd AS (SELECT lang, s4, count(*) AS c FROM dl GROUP BY 1, 2),
+         |td AS (SELECT lang, s4, sum(c) OVER (PARTITION BY lang ORDER BY s4) AS cum,
+         |         sum(c) OVER (PARTITION BY lang) AS n FROM cd),
+         |th AS (SELECT lang, min(CASE WHEN cum >= (n + 2) // 3 THEN s4 END) AS t1,
+         |         min(CASE WHEN cum >= (2 * n + 2) // 3 THEN s4 END) AS t2 FROM td GROUP BY 1),
+         |b AS (SELECT dl.lang,
+         |        CASE WHEN dl.s4 <= th.t1 THEN 'tail'
+         |             WHEN dl.s4 <= th.t2 THEN 'middle'
+         |             ELSE 'head' END AS bucket, dl.s4
+         |      FROM dl JOIN th USING (lang))
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  (round((CAST(sum(s4) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10000.0)) * 10000.0) / 10000.0) AS mean_lm
+         |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
+    // Blocklist audit: membership counts on the shared token spelling,
+    // source-bounded rollup.
+    "text_blocklist" ->
+      s"""WITH h AS (SELECT source,
+         |    CAST(len(list_filter($toks, t -> list_contains(['slow','hash','spam','junk'], t))) AS BIGINT) AS hits
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(hits) AS BIGINT) AS total_hits,
+         |  (round((CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) * 10000.0) / 10000.0) AS flag_rate
+         |FROM h GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Multi-touch attribution: journeys = prior-purchase running count,
+    // first/last by row_number, linear fraction fixed to 1e-6 ints per
+    // (journey, type) before the cross-journey sum.
+    "events_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS t FROM events),
+        |j AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |        OVER (PARTITION BY user_id ORDER BY t, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+        |      FROM ev),
+        |conv AS (SELECT user_id, jid FROM j WHERE event_type = 'purchase'),
+        |tch AS (SELECT j.user_id, j.jid, j.event_id, j.event_type, j.t
+        |        FROM j JOIN conv USING (user_id, jid) WHERE j.event_type <> 'purchase'),
+        |perj AS (SELECT user_id, jid, CAST(count(*) AS BIGINT) AS n FROM tch GROUP BY 1, 2),
+        |ftj AS (SELECT user_id, jid, event_type FROM tch
+        |        QUALIFY row_number() OVER (PARTITION BY user_id, jid ORDER BY t, event_id) = 1),
+        |ltj AS (SELECT user_id, jid, event_type FROM tch
+        |        QUALIFY row_number() OVER (PARTITION BY user_id, jid ORDER BY t DESC, event_id DESC) = 1),
+        |lin AS (SELECT tc.event_type, CAST(sum(tc.nt) AS BIGINT) AS n_touches,
+        |          CAST(sum(CAST(floor(CAST(tc.nt AS DOUBLE) / CAST(perj.n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lin6
+        |        FROM (SELECT user_id, jid, event_type, CAST(count(*) AS BIGINT) AS nt
+        |              FROM tch GROUP BY 1, 2, 3) tc
+        |        JOIN perj USING (user_id, jid) GROUP BY 1),
+        |ft AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ft_journeys FROM ftj GROUP BY 1),
+        |lt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS lt_journeys FROM ltj GROUP BY 1)
+        |SELECT lin.event_type, lin.n_touches,
+        |  coalesce(ft.ft_journeys, 0) AS ft_journeys,
+        |  coalesce(lt.lt_journeys, 0) AS lt_journeys,
+        |  (round((CAST(lin.lin6 AS DOUBLE) / 1000000.0) * 10000.0) / 10000.0) AS linear_credit
+        |FROM lin LEFT JOIN ft USING (event_type) LEFT JOIN lt USING (event_type)
+        |ORDER BY lin.event_type""".stripMargin
   )
 }

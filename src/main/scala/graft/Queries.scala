@@ -5515,6 +5515,138 @@ object Queries {
         roundTo(col("gkey"), 6).as("gkey"))
   }
 
+  /** Matryoshka (MRL) dimension-truncation recall curve: recall@10 of
+    * exact search over only the FIRST d components (d ∈ {8,16,32,64})
+    * vs the full-dimension answer — the measured tradeoff behind
+    * truncating matryoshka-trained embeddings for cheap first-stage
+    * retrieval (Kusupati et al. 2022). Every leg is one pruned-scan
+    * TakeOrdered bounded heap on the sliced array (slice is map-side;
+    * no shuffle beyond the k-row cut); the d = 64 leg provably closes
+    * the curve at recall 1.0.
+    */
+  def annMatryoshkaCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qv = queryVec(spark, dir, 4L)
+    def leg(d: Int): DataFrame = {
+      val v = if (d == 64) col("embedding") else slice(col("embedding"), 1, d)
+      emb.select(col("vec_id").as("id"),
+          vecL2Sq(v, typedLit(qv.take(d))).as("s"))
+        .orderBy(col("s"), col("id")).limit(10).select("id")
+    }
+    val exact = leg(64)
+    Seq(8, 16, 32, 64).map { d =>
+      exact.join(leg(d), "id").agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dim"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("dim")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    * language, split documents into head/middle/tail THIRDS by their
+    * [[operators.Corpus.lmScore]] fluency (head = most fluent — what
+    * CCNet keeps for pretraining). Tercile thresholds come from rank
+    * selection over the (lang × distinct 4-dp score) count table —
+    * never a per-language sort of documents — and bucketing is by
+    * VALUE, so boundary ties land deterministically on both engines.
+    * The doc-level (lang, s4) table persists once (DISK_ONLY: lazy,
+    * executor-loss-recoverable) and feeds thresholds AND bucketing, so
+    * the LM chain runs exactly once.
+    */
+  def corpusCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val d = operators.Corpus.lmScore(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("lang"),
+        floor(col("lm_score") * lit(1e4) + lit(0.5)).cast("long").as("s4"))
+      .persist(StorageLevel.DISK_ONLY)
+    val td = d.groupBy("lang", "s4").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(Window.partitionBy("lang").orderBy("s4")))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    val th = td.groupBy("lang").agg(
+      min(when(col("cum") >= expr("(n + 2) div 3"), col("s4"))).as("t1"),
+      min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("s4"))).as("t2"))
+    d.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("s4") <= col("t1"), "tail")
+          .when(col("s4") <= col("t2"), "middle")
+          .otherwise("head"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s4").cast("decimal(38,0)")).as("ssum"))
+      .select(col("lang"), col("bucket"), col("n_docs"),
+        roundTo(col("ssum").cast("double")
+          / (col("n_docs").cast("double") * lit(1e4)), 4).as("mean_lm"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Safety blocklist audit — the lexicon-based content filter every
+    * curation pipeline runs beside quality/PII (here a 4-term stand-in
+    * lexicon): per-source document counts, flagged docs, total term
+    * hits, and flag rate. Membership counting rides the one codegen
+    * tokenizer pass ([[graft.functions.stopwordVotes]] — no UDF, no
+    * second scan); the rollup is source-domain-bounded.
+    */
+  def textBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Array("slow", "hash", "spam", "junk")
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        stopwordVotes(wordTokens(col("text")), Array(terms)).getItem(0).as("hits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hits") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("hits").cast("long")).as("total_hits"))
+      .select(col("source"), col("n_docs"), col("n_flagged"), col("total_hits"),
+        roundTo(col("n_flagged").cast("double") / col("n_docs").cast("double"), 4)
+          .as("flag_rate"))
+      .orderBy("source")
+  }
+
+  /** Multi-touch conversion attribution — the marketing-analytics
+    * ledger: every `purchase` closes a journey (the touches since the
+    * user's previous purchase), and each touch TYPE earns first-touch,
+    * last-touch, and linear credit. Journey ids come from a running
+    * prior-purchase count over per-user event-bounded windows; the
+    * linear fraction nt/n fixes to a 1e-6 integer per (journey, type)
+    * so cross-journey sums are exact in any order. Joins are all
+    * co-partitioned on user_id; outputs are type-domain-bounded.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"))
+      .withColumn("jid", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(w),
+        lit(0L)))
+    val convs = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("jid"))
+    val tch = ev.where(col("event_type") =!= "purchase")
+      .join(convs, Seq("user_id", "jid"))
+    val perJ = tch.groupBy("user_id", "jid")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("t"), col("event_id"), col("event_type"))).as("ft"),
+        max(struct(col("t"), col("event_id"), col("event_type"))).as("lt"))
+    val lin = tch.groupBy("user_id", "jid", "event_type")
+      .agg(count(lit(1)).as("nt"))
+      .join(perJ.select("user_id", "jid", "n"), Seq("user_id", "jid"))
+      .withColumn("lin6",
+        floor(col("nt").cast("double") / col("n").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy("event_type")
+      .agg(sum("nt").as("n_touches"), sum("lin6").as("lin6"))
+    val ft = perJ.groupBy(col("ft.event_type").as("event_type"))
+      .agg(count(lit(1)).as("ft_journeys"))
+    val lt = perJ.groupBy(col("lt.event_type").as("event_type"))
+      .agg(count(lit(1)).as("lt_journeys"))
+    lin.join(ft, Seq("event_type"), "left").join(lt, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_touches"),
+        coalesce(col("ft_journeys"), lit(0L)).as("ft_journeys"),
+        coalesce(col("lt_journeys"), lit(0L)).as("lt_journeys"),
+        roundTo(col("lin6").cast("double") / lit(1e6), 4).as("linear_credit"))
+      .orderBy("event_type")
+  }
+
   /** Entity resolution by delete-1 neighborhood blocking — the
     * record-linkage primitive (FastSS / symmetric-delete): two names
     * within edit distance 1 ALWAYS share a member of each other's

@@ -594,6 +594,19 @@ class PlanSpec extends SparkSpec {
       s"delete-1 blocking must stay an equi-join:\n$p")
   }
 
+  test("corpus_ccnet_buckets: thresholds broadcast; the doc-level table reads the cache") {
+    val p = plan(Queries.corpusCcnetBuckets(spark, sf001))
+    assert(p.contains("InMemoryTableScan"), s"lm chain must run once through the persist:\n$p")
+    assert(p.contains("disk"), s"persist must be DISK_ONLY:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"lang-threshold join must broadcast:\n$p")
+  }
+
+  test("events_attribution: user-co-partitioned joins, no cartesian, type-bounded output") {
+    val p = plan(Queries.eventsAttribution(spark, sf001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"attribution joins must stay equi-joins:\n$p")
+  }
+
   test("events_psi / orders_benford: the 1-row stats leg broadcasts into the bounded table") {
     for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
         "events_psi" -> (Queries.eventsPsi _),
