@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -152,6 +152,215 @@ object Dedup {
     sh.select(col("doc_id"), minHashSig(col("gh"), 32).as("sig"))
       .where(col("sig").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** The 8-band × 4-row LSH bucket table of a (doc_id, sig) frame — the
+    * ONE banding expression every minhash consumer shares, so banding
+    * semantics can never drift between the pair join, the bucket
+    * profile, and the estimator calibration.
+    */
+  private def minhashBands(signed: DataFrame): DataFrame =
+    signed
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(7)), b =>
+          md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string")))
+            .cast("binary"))).as("buckets"))
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
+
+  /** The 4-band × 15-bit key table of a (doc_id, sig) simhash frame. */
+  private def simhashBands(signed: DataFrame): DataFrame =
+    signed
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(3)), b =>
+          call_function("shiftright", col("sig"), (b * 15).cast("int")).bitwiseAND(lit(32767L)))
+          .as("keys"))
+      .select(col("doc_id"), posexplode(col("keys")).as(Seq("band", "band_key")))
+
+  /** Distinct lower-id-first candidate pairs from a banded bucket table
+    * (columns: the two key columns + doc_id): the banding self-join
+    * every LSH family member runs. Ships ONLY narrow key/id rows.
+    */
+  private def bandCandidates(bands: DataFrame, keys: Seq[String]): DataFrame =
+    bands.select(col(keys.head), col(keys(1)), col("doc_id").as("a_id"))
+      .join(bands.select(col(keys.head), col(keys(1)), col("doc_id").as("b_id")), keys)
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+
+  // ===================================================================
+  // Written-once dedup signature artifact (the "dedup index")
+  // ===================================================================
+
+  /** Handle to a MATERIALIZED dedup artifact: the minhash signature
+    * table, the full (uncut) LSH candidate-pair table with signature
+    * agreement counts, the full simhash candidate table with hamming
+    * distances, and the est ≥ 0.5 connected-component cluster map —
+    * written ONCE per corpus as parquet and re-read by every dedup
+    * reporting query. This is the batch analog of the reference engine
+    * persisting its built index next to the scalar store and serving
+    * restarts from disk (reference: src/db/scalar_storage.rs — indexes
+    * survive the process; queries never rebuild them), and the §6
+    * doctrine "signature tables are worth materializing" made real: at
+    * 100 TB the signature table (~260 B/doc) and the candidate table
+    * (duplicate-mass-bounded) are THE artifacts a curation pipeline
+    * stores, while re-deriving them per report would re-tokenize the
+    * corpus seven times. Parquet (not RDD cache) on purpose: it
+    * survives `spark.catalog.clearCache()`, executor loss, and process
+    * restarts, and the reporting queries' scans prune columns/filters
+    * like any other table.
+    */
+  final case class DedupIndex(spark: SparkSession, base: String) {
+    /** (doc_id, sig: array<int> of 32 minhashes). */
+    def sig: DataFrame = spark.read.parquet(s"$base/sig")
+    /** (a_id, b_id, m): ALL banding candidates, m = agreeing positions. */
+    def cand: DataFrame = spark.read.parquet(s"$base/cand")
+    /** (a_id, b_id, hamming): ALL simhash band candidates. */
+    def simcand: DataFrame = spark.read.parquet(s"$base/simcand")
+    /** (doc_id, canonical_id, is_dup) at est ≥ 0.5 — unordered. */
+    def clusters: DataFrame = spark.read.parquet(s"$base/clusters05")
+
+    /** [[Dedup.minhashPairs]] served from the artifact: the threshold
+      * cut and est_sim = m/32 are arithmetic on the stored agreement
+      * count, so any minEst is one pruned scan of the candidate table.
+      */
+    def minhashPairs(minEst: Double): DataFrame =
+      cand.where(col("m").cast("double") / lit(32.0) >= minEst)
+        .select(col("a_id"), col("b_id"),
+          roundTo(col("m").cast("double") / lit(32.0), 4).as("est_sim"))
+        .orderBy("a_id", "b_id")
+
+    /** [[Dedup.simhashPairs]] served from the artifact. */
+    def simhashPairs(maxHamming: Int): DataFrame =
+      simcand.where(col("hamming") <= maxHamming)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy("a_id", "b_id")
+
+    /** [[Dedup.resolveClusters]]' est ≥ 0.5 map, re-ordered (parquet
+      * drops ordering; readers that key on it re-apply).
+      */
+    def clustersOrdered: DataFrame =
+      clusters.select("doc_id", "canonical_id", "is_dup").orderBy("doc_id")
+  }
+
+  /** Registry-cached [[buildIndex]] (the IndexFactory pattern, like
+    * [[IvfIndex.fitCached]]): one artifact per (input plan, id, text)
+    * per JVM; concurrent callers share the build.
+    */
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DedupIndex]()
+
+  def index(docs: DataFrame, idCol: String, textCol: String): DedupIndex =
+    builtIndexes.computeIfAbsent(
+      (docs.queryExecution.analyzed.semanticHash(), idCol, textCol),
+      _ => buildIndex(docs, idCol, textCol))
+
+  /** ONE tokenize+sign+band pass over the corpus (per signature family)
+    * writes all four artifact tables; every write is either
+    * corpus-narrow (signatures) or duplicate-mass-bounded (candidates,
+    * whose volume the banding buckets bound — see [[lshBucketProfile]]'s
+    * certificate). The cluster map reuses the just-written candidate
+    * table, so CC never re-signs either.
+    */
+  private def buildIndex(docs: DataFrame, idCol: String, textCol: String): DedupIndex = {
+    val spark = docs.sparkSession
+    val base = s"target/graft-persist/dedup_${java.util.UUID.randomUUID()}"
+
+    val signed = signaturesFromShingles(shingleHashes(docs, idCol, textCol))
+    signed.write.mode("overwrite").parquet(s"$base/sig")
+    bandCandidates(minhashBands(signed), Seq("band", "bucket"))
+      .join(signed.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(signed.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)).as("m"))
+      .write.mode("overwrite").parquet(s"$base/cand")
+    signed.unpersist()
+
+    val simsigned = docs
+      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), simHash60(wordShingleHash60(col("toks"), 1)).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bandCandidates(simhashBands(simsigned), Seq("band", "band_key"))
+      .join(simsigned.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(simsigned.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .write.mode("overwrite").parquet(s"$base/simcand")
+    simsigned.unpersist()
+
+    val idx = DedupIndex(spark, base)
+    resolveClusters(docs, idCol, idx.minhashPairs(0.5).select("a_id", "b_id"))
+      .write.mode("overwrite").parquet(s"$base/clusters05")
+    idx
+  }
+
+  /** [[lshBucketProfile]] over the artifact's stored signatures —
+    * re-banding 32 ints per doc is arithmetic; re-tokenizing the corpus
+    * is not.
+    */
+  def lshBucketProfileFromIndex(idx: DedupIndex): DataFrame = {
+    val sz = minhashBands(idx.sig).groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
+    sz.groupBy("band")
+      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_docs"), max("sz").as("max_bucket"),
+        sum(expr("(sz * (sz - 1)) div 2").cast("decimal(38,0)")).as("p2"))
+      .select(col("band"), col("n_buckets"), col("n_docs"), col("max_bucket"),
+        col("p2").cast("long").as("n_cand_pairs"),
+        roundTo(col("n_docs").cast("double") / col("n_buckets").cast("double"), 4)
+          .as("mean_bucket"))
+      .orderBy("band")
+  }
+
+  /** [[minhashEstError]] over the artifact: the agreement count m is
+    * stored, so only the EXACT-jaccard leg needs shingle sets — and only
+    * for docs that appear in a kept candidate pair (semi-join), never
+    * the corpus. At 100 TB the calibration tokenizes the duplicate
+    * mass, not the data.
+    */
+  def minhashEstErrorFromIndex(idx: DedupIndex, docs: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
+    val cut = idx.cand.where(col("m") >= 16)
+    // Shingle ONLY docs appearing in a kept pair (semi-join pruned) —
+    // once per join side. No persist/checkpoint: both legs are
+    // candidate-bounded, so the whole query stays a lazy plan (nothing
+    // to leak, and the artifact scan is visible to plan guards).
+    def g(side: String, out: String): DataFrame = {
+      val ids = cut.select(col(side).as("__cid")).distinct()
+      shingleHashes(docs.join(ids, docs(idCol) === ids("__cid"), "leftsemi"),
+        idCol, textCol)
+        .select(col("doc_id").as(side), array_distinct(col("gh")).as(out))
+    }
+    val paired = cut
+      .join(g("a_id", "g_a"), "a_id")
+      .join(g("b_id", "g_b"), "b_id")
+      .withColumn("i", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("u", size(col("g_a")).cast("long") + size(col("g_b")).cast("long") - col("i"))
+      .select(expr("(m * 10) div 32").as("bucket"),
+        (col("m").cast("long") * lit(31250L)).as("estf"),
+        expr("(i * 1000000) div u").as("jacf"))
+      .withColumn("errf", abs(col("estf") - col("jacf")))
+    val outDf = paired.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("estf").cast("decimal(38,0)")).as("se"),
+        sum(col("jacf").cast("decimal(38,0)")).as("sj"),
+        sum(col("errf").cast("decimal(38,0)")).as("sr"))
+      .select(col("bucket").cast("int").as("bucket"), col("n_pairs"),
+        roundTo(col("se").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
+          .as("mean_est"),
+        roundTo(col("sj").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
+          .as("mean_jaccard"),
+        roundTo(col("sr").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
+          .as("mean_abs_err"))
+      .orderBy("bucket")
+    outDf
+  }
+
+  /** [[simhashHammingHist]] over the artifact's stored candidates. */
+  def simhashHammingHistFromIndex(idx: DedupIndex): DataFrame = {
+    val h = idx.simcand.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
+    val tot = h.agg(sum("n_pairs").cast("double").as("t"))
+    h.crossJoin(broadcast(tot))
+      .select(col("hamming"), col("n_pairs"),
+        roundTo(col("n_pairs").cast("double") / col("t"), 4).as("share"))
+      .orderBy("hamming")
+  }
 
   /** MinHash + LSH banding near-dup candidates.
     *

@@ -616,4 +616,33 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("SortMergeJoin"), s"$name: nothing here should sort-merge:\n$p")
     }
   }
+
+  test("dedup reporting queries serve from the materialized signature artifact") {
+    // The signature/candidate/cluster chain is written ONCE per corpus
+    // (Dedup.index); every reporting query must READ that parquet
+    // artifact — a plan that re-tokenizes the corpus means the
+    // materialization regressed and the chain runs once per report
+    // again (the r7 cross-query redundancy finding).
+    for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => DataFrame)](
+        "dedup_minhash" -> (Queries.dedupMinhash _),
+        "dedup_simhash" -> (Queries.dedupSimhash _),
+        "dedup_clusters" -> (Queries.dedupClusters _),
+        "dedup_cluster_hist" -> (Queries.dedupClusterHist _),
+        "dedup_threshold_curve" -> (Queries.dedupThresholdCurve _),
+        "dedup_detector_overlap" -> (Queries.dedupDetectorOverlap _),
+        "dedup_lsh_bucket_profile" -> (Queries.dedupLshBucketProfile _),
+        "dedup_savings" -> (Queries.dedupSavings _))) {
+      val p = plan(q(spark, sf001))
+      assert(p.contains("graft-persist/dedup"),
+        s"$name must scan the written dedup artifact:\n$p")
+      assert(!p.contains("tokenize_words"),
+        s"$name must not re-tokenize the corpus:\n$p")
+    }
+    // The estimator calibration is ALLOWED to tokenize — but only the
+    // candidate docs (semi-join pruned), riding the artifact's pair set.
+    val pe = plan(Queries.dedupMinhashEstError(spark, sf001))
+    assert(pe.contains("graft-persist/dedup"))
+    assert(pe.contains("LeftSemi"),
+      s"est-error tokenize pass must be candidate-pruned via a semi-join:\n$pe")
+  }
 }
