@@ -4234,7 +4234,8 @@ object Oracles {
     "orders_benford" ->
       """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
         |           FROM orders),
-        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |      WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_orders FROM g),
         |f AS (SELECT digit, n,
         |        CAST(floor(CAST(n AS DOUBLE) / CAST(n_orders AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS s4,
@@ -4338,15 +4339,22 @@ object Oracles {
 
     // Delete-1 neighborhood blocking + exact levenshtein verify; the
     // matches-per-record histogram with zero-match records kept.
+    // variant postings df-capped at 256 (blocks over the cap are
+    // exact-duplication territory); names re-join by id for the
+    // levenshtein verify — mirrors the Spark side's narrow pair join.
     "customer_id_linkage" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
-        |v AS (SELECT id, name, unnest(list_prepend(name,
+        |v AS (SELECT id, unnest(list_prepend(name,
         |         list_transform(range(1, len(name) + 1),
         |           i -> substr(name, 1, i - 1) || substr(name, i + 1, len(name))))) AS v
         |      FROM c),
-        |cand AS (SELECT DISTINCT a.id AS a_id, a.name AS a_name, b.id AS b_id, b.name AS b_name
-        |         FROM v a JOIN v b ON a.v = b.v AND a.id < b.id),
-        |p AS (SELECT a_id, b_id FROM cand WHERE levenshtein(a_name, b_name) <= 1),
+        |vk AS (SELECT v.id, v.v FROM v
+        |       JOIN (SELECT v FROM v GROUP BY v HAVING count(*) <= 256) ok USING (v)),
+        |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        |         FROM vk a JOIN vk b ON a.v = b.v AND a.id < b.id),
+        |p AS (SELECT a_id, b_id FROM cand
+        |      JOIN c ca ON ca.id = cand.a_id JOIN c cb ON cb.id = cand.b_id
+        |      WHERE levenshtein(ca.name, cb.name) <= 1),
         |m AS (SELECT id, CAST(count(*) AS BIGINT) AS n
         |      FROM (SELECT a_id AS id FROM p UNION ALL SELECT b_id FROM p) u GROUP BY 1),
         |j AS (SELECT c.id, coalesce(m.n, 0) AS n_matches FROM c LEFT JOIN m USING (id))

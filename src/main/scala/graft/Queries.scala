@@ -18,6 +18,17 @@ import graft.sources.Tables
   */
 object Queries {
 
+  // Persist contract for query-local `.persist(...)` intermediates that
+  // are NOT explicitly unpersisted (the lazy multi-consumer plans below):
+  // these queries return lazy DataFrames, so the cache must outlive the
+  // call. The harness sweeps (Bench, Verify) call
+  // `spark.catalog.clearCache()` between passes; in a long-lived ad-hoc
+  // session, Spark's ContextCleaner unpersists each cached plan once its
+  // driver-side reference is garbage-collected, so per-invocation caches
+  // are reclaimed asynchronously rather than accumulating without bound.
+  // Operators whose OUTPUT is eagerly materialized (the Dedup pair
+  // kernels) instead localCheckpoint-and-unpersist at call time.
+
   private val ts19980101 = Timestamp.valueOf("1998-01-01 00:00:00")
 
   /** Query vector = the embedding of a fixed vec_id. One driver-side row
@@ -503,11 +514,11 @@ object Queries {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.where(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    // self is always rank 1 (distance 0), so top-11 minus self = the
-    // leave-self-out top-10 relevance set
+    // leave-self-out truth: self is excluded BEFORE the top-10 cut
+    // (top-11-minus-self gains a phantom row when ≥ 11 exact dups of
+    // lower id exist — matching the oracle's filter-then-rank)
     val truth = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
-        k = 11, metric = "l2")
-      .where(col("n_id") =!= col("q_id"))
+        k = 10, metric = "l2", excludeSelf = true)
       .select(col("q_id").as("t_q"), col("n_id").as("t_id"))
     val hits = bm.join(truth, col("q_id") === col("t_q") && col("doc_id") === col("t_id"))
       .groupBy(col("q_id"))
@@ -3337,13 +3348,12 @@ object Queries {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.where(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // leave-self-out truth, excluded BEFORE the rank cut (see
+    // retrievalRecallEval); rel = 11 − rank over the 10 survivors
     val truth = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
-        k = 11, metric = "l2")
-      .where(col("n_id") =!= col("q_id"))
-      .withColumn("t_rank", row_number().over(
-        Window.partitionBy("q_id").orderBy("rank")))
+        k = 10, metric = "l2", excludeSelf = true)
       .select(col("q_id").as("t_q"), col("n_id").as("t_id"),
-        (lit(11) - col("t_rank")).cast("long").as("rel"))
+        (lit(11) - col("rank")).cast("long").as("rel"))
     // floor(1e6/log2(i+1) + 0.5) for i = 1..10; idcg = Σ (11-i)·w_i
     val w = Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
       356207L, 333333L, 315465L, 301030L, 289065L)
@@ -3372,11 +3382,9 @@ object Queries {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.where(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // self excluded BEFORE the top-20 cut (the retrievalRecallEval fix)
     val cand = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
-        k = 21, metric = "cosine")
-      .where(col("n_id") =!= col("q_id"))
-      .withColumn("rn", row_number().over(Window.partitionBy("q_id").orderBy("rank")))
-      .where(col("rn") <= 20)
+        k = 20, metric = "cosine", excludeSelf = true)
       .select(col("q_id"), col("n_id"))
     val withVecs = cand
       .join(emb.select(col("vec_id").as("n_id"), col("embedding").as("c_vec")), "n_id")
@@ -3399,7 +3407,9 @@ object Queries {
   def corpusContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val pairs = dedupIdx(spark, dir).minhashPairs(minEst = 0.5)
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // gated count: the negative draw indexes doc_ids 0..n-1 by value —
+    // sparse ids would silently drop negatives (r7 finding #2)
+    val n = operators.Stats.denseIdCount(docs, "doc_id", "n_docs", "corpus_contrastive_pairs")
     def step(k: Int): Column = pmod(col("h0") + k, col("n_docs"))
     pairs.crossJoin(broadcast(n))
       .withColumn("h0", pmod(tokenHash60(
@@ -4983,9 +4993,10 @@ object Queries {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.where(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // leave-self-out truth, excluded BEFORE the top-10 cut (see
+    // retrievalRecallEval)
     val truth = Knn.searchBatch(emb, "vec_id", "embedding", queries, "q_id", "q_vec",
-        k = 11, metric = "l2")
-      .where(col("n_id") =!= col("q_id"))
+        k = 10, metric = "l2", excludeSelf = true)
       .select(col("q_id").as("t_q"), col("n_id").as("t_id"))
     val hits = bm.join(truth, col("q_id") === col("t_q") && col("doc_id") === col("t_id"))
       .select(col("rank"))
@@ -5014,7 +5025,9 @@ object Queries {
     */
   def vectorPairSample(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val nn = emb.agg(count(lit(1)).as("n"))
+    // gated count: the partner join on raw vec_id silently loses pairs
+    // if the id space is sparse — fail loudly instead (r7 finding #2)
+    val nn = operators.Stats.denseIdCount(emb, "vec_id", "n", "vector_pair_sample")
     val pr = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
       .crossJoin(broadcast(nn))
       .withColumn("h", pmod(tokenHash60(concat(lit("pair:"), col("a").cast("string"))), col("n")))
@@ -5336,9 +5349,14 @@ object Queries {
     * subtraction. One scan, one 9-row aggregate.
     */
   def ordersBenford(spark: SparkSession, dir: String): DataFrame = {
+    // digit ∈ [1, 9] gate: totals ≤ 0 would otherwise diverge across
+    // engines (digit '0' → log10(∞): Spark's non-ANSI cast wraps,
+    // DuckDB errors; '-' → null vs error) — the s > 0 cv-guard
+    // precedent, mirrored in the oracle.
     val d = Tables.orders(spark, dir)
       .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
       .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .where(col("digit").between(1, 9))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val tot = d.agg(sum("n").as("n_orders"))
     val share4 = floor(col("n").cast("double") / col("n_orders").cast("double")
@@ -5667,16 +5685,34 @@ object Queries {
   def customerIdLinkage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    val vars = c.select(col("id"), col("name"),
+    // Narrow postings: the variant table ships (v, id) ONLY — names
+    // re-join BY ID after candidate dedup (§6's near-dup join rule; the
+    // r7 version carried both 18-char names through the O(candidates)
+    // join and the 4-column distinct, and was the suite's slowest
+    // query). Variant blocks are df-capped at 256 postings — the
+    // winnow/rare-gram discipline — so a corpus with heavy exact-name
+    // duplication bounds at Σ 256·|block| pairs instead of Σ block²;
+    // cap-exceeding blocks are exact-duplication territory, owned by
+    // exact dedup on the name key.
+    val vars = c.select(col("id"),
       explode(concat(array(col("name")),
         expr("transform(sequence(1, length(name)), i -> " +
           "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")))
         .as("v"))
-    val a = vars.select(col("v"), col("id").as("a_id"), col("name").as("a_name"))
-    val b = vars.select(col("v"), col("id").as("b_id"), col("name").as("b_name"))
-    val pairs = a.join(b, Seq("v"))
+    // persisted: the capped posting table feeds BOTH self-join legs —
+    // without it the variant explode + df agg chain runs twice
+    // (persist contract at the top of this file)
+    val kept = vars.join(
+      vars.groupBy("v").agg(count(lit(1)).as("df")).where(col("df") <= 256).select("v"),
+      "v")
+      .persist(StorageLevel.DISK_ONLY)
+    val cand = kept.select(col("v"), col("id").as("a_id"))
+      .join(kept.select(col("v"), col("id").as("b_id")), Seq("v"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "a_name", "b_id", "b_name").distinct()
+      .select("a_id", "b_id").distinct()
+    val pairs = cand
+      .join(c.select(col("id").as("a_id"), col("name").as("a_name")), "a_id")
+      .join(c.select(col("id").as("b_id"), col("name").as("b_name")), "b_id")
       .where(levenshtein(col("a_name"), col("b_name")) <= 1)
     val m = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id")))

@@ -98,6 +98,12 @@ object Knn {
     * Replication cost is O(|queries| × salts) narrow rows — bounded and
     * chosen by the caller, unlike a broadcast which is unbounded.
     */
+  /** excludeSelf drops base rows whose id equals the query id BEFORE
+    * the top-k cut — the leave-self-out semantics retrieval truth sets
+    * need. (Fetching k+1 and filtering afterwards is NOT equivalent:
+    * with ≥ k+1 exact-duplicate vectors of lower id, self falls out of
+    * the widened cut and the truth set gains a phantom row.)
+    */
   def searchBatch(
       base: DataFrame,
       baseId: String,
@@ -107,7 +113,8 @@ object Knn {
       queryVec: String,
       k: Int,
       metric: String,
-      salts: Int = 32): DataFrame = {
+      salts: Int = 32,
+      excludeSelf: Boolean = false): DataFrame = {
     val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
 
     // explicit repartition pins HashPartitioning(salt, salts) on both
@@ -122,7 +129,8 @@ object Knn {
       .withColumn("salt", pmod(hash(col("id")), lit(salts)))
       .repartition(salts, col("salt"))
 
-    val scored = left.join(right, Seq("salt"))
+    val joined = left.join(right, Seq("salt"))
+    val scored = (if (excludeSelf) joined.where(col("id") =!= col("q_id")) else joined)
       .select(
         col("q_id"),
         col("id"),

@@ -97,6 +97,27 @@ class GramMoments(dim: Int) extends Aggregator[Seq[Float], Array[Long], Array[Lo
 
 object Stats {
 
+  /** 1-row count frame GATED on the id column being dense 0..n−1 — for
+    * partner-by-`hash mod n` draws (vector_pair_sample,
+    * corpus_contrastive_pairs), whose join back on the raw id silently
+    * LOSES pairs when the id space is sparse (the partner id simply
+    * doesn't exist). The gate makes the assumption fail LOUDLY in-plan
+    * (raise_error, the insertAll dim-contract pattern) instead of
+    * shipping a sample that is quietly smaller than promised. On dense
+    * data the branch folds away and the frame is the plain count.
+    */
+  def denseIdCount(df: DataFrame, idCol: String, out: String, what: String): DataFrame =
+    df.agg(count(lit(1)).as("__n"),
+        min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .select(
+        when(col("__mn") === 0 && col("__mx") === col("__n") - 1, col("__n"))
+          .otherwise(raise_error(concat(
+            lit(s"$what requires dense $idCol ids 0..n-1: min="),
+            coalesce(col("__mn").cast("string"), lit("null")),
+            lit(" max="), coalesce(col("__mx").cast("string"), lit("null")),
+            lit(" n="), col("__n").cast("string"))))
+          .cast("long").as(out))
+
   /** Per-key k-sigma outliers with a fully integer decision rule.
     * With n rows per key, integer values x (the input scaled by
     * 10^scale and rounded), S = Σx, Q = Σx²:

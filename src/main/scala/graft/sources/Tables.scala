@@ -76,10 +76,16 @@ object Tables {
         // plain value and the cast behaves as before.
         val f = org.apache.spark.sql.functions
         val label = f.col("label")
+        // NULL passes through explicitly: between() yields NULL on a
+        // null label, which would otherwise fall into the raise_error
+        // branch with a NULL concat message — a hard fail with an
+        // opaque error where the old plain cast passed null through.
         df.withColumn("label",
-          f.when(label.between(Int.MinValue.toLong, Int.MaxValue.toLong), label)
+          f.when(label.isNull, f.lit(null))
+            .when(label.between(Int.MinValue.toLong, Int.MaxValue.toLong), label)
             .otherwise(f.raise_error(f.concat(
-              f.lit("embeddings.label out of Int range: "), label.cast("string"))))
+              f.lit("embeddings.label out of Int range: "),
+              f.coalesce(label.cast("string"), f.lit("null")))))
             .cast(org.apache.spark.sql.types.IntegerType))
       case _ => df
     }

@@ -617,6 +617,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("customer_id_linkage: the variant pair join ships narrow (v, id) rows only") {
+    // The delete-1 blocking join is O(candidate pairs); carrying the
+    // name strings through it (and the pair distinct) multiplies its
+    // join/shuffle bytes by the payload width — names must re-join by
+    // id AFTER candidate dedup. Guard: no join keyed on the variant
+    // column may output a name column (covers both the broadcast plan
+    // at tiny SF and the shuffle plan at scale).
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = Queries.customerIdLinkage(spark, sf001).queryExecution.executedPlan
+      var sawVariantJoin = false
+      plan.foreach {
+        case j: BaseJoinExec if j.leftKeys.exists(_.references.exists(_.name == "v")) =>
+          sawVariantJoin = true
+          assert(!j.output.exists(_.name.contains("name")),
+            s"variant-keyed join must not carry name payloads:\n$j")
+        case _ => ()
+      }
+      assert(sawVariantJoin, "expected a join keyed on the variant column")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("dedup reporting queries serve from the materialized signature artifact") {
     // The signature/candidate/cluster chain is written ONCE per corpus
     // (Dedup.index); every reporting query must READ that parquet

@@ -159,4 +159,22 @@ class StatsSpec extends SparkSpec {
     assert(out.head.getLong(1) === rows.length.toLong)
     assert(math.abs(out.head.getDouble(2) - slope) < 1e-4)
   }
+
+  test("denseIdCount: dense ids pass through, sparse ids fail LOUDLY") {
+    val s = spark; import s.implicits._
+    // dense 0..4 → plain count
+    val dense = Seq(0L, 1L, 2L, 3L, 4L).toDF("id")
+    assert(Stats.denseIdCount(dense, "id", "n", "t").collect().head.getLong(0) === 5L)
+    // sparse (gaps): the partner-hash join would silently lose pairs —
+    // the gate must throw instead of returning a count
+    val sparse = Seq(0L, 1L, 5L).toDF("id")
+    val e = intercept[Exception] {
+      Stats.denseIdCount(sparse, "id", "n", "vector_pair_sample").collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("dense"),
+      s"gate must raise the dense-id contract message, got: ${e.getMessage}")
+    // shifted (min != 0) also fails
+    val shifted = Seq(1L, 2L, 3L).toDF("id")
+    intercept[Exception] { Stats.denseIdCount(shifted, "id", "n", "t").collect() }
+  }
 }
