@@ -759,6 +759,73 @@ object Oracles {
        |FROM ($union) u ORDER BY rerank""".stripMargin
   }
 
+  /** SQ8 rerank curve: candidates by the identical quantize-reconstruct
+    * distance as the `ann_sq8` oracle (sequential list_sum, id
+    * tie-break), exact L2 re-rank of the top-r, recall vs the exact
+    * top-k. The rerank = n leg keeps every candidate ⇒ recall 1.0.
+    */
+  private def sqRerankCurveSql(queryId: Long, k: Int, reranks: Seq[Int]): String = {
+    val recon =
+      """(CASE WHEN mma.mxs[i] > mma.mns[i]
+        | THEN mma.mns[i] + least(greatest(floor((CAST(e.embedding[i] AS DOUBLE) - mma.mns[i])
+        |        / (mma.mxs[i] - mma.mns[i]) * 255.0 + 0.5), 0.0), 255.0) / 255.0 * (mma.mxs[i] - mma.mns[i])
+        | ELSE mma.mns[i] END)""".stripMargin.replaceAll("\n\\s*", " ")
+    val branches = reranks.map { r =>
+      s"""b$r AS (SELECT $r AS rerank, count(*) AS n_hits FROM exact
+         |WHERE id IN (SELECT e.vec_id FROM embeddings e
+         |             JOIN (SELECT id FROM sqd ORDER BY sqv, id LIMIT $r) cand
+         |               ON cand.id = e.vec_id, q
+         |             ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k))""".stripMargin
+    }.mkString(",\n")
+    val union = reranks.map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |mm AS (SELECT dd.range AS i, min(CAST(e.embedding[dd.range] AS DOUBLE)) AS mn,
+       |              max(CAST(e.embedding[dd.range] AS DOUBLE)) AS mx
+       |       FROM embeddings e CROSS JOIN range(1, 65) dd GROUP BY dd.range),
+       |mma AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+       |exact AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |          ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k),
+       |sqd AS (SELECT e.vec_id AS id,
+       |  list_sum(list_transform(
+       |    list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) - $recon),
+       |    v -> v * v)) AS sqv
+       |  FROM embeddings e, q, mma),
+       |$branches
+       |SELECT rerank, n_hits, (round((n_hits / $k) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY rerank""".stripMargin
+  }
+
+  /** Binary sign-bit rerank curve: hamming candidates with the identical
+    * bit packing as the `ann_binary` oracle, exact L2 re-rank, recall vs
+    * the exact top-k; rerank = n closes at 1.0.
+    */
+  private def binaryRerankCurveSql(queryId: Long, k: Int, reranks: Seq[Int]): String = {
+    val branches = reranks.map { r =>
+      s"""b$r AS (SELECT $r AS rerank, count(*) AS n_hits FROM exact
+         |WHERE id IN (SELECT e.vec_id FROM embeddings e
+         |             JOIN (SELECT id FROM w, qw
+         |                   ORDER BY bit_count(xor(w0, q0)) + bit_count(xor(w1, q1)), id
+         |                   LIMIT $r) cand
+         |               ON cand.id = e.vec_id, q
+         |             ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k))""".stripMargin
+    }.mkString(",\n")
+    val union = reranks.map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |qw AS (SELECT
+       |  CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN qv[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT) AS q0,
+       |  CAST(list_sum(list_transform(range(33, 65), i -> CASE WHEN qv[i] > 0 THEN 1::BIGINT << (i - 33) ELSE 0::BIGINT END)) AS BIGINT) AS q1
+       |  FROM q),
+       |w AS (SELECT vec_id AS id,
+       |  CAST(list_sum(list_transform(range(1, 33), i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END)) AS BIGINT) AS w0,
+       |  CAST(list_sum(list_transform(range(33, 65), i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT << (i - 33) ELSE 0::BIGINT END)) AS BIGINT) AS w1
+       |  FROM embeddings),
+       |exact AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |          ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT $k),
+       |$branches
+       |SELECT rerank, n_hits, (round((n_hits / $k) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY rerank""".stripMargin
+  }
+
   /** IVFPQ: IVF cluster assignment + nprobe pruning (literal centroids)
     * feeding the PQ code/ADC/re-rank chain (literal codebooks) — the
     * DuckDB twin of [[operators.PqIndex.searchIvf]].
@@ -869,6 +936,17 @@ object Oracles {
       // into the pruned scan — filter and probe compose.
       "filtered_ann_ivf" -> ivfSql(centroids, queryId = 12L, k = 10, nprobe = 4,
         andWhere = " AND e.label = 2"),
+      // identical parameters to filtered_ann_ivf — the persisted layout
+      // must not change the answer, only where the pruning happens
+      // (partition listing ∩ pushed label filter).
+      "filtered_ann_ivf_persisted" -> ivfSql(centroids, queryId = 12L, k = 10, nprobe = 4,
+        andWhere = " AND e.label = 2"),
+      // rerank ladders end at rerank = n (every candidate survives ⇒
+      // provably recall 1.0); n re-derived identically on both sides.
+      "ann_sq8_rerank_curve" -> sqRerankCurveSql(queryId = 9L, k = 10,
+        reranks = Seq(10, 25, 50, 100, emb.count().toInt)),
+      "ann_binary_rerank_curve" -> binaryRerankCurveSql(queryId = 11L, k = 10,
+        reranks = Seq(10, 25, 50, 100, emb.count().toInt)),
       "dedup_embedding" -> embeddingLshSql(dedupPlanes, minCosine = 0.35))
   }
 

@@ -266,16 +266,41 @@ object Queries {
     */
   private val persistedIvf = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
-    val path = persistedIvf.computeIfAbsent(dir, { _ =>
+  private def ivfPersistedPath(dir: String, emb: DataFrame,
+                               centroids: Array[Array[Float]]): String =
+    persistedIvf.computeIfAbsent(dir, { _ =>
       val p = s"target/graft-persist/ivf_${java.util.UUID.randomUUID()}"
       operators.IvfIndex.writePartitioned(emb, "embedding", centroids, p)
       p
     })
+
+  def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val path = ivfPersistedPath(dir, emb, centroids)
     operators.IvfIndex.searchPersisted(spark, path, "vec_id", "embedding",
       centroids, queryVec(spark, dir, 2L), k = 10, nprobe = 4, metric = "l2")
+  }
+
+  /** Metadata-filtered search against the PERSISTED cluster-partitioned
+    * layout — [[filteredAnnIvf]] composed with [[annIvfPersisted]]'s
+    * restart path: ONE loaded plan where the nprobe cluster predicate
+    * prunes at FILE-LISTING time (partition column) and the label
+    * predicate pushes into the parquet row-group scan — both prunes
+    * compose, the serving shape the reference's search_vectors_filter
+    * takes after a restart (hnsw_index.rs + the scalar_storage.rs
+    * persist story). Same parameters as [[filteredAnnIvf]], so the
+    * oracle is identical; PersistSpec asserts both prunes on the plan.
+    */
+  def filteredAnnIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val path = ivfPersistedPath(dir, emb, centroids)
+    val qv = queryVec(spark, dir, 12L)
+    val probed = operators.IvfIndex.probes(qv, centroids, nprobe = 4)
+    Knn.searchExact(
+      operators.IvfIndex.readPruned(spark, path, probed).where(col("label") === 2),
+      "vec_id", "embedding", qv, k = 10, metric = "l2")
   }
 
   /** Metadata-filtered approximate search — the reference's
@@ -437,6 +462,56 @@ object Queries {
     val (mins, maxs) = operators.SqIndex.fitBoundsCached(emb, "embedding")
     operators.SqIndex.search(emb, "vec_id", "embedding", mins, maxs,
       queryVec(spark, dir, 9L), k = 10)
+  }
+
+  /** The rerank ladder every quantized backend's curve measures: four
+    * fixed cuts plus rerank = n, the leg that PROVABLY closes at recall
+    * 1.0 (every candidate survives to the exact re-rank ⇒ the search IS
+    * brute force). n comes from a metadata-only count.
+    */
+  private def rerankLadder(emb: DataFrame): Seq[Int] =
+    Seq(10, 25, 50, 100, emb.count().toInt)
+
+  /** SQ8 tuning curve: recall@10 of [[operators.SqIndex.searchAnyMetric]]
+    * at rerank ∈ {10, 25, 50, 100, n} — the sqRerank knob's measured
+    * tradeoff, completing the knob-curve family for the SQ8 backend
+    * (IVF nprobe, LSH radius, PQ rerank, Matryoshka dim). Shared exact
+    * leg; the rerank = n leg provably ends at 1.0.
+    */
+  def annSq8RerankCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val (mins, maxs) = operators.SqIndex.fitBoundsCached(emb, "embedding")
+    val qv = queryVec(spark, dir, 9L)
+    val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    rerankLadder(emb).map { r =>
+      val approx = operators.SqIndex.searchAnyMetric(emb, "vec_id", "embedding",
+        mins, maxs, qv, k = 10, rerank = r).select(col("id"))
+      exact.join(approx, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(r).as("rerank"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("rerank")
+  }
+
+  /** Binary (sign-bit) tuning curve: recall@10 of
+    * [[operators.BinaryIndex.search]] at the same rerank ladder — the
+    * binaryRerank knob's measured tradeoff; the rerank = n leg provably
+    * ends at 1.0 (same construction as [[annSq8RerankCurve]]).
+    */
+  def annBinaryRerankCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qv = queryVec(spark, dir, 11L)
+    val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    rerankLadder(emb).map { r =>
+      val approx = operators.BinaryIndex.search(emb, "vec_id", "embedding", qv,
+        k = 10, rerank = r).select(col("id"))
+      exact.join(approx, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(r).as("rerank"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("rerank")
   }
 
   /** The query terms both retrieval legs share (fixed "user query"). */

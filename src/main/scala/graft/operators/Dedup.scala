@@ -352,6 +352,36 @@ object Dedup {
     outDf
   }
 
+  /** Streaming maintenance of a [[DedupIndex]] signature table: sign an
+    * ingested micro-batch with the SAME shingle/minhash expressions as
+    * the index build and append it to the artifact (the
+    * [[IvfIndex.appendPartitioned]] analog — no rewrite, no re-sign of
+    * the existing corpus). Use as a foreachBatch body: each batch costs
+    * O(batch) signing + one narrow append; the maintained table then
+    * serves [[minhashPairsFromSignatures]] without ever re-tokenizing.
+    */
+  def appendSignatures(docs: DataFrame, idCol: String, textCol: String,
+                       sigPath: String): Unit =
+    shingleHashes(docs, idCol, textCol)
+      .select(col("doc_id"), minHashSig(col("gh"), 32).as("sig"))
+      .where(col("sig").isNotNull)
+      .write.mode("append").parquet(sigPath)
+
+  /** Banding pairs recomputed from a SIGNATURE table (e.g. the
+    * maintained artifact after streaming appends): identical banding +
+    * agreement arithmetic as the index build — re-banding 32 ints/doc
+    * is the cheap pass; the corpus never re-tokenizes.
+    */
+  def minhashPairsFromSignatures(sig: DataFrame, minEst: Double): DataFrame =
+    bandCandidates(minhashBands(sig), Seq("band", "bucket"))
+      .join(sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
+      .withColumn("est_sim",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)) / lit(32.0))
+      .where(col("est_sim") >= minEst)
+      .select(col("a_id"), col("b_id"), roundTo(col("est_sim"), 4).as("est_sim"))
+      .orderBy("a_id", "b_id")
+
   /** [[simhashHammingHist]] over the artifact's stored candidates. */
   def simhashHammingHistFromIndex(idx: DedupIndex): DataFrame = {
     val h = idx.simcand.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))

@@ -70,6 +70,34 @@ class PersistSpec extends SparkSpec {
     assert(scan.selectedPartitions.partitionCount < total)
   }
 
+  test("filtered persisted search: partition prune AND pushed label filter compose") {
+    // The filtered_ann_ivf_persisted serving shape: ONE loaded plan in
+    // which the nprobe cluster predicate prunes at file-listing time
+    // (partition filter) while the metadata predicate pushes into the
+    // parquet row-group scan (data filter) — neither pruning gives way
+    // to the other.
+    val emb = Tables.embeddings(spark, sf001)
+    val centroids = IvfIndex.fitCached(emb, "embedding", k = 16)
+    val q = emb.where(col("vec_id") === 12L).select("embedding").first().getSeq[Float](0).toArray
+    val path = tmp("graft-ivf-filtered-persist")
+    IvfIndex.writePartitioned(emb, "embedding", centroids, path)
+
+    val probed = IvfIndex.probes(q, centroids, nprobe = 4)
+    val pruned = IvfIndex.readPruned(spark, path, probed).where(col("label") === 2)
+    val scan = scanOf(pruned)
+    assert(scan.partitionFilters.nonEmpty, "cluster IN (...) must prune at file listing")
+    assert(scan.selectedPartitions.partitionCount === probed.length)
+    assert(scan.metadata.getOrElse("PushedFilters", "").contains("EqualTo(label,2)"),
+      s"label predicate must push to the parquet scan: ${scan.metadata}")
+
+    // and the composed answer equals the live filtered search
+    val live = IvfIndex.search(emb.where(col("label") === 2), "vec_id", "embedding",
+      centroids, q, k = 10, nprobe = 4).collect().map(_.toSeq).toSeq
+    val persisted = operators.Knn.searchExact(pruned, "vec_id", "embedding", q, 10, "l2")
+      .collect().map(_.toSeq).toSeq
+    assert(persisted === live)
+  }
+
   test("appendPartitioned: incremental rows join their cluster partition, still pruned") {
     val emb = Tables.embeddings(spark, sf001).select("vec_id", "embedding")
     val centroids = IvfIndex.fitCached(emb, "embedding", k = 16)

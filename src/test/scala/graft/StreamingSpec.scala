@@ -471,6 +471,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest maintains the dedup signature artifact: stream ≡ batch post-ingest") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+
+    // the standing corpus (doc_id % 10 != 0) builds the artifact once;
+    // the % 10 == 0 slice then arrives as a 2-batch stream whose
+    // foreachBatch sink APPENDS its signatures to the artifact — the
+    // ingestion story for the materialized dedup index (no re-sign of
+    // the existing corpus, the IvfIndex.appendPartitioned analog).
+    val all = graft.sources.Tables.documents(spark, sf001).select("doc_id", "text")
+    val corpus = all.where(col("doc_id") % 10 =!= 0)
+    val idx = graft.operators.Dedup.index(corpus, "doc_id", "text")
+
+    val newDocs = all.where(col("doc_id") % 10 === 0)
+      .as[(Long, String)].collect().toSeq
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Dedup.appendSignatures(batch, "doc_id", "text", s"${idx.base}/sig")
+      }
+      .start()
+    try {
+      stream.addData(newDocs.take(20))
+      q.processAllAvailable()
+      stream.addData(newDocs.drop(20))
+      q.processAllAvailable()
+      // the post-ingest artifact serves the SAME pairs a from-scratch
+      // batch dedup of the full corpus finds — the maintained signature
+      // table is the batch artifact, not an approximation of it
+      val streamed = graft.operators.Dedup
+        .minhashPairsFromSignatures(idx.sig, minEst = 0.5)
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.operators.Dedup
+        .minhashPairs(all, "doc_id", "text", minEst = 0.5)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming CDC: a change-log stream foreachBatch-applied maintains the merged state") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
