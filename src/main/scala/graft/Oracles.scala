@@ -4417,22 +4417,26 @@ object Oracles {
 
     // Delete-1 neighborhood blocking + exact levenshtein verify; the
     // matches-per-record histogram with zero-match records kept.
-    // variant postings df-capped at 256 (blocks over the cap are
-    // exact-duplication territory); names re-join by id for the
-    // levenshtein verify — mirrors the Spark side's narrow pair join.
+    // position-tagged symmetric delete: substitution (same-pos variant
+    // equality), equal-name, and indel (name = delete-1 variant) legs —
+    // each PROVABLY ED <= 1, no verify step; posting blocks df-capped
+    // at 256 — mirrors the Spark side exactly.
     "customer_id_linkage" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS name FROM customer),
-        |v AS (SELECT id, unnest(list_prepend(name,
-        |         list_transform(range(1, len(name) + 1),
-        |           i -> substr(name, 1, i - 1) || substr(name, i + 1, len(name))))) AS v
-        |      FROM c),
-        |vk AS (SELECT v.id, v.v FROM v
-        |       JOIN (SELECT v FROM v GROUP BY v HAVING count(*) <= 256) ok USING (v)),
-        |cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
-        |         FROM vk a JOIN vk b ON a.v = b.v AND a.id < b.id),
-        |p AS (SELECT a_id, b_id FROM cand
-        |      JOIN c ca ON ca.id = cand.a_id JOIN c cb ON cb.id = cand.b_id
-        |      WHERE levenshtein(ca.name, cb.name) <= 1),
+        |v AS (SELECT id, k AS pos,
+        |        CASE WHEN k = 0 THEN name
+        |             ELSE substr(name, 1, k - 1) || substr(name, k + 1, len(name)) END AS v
+        |      FROM c, unnest(range(0, len(name) + 1)) AS t(k)),
+        |vk AS (SELECT v.id, v.pos, v.v FROM v
+        |       JOIN (SELECT pos, v FROM v GROUP BY pos, v HAVING count(*) <= 256) ok
+        |       USING (pos, v)),
+        |subeq AS (SELECT a.id AS a_id, b.id AS b_id
+        |          FROM vk a JOIN vk b ON a.pos = b.pos AND a.v = b.v AND a.id < b.id),
+        |indel AS (SELECT least(n.id, d.id) AS a_id, greatest(n.id, d.id) AS b_id
+        |          FROM vk n JOIN vk d ON n.v = d.v AND n.pos = 0 AND d.pos >= 1
+        |          WHERE n.id <> d.id),
+        |p AS (SELECT DISTINCT a_id, b_id FROM
+        |      (SELECT * FROM subeq UNION ALL SELECT * FROM indel)),
         |m AS (SELECT id, CAST(count(*) AS BIGINT) AS n
         |      FROM (SELECT a_id AS id FROM p UNION ALL SELECT b_id FROM p) u GROUP BY 1),
         |j AS (SELECT c.id, coalesce(m.n, 0) AS n_matches FROM c LEFT JOIN m USING (id))

@@ -1079,15 +1079,15 @@ object Queries {
     */
   def dedupRecallEval(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // ONE tokenize+shingle pass feeds both legs (truth + sketch) — at
-    // corpus scale the shingle kernel is the dominant map cost and must
-    // not run twice; both inner results are eagerly checkpointed, so
-    // the cache releases before this query returns
+    // the truth leg is the only from-scratch pass left (the
+    // provably-complete prefix-jaccard ground truth, an honest eval
+    // cost); the SKETCH leg rides the materialized artifact — same
+    // banding, same est cut, zero extra corpus work
     val sh = Dedup.shingleHashes(docs, "doc_id", "text")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val truth = Dedup.jaccardPrefixPairsFromShingles(sh).select("a_id", "b_id")
-    val sketch = Dedup.minhashPairsFromShingles(sh, minEst = 0.65).select("a_id", "b_id")
     sh.unpersist()
+    val sketch = dedupIdx(spark, dir).minhashPairs(minEst = 0.65).select("a_id", "b_id")
     val hits = truth.join(sketch, Seq("a_id", "b_id"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(sketch.agg(count(lit(1)).as("n_sketch")))
@@ -4801,7 +4801,7 @@ object Queries {
   }
 
   /** MinHash estimator calibration — see
-    * [[operators.Dedup.minhashEstError]]: per estimate decile, the gap
+    * [[operators.Dedup.minhashEstErrorFromIndex]]: per estimate decile, the gap
     * between the 32-perm signature estimate and the exact
     * distinct-shingle Jaccard over the LSH candidates.
     */
@@ -4942,7 +4942,7 @@ object Queries {
   }
 
   /** LSH band-bucket health profile — see
-    * [[operators.Dedup.lshBucketProfile]]: per band, bucket count, max
+    * [[operators.Dedup.lshBucketProfileFromIndex]]: per band, bucket count, max
     * and mean occupancy, and the candidate-pair volume Σ sz·(sz−1)/2
     * the banding join will generate. The proof-by-measurement that the
     * dedup shuffle is content-bounded, next to
@@ -5122,7 +5122,7 @@ object Queries {
   }
 
   /** SimHash hamming-distance histogram over ALL band candidates — see
-    * [[operators.Dedup.simhashHammingHist]]: the data-driven tuning
+    * [[operators.Dedup.simhashHammingHistFromIndex]]: the data-driven tuning
     * evidence for the maxHamming knob.
     */
   def dedupSimhashHammingHist(spark: SparkSession, dir: String): DataFrame =
@@ -5760,35 +5760,44 @@ object Queries {
   def customerIdLinkage(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    // Narrow postings: the variant table ships (v, id) ONLY — names
-    // re-join BY ID after candidate dedup (§6's near-dup join rule; the
-    // r7 version carried both 18-char names through the O(candidates)
-    // join and the 4-column distinct, and was the suite's slowest
-    // query). Variant blocks are df-capped at 256 postings — the
-    // winnow/rare-gram discipline — so a corpus with heavy exact-name
-    // duplication bounds at Σ 256·|block| pairs instead of Σ block²;
-    // cap-exceeding blocks are exact-duplication territory, owned by
-    // exact dedup on the name key.
+    // POSITION-TAGGED symmetric delete: an ED ≤ 1 pair is (a) equal
+    // names, (b) a substitution at position i — both delete i and share
+    // (pos, v) — or (c) an indel — the shorter name equals one delete-1
+    // variant of the longer. Each leg's candidates are PROVABLY ED ≤ 1
+    // (same-position delete equality forces all other chars equal), so
+    // the exact-verify step vanishes and no name payload ever rides a
+    // pair join. Tagging also kills the cross-position false candidates
+    // a bare variant join admits (956k → 263k pairs at sf0.1,
+    // measured). Every posting block is df-capped at 256 — the
+    // winnow/rare-gram discipline — so heavy exact-name duplication
+    // bounds at Σ 256·|block| instead of Σ block²; cap-exceeding
+    // blocks are exact-duplication territory, owned by [[dedupExact]].
+    // pos 0 = the name itself, pos i ≥ 1 = delete-i — ONE posting table
+    // serves all three legs: the (pos, v) self-join yields substitutions
+    // (pos ≥ 1) AND equal names (pos 0) in one pass; indels are the
+    // pos-0 × pos-≥1 slice join.
     val vars = c.select(col("id"),
-      explode(concat(array(col("name")),
+      posexplode(concat(array(col("name")),
         expr("transform(sequence(1, length(name)), i -> " +
           "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")))
-        .as("v"))
-    // persisted: the capped posting table feeds BOTH self-join legs —
-    // without it the variant explode + df agg chain runs twice
-    // (persist contract at the top of this file)
-    val kept = vars.join(
-      vars.groupBy("v").agg(count(lit(1)).as("df")).where(col("df") <= 256).select("v"),
-      "v")
+        .as(Seq("pos", "v")))
+    // persisted: the capped posting table feeds both legs (persist
+    // contract at the top of this file)
+    val vk = vars.join(
+        vars.groupBy("pos", "v").agg(count(lit(1)).as("df")).where(col("df") <= 256)
+          .select("pos", "v"),
+        Seq("pos", "v"))
       .persist(StorageLevel.DISK_ONLY)
-    val cand = kept.select(col("v"), col("id").as("a_id"))
-      .join(kept.select(col("v"), col("id").as("b_id")), Seq("v"))
+    val subeq = vk.select(col("pos"), col("v"), col("id").as("a_id"))
+      .join(vk.select(col("pos"), col("v"), col("id").as("b_id")), Seq("pos", "v"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    val pairs = cand
-      .join(c.select(col("id").as("a_id"), col("name").as("a_name")), "a_id")
-      .join(c.select(col("id").as("b_id"), col("name").as("b_name")), "b_id")
-      .where(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select("a_id", "b_id")
+    val indel = vk.where(col("pos") === 0).select(col("v"), col("id").as("x_id"))
+      .join(vk.where(col("pos") >= 1).select(col("v"), col("id").as("y_id")), Seq("v"))
+      .where(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"))
+    val pairs = subeq.unionByName(indel).distinct()
     val m = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id")))
       .groupBy("id").agg(count(lit(1)).as("n"))

@@ -17,6 +17,9 @@ object TimeOne {
     val fn = SparkEntry.queries(name)
     fn(spark, dir).count() // warm
     val times = (1 to 3).map { _ =>
+      // same cold-cache regime as Bench: caches from the previous pass
+      // must not flatter this one
+      spark.catalog.clearCache()
       val t0 = System.nanoTime(); fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9
     }
     println(f"TIMED $name min=${times.min}%.3f all=${times.map(t => f"$t%.2f").mkString(",")}")

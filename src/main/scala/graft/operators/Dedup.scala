@@ -57,97 +57,6 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       wordShingleHash60(wordTokens(col(textCol)), n).as("gh"))
 
-  /** MinHash estimator calibration — "measure, don't guess" for the
-    * sketch itself: over the LSH candidate pairs with est ≥ 0.5, the
-    * per-decile gap between the signature estimate (m/32) and the EXACT
-    * distinct-shingle Jaccard. All three means are exact-integer sums:
-    * estf = m·31250 (10⁶/32 is integral), jacf = ⌊i·10⁶/u⌋ by floor
-    * division, errf = |estf − jacf| — no float until the final divide.
-    * Cost is candidate-bounded (the banding join), with the shingle
-    * sets riding the SAME persisted signature table, so the corpus
-    * tokenizes once; the output is ≤ 6 rows (deciles 5..10).
-    */
-  def minhashEstError(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = shingleHashes(docs, idCol, textCol)
-      .select(col("doc_id"), minHashSig(col("gh"), 32).as("sig"),
-        array_distinct(col("gh")).as("g"))
-      .where(col("sig").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = base
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(7)), b =>
-          md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string")))
-            .cast("binary"))).as("buckets"))
-      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val cand = bands.select(col("band"), col("bucket"), col("doc_id").as("a_id"))
-      .join(bands.select(col("band"), col("bucket"), col("doc_id").as("b_id")), Seq("band", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
-    val paired = cand
-      .join(base.select(col("doc_id").as("a_id"), col("sig").as("sig_a"), col("g").as("g_a")), "a_id")
-      .join(base.select(col("doc_id").as("b_id"), col("sig").as("sig_b"), col("g").as("g_b")), "b_id")
-      .withColumn("m",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), v => v)).cast("long"))
-      .where(col("m") >= 16)
-      .withColumn("i", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
-      .withColumn("u", size(col("g_a")).cast("long") + size(col("g_b")).cast("long") - col("i"))
-      .select(expr("(m * 10) div 32").as("bucket"),
-        (col("m") * lit(31250L)).as("estf"),
-        expr("(i * 1000000) div u").as("jacf"))
-      .withColumn("errf", abs(col("estf") - col("jacf")))
-    val outDf = paired.groupBy("bucket")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("estf").cast("decimal(38,0)")).as("se"),
-        sum(col("jacf").cast("decimal(38,0)")).as("sj"),
-        sum(col("errf").cast("decimal(38,0)")).as("sr"))
-      .select(col("bucket").cast("int").as("bucket"), col("n_pairs"),
-        roundTo(col("se").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
-          .as("mean_est"),
-        roundTo(col("sj").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
-          .as("mean_jaccard"),
-        roundTo(col("sr").cast("double") / (col("n_pairs").cast("double") * lit(1e6)), 6)
-          .as("mean_abs_err"))
-      .orderBy("bucket")
-    val out = outDf.localCheckpoint(true) // ≤ 6 rows — then free the sig cache
-    base.unpersist()
-    out
-  }
-
-  private def minhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    signaturesFromShingles(shingleHashes(docs, idCol, textCol))
-
-  /** LSH band-bucket occupancy profile — the banding join's cost
-    * certificate: per band, the bucket count, max/mean occupancy, and
-    * the candidate-pair volume Σ sz·(sz−1)/2 the self-join will emit.
-    * A band whose max bucket grows with the corpus marks a degenerate
-    * bucket (e.g. empty-ish signatures) that needs a cap; healthy
-    * content-hashed buckets keep sz bounded by true duplicate mass.
-    * One signature pass, (bands × buckets)-bounded rollup, 8-row
-    * output.
-    */
-  def lshBucketProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val signed = minhashSignatures(docs, idCol, textCol)
-    val bands = signed
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(7)), b =>
-          md5(concat_ws(",", transform(slice(col("sig"), b * 4 + 1, lit(4)), _.cast("string")))
-            .cast("binary"))).as("buckets"))
-      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val sz = bands.groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
-    val outDf = sz.groupBy("band")
-      .agg(count(lit(1)).as("n_buckets"), sum("sz").as("n_docs"), max("sz").as("max_bucket"),
-        sum(expr("(sz * (sz - 1)) div 2").cast("decimal(38,0)")).as("p2"))
-      .select(col("band"), col("n_buckets"), col("n_docs"), col("max_bucket"),
-        col("p2").cast("long").as("n_cand_pairs"),
-        roundTo(col("n_docs").cast("double") / col("n_buckets").cast("double"), 4)
-          .as("mean_bucket"))
-      .orderBy("band")
-    val out = outDf.localCheckpoint(true) // 8 rows — then free the sig cache
-    signed.unpersist()
-    out
-  }
-
   private def signaturesFromShingles(sh: DataFrame): DataFrame =
     sh.select(col("doc_id"), minHashSig(col("gh"), 32).as("sig"))
       .where(col("sig").isNotNull)
@@ -256,7 +165,7 @@ object Dedup {
   /** ONE tokenize+sign+band pass over the corpus (per signature family)
     * writes all four artifact tables; every write is either
     * corpus-narrow (signatures) or duplicate-mass-bounded (candidates,
-    * whose volume the banding buckets bound — see [[lshBucketProfile]]'s
+    * whose volume the banding buckets bound — see [[lshBucketProfileFromIndex]]'s
     * certificate). The cluster map reuses the just-written candidate
     * table, so CC never re-signs either.
     */
@@ -292,9 +201,14 @@ object Dedup {
     idx
   }
 
-  /** [[lshBucketProfile]] over the artifact's stored signatures —
-    * re-banding 32 ints per doc is arithmetic; re-tokenizing the corpus
-    * is not.
+  /** LSH band-bucket occupancy profile — the banding join's cost
+    * certificate: per band, the bucket count, max/mean occupancy, and
+    * the candidate-pair volume Σ sz·(sz−1)/2 the self-join generates.
+    * A band whose max bucket grows with the corpus marks a degenerate
+    * bucket that needs a cap; healthy content-hashed buckets keep sz
+    * bounded by true duplicate mass. Runs over the artifact's STORED
+    * signatures — re-banding 32 ints per doc is arithmetic;
+    * re-tokenizing the corpus is not. 8-row output.
     */
   def lshBucketProfileFromIndex(idx: DedupIndex): DataFrame = {
     val sz = minhashBands(idx.sig).groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
@@ -308,7 +222,13 @@ object Dedup {
       .orderBy("band")
   }
 
-  /** [[minhashEstError]] over the artifact: the agreement count m is
+  /** MinHash estimator calibration — "measure, don't guess" for the
+    * sketch itself: over the artifact's candidate pairs with m ≥ 16
+    * (est ≥ 0.5), the per-decile gap between the signature estimate
+    * (m/32) and the EXACT distinct-shingle Jaccard. All three means
+    * are exact-integer sums: estf = m·31250 (10⁶/32 is integral),
+    * jacf = ⌊i·10⁶/u⌋ by floor division, errf = |estf − jacf| — no
+    * float until the final divide. The agreement count m is
     * stored, so only the EXACT-jaccard leg needs shingle sets — and only
     * for docs that appear in a kept candidate pair (semi-join), never
     * the corpus. At 100 TB the calibration tokenizes the duplicate
@@ -382,7 +302,14 @@ object Dedup {
       .select(col("a_id"), col("b_id"), roundTo(col("est_sim"), 4).as("est_sim"))
       .orderBy("a_id", "b_id")
 
-  /** [[simhashHammingHist]] over the artifact's stored candidates. */
+  /** SimHash candidate hamming-distance histogram over the artifact's
+    * stored candidates — the tuning evidence for [[simhashPairs]]'
+    * maxHamming knob: over ALL band candidates (no cut), how many
+    * pairs land at each hamming distance, with shares. The ≤ h
+    * envelope's completeness holds for h ≤ 3; this shows where the
+    * mass actually sits so the knob is chosen from data. (61)-bounded
+    * rollup of the stored pair table.
+    */
   def simhashHammingHistFromIndex(idx: DedupIndex): DataFrame = {
     val h = idx.simcand.groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
     val tot = h.agg(sum("n_pairs").cast("double").as("t"))
@@ -531,47 +458,6 @@ object Dedup {
 
     // Materialize, then release the signature cache (see minhashPairs).
     val out = result.localCheckpoint(true)
-    signed.unpersist()
-    out
-  }
-
-  /** SimHash candidate hamming-distance histogram — the tuning
-    * evidence for [[simhashPairs]]' maxHamming knob: over ALL band
-    * candidates (no cut), how many pairs land at each hamming
-    * distance, with shares. The ≤ h envelope's completeness property
-    * holds for h ≤ 3; this histogram shows where the mass actually
-    * sits so the knob is chosen from data, not guessed — the
-    * dedup-side member of the knob-curve family (nprobe / radius /
-    * rerank / threshold). Same banding shuffle; the rollup is
-    * (61)-bounded.
-    */
-  def simhashHammingHist(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val signed = docs
-      .select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), simHash60(wordShingleHash60(col("toks"), 1)).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bands = signed
-      .select(col("doc_id"),
-        transform(sequence(lit(0), lit(3)), b =>
-          call_function("shiftright", col("sig"), (b * 15).cast("int")).bitwiseAND(lit(32767L)))
-          .as("keys"))
-      .select(col("doc_id"), posexplode(col("keys")).as(Seq("band", "band_key")))
-    val cand = bands.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
-      .join(bands.select(col("band"), col("band_key"), col("doc_id").as("b_id")), Seq("band", "band_key"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-      .dropDuplicates("a_id", "b_id")
-    val h = cand
-      .join(signed.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
-      .join(signed.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
-      .select(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .groupBy("hamming").agg(count(lit(1)).as("n_pairs"))
-    val tot = h.agg(sum("n_pairs").cast("double").as("t"))
-    val outDf = h.crossJoin(broadcast(tot))
-      .select(col("hamming"), col("n_pairs"),
-        roundTo(col("n_pairs").cast("double") / col("t"), 4).as("share"))
-      .orderBy("hamming")
-    val out = outDf.localCheckpoint(true) // ≤ 61 rows — then free the sig cache
     signed.unpersist()
     out
   }
