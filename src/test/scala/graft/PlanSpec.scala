@@ -577,10 +577,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
-  test("corpus_dsir: the 256-bucket LLR model broadcasts; the corpus side never does") {
-    val p = plan(Queries.corpusDsir(spark, sf001))
-    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  test("corpus_dsir: build chain broadcasts the LLR model; serving reads the artifact") {
+    // the scoring chain is written once (materialized pattern): the
+    // BUILD plan must broadcast the 256-row model and never go
+    // cartesian; the SERVED query must read the parquet artifact
+    val pb = plan(Queries.dsirScoresFresh(spark, sf001))
+    assert(pb.contains("BroadcastHashJoin"), s"model join must broadcast:\n$pb")
+    assert(!pb.contains("CartesianProduct"), s"no cartesian:\n$pb")
+    val ps = plan(Queries.corpusDsir(spark, sf001))
+    assert(ps.contains("graft-persist/dsir"), s"must serve from the artifact:\n$ps")
   }
 
   test("dedup_canonical: keeper picked by max(struct) partial agg, not a per-cluster window") {
