@@ -435,6 +435,36 @@ object Oracles {
        |  (round((CAST(mu.n_mutual_pairs AS DOUBLE) * 2.0 / CAST(st.n_edges AS DOUBLE)) * 10000.0) / 10000.0) AS reciprocity
        |FROM st, mu""".stripMargin
 
+  /** Mutual-kNN connected components: the knnMutualSql graph chain, the
+    * reciprocal edge set, a recursive-CTE transitive closure (the
+    * dedup_clusters pattern), then the component-size histogram.
+    */
+  private def knnComponentsSql(centroids: Array[Array[Float]], k: Int): String =
+    s"""WITH RECURSIVE cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |cl AS (SELECT vec_id, cid FROM asg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |g AS (SELECT q_id, n_id FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $k),
+       |mp AS (SELECT a.q_id AS u, a.n_id AS v FROM g a
+       |       JOIN g b ON a.q_id = b.n_id AND a.n_id = b.q_id WHERE a.q_id < a.n_id),
+       |edges AS (SELECT u, v FROM mp UNION ALL SELECT v, u FROM mp),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+       |canon AS (SELECT u AS id, least(u, min(v)) AS canonical FROM reach GROUP BY u),
+       |asgn AS (SELECT e.vec_id, coalesce(c.canonical, e.vec_id) AS canonical
+       |         FROM embeddings e LEFT JOIN canon c ON c.id = e.vec_id),
+       |szs AS (SELECT canonical, CAST(count(*) AS BIGINT) AS sz FROM asgn GROUP BY canonical)
+       |SELECT sz, CAST(count(*) AS BIGINT) AS n_components
+       |FROM szs GROUP BY sz ORDER BY sz""".stripMargin
+
   /** Cost + recall per nprobe from the same fitted centroids — the
     * DuckDB twin of [[Queries.annTradeoffTable]].
     */
@@ -916,6 +946,7 @@ object Oracles {
       "knn_join_ivf" -> knnJoinSql(scaledCents, k = 3),
       "knn_hubness" -> knnHubnessSql(scaledCents, k = 3),
       "knn_mutual" -> knnMutualSql(scaledCents, k = 3),
+      "knn_components" -> knnComponentsSql(scaledCents, k = 3),
       "knn_label_consistency" -> knnLabelConsistencySql(scaledCents, k = 3),
       "ann_cost_model" -> annCostModelSql(centroids, planes, ivfQ = 2L, lshQ = 3L,
         nprobe = 4, radius = 1, rerank = 100),

@@ -4866,6 +4866,33 @@ object Queries {
           / col("n_edges").cast("double"), 4).as("reciprocity"))
   }
 
+  /** Mutual-kNN component discovery — the cluster-finding step a
+    * curation pipeline runs on top of the k-NN graph (semantic groups =
+    * connected components of the RECIPROCAL edge set, a standard
+    * density-robust clustering primitive): mutual edges from one
+    * co-partitioned self-join of the written-once [[knnGraph]] artifact,
+    * components via [[operators.Dedup.resolveClusters]]' pointer-jumping
+    * CC (mutual-edge volume ≤ the O(n·k) graph, orders below the
+    * corpus), then a component-size histogram — (max component)-bounded
+    * output. Oracle: same graph + recursive-CTE closure.
+    */
+  def knnComponents(spark: SparkSession, dir: String): DataFrame =
+    // the component map is written once next to the graph (the
+    // clusters05 pattern — iterative CC is index-build cost, not query
+    // latency); the histogram reads the artifact
+    materialized(spark, dir, "knncomp") {
+      val emb = Tables.embeddings(spark, dir)
+      val g = knnGraph(spark, dir).select(col("q_id"), col("n_id"))
+      val mutual = g
+        .join(g.select(col("q_id").as("n_id"), col("n_id").as("q_id")), Seq("q_id", "n_id"))
+        .where(col("q_id") < col("n_id"))
+        .select(col("q_id").as("a_id"), col("n_id").as("b_id"))
+      Dedup.resolveClusters(emb.select(col("vec_id")), "vec_id", mutual)
+    }
+      .groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_components"))
+      .orderBy("sz")
+
   /** Per-dimension clipping bounds (p1 / p50 / p99 of each embedding
     * dimension) — the robust-range ANALYZE primitive a scalar
     * quantizer trains from when min/max ([[vectorStats]]) is outlier-

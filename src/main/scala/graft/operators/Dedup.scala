@@ -768,7 +768,7 @@ object Dedup {
     * driver loop only checks the convergence count, it never holds data.
     */
   def resolveClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                      graphPartitions: Int = 4): DataFrame = {
+                      graphPartitions: Int = 4, maxIters: Int = 50): DataFrame = {
     // The dup-pair graph is orders of magnitude smaller than the corpus
     // (bounded by LSH banding), so iteration tables run on a handful of
     // partitions — per-round scheduling otherwise dominates.
@@ -810,9 +810,12 @@ object Dedup {
     var changed = true
     var iter = 0
     // One propagation round, built LAZILY: neighbor-min propagation +
-    // pointer jumping (label := label of label) — jumping squares path
-    // lengths, so convergence is O(log diameter) rounds instead of
-    // O(diameter) (a 50-doc dup chain resolves in ~6 rounds, not 50).
+    // pointer jumping (label := label of label). Jumping relays the
+    // min through already-updated labels, so the frontier advances
+    // 1–2 hops per round (measured: a diameter-23 component converges
+    // in 15 rounds, not 23; a 50-doc dup chain in ~6) — a constant-
+    // factor win over plain propagation, not the full O(log d) of
+    // synchronized tree hanging.
     def step(cur: DataFrame): DataFrame = {
       val prop = edges.join(cur, edges("v") === cur("id"))
         .select(edges("u").as("id"), col("label"))
@@ -822,15 +825,20 @@ object Dedup {
       cur.unionAll(prop).unionAll(jumped)
         .groupBy("id").agg(min("label").as("label"))
     }
-    while (changed && iter < 12) {
+    while (changed && iter < maxIters) {
       // ONE propagation round per materialization. The r3 version ran
       // three nested steps per checkpoint to amortize driver latency,
       // but measured cost is SUPER-linear in plan depth (3-step cycle
       // 2.4 s vs 1-step cycle 0.28 s at sf0.1 — AQE re-plans every
       // stage of the 9-shuffle nested DAG), so shallow-and-often wins
-      // at every graph size; the 12-round bound is unchanged. Pointer
-      // jumping still squares path lengths per round ⇒ O(log diameter)
-      // rounds + one confirming cycle.
+      // at every graph size. The convergence probe stops the loop the
+      // round after the fixpoint, so maxIters is a runaway BACKSTOP,
+      // not a budget — raised from 12 after the mutual-kNN component
+      // graph (diameter 23 at sf0.01) measured 15 relay rounds to
+      // converge and the old cap silently split a 53-node component.
+      // Relay speed is between 1 and 2 hops/round (neighbor propagation
+      // + label-of-label jumping), so 50 rounds covers diameters far
+      // beyond any LSH dup cluster or kNN component this engine builds.
       val next = step(labels)
         .coalesce(graphPartitions)
         .localCheckpoint(true)
