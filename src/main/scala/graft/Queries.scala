@@ -546,12 +546,32 @@ object Queries {
   /** The query terms both retrieval legs share (fixed "user query"). */
   private[graft] val bm25Terms = Seq("spark", "hash", "join", "window", "vector")
 
-  /** BM25 top-10 keyword retrieval over `documents` — see
-    * [[operators.Retrieval.bm25TopK]].
+  /** The corpus's materialized inverted index (term-sorted postings +
+    * doc-length stats, [[operators.Retrieval.buildPostings]]) — the
+    * text-side persisted index next to the IVF/PQ vector layouts: ONE
+    * tokenize pass at build time; every BM25 consumer then reads the
+    * term-pruned artifact (the `term IN (...)` filter reaches the
+    * parquet scan of the sorted postings).
+    */
+  private def textPostings(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "postings") {
+      operators.Retrieval.buildPostings(Tables.documents(spark, dir), "doc_id", "text")
+    }
+
+  private def textDocLengths(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "doclen") {
+      operators.Retrieval.buildDocLengths(Tables.documents(spark, dir), "doc_id", "text")
+    }
+
+  /** BM25 top-10 keyword retrieval served from the materialized
+    * inverted index — see [[operators.Retrieval.bm25TopKFromIndex]]
+    * (identical arithmetic to the from-scratch
+    * [[operators.Retrieval.bm25TopK]], which remains the index-free
+    * path).
     */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
-    operators.Retrieval.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
-      bm25Terms, k = 10)
+    operators.Retrieval.bm25TopKFromIndex(textPostings(spark, dir),
+      textDocLengths(spark, dir), bm25Terms, k = 10)
 
   /** Hybrid retrieval: the multimodal feature-sketch k-NN leg (same
     * decode → embed path as [[multimodalEmbed]], top-50) fused with the
@@ -566,7 +586,8 @@ object Queries {
     val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
     val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
       .select(col("id").as("doc_id"), col("rank"))
-    val textLeg = operators.Retrieval.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 50)
+    val textLeg = operators.Retrieval.bm25TopKFromIndex(textPostings(spark, dir),
+        textDocLengths(spark, dir), bm25Terms, k = 50)
       .select(col("doc_id"), col("rank"))
     operators.Retrieval.rrfFuse(vecLeg, textLeg, k = 20)
   }
@@ -587,7 +608,8 @@ object Queries {
     val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
       .select(col("id").as("doc_id"),
         floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
-    val textLeg = operators.Retrieval.bm25TopK(docs, "doc_id", "text", bm25Terms, k = 50)
+    val textLeg = operators.Retrieval.bm25TopKFromIndex(textPostings(spark, dir),
+        textDocLengths(spark, dir), bm25Terms, k = 50)
       .select(col("doc_id"), floor(col("score") * 10000 + lit(0.5)).cast("long").as("s4"))
     operators.Retrieval.weightedFuse(vecLeg, textLeg, k = 20)
   }
@@ -613,8 +635,8 @@ object Queries {
     val qterms = docs.where(col("doc_id").isin(qids: _*))
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(wordTokens(col("text")))).as("term"))
-    val bm = operators.Retrieval.bm25TopKBatch(docs, "doc_id", "text", qterms,
-      k = 10, excludeQueryDoc = true)
+    val bm = operators.Retrieval.bm25TopKBatchFromIndex(textPostings(spark, dir),
+      textDocLengths(spark, dir), qterms, k = 10, excludeQueryDoc = true)
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.where(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -3456,8 +3478,8 @@ object Queries {
     val qterms = docs.where(col("doc_id").isin(qids: _*))
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(wordTokens(col("text")))).as("term"))
-    val bm = operators.Retrieval.bm25TopKBatch(docs, "doc_id", "text", qterms,
-      k = 10, excludeQueryDoc = true)
+    val bm = operators.Retrieval.bm25TopKBatchFromIndex(textPostings(spark, dir),
+      textDocLengths(spark, dir), qterms, k = 10, excludeQueryDoc = true)
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.where(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
@@ -5121,8 +5143,8 @@ object Queries {
     val qterms = docs.where(col("doc_id").isin(qids: _*))
       .select(col("doc_id").as("q_id"),
         explode(array_distinct(wordTokens(col("text")))).as("term"))
-    val bm = operators.Retrieval.bm25TopKBatch(docs, "doc_id", "text", qterms,
-      k = 10, excludeQueryDoc = true)
+    val bm = operators.Retrieval.bm25TopKBatchFromIndex(textPostings(spark, dir),
+      textDocLengths(spark, dir), qterms, k = 10, excludeQueryDoc = true)
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.where(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))

@@ -77,6 +77,91 @@ object Retrieval {
       .select(col("rank"), col("doc_id"), roundTo(col("s6") / lit(1000000.0), 4).as("score"))
   }
 
+  /** The inverted-index build: full-vocabulary postings
+    * (term, doc_id, tf, dl), GLOBALLY RANGE-SORTED BY TERM so a
+    * materialized copy prunes at parquet row-group/file level for any
+    * `term IN (...)` query — the text-side persisted index next to the
+    * IVF/PQ vector layouts (one tokenize pass at build time; query-time
+    * IO is O(postings of the query terms), the inverted-index
+    * contract). dl rides the posting row so scoring needs no join back
+    * to a length table.
+    */
+  def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+      .orderBy("term", "doc_id")
+
+  /** Per-doc token lengths — the index's companion stats table: N and
+    * Σ|D| must count ZERO-token documents too, which have no posting
+    * rows (corpus-narrow: one (doc_id, dl) row per document).
+    */
+  def buildDocLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), size(wordTokens(col(textCol))).as("dl"))
+
+  /** [[bm25TopK]] served from a materialized [[buildPostings]] index:
+    * the `term IN (query)` filter pushes to the postings scan (range-
+    * sorted ⇒ row-group prune), df is the |Q|-row aggregate over the
+    * pruned postings, and the scoring arithmetic is IDENTICAL to the
+    * from-scratch operator — same floor-fixed integer contributions,
+    * same exact-long sum, same (score, id) TakeOrdered cut.
+    */
+  def bm25TopKFromIndex(postings: DataFrame, docLengths: DataFrame,
+                        queryTerms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1)
+    val stats = docLengths.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
+    val p = postings.where(col("term").isin(queryTerms: _*))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / (col("sum_dl").cast("double") / col("n_corpus")))))
+    p.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor(idf * tfNorm * lit(1000000.0) + lit(0.5)).cast("long").as("s6"))
+      .groupBy("doc_id")
+      .agg(sum("s6").as("s6"))
+      .orderBy(col("s6").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("s6").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), roundTo(col("s6") / lit(1000000.0), 4).as("score"))
+  }
+
+  /** [[bm25TopKBatch]] served from the materialized index: postings
+    * prune to the union query vocabulary via a broadcast semi-join on
+    * the sorted index scan; everything downstream (df, contributions,
+    * per-query sums, bounded-heap cut, leave-self-out) is the identical
+    * plan tail.
+    */
+  def bm25TopKBatchFromIndex(postings: DataFrame, docLengths: DataFrame,
+                             queryTerms: DataFrame, k: Int,
+                             k1: Double = 1.2, b: Double = 0.75,
+                             excludeQueryDoc: Boolean = false): DataFrame = {
+    require(k >= 1)
+    val stats = docLengths.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
+    val vocab = queryTerms.select("term").distinct()
+    val p = postings.join(broadcast(vocab), Seq("term"), "leftsemi")
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl") / (col("sum_dl").cast("double") / col("n_corpus")))))
+    val contrib = p
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("doc_id"),
+        floor(idf * tfNorm * lit(1000000.0) + lit(0.5)).cast("long").as("s6"))
+    val scoredAll = contrib
+      .join(broadcast(queryTerms.select(col("q_id"), col("term"))), Seq("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum("s6").as("s6"))
+    val scored = if (excludeQueryDoc) scoredAll.where(col("doc_id") =!= col("q_id")) else scoredAll
+    Stats.stratifiedSample(scored, "q_id", "doc_id", "s6", -col("s6"), k)
+      .select(col("stratum").as("q_id"), col("pick").as("rank"),
+        col("id").as("doc_id"), col("payload").as("s6"))
+  }
+
   /** Batch BM25: many queries scored in one plan, each query a SET of
     * terms arriving as DATA rows (q_id, term) — the bulk-evaluation /
     * doc-as-query shape, vs [[bm25TopK]]'s single literal query.

@@ -622,6 +622,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bm25_topk: serves from the postings artifact with the term filter pushed") {
+    // the inverted index is materialized term-sorted parquet; the
+    // query-term predicate must reach the scan (row-group prune), so
+    // per-query IO is O(postings of the query terms), never the corpus
+    val p = plan(Queries.bm25TopK(spark, sf001))
+    assert(p.contains("graft-persist/postings"),
+      s"must scan the materialized inverted index:\n$p")
+    assert(p.contains("In(term"),
+      s"query-term filter must push to the postings scan:\n$p")
+  }
+
   test("customer_id_linkage: the variant pair join ships narrow (v, id) rows only") {
     // The delete-1 blocking join is O(candidate pairs); carrying the
     // name strings through it (and the pair distinct) multiplies its
