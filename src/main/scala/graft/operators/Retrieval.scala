@@ -100,6 +100,25 @@ object Retrieval {
   def buildDocLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), size(wordTokens(col(textCol))).as("dl"))
 
+  /** Streaming maintenance of a materialized postings index: tokenize
+    * an ingested micro-batch with the SAME kernel as the build and
+    * append its postings/doc-length rows (the
+    * [[graft.operators.Dedup.appendSignatures]] /
+    * `IvfIndex.appendPartitioned` analog — no rewrite, no re-tokenize
+    * of the standing corpus). Appended files carry their own min/max
+    * term footers, so term pruning stays CORRECT; it just prunes at
+    * file granularity for the new files until ordinary parquet
+    * compaction re-sorts them — the same hygiene contract as the
+    * cluster-partitioned vector layout.
+    */
+  def appendPostings(docs: DataFrame, idCol: String, textCol: String,
+                     postingsPath: String, docLengthsPath: String): Unit = {
+    buildPostings(docs, idCol, textCol)
+      .write.mode("append").parquet(postingsPath)
+    buildDocLengths(docs, idCol, textCol)
+      .write.mode("append").parquet(docLengthsPath)
+  }
+
   /** [[bm25TopK]] served from a materialized [[buildPostings]] index:
     * the `term IN (query)` filter pushes to the postings scan (range-
     * sorted ⇒ row-group prune), df is the |Q|-row aggregate over the

@@ -111,4 +111,43 @@ class RetrievalSpec extends SparkSpec {
     val r40 = res.find(_.getAs[Long]("doc_id") == 40L).get
     assert(r40.isNullAt(r40.fieldIndex("rank_vec")) && r40.getAs[Int]("rank_text") == 2)
   }
+
+  test("index-served BM25 equals the from-scratch operator, single and batch") {
+    val s = spark; import s.implicits._
+    val docs = corpus.toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings").toString
+    Retrieval.buildPostings(docs, "doc_id", "text").write.parquet(s"$dir/p")
+    Retrieval.buildDocLengths(docs, "doc_id", "text").write.parquet(s"$dir/l")
+    val p = spark.read.parquet(s"$dir/p"); val l = spark.read.parquet(s"$dir/l")
+
+    val scratch = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "broadcast"), k = 5).collect().map(_.toSeq).toSeq
+    val served = Retrieval.bm25TopKFromIndex(p, l,
+      Seq("spark", "broadcast"), k = 5).collect().map(_.toSeq).toSeq
+    assert(served === scratch)
+
+    val qterms = Seq((1L, "spark"), (1L, "shuffle"), (2L, "broadcast")).toDF("q_id", "term")
+    val sb = Retrieval.bm25TopKBatch(docs, "doc_id", "text", qterms, k = 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val vb = Retrieval.bm25TopKBatchFromIndex(p, l, qterms, k = 3)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(vb === sb)
+  }
+
+  test("appendPostings maintains the index: post-ingest serving equals a full rebuild") {
+    val s = spark; import s.implicits._
+    val standing = corpus.take(3).toDF()
+    val incoming = corpus.drop(3).toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-postings-append").toString
+    Retrieval.buildPostings(standing, "doc_id", "text").write.parquet(s"$dir/p")
+    Retrieval.buildDocLengths(standing, "doc_id", "text").write.parquet(s"$dir/l")
+    Retrieval.appendPostings(incoming, "doc_id", "text", s"$dir/p", s"$dir/l")
+
+    val maintained = Retrieval.bm25TopKFromIndex(
+      spark.read.parquet(s"$dir/p"), spark.read.parquet(s"$dir/l"),
+      Seq("spark", "broadcast"), k = 5).collect().map(_.toSeq).toSeq
+    val rebuilt = Retrieval.bm25TopK(corpus.toDF(), "doc_id", "text",
+      Seq("spark", "broadcast"), k = 5).collect().map(_.toSeq).toSeq
+    assert(maintained === rebuilt)
+  }
 }
