@@ -1,0 +1,76 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Retrieval
+
+/** Keyword-retrieval facade over the materialized inverted index — the
+  * text-side sibling of [[VectorIndex]]. The reference serves vectors
+  * only; hybrid keyword+vector ranking is what its users bolt on first
+  * (reference: src/router/mod.rs exposes no text route), so this facade
+  * completes the pair a deployment actually runs: `TextIndex.search`
+  * supplies the BM25 leg that [[graft.operators.Retrieval.rrfFuse]] /
+  * `weightedFuse` blend with a [[VectorIndex]] leg.
+  *
+  * Always PATH-BACKED, like a saved [[VectorIndex]] layout: `build`
+  * writes the term-sorted postings + doc-length tables once
+  * ([[graft.operators.Retrieval.buildPostings]]), `load` reopens them
+  * after a restart, and `append` ingests new documents without
+  * re-tokenizing the standing corpus — the scalar_storage.rs
+  * indexes-survive-restart contract on the text side. Every search is
+  * a term-pruned scan of the artifact (the predicate reaches the
+  * parquet footers), never a corpus tokenize.
+  */
+final class TextIndex private (spark: SparkSession, val path: String) {
+
+  /** (term, doc_id, tf, dl) — term-sorted at build; appends add their
+    * own footer-pruned files until compaction.
+    */
+  def postings: DataFrame = spark.read.parquet(s"$path/postings")
+
+  /** (doc_id, dl) — one row per document, INCLUDING zero-token docs
+    * (they carry no postings but must count in N and avgdl).
+    */
+  def docLengths: DataFrame = spark.read.parquet(s"$path/doclen")
+
+  /** BM25 top-k for one query (a bag of terms) — identical arithmetic
+    * to the index-free operator (RetrievalSpec proves ≡).
+    */
+  def search(terms: Seq[String], k: Int): DataFrame =
+    Retrieval.bm25TopKFromIndex(postings, docLengths, terms, k)
+
+  /** Batch BM25: many queries in one plan, terms as (q_id, term) rows;
+    * leave-self-out via excludeQueryDoc for doc-as-query evals.
+    */
+  def searchBatch(queryTerms: DataFrame, k: Int,
+                  excludeQueryDoc: Boolean = false): DataFrame =
+    Retrieval.bm25TopKBatchFromIndex(postings, docLengths, queryTerms, k,
+      excludeQueryDoc = excludeQueryDoc)
+
+  /** Ingest new documents: tokenize the batch only and append its
+    * postings/doc-length rows ([[graft.operators.Retrieval.appendPostings]]).
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
+    Retrieval.appendPostings(docs, idCol, textCol, s"$path/postings", s"$path/doclen")
+    this
+  }
+
+  def count: Long = docLengths.count()
+}
+
+object TextIndex {
+
+  /** ONE tokenize pass over the corpus writes both artifact tables;
+    * returns the path-backed handle.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String): TextIndex = {
+    Retrieval.buildPostings(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/postings")
+    Retrieval.buildDocLengths(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    load(docs.sparkSession, path)
+  }
+
+  /** Reopen a built index after a restart — no rebuild, no tokenize. */
+  def load(spark: SparkSession, path: String): TextIndex = new TextIndex(spark, path)
+}

@@ -293,4 +293,33 @@ class ApiSpec extends SparkSpec {
     // picks cover k and stay within the fetched candidate set
     assert(div.map(_.getInt(1)).toSeq === Seq(1, 2))
   }
+
+  test("TextIndex: build -> search equals scratch BM25; load + append serve post-ingest") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark spark spark nothing else about spark"),
+      (3L, "gardening tips for growing tomatoes"),
+      (4L, "spark joins need a shuffle unless broadcast")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-textindex").toString
+
+    val idx = TextIndex.build(docs.where($"doc_id" <= 3), "doc_id", "text", path)
+    assert(idx.count === 3L)
+    val scratch = graft.operators.Retrieval.bm25TopK(docs.where($"doc_id" <= 3),
+      "doc_id", "text", Seq("spark", "cluster"), k = 3).collect().map(_.toSeq).toSeq
+    assert(idx.search(Seq("spark", "cluster"), 3).collect().map(_.toSeq).toSeq === scratch)
+
+    // restart: load serves without rebuild; append ingests doc 4 and
+    // the maintained index equals a full rebuild
+    val re = TextIndex.load(spark, path).append(docs.where($"doc_id" === 4), "doc_id", "text")
+    assert(re.count === 4L)
+    val rebuilt = graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq("spark", "broadcast"), k = 4).collect().map(_.toSeq).toSeq
+    assert(re.search(Seq("spark", "broadcast"), 4).collect().map(_.toSeq).toSeq === rebuilt)
+
+    // batch path: doc-as-query with leave-self-out returns no self hits
+    val qt = Seq((1L, "spark"), (1L, "cluster")).toDF("q_id", "term")
+    val b = re.searchBatch(qt, k = 3, excludeQueryDoc = true).collect()
+    assert(b.nonEmpty && b.forall(_.getAs[Long]("doc_id") != 1L))
+  }
 }
