@@ -5868,22 +5868,35 @@ object Queries {
         expr("transform(sequence(1, length(name)), i -> " +
           "concat(substring(name, 1, i - 1), substring(name, i + 1, length(name))))")))
         .as(Seq("pos", "v")))
-    // persisted: the capped posting table feeds both legs (persist
-    // contract at the top of this file)
-    val vk = vars.join(
-        vars.groupBy("pos", "v").agg(count(lit(1)).as("df")).where(col("df") <= 256)
-          .select("pos", "v"),
-        Seq("pos", "v"))
+    // ONE posting shuffle: blocks form by (pos, v) with the df-cap as a
+    // plain array-size filter (no separate df aggregate, no join-back),
+    // and pair expansion is MAP-SIDE combination generation over the
+    // ≤ 256-id block arrays — the blockPairScan shape. Persisted: the
+    // block table feeds the sub/eq explode AND the v-regroup (persist
+    // contract at the top of this file).
+    val blocks = vars.groupBy("pos", "v")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) <= 256)
       .persist(StorageLevel.DISK_ONLY)
-    val subeq = vk.select(col("pos"), col("v"), col("id").as("a_id"))
-      .join(vk.select(col("pos"), col("v"), col("id").as("b_id")), Seq("pos", "v"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
-    val indel = vk.where(col("pos") === 0).select(col("v"), col("id").as("x_id"))
-      .join(vk.where(col("pos") >= 1).select(col("v"), col("id").as("y_id")), Seq("v"))
-      .where(col("x_id") =!= col("y_id"))
-      .select(least(col("x_id"), col("y_id")).as("a_id"),
-        greatest(col("x_id"), col("y_id")).as("b_id"))
+    val subeq = blocks.select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('a_id', a, 'b_id', b))))"))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+    // indels: pos-0 (full-name) ids × delete-1 ids sharing v — one
+    // regroup of the block table (one narrow row per block), cross
+    // bounded by the per-block caps
+    val indel = blocks.groupBy("v")
+      .agg(flatten(collect_list(when(col("pos") === 0, col("ids"))
+          .otherwise(array()))).as("full"),
+        flatten(collect_list(when(col("pos") >= 1, col("ids"))
+          .otherwise(array()))).as("dels"))
+      .where(size(col("full")) > 0 && size(col("dels")) > 0)
+      .select(explode(expr(
+        "flatten(transform(full, x -> transform(dels, y -> " +
+          "named_struct('a_id', least(x, y), 'b_id', greatest(x, y)))))")).as("p"))
+      .where(col("p.a_id") =!= col("p.b_id"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
     val pairs = subeq.unionByName(indel).distinct()
     val m = pairs.select(col("a_id").as("id"))
       .unionByName(pairs.select(col("b_id").as("id")))

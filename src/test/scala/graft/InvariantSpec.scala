@@ -611,4 +611,26 @@ class InvariantSpec extends SparkSpec {
     val rec = r.getDouble(3)
     assert(rec >= 0.0 && rec <= 1.0 + 1e-9)
   }
+
+  test("rerank curves: recall is MONOTONE in rerank and the rerank = n leg closes at 1.0") {
+    // provable: with candidate sets S1 ⊆ S2, any exact-top-k member
+    // surviving the S1 cut also survives the S2 cut (at most k−1
+    // globally-better vectors exist), so hits never decrease; and at
+    // rerank = n every candidate survives ⇒ the search IS brute force.
+    for (q <- Seq(Queries.annSq8RerankCurve _, Queries.annBinaryRerankCurve _)) {
+      val rows = q(spark, sf001).collect()
+      val recalls = rows.map(_.getAs[Double]("recall"))
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a - 1e-9 },
+        s"recall must not decrease with rerank: ${recalls.mkString(",")}")
+      assert(recalls.last === 1.0, "the rerank = n leg must be exact")
+    }
+  }
+
+  test("knn_components: component sizes account for every vector exactly once") {
+    val n = spark.read.parquet(s"$sf001/embeddings.parquet").count()
+    val rows = Queries.knnComponents(spark, sf001).collect()
+    val covered = rows.map(r => r.getAs[Long]("sz") * r.getAs[Long]("n_components")).sum
+    assert(covered === n, s"Σ sz·n_components must equal n_vectors ($covered vs $n)")
+    assert(rows.forall(_.getAs[Long]("n_components") > 0))
+  }
 }
