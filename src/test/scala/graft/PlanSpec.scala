@@ -634,26 +634,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("customer_id_linkage: the variant pair join ships narrow (v, id) rows only") {
-    // The delete-1 blocking join is O(candidate pairs); carrying the
-    // name strings through it (and the pair distinct) multiplies its
-    // join/shuffle bytes by the payload width — names must re-join by
-    // id AFTER candidate dedup. Guard: no join keyed on the variant
-    // column may output a name column (covers both the broadcast plan
-    // at tiny SF and the shuffle plan at scale).
-    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    // Pair generation is BLOCK-LOCAL: postings group into ≤ 256-id
+    // (pos, v) arrays in one shuffle and pairs explode map-side — no
+    // pair join exists at all, and NO shuffle anywhere in the plan may
+    // ship a name payload (the r7 version carried both 18-char names
+    // through an O(candidates) join + 4-column distinct).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val plan = Queries.customerIdLinkage(spark, sf001).queryExecution.executedPlan
-      var sawVariantJoin = false
+      var sawBlockShuffle = false
       plan.foreach {
-        case j: BaseJoinExec if j.leftKeys.exists(_.references.exists(_.name == "v")) =>
-          sawVariantJoin = true
-          assert(!j.output.exists(_.name.contains("name")),
-            s"variant-keyed join must not carry name payloads:\n$j")
+        case e: ShuffleExchangeExec =>
+          if (e.output.exists(_.name == "v")) sawBlockShuffle = true
+          assert(!e.output.exists(_.name.contains("name")),
+            s"no shuffle may carry name payloads:\n$e")
         case _ => ()
       }
-      assert(sawVariantJoin, "expected a join keyed on the variant column")
+      assert(sawBlockShuffle, "expected the (pos, v) block shuffle")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
