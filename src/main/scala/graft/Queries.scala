@@ -44,11 +44,18 @@ object Queries {
 
   private def materialized(spark: SparkSession, dir: String, name: String)
                           (build: => DataFrame): DataFrame = {
-    val path = derivedTables.computeIfAbsent((dir, name), { _ =>
+    // check-then-putIfAbsent, NOT computeIfAbsent: build closures may
+    // themselves call materialized() (knnComponents builds on top of
+    // knnGraph), and a nested computeIfAbsent on the same
+    // ConcurrentHashMap throws "recursive update" when the keys share
+    // a bin. A racing duplicate build writes a second (orphaned but
+    // correct) artifact and the putIfAbsent loser adopts the winner's.
+    val key = (dir, name)
+    val path = Option(derivedTables.get(key)).getOrElse {
       val p = s"target/graft-persist/${name}_${java.util.UUID.randomUUID()}"
       build.write.mode("overwrite").parquet(p)
-      p
-    })
+      Option(derivedTables.putIfAbsent(key, p)).getOrElse(p)
+    }
     spark.read.parquet(path)
   }
 
