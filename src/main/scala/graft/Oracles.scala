@@ -1134,6 +1134,22 @@ object Oracles {
          |       (round((min(nrm)) * 10000.0) / 10000.0) AS min_norm, (round((max(nrm)) * 10000.0) / 10000.0) AS max_norm
          |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
+    // text-index stats re-derived from raw text (the Spark side reads
+    // the materialized postings; values must agree exactly).
+    "text_index_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |l AS (SELECT doc_id, len(toks) AS dl FROM t),
+         |p AS (SELECT w AS term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |      FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY w, doc_id),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+         |ps AS (SELECT CAST(count(*) AS BIGINT) AS n_postings, CAST(sum(tf) AS BIGINT) AS n_tokens FROM p),
+         |vs AS (SELECT CAST(count(*) AS BIGINT) AS n_terms, CAST(max(df) AS BIGINT) AS max_df FROM d),
+         |ds AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM l)
+         |SELECT ds.n_docs, vs.n_terms, ps.n_postings, ps.n_tokens, vs.max_df,
+         |  (round((CAST(ps.n_postings AS DOUBLE) / CAST(ds.n_docs AS DOUBLE)) * 10000.0) / 10000.0) AS postings_per_doc,
+         |  (round((CAST(ds.sum_dl AS DOUBLE) / CAST(ds.n_docs AS DOUBLE)) * 10000.0) / 10000.0) AS avg_dl
+         |FROM ds, ps, vs""".stripMargin,
+
     // ================= B. deduplication =================
 
     "dedup_exact" ->

@@ -580,6 +580,31 @@ object Queries {
     operators.Retrieval.bm25TopKFromIndex(textPostings(spark, dir),
       textDocLengths(spark, dir), bm25Terms, k = 10)
 
+  /** Inverted-index health report — the text-index member of the
+    * index-stats family ([[indexStats]] reports the vector side):
+    * corpus size, vocabulary size, posting volume, token mass, the
+    * heaviest document frequency, and the postings/doc and avg-doclen
+    * ratios — the capacity numbers a deployment sizes its keyword tier
+    * from. Everything reads the two artifact tables (bounded partial
+    * aggs; the n_tokens-from-postings vs avg_dl-from-doclen pair is a
+    * built-in consistency check the oracle re-derives from raw text).
+    */
+  def textIndexStats(spark: SparkSession, dir: String): DataFrame = {
+    val p = textPostings(spark, dir)
+    val dfAgg = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val ps = p.agg(count(lit(1)).as("n_postings"), sum("tf").as("n_tokens"))
+    val vs = dfAgg.agg(count(lit(1)).as("n_terms"), max("df").as("max_df"))
+    val ds = textDocLengths(spark, dir)
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    ds.crossJoin(ps).crossJoin(vs)
+      .select(col("n_docs"), col("n_terms"), col("n_postings"), col("n_tokens"),
+        col("max_df"),
+        roundTo(col("n_postings").cast("double") / col("n_docs").cast("double"), 4)
+          .as("postings_per_doc"),
+        roundTo(col("sum_dl").cast("double") / col("n_docs").cast("double"), 4)
+          .as("avg_dl"))
+  }
+
   /** Hybrid retrieval: the multimodal feature-sketch k-NN leg (same
     * decode → embed path as [[multimodalEmbed]], top-50) fused with the
     * BM25 keyword leg (top-50) by reciprocal-rank fusion, top-20 — the
