@@ -4486,9 +4486,13 @@ object Oracles {
         |      (SELECT * FROM subeq UNION ALL SELECT * FROM indel)),
         |m AS (SELECT id, CAST(count(*) AS BIGINT) AS n
         |      FROM (SELECT a_id AS id FROM p UNION ALL SELECT b_id FROM p) u GROUP BY 1),
-        |j AS (SELECT c.id, coalesce(m.n, 0) AS n_matches FROM c LEFT JOIN m USING (id))
-        |SELECT n_matches, CAST(count(*) AS BIGINT) AS n_customers
-        |FROM j GROUP BY 1 ORDER BY n_matches""".stripMargin,
+        |j AS (SELECT c.id, coalesce(m.n, 0) AS n_matches FROM c LEFT JOIN m USING (id)),
+        |cap AS (SELECT CAST(count(*) AS BIGINT) AS n_capped_blocks,
+        |               CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_ids_in_capped
+        |        FROM (SELECT pos, v, count(*) AS cnt FROM v GROUP BY pos, v HAVING count(*) > 256))
+        |SELECT n_matches, CAST(count(*) AS BIGINT) AS n_customers,
+        |       cap.n_capped_blocks, cap.n_ids_in_capped
+        |FROM j CROSS JOIN cap GROUP BY 1, 3, 4 ORDER BY n_matches""".stripMargin,
 
     // MRL truncation curve: exact top-10 on list_slice prefixes vs the
     // full-dim exact answer; the d = 64 leg closes at recall 1.0.

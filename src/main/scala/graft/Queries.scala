@@ -5904,12 +5904,21 @@ object Queries {
     // plain array-size filter (no separate df aggregate, no join-back),
     // and pair expansion is MAP-SIDE combination generation over the
     // ≤ 256-id block arrays — the blockPairScan shape. Persisted: the
-    // block table feeds the sub/eq explode AND the v-regroup (persist
-    // contract at the top of this file).
-    val blocks = vars.groupBy("pos", "v")
+    // block table feeds the sub/eq explode, the v-regroup AND the
+    // cap-observability report (persist contract at the top of this
+    // file). The cap itself is applied per consumer so the capped
+    // blocks stay countable.
+    val blocksAll = vars.groupBy("pos", "v")
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) <= 256)
       .persist(StorageLevel.DISK_ONLY)
+    val blocks = blocksAll.where(size(col("ids")) <= 256)
+    // Completeness envelope: how much the df-cap dropped. Pairs inside
+    // >256-id blocks are exact-duplication territory owned by
+    // [[dedupExact]], but the report must SAY what it excluded —
+    // a 1-row broadcast riding every histogram row.
+    val capStats = blocksAll.where(size(col("ids")) > 256)
+      .agg(count(lit(1)).as("n_capped_blocks"),
+        coalesce(sum(size(col("ids")).cast("long")), lit(0L)).as("n_ids_in_capped"))
     val subeq = blocks.select(explode(expr(
         "flatten(transform(ids, (a, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), b -> named_struct('a_id', a, 'b_id', b))))"))
@@ -5936,6 +5945,9 @@ object Queries {
     c.join(m, Seq("id"), "left")
       .select(coalesce(col("n"), lit(0L)).as("n_matches"))
       .groupBy("n_matches").agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(capStats))
+      .select(col("n_matches"), col("n_customers"),
+        col("n_capped_blocks"), col("n_ids_in_capped"))
       .orderBy("n_matches")
   }
 }

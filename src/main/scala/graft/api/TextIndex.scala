@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Retrieval
 
@@ -49,8 +50,20 @@ final class TextIndex private (spark: SparkSession, val path: String) {
 
   /** Ingest new documents: tokenize the batch only and append its
     * postings/doc-length rows ([[graft.operators.Retrieval.appendPostings]]).
+    *
+    * NEW-docs-only contract, enforced: a doc_id already in the index
+    * would silently corrupt the stats (duplicate doclen rows inflate
+    * N/avgdl; duplicate (term, doc_id) postings inflate df and split
+    * tf), so the batch is anti-checked against the standing doc-length
+    * table first — one semi-join probe per append, limit-1 cheap.
     */
   def append(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
+    val dup = docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(docLengths, Seq("doc_id"), "leftsemi").limit(1).collect()
+    require(dup.isEmpty,
+      s"TextIndex.append is new-docs-only: doc_id ${dup.headOption.map(_.get(0)).orNull} " +
+        "is already indexed (re-appending would inflate df/N and split tf); " +
+        "assign fresh ids or rebuild")
     Retrieval.appendPostings(docs, idCol, textCol, s"$path/postings", s"$path/doclen")
     this
   }
@@ -60,15 +73,26 @@ final class TextIndex private (spark: SparkSession, val path: String) {
 
 object TextIndex {
 
-  /** ONE tokenize pass over the corpus writes both artifact tables;
-    * returns the path-backed handle.
+  /** ONE tokenize pass over the corpus writes both artifact tables:
+    * the (doc_id, toks) projection lands once as a scratch parquet
+    * under the index dir, both tables derive from the STORED copy
+    * (so `wordTokens` evaluates exactly once per document), and the
+    * scratch projection is deleted after the build. Returns the
+    * path-backed handle.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, path: String): TextIndex = {
-    Retrieval.buildPostings(docs, idCol, textCol)
+    val spark = docs.sparkSession
+    val scratch = s"$path/_toks_scratch"
+    Retrieval.tokensProjection(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(scratch)
+    val tokens = spark.read.parquet(scratch)
+    Retrieval.postingsFromTokens(tokens)
       .write.mode("overwrite").parquet(s"$path/postings")
-    Retrieval.buildDocLengths(docs, idCol, textCol)
+    Retrieval.docLengthsFromTokens(tokens)
       .write.mode("overwrite").parquet(s"$path/doclen")
-    load(docs.sparkSession, path)
+    val p = new org.apache.hadoop.fs.Path(scratch)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    load(spark, path)
   }
 
   /** Reopen a built index after a restart — no rebuild, no tokenize. */

@@ -848,6 +848,16 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // The cap is a runaway BACKSTOP, not a budget: if labels were still
+    // moving when it hit, the component map is WRONG (split components —
+    // exactly the silent failure the 12-iter cap shipped once). Fail
+    // loudly instead of returning it; callers on a genuinely deeper
+    // graph raise maxIters, they don't get quietly wrong clusters.
+    if (changed)
+      throw new IllegalStateException(
+        s"resolveClusters did not converge in $maxIters rounds (labels still " +
+          "changing) — the returned map would contain split components; " +
+          "raise maxIters for graphs of this diameter")
     edges.unpersist()
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")

@@ -87,7 +87,19 @@ object Retrieval {
     * to a length table.
     */
   def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    postingsFromTokens(tokensProjection(docs, idCol, textCol))
+
+  /** The (doc_id, toks) projection both index tables derive from — the
+    * ONE tokenize pass. [[graft.api.TextIndex.build]] persists it once
+    * and feeds the stored copy to both `fromTokens` plans, so the corpus
+    * is tokenized exactly once per build.
+    */
+  def tokensProjection(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+
+  /** [[buildPostings]]' plan tail over an already-tokenized projection. */
+  def postingsFromTokens(tokens: DataFrame): DataFrame =
+    tokens
       .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
@@ -98,7 +110,11 @@ object Retrieval {
     * rows (corpus-narrow: one (doc_id, dl) row per document).
     */
   def buildDocLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), size(wordTokens(col(textCol))).as("dl"))
+    docLengthsFromTokens(tokensProjection(docs, idCol, textCol))
+
+  /** [[buildDocLengths]]' plan tail over an already-tokenized projection. */
+  def docLengthsFromTokens(tokens: DataFrame): DataFrame =
+    tokens.select(col("doc_id"), size(col("toks")).as("dl"))
 
   /** Streaming maintenance of a materialized postings index: tokenize
     * an ingested micro-batch with the SAME kernel as the build and

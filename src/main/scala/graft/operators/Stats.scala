@@ -107,15 +107,21 @@ object Stats {
     * data the branch folds away and the frame is the plain count.
     */
   def denseIdCount(df: DataFrame, idCol: String, out: String, what: String): DataFrame =
-    df.agg(count(lit(1)).as("__n"),
+    df.agg(count(lit(1)).as("__n"), countDistinct(col(idCol)).as("__nd"),
         min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
       .select(
-        when(col("__mn") === 0 && col("__mx") === col("__n") - 1, col("__n"))
+        // min==0 ∧ max==n−1 alone admits a multiset with duplicates plus
+        // a matching gap (ids 0,0,2) that still loses partner pairs —
+        // the distinct count closes that hole without assuming the
+        // caller passed a primary key.
+        when(col("__mn") === 0 && col("__mx") === col("__n") - 1 &&
+             col("__nd") === col("__n"), col("__n"))
           .otherwise(raise_error(concat(
-            lit(s"$what requires dense $idCol ids 0..n-1: min="),
+            lit(s"$what requires dense UNIQUE $idCol ids 0..n-1: min="),
             coalesce(col("__mn").cast("string"), lit("null")),
             lit(" max="), coalesce(col("__mx").cast("string"), lit("null")),
-            lit(" n="), col("__n").cast("string"))))
+            lit(" n="), col("__n").cast("string"),
+            lit(" distinct="), col("__nd").cast("string"))))
           .cast("long").as(out))
 
   /** Per-key k-sigma outliers with a fully integer decision rule.

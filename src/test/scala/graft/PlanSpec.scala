@@ -595,8 +595,14 @@ class PlanSpec extends SparkSpec {
 
   test("customer_id_linkage: variant blocking is an equi-join, never a name cross product") {
     val p = plan(Queries.customerIdLinkage(spark, sf001))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"delete-1 blocking must stay an equi-join:\n$p")
+    // exactly ONE nested-loop join is allowed: the 1-row cap-stats
+    // aggregate broadcast onto the histogram (the completeness
+    // envelope columns) — a bounded cross, not pair blocking.
+    // (formatted explain prints every node twice: tree + details)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the 1-row cap-stats cross may nested-loop:\n$p")
   }
 
   test("corpus_ccnet_buckets: thresholds broadcast; the doc-level table reads the cache") {
