@@ -191,8 +191,8 @@ object Oracles {
     * and constants mirror [[Queries.bm25Terms]] /
     * [[operators.Retrieval.bm25TopK]] expression-for-expression.
     */
-  private def bm25Ctes(k: Int): String =
-    s"""t AS (SELECT doc_id, $toks AS toks FROM documents),
+  private def bm25Ctes(k: Int, where: String = ""): String =
+    s"""t AS (SELECT doc_id, $toks AS toks FROM documents$where),
        |st AS (SELECT count(*) AS n_corpus, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
        |p0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
        |p AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM p0
@@ -1442,6 +1442,38 @@ object Oracles {
       s"""WITH ${bm25Ctes(10)}
          |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
          |FROM bm ORDER BY rank""".stripMargin,
+
+    // Filtered BM25 ≡ BM25 over the lang = 'en' sub-corpus (stats, df
+    // and candidates all filtered) — the oracle re-derives it from raw
+    // text with the filter applied before tokenization.
+    "filtered_bm25" ->
+      s"""WITH ${bm25Ctes(10, " WHERE lang = 'en'")}
+         |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
+         |FROM bm ORDER BY rank""".stripMargin,
+
+    // Filtered hybrid: hybrid_rrf's exact fusion tree with the lang
+    // filter composed into BOTH legs (the probe doc is fetched
+    // unfiltered — it is the query, not a candidate).
+    "filtered_hybrid" ->
+      s"""WITH ${bm25Ctes(50, " WHERE lang = 'en'")},
+         |f AS (SELECT doc_id,
+         |  list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
+         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
+         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS features
+         |  FROM documents WHERE lang = 'en'),
+         |fq AS (SELECT list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
+         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
+         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS qv
+         |  FROM documents WHERE doc_id = 7),
+         |vd AS (SELECT f.doc_id, ${l2("f.features", "fq.qv")} AS score FROM f, fq),
+         |vleg AS (SELECT CAST(row_number() OVER (ORDER BY score, doc_id) AS INT) AS rank, doc_id
+         |         FROM vd ORDER BY score, doc_id LIMIT 50),
+         |fuse AS (SELECT coalesce(v.doc_id, b.doc_id) AS doc_id, v.rank AS rank_vec, b.rank AS rank_text,
+         |    coalesce(1.0 / (60 + v.rank), 0.0) + coalesce(1.0 / (60 + b.rank), 0.0) AS rrf
+         |  FROM vleg v FULL OUTER JOIN bm b ON v.doc_id = b.doc_id)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank, doc_id,
+         |  (round((rrf) * 1000000.0) / 1000000.0) AS rrf, rank_vec, rank_text
+         |FROM fuse ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // vector leg = the multimodal feature-sketch kNN (same CTEs as
     // multimodal_embed, top-50); text leg = BM25 top-50; RRF fuse with

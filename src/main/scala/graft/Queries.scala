@@ -565,9 +565,16 @@ object Queries {
       operators.Retrieval.buildPostings(Tables.documents(spark, dir), "doc_id", "text")
     }
 
+  /** The doc-side index table carries the lang metadata column so a
+    * filtered search prunes this artifact scan directly — the
+    * reference's scalar filter index riding the index
+    * ([[operators.Retrieval.buildDocLengthsWithMeta]]). Consumers that
+    * only need (doc_id, dl) ignore the extra column.
+    */
   private def textDocLengths(spark: SparkSession, dir: String): DataFrame =
     materialized(spark, dir, "doclen") {
-      operators.Retrieval.buildDocLengths(Tables.documents(spark, dir), "doc_id", "text")
+      operators.Retrieval.buildDocLengthsWithMeta(
+        Tables.documents(spark, dir), "doc_id", "text", "lang")
     }
 
   /** BM25 top-10 keyword retrieval served from the materialized
@@ -579,6 +586,21 @@ object Queries {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     operators.Retrieval.bm25TopKFromIndex(textPostings(spark, dir),
       textDocLengths(spark, dir), bm25Terms, k = 10)
+
+  /** Metadata-filtered keyword retrieval (reference:
+    * filter_index.rs:23-104 Operation::Equal composed with search, the
+    * text leg of hnsw_index.rs search_vectors_filter): BM25 top-10
+    * over the lang = 'en' sub-corpus served from the SHARED index
+    * artifacts. The lang predicate prunes the doc-side artifact scan
+    * (metadata rides the doc-length table the way dl rides the
+    * posting), the term predicate prunes the postings scan, and the
+    * term-pruned postings broadcast into the allowed side — the
+    * corpus-proportional leg never shuffles. Provably ≡ an index built
+    * on the filtered corpus (RetrievalSpec).
+    */
+  def filteredBm25(spark: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bm25TopKFromIndexFiltered(textPostings(spark, dir),
+      textDocLengths(spark, dir), col("lang") === "en", bm25Terms, k = 10)
 
   /** Inverted-index health report — the text-index member of the
     * index-stats family ([[indexStats]] reports the vector side):
@@ -620,6 +642,32 @@ object Queries {
       .select(col("id").as("doc_id"), col("rank"))
     val textLeg = operators.Retrieval.bm25TopKFromIndex(textPostings(spark, dir),
         textDocLengths(spark, dir), bm25Terms, k = 50)
+      .select(col("doc_id"), col("rank"))
+    operators.Retrieval.rrfFuse(vecLeg, textLeg, k = 20)
+  }
+
+  /** Metadata-filtered HYBRID retrieval — the filter composed into BOTH
+    * legs before fusion (the reference filters its vector search;
+    * a hybrid deployment must filter the keyword leg identically or
+    * the fusion leaks excluded docs): the vector leg ranks only
+    * lang = 'en' docs (filter pushed to the documents scan under the
+    * feature-sketch k-NN), the keyword leg is [[filteredBm25]]'s
+    * doc-side-pruned BM25, and RRF fuses the two filtered top-50 lists
+    * into the top-20. The probe doc (7) is the query, not a candidate
+    * constraint — same as filtered k-NN, where the query vector needn't
+    * satisfy the filter.
+    */
+  def filteredHybrid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val media = docs.where(col("lang") === "en")
+      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+    val feats = operators.Multimodal.decode(media).toDF().select(col("doc_id"), col("features"))
+    val probeText = docs.where(col("doc_id") === 7L).select("text").first().getString(0)
+    val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
+    val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
+      .select(col("id").as("doc_id"), col("rank"))
+    val textLeg = operators.Retrieval.bm25TopKFromIndexFiltered(textPostings(spark, dir),
+        textDocLengths(spark, dir), col("lang") === "en", bm25Terms, k = 50)
       .select(col("doc_id"), col("rank"))
     operators.Retrieval.rrfFuse(vecLeg, textLeg, k = 20)
   }

@@ -116,6 +116,18 @@ object Retrieval {
   def docLengthsFromTokens(tokens: DataFrame): DataFrame =
     tokens.select(col("doc_id"), size(col("toks")).as("dl"))
 
+  /** [[buildDocLengths]] with carried metadata columns — the text-side
+    * analog of the reference's scalar filter index riding the index
+    * artifact (filter_index.rs value→ids beside the vectors): a
+    * metadata predicate prunes the doc-side artifact scan directly, no
+    * join back to the raw corpus at query time
+    * ([[bm25TopKFromIndexFiltered]]).
+    */
+  def buildDocLengthsWithMeta(docs: DataFrame, idCol: String, textCol: String,
+                              metaCols: String*): DataFrame =
+    docs.select(col(idCol).as("doc_id") +: size(wordTokens(col(textCol))).as("dl")
+      +: metaCols.map(col): _*)
+
   /** Streaming maintenance of a materialized postings index: tokenize
     * an ingested micro-batch with the SAME kernel as the build and
     * append its postings/doc-length rows (the
@@ -148,6 +160,16 @@ object Retrieval {
     require(queryTerms.nonEmpty && k >= 1)
     val stats = docLengths.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
     val p = postings.where(col("term").isin(queryTerms: _*))
+    scoreTail(p, stats, k, k1, b)
+  }
+
+  /** The shared single-query scoring tail over pruned postings
+    * (doc_id, term, tf, dl) + a 1-row (n_corpus, sum_dl) stats frame:
+    * |Q|-row df broadcast, floor-fixed integer contributions, exact-long
+    * per-doc sum, (score, id) TakeOrdered cut.
+    */
+  private def scoreTail(p: DataFrame, stats: DataFrame, k: Int,
+                        k1: Double, b: Double): DataFrame = {
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfNorm = (col("tf") * lit(k1 + 1.0)) /
@@ -162,6 +184,34 @@ object Retrieval {
       .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(col("s6").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), roundTo(col("s6") / lit(1000000.0), 4).as("score"))
+  }
+
+  /** Metadata-filtered BM25 from the shared index — the text analog of
+    * the reference's filter-composed ANN search (filter_index.rs
+    * Operation::Equal ∘ hnsw_index.rs search_vectors_filter): score the
+    * query over ONLY the documents satisfying `docFilter`, with corpus
+    * stats (N, avgdl) and df recomputed over the filtered sub-corpus —
+    * provably identical to building an index on the filtered corpus
+    * (RetrievalSpec), while serving from the SHARED artifacts.
+    *
+    * Scale shape: `docFilter` prunes the doc-side artifact scan
+    * directly (metadata columns ride the doc-length table the way dl
+    * rides the posting row — [[buildDocLengthsWithMeta]]), the term
+    * predicate prunes the postings scan, and the two compose by
+    * BROADCASTING the term-pruned postings (O(Σ df of the query
+    * terms), the bound every keyword engine already accepts) into the
+    * allowed-docs scan — the corpus-proportional side never shuffles
+    * and never broadcasts.
+    */
+  def bm25TopKFromIndexFiltered(postings: DataFrame, docLengths: DataFrame,
+                                docFilter: Column, queryTerms: Seq[String], k: Int,
+                                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && k >= 1)
+    val allowed = docLengths.where(docFilter)
+    val stats = allowed.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
+    val pruned = postings.where(col("term").isin(queryTerms: _*))
+    val p = allowed.select(col("doc_id")).join(broadcast(pruned), Seq("doc_id"))
+    scoreTail(p, stats, k, k1, b)
   }
 
   /** [[bm25TopKBatch]] served from the materialized index: postings

@@ -639,6 +639,25 @@ class PlanSpec extends SparkSpec {
       s"query-term filter must push to the postings scan:\n$p")
   }
 
+  test("filtered_bm25: lang filter prunes the doc-side artifact scan; term filter prunes postings") {
+    // the filter must reach BOTH scans: lang = 'en' as a pushed
+    // predicate on the doc-length artifact (metadata rides the index,
+    // filter_index.rs style), term IN (...) on the sorted postings;
+    // the corpus-proportional allowed side must NOT be the broadcast
+    // side (the term-pruned postings broadcast into it)
+    val p = plan(Queries.filteredBm25(spark, sf001))
+    assert(p.contains("graft-persist/postings"),
+      s"must scan the materialized inverted index:\n$p")
+    assert(p.contains("In(term"),
+      s"query-term filter must push to the postings scan:\n$p")
+    assert(p.contains("graft-persist/doclen"),
+      s"must scan the doc-side artifact, not re-tokenize documents:\n$p")
+    assert(p.contains("EqualTo(lang,en)"),
+      s"lang filter must push to the doc-side artifact scan:\n$p")
+    assert(!p.contains("tokenize_words"),
+      s"a filtered search must not re-tokenize the corpus:\n$p")
+  }
+
   test("customer_id_linkage: the variant pair join ships narrow (v, id) rows only") {
     // Pair generation is BLOCK-LOCAL: postings group into ≤ 256-id
     // (pos, v) arrays in one shuffle and pairs explode map-side — no

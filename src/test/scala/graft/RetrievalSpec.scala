@@ -134,6 +134,30 @@ class RetrievalSpec extends SparkSpec {
     assert(vb === sb)
   }
 
+  test("filtered BM25 from the shared index equals an index built on the filtered corpus") {
+    val s = spark; import s.implicits._
+    // metadata: odd doc_ids are 'en', even are 'de'
+    val docs = corpus.toDF()
+      .withColumn("lang", when(col("doc_id") % 2 === 1, "en").otherwise("de"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-filtered-bm25").toString
+    Retrieval.buildPostings(docs, "doc_id", "text").write.parquet(s"$dir/p")
+    Retrieval.buildDocLengthsWithMeta(docs, "doc_id", "text", "lang")
+      .write.parquet(s"$dir/l")
+    val p = spark.read.parquet(s"$dir/p"); val l = spark.read.parquet(s"$dir/l")
+
+    val filtered = Retrieval.bm25TopKFromIndexFiltered(p, l,
+      col("lang") === "en", Seq("spark", "broadcast"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    // ground truth: the from-scratch operator over the pre-filtered
+    // corpus — stats, df and candidates all see only the sub-corpus
+    val subCorpus = Retrieval.bm25TopK(docs.where(col("lang") === "en"),
+      "doc_id", "text", Seq("spark", "broadcast"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(filtered === subCorpus)
+    // no excluded doc leaks into the filtered ranking
+    assert(filtered.forall(r => r(1).asInstanceOf[Long] % 2 == 1))
+  }
+
   test("appendPostings maintains the index: post-ingest serving equals a full rebuild") {
     val s = spark; import s.implicits._
     val standing = corpus.take(3).toDF()
