@@ -672,6 +672,37 @@ object Oracles {
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
   }
 
+  /** Batch twin of [[pqSql]]: every vec_id % 100 == 0 row is a query;
+    * the per-query ADC tables, the rerank-`rerank` candidate cut
+    * (adc9, id ascending per query) and the exact per-query re-rank all
+    * re-derived from the same codebook literals.
+    */
+  private def pqBatchSql(books: Array[Array[Array[Float]]], k: Int, rerank: Int): String = {
+    val ksub = books.head.length
+    val dsub = books.head.head.length
+    def sub(v: String) = s"list_slice($v, (cb.pid // $ksub) * $dsub + 1, (cb.pid // $ksub) * $dsub + $dsub)"
+    s"""WITH cb AS ${paramRows(books.flatten, "pid", "cv")},
+       |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |asg AS (SELECT e.vec_id, cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |          ${l2sq(sub("e.embedding"), "cb.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cb),
+       |code AS (SELECT vec_id, j, c FROM asg
+       |         QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1),
+       |qt AS (SELECT q.q_id, cb.pid // $ksub AS j, cb.pid % $ksub AS c,
+       |         CAST(floor(${l2sq(sub("q.qv"), "cb.cv")} * 1000000000.0 + 0.5) AS BIGINT) AS d9
+       |       FROM cb CROSS JOIN q),
+       |adc AS (SELECT qt.q_id, code.vec_id AS id, CAST(sum(qt.d9) AS BIGINT) AS adc9
+       |        FROM code JOIN qt USING (j, c) GROUP BY 1, 2),
+       |cand AS (SELECT q_id, id FROM adc
+       |         QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY adc9, id) <= $rerank),
+       |d AS (SELECT c.q_id, e.vec_id AS n_id, ${l2("e.embedding", "q.qv")} AS score
+       |      FROM cand c JOIN embeddings e ON e.vec_id = c.id JOIN q ON q.q_id = c.q_id)
+       |SELECT q_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) AS INT) AS rank,
+       |       n_id, (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Per-subspace PQ reconstruction MSE from the same codebook literals
     * — the DuckDB twin of [[Queries.pqDistortion]] (assignment ties to
     * the lower code id, error integer-fixed like the ADC tables).
@@ -928,6 +959,7 @@ object Oracles {
     val pqBooks = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
     Map(
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
+      "knn_batch_pq" -> pqBatchSql(pqBooks, k = 5, rerank = 100),
       "pq_distortion" -> pqDistortionSql(pqBooks),
       "pq_code_entropy" -> pqCodeEntropySql(pqBooks),
       "embedding_outliers" -> embeddingOutliersSql(centroids),

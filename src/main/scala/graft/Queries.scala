@@ -31,30 +31,30 @@ object Queries {
 
   private val ts19980101 = Timestamp.valueOf("1998-01-01 00:00:00")
 
-  /** Written-once-per-(sf dir, JVM) derived tables — the
+  /** Written-once-per-corpus derived tables — the
     * [[operators.Dedup.index]] pattern for single corpus-scale score
     * chains shared by several queries (DSIR scores, the bigram-LM
     * fluency table): the chain runs once, lands in parquet under
     * target/graft-persist, and every consumer reads the artifact.
     * Parquet on purpose — clearCache-proof, restart-shaped, and doubles
     * round-trip bit-exact so hash gates are unaffected.
+    *
+    * Lifecycle is [[operators.Artifacts]]: the artifact is keyed on a
+    * CONTENT fingerprint of the corpus dir, so a rewritten corpus
+    * invalidates and rebuilds instead of serving stale rows (the old
+    * version is GC'd); a restart adopts the committed on-disk artifact
+    * without rebuilding; racing first callers build once under a key
+    * lock. `spec` tags the build recipe — bump it when the artifact's
+    * schema/derivation changes so old on-disk versions never get
+    * adopted across code versions.
     */
-  private val derivedTables =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
-
-  private def materialized(spark: SparkSession, dir: String, name: String)
+  private def materialized(spark: SparkSession, dir: String, name: String,
+                           spec: String = "")
                           (build: => DataFrame): DataFrame = {
-    // check-then-putIfAbsent, NOT computeIfAbsent: build closures may
-    // themselves call materialized() (knnComponents builds on top of
-    // knnGraph), and a nested computeIfAbsent on the same
-    // ConcurrentHashMap throws "recursive update" when the keys share
-    // a bin. A racing duplicate build writes a second (orphaned but
-    // correct) artifact and the putIfAbsent loser adopts the winner's.
-    val key = (dir, name)
-    val path = Option(derivedTables.get(key)).getOrElse {
-      val p = s"target/graft-persist/${name}_${java.util.UUID.randomUUID()}"
-      build.write.mode("overwrite").parquet(p)
-      Option(derivedTables.putIfAbsent(key, p)).getOrElse(p)
+    val fp = operators.Artifacts.fingerprint(spark, Seq(dir), spec)
+    val path = operators.Artifacts.resolve(spark, name,
+      operators.Artifacts.corpusKey(dir), fp) { tmp =>
+      build.write.mode("overwrite").parquet(tmp)
     }
     spark.read.parquet(path)
   }
@@ -295,20 +295,19 @@ object Queries {
     * centroids/query/knobs as [[annIvf]], so the parameter-literal oracle
     * is identical; PersistSpec asserts the pruning itself.
     */
-  /** One persisted layout per (sf dir, JVM): the table is written once
-    * to a process-unique path (no cross-session overwrite race on a
-    * shared location) and every later invocation times only the
-    * pruned read — the serving-path cost, not a table rewrite.
+  /** One persisted layout per corpus ([[operators.Artifacts]]
+    * lifecycle — fingerprint-keyed, manifest-committed, superseded
+    * versions GC'd): the table is written once and every later
+    * invocation times only the pruned read — the serving-path cost,
+    * not a table rewrite.
     */
-  private val persistedIvf = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def ivfPersistedPath(dir: String, emb: DataFrame,
                                centroids: Array[Array[Float]]): String =
-    persistedIvf.computeIfAbsent(dir, { _ =>
-      val p = s"target/graft-persist/ivf_${java.util.UUID.randomUUID()}"
-      operators.IvfIndex.writePartitioned(emb, "embedding", centroids, p)
-      p
-    })
+    operators.Artifacts.resolve(emb.sparkSession, "ivf",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(emb.sparkSession, Seq(dir))) { tmp =>
+      operators.IvfIndex.writePartitioned(emb, "embedding", centroids, tmp)
+    }
 
   def annIvfPersisted(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
@@ -451,18 +450,44 @@ object Queries {
     * joins raw vectors by id for the re-rank survivors. Same codebooks
     * ⇒ the parameter-literal oracle is the same shape as [[annPq]]'s.
     */
-  private val persistedPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The persisted 8-byte codes table per corpus ([[operators.Artifacts]]
+    * lifecycle), shared by the single-query persisted serve and the
+    * batch ADC kernel.
+    */
+  private def pqCodesPath(spark: SparkSession, dir: String, emb: DataFrame,
+                          books: Array[Array[Array[Float]]]): String =
+    operators.Artifacts.resolve(spark, "pqcodes",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
+      operators.PqIndex.writeCodes(emb, "vec_id", "embedding", books, tmp)
+    }
 
   def annPqPersisted(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
-    val path = persistedPq.computeIfAbsent(dir, { _ =>
-      val p = s"target/graft-persist/pq_${java.util.UUID.randomUUID()}"
-      operators.PqIndex.writeCodes(emb, "vec_id", "embedding", books, p)
-      p
-    })
+    val path = pqCodesPath(spark, dir, emb, books)
     operators.PqIndex.searchPersisted(spark, path, emb, "vec_id", "embedding", books,
       queryVec(spark, dir, 8L), k = 10, rerank = 100)
+  }
+
+  /** Batch k-NN through the persisted PQ codes — the quantized-backend
+    * twin of [[knnBatchIvf]] (every vec_id % 100 == 0 row is a query,
+    * top-5 L2 each): ONE scan of the 8-byte codes artifact serves ALL
+    * queries (each query's ADC table rides the broadcast query set,
+    * computed in-plan), per-query rerank-100 cut via the bounded heap,
+    * exact re-rank fetches raw vectors by id — the 100 TB batch-ANN
+    * economics ("codes hot, vectors cold") for bulk evaluation. Plan
+    * guard asserts the single codes scan.
+    */
+  def knnBatchPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val codes = spark.read.parquet(pqCodesPath(spark, dir, emb, books))
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    operators.PqIndex.searchBatchAdc(codes, emb, "vec_id", "embedding",
+        queries, "q_id", "q_vec", books, k = 5, rerank = 100)
+      .orderBy("q_id", "rank")
   }
 
   /** IVFPQ: coarse-prune to 4 of 16 clusters, PQ-ADC rank the survivors,
@@ -572,7 +597,7 @@ object Queries {
     * only need (doc_id, dl) ignore the extra column.
     */
   private def textDocLengths(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "doclen") {
+    materialized(spark, dir, "doclen", spec = "v2:lang") {
       operators.Retrieval.buildDocLengthsWithMeta(
         Tables.documents(spark, dir), "doc_id", "text", "lang")
     }

@@ -68,6 +68,18 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     this
   }
 
+  /** Re-range-sort the appended postings files so term pruning returns
+    * to row-group granularity ([[graft.operators.Retrieval.compactPostings]]):
+    * run after a batch of appends, exactly like compacting any
+    * incrementally-written table. Answers are unchanged (RetrievalSpec
+    * proves serve-equality); only the files a term predicate must open
+    * shrink (PersistSpec asserts post ≤ pre).
+    */
+  def compact(): TextIndex = {
+    Retrieval.compactPostings(spark, s"$path/postings")
+    this
+  }
+
   def count: Long = docLengths.count()
 }
 

@@ -1,0 +1,171 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Lifecycle for the written-once parquet artifacts the engine serves
+  * from (dedup signature chains, the inverted index, the k-NN graph,
+  * DSIR/LM score tables): every artifact is keyed on a CONTENT
+  * FINGERPRINT of its input corpus, committed under a manifest, and
+  * superseded versions are garbage-collected — the restart story of the
+  * reference's scalar_storage.rs done honestly for MUTABLE inputs.
+  *
+  * Layout: `target/graft-persist/<name>/c<corpusKey>/f<fingerprint>`.
+  *
+  *  - `corpusKey` identifies WHICH corpus (e.g. a hash of the input
+  *    dir path) so artifacts of different corpora never GC each other.
+  *  - `fingerprint` identifies the corpus CONTENT (file listing +
+  *    length + mtime of every input file, plus a build-recipe spec
+  *    tag): rewriting any input file changes the fingerprint, so the
+  *    next [[resolve]] rebuilds instead of serving stale rows — and
+  *    deletes the superseded version. A reader still holding a lazy
+  *    plan over the superseded path fails LOUDLY (file not found) on
+  *    its next action; nothing ever silently serves stale data.
+  *  - The build lands in a `tmp_*` scratch dir and is committed by an
+  *    atomic rename AFTER `_graft_manifest.json` is written inside it,
+  *    so a crashed build can never be adopted; leftover scratch dirs
+  *    are swept by the next successful resolve of the same key.
+  *  - A per-(name, corpusKey) JVM lock serializes concurrent first
+  *    callers so the corpus-scale build runs ONCE; a cross-process
+  *    racer is handled by the rename: the loser deletes its scratch
+  *    copy and adopts the winner's committed artifact.
+  *
+  * The manifest is a leading-underscore file, invisible to Spark's
+  * parquet reader (like `_SUCCESS`), so `spark.read.parquet(path)`
+  * works unchanged on committed artifacts.
+  */
+object Artifacts {
+
+  private[graft] val root = "target/graft-persist"
+  private val manifestName = "_graft_manifest.json"
+  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // fast path: last committed (fp, path) per key — skips the manifest
+  // read (NOT the fingerprint computation) on repeat calls
+  private val committed = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private def md5(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Stable identifier for a corpus LOCATION (not its content). */
+  def corpusKey(parts: String*): String = md5(parts.mkString("|")).take(12)
+
+  /** Content fingerprint of input paths: md5 over the sorted
+    * (file, length, mtime) listing of every file under them, plus a
+    * build-recipe `spec` tag so a changed artifact schema/recipe never
+    * adopts an old on-disk version. One driver-side recursive listing
+    * per call — metadata-only, the unavoidable (and at 100 TB, the
+    * cheapest possible) staleness check.
+    */
+  def fingerprint(spark: SparkSession, paths: Seq[String], spec: String = ""): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    paths.foreach { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.exists(hp)) {
+        // paths RELATIVE to the listed root (keeping the root's own
+        // name), so a fingerprint stored inside an artifact survives
+        // the scratch→committed rename of the artifact's parent
+        val rootPath = fs.makeQualified(hp).toUri.getPath
+        val it = fs.listFiles(hp, true)
+        while (it.hasNext) {
+          val st = it.next()
+          // skip metadata files (_SUCCESS, manifests, .crc shadows):
+          // only DATA files carry content
+          if (!st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")) {
+            val rel = hp.getName + st.getPath.toUri.getPath.stripPrefix(rootPath)
+            entries += s"$rel|${st.getLen}|${st.getModificationTime}"
+          }
+        }
+      } else entries += s"$p|missing"
+    }
+    md5(spec + "||" + entries.sorted.mkString("\n")).take(16)
+  }
+
+  /** Fingerprint of a DataFrame's file inputs (falls back to the
+    * analyzed plan's semantic hash for non-file-backed frames, which
+    * cannot be staleness-checked and says so in the fingerprint).
+    */
+  def fingerprintInput(df: DataFrame, spec: String = ""): String = {
+    val files = df.inputFiles.toSeq.sorted
+    if (files.nonEmpty) fingerprint(df.sparkSession, files, spec)
+    else md5(spec + "||plan:" + df.queryExecution.analyzed.semanticHash()).take(16)
+  }
+
+  /** Resolve-or-build. Returns the committed artifact directory; the
+    * `build` callback writes the artifact's table(s) INTO the scratch
+    * path it is given (single parquet table or subdirectories — the
+    * commit renames the whole dir).
+    */
+  def resolve(spark: SparkSession, name: String, corpus: String, fp: String)
+             (build: String => Unit): String = {
+    val key = s"$name/c$corpus"
+    val parent = s"$root/$key"
+    val path = s"$parent/f$fp"
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val cached = Option(committed.get(key)).collect { case (`fp`, p) => p }
+      cached.getOrElse {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = new Path(parent).getFileSystem(conf)
+        if (!isCommitted(fs, path, fp)) {
+          val tmp = s"$parent/tmp_${java.util.UUID.randomUUID()}"
+          build(tmp)
+          writeManifest(fs, tmp, name, corpus, fp)
+          if (!fs.rename(new Path(tmp), new Path(path))) {
+            // a cross-process racer committed first: drop our copy, adopt
+            fs.delete(new Path(tmp), true)
+            require(isCommitted(fs, path, fp),
+              s"artifact commit failed and no valid racer copy exists: $path")
+          }
+        }
+        gc(fs, parent, keep = s"f$fp")
+        committed.put(key, (fp, path))
+        path
+      }
+    }
+  }
+
+  /** True iff `path` holds a finished build of fingerprint `fp` — the
+    * manifest is written last, so its presence IS the commit marker
+    * (a crashed or in-flight build can never validate).
+    */
+  private def isCommitted(fs: FileSystem, path: String, fp: String): Boolean = {
+    val m = new Path(path, manifestName)
+    fs.exists(m) && {
+      val in = fs.open(m)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      body.contains(s""""fingerprint": "$fp"""")
+    }
+  }
+
+  private def writeManifest(fs: FileSystem, dir: String, name: String,
+                            corpus: String, fp: String): Unit = {
+    val out = fs.create(new Path(dir, manifestName), true)
+    try out.write(
+      s"""{"artifact": "$name", "corpus": "$corpus", "fingerprint": "$fp"}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Delete every sibling version except the current one: superseded
+    * fingerprints (the corpus was rewritten) and orphaned scratch dirs
+    * (a crashed or racing build). Runs under the key lock.
+    */
+  private def gc(fs: FileSystem, parent: String, keep: String): Unit = {
+    val p = new Path(parent)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      if (st.isDirectory && st.getPath.getName != keep)
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Test/maintenance hook: forget the in-JVM fast path so the next
+    * resolve re-reads the on-disk manifest (simulates a fresh JVM).
+    */
+  private[graft] def forgetCommitted(): Unit = committed.clear()
+}

@@ -118,14 +118,69 @@ object Dedup {
     * like any other table.
     */
   final case class DedupIndex(spark: SparkSession, base: String) {
-    /** (doc_id, sig: array<int> of 32 minhashes). */
+    /** (doc_id, sig: array<int> of 32 minhashes) — always current:
+      * [[append]] maintains this table, so signature-served reads
+      * ([[minhashPairsFromSignatures]]) include ingested docs.
+      */
     def sig: DataFrame = spark.read.parquet(s"$base/sig")
-    /** (a_id, b_id, m): ALL banding candidates, m = agreeing positions. */
-    def cand: DataFrame = spark.read.parquet(s"$base/cand")
-    /** (a_id, b_id, hamming): ALL simhash band candidates. */
-    def simcand: DataFrame = spark.read.parquet(s"$base/simcand")
-    /** (doc_id, canonical_id, is_dup) at est ≥ 0.5 — unordered. */
-    def clusters: DataFrame = spark.read.parquet(s"$base/clusters05")
+    /** (a_id, b_id, m): ALL banding candidates, m = agreeing positions.
+      * Build-time derived — fails loudly after an append (see
+      * [[requireDerivedFresh]]).
+      */
+    def cand: DataFrame = {
+      requireDerivedFresh("cand")
+      spark.read.parquet(s"$base/cand")
+    }
+    /** (a_id, b_id, hamming): ALL simhash band candidates (build-time
+      * derived, append-guarded like [[cand]]).
+      */
+    def simcand: DataFrame = {
+      requireDerivedFresh("simcand")
+      spark.read.parquet(s"$base/simcand")
+    }
+    /** (doc_id, canonical_id, is_dup) at est ≥ 0.5 — unordered
+      * (build-time derived, append-guarded like [[cand]]).
+      */
+    def clusters: DataFrame = {
+      requireDerivedFresh("clusters05")
+      spark.read.parquet(s"$base/clusters05")
+    }
+
+    /** Streaming maintenance: sign an ingested batch with the SAME
+      * kernels as the build and append to the signature table. After
+      * this, signature-served reads (`sig`,
+      * [[minhashPairsFromSignatures]]) see the ingested docs; the
+      * build-time derived tables (cand/simcand/clusters) are STALE and
+      * their accessors throw until the index is rebuilt — never a
+      * silently-incomplete pair set.
+      */
+    def append(docs: DataFrame, idCol: String, textCol: String): DedupIndex = {
+      appendSignatures(docs, idCol, textCol, s"$base/sig")
+      this
+    }
+
+    /** The derived tables are exactly as fresh as the signature table
+      * the build wrote; any append since then (through [[append]] OR
+      * the raw [[appendSignatures]] pointed at this artifact) changes
+      * the sig dir's data-file listing and trips this check.
+      */
+    private def requireDerivedFresh(what: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(s"$base/sig/_built_state")
+      if (fs.exists(marker)) {
+        val in = fs.open(marker)
+        val builtState =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        val current = Artifacts.fingerprint(spark, Seq(s"$base/sig"), spec = "built")
+        if (builtState != current)
+          throw new IllegalStateException(
+            s"DedupIndex.$what is stale: signatures were appended since the build, " +
+              "and the candidate/cluster tables do not cover the ingested docs — " +
+              "serve pair reads from minhashPairsFromSignatures(sig, ...) or rebuild " +
+              s"the index ($base)")
+      }
+    }
 
     /** [[Dedup.minhashPairs]] served from the artifact: the threshold
       * cut and est_sim = m/32 are arithmetic on the stored agreement
@@ -150,17 +205,32 @@ object Dedup {
       clusters.select("doc_id", "canonical_id", "is_dup").orderBy("doc_id")
   }
 
-  /** Registry-cached [[buildIndex]] (the IndexFactory pattern, like
-    * [[IvfIndex.fitCached]]): one artifact per (input plan, id, text)
-    * per JVM; concurrent callers share the build.
+  /** Registry-resolved [[buildIndex]] (the IndexFactory pattern, like
+    * [[IvfIndex.fitCached]]) with the [[Artifacts]] lifecycle: the
+    * artifact is keyed on a CONTENT fingerprint of the input files plus
+    * the query plan's semantic hash (two different filters over the
+    * same files never share an index), so a rewritten corpus
+    * invalidates and rebuilds instead of serving stale signatures — the
+    * superseded version is GC'd — while a restart adopts the committed
+    * on-disk artifact without re-signing anything. Concurrent first
+    * callers share one build under the key lock.
     */
-  private val builtIndexes =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DedupIndex]()
-
-  def index(docs: DataFrame, idCol: String, textCol: String): DedupIndex =
-    builtIndexes.computeIfAbsent(
-      (docs.queryExecution.analyzed.semanticHash(), idCol, textCol),
-      _ => buildIndex(docs, idCol, textCol))
+  def index(docs: DataFrame, idCol: String, textCol: String): DedupIndex = {
+    val spark = docs.sparkSession
+    // the key carries the input LOCATION as well as the plan hash, so
+    // two corpora (or two filters of one corpus) get separate artifact
+    // families and never GC each other's versions
+    val inputDirs = docs.inputFiles
+      .map(f => f.substring(0, math.max(f.lastIndexOf('/'), 0)))
+      .distinct.sorted.mkString(",")
+    val planKey =
+      s"${docs.queryExecution.analyzed.semanticHash()} $idCol $textCol $inputDirs"
+    val fp = Artifacts.fingerprintInput(docs, spec = s"dedup-v1 $planKey")
+    val base = Artifacts.resolve(spark, "dedup", Artifacts.corpusKey(planKey), fp) {
+      tmp => buildIndex(docs, idCol, textCol, tmp)
+    }
+    DedupIndex(spark, base)
+  }
 
   /** ONE tokenize+sign+band pass over the corpus (per signature family)
     * writes all four artifact tables; every write is either
@@ -169,9 +239,9 @@ object Dedup {
     * certificate). The cluster map reuses the just-written candidate
     * table, so CC never re-signs either.
     */
-  private def buildIndex(docs: DataFrame, idCol: String, textCol: String): DedupIndex = {
+  private def buildIndex(docs: DataFrame, idCol: String, textCol: String,
+                         base: String): Unit = {
     val spark = docs.sparkSession
-    val base = s"target/graft-persist/dedup_${java.util.UUID.randomUUID()}"
 
     val signed = signaturesFromShingles(shingleHashes(docs, idCol, textCol))
     signed.write.mode("overwrite").parquet(s"$base/sig")
@@ -198,7 +268,16 @@ object Dedup {
     val idx = DedupIndex(spark, base)
     resolveClusters(docs, idCol, idx.minhashPairs(0.5).select("a_id", "b_id"))
       .write.mode("overwrite").parquet(s"$base/clusters05")
-    idx
+    // record the signature table's state at build time: the derived
+    // tables (cand/simcand/clusters05) are exactly as fresh as THIS
+    // listing, and the accessors compare against it to fail loudly
+    // after a streaming append (see DedupIndex.requireDerivedFresh)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$base/sig/_built_state"), true)
+    try out.write(Artifacts.fingerprint(spark, Seq(s"$base/sig"), spec = "built")
+      .getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** LSH band-bucket occupancy profile — the banding join's cost

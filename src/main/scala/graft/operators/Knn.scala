@@ -385,11 +385,28 @@ object Knn {
       vecCol: String,
       centroids: Array[Array[Float]],
       k: Int,
+      metric: String): DataFrame =
+    ivfGraphEdges(emb, emb, idCol, vecCol, centroids, k, metric)
+
+  /** The IVF-blocked edge kernel shared by the full graph build
+    * ([[knnJoinIvf]]: queries = corpus) and incremental maintenance
+    * ([[appendGraphEdges]]: queries = the ingested batch): both sides
+    * assign to the SAME frozen centroids, candidates pair inside their
+    * cluster (single-probe equi-join — Σ|cluster|² local work), and the
+    * per-query top-k is the bounded-heap partial aggregate.
+    */
+  private def ivfGraphEdges(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      k: Int,
       metric: String): DataFrame = {
     val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
-    val left = emb.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val left = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("cluster", nearestCentroid(col("q_vec"), centroids))
-    val right = emb.select(col(idCol).as("id"), col(vecCol).as("n_vec"))
+    val right = corpus.select(col(idCol).as("id"), col(vecCol).as("n_vec"))
       .withColumn("cluster", nearestCentroid(col("n_vec"), centroids))
     val scored = left.join(right, Seq("cluster"))
       .where(col("q_id") =!= col("id"))
@@ -405,4 +422,35 @@ object Knn {
         col("n.id").as("n_id"),
         roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
   }
+
+  /** Incremental maintenance of a persisted k-NN graph artifact — the
+    * append twin the signature and postings artifacts already have
+    * ([[Dedup.appendSignatures]], [[Retrieval.appendPostings]]): the
+    * ingested batch assigns to the FROZEN centroids of the original
+    * build, scores against its own cluster's members only
+    * (standing ∪ batch — the same single-probe blocking as the build,
+    * so per-batch cost is Σ over touched clusters of
+    * |batch ∩ cluster|·|cluster|, never corpus²), and APPENDS its top-k
+    * edge rows to the graph parquet.
+    *
+    * Maintenance contract (stated envelope, proven in StreamingSpec):
+    * appended NEW-node edges are EXACTLY the full rebuild's edges for
+    * those nodes (frozen centroids ⇒ same cluster membership ⇒ same
+    * candidate set); OLD nodes' edge lists are NOT revisited — a
+    * standing node whose true neighbor arrives in the batch keeps its
+    * build-time list until the next full rebuild, exactly like
+    * appended postings keep file-granularity pruning until compaction.
+    */
+  def appendGraphEdges(
+      standing: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Float]],
+      k: Int,
+      metric: String,
+      graphPath: String): Unit =
+    ivfGraphEdges(batch, standing.unionByName(batch), idCol, vecCol,
+      centroids, k, metric)
+      .write.mode("append").parquet(graphPath)
 }

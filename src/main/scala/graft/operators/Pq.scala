@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -249,6 +249,67 @@ object PqIndex {
       .select("cand_id")
     val pruned = emb.join(broadcast(candidates), col(idCol) === col("cand_id"), "leftsemi")
     Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
+  }
+
+  /** Batch ADC search — ONE codes scan serves ALL queries (the 100 TB
+    * batch-ANN shape for the quantized backend, the PQ twin of
+    * [[Knn.searchBatchIvf]]): each query's m × ksub ADC lookup table is
+    * computed IN-PLAN on the queries side (a flat m·ksub long array,
+    * exactly [[adcTable]]'s floor-fixed integers) and broadcasts with
+    * the query set; every persisted codes row scores against every
+    * query via m array lookups summed as exact longs — map-side work on
+    * the single codes scan, never a per-query re-scan. The per-query
+    * rerank cut is the bounded-heap stratified aggregate (shuffle
+    * O(queries × rerank)), survivors fetch raw vectors BY ID (one
+    * narrow broadcast-pruned fetch of the cold table), and the exact
+    * metric ranks the final top-k per query.
+    */
+  def searchBatchAdc(codes: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     codebooks: Array[Array[Array[Float]]],
+                     k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k)
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    // floor-fixed sub-distance of query subspace j to codebook entry
+    // (j, c) — the [[adcTable]] loop as a column expression (sequential
+    // double accumulation in ascending dimension order, then the same
+    // floor(x·1e9 + 0.5) integer fixing)
+    def d9(j: Int, c: Int): Column = {
+      val cent = codebooks(j)(c)
+      val s = (0 until dsub).map { i =>
+        val d = element_at(col("q_vec"), j * dsub + i + 1).cast("double") -
+          lit(cent(i).toDouble)
+        d * d
+      }.reduceLeft(_ + _)
+      floor(s * lit(1e9) + lit(0.5)).cast("long")
+    }
+    val qAdc = queries
+      .select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+      .select(col("q_id"), col("q_vec"),
+        array((for (j <- 0 until m; c <- 0 until ksub) yield d9(j, c)): _*).as("adcf"))
+    val scored = codes
+      .select(col("id").as("cand_id"), col("codes").cast("array<int>").as("codes"))
+      .crossJoin(broadcast(qAdc.select("q_id", "adcf")))
+      .select(col("q_id"), col("cand_id"),
+        (0 until m).map(j => element_at(col("adcf"),
+          element_at(col("codes"), j + 1) + lit(j * ksub + 1)))
+          .reduceLeft(_ + _).as("adc9"))
+    val cand = Stats.stratifiedSample(scored, "q_id", "cand_id", "adc9",
+        col("adc9"), rerank)
+      .select(col("stratum").as("q_id"), col("id").as("cand_id"))
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
+    emb.select(col(idCol).as("cand_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(cand), Seq("cand_id"))
+      .join(broadcast(qAdc.select(col("q_id"), col("q_vec"))), Seq("q_id"))
+      .select(col("q_id"), col("cand_id").as("id"),
+        Knn.score("l2", col("n_vec"), col("q_vec")).as("dist"))
+      .groupBy("q_id")
+      .agg(topk(col("id"), col("dist")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"), col("n.id").as("n_id"),
+        roundTo(col("n.dist"), 4).as("value"))
   }
 
   /** Materialize the codes table — (id, m tinyint codes) ≈ 8 bytes of

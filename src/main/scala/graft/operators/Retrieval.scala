@@ -147,6 +147,33 @@ object Retrieval {
       .write.mode("append").parquet(docLengthsPath)
   }
 
+  /** Compaction for an appended postings index: re-range-sort the whole
+    * table by (term, doc_id) and atomically swap it in, restoring
+    * row-group-level term pruning (each append adds whole-batch files
+    * whose term range spans the batch vocabulary, so pruning degrades
+    * to file granularity until this runs — the hygiene contract the
+    * appended layout documents). Data is only re-SORTED, never
+    * re-derived: no tokenize, no aggregation — one shuffle of the
+    * posting rows, the same cost class as ordinary parquet compaction.
+    * The swap is write-to-scratch → delete → rename, safe against a
+    * crashed compaction (the scratch is adopted or ignored, never
+    * half-read) but not against concurrent writers — run it from the
+    * maintenance role that owns the index, like any compactor.
+    */
+  def compactPostings(spark: org.apache.spark.sql.SparkSession,
+                      postingsPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(postingsPath)
+    val fs = target.getFileSystem(conf)
+    val scratch = new org.apache.hadoop.fs.Path(
+      s"${postingsPath}_compact_${java.util.UUID.randomUUID()}")
+    spark.read.parquet(postingsPath)
+      .orderBy("term", "doc_id")
+      .write.mode("overwrite").parquet(scratch.toString)
+    fs.delete(target, true)
+    require(fs.rename(scratch, target), s"compaction swap failed for $postingsPath")
+  }
+
   /** [[bm25TopK]] served from a materialized [[buildPostings]] index:
     * the `term IN (query)` filter pushes to the postings scan (range-
     * sorted ⇒ row-group prune), df is the |Q|-row aggregate over the

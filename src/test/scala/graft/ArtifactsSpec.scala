@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Artifacts, Dedup}
+
+case class ADoc(doc_id: Long, text: String)
+
+/** Lifecycle of the written-once artifact registry: content-fingerprint
+  * invalidation (a rewritten corpus rebuilds instead of serving stale
+  * rows), superseded-version + orphan GC, restart adoption, build-once
+  * under racing first callers, and the dedup index's append-staleness
+  * guard.
+  */
+class ArtifactsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getPath
+
+  private def listDirs(parent: String): Seq[String] = {
+    val f = new java.io.File(parent)
+    if (!f.exists()) Seq.empty
+    else f.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+  }
+
+  test("rewritten corpus invalidates the artifact: rebuild + GC of the superseded version") {
+    val s = spark; import s.implicits._
+    val corpus = tmp("graft-art-corpus")
+    val name = s"arttest_${System.nanoTime()}"
+    Seq((1L, 10L), (2L, 20L)).toDF("id", "v").write.mode("overwrite").parquet(corpus)
+
+    def serve(): (String, Long) = {
+      val fp = Artifacts.fingerprint(spark, Seq(corpus))
+      val path = Artifacts.resolve(spark, name, Artifacts.corpusKey(corpus), fp) { t =>
+        spark.read.parquet(corpus).agg(sum("v").as("s")).write.parquet(t)
+      }
+      (path, spark.read.parquet(path).head.getLong(0))
+    }
+
+    val (p1, v1) = serve()
+    assert(v1 === 30L)
+    // same content → same artifact, no rebuild (the committed dir is adopted)
+    assert(serve() === ((p1, 30L)))
+
+    // REWRITE the corpus: the old registry would serve the stale 30
+    Seq((1L, 100L), (2L, 200L), (3L, 300L)).toDF("id", "v")
+      .write.mode("overwrite").parquet(corpus)
+    val (p2, v2) = serve()
+    assert(v2 === 600L, "a rewritten corpus must invalidate the artifact")
+    assert(p2 !== p1)
+    // superseded version GC'd: exactly one committed fingerprint remains
+    val parent = new java.io.File(p2).getParent
+    assert(listDirs(parent) === Seq(new java.io.File(p2).getName),
+      "the stale artifact version must be garbage-collected")
+  }
+
+  test("restart adoption: a committed on-disk artifact is reused without rebuilding") {
+    val s = spark; import s.implicits._
+    val corpus = tmp("graft-art-restart")
+    val name = s"artrestart_${System.nanoTime()}"
+    Seq((1L, 5L)).toDF("id", "v").write.mode("overwrite").parquet(corpus)
+    val fp = Artifacts.fingerprint(spark, Seq(corpus))
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def serve(): String =
+      Artifacts.resolve(spark, name, Artifacts.corpusKey(corpus), fp) { t =>
+        builds.incrementAndGet()
+        spark.read.parquet(corpus).write.parquet(t)
+      }
+    val p1 = serve()
+    Artifacts.forgetCommitted() // simulate a fresh JVM
+    val p2 = serve()
+    assert(p1 === p2)
+    assert(builds.get() === 1, "the restart must adopt the manifest, not rebuild")
+  }
+
+  test("racing first callers share ONE build; orphaned scratch dirs are swept") {
+    val s = spark; import s.implicits._
+    val corpus = tmp("graft-art-race")
+    val name = s"artrace_${System.nanoTime()}"
+    Seq((1L, 7L)).toDF("id", "v").write.mode("overwrite").parquet(corpus)
+    val fp = Artifacts.fingerprint(spark, Seq(corpus))
+    val key = Artifacts.corpusKey(corpus)
+
+    // plant a crashed build's leftover scratch dir under the key
+    val parent = s"${Artifacts.root}/$name/c$key"
+    new java.io.File(s"$parent/tmp_crashed-leftover").mkdirs()
+
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def serve(): String =
+      Artifacts.resolve(spark, name, key, fp) { t =>
+        builds.incrementAndGet()
+        Thread.sleep(50) // widen the race window
+        spark.read.parquet(corpus).write.parquet(t)
+      }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val futures = (1 to 3).map(_ => pool.submit(
+      new java.util.concurrent.Callable[String] { def call(): String = serve() }))
+    val results = futures.map(_.get()).toSet
+    pool.shutdown()
+    assert(results.size === 1)
+    assert(builds.get() === 1, "concurrent first callers must share one build")
+    assert(listDirs(parent) === Seq(new java.io.File(results.head).getName),
+      "orphaned scratch dirs must be swept on commit")
+  }
+
+  test("dedup index: append serves signature reads, derived tables fail loudly, rewrite rebuilds") {
+    val s = spark; import s.implicits._
+    val corpus = tmp("graft-art-dedup")
+    val standing = Seq(
+      ADoc(1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      ADoc(2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      ADoc(3L, "completely unrelated text about gardening tomatoes and fresh summer herbs"))
+    standing.toDF().write.mode("overwrite").parquet(corpus)
+
+    val docs = spark.read.parquet(corpus)
+    val idx = Dedup.index(docs, "doc_id", "text")
+    assert(idx.minhashPairs(0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 2L)))
+    // re-resolving the same corpus adopts the same artifact
+    assert(Dedup.index(spark.read.parquet(corpus), "doc_id", "text").base === idx.base)
+
+    // streaming append: the signature table is maintained...
+    val incoming = Seq(
+      ADoc(4L, "the quick brown fox jumps over the lazy dog again and again today")).toDF()
+    idx.append(incoming, "doc_id", "text")
+    val served = Dedup.minhashPairsFromSignatures(idx.sig, minEst = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served === Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      "signature-served pairs must include the ingested doc")
+    // ...but the build-time derived tables are stale and must SAY so
+    val e = intercept[IllegalStateException](idx.minhashPairs(0.5).collect())
+    assert(e.getMessage.contains("stale"))
+    intercept[IllegalStateException](idx.simhashPairs(3).collect())
+    intercept[IllegalStateException](idx.clustersOrdered.collect())
+
+    // rewriting the corpus (standing + ingested) re-keys the fingerprint:
+    // the rebuild covers everything and the guards clear
+    (standing :+ ADoc(4L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF().write.mode("overwrite").parquet(corpus)
+    val idx2 = Dedup.index(spark.read.parquet(corpus), "doc_id", "text")
+    assert(idx2.base !== idx.base)
+    assert(idx2.minhashPairs(0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+}

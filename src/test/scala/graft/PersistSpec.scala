@@ -377,6 +377,41 @@ class PersistSpec extends SparkSpec {
     }
   }
 
+  test("TextIndex compaction: appended files degrade term pruning; compact restores it") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val standing = docs.where(col("doc_id") % 5 =!= 0)
+    val path = tmp("graft-textindex-compact")
+    val idx = TextIndex.build(standing, "doc_id", "text", path)
+    val terms = Seq("spark", "hash", "join", "window", "vector")
+
+    // files a term-pruned query actually draws rows from, per phase
+    def filesHit(): Long = idx.postings.where(col("term").isin(terms: _*))
+      .select(input_file_name()).distinct().count()
+
+    val preAppend = filesHit()
+
+    // two appended batches: each adds whole-batch files spanning the
+    // batch vocabulary, so the term query now draws from MORE files
+    idx.append(docs.where(col("doc_id") % 10 === 0), "doc_id", "text")
+    idx.append(docs.where(col("doc_id") % 10 === 5), "doc_id", "text")
+    val duringAppend = filesHit()
+    assert(duringAppend > preAppend,
+      "append batches must add term-spanning files (the degradation compaction exists for)")
+    val appended = idx.search(terms, k = 10).collect().map(_.toSeq).toSeq
+
+    idx.compact()
+    // pruning returns to build granularity: the term query draws from
+    // no more files than the pre-append layout did
+    assert(filesHit() <= preAppend,
+      "post-compaction term pruning must return to build-level file counts")
+    // ...and compaction only re-sorts: answers are unchanged, and equal
+    // to a from-scratch index over the full corpus
+    assert(idx.search(terms, k = 10).collect().map(_.toSeq).toSeq === appended)
+    val rebuilt = TextIndex.build(docs, "doc_id", "text", tmp("graft-textindex-rebuilt"))
+    assert(appended === rebuilt.search(terms, k = 10).collect().map(_.toSeq).toSeq)
+  }
+
   test("VectorIndex FLAT save -> load round trip") {
     val idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.Cosine)
       .insert(1L, Array(1f, 0f), """{"k":1}""")

@@ -639,6 +639,19 @@ class PlanSpec extends SparkSpec {
       s"query-term filter must push to the postings scan:\n$p")
   }
 
+  test("knn_batch_pq: ONE codes scan serves all queries; candidates broadcast into the vector fetch") {
+    val p = plan(Queries.knnBatchPq(spark, sf001))
+    // the whole point of the batch ADC kernel: the 8-byte codes
+    // artifact is scanned ONCE for the entire query set — a per-query
+    // re-scan would multiply the dominant IO by |queries|. Each scan
+    // prints exactly one "Location:" line in the formatted detail.
+    val codesScans = p.split("\n")
+      .count(l => l.contains("Location") && l.contains("graft-persist/pqcodes"))
+    assert(codesScans === 1, s"codes must be scanned exactly once:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the query cross is a broadcast, never a shuffle cartesian:\n$p")
+  }
+
   test("filtered_bm25: lang filter prunes the doc-side artifact scan; term filter prunes postings") {
     // the filter must reach BOTH scans: lang = 'en' as a pushed
     // predicate on the doc-length artifact (metadata rides the index,

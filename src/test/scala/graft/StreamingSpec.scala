@@ -511,6 +511,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest maintains the k-NN graph artifact: each node's edges exact as of its ingest") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import graft.operators.{Dedup, IvfIndex, Knn}
+
+    val all = graft.sources.Tables.embeddings(spark, sf001).select("vec_id", "embedding")
+    val standing = all.where(col("vec_id") % 10 =!= 0)
+    // centroids FROZEN at build time — the append twin never refits, so
+    // cluster membership (and hence each node's candidate set) is a
+    // pure function of the vector
+    val centroids = IvfIndex.fitScaled(standing, "embedding", targetClusterSize = 100L)
+    val graphPath =
+      java.nio.file.Files.createTempDirectory("graft-knn-graph").toString + "/g"
+    Knn.knnJoinIvf(standing, "vec_id", "embedding", centroids, k = 3, metric = "l2")
+      .write.parquet(graphPath)
+    val buildEdges = spark.read.parquet(graphPath).collect().map(_.toSeq).toSet
+
+    var corpus = standing.localCheckpoint(true)
+    var midCorpus: org.apache.spark.sql.DataFrame = null // corpus after batch 1
+    val newVecs = all.where(col("vec_id") % 10 === 0)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Knn.appendGraphEdges(corpus, batch, "vec_id", "embedding", centroids,
+          k = 3, metric = "l2", graphPath = graphPath)
+        corpus = corpus.unionByName(batch).localCheckpoint(true)
+        if (midCorpus == null) midCorpus = corpus
+      }
+      .start()
+    try {
+      val (b1, b2) = newVecs.splitAt(25)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val maintained = spark.read.parquet(graphPath)
+
+      // THE MAINTENANCE ENVELOPE, stated and proven: every node's edge
+      // list is EXACTLY the full build's over the corpus as of the
+      // node's own ingest time (frozen centroids ⇒ identical candidate
+      // sets), and is not revisited afterwards.
+      def edges(df: org.apache.spark.sql.DataFrame, ids: Set[Long]) =
+        df.where(col("q_id").isInCollection(ids)).collect().map(_.toSeq).toSet
+      val ids1 = b1.map(_._1).toSet
+      val ids2 = b2.map(_._1).toSet
+      val rebuiltMid = Knn.knnJoinIvf(midCorpus, "vec_id", "embedding",
+        centroids, k = 3, metric = "l2")
+      val rebuiltFull = Knn.knnJoinIvf(corpus, "vec_id", "embedding",
+        centroids, k = 3, metric = "l2")
+      assert(edges(maintained, ids2) === edges(rebuiltFull, ids2),
+        "last-batch nodes must carry exactly the full rebuild's edges")
+      assert(edges(maintained, ids1) === edges(rebuiltMid, ids1),
+        "batch-1 nodes carry the rebuild's edges as of THEIR ingest")
+      assert(maintained.where(col("q_id") % 10 =!= 0)
+        .collect().map(_.toSeq).toSet === buildEdges,
+        "standing nodes keep their build-time lists (the documented staleness)")
+      assert(edges(maintained, ids2).nonEmpty)
+
+      // downstream component discovery reruns from the MAINTAINED
+      // artifact (the knn_components path: mutual edges → CC)
+      val g = maintained.select(col("q_id"), col("n_id"))
+      val mutual = g
+        .join(g.select(col("q_id").as("n_id"), col("n_id").as("q_id")), Seq("q_id", "n_id"))
+        .where(col("q_id") < col("n_id"))
+        .select(col("q_id").as("a_id"), col("n_id").as("b_id"))
+      val comp = Dedup.resolveClusters(corpus.select(col("vec_id")), "vec_id", mutual)
+      assert(comp.count() === corpus.count())
+      assert(comp.where(col("is_dup")).count() > 0,
+        "ingested near-neighbors must land in shared components")
+    } finally q.stop()
+  }
+
   test("streaming CDC: a change-log stream foreachBatch-applied maintains the merged state") {
     val s = spark; import s.implicits._
     implicit val sqlCtx = s.sqlContext
