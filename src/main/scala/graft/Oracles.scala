@@ -672,6 +672,34 @@ object Oracles {
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
   }
 
+  /** Point-lookup cost report from the measured per-file layout stats,
+    * spliced in as literals (the layouts are physical artifacts DuckDB
+    * cannot list): the oracle re-derives rows-touched, file counts and
+    * fractions independently, and CROSS-CHECKS each layout's literal
+    * row counts against the raw embeddings table — a corrupted literal
+    * drops its layout row and the compare goes red.
+    */
+  private def lookupCostSql(stats: Seq[(String, Long, Long, Long)],
+                            probes: Seq[Long]): String = {
+    val vals = stats.map { case (layout, mn, mx, cnt) =>
+      s"('$layout', CAST($mn AS BIGINT), CAST($mx AS BIGINT), CAST($cnt AS BIGINT))"
+    }.mkString(", ")
+    val prVals = probes.map(p => s"(CAST($p AS BIGINT))").mkString(", ")
+    s"""WITH fs(layout, mn, mx, cnt) AS (VALUES $vals),
+       |pr(pid) AS (VALUES $prVals),
+       |tot AS (SELECT count(*) AS n FROM embeddings),
+       |good AS (SELECT layout FROM fs GROUP BY layout
+       |         HAVING CAST(sum(cnt) AS BIGINT) = (SELECT n FROM tot)),
+       |hit AS (SELECT fs.layout, fs.cnt,
+       |          (SELECT count(*) FROM pr WHERE pr.pid BETWEEN fs.mn AND fs.mx) AS n_hit
+       |        FROM fs JOIN good USING (layout))
+       |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       |       CAST(sum(cnt * n_hit) AS BIGINT) AS rows_touched,
+       |       (round((CAST(sum(cnt * n_hit) AS DOUBLE)
+       |         / ((SELECT n FROM tot) * ${probes.size}.0)) * 1000000.0) / 1000000.0) AS frac
+       |FROM hit GROUP BY layout ORDER BY layout""".stripMargin
+  }
+
   /** Batch twin of [[pqSql]]: every vec_id % 100 == 0 row is a query;
     * the per-query ADC tables, the rerank-`rerank` candidate cut
     * (adc9, id ascending per query) and the exact per-query re-rank all
@@ -960,6 +988,11 @@ object Oracles {
     Map(
       "ann_pq" -> pqSql(pqBooks, queryId = 5L, k = 10, rerank = 100),
       "knn_batch_pq" -> pqBatchSql(pqBooks, k = 5, rerank = 100),
+      "lookup_cost_model" -> lookupCostSql(
+        Queries.lookupLayoutStats(spark, dir).collect()
+          .map(r => (r.getAs[String]("layout"), r.getAs[Long]("mn"),
+            r.getAs[Long]("mx"), r.getAs[Long]("cnt"))).toSeq.sorted,
+        Queries.lookupProbeIds),
       "pq_distortion" -> pqDistortionSql(pqBooks),
       "pq_code_entropy" -> pqCodeEntropySql(pqBooks),
       "embedding_outliers" -> embeddingOutliersSql(centroids),

@@ -470,6 +470,109 @@ object Queries {
       queryVec(spark, dir, 8L), k = 10, rerank = 100)
   }
 
+  /** Fixed probe ids for the point-lookup cost model — present at every
+    * SF (embeddings ≥ 500 rows everywhere).
+    */
+  private[graft] val lookupProbeIds =
+    Seq(3L, 59L, 111L, 167L, 222L, 278L, 333L, 389L, 444L, 499L)
+
+  /** Per-FILE (min id, max id, rows) stats of a persisted layout — what
+    * a footer-pruned point lookup PAYS on that layout: a reader opens
+    * every file whose [min, max] id range covers the probe. Measured
+    * from the REAL artifact files via input_file_name, never modeled.
+    */
+  private def layoutFileStats(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("vec_id").as("id"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("cnt"))
+
+  /** The by-id lookup layouts beside the cluster-partitioned ANN layout:
+    * id-range-sorted (the point-lookup-optimal layout), Z-ordered on
+    * (id, label) (the compromise layout serving both), and hash-spread
+    * (the default shuffle-write shape). 8 files each so the range
+    * footers have something to prune.
+    */
+  private def idsortedPath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "emb_idsorted",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
+      Tables.embeddings(spark, dir)
+        .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
+        .write.parquet(tmp)
+    }
+
+  private def zorderedEmbPath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "emb_zorder",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
+      Tables.embeddings(spark, dir)
+        .withColumn("z", interleaveBits(pmod(col("vec_id"), lit(65536L)),
+          pmod(col("label").cast("long"), lit(65536L)), 16))
+        .repartitionByRange(8, col("z")).sortWithinPartitions("z")
+        .drop("z")
+        .write.parquet(tmp)
+    }
+
+  private def hashSpreadEmbPath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "emb_hashspread",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
+      Tables.embeddings(spark, dir)
+        .repartition(8, col("vec_id"))
+        .write.parquet(tmp)
+    }
+
+  /** The bounded per-file stats of all four lookup layouts, tagged —
+    * shared by [[lookupCostModel]] and the oracle generator (which
+    * splices the SAME rows in as literals, then re-derives the report
+    * and the corpus-count cross-check independently).
+    */
+  private[graft] def lookupLayoutStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    Seq(
+      "clustered" -> ivfPersistedPath(dir, emb, centroids),
+      "idsorted" -> idsortedPath(spark, dir),
+      "zordered" -> zorderedEmbPath(spark, dir),
+      "hashspread" -> hashSpreadEmbPath(spark, dir))
+      .map { case (name, p) =>
+        layoutFileStats(spark, p).withColumn("layout", lit(name))
+      }
+      .reduce(_.unionByName(_))
+  }
+
+  /** Point-lookup economics — the by-id twin of [[annCostModel]]'s
+    * search report (reference: query_handle.rs point lookups served by
+    * RocksDB key order; on a lake the layout IS the lookup index): for
+    * 10 fixed probe ids, the rows a footer-pruned reader touches under
+    * each persisted layout — cluster-partitioned (the ANN-serving
+    * layout: id ranges span every file ⇒ a point lookup pays the whole
+    * table), id-range-sorted (1 file per probe), Z-ordered on
+    * (id, label) (the compromise), and hash-spread (the default
+    * shuffle write). Everything derives from the REAL artifacts'
+    * per-file min/max/count (bounded: layouts × files rows); rows
+    * touched = Σ cnt over files whose range covers a probe — exact
+    * integers, one final division for the fraction.
+    */
+  def lookupCostModel(spark: SparkSession, dir: String): DataFrame = {
+    val stats = lookupLayoutStats(spark, dir)
+    val probes = typedLit(lookupProbeIds)
+    val total = Tables.embeddings(spark, dir).agg(count(lit(1)).as("n"))
+    stats
+      .select(col("layout"), col("cnt"),
+        size(filter(probes, p => p >= col("mn") && p <= col("mx"))).as("n_hit"))
+      .groupBy("layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("cnt") * col("n_hit")).as("rows_touched"))
+      .crossJoin(broadcast(total))
+      .select(col("layout"), col("n_files"), col("rows_touched"),
+        roundTo(col("rows_touched").cast("double")
+          / (col("n").cast("double") * lit(lookupProbeIds.size.toDouble)), 6)
+          .as("frac"))
+      .orderBy("layout")
+  }
+
   /** Batch k-NN through the persisted PQ codes — the quantized-backend
     * twin of [[knnBatchIvf]] (every vec_id % 100 == 0 row is a query,
     * top-5 L2 each): ONE scan of the 8-byte codes artifact serves ALL
