@@ -50,11 +50,17 @@ object IvfIndex {
     * indexes): repeated searches against the same table reuse the fitted
     * coarse quantizer instead of re-running KMeans.
     */
-  private val fitted = new java.util.concurrent.ConcurrentHashMap[(Int, String, Int), Array[Array[Float]]]()
+  private val fitted = new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
 
   def fitCached(emb: DataFrame, vecCol: String, k: Int, seed: Long = 42L): Array[Array[Float]] =
+    // keyed on the input's CONTENT fingerprint AND the plan hash (two
+    // different filters over the same files never share), so a mid-JVM
+    // rewrite of the table refits instead of serving the stale
+    // quantizer — the Artifacts staleness discipline applied to the
+    // in-memory fitted parameters too
     fitted.computeIfAbsent(
-      (emb.queryExecution.analyzed.semanticHash(), vecCol, k),
+      Artifacts.fingerprintInput(emb,
+        s"ivf $vecCol $k $seed ${emb.queryExecution.analyzed.semanticHash()}"),
       _ => fit(emb, vecCol, k, seed))
 
   /** K scaled with the data: K = max(minK, ⌈n / targetClusterSize⌉), so

@@ -58,12 +58,16 @@ object SqIndex {
   }
 
   private val fittedBounds =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Array[Double], Array[Double])]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Array[Double], Array[Double])]()
 
-  /** Registry-cached [[fitBounds]] (the IndexFactory pattern). */
+  /** Registry-cached [[fitBounds]] (the IndexFactory pattern), keyed on
+    * content fingerprint + plan hash like [[IvfIndex.fitCached]] — a
+    * mid-JVM table rewrite refits instead of serving stale bounds.
+    */
   def fitBoundsCached(emb: DataFrame, vecCol: String): (Array[Double], Array[Double]) =
     fittedBounds.computeIfAbsent(
-      (emb.queryExecution.analyzed.semanticHash(), vecCol),
+      Artifacts.fingerprintInput(emb,
+        s"sq8 $vecCol ${emb.queryExecution.analyzed.semanticHash()}"),
       _ => fitBounds(emb, vecCol))
 
   /** Rank by distance to the SQ8 reconstruction — quantize, reconstruct
@@ -144,15 +148,17 @@ object PqIndex {
   }
 
   private val fitted =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, Int, Int), Array[Array[Array[Float]]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Float]]]]()
 
-  /** Registry-cached [[fit]] (the IndexFactory pattern, like
-    * [[IvfIndex.fitCached]]).
+  /** Registry-cached [[fit]] (the IndexFactory pattern), keyed on
+    * content fingerprint + plan hash like [[IvfIndex.fitCached]] — a
+    * mid-JVM table rewrite refits instead of serving stale codebooks.
     */
   def fitCached(emb: DataFrame, vecCol: String, dim: Int, m: Int, ksub: Int,
                 seed: Long = 42L): Array[Array[Array[Float]]] =
     fitted.computeIfAbsent(
-      (emb.queryExecution.analyzed.semanticHash(), vecCol, m, ksub),
+      Artifacts.fingerprintInput(emb,
+        s"pq $vecCol $m $ksub $seed ${emb.queryExecution.analyzed.semanticHash()}"),
       _ => fit(emb, vecCol, dim, m, ksub, seed))
 
   /** The PQ code of a vector: array of `m` sub-quantizer ids — each an
