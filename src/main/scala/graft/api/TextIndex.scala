@@ -34,11 +34,30 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     */
   def docLengths: DataFrame = spark.read.parquet(s"$path/doclen")
 
+  /** The index's metadata columns (everything riding the doc-length
+    * table beside doc_id/dl) — the text-side filter index, inferred
+    * from the stored schema so a loaded index knows its own filters.
+    */
+  def metaColumns: Seq[String] =
+    docLengths.columns.toSeq.filterNot(c => c == "doc_id" || c == "dl")
+
   /** BM25 top-k for one query (a bag of terms) — identical arithmetic
     * to the index-free operator (RetrievalSpec proves ≡).
     */
   def search(terms: Seq[String], k: Int): DataFrame =
     Retrieval.bm25TopKFromIndex(postings, docLengths, terms, k)
+
+  /** Metadata-filtered BM25 — the facade twin of
+    * [[VectorIndex.searchFiltered]] (reference: filter_index.rs Equal
+    * composed with search): `filter` prunes the doc-side artifact scan
+    * (its columns must be among [[metaColumns]], stored at build), the
+    * term predicate prunes the postings scan, stats/df recompute over
+    * the filtered sub-corpus — provably ≡ an index built on the
+    * filtered corpus ([[graft.operators.Retrieval.bm25TopKFromIndexFiltered]]).
+    */
+  def searchFiltered(terms: Seq[String], k: Int,
+                     filter: org.apache.spark.sql.Column): DataFrame =
+    Retrieval.bm25TopKFromIndexFiltered(postings, docLengths, filter, terms, k)
 
   /** Batch BM25: many queries in one plan, terms as (q_id, term) rows;
     * leave-self-out via excludeQueryDoc for doc-as-query evals.
@@ -64,7 +83,10 @@ final class TextIndex private (spark: SparkSession, val path: String) {
       s"TextIndex.append is new-docs-only: doc_id ${dup.headOption.map(_.get(0)).orNull} " +
         "is already indexed (re-appending would inflate df/N and split tf); " +
         "assign fresh ids or rebuild")
-    Retrieval.appendPostings(docs, idCol, textCol, s"$path/postings", s"$path/doclen")
+    // the batch must carry the index's own metadata columns, so a
+    // filtered search stays total over appended docs too
+    Retrieval.appendPostings(docs, idCol, textCol,
+      s"$path/postings", s"$path/doclen", metaCols = metaColumns)
     this
   }
 
@@ -86,16 +108,18 @@ final class TextIndex private (spark: SparkSession, val path: String) {
 object TextIndex {
 
   /** ONE tokenize pass over the corpus writes both artifact tables:
-    * the (doc_id, toks) projection lands once as a scratch parquet
-    * under the index dir, both tables derive from the STORED copy
-    * (so `wordTokens` evaluates exactly once per document), and the
-    * scratch projection is deleted after the build. Returns the
-    * path-backed handle.
+    * the (doc_id, toks[, meta...]) projection lands once as a scratch
+    * parquet under the index dir, both tables derive from the STORED
+    * copy (so `wordTokens` evaluates exactly once per document), and
+    * the scratch projection is deleted after the build. `metaCols`
+    * ride the doc-length table as the index's filter columns
+    * ([[TextIndex.searchFiltered]]). Returns the path-backed handle.
     */
-  def build(docs: DataFrame, idCol: String, textCol: String, path: String): TextIndex = {
+  def build(docs: DataFrame, idCol: String, textCol: String, path: String,
+            metaCols: String*): TextIndex = {
     val spark = docs.sparkSession
     val scratch = s"$path/_toks_scratch"
-    Retrieval.tokensProjection(docs, idCol, textCol)
+    Retrieval.tokensProjection(docs, idCol, textCol, metaCols: _*)
       .write.mode("overwrite").parquet(scratch)
     val tokens = spark.read.parquet(scratch)
     Retrieval.postingsFromTokens(tokens)

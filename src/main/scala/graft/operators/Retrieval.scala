@@ -89,13 +89,17 @@ object Retrieval {
   def buildPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     postingsFromTokens(tokensProjection(docs, idCol, textCol))
 
-  /** The (doc_id, toks) projection both index tables derive from — the
-    * ONE tokenize pass. [[graft.api.TextIndex.build]] persists it once
-    * and feeds the stored copy to both `fromTokens` plans, so the corpus
-    * is tokenized exactly once per build.
+  /** The (doc_id, toks[, meta...]) projection both index tables derive
+    * from — the ONE tokenize pass. [[graft.api.TextIndex.build]]
+    * persists it once and feeds the stored copy to both `fromTokens`
+    * plans, so the corpus is tokenized exactly once per build.
+    * `metaCols` ride through to the doc-length table (the filter-index
+    * columns of [[bm25TopKFromIndexFiltered]]).
     */
-  def tokensProjection(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), wordTokens(col(textCol)).as("toks"))
+  def tokensProjection(docs: DataFrame, idCol: String, textCol: String,
+                       metaCols: String*): DataFrame =
+    docs.select(col(idCol).as("doc_id") +: wordTokens(col(textCol)).as("toks")
+      +: metaCols.map(col): _*)
 
   /** [[buildPostings]]' plan tail over an already-tokenized projection. */
   def postingsFromTokens(tokens: DataFrame): DataFrame =
@@ -112,9 +116,14 @@ object Retrieval {
   def buildDocLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docLengthsFromTokens(tokensProjection(docs, idCol, textCol))
 
-  /** [[buildDocLengths]]' plan tail over an already-tokenized projection. */
-  def docLengthsFromTokens(tokens: DataFrame): DataFrame =
-    tokens.select(col("doc_id"), size(col("toks")).as("dl"))
+  /** [[buildDocLengths]]' plan tail over an already-tokenized
+    * projection — any metadata columns the projection carries ride
+    * through beside (doc_id, dl).
+    */
+  def docLengthsFromTokens(tokens: DataFrame): DataFrame = {
+    val meta = tokens.columns.filterNot(c => c == "doc_id" || c == "toks")
+    tokens.select(col("doc_id") +: size(col("toks")).as("dl") +: meta.map(col): _*)
+  }
 
   /** [[buildDocLengths]] with carried metadata columns — the text-side
     * analog of the reference's scalar filter index riding the index
@@ -125,8 +134,7 @@ object Retrieval {
     */
   def buildDocLengthsWithMeta(docs: DataFrame, idCol: String, textCol: String,
                               metaCols: String*): DataFrame =
-    docs.select(col(idCol).as("doc_id") +: size(wordTokens(col(textCol))).as("dl")
-      +: metaCols.map(col): _*)
+    docLengthsFromTokens(tokensProjection(docs, idCol, textCol, metaCols: _*))
 
   /** Streaming maintenance of a materialized postings index: tokenize
     * an ingested micro-batch with the SAME kernel as the build and
@@ -140,10 +148,11 @@ object Retrieval {
     * cluster-partitioned vector layout.
     */
   def appendPostings(docs: DataFrame, idCol: String, textCol: String,
-                     postingsPath: String, docLengthsPath: String): Unit = {
+                     postingsPath: String, docLengthsPath: String,
+                     metaCols: Seq[String] = Seq.empty): Unit = {
     buildPostings(docs, idCol, textCol)
       .write.mode("append").parquet(postingsPath)
-    buildDocLengths(docs, idCol, textCol)
+    buildDocLengthsWithMeta(docs, idCol, textCol, metaCols: _*)
       .write.mode("append").parquet(docLengthsPath)
   }
 

@@ -322,4 +322,40 @@ class ApiSpec extends SparkSpec {
     val b = re.searchBatch(qt, k = 3, excludeQueryDoc = true).collect()
     assert(b.nonEmpty && b.forall(_.getAs[Long]("doc_id") != 1L))
   }
+
+  test("TextIndex: metadata columns ride the index; filtered search ≡ filtered-corpus build") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark shuffles data across the cluster", "en"),
+      (2L, "spark spark spark nothing else about spark", "de"),
+      (3L, "gardening tips for growing tomatoes", "en"),
+      (4L, "spark joins need a shuffle unless broadcast", "en"),
+      (5L, "der spark cluster broadcast text", "de")).toDF("doc_id", "text", "lang")
+    val path = java.nio.file.Files.createTempDirectory("graft-textindex-meta").toString
+
+    // build with lang as a filter column; a LOADED index rediscovers it
+    TextIndex.build(docs.where($"doc_id" <= 4), "doc_id", "text", path, "lang")
+    val idx = TextIndex.load(spark, path)
+    assert(idx.metaColumns === Seq("lang"))
+
+    // filtered search ≡ building an index on the filtered corpus
+    val expected = graft.operators.Retrieval.bm25TopK(
+      docs.where($"doc_id" <= 4 && $"lang" === "en"),
+      "doc_id", "text", Seq("spark", "cluster"), k = 4).collect().map(_.toSeq).toSeq
+    val got = idx.searchFiltered(Seq("spark", "cluster"), 4, $"lang" === "en")
+      .collect().map(_.toSeq).toSeq
+    assert(got === expected)
+    assert(got.forall(r => Seq(1L, 3L, 4L).contains(r(1).asInstanceOf[Long])))
+
+    // append carries the index's meta columns: filtered search stays
+    // total over ingested docs (doc 5 is de — filtered out; the en
+    // stats must still see the right N)
+    idx.append(docs.where($"doc_id" === 5), "doc_id", "text")
+    val afterAppend = idx.searchFiltered(Seq("spark", "cluster"), 4, $"lang" === "en")
+      .collect().map(_.toSeq).toSeq
+    assert(afterAppend === expected, "an appended de doc must not disturb the en ranking")
+    val deLeg = idx.searchFiltered(Seq("spark", "broadcast"), 4, $"lang" === "de")
+      .collect().map(r => r(1).asInstanceOf[Long]).toSet
+    assert(deLeg === Set(2L, 5L), "the appended doc must be findable under its own filter")
+  }
 }
