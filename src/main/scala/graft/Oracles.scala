@@ -1508,6 +1508,18 @@ object Oracles {
          |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
          |FROM bm ORDER BY rank""".stripMargin,
 
+    // Phrase search: phrase tf re-derived from RAW text (count of
+    // positions i where toks[i] = t1 and toks[i+1] = t2 — the oracle
+    // never sees the positional index, only reproduces its answer).
+    "text_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id, CAST(len(list_filter(range(1, len(toks)),
+         |        i -> toks[i] = 'table' AND toks[i+1] = 'hash')) AS INT) AS phrase_tf
+         |      FROM t)
+         |SELECT CAST(row_number() OVER (ORDER BY phrase_tf DESC, doc_id) AS INT) AS rank,
+         |       doc_id, phrase_tf
+         |FROM m WHERE phrase_tf > 0 ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin,
+
     // Filtered BM25 ≡ BM25 over the lang = 'en' sub-corpus (stats, df
     // and candidates all filtered) — the oracle re-derives it from raw
     // text with the filter applied before tokenization.

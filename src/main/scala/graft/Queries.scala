@@ -689,7 +689,7 @@ object Queries {
     * parquet scan of the sorted postings).
     */
   private def textPostings(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "postings") {
+    materialized(spark, dir, "postings", spec = "v2:positions") {
       operators.Retrieval.buildPostings(Tables.documents(spark, dir), "doc_id", "text")
     }
 
@@ -729,6 +729,18 @@ object Queries {
   def filteredBm25(spark: SparkSession, dir: String): DataFrame =
     operators.Retrieval.bm25TopKFromIndexFiltered(textPostings(spark, dir),
       textDocLengths(spark, dir), col("lang") === "en", bm25Terms, k = 10)
+
+  /** Exact phrase search ("table hash") over the POSITIONAL inverted
+    * index — the Lucene PhraseQuery capability that separates a real
+    * index from a bag-of-words score table: term-pruned postings scan,
+    * one doc_id equi-join per extra phrase term, in-row positional
+    * intersection, ranked by exact phrase frequency
+    * ([[operators.Retrieval.phraseSearchFromIndex]]). Oracle re-derives
+    * positions from raw text.
+    */
+  def textPhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.phraseSearchFromIndex(textPostings(spark, dir),
+      Seq("table", "hash"), k = 10)
 
   /** Inverted-index health report — the text-index member of the
     * index-stats family ([[indexStats]] reports the vector side):

@@ -47,6 +47,14 @@ final class TextIndex private (spark: SparkSession, val path: String) {
   def search(terms: Seq[String], k: Int): DataFrame =
     Retrieval.bm25TopKFromIndex(postings, docLengths, terms, k)
 
+  /** Exact phrase search over the positional index (the Lucene
+    * PhraseQuery analog): docs where the terms occur consecutively in
+    * order, ranked by exact phrase frequency
+    * ([[graft.operators.Retrieval.phraseSearchFromIndex]]).
+    */
+  def searchPhrase(phrase: Seq[String], k: Int): DataFrame =
+    Retrieval.phraseSearchFromIndex(postings, phrase, k)
+
   /** Metadata-filtered BM25 — the facade twin of
     * [[VectorIndex.searchFiltered]] (reference: filter_index.rs Equal
     * composed with search): `filter` prunes the doc-side artifact scan

@@ -101,12 +101,21 @@ object Retrieval {
     docs.select(col(idCol).as("doc_id") +: wordTokens(col(textCol)).as("toks")
       +: metaCols.map(col): _*)
 
-  /** [[buildPostings]]' plan tail over an already-tokenized projection. */
+  /** [[buildPostings]]' plan tail over an already-tokenized projection.
+    * POSITIONAL (r9): each posting carries the sorted 1-based token
+    * positions of its term — the Lucene-style positional index that
+    * makes phrase search ([[phraseSearchFromIndex]]) a pure
+    * postings-join, at the honest ~tf ints/posting storage cost every
+    * positional index pays. Non-positional consumers (BM25) prune the
+    * column at the scan.
+    */
   def postingsFromTokens(tokens: DataFrame): DataFrame =
     tokens
-      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        posexplode(col("toks")).as(Seq("p", "term")))
       .groupBy("term", "doc_id")
-      .agg(count(lit(1)).as("tf"), min("dl").as("dl"))
+      .agg(count(lit(1)).as("tf"), min("dl").as("dl"),
+        sort_array(collect_list((col("p") + 1).cast("int"))).as("positions"))
       .orderBy("term", "doc_id")
 
   /** Per-doc token lengths — the index's companion stats table: N and
@@ -154,6 +163,41 @@ object Retrieval {
       .write.mode("append").parquet(postingsPath)
     buildDocLengthsWithMeta(docs, idCol, textCol, metaCols: _*)
       .write.mode("append").parquet(docLengthsPath)
+  }
+
+  /** Exact phrase search over the positional index — the Lucene
+    * PhraseQuery analog (the capability that separates a real inverted
+    * index from a bag-of-words score table): documents where the query
+    * terms occur at CONSECUTIVE token positions in order, ranked by
+    * exact phrase frequency.
+    *
+    * Scale shape: ONE term-pruned scan of the postings artifact
+    * (`term IN (phrase)` reaches the sorted scan), then |phrase|−1
+    * doc_id equi-joins of the pruned posting rows — every side is
+    * O(df of a phrase term), never the corpus — with the positional
+    * intersection `acc ∩ (positions_i − i)` as in-row array math.
+    * Phrase tf = |∩ᵢ (positionsᵢ − i)| — exact integers (positions are
+    * distinct by construction), so ranking is deterministic with the
+    * doc_id tie-break.
+    */
+  def phraseSearchFromIndex(postings: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2 && k >= 1)
+    val pruned = postings.where(col("term").isin(phrase.distinct: _*))
+      .select(col("term"), col("doc_id"), col("positions"))
+    val start = pruned.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("positions").as("acc"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(start) { case (acc, (t, i)) =>
+      acc.join(pruned.where(col("term") === t)
+          .select(col("doc_id"), col("positions").as("pi")), Seq("doc_id"))
+        .select(col("doc_id"),
+          array_intersect(col("acc"), transform(col("pi"), x => x - i)).as("acc"))
+        .where(size(col("acc")) > 0)
+    }
+    matched.select(col("doc_id"), size(col("acc")).as("phrase_tf"))
+      .orderBy(col("phrase_tf").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("phrase_tf").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("phrase_tf"))
   }
 
   /** Compaction for an appended postings index: re-range-sort the whole

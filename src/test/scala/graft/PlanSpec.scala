@@ -652,6 +652,18 @@ class PlanSpec extends SparkSpec {
       s"the query cross is a broadcast, never a shuffle cartesian:\n$p")
   }
 
+  test("text_phrase_search: term-pruned positional postings, no corpus tokenize, no cartesian") {
+    val p = plan(Queries.textPhraseSearch(spark, sf001))
+    assert(p.contains("graft-persist/postings"),
+      s"phrase search must serve from the positional index:\n$p")
+    assert(p.contains("In(term") || p.contains("EqualTo(term"),
+      s"phrase-term filter must push to the postings scan:\n$p")
+    assert(!p.contains("tokenize_words"),
+      s"phrase search must never re-tokenize the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"position matching is doc_id equi-joins + in-row array math:\n$p")
+  }
+
   test("filtered_bm25: lang filter prunes the doc-side artifact scan; term filter prunes postings") {
     // the filter must reach BOTH scans: lang = 'en' as a pushed
     // predicate on the doc-length artifact (metadata rides the index,

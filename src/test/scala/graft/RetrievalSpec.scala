@@ -134,6 +134,33 @@ class RetrievalSpec extends SparkSpec {
     assert(vb === sb)
   }
 
+  test("phrase search: only consecutive in-order occurrences match; tf counts repeats") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      RDoc(1L, "spark joins need a shuffle unless broadcast"),   // "a shuffle" once
+      RDoc(2L, "shuffle a shuffle a shuffle"),                    // "a shuffle" twice
+      RDoc(3L, "a big shuffle and shuffle a"),                    // reversed/gapped: no match
+      RDoc(4L, "nothing relevant here at all"))
+      .toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toString
+    Retrieval.buildPostings(docs, "doc_id", "text").write.parquet(s"$dir/p")
+    val p = spark.read.parquet(s"$dir/p")
+
+    val hits = Retrieval.phraseSearchFromIndex(p, Seq("a", "shuffle"), k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("phrase_tf"))).toSeq
+    assert(hits === Seq((2L, 2), (1L, 1)),
+      "adjacency and order must both be required; tf must count repeats")
+
+    // a 3-term phrase threads through the fold
+    val tri = Retrieval.phraseSearchFromIndex(p, Seq("need", "a", "shuffle"), k = 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(tri === Seq(1L))
+    // duplicate-term phrase: positions of the SAME term intersect shifted
+    val dup = Retrieval.phraseSearchFromIndex(p, Seq("shuffle", "a", "shuffle"), k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("phrase_tf"))).toSeq
+    assert(dup === Seq((2L, 2)))
+  }
+
   test("filtered BM25 from the shared index equals an index built on the filtered corpus") {
     val s = spark; import s.implicits._
     // metadata: odd doc_ids are 'en', even are 'de'
