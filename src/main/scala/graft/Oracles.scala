@@ -1520,6 +1520,21 @@ object Oracles {
          |       doc_id, phrase_tf
          |FROM m WHERE phrase_tf > 0 ORDER BY phrase_tf DESC, doc_id LIMIT 10""".stripMargin,
 
+    // Proximity search: ordered (i, j) pairs with 0 < j−i ≤ 4 over the
+    // two terms' raw-text positions — the oracle rebuilds both position
+    // lists from the text and counts pairs the same way.
+    "text_near_search" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(
+         |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table'),
+         |    i -> len(list_filter(range(1, len(toks) + 1),
+         |           j -> toks[j] = 'hash' AND j > i AND j - i <= 4)))) AS INT) AS n_pairs
+         |  FROM t)
+         |SELECT CAST(row_number() OVER (ORDER BY n_pairs DESC, doc_id) AS INT) AS rank,
+         |       doc_id, n_pairs
+         |FROM m WHERE n_pairs > 0 ORDER BY n_pairs DESC, doc_id LIMIT 10""".stripMargin,
+
     // Filtered BM25 ≡ BM25 over the lang = 'en' sub-corpus (stats, df
     // and candidates all filtered) — the oracle re-derives it from raw
     // text with the filter applied before tokenization.

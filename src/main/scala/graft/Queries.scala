@@ -742,6 +742,15 @@ object Queries {
     operators.Retrieval.phraseSearchFromIndex(textPostings(spark, dir),
       Seq("table", "hash"), k = 10)
 
+  /** Proximity search ("table" … "hash" within 4 tokens, ordered) over
+    * the positional index — the SpanNear/slop knob beside the exact
+    * phrase ([[operators.Retrieval.nearSearchFromIndex]]); ranked by
+    * the exact ordered-pair count, oracle re-derived from raw text.
+    */
+  def textNearSearch(spark: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.nearSearchFromIndex(textPostings(spark, dir),
+      "table", "hash", window = 4, k = 10)
+
   /** Inverted-index health report — the text-index member of the
     * index-stats family ([[indexStats]] reports the vector side):
     * corpus size, vocabulary size, posting volume, token mass, the

@@ -55,6 +55,13 @@ final class TextIndex private (spark: SparkSession, val path: String) {
   def searchPhrase(phrase: Seq[String], k: Int): DataFrame =
     Retrieval.phraseSearchFromIndex(postings, phrase, k)
 
+  /** Proximity search: docs where `b` follows `a` within `window`
+    * tokens, ranked by the exact ordered-pair count (the SpanNear/slop
+    * knob beside [[searchPhrase]]).
+    */
+  def searchNear(a: String, b: String, window: Int, k: Int): DataFrame =
+    Retrieval.nearSearchFromIndex(postings, a, b, window, k)
+
   /** Metadata-filtered BM25 — the facade twin of
     * [[VectorIndex.searchFiltered]] (reference: filter_index.rs Equal
     * composed with search): `filter` prunes the doc-side artifact scan

@@ -200,6 +200,33 @@ object Retrieval {
       .select(col("rank"), col("doc_id"), col("phrase_tf"))
   }
 
+  /** Proximity (sloppy-phrase) search over the positional index — the
+    * SpanNear analog beside [[phraseSearchFromIndex]]'s exact phrase:
+    * documents where `b` follows `a` within `window` tokens, ranked by
+    * the exact count of such ordered position pairs. Same scale shape
+    * as the phrase join (two term-pruned posting sides, one doc_id
+    * equi-join, in-row pair counting — O(tf_a · tf_b) per doc, the
+    * cost every positional engine pays for slop).
+    */
+  def nearSearchFromIndex(postings: DataFrame, a: String, b: String,
+                          window: Int, k: Int): DataFrame = {
+    require(window >= 1 && k >= 1)
+    val pa = postings.where(col("term") === a)
+      .select(col("doc_id"), col("positions").as("pa"))
+    val pb = postings.where(col("term") === b)
+      .select(col("doc_id"), col("positions").as("pb"))
+    pa.join(pb, Seq("doc_id"))
+      .select(col("doc_id"),
+        aggregate(col("pa"), lit(0),
+          (acc, i) => acc + size(filter(col("pb"),
+            j => j > i && j - i <= window))).as("n_pairs"))
+      .where(col("n_pairs") > 0)
+      .orderBy(col("n_pairs").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("n_pairs").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("n_pairs"))
+  }
+
   /** Compaction for an appended postings index: re-range-sort the whole
     * table by (term, doc_id) and atomically swap it in, restoring
     * row-group-level term pruning (each append adds whole-batch files

@@ -161,6 +161,23 @@ class RetrievalSpec extends SparkSpec {
     assert(dup === Seq((2L, 2)))
   }
 
+  test("near search: ordered within-window pairs only; boundary exact; pair count multiplies") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      RDoc(1L, "alpha x beta"),                   // gap 2 ≤ 3: match
+      RDoc(2L, "alpha x y z beta"),               // gap 4 > 3: no match
+      RDoc(3L, "beta x alpha"),                   // reversed: no match
+      RDoc(4L, "alpha beta alpha beta"),          // pairs: (1,2),(1,4),(3,4) = 3
+      RDoc(5L, "alpha x y beta"))                 // gap 3 = window: match
+      .toDF()
+    val dir = java.nio.file.Files.createTempDirectory("graft-near").toString
+    Retrieval.buildPostings(docs, "doc_id", "text").write.parquet(s"$dir/p")
+    val p = spark.read.parquet(s"$dir/p")
+    val hits = Retrieval.nearSearchFromIndex(p, "alpha", "beta", window = 3, k = 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_pairs"))).toSeq
+    assert(hits === Seq((4L, 3), (1L, 1), (5L, 1)))
+  }
+
   test("filtered BM25 from the shared index equals an index built on the filtered corpus") {
     val s = spark; import s.implicits._
     // metadata: odd doc_ids are 'en', even are 'de'
