@@ -59,6 +59,12 @@ object Artifacts {
     * adopts an old on-disk version. One driver-side recursive listing
     * per call — metadata-only, the unavoidable (and at 100 TB, the
     * cheapest possible) staleness check.
+    *
+    * Granularity caveat: a rewrite that preserves every file's name,
+    * length AND mtime (sub-timestamp-resolution replace on a local FS)
+    * is indistinguishable — the same envelope every mtime-based build
+    * system accepts. Object stores and real table formats version
+    * writes, so the envelope tightens where it matters.
     */
   def fingerprint(spark: SparkSession, paths: Seq[String], spec: String = ""): String = {
     val conf = spark.sparkContext.hadoopConfiguration
