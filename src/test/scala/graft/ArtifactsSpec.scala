@@ -105,6 +105,30 @@ class ArtifactsSpec extends SparkSpec {
       "orphaned scratch dirs must be swept on commit")
   }
 
+  test("a build-recipe spec bump invalidates the on-disk artifact (schema-change safety)") {
+    val s = spark; import s.implicits._
+    val corpus = tmp("graft-art-spec")
+    val name = s"artspec_${System.nanoTime()}"
+    Seq((1L, 2L)).toDF("id", "v").write.mode("overwrite").parquet(corpus)
+    val key = Artifacts.corpusKey(corpus)
+    def serve(spec: String, out: Long): (String, Long) = {
+      val fp = Artifacts.fingerprint(spark, Seq(corpus), spec)
+      val p = Artifacts.resolve(spark, name, key, fp) { t =>
+        spark.read.parquet(corpus).select((col("v") * out).as("v")).write.parquet(t)
+      }
+      (p, spark.read.parquet(p).head.getLong(0))
+    }
+    val (p1, v1) = serve("v1", 1L)
+    assert(v1 === 2L)
+    // same corpus, NEW recipe: the v1 artifact must not be adopted —
+    // and being superseded under the same key, it is GC'd
+    val (p2, v2) = serve("v2", 100L)
+    assert(p2 !== p1)
+    assert(v2 === 200L, "a spec bump must rebuild with the new recipe")
+    assert(listDirs(new java.io.File(p2).getParent) ===
+      Seq(new java.io.File(p2).getName))
+  }
+
   test("dedup index: append serves signature reads, derived tables fail loudly, rewrite rebuilds") {
     val s = spark; import s.implicits._
     val corpus = tmp("graft-art-dedup")
