@@ -198,6 +198,24 @@ class VectorIndex private (
           Knn.searchBatchIvf(bare, "id", "vectors", queries, "q_id", "q_vec",
             centroids, k, nprobe = math.min(params.nprobe, centroids.length),
             metric = key.metricType.name)
+      case IndexType.PQ =>
+        // batch ADC: ONE codes scan (the loaded codes column if the
+        // layout carries it, else an in-plan encode) serves all queries;
+        // the exact re-rank applies the index metric
+        val books = loadedCodebooks.getOrElse(
+          PqIndex.fitCached(bare, "vectors", key.dim, params.pqSubspaces, PqKsub, seed = 42L))
+        if (books.isEmpty)
+          Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
+        else {
+          val codes =
+            if (state.columns.contains("codes"))
+              state.select(col("id"), col("codes").cast("array<int>").as("codes"))
+            else
+              bare.select(col("id"), PqIndex.encode(col("vectors"), books).as("codes"))
+          PqIndex.searchBatchAdc(codes, bare, "id", "vectors",
+            queries, "q_id", "q_vec", books,
+            k, rerank = math.max(k, params.pqRerank), metric = key.metricType.name)
+        }
       case _ =>
         Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
     }

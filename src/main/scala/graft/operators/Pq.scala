@@ -273,7 +273,7 @@ object PqIndex {
   def searchBatchAdc(codes: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      codebooks: Array[Array[Array[Float]]],
-                     k: Int, rerank: Int): DataFrame = {
+                     k: Int, rerank: Int, metric: String = "l2"): DataFrame = {
     require(rerank >= k)
     val spark = codes.sparkSession
     import spark.implicits._
@@ -317,12 +317,13 @@ object PqIndex {
       .join(broadcast(cand), Seq("cand_id"))
       .join(broadcast(q), Seq("q_id"))
       .select(col("q_id"), col("cand_id").as("id"),
-        Knn.score("l2", col("n_vec"), col("q_vec")).as("dist"))
+        Knn.score(metric, col("n_vec"), col("q_vec")).as("dist"))
       .groupBy("q_id")
       .agg(topk(col("id"), col("dist")).as("nn"))
       .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
       .select(col("q_id"), (col("pos") + 1).as("rank"), col("n.id").as("n_id"),
-        roundTo(col("n.dist"), 4).as("value"))
+        roundTo(if (metric == "ip" || metric == "cosine") -col("n.dist")
+          else col("n.dist"), 4).as("value"))
   }
 
   /** Materialize the codes table — (id, m tinyint codes) ≈ 8 bytes of

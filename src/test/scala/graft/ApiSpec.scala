@@ -323,6 +323,26 @@ class ApiSpec extends SparkSpec {
     assert(b.nonEmpty && b.forall(_.getAs[Long]("doc_id") != 1L))
   }
 
+  test("PQ batch search: rerank ≥ n equals the FLAT batch answer (degenerate exactness)") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"),
+        lit(null).cast("string").as("data"))
+    val queries = graft.sources.Tables.embeddings(spark, sf001)
+      .where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val flat = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2)
+      .insertAll(emb).searchBatch(queries, 5)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    // every ADC candidate survives at rerank = n ⇒ the exact re-rank IS
+    // brute force, so the batch ADC kernel must reproduce FLAT exactly
+    val pq = VectorIndex.create(spark, IndexType.PQ, 64, Metric.L2,
+        IndexParams(pqRerank = 500))
+      .insertAll(emb).searchBatch(queries, 5)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(pq === flat)
+  }
+
   test("TextIndex: metadata columns ride the index; filtered search ≡ filtered-corpus build") {
     val s = spark; import s.implicits._
     val docs = Seq(
