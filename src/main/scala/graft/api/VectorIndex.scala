@@ -216,6 +216,21 @@ class VectorIndex private (
             queries, "q_id", "q_vec", books,
             k, rerank = math.max(k, params.pqRerank), metric = key.metricType.name)
         }
+      case IndexType.BINARY =>
+        // one sign-words scan serves all queries; exact re-rank under
+        // the index metric (same two-stage contract as single-query)
+        BinaryIndex.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec",
+          dim = key.dim, k = k, rerank = math.max(k, params.binaryRerank),
+          metric = key.metricType.name)
+      case IndexType.SQ8 =>
+        val (mins, maxs) = loadedBounds.getOrElse(
+          SqIndex.fitBoundsCached(bare, "vectors"))
+        if (mins.isEmpty)
+          Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
+        else
+          SqIndex.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec",
+            mins, maxs, k, rerank = math.max(k, params.sqRerank),
+            metric = key.metricType.name)
       case _ =>
         Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
     }

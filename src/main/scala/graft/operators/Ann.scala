@@ -340,4 +340,33 @@ object BinaryIndex {
     val pruned = emb.join(broadcast(candidates), col(idCol) === col("cand_id"), "leftsemi")
     Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
   }
+
+  /** Batch hamming search — ONE sign-words scan serves all queries
+    * (the binary member of the batch family beside
+    * [[PqIndex.searchBatchAdc]]): both sides compute their sign words
+    * map-side with the SAME codegen kernel, every (row, query) pair
+    * costs ⌈dim/32⌉ XOR+popcounts, the per-query rerank cut is the
+    * bounded-heap stratified aggregate, and [[Knn.rerankBatch]]
+    * finishes under the index metric.
+    */
+  def searchBatch(emb: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  dim: Int, k: Int, rerank: Int,
+                  metric: String = "l2"): DataFrame = {
+    require(rerank >= k)
+    val nWords = (dim + WordBits - 1) / WordBits
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val qWords = q.select(col("q_id") +:
+      signWords(col("q_vec"), dim).zipWithIndex.map { case (c, i) => c.as(s"qw$i") }: _*)
+    val rows = emb.select(col(idCol).as("cand_id") +:
+      signWords(col(vecCol), dim).zipWithIndex.map { case (c, i) => c.as(s"w$i") }: _*)
+    val ham = (0 until nWords).map { i =>
+      call_function("bit_count", col(s"w$i").bitwiseXOR(col(s"qw$i")))
+    }.reduceLeft(_ + _)
+    val scored = rows.crossJoin(broadcast(qWords))
+      .select(col("q_id"), col("cand_id"), ham.as("ham"))
+    val cand = Stats.stratifiedSample(scored, "q_id", "cand_id", "ham", col("ham"), rerank)
+      .select(col("stratum").as("q_id"), col("id").as("cand_id"))
+    Knn.rerankBatch(emb, idCol, vecCol, cand, q, "q_id", "q_vec", k, metric)
+  }
 }

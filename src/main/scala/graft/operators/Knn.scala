@@ -423,6 +423,33 @@ object Knn {
         roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
   }
 
+  /** Shared batch re-rank tail for the quantized backends
+    * ([[PqIndex.searchBatchAdc]], [[BinaryIndex.searchBatch]],
+    * [[SqIndex.searchBatch]]): the per-query coarse candidates
+    * (q_id, cand_id — O(queries × rerank) rows, broadcastable by
+    * construction) fetch their raw vectors by id in one pruned pass of
+    * the cold table, the index metric scores each (query, candidate)
+    * pair, and the bounded heap emits the top-k per query.
+    */
+  def rerankBatch(emb: DataFrame, idCol: String, vecCol: String,
+                  cand: DataFrame, queries: DataFrame,
+                  qIdCol: String, qVecCol: String,
+                  k: Int, metric: String): DataFrame = {
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
+    val flip = metric == "ip" || metric == "cosine"
+    emb.select(col(idCol).as("cand_id"), col(vecCol).as("n_vec"))
+      .join(broadcast(cand), Seq("cand_id"))
+      .join(broadcast(queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("cand_id").as("id"),
+        score(metric, col("n_vec"), col("q_vec")).as("dist"))
+      .groupBy("q_id")
+      .agg(topk(col("id"), col("dist")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"), col("n.id").as("n_id"),
+        roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+  }
+
   /** Incremental maintenance of a persisted k-NN graph artifact — the
     * append twin the signature and postings artifacts already have
     * ([[Dedup.appendSignatures]], [[Retrieval.appendPostings]]): the

@@ -104,6 +104,44 @@ object SqIndex {
     Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
   }
 
+  /** Batch SQ8 search — one scan serves all queries: each row's
+    * RECONSTRUCTION (quantize → dequantize, query-independent) is
+    * computed once map-side, the coarse stage ranks every (row, query)
+    * pair by reconstruction-L2 (the [[Knn.searchBatch]] cross shape —
+    * the pair math is the codegen VecL2Sq kernel), the per-query
+    * rerank cut is the bounded heap, and [[Knn.rerankBatch]] finishes
+    * under the index metric. The coarse score is float-reconstructed
+    * (vs the single-query fused double kernel) — a coarse-stage-only
+    * difference that the exact re-rank washes out, same contract as
+    * every quantized backend.
+    */
+  def searchBatch(emb: DataFrame, idCol: String, vecCol: String,
+                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                  mins: Array[Double], maxs: Array[Double],
+                  k: Int, rerank: Int, metric: String = "l2"): DataFrame = {
+    require(rerank >= k)
+    val recon = array(mins.indices.map { d =>
+      val mn = mins(d); val mx = maxs(d)
+      if (mx <= mn) lit(mn.toFloat)
+      else {
+        val xd = element_at(col("v"), d + 1).cast("double")
+        val clamped = least(greatest((xd - lit(mn)) / lit(mx - mn), lit(0.0)), lit(1.0))
+        val code = floor(clamped * lit(255.0) + lit(0.5))
+        (lit(mn) + code * lit((mx - mn) / 255.0)).cast("float")
+      }
+    }: _*)
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    val rows = emb.select(col(idCol).as("cand_id"), col(vecCol).as("v"))
+      .select(col("cand_id"), recon.as("recon"))
+    val scored = rows.crossJoin(broadcast(q))
+      .select(col("q_id"), col("cand_id"),
+        floor(graft.functions.vecL2Sq(col("recon"), col("q_vec")) * lit(1e9) + lit(0.5))
+          .cast("long").as("r9"))
+    val cand = Stats.stratifiedSample(scored, "q_id", "cand_id", "r9", col("r9"), rerank)
+      .select(col("stratum").as("q_id"), col("id").as("cand_id"))
+    Knn.rerankBatch(emb, idCol, vecCol, cand, q, "q_id", "q_vec", k, metric)
+  }
+
   /** Persist the trained per-dimension bounds (dim tiny rows) so a
     * reloaded index serves without re-running the bounds aggregates —
     * the SQ analog of [[IvfIndex.writeCentroids]].
@@ -312,18 +350,7 @@ object PqIndex {
     val cand = Stats.stratifiedSample(scored, "q_id", "cand_id", "adc9",
         col("adc9"), rerank)
       .select(col("stratum").as("q_id"), col("id").as("cand_id"))
-    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
-    emb.select(col(idCol).as("cand_id"), col(vecCol).as("n_vec"))
-      .join(broadcast(cand), Seq("cand_id"))
-      .join(broadcast(q), Seq("q_id"))
-      .select(col("q_id"), col("cand_id").as("id"),
-        Knn.score(metric, col("n_vec"), col("q_vec")).as("dist"))
-      .groupBy("q_id")
-      .agg(topk(col("id"), col("dist")).as("nn"))
-      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
-      .select(col("q_id"), (col("pos") + 1).as("rank"), col("n.id").as("n_id"),
-        roundTo(if (metric == "ip" || metric == "cosine") -col("n.dist")
-          else col("n.dist"), 4).as("value"))
+    Knn.rerankBatch(emb, idCol, vecCol, cand, q, "q_id", "q_vec", k, metric)
   }
 
   /** Materialize the codes table — (id, m tinyint codes) ≈ 8 bytes of

@@ -334,13 +334,18 @@ class ApiSpec extends SparkSpec {
     val flat = VectorIndex.create(spark, IndexType.FLAT, 64, Metric.L2)
       .insertAll(emb).searchBatch(queries, 5)
       .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
-    // every ADC candidate survives at rerank = n ⇒ the exact re-rank IS
-    // brute force, so the batch ADC kernel must reproduce FLAT exactly
-    val pq = VectorIndex.create(spark, IndexType.PQ, 64, Metric.L2,
-        IndexParams(pqRerank = 500))
-      .insertAll(emb).searchBatch(queries, 5)
-      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
-    assert(pq === flat)
+    // every coarse candidate survives at rerank = n ⇒ the exact re-rank
+    // IS brute force, so each quantized batch kernel must reproduce
+    // FLAT exactly — the degenerate-exactness contract, batched
+    for ((it, ps) <- Seq(
+        IndexType.PQ -> IndexParams(pqRerank = 500),
+        IndexType.BINARY -> IndexParams(binaryRerank = 500),
+        IndexType.SQ8 -> IndexParams(sqRerank = 500))) {
+      val got = VectorIndex.create(spark, it, 64, Metric.L2, ps)
+        .insertAll(emb).searchBatch(queries, 5)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+      assert(got === flat, s"$it batch at rerank >= n must equal FLAT batch")
+    }
   }
 
   test("TextIndex: metadata columns ride the index; filtered search ≡ filtered-corpus build") {
