@@ -90,20 +90,28 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * N/avgdl; duplicate (term, doc_id) postings inflate df and split
     * tf), so the batch is anti-checked against the standing doc-length
     * table first — one semi-join probe per append, limit-1 cheap.
+    *
+    * The check-then-append pair is serialized per index path with a JVM
+    * lock, so two in-process appends racing the same doc_id cannot both
+    * pass the probe (one blocks until the other's doclen rows are
+    * visible, then fails loudly). Cross-PROCESS appends have no such
+    * fence — like [[compact]], append is single-writer-per-index across
+    * processes: run it from the maintenance role that owns the index.
     */
-  def append(docs: DataFrame, idCol: String, textCol: String): TextIndex = {
-    val dup = docs.select(col(idCol).cast("long").as("doc_id"))
-      .join(docLengths, Seq("doc_id"), "leftsemi").limit(1).collect()
-    require(dup.isEmpty,
-      s"TextIndex.append is new-docs-only: doc_id ${dup.headOption.map(_.get(0)).orNull} " +
-        "is already indexed (re-appending would inflate df/N and split tf); " +
-        "assign fresh ids or rebuild")
-    // the batch must carry the index's own metadata columns, so a
-    // filtered search stays total over appended docs too
-    Retrieval.appendPostings(docs, idCol, textCol,
-      s"$path/postings", s"$path/doclen", metaCols = metaColumns)
-    this
-  }
+  def append(docs: DataFrame, idCol: String, textCol: String): TextIndex =
+    TextIndex.appendLocks.computeIfAbsent(path, _ => new Object).synchronized {
+      val dup = docs.select(col(idCol).cast("long").as("doc_id"))
+        .join(docLengths, Seq("doc_id"), "leftsemi").limit(1).collect()
+      require(dup.isEmpty,
+        s"TextIndex.append is new-docs-only: doc_id ${dup.headOption.map(_.get(0)).orNull} " +
+          "is already indexed (re-appending would inflate df/N and split tf); " +
+          "assign fresh ids or rebuild")
+      // the batch must carry the index's own metadata columns, so a
+      // filtered search stays total over appended docs too
+      Retrieval.appendPostings(docs, idCol, textCol,
+        s"$path/postings", s"$path/doclen", metaCols = metaColumns)
+      this
+    }
 
   /** Re-range-sort the appended postings files so term pruning returns
     * to row-group granularity ([[graft.operators.Retrieval.compactPostings]]):
@@ -146,6 +154,21 @@ object TextIndex {
     load(spark, path)
   }
 
-  /** Reopen a built index after a restart — no rebuild, no tokenize. */
-  def load(spark: SparkSession, path: String): TextIndex = new TextIndex(spark, path)
+  /** Reopen a built index after a restart — no rebuild, no tokenize.
+    * Resolves any interrupted compaction first
+    * ([[graft.operators.Retrieval.recoverCompaction]]): a crash between
+    * the swap renames leaves a complete copy at a deterministic sibling
+    * name, and load adopts it, so the postings table is always present
+    * at the index's own path.
+    */
+  def load(spark: SparkSession, path: String): TextIndex = {
+    Retrieval.recoverCompaction(spark, s"$path/postings")
+    new TextIndex(spark, path)
+  }
+
+  /** Per-index-path JVM locks serializing [[TextIndex.append]]'s
+    * check-then-append pair (see its scaladoc).
+    */
+  private val appendLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

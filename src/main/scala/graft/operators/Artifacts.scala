@@ -29,8 +29,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    are swept by the next successful resolve of the same key.
   *  - A per-(name, corpusKey) JVM lock serializes concurrent first
   *    callers so the corpus-scale build runs ONCE; a cross-process
-  *    racer is handled by the rename: the loser deletes its scratch
-  *    copy and adopts the winner's committed artifact.
+  *    racer is handled by [[commitScratch]]: the loser detects the
+  *    winner's committed copy (before the rename, or as its own scratch
+  *    nested under the winner after it), deletes its copy and adopts
+  *    the winner's committed artifact.
   *
   * The manifest is a leading-underscore file, invisible to Spark's
   * parquet reader (like `_SUCCESS`), so `spark.read.parquet(path)`
@@ -122,18 +124,39 @@ object Artifacts {
           val tmp = s"$parent/tmp_${java.util.UUID.randomUUID()}"
           build(tmp)
           writeManifest(fs, tmp, name, corpus, fp)
-          if (!fs.rename(new Path(tmp), new Path(path))) {
-            // a cross-process racer committed first: drop our copy, adopt
-            fs.delete(new Path(tmp), true)
-            require(isCommitted(fs, path, fp),
-              s"artifact commit failed and no valid racer copy exists: $path")
-          }
+          commitScratch(fs, tmp, path, fp)
         }
         gc(fs, parent, keep = s"f$fp")
         committed.put(key, (fp, path))
         path
       }
     }
+  }
+
+  /** Commit a finished scratch build to its versioned path,
+    * cross-process-race-safe. Hadoop `FileSystem.rename(src, dst)` with
+    * an EXISTING dst directory moves src INTO dst and returns true (both
+    * HDFS and RawLocalFileSystem), so a bare rename cannot double as the
+    * existence check: a losing racer would nest its whole scratch copy
+    * (data files + a second manifest) inside the winner's committed
+    * artifact. Instead: re-check for a committed racer copy immediately
+    * before the rename and adopt it (drop our scratch); after the
+    * rename, if the racer slipped in BETWEEN the check and the rename,
+    * our scratch is now nested under the winner — delete the nested dir
+    * (restoring the winner's artifact exactly) and adopt.
+    */
+  private[graft] def commitScratch(fs: FileSystem, tmp: String, path: String, fp: String): Unit = {
+    val tmpPath = new Path(tmp)
+    val target = new Path(path)
+    if (isCommitted(fs, path, fp)) {
+      fs.delete(tmpPath, true)
+      return
+    }
+    val renamed = fs.rename(tmpPath, target)
+    val nested = new Path(target, tmpPath.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
+    require(isCommitted(fs, path, fp),
+      s"artifact commit failed and no valid racer copy exists: $path (renamed=$renamed)")
   }
 
   /** True iff `path` holds a finished build of fingerprint `fp` — the
@@ -167,6 +190,25 @@ object Artifacts {
     if (fs.exists(p)) fs.listStatus(p).foreach { st =>
       if (st.isDirectory && st.getPath.getName != keep)
         fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Force-rebuild entry point: drop every committed version of
+    * (name, corpus) — on disk and in the JVM fast path — so the next
+    * [[resolve]] rebuilds from scratch. This is the programmatic escape
+    * hatch for artifacts whose DERIVED state went stale without the
+    * input fingerprint changing (e.g. a [[Dedup.DedupIndex]] whose
+    * signature table was appended to: the corpus files are unchanged,
+    * so resolve would re-adopt the appended-to artifact forever).
+    */
+  def invalidate(spark: SparkSession, name: String, corpus: String): Unit = {
+    val key = s"$name/c$corpus"
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      committed.remove(key)
+      val parent = new Path(s"$root/$key")
+      val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(parent)) fs.delete(parent, true)
     }
   }
 

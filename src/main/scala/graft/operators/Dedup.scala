@@ -177,8 +177,8 @@ object Dedup {
           throw new IllegalStateException(
             s"DedupIndex.$what is stale: signatures were appended since the build, " +
               "and the candidate/cluster tables do not cover the ingested docs — " +
-              "serve pair reads from minhashPairsFromSignatures(sig, ...) or rebuild " +
-              s"the index ($base)")
+              "serve pair reads from minhashPairsFromSignatures(sig, ...) or force a " +
+              s"rebuild with Dedup.index(docs, ..., rebuild = true) ($base)")
       }
     }
 
@@ -214,8 +214,15 @@ object Dedup {
     * superseded version is GC'd — while a restart adopts the committed
     * on-disk artifact without re-signing anything. Concurrent first
     * callers share one build under the key lock.
+    *
+    * `rebuild = true` force-drops the committed artifact first
+    * ([[Artifacts.invalidate]]) — the programmatic rebuild path after
+    * [[DedupIndex.append]] staled the derived tables: an append changes
+    * the sig dir, NOT the input-corpus fingerprint, so a plain resolve
+    * would re-adopt the appended-to artifact forever.
     */
-  def index(docs: DataFrame, idCol: String, textCol: String): DedupIndex = {
+  def index(docs: DataFrame, idCol: String, textCol: String,
+            rebuild: Boolean = false): DedupIndex = {
     val spark = docs.sparkSession
     // the key carries the input LOCATION as well as the plan hash, so
     // two corpora (or two filters of one corpus) get separate artifact
@@ -226,6 +233,7 @@ object Dedup {
     val planKey =
       s"${docs.queryExecution.analyzed.semanticHash()} $idCol $textCol $inputDirs"
     val fp = Artifacts.fingerprintInput(docs, spec = s"dedup-v1 $planKey")
+    if (rebuild) Artifacts.invalidate(spark, "dedup", Artifacts.corpusKey(planKey))
     val base = Artifacts.resolve(spark, "dedup", Artifacts.corpusKey(planKey), fp) {
       tmp => buildIndex(docs, idCol, textCol, tmp)
     }

@@ -454,30 +454,62 @@ object Knn {
     * append twin the signature and postings artifacts already have
     * ([[Dedup.appendSignatures]], [[Retrieval.appendPostings]]): the
     * ingested batch assigns to the FROZEN centroids of the original
-    * build, scores against its own cluster's members only
-    * (standing ∪ batch — the same single-probe blocking as the build,
-    * so per-batch cost is Σ over touched clusters of
-    * |batch ∩ cluster|·|cluster|, never corpus²), and APPENDS its top-k
-    * edge rows to the graph parquet.
+    * build and scores against its own cluster's members only (the same
+    * single-probe blocking as the build), then APPENDS its top-k edge
+    * rows to the graph parquet.
+    *
+    * The standing side is derived INTERNALLY from the graph's companion
+    * cluster-partitioned vector layout at `layoutPath` (the
+    * [[IvfIndex.writePartitioned]] table the serving stack already
+    * keeps): the batch's touched-cluster set (K-bounded, one tiny
+    * metadata-scale collect) prunes the standing read at FILE-LISTING
+    * time, so per-batch IO is Σ over touched clusters of |cluster| —
+    * never a full standing-corpus scan per micro-batch — and the same
+    * call keeps the layout current ([[IvfIndex.appendPartitioned]]) so
+    * the next batch's standing set automatically includes this one.
+    * Callers cannot hand in a stale "standing" frame: the layout IS the
+    * corpus as of this batch, by construction.
+    *
+    * NEW-nodes-only contract, enforced like
+    * [[graft.api.TextIndex.append]]: a re-ingested id would duplicate
+    * its layout rows and corrupt later batches' candidate sets, so the
+    * batch is probed against the layout first (limit-1 semi-join on the
+    * column-pruned id column).
     *
     * Maintenance contract (stated envelope, proven in StreamingSpec):
-    * appended NEW-node edges are EXACTLY the full rebuild's edges for
-    * those nodes (frozen centroids ⇒ same cluster membership ⇒ same
-    * candidate set); OLD nodes' edge lists are NOT revisited — a
-    * standing node whose true neighbor arrives in the batch keeps its
-    * build-time list until the next full rebuild, exactly like
-    * appended postings keep file-granularity pruning until compaction.
+    * appended NEW-node edges are EXACTLY the full rebuild's edges over
+    * the corpus as of this batch's ingest (frozen centroids ⇒ same
+    * cluster membership ⇒ same candidate set); OLD nodes' edge lists
+    * are NOT revisited — a standing node whose true neighbor arrives in
+    * the batch keeps its build-time list until the next full rebuild,
+    * exactly like appended postings keep file-granularity pruning until
+    * compaction.
     */
   def appendGraphEdges(
-      standing: DataFrame,
       batch: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: Array[Array[Float]],
       k: Int,
       metric: String,
-      graphPath: String): Unit =
-    ivfGraphEdges(batch, standing.unionByName(batch), idCol, vecCol,
-      centroids, k, metric)
+      graphPath: String,
+      layoutPath: String): Unit = {
+    val spark = batch.sparkSession
+    val dup = spark.read.parquet(layoutPath).select(col(idCol))
+      .join(batch.select(col(idCol)), Seq(idCol), "leftsemi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"appendGraphEdges is new-nodes-only: $idCol ${dup.headOption.map(_.get(0)).orNull} " +
+        "is already in the standing layout (re-appending would duplicate its rows " +
+        "and corrupt later batches' candidate sets)")
+    val touched = batch
+      .select(graft.functions.nearestCentroid(col(vecCol), centroids).as("cluster"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val standingPruned = IvfIndex.readPruned(spark, layoutPath, touched)
+      .select(col(idCol), col(vecCol))
+    ivfGraphEdges(batch, standingPruned.unionByName(batch.select(col(idCol), col(vecCol))),
+      idCol, vecCol, centroids, k, metric)
       .write.mode("append").parquet(graphPath)
+    IvfIndex.appendPartitioned(batch, vecCol, centroids, layoutPath)
+  }
 }

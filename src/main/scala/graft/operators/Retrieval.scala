@@ -235,9 +235,16 @@ object Retrieval {
     * appended layout documents). Data is only re-SORTED, never
     * re-derived: no tokenize, no aggregation — one shuffle of the
     * posting rows, the same cost class as ordinary parquet compaction.
-    * The swap is write-to-scratch → delete → rename, safe against a
-    * crashed compaction (the scratch is adopted or ignored, never
-    * half-read) but not against concurrent writers — run it from the
+    * Crash-safe swap at DETERMINISTIC sibling names (the Artifacts-style
+    * commit discipline): the compacted copy is fully written (with its
+    * `_SUCCESS` marker) at `<path>_compact_new` while readers still see
+    * the live table, then the live table renames aside to
+    * `<path>_compact_old`, the new copy renames in, and the old copy is
+    * deleted. A crash in ANY window leaves a complete copy resolvable at
+    * a deterministic name, and [[recoverCompaction]] (run at the start
+    * of every compaction and by [[graft.api.TextIndex.load]]) adopts or
+    * cleans it — never a missing index recoverable only by hunting for
+    * a UUID scratch dir. Still single-writer: run it from the
     * maintenance role that owns the index, like any compactor.
     */
   def compactPostings(spark: org.apache.spark.sql.SparkSession,
@@ -245,13 +252,43 @@ object Retrieval {
     val conf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(postingsPath)
     val fs = target.getFileSystem(conf)
-    val scratch = new org.apache.hadoop.fs.Path(
-      s"${postingsPath}_compact_${java.util.UUID.randomUUID()}")
+    recoverCompaction(spark, postingsPath)
+    val fresh = new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_new")
+    val old = new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_old")
     spark.read.parquet(postingsPath)
       .orderBy("term", "doc_id")
-      .write.mode("overwrite").parquet(scratch.toString)
-    fs.delete(target, true)
-    require(fs.rename(scratch, target), s"compaction swap failed for $postingsPath")
+      .write.mode("overwrite").parquet(fresh.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(target, old), s"compaction aside-rename failed for $postingsPath")
+    require(fs.rename(fresh, target), s"compaction swap failed for $postingsPath")
+    fs.delete(old, true)
+  }
+
+  /** Recover an interrupted [[compactPostings]]: if the live table is
+    * missing, adopt the COMPLETE compacted copy at `_compact_new` (its
+    * `_SUCCESS` marker proves the write finished) or, failing that,
+    * restore the aside-renamed previous copy at `_compact_old`; if the
+    * live table exists, sweep any leftover siblings. Idempotent and
+    * cheap (driver-side fs metadata only) — [[graft.api.TextIndex.load]]
+    * runs it so a restart always resolves a complete index at the
+    * index's own path.
+    */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        postingsPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(postingsPath)
+    val fs = target.getFileSystem(conf)
+    val fresh = new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_new")
+    val old = new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_old")
+    val freshComplete = fs.exists(new org.apache.hadoop.fs.Path(fresh, "_SUCCESS"))
+    if (!fs.exists(target)) {
+      if (freshComplete) require(fs.rename(fresh, target),
+        s"compaction recovery failed adopting $fresh")
+      else if (fs.exists(old)) require(fs.rename(old, target),
+        s"compaction recovery failed restoring $old")
+    }
+    if (fs.exists(fresh)) fs.delete(fresh, true)
+    if (fs.exists(old)) fs.delete(old, true)
   }
 
   /** [[bm25TopK]] served from a materialized [[buildPostings]] index:

@@ -129,6 +129,133 @@ class ArtifactsSpec extends SparkSpec {
       Seq(new java.io.File(p2).getName))
   }
 
+  test("cross-process commit race: the losing racer adopts the winner, never nests into it") {
+    val s = spark; import s.implicits._
+    val corpus = tmp("graft-art-xrace")
+    val name = s"artxrace_${System.nanoTime()}"
+    Seq((1L, 7L), (2L, 8L)).toDF("id", "v").write.mode("overwrite").parquet(corpus)
+    val fp = Artifacts.fingerprint(spark, Seq(corpus))
+    val key = Artifacts.corpusKey(corpus)
+    val path = Artifacts.resolve(spark, name, key, fp) { t =>
+      spark.read.parquet(corpus).agg(sum("v").as("s")).write.parquet(t)
+    }
+    assert(spark.read.parquet(path).head.getLong(0) === 15L)
+
+    // simulate the LOSING cross-process racer: its finished scratch
+    // (data + manifest) tries to commit AFTER the winner already did.
+    // Hadoop rename(src, existingDir) would move the scratch INSIDE the
+    // winner's dir and return true — commitScratch must adopt instead.
+    val parent = new java.io.File(path).getParent
+    val scratch = s"$parent/tmp_losing-racer"
+    spark.read.parquet(corpus).agg(sum("v").as("s")).write.parquet(scratch)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(scratch, "_graft_manifest.json"),
+      s"""{"artifact": "$name", "corpus": "$key", "fingerprint": "$fp"}"""
+        .getBytes("UTF-8"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Artifacts.commitScratch(fs, scratch, path, fp)
+
+    assert(!new java.io.File(scratch).exists(), "the loser must drop its scratch")
+    assert(new java.io.File(path).listFiles().forall(f => !f.getName.startsWith("tmp_")),
+      "no scratch copy may nest inside the committed artifact")
+    assert(spark.read.parquet(path).count() === 1,
+      "the winner's artifact must survive the race intact (no duplicate rows)")
+    assert(spark.read.parquet(path).head.getLong(0) === 15L)
+  }
+
+  test("invalidate drops the committed version so the next resolve rebuilds") {
+    val s = spark; import s.implicits._
+    val corpus = tmp("graft-art-inval")
+    val name = s"artinval_${System.nanoTime()}"
+    Seq((1L, 3L)).toDF("id", "v").write.mode("overwrite").parquet(corpus)
+    val fp = Artifacts.fingerprint(spark, Seq(corpus))
+    val key = Artifacts.corpusKey(corpus)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    def serve(): String =
+      Artifacts.resolve(spark, name, key, fp) { t =>
+        builds.incrementAndGet()
+        spark.read.parquet(corpus).write.parquet(t)
+      }
+    val p1 = serve()
+    assert(builds.get() === 1)
+    Artifacts.invalidate(spark, name, key)
+    assert(!new java.io.File(p1).exists(), "invalidate must drop the on-disk version")
+    val p2 = serve()
+    assert(builds.get() === 2, "resolve after invalidate must rebuild")
+    assert(p2 === p1)
+  }
+
+  test("interrupted postings compaction recovers a complete copy at the index path") {
+    val s = spark; import s.implicits._
+    import graft.operators.Retrieval
+
+    val base = tmp("graft-art-compact") + "/idx"
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "beta gamma delta"), (3L, "gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val idx = graft.api.TextIndex.build(docs, "doc_id", "text", base)
+    idx.append(Seq((10L, "beta zeta")).toDF("doc_id", "text"), "doc_id", "text")
+    val postingsPath = s"$base/postings"
+    val before = spark.read.parquet(postingsPath)
+      .collect().map(_.toSeq).toSet
+
+    // crash window A: the compacted copy is COMPLETE at _compact_new but
+    // the live table already renamed aside → load adopts the new copy
+    val fs = new org.apache.hadoop.fs.Path(postingsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(postingsPath).orderBy("term", "doc_id")
+      .write.mode("overwrite").parquet(s"${postingsPath}_compact_new")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(postingsPath),
+      new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_old")))
+    val recovered = graft.api.TextIndex.load(spark, base)
+    assert(recovered.postings.collect().map(_.toSeq).toSet === before,
+      "load must adopt the complete compacted copy")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_new")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_old")))
+
+    // crash window B: the compacted copy is INCOMPLETE (no _SUCCESS) and
+    // the live table renamed aside → load restores the previous copy
+    assert(fs.rename(new org.apache.hadoop.fs.Path(postingsPath),
+      new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_old")))
+    new java.io.File(s"${postingsPath}_compact_new").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${postingsPath}_compact_new", "part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val restored = graft.api.TextIndex.load(spark, base)
+    assert(restored.postings.collect().map(_.toSeq).toSet === before,
+      "load must restore the aside-renamed previous copy when the new one is incomplete")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_new")))
+
+    // and a normal compact still answers identically
+    idx.compact()
+    assert(spark.read.parquet(postingsPath).collect().map(_.toSeq).toSet === before)
+  }
+
+  test("dedup index rebuild=true is the programmatic un-staleness path") {
+    val s = spark; import s.implicits._
+    val corpus = tmp("graft-art-dedup-rb")
+    Seq(
+      ADoc(1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      ADoc(2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      ADoc(3L, "completely unrelated text about gardening tomatoes and fresh summer herbs"))
+      .toDF().write.mode("overwrite").parquet(corpus)
+    val docs = spark.read.parquet(corpus)
+    val idx = Dedup.index(docs, "doc_id", "text")
+    idx.append(
+      Seq(ADoc(4L, "the quick brown fox jumps over the lazy dog again and again today")).toDF(),
+      "doc_id", "text")
+    // the corpus fingerprint is UNCHANGED by the append: a plain resolve
+    // re-adopts the stale artifact forever...
+    intercept[IllegalStateException](idx.minhashPairs(0.5).collect())
+    val readopted = Dedup.index(spark.read.parquet(corpus), "doc_id", "text")
+    assert(readopted.base === idx.base)
+    // ...rebuild = true is the programmatic way out
+    val rebuilt = Dedup.index(spark.read.parquet(corpus), "doc_id", "text", rebuild = true)
+    assert(rebuilt.minhashPairs(0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 2L)), "the rebuilt index covers the raw corpus and its guards clear")
+  }
+
   test("dedup index: append serves signature reads, derived tables fail loudly, rewrite rebuilds") {
     val s = spark; import s.implicits._
     val corpus = tmp("graft-art-dedup")
