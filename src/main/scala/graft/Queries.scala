@@ -487,59 +487,65 @@ object Queries {
       .groupBy("f")
       .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("cnt"))
 
-  /** The by-id lookup layouts beside the cluster-partitioned ANN layout:
-    * id-range-sorted (the point-lookup-optimal layout), Z-ordered on
-    * (id, label) (the compromise layout serving both), and hash-spread
-    * (the default shuffle-write shape). 8 files each so the range
-    * footers have something to prune.
+  /** The by-id lookup layouts beside the cluster-partitioned ANN layout,
+    * SYNTHESIZED rather than written (the serving layout is the one real
+    * artifact; a cost table should not cost 3× write amplification to
+    * produce): each hypothetical layout's per-file (min id, max id,
+    * rows) is derived in-plan from the id distribution alone —
+    *
+    *  - `idsorted`: 8 equi-width buckets over the observed id domain
+    *    (what a range writer produces on uniform keys — and exactly
+    *    reproducible without a global sort, unlike sampled range
+    *    boundaries);
+    *  - `zordered`: 8 equi-width buckets over the interleaved
+    *    (id, label) Z-value, min/max ID per Z-bucket (the z-locality
+    *    loss is the whole point the report shows);
+    *  - `hashspread`: pmod(hash(id), 8) — exactly the bucket function
+    *    of a `repartition(8, id)` shuffle write.
+    *
+    * One narrow map pass + an 8-bucket agg per layout, the id-domain
+    * bounds a 1-row broadcast — no writes, no sorts, no driver actions.
+    * The report's math needs only these (mn, mx, cnt) triples, and the
+    * oracle splices the SAME rows as literals, so synthesized and
+    * measured stats are interchangeable downstream.
     */
-  private def idsortedPath(spark: SparkSession, dir: String): String =
-    operators.Artifacts.resolve(spark, "emb_idsorted",
-      operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
-      Tables.embeddings(spark, dir)
-        .repartitionByRange(8, col("vec_id")).sortWithinPartitions("vec_id")
-        .write.parquet(tmp)
-    }
-
-  private def zorderedEmbPath(spark: SparkSession, dir: String): String =
-    operators.Artifacts.resolve(spark, "emb_zorder",
-      operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
-      Tables.embeddings(spark, dir)
-        .withColumn("z", interleaveBits(pmod(col("vec_id"), lit(65536L)),
-          pmod(col("label").cast("long"), lit(65536L)), 16))
-        .repartitionByRange(8, col("z")).sortWithinPartitions("z")
-        .drop("z")
-        .write.parquet(tmp)
-    }
-
-  private def hashSpreadEmbPath(spark: SparkSession, dir: String): String =
-    operators.Artifacts.resolve(spark, "emb_hashspread",
-      operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
-      Tables.embeddings(spark, dir)
-        .repartition(8, col("vec_id"))
-        .write.parquet(tmp)
-    }
+  private def syntheticLayoutStats(emb: DataFrame): DataFrame = {
+    val bounds = broadcast(emb.agg(min("vec_id").as("lo"), max("vec_id").as("hi")))
+    val base = emb.select(col("vec_id").as("id"), col("label")).crossJoin(bounds)
+    // integer bucket width ⌊span/8⌋+1 keeps every bucket index in [0, 7]
+    def stats(name: String, bucket: Column, keyed: DataFrame): DataFrame =
+      keyed.withColumn("b", bucket)
+        .groupBy("b")
+        .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("cnt"))
+        .select(concat(lit(s"synth:$name/"), col("b")).as("f"),
+          col("mn"), col("mx"), col("cnt"))
+        .withColumn("layout", lit(name))
+    // `div` (not `/`): exact long division for the bucket index
+    val idsorted = stats("idsorted",
+      expr("(id - lo) div ((hi - lo) div 8 + 1)"), base)
+    val zkeyed = base.withColumn("z", interleaveBits(pmod(col("id"), lit(65536L)),
+      pmod(col("label").cast("long"), lit(65536L)), 16))
+    val zbounds = broadcast(zkeyed.agg(min("z").as("zlo"), max("z").as("zhi")))
+    val zordered = stats("zordered",
+      expr("(z - zlo) div ((zhi - zlo) div 8 + 1)"), zkeyed.crossJoin(zbounds))
+    val hashspread = stats("hashspread", pmod(hash(col("id")), lit(8)), base)
+    idsorted.unionByName(zordered).unionByName(hashspread)
+  }
 
   /** The bounded per-file stats of all four lookup layouts, tagged —
     * shared by [[lookupCostModel]] and the oracle generator (which
     * splices the SAME rows in as literals, then re-derives the report
-    * and the corpus-count cross-check independently).
+    * and the corpus-count cross-check independently). `clustered` is
+    * MEASURED from the real serving artifact's files; the three
+    * hypothetical layouts are synthesized ([[syntheticLayoutStats]]) —
+    * nobody materializes 3× write amplification for a cost table.
     */
   private[graft] def lookupLayoutStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
-    Seq(
-      "clustered" -> ivfPersistedPath(dir, emb, centroids),
-      "idsorted" -> idsortedPath(spark, dir),
-      "zordered" -> zorderedEmbPath(spark, dir),
-      "hashspread" -> hashSpreadEmbPath(spark, dir))
-      .map { case (name, p) =>
-        layoutFileStats(spark, p).withColumn("layout", lit(name))
-      }
-      .reduce(_.unionByName(_))
+    layoutFileStats(spark, ivfPersistedPath(dir, emb, centroids))
+      .withColumn("layout", lit("clustered"))
+      .unionByName(syntheticLayoutStats(emb))
   }
 
   /** Point-lookup economics — the by-id twin of [[annCostModel]]'s
@@ -628,13 +634,31 @@ object Queries {
       queryVec(spark, dir, 9L), k = 10)
   }
 
-  /** The rerank ladder every quantized backend's curve measures: four
-    * fixed cuts plus rerank = n, the leg that PROVABLY closes at recall
+  /** The fixed cuts of every quantized backend's rerank curve; the
+    * curves then add a rerank = n leg that PROVABLY closes at recall
     * 1.0 (every candidate survives to the exact re-rank ⇒ the search IS
-    * brute force). n comes from a metadata-only count.
+    * brute force) — built as [[operators.Knn.searchExact]], its provably
+    * identical plan, with the n label riding IN-PLAN from a 1-row count
+    * agg. Nothing here runs a driver-side job at query CONSTRUCTION
+    * time ([[annSq8RerankCurve]] / [[annBinaryRerankCurve]] stay lazy
+    * end-to-end).
     */
-  private def rerankLadder(emb: DataFrame): Seq[Int] =
-    Seq(10, 25, 50, 100, emb.count().toInt)
+  private val rerankCuts = Seq(10, 25, 50, 100)
+
+  /** The shared rerank = n closing leg: exact ∩ brute with the corpus
+    * count as the in-plan row label.
+    */
+  private def rerankClosingLeg(emb: DataFrame, exact: DataFrame,
+                               qv: Array[Float]): DataFrame = {
+    val nLit = broadcast(emb.agg(count(lit(1)).cast("int").as("rerank")))
+    val brute = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    exact.join(brute, "id")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(nLit)
+      .select(col("rerank"), col("n_hits"),
+        roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+  }
 
   /** SQ8 tuning curve: recall@10 of [[operators.SqIndex.searchAnyMetric]]
     * at rerank ∈ {10, 25, 50, 100, n} — the sqRerank knob's measured
@@ -648,14 +672,15 @@ object Queries {
     val qv = queryVec(spark, dir, 9L)
     val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
       .select(col("id"))
-    rerankLadder(emb).map { r =>
+    val fixed = rerankCuts.map { r =>
       val approx = operators.SqIndex.searchAnyMetric(emb, "vec_id", "embedding",
         mins, maxs, qv, k = 10, rerank = r).select(col("id"))
       exact.join(approx, "id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(r).as("rerank"), col("n_hits"),
           roundTo(col("n_hits") / lit(10L), 4).as("recall"))
-    }.reduce(_ unionAll _).orderBy("rerank")
+    }
+    (fixed :+ rerankClosingLeg(emb, exact, qv)).reduce(_ unionAll _).orderBy("rerank")
   }
 
   /** Binary (sign-bit) tuning curve: recall@10 of
@@ -668,14 +693,15 @@ object Queries {
     val qv = queryVec(spark, dir, 11L)
     val exact = operators.Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
       .select(col("id"))
-    rerankLadder(emb).map { r =>
+    val fixed = rerankCuts.map { r =>
       val approx = operators.BinaryIndex.search(emb, "vec_id", "embedding", qv,
         k = 10, rerank = r).select(col("id"))
       exact.join(approx, "id")
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(r).as("rerank"), col("n_hits"),
           roundTo(col("n_hits") / lit(10L), 4).as("recall"))
-    }.reduce(_ unionAll _).orderBy("rerank")
+    }
+    (fixed :+ rerankClosingLeg(emb, exact, qv)).reduce(_ unionAll _).orderBy("rerank")
   }
 
   /** The query terms both retrieval legs share (fixed "user query"). */
