@@ -267,7 +267,8 @@ object Oracles {
     * centroids; top-k per query by (distance, id) — the DuckDB twin of
     * [[operators.Knn.searchBatchIvf]].
     */
-  private def batchIvfSql(centroids: Array[Array[Float]], k: Int, nprobe: Int): String =
+  private def batchIvfSql(centroids: Array[Array[Float]], k: Int, nprobe: Int,
+                          andWhere: String = ""): String =
     s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
        |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
        |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
@@ -279,7 +280,7 @@ object Oracles {
        |          QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, cid) <= $nprobe),
        |d AS (SELECT p.q_id, e.vec_id AS n_id, ${l2("e.embedding", "q.qv")} AS score
        |      FROM probe p JOIN cl ON cl.cid = p.cid JOIN embeddings e ON e.vec_id = cl.vec_id
-       |      JOIN q ON q.q_id = p.q_id)
+       |      JOIN q ON q.q_id = p.q_id WHERE TRUE$andWhere)
        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) AS INT) AS rank,
        |       n_id, (round((score) * 10000.0) / 10000.0) AS value
        |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
@@ -1007,6 +1008,10 @@ object Oracles {
       // change the answer, only where the pruning happens (file listing).
       "ann_ivf_persisted" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
       "knn_batch_ivf" -> batchIvfSql(centroids, k = 5, nprobe = 4),
+      // same kernel with the label filter on the BASE side only — the
+      // queries stay unfiltered, exactly like the Spark plan
+      "filtered_knn_batch" -> batchIvfSql(centroids, k = 5, nprobe = 4,
+        andWhere = " AND e.label = 2"),
       // the graph build scales K with n (fitScaled) — splice THOSE centroids
       "knn_join_ivf" -> knnJoinSql(scaledCents, k = 3),
       "knn_hubness" -> knnHubnessSql(scaledCents, k = 3),

@@ -130,6 +130,26 @@ object Queries {
       .orderBy("q_id", "rank")
   }
 
+  /** Filtered BATCH k-NN — the reference's metadata-filter composition
+    * ([[filteredAnnIvf]], filter_index.rs ∘ search_vectors_filter)
+    * applied to the batch evaluation shape ([[knnBatchIvf]]): every
+    * vec_id % 100 == 0 row is a query, answered over ONLY label == 2
+    * rows, in ONE plan. The label predicate lands on the base side of
+    * the cluster equi-join, so filter ∩ probed clusters both reach the
+    * one corpus scan (plan-guarded); centroids are fit on the FULL
+    * table (the filter narrows the search, not the index), so the
+    * parameter-literal oracle mirrors both predicates.
+    */
+  def filteredKnnBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    operators.Knn.searchBatchIvf(emb.where(col("label") === 2), "vec_id", "embedding",
+        queries, "q_id", "q_vec", centroids, k = 5, nprobe = 4, metric = "l2")
+      .orderBy("q_id", "rank")
+  }
+
   /** In-query recall evaluation of the approximate IVF path against the
     * exact answer — the index-tuning artifact (faiss bench loop): both
     * legs are deterministic (seeded KMeans, fixed query), so

@@ -270,6 +270,45 @@ class VectorIndex private (
     searchFrom(state.where(pred), vector, k)
   }
 
+  /** Filtered BATCH search — [[searchFiltered]] composed with
+    * [[searchBatch]] (reference: hnsw_index.rs search_vectors_filter ×
+    * the batch evaluation shape): every query row is answered over ONLY
+    * the rows satisfying the int-field predicate, in one plan. The
+    * filter lands on the BASE side of the batch kernel, so it reaches
+    * the one corpus scan (a pushed predicate at scale) and composes
+    * with IVF's probed-cluster equi-join — filter ∩ probed clusters
+    * both prune the same scan, exactly like the single-query
+    * [[searchFiltered]]. Centroids are fit on the FULL table (the
+    * filter narrows the SEARCH, not the index). Quantized backends
+    * (PQ/SQ8/BINARY) route through the exact batch kernel over the
+    * filtered base: their coarse codes do not carry the filter field,
+    * so a code-scan-then-post-filter could silently under-fill k — the
+    * exact path is the honest one.
+    */
+  def searchBatchFiltered(queries: DataFrame, k: Int,
+                          field: String, op: FilterOp, value: Long): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val f = get_json_object(col("data"), s"$$.$field").cast("long")
+    val pred = op match {
+      case FilterOp.Equal    => f === value
+      case FilterOp.NotEqual => f =!= value
+    }
+    val base = bare.where(pred)
+    key.indexType match {
+      case IndexType.IVF | IndexType.IVFPQ =>
+        val centroids = loadedCentroids.getOrElse(
+          IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L))
+        if (centroids.isEmpty)
+          Knn.searchBatch(base, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
+        else
+          Knn.searchBatchIvf(base, "id", "vectors", queries, "q_id", "q_vec",
+            centroids, k, nprobe = math.min(params.nprobe, centroids.length),
+            metric = key.metricType.name)
+      case _ =>
+        Knn.searchBatch(base, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
+    }
+  }
+
   private def searchFrom(base: DataFrame, vector: Array[Float], k: Int): DataFrame =
     key.indexType match {
       case IndexType.FLAT =>

@@ -192,6 +192,31 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("searchBatchFiltered: per-query top-k equals looped searchFiltered (FLAT and IVF)") {
+    val s = spark; import s.implicits._
+    // data json carries the filter field; evens are grp=0, odds grp=1
+    val rows = (0 until 200).map(i =>
+      (i.toLong, Array(i.toFloat, (i % 7).toFloat), Some(s"""{"grp": ${i % 2}}""")))
+    val queries = Seq((0L, Array(5f, 5f)), (1L, Array(150f, 1f))).toDF("q_id", "q_vec")
+    for (kind <- Seq(IndexType.FLAT, IndexType.IVF);
+         op <- Seq(FilterOp.Equal, FilterOp.NotEqual)) {
+      val idx = VectorIndex.create(spark, kind, 2, Metric.L2)
+        .insertAll(rows.toDF("id", "vectors", "data"))
+      val batch = idx.searchBatchFiltered(queries, k = 3, "grp", op, 0L).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(batch.count(_._1 == 0L) === 3 && batch.count(_._1 == 1L) === 3)
+      for ((qid, qv) <- Seq((0L, Array(5f, 5f)), (1L, Array(150f, 1f)))) {
+        val single = idx.searchFiltered(qv, 3, "grp", op, 0L).collect()
+          .map(r => (qid, r.getInt(0), r.getLong(1))).toSet
+        assert(batch.filter(_._1 == qid) === single,
+          s"$kind/$op: batch must agree with the looped filtered single-query path")
+      }
+      // the filter actually bit: every returned id has the right parity
+      val wantEven = op == FilterOp.Equal
+      assert(batch.forall { case (_, _, id) => (id % 2 == 0) == wantEven })
+    }
+  }
+
   test("knnGraph: FLAT graph equals brute force; self excluded") {
     val s = spark; import s.implicits._
     val vecs = (0 until 40).map(i => (i.toLong, Array((i % 8).toFloat, (i / 8).toFloat), None: Option[String]))

@@ -683,6 +683,19 @@ class PlanSpec extends SparkSpec {
       s"a filtered search must not re-tokenize the corpus:\n$p")
   }
 
+  test("filtered_knn_batch: label filter reaches the base scan; join is the cluster equi-join") {
+    // the metadata filter composes with IVF pruning in the BATCH shape
+    // too: label = 2 must be a pushed predicate on the one corpus-side
+    // scan (at scale: row-group prune ∩ probed clusters), and the
+    // query × base pairing must stay an equi-join on cluster id — never
+    // a cartesian
+    val p = plan(Queries.filteredKnnBatch(spark, sf001))
+    assert(p.contains("EqualTo(label,2)"),
+      s"label filter must push to the base-side scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch pairing must remain the cluster equi-join:\n$p")
+  }
+
   test("customer_id_linkage: the variant pair join ships narrow (v, id) rows only") {
     // Pair generation is BLOCK-LOCAL: postings group into ≤ 256-id
     // (pos, v) arrays in one shuffle and pairs explode map-side — no
