@@ -1540,11 +1540,38 @@ object Oracles {
          |       doc_id, n_pairs
          |FROM m WHERE n_pairs > 0 ORDER BY n_pairs DESC, doc_id LIMIT 10""".stripMargin,
 
+    // n-clause proximity: ordered (i, j, l) chains with each gap in
+    // (0, 4] over the three terms' raw-text positions — the oracle
+    // rebuilds all three position lists from the text and counts the
+    // same chains the fold counts.
+    "text_near_search_multi" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(list_sum(list_transform(
+         |    list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table'),
+         |    i -> list_sum(list_transform(
+         |      list_filter(range(1, len(toks) + 1),
+         |        j -> toks[j] = 'hash' AND j > i AND j - i <= 4),
+         |      j -> len(list_filter(range(1, len(toks) + 1),
+         |        l -> toks[l] = 'join' AND l > j AND l - j <= 4)))))) AS INT) AS n_pairs
+         |  FROM t)
+         |SELECT CAST(row_number() OVER (ORDER BY n_pairs DESC, doc_id) AS INT) AS rank,
+         |       doc_id, n_pairs
+         |FROM m WHERE n_pairs > 0 ORDER BY n_pairs DESC, doc_id LIMIT 10""".stripMargin,
+
     // Filtered BM25 ≡ BM25 over the lang = 'en' sub-corpus (stats, df
     // and candidates all filtered) — the oracle re-derives it from raw
     // text with the filter applied before tokenization.
     "filtered_bm25" ->
       s"""WITH ${bm25Ctes(10, " WHERE lang = 'en'")}
+         |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
+         |FROM bm ORDER BY rank""".stripMargin,
+
+    // NotEqual + numeric range on the text filter leg — same contract:
+    // ≡ BM25 over the sub-corpus with the predicates applied before
+    // tokenization (stats, df and candidates all filtered).
+    "filtered_bm25_ne" ->
+      s"""WITH ${bm25Ctes(10, " WHERE lang <> 'de' AND n_chars BETWEEN 200 AND 1200")}
          |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
          |FROM bm ORDER BY rank""".stripMargin,
 

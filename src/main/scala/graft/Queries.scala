@@ -746,9 +746,9 @@ object Queries {
     * only need (doc_id, dl) ignore the extra column.
     */
   private def textDocLengths(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "doclen", spec = "v2:lang") {
+    materialized(spark, dir, "doclen", spec = "v3:lang,n_chars") {
       operators.Retrieval.buildDocLengthsWithMeta(
-        Tables.documents(spark, dir), "doc_id", "text", "lang")
+        Tables.documents(spark, dir), "doc_id", "text", "lang", "n_chars")
     }
 
   /** BM25 top-10 keyword retrieval served from the materialized
@@ -776,6 +776,20 @@ object Queries {
     operators.Retrieval.bm25TopKFromIndexFiltered(textPostings(spark, dir),
       textDocLengths(spark, dir), col("lang") === "en", bm25Terms, k = 10)
 
+  /** Filtered BM25 with the reference's OTHER filter shapes composed —
+    * Operation::NotEqual (filter_index.rs:53-60) plus a numeric range,
+    * the two predicates a scalar filter index serves beyond equality:
+    * lang != 'de' AND n_chars ∈ [200, 1200] over the SHARED artifacts
+    * (both columns ride the doc-length table; both predicates push to
+    * its scan). Same provable contract as [[filteredBm25]]: ≡ an index
+    * built on the filtered corpus, stats/df recomputed over the
+    * sub-corpus (RetrievalSpec).
+    */
+  def filteredBm25Ne(spark: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.bm25TopKFromIndexFiltered(textPostings(spark, dir),
+      textDocLengths(spark, dir),
+      col("lang") =!= "de" && col("n_chars").between(200, 1200), bm25Terms, k = 10)
+
   /** Exact phrase search ("table hash") over the POSITIONAL inverted
     * index — the Lucene PhraseQuery capability that separates a real
     * index from a bag-of-words score table: term-pruned postings scan,
@@ -796,6 +810,17 @@ object Queries {
   def textNearSearch(spark: SparkSession, dir: String): DataFrame =
     operators.Retrieval.nearSearchFromIndex(textPostings(spark, dir),
       "table", "hash", window = 4, k = 10)
+
+  /** n-clause proximity search ("table" … "hash" … "join", each gap ≤ 4
+    * tokens, in order) — the full Lucene SpanNearQuery shape over the
+    * positional index: the |terms|−1-step foldLeft chain join of
+    * [[operators.Retrieval.nearSearchFromIndex]], ranked by the exact
+    * ordered-chain count; oracle re-derives all three position lists
+    * from raw text and counts the same chains.
+    */
+  def textNearSearchMulti(spark: SparkSession, dir: String): DataFrame =
+    operators.Retrieval.nearSearchFromIndex(textPostings(spark, dir),
+      Seq("table", "hash", "join"), window = 4, k = 10)
 
   /** Inverted-index health report — the text-index member of the
     * index-stats family ([[indexStats]] reports the vector side):

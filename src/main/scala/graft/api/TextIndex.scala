@@ -55,12 +55,17 @@ final class TextIndex private (spark: SparkSession, val path: String) {
   def searchPhrase(phrase: Seq[String], k: Int): DataFrame =
     Retrieval.phraseSearchFromIndex(postings, phrase, k)
 
-  /** Proximity search: docs where `b` follows `a` within `window`
-    * tokens, ranked by the exact ordered-pair count (the SpanNear/slop
-    * knob beside [[searchPhrase]]).
+  /** Proximity search, n-clause (the Lucene SpanNearQuery shape): docs
+    * where the terms occur in order with each consecutive gap within
+    * `window` tokens, ranked by the exact ordered-chain count (the
+    * SpanNear/slop knob beside [[searchPhrase]]).
     */
+  def searchNear(terms: Seq[String], window: Int, k: Int): DataFrame =
+    Retrieval.nearSearchFromIndex(postings, terms, window, k)
+
+  /** Two-term proximity overload. */
   def searchNear(a: String, b: String, window: Int, k: Int): DataFrame =
-    Retrieval.nearSearchFromIndex(postings, a, b, window, k)
+    Retrieval.nearSearchFromIndex(postings, Seq(a, b), window, k)
 
   /** Metadata-filtered BM25 — the facade twin of
     * [[VectorIndex.searchFiltered]] (reference: filter_index.rs Equal

@@ -201,31 +201,54 @@ object Retrieval {
   }
 
   /** Proximity (sloppy-phrase) search over the positional index — the
-    * SpanNear analog beside [[phraseSearchFromIndex]]'s exact phrase:
-    * documents where `b` follows `a` within `window` tokens, ranked by
-    * the exact count of such ordered position pairs. Same scale shape
-    * as the phrase join (two term-pruned posting sides, one doc_id
-    * equi-join, in-row pair counting — O(tf_a · tf_b) per doc, the
-    * cost every positional engine pays for slop).
+    * n-clause SpanNear analog beside [[phraseSearchFromIndex]]'s exact
+    * phrase: documents where the terms occur IN ORDER with each
+    * consecutive gap within `window` tokens, ranked by the exact count
+    * of such ordered position chains (for two terms: the ordered pair
+    * count). Same scale shape as the phrase join
+    * ([[phraseSearchFromIndex]]'s foldLeft): |terms|−1 doc_id
+    * equi-joins of term-pruned posting rows — every side O(df of a
+    * term), never the corpus — with the chain math in-row. The fold
+    * state is the (position, chains-ending-here) list of the prefix:
+    * each step re-anchors on the next term's positions and sums the
+    * reachable prefix chains, O(tf_prev · tf_next) per doc per step —
+    * the cost every positional engine pays for slop.
     */
-  def nearSearchFromIndex(postings: DataFrame, a: String, b: String,
+  def nearSearchFromIndex(postings: DataFrame, terms: Seq[String],
                           window: Int, k: Int): DataFrame = {
-    require(window >= 1 && k >= 1)
-    val pa = postings.where(col("term") === a)
-      .select(col("doc_id"), col("positions").as("pa"))
-    val pb = postings.where(col("term") === b)
-      .select(col("doc_id"), col("positions").as("pb"))
-    pa.join(pb, Seq("doc_id"))
+    require(terms.size >= 2 && window >= 1 && k >= 1)
+    val pruned = postings.where(col("term").isin(terms.distinct: _*))
+      .select(col("term"), col("doc_id"), col("positions"))
+    // (p, c): c chains of the terms-so-far prefix end at position p
+    val start = pruned.where(col("term") === terms.head)
       .select(col("doc_id"),
-        aggregate(col("pa"), lit(0),
-          (acc, i) => acc + size(filter(col("pb"),
-            j => j > i && j - i <= window))).as("n_pairs"))
-      .where(col("n_pairs") > 0)
+        transform(col("positions"), p => struct(p.as("p"), lit(1L).as("c"))).as("acc"))
+    val chained = terms.tail.foldLeft(start) { (acc, t) =>
+      acc.join(pruned.where(col("term") === t)
+          .select(col("doc_id"), col("positions").as("pi")), Seq("doc_id"))
+        .select(col("doc_id"),
+          filter(
+            transform(col("pi"), q => struct(q.as("p"),
+              aggregate(col("acc"), lit(0L), (s, e) =>
+                s + when(q > e.getField("p") && q - e.getField("p") <= window,
+                  e.getField("c")).otherwise(lit(0L))).as("c"))),
+            e => e.getField("c") > 0L).as("acc"))
+        .where(size(col("acc")) > 0)
+    }
+    chained
+      .select(col("doc_id"),
+        aggregate(col("acc"), lit(0L), (s, e) => s + e.getField("c"))
+          .cast("int").as("n_pairs"))
       .orderBy(col("n_pairs").desc, col("doc_id"))
       .limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(col("n_pairs").desc, col("doc_id"))))
       .select(col("rank"), col("doc_id"), col("n_pairs"))
   }
+
+  /** Two-term overload (the original SpanNear pair shape). */
+  def nearSearchFromIndex(postings: DataFrame, a: String, b: String,
+                          window: Int, k: Int): DataFrame =
+    nearSearchFromIndex(postings, Seq(a, b), window, k)
 
   /** Compaction for an appended postings index: re-range-sort the whole
     * table by (term, doc_id) and atomically swap it in, restoring

@@ -134,5 +134,32 @@ class FuzzSpec extends SparkSpec {
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_pairs")).toMap
       assert(got === bruteNear(a, b, w), s"near($a, $b, $w) trial $trial")
     }
+
+    // n-clause SpanNear: ordered chains with every consecutive gap in
+    // (0, w], against a brute recursion over raw token positions
+    def bruteChains(terms: Seq[String], w: Int): Map[Long, Int] =
+      docs.map { case (id, ws) =>
+        def count(from: Int, rest: Seq[String]): Int = rest match {
+          case Seq() => 1
+          case t +: more =>
+            (from + 1 to math.min(from + w, ws.length - 1))
+              .filter(j => ws(j) == t).map(j => count(j, more)).sum
+        }
+        id -> ws.indices.filter(i => ws(i) == terms.head)
+          .map(i => count(i, terms.tail)).sum
+      }.filter(_._2 > 0).toMap
+    for (len <- Seq(3, 4); trial <- 0 until 4) {
+      val terms = Seq.fill(len)(vocab(rnd.nextInt(vocab.length)))
+      val w = 1 + rnd.nextInt(4)
+      val got = graft.operators.Retrieval.nearSearchFromIndex(p, terms, w, k = 1000)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_pairs")).toMap
+      assert(got === bruteChains(terms, w), s"near($terms, $w) trial $trial")
+    }
+    // the 2-term overload is exactly the n = 2 chain
+    val two = graft.operators.Retrieval.nearSearchFromIndex(p, "a", "b", 3, k = 1000)
+      .collect().map(_.toSeq).toSeq
+    val asChain = graft.operators.Retrieval.nearSearchFromIndex(p, Seq("a", "b"), 3, k = 1000)
+      .collect().map(_.toSeq).toSeq
+    assert(two === asChain)
   }
 }

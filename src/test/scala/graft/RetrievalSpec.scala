@@ -202,6 +202,29 @@ class RetrievalSpec extends SparkSpec {
     assert(filtered.forall(r => r(1).asInstanceOf[Long] % 2 == 1))
   }
 
+  test("filtered BM25: NotEqual + numeric range equal an index built on the filtered corpus") {
+    val s = spark; import s.implicits._
+    val docs = corpus.toDF()
+      .withColumn("lang", when(col("doc_id") % 2 === 1, "en").otherwise("de"))
+      .withColumn("n_chars", length(col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-filtered-bm25-ne").toString
+    Retrieval.buildPostings(docs, "doc_id", "text").write.parquet(s"$dir/p")
+    Retrieval.buildDocLengthsWithMeta(docs, "doc_id", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/l")
+    val p = spark.read.parquet(s"$dir/p"); val l = spark.read.parquet(s"$dir/l")
+
+    val pred = col("lang") =!= "de" && col("n_chars").between(10, 200)
+    val filtered = Retrieval.bm25TopKFromIndexFiltered(p, l,
+      pred, Seq("spark", "broadcast"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    val subCorpus = Retrieval.bm25TopK(docs.where(pred),
+      "doc_id", "text", Seq("spark", "broadcast"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(filtered === subCorpus,
+      "NotEqual + range filter must equal the index built on the filtered corpus")
+    assert(filtered.nonEmpty)
+  }
+
   test("appendPostings maintains the index: post-ingest serving equals a full rebuild") {
     val s = spark; import s.implicits._
     val standing = corpus.take(3).toDF()
