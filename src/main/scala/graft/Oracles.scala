@@ -466,6 +466,72 @@ object Oracles {
        |SELECT sz, CAST(count(*) AS BIGINT) AS n_components
        |FROM szs GROUP BY sz ORDER BY sz""".stripMargin
 
+  /** The shared CTE chain of the graph-ANN walk ([[Queries.annGraph]]):
+    * re-derive the IVF-blocked top-`graphK` graph from the centroid
+    * literals, symmetrize it, pick the per-cluster medoid entries, then
+    * UNROLL the beam walk — each hop h takes the top-`beam` of the rows
+    * scored in round h−1 as its frontier, expands their out-edges minus
+    * everything visited, and scores the new ids.
+    */
+  private def graphWalkCtes(centroids: Array[Array[Float]], queryId: Long,
+                            graphK: Int, beam: Int, hops: Int): String = {
+    val hopCtes = (1 to hops).map { h =>
+      val fresh = if (h == 1) "v0" else s"s${h - 1}"
+      s"""f$h AS (SELECT id FROM $fresh ORDER BY dist, id LIMIT $beam),
+         |x$h AS (SELECT DISTINCT s.dst AS id FROM f$h f JOIN sym s ON s.src = f.id
+         |        WHERE s.dst NOT IN (SELECT id FROM v${h - 1})),
+         |s$h AS (SELECT x.id, ${l2("e.embedding", "q.qv")} AS dist
+         |        FROM x$h x JOIN embeddings e ON e.vec_id = x.id, q),
+         |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)""".stripMargin
+    }.mkString(",\n")
+    s"""cents AS ${paramRows(centroids, "cid", "cv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |own AS (SELECT vec_id, cid, d2 FROM asg
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |cl AS (SELECT vec_id, cid FROM own),
+       |med AS (SELECT vec_id AS id FROM own
+       |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) = 1),
+       |d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |g AS (SELECT q_id, n_id FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $graphK),
+       |sym AS (SELECT q_id AS src, n_id AS dst FROM g
+       |        UNION SELECT n_id AS src, q_id AS dst FROM g),
+       |v0 AS (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
+       |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
+       |$hopCtes""".stripMargin
+  }
+
+  /** Graph-ANN beam serve — the DuckDB twin of [[Queries.annGraph]]. */
+  private def graphBeamSql(centroids: Array[Array[Float]], queryId: Long,
+                           graphK: Int, beam: Int, hops: Int, k: Int): String =
+    s"""WITH ${graphWalkCtes(centroids, queryId, graphK, beam, hops)}
+       |SELECT CAST(row_number() OVER (ORDER BY dist, id) AS INT) AS rank, id,
+       |       (round((dist) * 10000.0) / 10000.0) AS value
+       |FROM v$hops ORDER BY dist, id LIMIT $k""".stripMargin
+
+  /** recall@10 after 0..hops rounds — the DuckDB twin of
+    * [[Queries.annGraphRecallCurve]].
+    */
+  private def graphBeamCurveSql(centroids: Array[Array[Float]], queryId: Long,
+                                graphK: Int, beam: Int, hops: Int): String = {
+    val branches = (0 to hops).map { h =>
+      s"""b$h AS (SELECT $h AS hops, count(*) AS n_hits FROM ex
+         |WHERE id IN (SELECT id FROM v$h ORDER BY dist, id LIMIT 10))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to hops).map(h => s"SELECT * FROM b$h").mkString(" UNION ALL ")
+    s"""WITH ${graphWalkCtes(centroids, queryId, graphK, beam, hops)},
+       |ex AS (SELECT e.vec_id AS id FROM embeddings e, q
+       |       ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT 10),
+       |$branches
+       |SELECT hops, n_hits, (round((n_hits / 10) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY hops""".stripMargin
+  }
+
   /** Cost + recall per nprobe from the same fitted centroids — the
     * DuckDB twin of [[Queries.annTradeoffTable]].
     */
@@ -1021,6 +1087,11 @@ object Oracles {
       "ann_cost_model" -> annCostModelSql(centroids, planes, ivfQ = 2L, lshQ = 3L,
         nprobe = 4, radius = 1, rerank = 100),
       "knn_graph_recall" -> graphRecallSql(scaledCents, k = 3),
+      // the serving walk runs over the SAME scaled-centroid graph
+      "ann_graph" -> graphBeamSql(scaledCents, queryId = 13L,
+        graphK = 3, beam = 8, hops = 3, k = 10),
+      "ann_graph_recall_curve" -> graphBeamCurveSql(scaledCents, queryId = 13L,
+        graphK = 3, beam = 8, hops = 3),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "vector_silhouette" -> silhouetteSql(centroids),

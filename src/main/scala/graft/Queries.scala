@@ -287,6 +287,65 @@ object Queries {
       operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2")
     }
 
+  /** The graph-SERVING layout per corpus ([[operators.Artifacts]]
+    * lifecycle): the written-once [[knnGraph]] edges symmetrized with
+    * destination vectors attached (src-sorted) plus per-cluster medoid
+    * entry points — [[operators.GraphAnn.buildServing]]. Built once;
+    * every beam search reads only this artifact.
+    */
+  private def graphServePath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "knngraph_serve",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1")) { tmp =>
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+      operators.GraphAnn.buildServing(knnGraph(spark, dir), emb,
+        "vec_id", "embedding", centroids, tmp)
+    }
+
+  /** Graph-traversal ANN — the serving leg over the persisted k-NN
+    * graph (reference: hnsw_index.rs, the reference's PRIMARY index):
+    * greedy beam search (beam 8, 3 hops) from the per-cluster medoid
+    * entries, candidates scored from the dst_vec riding the edge rows —
+    * the corpus table appears NOWHERE in the plan (plan-guarded); per
+    * hop the work is O(frontier × degree) edge rows from one
+    * footer-pruned scan of the serving artifact. Oracle re-derives the
+    * graph, the medoids and the full unrolled walk from the fitted
+    * centroid literals.
+    */
+  def annGraph(spark: SparkSession, dir: String): DataFrame = {
+    val base = graphServePath(spark, dir)
+    operators.GraphAnn.searchBeam(
+      spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
+      spark.read.parquet(s"$base/edges"),
+      queryVec(spark, dir, 13L), k = 10, beam = 8, hops = 3)
+  }
+
+  /** The graph walk's tuning curve: recall@10 after h ∈ {0..3} expansion
+    * rounds (h = 0 is the medoid entries alone) against the exact
+    * answer — the hops knob's measured tradeoff beside the IVF nprobe /
+    * LSH radius / PQ rerank curves. Recall is provably monotone in h
+    * (the visited set only grows, and only a true top-10 vector can
+    * displace a true top-10 vector from the cut — AnnSpec asserts it).
+    */
+  def annGraphRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = graphServePath(spark, dir)
+    val qv = queryVec(spark, dir, 13L)
+    val exact = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    val states = operators.GraphAnn.beamStates(
+      spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
+      spark.read.parquet(s"$base/edges"), qv, beam = 8, hops = 3)
+    states.zipWithIndex.map { case (v, h) =>
+      val top = v.orderBy(col("dist"), col("id")).limit(10).select(col("id"))
+      exact.join(top, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(h).as("hops"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("hops")
+  }
+
   /** IVF with nprobe = K: every cluster probed ⇒ provably identical to
     * exact brute force (the oracle hash-matches knnSql), while exercising
     * the full build-assign-prune-rerank pipeline.

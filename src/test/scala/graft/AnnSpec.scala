@@ -133,6 +133,43 @@ class AnnSpec extends SparkSpec {
       s"per-row candidate work must stay bounded on 10x data: $c1 -> $c10")
   }
 
+  test("graph beam search: recall monotone in hops; enough hops + beam finds the true top-k on clustered data") {
+    val s = spark; import s.implicits._
+    import graft.operators.GraphAnn
+    val df = clustered.toDF().cache()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val base = Files.createTempDirectory("graft-graph-serve").toString + "/serve"
+    val graph = Knn.knnJoinIvf(df, "vec_id", "embedding", cents, k = 5, metric = "l2")
+    GraphAnn.buildServing(graph, df, "vec_id", "embedding", cents, base)
+    val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
+    val edges = spark.read.parquet(s"$base/edges")
+
+    for (qi <- Seq(42, 1777)) {
+      val q = clustered(qi).embedding
+      val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2")
+        .collect().map(_.getLong(1)).toSet
+      val states = GraphAnn.beamStates(entries, edges, q, beam = 16, hops = 4)
+      val recalls = states.map { v =>
+        val top = v.orderBy(col("dist"), col("id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+        recallAt10(exact, top)
+      }
+      // the visited set only grows, and only a true top-10 vector can
+      // displace a true top-10 vector from the cut ⇒ monotone
+      assert(recalls.zip(recalls.tail).forall { case (a, b) => b >= a },
+        s"recall must be monotone in hops: $recalls")
+      assert(recalls.last >= 0.9,
+        s"wide-beam multi-hop walk should find the neighborhood: $recalls")
+      // the serve cut equals the last state's top-k
+      val serve = GraphAnn.searchBeam(entries, edges, q, k = 10, beam = 16, hops = 4)
+        .collect().map(_.getLong(1)).toSet
+      val lastTop = states.last.orderBy(col("dist"), col("id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      assert(serve === lastTop)
+    }
+    df.unpersist()
+  }
+
   test("probeBuckets enumerates exactly the Hamming ball") {
     assert(LshIndex.probeBuckets(0, 4, 0) === Seq(0))
     assert(LshIndex.probeBuckets(0, 4, 1).toSet === Set(0, 1, 2, 4, 8))

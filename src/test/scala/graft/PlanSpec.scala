@@ -683,6 +683,20 @@ class PlanSpec extends SparkSpec {
       s"a filtered search must not re-tokenize the corpus:\n$p")
   }
 
+  test("ann_graph: the walk reads ONLY the serving artifact — no corpus scan per hop") {
+    // the whole point of vectors riding the edge rows: every hop scores
+    // its candidates in-row from dst_vec, so the embeddings table
+    // appears NOWHERE in the serving plan — per-hop work is
+    // O(frontier × degree) edge rows, never a corpus pass
+    val p = plan(Queries.annGraph(spark, sf001))
+    val scanLines = p.split("\n").filter(l => l.contains("Location"))
+    assert(scanLines.nonEmpty)
+    assert(scanLines.forall(_.contains("graft-persist/knngraph_serve")),
+      s"every scan must read the serving artifact, never the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"frontier expansion must stay an equi-join on src_id:\n$p")
+  }
+
   test("filtered_knn_batch: label filter reaches the base scan; join is the cluster equi-join") {
     // the metadata filter composes with IVF pruning in the BATCH shape
     // too: label = 2 must be a pushed predicate on the one corpus-side
