@@ -1261,6 +1261,21 @@ object Oracles {
     "delete_ids" ->
       "SELECT vec_id, label FROM embeddings WHERE vec_id % 13 <> 0 ORDER BY vec_id",
 
+    // Delete twin on the PERSISTED layouts: both legs are exactness-mode
+    // (nprobe = K / rerank >= n => brute force over survivors), so the
+    // oracle is plain k-NN over vec_id NOT IN (0, 59) — id 0 is the
+    // query's own vector, rank 1 at distance 0 without the delete.
+    "delete_persisted" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |d AS (SELECT e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score
+         |      FROM embeddings e, q WHERE e.vec_id NOT IN (0, 59)),
+         |top AS (SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+         |        (round((score) * 10000.0) / 10000.0) AS value
+         |        FROM d ORDER BY score, id LIMIT 10)
+         |SELECT 'ivf' AS backend, rank, id, value FROM top
+         |UNION ALL SELECT 'pq' AS backend, rank, id, value FROM top
+         |ORDER BY backend, rank""".stripMargin,
+
     "query_by_id" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = 42",
 

@@ -280,12 +280,18 @@ object Queries {
     * the Σ|cluster|² build; at 100 TB the materialized k-NN graph is
     * exactly the artifact a pipeline stores next to the embeddings.
     */
-  private def knnGraph(spark: SparkSession, dir: String): DataFrame =
-    materialized(spark, dir, "knngraph") {
+  private def knnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val path = operators.Artifacts.resolve(spark, "knngraph",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
       val emb = Tables.embeddings(spark, dir)
       val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
       operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2")
+        .write.mode("overwrite").parquet(tmp)
     }
+    // loadGraph applies the delete twin (no-op plan without tombstones)
+    operators.Knn.loadGraph(spark, path)
+  }
 
   /** The graph-SERVING layout per corpus ([[operators.Artifacts]]
     * lifecycle): the written-once [[knnGraph]] edges symmetrized with
@@ -316,8 +322,10 @@ object Queries {
   def annGraph(spark: SparkSession, dir: String): DataFrame = {
     val base = graphServePath(spark, dir)
     operators.GraphAnn.searchBeam(
-      spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
-      spark.read.parquet(s"$base/edges"),
+      operators.Tombstones.filter(
+        spark.read.parquet(s"$base/entries"), base, "id").select(col("id"), col("vec")),
+      operators.Tombstones.filterEdges(
+        spark.read.parquet(s"$base/edges"), base, "src_id", "dst_id"),
       queryVec(spark, dir, 13L), k = 10, beam = 8, hops = 3)
   }
 
@@ -656,6 +664,46 @@ object Queries {
           / (col("n").cast("double") * lit(lookupProbeIds.size.toDouble)), 6)
           .as("frac"))
       .orderBy("layout")
+  }
+
+  /** The delete twin end-to-end (reference: faiss_index.rs:131
+    * remove_vectors, vector_database.rs:32-38): dedicated persisted
+    * layouts (cluster-partitioned IVF + 8-byte PQ codes) carry a
+    * tombstone sidecar for ids {0, 59} — written INSIDE the artifact at
+    * build, so the sidecar versions, GCs and restart-adopts with it —
+    * and both backends serve the same query with the deleted rows
+    * ABSENT, no rebuild. Both legs run in exactness mode (nprobe = K /
+    * rerank ≥ n ⇒ provably brute force over the surviving rows), so the
+    * oracle is the plain k-NN SQL over `vec_id NOT IN (0, 59)` — id 0
+    * is the query's own vector, which without the delete would be
+    * rank 1 at distance 0 at every SF. The query vector itself comes
+    * from the RAW table: it is request-side data, not index state.
+    */
+  def deletePersisted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
+    val books = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val deleted = Seq(0L, 59L)
+    val fp = operators.Artifacts.fingerprint(spark, Seq(dir))
+    val ivfPath = operators.Artifacts.resolve(spark, "ivf_del",
+      operators.Artifacts.corpusKey(dir), fp) { tmp =>
+      operators.IvfIndex.writePartitioned(emb, "embedding", centroids, tmp)
+      operators.Tombstones.append(spark, tmp, deleted.toDF("vec_id"))
+    }
+    val pqPath = operators.Artifacts.resolve(spark, "pqcodes_del",
+      operators.Artifacts.corpusKey(dir), fp) { tmp =>
+      operators.PqIndex.writeCodes(emb, "vec_id", "embedding", books, tmp)
+      operators.Tombstones.append(spark, tmp, deleted.toDF("id"))
+    }
+    val qv = queryVec(spark, dir, 0L)
+    val ivfLeg = operators.IvfIndex.searchPersisted(spark, ivfPath, "vec_id", "embedding",
+        centroids, qv, k = 10, nprobe = 16)
+      .select(lit("ivf").as("backend"), col("rank"), col("id"), col("value"))
+    val pqLeg = operators.PqIndex.searchPersisted(spark, pqPath, emb, "vec_id", "embedding",
+        books, qv, k = 10, rerank = 1 << 20)
+      .select(lit("pq").as("backend"), col("rank"), col("id"), col("value"))
+    ivfLeg.unionByName(pqLeg).orderBy("backend", "rank")
   }
 
   /** Batch k-NN through the persisted PQ codes — the quantized-backend

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.Retrieval
+import graft.operators.{Retrieval, Tombstones}
 
 /** Keyword-retrieval facade over the materialized inverted index — the
   * text-side sibling of [[VectorIndex]]. The reference serves vectors
@@ -25,14 +25,18 @@ import graft.operators.Retrieval
 final class TextIndex private (spark: SparkSession, val path: String) {
 
   /** (term, doc_id, tf, dl) — term-sorted at build; appends add their
-    * own footer-pruned files until compaction.
+    * own footer-pruned files until compaction. Tombstoned doc_ids
+    * ([[delete]]) drop at read (no-op when nothing was deleted).
     */
-  def postings: DataFrame = spark.read.parquet(s"$path/postings")
+  def postings: DataFrame =
+    Tombstones.filter(spark.read.parquet(s"$path/postings"), path, "doc_id")
 
   /** (doc_id, dl) — one row per document, INCLUDING zero-token docs
-    * (they carry no postings but must count in N and avgdl).
+    * (they carry no postings but must count in N and avgdl); tombstoned
+    * doc_ids drop at read, so N/avgdl/df all see the post-delete corpus.
     */
-  def docLengths: DataFrame = spark.read.parquet(s"$path/doclen")
+  def docLengths: DataFrame =
+    Tombstones.filter(spark.read.parquet(s"$path/doclen"), path, "doc_id")
 
   /** The index's metadata columns (everything riding the doc-length
     * table beside doc_id/dl) — the text-side filter index, inferred
@@ -118,15 +122,33 @@ final class TextIndex private (spark: SparkSession, val path: String) {
       this
     }
 
-  /** Re-range-sort the appended postings files so term pruning returns
-    * to row-group granularity ([[graft.operators.Retrieval.compactPostings]]):
-    * run after a batch of appends, exactly like compacting any
-    * incrementally-written table. Answers are unchanged (RetrievalSpec
-    * proves serve-equality); only the files a term predicate must open
-    * shrink (PersistSpec asserts post ≤ pre).
+  /** Tombstone documents (the delete twin of [[append]], reference:
+    * remove_vectors): `ids` rows (first column, cast long) stop
+    * appearing in EVERY search — BM25 stats, df, phrase/near matches —
+    * without a rebuild; [[compact]] later folds the tombstones into the
+    * data files. Like append, single-writer across processes.
+    */
+  def delete(ids: DataFrame): TextIndex = {
+    Tombstones.append(spark, path, ids)
+    this
+  }
+
+  /** Compaction: fold live tombstones into the data files (rewrite both
+    * tables minus deleted docs — [[graft.operators.Tombstones.compact]],
+    * same crash-safe swap) and re-range-sort the postings so term
+    * pruning returns to row-group granularity
+    * ([[graft.operators.Retrieval.compactPostings]] when nothing was
+    * deleted). Answers are unchanged (RetrievalSpec proves
+    * serve-equality); only the files a term predicate must open shrink
+    * and the read-time anti-join disappears (PersistSpec asserts both).
     */
   def compact(): TextIndex = {
-    Retrieval.compactPostings(spark, s"$path/postings")
+    if (Tombstones.present(spark, path))
+      Tombstones.compact(spark, path, Seq(
+        Tombstones.TombTable("postings", Seq("doc_id"), sortCols = Seq("term", "doc_id")),
+        Tombstones.TombTable("doclen", Seq("doc_id"))))
+    else
+      Retrieval.compactPostings(spark, s"$path/postings")
     this
   }
 

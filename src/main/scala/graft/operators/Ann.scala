@@ -118,8 +118,16 @@ object IvfIndex {
     emb.withColumn("cluster", assign(col(vecCol), centroids))
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
-  def readPruned(spark: SparkSession, path: String, probed: Seq[Int]): DataFrame =
-    spark.read.parquet(path).where(col("cluster").isin(probed: _*))
+  /** Tombstones ([[Tombstones.filter]], no-op without live deletions)
+    * apply at every load, so a deleted id is absent from any search over
+    * the layout without a rebuild; `idCol` names the layout's id column
+    * for that anti-join.
+    */
+  def readPruned(spark: SparkSession, path: String, probed: Seq[Int],
+                 idCol: String = "vec_id"): DataFrame =
+    Tombstones.filter(
+      spark.read.parquet(path).where(col("cluster").isin(probed: _*)),
+      path, idCol)
 
   /** Incremental maintenance of a [[writePartitioned]] layout: new rows
     * are quantized with the SAME centroids and appended into their
@@ -157,7 +165,7 @@ object IvfIndex {
                       centroids: Array[Array[Float]], queryVec: Array[Float],
                       k: Int, nprobe: Int, metric: String = "l2"): DataFrame = {
     val probed = probes(queryVec, centroids, nprobe)
-    Knn.searchExact(readPruned(spark, path, probed), idCol, vecCol, queryVec, k, metric)
+    Knn.searchExact(readPruned(spark, path, probed, idCol), idCol, vecCol, queryVec, k, metric)
   }
 }
 
@@ -281,7 +289,8 @@ object LshIndex {
                       planes: Array[Array[Float]], queryVec: Array[Float],
                       k: Int, radius: Int, metric: String = "l2"): DataFrame = {
     val probed = probeBuckets(bucketOf(queryVec, planes), planes.length, radius)
-    val pruned = spark.read.parquet(path).where(col("bucket").isin(probed: _*))
+    val pruned = Tombstones.filter(
+      spark.read.parquet(path).where(col("bucket").isin(probed: _*)), path, idCol)
     Knn.searchExact(pruned, idCol, vecCol, queryVec, k, metric)
   }
 }

@@ -120,9 +120,11 @@ object Dedup {
   final case class DedupIndex(spark: SparkSession, base: String) {
     /** (doc_id, sig: array<int> of 32 minhashes) — always current:
       * [[append]] maintains this table, so signature-served reads
-      * ([[minhashPairsFromSignatures]]) include ingested docs.
+      * ([[minhashPairsFromSignatures]]) include ingested docs, and
+      * [[delete]] tombstones drop at read.
       */
-    def sig: DataFrame = spark.read.parquet(s"$base/sig")
+    def sig: DataFrame =
+      Tombstones.filter(spark.read.parquet(s"$base/sig"), s"$base/sig", "doc_id")
     /** (a_id, b_id, m): ALL banding candidates, m = agreeing positions.
       * Build-time derived — fails loudly after an append (see
       * [[requireDerivedFresh]]).
@@ -156,6 +158,18 @@ object Dedup {
       */
     def append(docs: DataFrame, idCol: String, textCol: String): DedupIndex = {
       appendSignatures(docs, idCol, textCol, s"$base/sig")
+      this
+    }
+
+    /** Delete twin (reference: remove_vectors): tombstone doc_ids under
+      * the signature table. Signature-served reads exclude them without
+      * a rebuild; the sidecar's files enter the sig dir's fingerprint,
+      * so the build-time derived tables (cand/simcand/clusters) fail
+      * loudly exactly like after an [[append]] — their pairs still
+      * contain the deleted doc and must not be served silently.
+      */
+    def delete(ids: DataFrame): DedupIndex = {
+      Tombstones.append(spark, s"$base/sig", ids)
       this
     }
 

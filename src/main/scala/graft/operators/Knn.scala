@@ -505,11 +505,21 @@ object Knn {
     val touched = batch
       .select(graft.functions.nearestCentroid(col(vecCol), centroids).as("cluster"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val standingPruned = IvfIndex.readPruned(spark, layoutPath, touched)
+    val standingPruned = IvfIndex.readPruned(spark, layoutPath, touched, idCol)
       .select(col(idCol), col(vecCol))
     ivfGraphEdges(batch, standingPruned.unionByName(batch.select(col(idCol), col(vecCol))),
       idCol, vecCol, centroids, k, metric)
       .write.mode("append").parquet(graphPath)
     IvfIndex.appendPartitioned(batch, vecCol, centroids, layoutPath)
   }
+
+  /** Load a persisted k-NN graph (the [[knnJoinIvf]] /
+    * [[appendGraphEdges]] artifact) with its delete twin applied: an
+    * edge dies if EITHER endpoint was tombstoned
+    * ([[Tombstones.filterEdges]] — a deleted vector must vanish both as
+    * a query node and as anyone's neighbor). No-op plan when nothing
+    * was ever deleted.
+    */
+  def loadGraph(spark: SparkSession, graphPath: String): DataFrame =
+    Tombstones.filterEdges(spark.read.parquet(graphPath), graphPath, "q_id", "n_id")
 }

@@ -375,7 +375,9 @@ object PqIndex {
                       k: Int, rerank: Int): DataFrame = {
     require(rerank >= k)
     val table = adcTable(queryVec, codebooks)
-    val codes = spark.read.parquet(codesPath)
+    // tombstones (delete twin) apply at the codes load — no-op join-free
+    // plan when nothing was ever deleted
+    val codes = Tombstones.filter(spark.read.parquet(codesPath), codesPath, "id")
       .select(col("id"), col("codes").cast("array<int>").as("codes"))
     val candidates = codes
       .select(col("id"), adcScore(col("codes"), table).as("adc9"))

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delete lifecycle for the persisted artifacts (reference:
+  * faiss_index.rs:131 remove_vectors, vector_database.rs:32-38): every
+  * written-once layout gets a DELETE twin to go with its append twin,
+  * without rebuilding the artifact.
+  *
+  *  - A deletion appends the ids to a `_tombstones/` parquet sidecar
+  *    INSIDE the artifact dir. The underscore prefix makes it invisible
+  *    to plain `spark.read.parquet(artifact)` (Spark's hidden-path
+  *    filter) and ties its lifetime to the artifact version: a corpus
+  *    rewrite GCs artifact + tombstones together ([[Artifacts]]).
+  *  - Readers apply the sidecar as an anti-join AT READ TIME
+  *    ([[filter]]) — when no deletion ever happened the plan is
+  *    UNCHANGED (a driver-side fs metadata probe, no join node), so
+  *    hash gates and plan guards on the no-delete path are unaffected.
+  *  - [[compact]] folds the tombstones into the data files (rewrite
+  *    minus deleted ids, crash-safe deterministic-sibling swap — the
+  *    [[Retrieval.compactPostings]] discipline) and clears the sidecar,
+  *    so post-compaction plans carry no anti-join at all.
+  *
+  * The sidecar schema is one LONG column `id` regardless of the
+  * artifact's own id column name; filters name the artifact column
+  * explicitly (a graph artifact filters BOTH endpoint columns).
+  */
+object Tombstones {
+
+  private val subdir = "_tombstones"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True iff the artifact has live tombstones — one driver-side
+    * metadata probe.
+    */
+  def present(spark: SparkSession, base: String): Boolean =
+    fsOf(spark, base).exists(new Path(s"$base/$subdir"))
+
+  /** Tombstone ids as a 1-column (`id` LONG) frame. */
+  def ids(spark: SparkSession, base: String): DataFrame =
+    spark.read.parquet(s"$base/$subdir").select(col("id").cast("long").as("id"))
+
+  /** Append deletions: `idsDf`'s FIRST column (cast long) are the ids to
+    * tombstone. Idempotent at read time (the anti-join dedups); appends
+    * under the artifact's own directory so the ids version with it.
+    */
+  def append(spark: SparkSession, base: String, idsDf: DataFrame): Unit =
+    idsDf.select(col(idsDf.columns.head).cast("long").as("id"))
+      .write.mode("append").parquet(s"$base/$subdir")
+
+  /** Drop the sidecar (after [[compact]] folded it in). */
+  def clear(spark: SparkSession, base: String): Unit = {
+    val fs = fsOf(spark, base)
+    val p = new Path(s"$base/$subdir")
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Apply the sidecar at read: anti-join `df.idCol` against the
+    * tombstoned ids, or `df` UNCHANGED (no join node) when the artifact
+    * has no live tombstones.
+    */
+  def filter(df: DataFrame, base: String, idCol: String): DataFrame =
+    if (!present(df.sparkSession, base)) df
+    else {
+      val t = ids(df.sparkSession, base)
+      df.join(t, df(idCol) === t("id"), "left_anti")
+    }
+
+  /** Edge-table variant: a row dies if EITHER endpoint is tombstoned
+    * (a deleted vector must vanish both as a query node and as anyone's
+    * neighbor).
+    */
+  def filterEdges(df: DataFrame, base: String, aCol: String, bCol: String): DataFrame =
+    if (!present(df.sparkSession, base)) df
+    else {
+      val t = ids(df.sparkSession, base)
+      df.join(t, df(aCol) === t("id"), "left_anti")
+        .join(t, df(bCol) === t("id"), "left_anti")
+    }
+
+  /** One table of a [[compact]] run: `rel` is the table dir relative to
+    * the artifact base ("" when the base IS the table), `filterCols`
+    * the columns anti-joined against the sidecar (two for an edge
+    * table), `partitionCols`/`sortCols` reproduce the table's layout
+    * (partitioned clusters, term-sorted postings).
+    */
+  final case class TombTable(rel: String, filterCols: Seq[String],
+                             partitionCols: Seq[String] = Nil,
+                             sortCols: Seq[String] = Nil)
+
+  /** Fold the sidecar into the data: rewrite each table minus the
+    * tombstoned rows and clear the sidecar. Swap discipline per table =
+    * [[Retrieval.compactPostings]]'s deterministic siblings
+    * (`_tomb_new` / `_tomb_old`, `_SUCCESS` as the completeness marker,
+    * [[recover]] adopts or restores after a crash). Top-level
+    * underscore-prefixed FILES of the old table dir (the Artifacts
+    * manifest, the dedup `_built_state` marker) are carried over so the
+    * artifact stays committed — and derived-staleness markers keep
+    * firing — across the swap. Single-writer, like every compactor.
+    */
+  def compact(spark: SparkSession, base: String, tables: Seq[TombTable]): Unit = {
+    if (!present(spark, base)) return
+    val t = ids(spark, base)
+    tables.foreach { spec =>
+      val dir = if (spec.rel.isEmpty) base else s"$base/${spec.rel}"
+      recover(spark, dir)
+      val fs = fsOf(spark, dir)
+      val fresh = new Path(s"${dir}_tomb_new")
+      val old = new Path(s"${dir}_tomb_old")
+      val kept = spec.filterCols.foldLeft(spark.read.parquet(dir)) { (df, c) =>
+        df.join(t, df(c) === t("id"), "left_anti")
+      }
+      val sorted =
+        if (spec.sortCols.nonEmpty)
+          kept.repartitionByRange(spec.sortCols.map(col): _*)
+            .sortWithinPartitions(spec.sortCols.map(col): _*)
+        else kept
+      val writer = sorted.write.mode("overwrite")
+      (if (spec.partitionCols.nonEmpty) writer.partitionBy(spec.partitionCols: _*)
+       else writer).parquet(fresh.toString)
+      // carry the artifact's metadata files across the swap
+      fs.listStatus(new Path(dir)).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && n.startsWith("_") && n != "_SUCCESS")
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new Path(fresh, n), false, spark.sparkContext.hadoopConfiguration)
+      }
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(new Path(dir), old), s"tombstone compaction aside-rename failed for $dir")
+      require(fs.rename(fresh, new Path(dir)), s"tombstone compaction swap failed for $dir")
+      fs.delete(old, true)
+    }
+    clear(spark, base)
+  }
+
+  /** Recover an interrupted [[compact]] of one table dir — same
+    * protocol as [[Retrieval.recoverCompaction]] under the `_tomb_*`
+    * names.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val target = new Path(dir)
+    val fresh = new Path(s"${dir}_tomb_new")
+    val old = new Path(s"${dir}_tomb_old")
+    val freshComplete = fs.exists(new Path(fresh, "_SUCCESS"))
+    if (!fs.exists(target)) {
+      if (freshComplete) require(fs.rename(fresh, target),
+        s"tombstone compaction recovery failed adopting $fresh")
+      else if (fs.exists(old)) require(fs.rename(old, target),
+        s"tombstone compaction recovery failed restoring $old")
+    }
+    if (fs.exists(fresh)) fs.delete(fresh, true)
+    if (fs.exists(old)) fs.delete(old, true)
+  }
+}

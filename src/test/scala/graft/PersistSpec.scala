@@ -412,6 +412,133 @@ class PersistSpec extends SparkSpec {
     assert(appended === rebuilt.search(terms, k = 10).collect().map(_.toSeq).toSeq)
   }
 
+  test("delete twin: a tombstoned id is absent from EVERY loaded backend without rebuild; compaction drops the anti-join") {
+    val s = spark; import s.implicits._
+    import graft.operators.{Dedup, Knn, PqIndex, Tombstones}
+    val emb = Tables.embeddings(spark, sf001)
+    val qv = emb.where(col("vec_id") === 0L).select("embedding")
+      .first().getSeq[Float](0).toArray
+    // id 0 is the query's own vector: rank 1 at distance 0 unless deleted
+    val del = Seq(0L)
+
+    // --- cluster-partitioned IVF layout ---
+    val cents = IvfIndex.fitCached(emb, "embedding", k = 16)
+    val ivf = tmp("graft-del-ivf") + "/layout"
+    IvfIndex.writePartitioned(emb, "embedding", cents, ivf)
+    assert(IvfIndex.searchPersisted(spark, ivf, "vec_id", "embedding", cents, qv, 10, 16)
+      .collect().head.getLong(1) === 0L)
+    Tombstones.append(spark, ivf, del.toDF("vec_id"))
+    val afterDel = IvfIndex.searchPersisted(spark, ivf, "vec_id", "embedding", cents, qv, 10, 16)
+    assert(!afterDel.collect().map(_.getLong(1)).contains(0L),
+      "deleted id must be absent from the persisted IVF search")
+    // nprobe = K ⇒ the result must equal exact search over survivors
+    val exactSurv = Knn.searchExact(emb.where(col("vec_id") =!= 0L),
+      "vec_id", "embedding", qv, 10, "l2").collect().map(_.toSeq).toSeq
+    assert(afterDel.collect().map(_.toSeq).toSeq === exactSurv)
+
+    // --- PQ codes ---
+    val books = PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
+    val codes = tmp("graft-del-pq") + "/codes"
+    PqIndex.writeCodes(emb, "vec_id", "embedding", books, codes)
+    Tombstones.append(spark, codes, del.toDF("id"))
+    assert(!PqIndex.searchPersisted(spark, codes, emb, "vec_id", "embedding", books, qv,
+      k = 10, rerank = 1 << 20).collect().map(_.getLong(1)).contains(0L),
+      "deleted id must be absent from the PQ codes search")
+
+    // --- LSH bucket-partitioned layout ---
+    val planes = graft.operators.LshIndex.planes(nBits = 4, dim = 64)
+    val lsh = tmp("graft-del-lsh") + "/layout"
+    LshIndex.writePartitioned(emb, "embedding", planes, lsh)
+    Tombstones.append(spark, lsh, del.toDF("vec_id"))
+    assert(!LshIndex.searchPersisted(spark, lsh, "vec_id", "embedding", planes, qv,
+      k = 10, radius = 4).collect().map(_.getLong(1)).contains(0L),
+      "deleted id must be absent from the persisted LSH search")
+
+    // --- text index (postings + doclen + stats) ---
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+    val ti = TextIndex.build(docs, "doc_id", "text", tmp("graft-del-text") + "/idx")
+    val nBefore = ti.count
+    val someDoc = ti.search(Seq("table", "hash"), 5).collect().head.getLong(1)
+    ti.delete(Seq(someDoc).toDF("doc_id"))
+    assert(!ti.search(Seq("table", "hash"), 5).collect().map(_.getLong(1)).contains(someDoc),
+      "deleted doc must be absent from BM25 results")
+    assert(ti.count === nBefore - 1, "doc-length stats must see the post-delete corpus")
+    // compaction folds the tombstones in: same answers, NO anti-join left
+    val preCompact = ti.search(Seq("table", "hash"), 5).collect().map(_.toSeq).toSeq
+    ti.compact()
+    assert(!Tombstones.present(spark, ti.path))
+    val post = ti.search(Seq("table", "hash"), 5)
+    assert(post.collect().map(_.toSeq).toSeq === preCompact,
+      "compaction must not change answers")
+    assert(!post.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "post-compaction plans must carry no tombstone join")
+
+    // --- dedup signatures ---
+    val ddCorpus = tmp("graft-del-dedup")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely unrelated text about gardening tomatoes and fresh summer herbs"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(ddCorpus)
+    val idx = Dedup.index(spark.read.parquet(ddCorpus), "doc_id", "text")
+    idx.delete(Seq(2L).toDF("doc_id"))
+    assert(!idx.sig.collect().map(_.getLong(0)).contains(2L),
+      "deleted doc must be absent from the signature table")
+    assert(Dedup.minhashPairsFromSignatures(idx.sig, 0.5).collect().isEmpty,
+      "pairs involving the deleted doc must be gone from signature-served reads")
+    // derived tables contain the deleted doc's pairs — they must fail loudly
+    intercept[IllegalStateException](idx.minhashPairs(0.5).collect())
+
+    // --- k-NN graph ---
+    val g = tmp("graft-del-graph") + "/g"
+    Knn.knnJoinIvf(emb, "vec_id", "embedding", cents, k = 3, metric = "l2")
+      .write.parquet(g)
+    Tombstones.append(spark, g, del.toDF("vec_id"))
+    val loaded = Knn.loadGraph(spark, g)
+    assert(loaded.where(col("q_id") === 0L || col("n_id") === 0L).count() === 0,
+      "a deleted vector must vanish both as a query node and as anyone's neighbor")
+    assert(loaded.count() > 0)
+
+    // --- IVF compaction: partitioned rewrite, sidecar GC'd, prune preserved ---
+    val preIvf = afterDel.collect().map(_.toSeq).toSeq
+    Tombstones.compact(spark, ivf,
+      Seq(Tombstones.TombTable("", Seq("vec_id"), partitionCols = Seq("cluster"))))
+    assert(!Tombstones.present(spark, ivf))
+    val served = IvfIndex.searchPersisted(spark, ivf, "vec_id", "embedding", cents, qv, 10, 16)
+    assert(served.collect().map(_.toSeq).toSeq === preIvf)
+    assert(!served.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    // the partition layout survived the rewrite: pruning still file-level
+    val pruned = IvfIndex.readPruned(spark, ivf, Seq(0, 1))
+    assert(scanOf(pruned).selectedPartitions.partitionCount === 2)
+  }
+
+  test("interrupted tombstone compaction recovers a complete copy (both crash windows)") {
+    val s = spark; import s.implicits._
+    import graft.operators.Tombstones
+    val base = tmp("graft-del-recover") + "/t"
+    (0L until 100L).map(i => (i, i % 7)).toDF("id", "v").write.parquet(base)
+    Tombstones.append(spark, base, Seq(3L).toDF("id"))
+    val want = (0L until 100L).filter(_ != 3L).map(i => Seq(i, i % 7)).toSet
+
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // window A: complete fresh copy, live table renamed aside
+    spark.read.parquet(base).where(col("id") =!= 3L)
+      .write.parquet(s"${base}_tomb_new")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(base),
+      new org.apache.hadoop.fs.Path(s"${base}_tomb_old")))
+    Tombstones.recover(spark, base)
+    assert(spark.read.parquet(base).collect().map(_.toSeq.toSeq).toSet === want)
+    // window B: incomplete fresh (no _SUCCESS), live renamed aside → restore
+    assert(fs.rename(new org.apache.hadoop.fs.Path(base),
+      new org.apache.hadoop.fs.Path(s"${base}_tomb_old")))
+    new java.io.File(s"${base}_tomb_new").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${base}_tomb_new", "part-junk.parquet"), Array[Byte](9))
+    Tombstones.recover(spark, base)
+    assert(spark.read.parquet(base).collect().map(_.toSeq.toSeq).toSet === want)
+  }
+
   test("VectorIndex FLAT save -> load round trip") {
     val idx = VectorIndex.create(spark, IndexType.FLAT, 2, Metric.Cosine)
       .insert(1L, Array(1f, 0f), """{"k":1}""")
