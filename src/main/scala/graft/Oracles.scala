@@ -473,19 +473,12 @@ object Oracles {
     * scored in round h−1 as its frontier, expands their out-edges minus
     * everything visited, and scores the new ids.
     */
-  private def graphWalkCtes(centroids: Array[Array[Float]], queryId: Long,
-                            graphK: Int, beam: Int, hops: Int): String = {
-    val hopCtes = (1 to hops).map { h =>
-      val fresh = if (h == 1) "v0" else s"s${h - 1}"
-      s"""f$h AS (SELECT id FROM $fresh ORDER BY dist, id LIMIT $beam),
-         |x$h AS (SELECT DISTINCT s.dst AS id FROM f$h f JOIN sym s ON s.src = f.id
-         |        WHERE s.dst NOT IN (SELECT id FROM v${h - 1})),
-         |s$h AS (SELECT x.id, ${l2("e.embedding", "q.qv")} AS dist
-         |        FROM x$h x JOIN embeddings e ON e.vec_id = x.id, q),
-         |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)""".stripMargin
-    }.mkString(",\n")
+  /** The serving-graph CTE prefix shared by the single and batch walks:
+    * assignment, medoid entries, the IVF-blocked top-`graphK` graph,
+    * symmetrized.
+    */
+  private def graphBaseCtes(centroids: Array[Array[Float]], graphK: Int): String =
     s"""cents AS ${paramRows(centroids, "cid", "cv")},
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
        |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
        |        FROM embeddings e CROSS JOIN cents c),
        |own AS (SELECT vec_id, cid, d2 FROM asg
@@ -500,10 +493,52 @@ object Oracles {
        |g AS (SELECT q_id, n_id FROM d
        |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $graphK),
        |sym AS (SELECT q_id AS src, n_id AS dst FROM g
-       |        UNION SELECT n_id AS src, q_id AS dst FROM g),
+       |        UNION SELECT n_id AS src, q_id AS dst FROM g)""".stripMargin
+
+  private def graphWalkCtes(centroids: Array[Array[Float]], queryId: Long,
+                            graphK: Int, beam: Int, hops: Int): String = {
+    val hopCtes = (1 to hops).map { h =>
+      val fresh = if (h == 1) "v0" else s"s${h - 1}"
+      s"""f$h AS (SELECT id FROM $fresh ORDER BY dist, id LIMIT $beam),
+         |x$h AS (SELECT DISTINCT s.dst AS id FROM f$h f JOIN sym s ON s.src = f.id
+         |        WHERE s.dst NOT IN (SELECT id FROM v${h - 1})),
+         |s$h AS (SELECT x.id, ${l2("e.embedding", "q.qv")} AS dist
+         |        FROM x$h x JOIN embeddings e ON e.vec_id = x.id, q),
+         |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)""".stripMargin
+    }.mkString(",\n")
+    s"""${graphBaseCtes(centroids, graphK)},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
        |v0 AS (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
        |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
        |$hopCtes""".stripMargin
+  }
+
+  /** Batch walk: the same unrolled rounds PER QUERY (partitioned
+    * QUALIFY cuts, correlated NOT EXISTS for the visited set) — the
+    * DuckDB twin of [[Queries.knnBatchGraph]].
+    */
+  private def graphBeamBatchSql(centroids: Array[Array[Float]],
+                                graphK: Int, beam: Int, hops: Int, k: Int): String = {
+    val hopCtes = (1 to hops).map { h =>
+      val fresh = if (h == 1) "v0" else s"s${h - 1}"
+      s"""f$h AS (SELECT q_id, id FROM $fresh
+         |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, id) <= $beam),
+         |x$h AS (SELECT DISTINCT f.q_id, s.dst AS id FROM f$h f JOIN sym s ON s.src = f.id
+         |        WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} v
+         |                          WHERE v.q_id = f.q_id AND v.id = s.dst)),
+         |s$h AS (SELECT x.q_id, x.id, ${l2("e.embedding", "qs.qv")} AS dist
+         |        FROM x$h x JOIN embeddings e ON e.vec_id = x.id
+         |        JOIN qs ON qs.q_id = x.q_id),
+         |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphBaseCtes(centroids, graphK)},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |v0 AS (SELECT qs.q_id, m.id, ${l2("e.embedding", "qs.qv")} AS dist
+       |       FROM med m JOIN embeddings e ON e.vec_id = m.id CROSS JOIN qs),
+       |$hopCtes
+       |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS INT) AS rank,
+       |       id AS n_id, (round((dist) * 10000.0) / 10000.0) AS value
+       |FROM v$hops QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
   /** Graph-ANN beam serve — the DuckDB twin of [[Queries.annGraph]]. */
@@ -1092,6 +1127,8 @@ object Oracles {
         graphK = 3, beam = 8, hops = 3, k = 10),
       "ann_graph_recall_curve" -> graphBeamCurveSql(scaledCents, queryId = 13L,
         graphK = 3, beam = 8, hops = 3),
+      "knn_batch_graph" -> graphBeamBatchSql(scaledCents,
+        graphK = 3, beam = 8, hops = 3, k = 5),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "vector_silhouette" -> silhouetteSql(centroids),

@@ -329,6 +329,32 @@ object Queries {
       queryVec(spark, dir, 13L), k = 10, beam = 8, hops = 3)
   }
 
+  /** BATCH graph-ANN — the graph backend's member of the batch family
+    * beside [[knnBatchIvf]] / [[knnBatchPq]] (every vec_id % 100 == 0
+    * row is a query, top-5 each): ONE plan walks the serving artifact
+    * for all queries — hop 0 scores the broadcast K-bounded medoid
+    * entries per query, each round the per-query top-beam frontier
+    * joins the edge artifact and candidates score in-row from dst_vec;
+    * per-query state is bounded by construction (K + hops·beam·degree),
+    * so every cut is a window over bounded groups. The corpus table
+    * appears only under the query projection, never per hop
+    * (plan-guarded). Oracle unrolls the per-query walk from the same
+    * centroid literals.
+    */
+  def knnBatchGraph(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = graphServePath(spark, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    operators.GraphAnn.searchBeamBatch(
+      operators.Tombstones.filter(
+        spark.read.parquet(s"$base/entries"), base, "id").select(col("id"), col("vec")),
+      operators.Tombstones.filterEdges(
+        spark.read.parquet(s"$base/edges"), base, "src_id", "dst_id"),
+      queries, "q_id", "q_vec", k = 5, beam = 8, hops = 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** The graph walk's tuning curve: recall@10 after h ∈ {0..3} expansion
     * rounds (h = 0 is the medoid entries alone) against the exact
     * answer — the hops knob's measured tradeoff beside the IVF nprobe /

@@ -120,6 +120,60 @@ object GraphAnn {
     states.result()
   }
 
+  /** BATCH beam walk — the graph backend's member of the batch family
+    * ([[Knn.searchBatchIvf]], [[PqIndex.searchBatchAdc]],
+    * [[BinaryIndex.searchBatch]]): every query row walks the SAME edge
+    * artifact in ONE plan. Hop 0 scores the K-bounded entry table
+    * against every query (entries broadcast — they are the bounded
+    * side; the corpus-proportional query set never broadcasts); each
+    * round the per-query top-`beam` newly-scored ids join the edge
+    * artifact on src_id (frontier × degree rows PER QUERY), visited
+    * (q_id, id) pairs drop via an anti-join, and candidates score
+    * in-row from dst_vec against the q_vec joined back by q_id. The
+    * query projection and each round's fresh frame persist (bounded:
+    * |q| × (K + beam·degree) narrow rows — the iterate-and-cache shape
+    * of the single-query walk). Per-query state is BOUNDED by
+    * construction (K + hops·beam·degree rows), so the per-hop cut and
+    * the final top-k are windows over bounded groups, never a corpus
+    * sort. The corpus table appears only under the query projection —
+    * never per hop (plan-guarded).
+    */
+  def searchBeamBatch(entries: DataFrame, edges: DataFrame, queries: DataFrame,
+                      qIdCol: String, qVecCol: String,
+                      k: Int, beam: Int, hops: Int,
+                      metric: String = "l2"): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0)
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perQ = Window.partitionBy("q_id").orderBy(col("dist"), col("id"))
+    val scoredEntries = q.crossJoin(broadcast(entries))
+      .select(col("q_id"), col("id"),
+        Knn.score(metric, col("vec"), col("q_vec")).as("dist"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var fresh = scoredEntries
+    var freshFrames = Vector(fresh)
+    for (_ <- 1 to hops) {
+      val visited = freshFrames.reduce(_ unionByName _)
+      val frontier = fresh
+        .withColumn("rn", row_number().over(perQ)).where(col("rn") <= beam)
+        .select(col("q_id"), col("id"))
+      val cands = frontier.join(edges, frontier("id") === edges("src_id"))
+        .select(col("q_id"), col("dst_id").as("id"), col("dst_vec"))
+        .dropDuplicates("q_id", "id")
+        .join(visited.select(col("q_id"), col("id")), Seq("q_id", "id"), "left_anti")
+      fresh = cands.join(q, Seq("q_id"))
+        .select(col("q_id"), col("id"),
+          Knn.score(metric, col("dst_vec"), col("q_vec")).as("dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      freshFrames :+= fresh
+    }
+    val flip = metric == "ip" || metric == "cosine"
+    freshFrames.reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(perQ)).where(col("rn") <= k)
+      .select(col("q_id"), col("rn").as("rank"), col("id").as("n_id"),
+        roundTo(if (flip) -col("dist") else col("dist"), 4).as("value"))
+  }
+
   /** Top-k serve: the last beam state cut to (rank, id, value) — the
     * same output contract as every other search operator.
     */

@@ -170,6 +170,32 @@ class AnnSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("graph batch walk equals the looped single-query walk") {
+    val s = spark; import s.implicits._
+    import graft.operators.GraphAnn
+    val df = clustered.toDF().cache()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val base = Files.createTempDirectory("graft-graph-batch").toString + "/serve"
+    val graph = Knn.knnJoinIvf(df, "vec_id", "embedding", cents, k = 5, metric = "l2")
+    GraphAnn.buildServing(graph, df, "vec_id", "embedding", cents, base)
+    val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
+    val edges = spark.read.parquet(s"$base/edges")
+
+    val qids = Seq(42L, 777L, 1500L)
+    val queries = qids.map(i => (i, clustered(i.toInt).embedding.toSeq))
+      .toDF("q_id", "q_vec")
+    val batch = GraphAnn.searchBeamBatch(entries, edges, queries, "q_id", "q_vec",
+        k = 5, beam = 8, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val looped = qids.flatMap { qi =>
+      GraphAnn.searchBeam(entries, edges, clustered(qi.toInt).embedding,
+          k = 5, beam = 8, hops = 3)
+        .collect().map(r => (qi, r.getInt(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(batch === looped, "batch walk must agree with the looped single-query walk")
+    df.unpersist()
+  }
+
   test("probeBuckets enumerates exactly the Hamming ball") {
     assert(LshIndex.probeBuckets(0, 4, 0) === Seq(0))
     assert(LshIndex.probeBuckets(0, 4, 1).toSet === Set(0, 1, 2, 4, 8))

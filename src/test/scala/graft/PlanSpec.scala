@@ -697,6 +697,30 @@ class PlanSpec extends SparkSpec {
       s"frontier expansion must stay an equi-join on src_id:\n$p")
   }
 
+  test("knn_batch_graph: the corpus appears only under the query projection, never per hop") {
+    // the batch walk reads the serving artifact per hop; the embeddings
+    // table is touched ONCE — the query-set projection — and cached, so
+    // no hop re-scans the corpus
+    val p = plan(Queries.knnBatchGraph(spark, sf001))
+    val scanLines = p.split("\n").filter(l => l.contains("Location"))
+    // the query projection is PERSISTED: the corpus scan lives under an
+    // InMemoryRelation (materialized once at execution) — the formatted
+    // printout repeats the cached subtree per reference, so bound the
+    // printed occurrences by the rounds and require the cache itself
+    val corpusScans = scanLines.count(_.contains("embeddings.parquet"))
+    assert(corpusScans <= 4, // hop-0 scoring + one q_vec join per hop
+      s"the corpus may appear only under the cached query projection, got $corpusScans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the query projection must be cached (one physical corpus scan):\n$p")
+    assert(scanLines.exists(_.contains("graft-persist/knngraph_serve")),
+      s"the walk must read the serving artifact:\n$p")
+    // hop-0 is the deliberate q × K-bounded-entries broadcast cross
+    // (the 1-row-stats-broadcast pattern) — only a SHUFFLE cartesian is
+    // banned; frontier expansion itself must stay an equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"no shuffle cartesian anywhere in the walk:\n$p")
+  }
+
   test("filtered_knn_batch: label filter reaches the base scan; join is the cluster equi-join") {
     // the metadata filter composes with IVF pruning in the BATCH shape
     // too: label = 2 must be a pushed predicate on the one corpus-side
