@@ -485,6 +485,19 @@ object Knn {
     * exactly like appended postings keep file-granularity pruning until
     * compaction.
     */
+  /** `servePath`, when given, ALSO maintains the graph's SERVING layout
+    * ([[GraphAnn.buildServing]]) in the same call: the batch's new-node
+    * edges symmetrize (both directions, each carrying the destination
+    * vector from the candidate frame — no corpus access) and append to
+    * `servePath/edges`; the medoid `entries/` stay FROZEN, like the
+    * centroids they derive from (the entry set is a routing heuristic,
+    * not a correctness surface). Envelope (proven in StreamingSpec):
+    * the appended serving edges are EXACTLY
+    * `buildServing(loadGraph(maintained graph))`'s rows — rebuild ≡
+    * append, because symmetrizing the maintained raw graph produces
+    * precisely the standing build rows plus the batch's symmetrized
+    * rows (no cross-duplicates: every batch row touches a new id).
+    */
   def appendGraphEdges(
       batch: DataFrame,
       idCol: String,
@@ -493,7 +506,8 @@ object Knn {
       k: Int,
       metric: String,
       graphPath: String,
-      layoutPath: String): Unit = {
+      layoutPath: String,
+      servePath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val dup = spark.read.parquet(layoutPath).select(col(idCol))
       .join(batch.select(col(idCol)), Seq(idCol), "leftsemi")
@@ -507,9 +521,23 @@ object Knn {
       .distinct().collect().map(_.getInt(0)).toSeq
     val standingPruned = IvfIndex.readPruned(spark, layoutPath, touched, idCol)
       .select(col(idCol), col(vecCol))
-    ivfGraphEdges(batch, standingPruned.unionByName(batch.select(col(idCol), col(vecCol))),
-      idCol, vecCol, centroids, k, metric)
-      .write.mode("append").parquet(graphPath)
+    val cand = standingPruned.unionByName(batch.select(col(idCol), col(vecCol)))
+    val edges = ivfGraphEdges(batch, cand, idCol, vecCol, centroids, k, metric)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      edges.write.mode("append").parquet(graphPath)
+      servePath.foreach { sp =>
+        val directed = edges.select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
+        // mutual pairs WITHIN the batch appear in both directions —
+        // distinct, exactly like the build's symmetrization
+        val sym = directed.unionByName(
+          directed.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
+          .distinct()
+        sym.join(cand.select(col(idCol).as("dst_id"), col(vecCol).as("dst_vec")), "dst_id")
+          .select(col("src_id"), col("dst_id"), col("dst_vec"))
+          .write.mode("append").parquet(s"$sp/edges")
+      }
+    } finally edges.unpersist()
     IvfIndex.appendPartitioned(batch, vecCol, centroids, layoutPath)
   }
 

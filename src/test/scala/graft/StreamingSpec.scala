@@ -532,6 +532,10 @@ class StreamingSpec extends SparkSpec {
     Knn.knnJoinIvf(standing, "vec_id", "embedding", centroids, k = 3, metric = "l2")
       .write.parquet(graphPath)
     val buildEdges = spark.read.parquet(graphPath).collect().map(_.toSeq).toSet
+    // the SERVING layout is maintained by the same append call
+    val servePath = tmpBase + "/serve"
+    graft.operators.GraphAnn.buildServing(spark.read.parquet(graphPath),
+      standing, "vec_id", "embedding", centroids, servePath)
 
     // corpus threading below is for the REBUILD REFERENCE legs only —
     // the append twin itself never sees these frames
@@ -543,7 +547,8 @@ class StreamingSpec extends SparkSpec {
     val q = stream.toDF().toDF("vec_id", "embedding").writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         Knn.appendGraphEdges(batch, "vec_id", "embedding", centroids,
-          k = 3, metric = "l2", graphPath = graphPath, layoutPath = layoutPath)
+          k = 3, metric = "l2", graphPath = graphPath, layoutPath = layoutPath,
+          servePath = Some(servePath))
         corpus = corpus.unionByName(batch).localCheckpoint(true)
         if (midCorpus == null) midCorpus = corpus
       }
@@ -603,6 +608,31 @@ class StreamingSpec extends SparkSpec {
           k = 3, metric = "l2", graphPath = graphPath, layoutPath = layoutPath)
       }
       assert(reIngest.getMessage.contains("new-nodes-only"))
+
+      // SERVING-layout maintenance envelope: append ≡ rebuild — the
+      // appended edges/ table equals buildServing over the MAINTAINED
+      // raw graph, row for row (symmetrized, dst vectors attached)
+      val rebuiltServe = tmpBase + "/serve-rebuilt"
+      graft.operators.GraphAnn.buildServing(Knn.loadGraph(spark, graphPath),
+        corpus, "vec_id", "embedding", centroids, rebuiltServe)
+      def serveRows(p: String) = spark.read.parquet(s"$p/edges")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Float](2))).toSet
+      assert(serveRows(servePath) === serveRows(rebuiltServe),
+        "appended serving edges must equal a rebuild over the maintained graph")
+      // entries stay FROZEN (they derive from the frozen centroids)
+      assert(spark.read.parquet(s"$servePath/entries").count() === centroids.length)
+      // and the walk actually serves ingested nodes: search with an
+      // ingested vector's own embedding — it must find itself
+      val probeId = ids2.head
+      val probeVec = corpus.where(col("vec_id") === probeId)
+        .select("embedding").head.getSeq[Float](0).toArray
+      val served = graft.operators.GraphAnn.searchBeam(
+        spark.read.parquet(s"$servePath/entries").select(col("id"), col("vec")),
+        spark.read.parquet(s"$servePath/edges"),
+        probeVec, k = 3, beam = 8, hops = 3)
+        .collect().map(_.getLong(1))
+      assert(served.contains(probeId),
+        "an ingested node must be reachable through the appended serving edges")
 
       // downstream component discovery reruns from the MAINTAINED
       // artifact (the knn_components path: mutual edges → CC)
