@@ -489,6 +489,21 @@ class PersistSpec extends SparkSpec {
     // derived tables contain the deleted doc's pairs — they must fail loudly
     intercept[IllegalStateException](idx.minhashPairs(0.5).collect())
 
+    // --- dedup sig compaction: the staleness marker survives the swap ---
+    val preSig = idx.sig.collect().map(_.getLong(0)).toSet
+    Tombstones.compact(spark, s"${idx.base}/sig",
+      Seq(Tombstones.TombTable("", Seq("doc_id"))))
+    assert(!Tombstones.present(spark, s"${idx.base}/sig"))
+    val sigServed = idx.sig
+    assert(sigServed.collect().map(_.getLong(0)).toSet === preSig,
+      "compaction must not change the served signature rows")
+    assert(!sigServed.queryExecution.executedPlan.toString.contains("LeftAnti"),
+      "post-compaction sig reads must carry no tombstone join")
+    // the derived tables are STILL stale (their pairs contain the
+    // deleted doc) — the _built_state marker must survive the swap so
+    // they keep failing loudly until a rebuild
+    intercept[IllegalStateException](idx.minhashPairs(0.5).collect())
+
     // --- k-NN graph ---
     val g = tmp("graft-del-graph") + "/g"
     Knn.knnJoinIvf(emb, "vec_id", "embedding", cents, k = 3, metric = "l2")
