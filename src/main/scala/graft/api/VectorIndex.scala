@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryIndex, IvfIndex, Knn, LshIndex, PqIndex, SqIndex, Upsert}
+import graft.operators.{BinaryIndex, GraphAnn, IvfIndex, Knn, LshIndex, PqIndex, SqIndex, Tombstones, Upsert}
 
 /** Index kinds, mirroring the reference's `IndexType`
   * (reference: src/core/index_factory.rs:72-168). `FLAT` is exact brute
@@ -30,6 +30,14 @@ object IndexType {
   case object PQ extends IndexType
   case object IVFPQ extends IndexType
   case object SQ8 extends IndexType
+
+  /** Graph-traversal ANN — the DIRECT analog of the reference's two
+    * graph backends (HNSW, USEARCH): a k-NN graph blocked by the IVF
+    * quantizer, served by a bounded-round greedy beam walk from
+    * per-cluster medoid entries ([[graft.operators.GraphAnn]]). Knobs:
+    * graphK (degree), graphBeam (ef_search analog), graphHops.
+    */
+  case object GRAPH extends IndexType
 }
 
 /** reference: src/core/index_factory.rs:41-48 (L2, InnerProduct) + the
@@ -68,11 +76,14 @@ case class IndexParams(
     lshBands: Int = 1,
     pqSubspaces: Int = 8,
     pqRerank: Int = 100,
-    sqRerank: Int = 100) {
+    sqRerank: Int = 100,
+    graphK: Int = 3,
+    graphBeam: Int = 8,
+    graphHops: Int = 3) {
   require(ivfClusters >= 1 && nprobe >= 1 && lshBits >= 1 && lshRadius >= 0
       && binaryRerank >= 1 && lshBands >= 1 && pqSubspaces >= 1 && pqRerank >= 1
-      && sqRerank >= 1,
-    "index params must be positive (lshRadius may be 0)")
+      && sqRerank >= 1 && graphK >= 1 && graphBeam >= 1 && graphHops >= 0,
+    "index params must be positive (lshRadius may be 0, graphHops may be 0)")
 }
 
 /** The reference engine's five-endpoint surface (create / insert /
@@ -91,7 +102,8 @@ class VectorIndex private (
     private val state: DataFrame,
     private val loadedCentroids: Option[Array[Array[Float]]] = None,
     private val loadedCodebooks: Option[Array[Array[Array[Float]]]] = None,
-    private val loadedBounds: Option[(Array[Double], Array[Double])] = None) {
+    private val loadedBounds: Option[(Array[Double], Array[Double])] = None,
+    private val loadedServePath: Option[String] = None) {
 
   import VectorIndex._
 
@@ -100,7 +112,11 @@ class VectorIndex private (
       s"vector dim ${vector.length} != index dim ${key.dim}") // reference: BAD_REQUEST
 
   /** Layout-preserving state swap (delete keeps every row's persisted
-    * cluster/bucket assignment valid, so pruning survives).
+    * cluster/bucket assignment valid, so pruning survives). The GRAPH
+    * serve artifact does NOT survive: its walk answers from the
+    * artifact alone, so a deleted row would still be returned — any
+    * mutation drops the serve path and searches fall back to the
+    * in-plan build over the current state.
     */
   private def withState(next: DataFrame): VectorIndex =
     new VectorIndex(key, params, spark, next, loadedCentroids, loadedCodebooks, loadedBounds)
@@ -175,7 +191,42 @@ class VectorIndex private (
   def search(vector: Array[Float], k: Int): DataFrame = {
     requireDim(vector)
     require(k >= 1, "k must be at least 1")
-    searchFrom(state, vector, k)
+    loadedServe match {
+      // unmutated loaded GRAPH index: walk the persisted serving layout
+      // (the restart story — no graph rebuild, no quantizer refit)
+      case Some((entries, edges)) =>
+        GraphAnn.searchBeam(entries, edges, vector, k,
+          params.graphBeam, params.graphHops, key.metricType.name)
+      case None => searchFrom(state, vector, k)
+    }
+  }
+
+  /** The persisted GRAPH serving frames, present only on an UNMUTATED
+    * loaded index (any mutation drops the path — see [[withState]]);
+    * tombstones apply at the load like every persisted layout.
+    */
+  private def loadedServe: Option[(DataFrame, DataFrame)] =
+    loadedServePath.map { p =>
+      (Tombstones.filter(spark.read.parquet(s"$p/entries"), p, "id")
+         .select(col("id"), col("vec")),
+       Tombstones.filterEdges(spark.read.parquet(s"$p/edges"), p, "src_id", "dst_id"))
+    }
+
+  /** The GRAPH serving frames built IN-PLAN over `base` — the
+    * fresh-state path (the way IVF refits in-plan): graph blocked by
+    * the fitCached quantizer, symmetrized with vectors attached, medoid
+    * entries. None when the state is empty (no centroids to fit) —
+    * callers degrade to the exact scan.
+    */
+  private def serveFramesInPlan(base: DataFrame): Option[(DataFrame, DataFrame)] = {
+    val centroids = IvfIndex.fitCached(base, "vectors", k = params.ivfClusters, seed = 42L)
+    if (centroids.isEmpty) None
+    else {
+      val graph = Knn.knnJoinIvf(base, "id", "vectors", centroids,
+        params.graphK, key.metricType.name)
+      val (entries, edges) = GraphAnn.servingFrames(graph, base, "id", "vectors", centroids)
+      Some((entries.select(col("id"), col("vec")), edges))
+    }
   }
 
   /** Batch search: top-k per query row — the shape a bulk re-embedding
@@ -231,6 +282,16 @@ class VectorIndex private (
           SqIndex.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec",
             mins, maxs, k, rerank = math.max(k, params.sqRerank),
             metric = key.metricType.name)
+      case IndexType.GRAPH =>
+        // ONE walk plan serves every query, over the loaded serving
+        // layout when unmutated, else over the in-plan frames
+        loadedServe.orElse(serveFramesInPlan(bare)) match {
+          case Some((entries, edges)) =>
+            GraphAnn.searchBeamBatch(entries, edges, queries, "q_id", "q_vec",
+              k, params.graphBeam, params.graphHops, key.metricType.name)
+          case None =>
+            Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
+        }
       case _ =>
         Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
     }
@@ -409,6 +470,18 @@ class VectorIndex private (
         else
           SqIndex.searchAnyMetric(base, "id", "vectors", mins, maxs, vector, k,
             rerank = math.max(k, params.sqRerank), metric = key.metricType.name)
+      case IndexType.GRAPH =>
+        // in-plan serving build over `base` — correct under filters and
+        // mutations alike (a filtered base yields the graph OF the
+        // filtered corpus, the searchFiltered contract); the loaded
+        // fast path lives in [[search]]. Empty state degrades exact.
+        serveFramesInPlan(base) match {
+          case Some((entries, edges)) =>
+            GraphAnn.searchBeam(entries, edges, vector, k,
+              params.graphBeam, params.graphHops, key.metricType.name)
+          case None =>
+            Knn.searchExact(base, "id", "vectors", vector, k, key.metricType.name)
+        }
     }
 
   /** k-NN GRAPH over the whole index: every vector's top-k neighbors in
@@ -443,9 +516,10 @@ class VectorIndex private (
     Seq((key.indexType.toString, key.dim, key.metricType.name,
         params.ivfClusters, params.nprobe, params.lshBits, params.lshRadius,
         params.binaryRerank, params.lshBands, params.pqSubspaces, params.pqRerank,
-        params.sqRerank))
+        params.sqRerank, params.graphK, params.graphBeam, params.graphHops))
       .toDF("index_type", "dim", "metric", "ivf_clusters", "nprobe", "lsh_bits",
-        "lsh_radius", "binary_rerank", "lsh_bands", "pq_m", "pq_rerank", "sq_rerank")
+        "lsh_radius", "binary_rerank", "lsh_bands", "pq_m", "pq_rerank", "sq_rerank",
+        "graph_k", "graph_beam", "graph_hops")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     key.indexType match {
       case IndexType.IVF =>
@@ -501,6 +575,16 @@ class VectorIndex private (
         val (mins, maxs) = SqIndex.fitBoundsCached(bare, "vectors")
         if (mins.nonEmpty) SqIndex.writeBounds(spark, mins, maxs, s"$path/bounds")
         bare.write.mode("overwrite").parquet(s"$path/data")
+      case IndexType.GRAPH =>
+        // the serving layout persists beside the raw state: symmetrized
+        // vectors-on-edges table + medoid entries — a loaded search
+        // walks it directly (no graph rebuild, no quantizer refit)
+        bare.write.mode("overwrite").parquet(s"$path/data")
+        val centroids = IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L)
+        if (centroids.nonEmpty)
+          GraphAnn.buildServing(
+            Knn.knnJoinIvf(bare, "id", "vectors", centroids, params.graphK, key.metricType.name),
+            bare, "id", "vectors", centroids, s"$path/serve")
       case IndexType.FLAT | IndexType.BINARY =>
         // BINARY's sign words are a training-free map-side derivation, so
         // the persisted form is just the data (a hamming scan reads every
@@ -548,6 +632,7 @@ object VectorIndex {
       case "PQ"     => IndexType.PQ
       case "IVFPQ"  => IndexType.IVFPQ
       case "SQ8"    => IndexType.SQ8
+      case "GRAPH"  => IndexType.GRAPH
       case other    => throw new IllegalArgumentException(s"unknown index_type $other")
     }
     val metric = m.getAs[String]("metric") match {
@@ -565,7 +650,8 @@ object VectorIndex {
     val params = IndexParams(m.getAs[Int]("ivf_clusters"), m.getAs[Int]("nprobe"),
       m.getAs[Int]("lsh_bits"), m.getAs[Int]("lsh_radius"),
       intOr("binary_rerank", 100), intOr("lsh_bands", 1),
-      intOr("pq_m", 8), intOr("pq_rerank", 100), intOr("sq_rerank", 100))
+      intOr("pq_m", 8), intOr("pq_rerank", 100), intOr("sq_rerank", 100),
+      intOr("graph_k", 3), intOr("graph_beam", 8), intOr("graph_hops", 3))
     val state = spark.read.parquet(s"$path/data")
     val centroids =
       if ((indexType == IndexType.IVF || indexType == IndexType.IVFPQ)
@@ -584,8 +670,15 @@ object VectorIndex {
         val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(bp)) Some(SqIndex.readBounds(spark, s"$path/bounds")) else None
       } else None
+    val servePath =
+      if (indexType == IndexType.GRAPH) {
+        // a serve dir exists iff the saved state was non-empty
+        val sp = new org.apache.hadoop.fs.Path(s"$path/serve")
+        val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(sp)) Some(s"$path/serve") else None
+      } else None
     new VectorIndex(IndexKey(indexType, m.getAs[Int]("dim"), metric), params, spark,
-      state, centroids, codebooks, bounds)
+      state, centroids, codebooks, bounds, servePath)
   }
 
   private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {

@@ -53,21 +53,34 @@ object GraphAnn {
     */
   def buildServing(graph: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
                    centroids: Array[Array[Float]], base: String): Unit = {
+    val (entries, edges) = servingFrames(graph, emb, idCol, vecCol, centroids)
+    edges
+      .repartitionByRange(col("src_id"))
+      .sortWithinPartitions("src_id", "dst_id")
+      .write.parquet(s"$base/edges")
+    entries.coalesce(1).write.parquet(s"$base/entries")
+  }
+
+  /** The serving frames as LAZY plans (what [[buildServing]] persists):
+    * `entries` = (cluster, id, vec) medoids of the frozen quantizer,
+    * `edges` = the graph symmetrized with destination vectors attached.
+    * The facade's fresh-state GRAPH search walks these in-plan the way
+    * its IVF search refits in-plan — persisting them is the save path.
+    */
+  def servingFrames(graph: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[Array[Float]]): (DataFrame, DataFrame) = {
     val directed = graph.select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
     val sym = directed
       .unionByName(directed.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
       .distinct()
-    sym
+    val edges = sym
       .join(emb.select(col(idCol).as("dst_id"), col(vecCol).as("dst_vec")), "dst_id")
       .select(col("src_id"), col("dst_id"), col("dst_vec"))
-      .repartitionByRange(col("src_id"))
-      .sortWithinPartitions("src_id", "dst_id")
-      .write.parquet(s"$base/edges")
     val spark = emb.sparkSession
     import spark.implicits._
     val cents = broadcast(centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "cv"))
-    emb
+    val entries = emb
       .select(col(idCol).as("id"), col(vecCol).as("vec"),
         nearestCentroid(col(vecCol), centroids).as("cluster"))
       .join(cents, "cluster")
@@ -76,8 +89,7 @@ object GraphAnn {
         Window.partitionBy("cluster").orderBy(col("d2"), col("id"))))
       .where(col("rn") === 1)
       .select(col("cluster"), col("id"), col("vec"))
-      .coalesce(1)
-      .write.parquet(s"$base/entries")
+    (entries, edges)
   }
 
   /** The visited sets after 0..hops expansion rounds — (id, dist)

@@ -217,6 +217,51 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("GRAPH index: fresh search works, save -> load walks the layout identically, mutation drops it") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(6)(Array.fill(8)(rnd.nextGaussian().toFloat * 10))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat), None: Option[String])
+    }
+    val idx = VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+        IndexParams(ivfClusters = 6, graphK = 5, graphBeam = 12, graphHops = 3))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+    val q = rows(42)._2
+    val live = idx.search(q, 5).collect().map(_.toSeq).toSeq
+    assert(live.size === 5)
+    assert(live.head(1) === 42L, "a wide-beam walk finds the query's own vector")
+
+    // save -> load: the loaded index walks the PERSISTED serving layout
+    // over the same fitCached graph, so results are identical
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-graph").toString
+    idx.save(dir)
+    val re = VectorIndex.load(spark, dir)
+    assert(re.key.indexType === IndexType.GRAPH)
+    assert(re.params.graphK === 5 && re.params.graphBeam === 12)
+    assert(re.search(q, 5).collect().map(_.toSeq).toSeq === live)
+    // the loaded walk reads the serving artifact, never the data table
+    val loadedPlan = re.search(q, 5).queryExecution.executedPlan.toString
+    assert(loadedPlan.contains("/serve/"), "loaded search must walk the persisted layout")
+    assert(!loadedPlan.contains("/data"), "loaded search must not touch the raw state")
+
+    // batch agrees with the looped single-query path on the loaded index
+    val queries = Seq((42L, rows(42)._2.toSeq), (7L, rows(7)._2.toSeq)).toDF("q_id", "q_vec")
+    val batch = re.searchBatch(queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val looped = Seq(42L, 7L).flatMap { qi =>
+      re.search(rows(qi.toInt)._2, 5).collect().map(r => (qi, r.getInt(0), r.getLong(1)))
+    }.toSet
+    assert(batch === looped)
+
+    // a mutation drops the serve fast path: the deleted id must vanish
+    // even though the persisted layout still contains it
+    val deleted = re.delete(42L)
+    val after = deleted.search(q, 5).collect().map(_.getLong(1))
+    assert(!after.contains(42L), "a deleted id must not be served from the stale layout")
+  }
+
   test("knnGraph: FLAT graph equals brute force; self excluded") {
     val s = spark; import s.implicits._
     val vecs = (0 until 40).map(i => (i.toLong, Array((i % 8).toFloat, (i / 8).toFloat), None: Option[String]))
