@@ -1690,6 +1690,30 @@ object Oracles {
          |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
          |FROM bm ORDER BY rank""".stripMargin,
 
+    // Filtered BATCH BM25: per-query scores over the lang = 'en'
+    // sub-corpus (stats/df filtered), the union vocabulary pruning the
+    // postings; raw exact-integer s6 like the batch kernel emits.
+    "filtered_bm25_batch" ->
+      s"""WITH qt AS (SELECT CAST(q_id AS BIGINT) AS q_id, term
+         |  FROM (VALUES (1, 'spark'), (1, 'hash'), (2, 'join'), (2, 'window'),
+         |               (3, 'vector'), (3, 'table')) AS v(q_id, term)),
+         |t AS (SELECT doc_id, $toks AS toks FROM documents WHERE lang = 'en'),
+         |st AS (SELECT count(*) AS n_corpus, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
+         |p0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
+         |p AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM p0
+         |      WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+         |contrib AS (SELECT p.term, p.doc_id,
+         |    CAST(floor(ln((st.n_corpus - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * ((p.tf * (1.2 + 1.0)) / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * (p.dl / (CAST(st.sum_dl AS DOUBLE) / st.n_corpus)))))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS s6
+         |  FROM p JOIN dfq USING (term) CROSS JOIN st),
+         |qd AS (SELECT qt.q_id, c.doc_id, CAST(sum(c.s6) AS BIGINT) AS s6
+         |       FROM contrib c JOIN qt ON qt.term = c.term GROUP BY 1, 2)
+         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY s6 DESC, doc_id) AS INT) AS rank,
+         |       doc_id, s6
+         |FROM qd QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
     // NotEqual + numeric range on the text filter leg — same contract:
     // ≡ BM25 over the sub-corpus with the predicates applied before
     // tokenization (stats, df and candidates all filtered).

@@ -923,6 +923,26 @@ object Queries {
       textDocLengths(spark, dir),
       col("lang") =!= "de" && col("n_chars").between(200, 1200), bm25Terms, k = 10)
 
+  /** Filtered BATCH keyword retrieval — the text twin of
+    * [[filteredKnnBatch]], completing the composition square
+    * (single/batch × unfiltered/filtered) on the text leg: three fixed
+    * term-set queries, each answered top-5 over ONLY lang = 'en'
+    * documents from the SHARED artifacts in ONE plan
+    * ([[operators.Retrieval.bm25TopKBatchFromIndexFiltered]]); stats
+    * and df recomputed over the sub-corpus, per query provably ≡ the
+    * filtered single-query operator (RetrievalSpec).
+    */
+  def filteredBm25Batch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val queryTerms = Seq(
+      (1L, "spark"), (1L, "hash"),
+      (2L, "join"), (2L, "window"),
+      (3L, "vector"), (3L, "table")).toDF("q_id", "term")
+    operators.Retrieval.bm25TopKBatchFromIndexFiltered(textPostings(spark, dir),
+        textDocLengths(spark, dir), col("lang") === "en", queryTerms, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
   /** Exact phrase search ("table hash") over the POSITIONAL inverted
     * index — the Lucene PhraseQuery capability that separates a real
     * index from a bag-of-words score table: term-pruned postings scan,

@@ -91,6 +91,18 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     Retrieval.bm25TopKBatchFromIndex(postings, docLengths, queryTerms, k,
       excludeQueryDoc = excludeQueryDoc)
 
+  /** Metadata-filtered batch BM25 — [[searchFiltered]] × [[searchBatch]]
+    * (the facade twin of `VectorIndex.searchBatchFiltered`): every
+    * query answered over only the documents satisfying `filter`, stats
+    * and df over the sub-corpus
+    * ([[graft.operators.Retrieval.bm25TopKBatchFromIndexFiltered]]).
+    */
+  def searchBatchFiltered(queryTerms: DataFrame, k: Int,
+                          filter: org.apache.spark.sql.Column,
+                          excludeQueryDoc: Boolean = false): DataFrame =
+    Retrieval.bm25TopKBatchFromIndexFiltered(postings, docLengths, filter,
+      queryTerms, k, excludeQueryDoc = excludeQueryDoc)
+
   /** Ingest new documents: tokenize the batch only and append its
     * postings/doc-length rows ([[graft.operators.Retrieval.appendPostings]]).
     *

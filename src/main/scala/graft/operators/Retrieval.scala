@@ -395,6 +395,42 @@ object Retrieval {
     val stats = docLengths.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
     val vocab = queryTerms.select("term").distinct()
     val p = postings.join(broadcast(vocab), Seq("term"), "leftsemi")
+    batchScoreTail(p, stats, queryTerms, k, k1, b, excludeQueryDoc)
+  }
+
+  /** Metadata-filtered BATCH BM25 from the shared index — the text twin
+    * of the vector side's filtered batch kernel, completing the
+    * composition square (single/batch × unfiltered/filtered): every
+    * (q_id, term) query is answered over ONLY the documents satisfying
+    * `docFilter`, with stats and df recomputed over the sub-corpus —
+    * per query, provably identical to [[bm25TopKFromIndexFiltered]]
+    * (RetrievalSpec). Same scale shape as the filtered single: the
+    * filter prunes the doc-side artifact scan, the union query
+    * vocabulary prunes the postings scan, and the vocab-pruned postings
+    * (O(Σ df), the bound every keyword engine accepts) BROADCAST into
+    * the allowed side — the corpus-proportional leg never shuffles.
+    */
+  def bm25TopKBatchFromIndexFiltered(postings: DataFrame, docLengths: DataFrame,
+                                     docFilter: Column, queryTerms: DataFrame, k: Int,
+                                     k1: Double = 1.2, b: Double = 0.75,
+                                     excludeQueryDoc: Boolean = false): DataFrame = {
+    require(k >= 1)
+    val allowed = docLengths.where(docFilter)
+    val stats = allowed.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("sum_dl"))
+    val vocab = queryTerms.select("term").distinct()
+    val pruned = postings.join(broadcast(vocab), Seq("term"), "leftsemi")
+    val p = allowed.select(col("doc_id")).join(broadcast(pruned), Seq("doc_id"))
+    batchScoreTail(p, stats, queryTerms, k, k1, b, excludeQueryDoc)
+  }
+
+  /** The shared batch scoring tail over pruned postings + a 1-row stats
+    * frame: |vocab|-row df broadcast, floor-fixed integer contributions,
+    * per-(query, doc) exact-long sums via the term→query broadcast join,
+    * bounded-heap stratified cut — shuffle O(queries × k).
+    */
+  private def batchScoreTail(p: DataFrame, stats: DataFrame, queryTerms: DataFrame,
+                             k: Int, k1: Double, b: Double,
+                             excludeQueryDoc: Boolean): DataFrame = {
     val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((col("n_corpus") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val tfNorm = (col("tf") * lit(k1 + 1.0)) /

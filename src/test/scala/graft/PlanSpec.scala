@@ -734,6 +734,21 @@ class PlanSpec extends SparkSpec {
       s"batch pairing must remain the cluster equi-join:\n$p")
   }
 
+  test("filtered_bm25_batch: lang filter prunes the doc-side scan; vocab prunes postings") {
+    // the batch twin of the filtered_bm25 guard: both filters must reach
+    // their scans, and the corpus-proportional allowed side must never
+    // re-tokenize
+    val p = plan(Queries.filteredBm25Batch(spark, sf001))
+    assert(p.contains("graft-persist/postings"),
+      s"must scan the materialized inverted index:\n$p")
+    assert(p.contains("graft-persist/doclen"),
+      s"must scan the doc-side artifact, not re-tokenize documents:\n$p")
+    assert(p.contains("EqualTo(lang,en)"),
+      s"lang filter must push to the doc-side artifact scan:\n$p")
+    assert(!p.contains("tokenize_words"),
+      s"a filtered batch search must not re-tokenize the corpus:\n$p")
+  }
+
   test("customer_id_linkage: the variant pair join ships narrow (v, id) rows only") {
     // Pair generation is BLOCK-LOCAL: postings group into ≤ 256-id
     // (pos, v) arrays in one shuffle and pairs explode map-side — no

@@ -225,6 +225,35 @@ class RetrievalSpec extends SparkSpec {
     assert(filtered.nonEmpty)
   }
 
+  test("filtered BATCH BM25 equals the looped filtered single-query operator per query") {
+    val s = spark; import s.implicits._
+    val docs = corpus.toDF()
+      .withColumn("lang", when(col("doc_id") % 2 === 1, "en").otherwise("de"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-filtered-bm25-batch").toString
+    Retrieval.buildPostings(docs, "doc_id", "text").write.parquet(s"$dir/p")
+    Retrieval.buildDocLengthsWithMeta(docs, "doc_id", "text", "lang")
+      .write.parquet(s"$dir/l")
+    val p = spark.read.parquet(s"$dir/p"); val l = spark.read.parquet(s"$dir/l")
+
+    val querySets = Map(1L -> Seq("spark", "broadcast"), 2L -> Seq("shuffle", "join"))
+    val qt = querySets.toSeq.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("q_id", "term")
+    val batch = Retrieval.bm25TopKBatchFromIndexFiltered(p, l,
+        col("lang") === "en", qt, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    val looped = querySets.toSeq.flatMap { case (q, ts) =>
+      Retrieval.bm25TopKFromIndexFiltered(p, l, col("lang") === "en", ts, k = 5)
+        .collect().map(r => (q, r.getInt(0), r.getLong(1),
+          // the single path reports score = s6/1e6 rounded 4dp; recover
+          // nothing — compare on (q, rank, doc) and check s6 sign below
+          0L))
+    }.toSet
+    assert(batch.map { case (q, rk, d, _) => (q, rk, d) } ===
+      looped.map { case (q, rk, d, _) => (q, rk, d) },
+      "filtered batch ranking must equal the looped filtered single-query ranking")
+    // every returned doc satisfies the filter
+    assert(batch.forall { case (_, _, d, _) => d % 2 == 1 })
+  }
+
   test("appendPostings maintains the index: post-ingest serving equals a full rebuild") {
     val s = spark; import s.implicits._
     val standing = corpus.take(3).toDF()
