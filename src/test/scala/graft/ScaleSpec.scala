@@ -179,7 +179,23 @@ class ScaleSpec extends SparkSpec {
     ("dedup_exact", "linear", SparkEntry.queries("dedup_exact")),
     ("knn_batch_ivf", "linear", SparkEntry.queries("knn_batch_ivf")),
     ("minhash_band_pairs", "linear", (s: SparkSession, d: String) =>
-      operators.Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", minEst = 0.5)))
+      operators.Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text", minEst = 0.5)),
+    // five more heavy shapes: deep multi-join profit rollup, the
+    // EXISTS/NOT-EXISTS self-join (per-order lineitem groups are
+    // fixed-size, so the self-join is linear), the per-user sequence
+    // funnel window, two-level tf-idf aggregation (vocab grows linearly
+    // under salted replication), and batch BM25 straight off the corpus
+    // (vocab-pruned postings, bounded-heap per-query cut)
+    ("q9_profit", "linear", SparkEntry.queries("q9_profit")),
+    ("q21_waiting", "linear", SparkEntry.queries("q21_waiting")),
+    ("events_funnel", "linear", SparkEntry.queries("events_funnel")),
+    ("corpus_tfidf", "linear", SparkEntry.queries("corpus_tfidf")),
+    ("bm25_batch", "linear", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val qt = Seq((1L, "spark"), (1L, "hash"), (2L, "join"), (2L, "window"),
+        (3L, "vector"), (3L, "table")).toDF("q_id", "term")
+      operators.Retrieval.bm25TopKBatch(Tables.documents(s, d), "doc_id", "text", qt, k = 5)
+    }))
 
   test("scaling certificates: 1x/10x/30x corpora — shuffle bytes obey the documented envelopes") {
     val dirs = Seq(1 -> srcDir, 10 -> s"$scaleRoot/x10", 30 -> s"$scaleRoot/x30")
