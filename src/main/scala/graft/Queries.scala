@@ -447,7 +447,7 @@ object Queries {
     val qv = queryVec(spark, dir, 12L)
     val probed = operators.IvfIndex.probes(qv, centroids, nprobe = 4)
     Knn.searchExact(
-      operators.IvfIndex.readPruned(spark, path, probed).where(col("label") === 2),
+      operators.IvfIndex.readPruned(spark, path, probed, "vec_id").where(col("label") === 2),
       "vec_id", "embedding", qv, k = 10, metric = "l2")
   }
 

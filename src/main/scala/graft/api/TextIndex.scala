@@ -121,12 +121,31 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     */
   def append(docs: DataFrame, idCol: String, textCol: String): TextIndex =
     TextIndex.appendLocks.computeIfAbsent(path, _ => new Object).synchronized {
-      val dup = docs.select(col(idCol).cast("long").as("doc_id"))
-        .join(docLengths, Seq("doc_id"), "leftsemi").limit(1).collect()
+      val batchIds = docs.select(col(idCol).cast("long").as("doc_id"))
+      // probe the RAW doclen table, not the tombstone-filtered accessor:
+      // a delete()d-but-uncompacted doc_id still has physical rows, and
+      // re-appending it would land rows the read-time anti-join hides
+      // (then compact() permanently drops) — silent loss, not a dup
+      val dup = batchIds
+        .join(spark.read.parquet(s"$path/doclen").select("doc_id"),
+          Seq("doc_id"), "leftsemi").limit(1).collect()
       require(dup.isEmpty,
         s"TextIndex.append is new-docs-only: doc_id ${dup.headOption.map(_.get(0)).orNull} " +
-          "is already indexed (re-appending would inflate df/N and split tf); " +
+          "is already indexed (re-appending would inflate df/N and split tf; " +
+          "if it was delete()d, run compact() before reusing the id); " +
           "assign fresh ids or rebuild")
+      // a tombstoned id may also have NO physical rows left (deleted,
+      // then compacted away in another table's pass, or deleted while
+      // absent) — its sidecar entry would still hide the new rows
+      if (Tombstones.present(spark, path)) {
+        val t = Tombstones.ids(spark, path)
+        val tomb = batchIds.join(t, batchIds("doc_id") === t("id"), "leftsemi")
+          .limit(1).collect()
+        require(tomb.isEmpty,
+          s"TextIndex.append: doc_id ${tomb.headOption.map(_.get(0)).orNull} is " +
+            "tombstoned — its appended rows would be hidden by the read-time " +
+            "anti-join; run compact() before reusing a deleted id")
+      }
       // the batch must carry the index's own metadata columns, so a
       // filtered search stays total over appended docs too
       Retrieval.appendPostings(docs, idCol, textCol,
@@ -202,6 +221,11 @@ object TextIndex {
     */
   def load(spark: SparkSession, path: String): TextIndex = {
     Retrieval.recoverCompaction(spark, s"$path/postings")
+    // the tombstone-folding compact() swaps BOTH tables under _tomb_*
+    // names — recover those windows too, or a crash between the
+    // aside-rename and the swap-in leaves a table dir missing
+    Tombstones.recover(spark, s"$path/postings")
+    Tombstones.recover(spark, s"$path/doclen")
     new TextIndex(spark, path)
   }
 

@@ -585,6 +585,14 @@ class VectorIndex private (
           GraphAnn.buildServing(
             Knn.knnJoinIvf(bare, "id", "vectors", centroids, params.graphK, key.metricType.name),
             bare, "id", "vectors", centroids, s"$path/serve")
+        else {
+          // empty state builds no serving layout — a stale serve/ dir
+          // from a previous save of this path must not survive, or
+          // load() would adopt it and serve vectors no longer here
+          val sp = new org.apache.hadoop.fs.Path(s"$path/serve")
+          val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(sp)) fs.delete(sp, true)
+        }
       case IndexType.FLAT | IndexType.BINARY =>
         // BINARY's sign words are a training-free map-side derivation, so
         // the persisted form is just the data (a hamming scan reads every

@@ -121,10 +121,12 @@ object IvfIndex {
   /** Tombstones ([[Tombstones.filter]], no-op without live deletions)
     * apply at every load, so a deleted id is absent from any search over
     * the layout without a rebuild; `idCol` names the layout's id column
-    * for that anti-join.
+    * for that anti-join — REQUIRED (no default) so a layout whose id
+    * column differs fails at the call site, not at the first
+    * tombstoned read.
     */
   def readPruned(spark: SparkSession, path: String, probed: Seq[Int],
-                 idCol: String = "vec_id"): DataFrame =
+                 idCol: String): DataFrame =
     Tombstones.filter(
       spark.read.parquet(path).where(col("cluster").isin(probed: _*)),
       path, idCol)

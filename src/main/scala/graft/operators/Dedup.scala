@@ -157,6 +157,29 @@ object Dedup {
       * silently-incomplete pair set.
       */
     def append(docs: DataFrame, idCol: String, textCol: String): DedupIndex = {
+      val batchIds = docs.select(col(idCol).cast("long").as("doc_id"))
+      // NEW-docs-only, probed against the RAW sig table (not the
+      // tombstone-filtered [[sig]] accessor): a re-appended id would
+      // duplicate signature rows, and a delete()d-then-re-appended id
+      // would have its fresh rows hidden by the read-time anti-join —
+      // silent loss instead of this loud failure
+      val dup = batchIds
+        .join(spark.read.parquet(s"$base/sig").select("doc_id"),
+          Seq("doc_id"), "leftsemi").limit(1).collect()
+      require(dup.isEmpty,
+        s"DedupIndex.append is new-docs-only: doc_id ${dup.headOption.map(_.get(0)).orNull} " +
+          "is already signed (if it was delete()d, compact or rebuild before " +
+          "reusing the id); assign fresh ids or rebuild")
+      if (Tombstones.present(spark, s"$base/sig")) {
+        val t = Tombstones.ids(spark, s"$base/sig")
+        val tomb = batchIds.join(t, batchIds("doc_id") === t("id"), "leftsemi")
+          .limit(1).collect()
+        require(tomb.isEmpty,
+          s"DedupIndex.append: doc_id ${tomb.headOption.map(_.get(0)).orNull} is " +
+            "tombstoned — its appended signature would be hidden by the read-time " +
+            "anti-join; rebuild (Dedup.index(rebuild = true)) before reusing a " +
+            "deleted id")
+      }
       appendSignatures(docs, idCol, textCol, s"$base/sig")
       this
     }

@@ -54,11 +54,13 @@ object GraphAnn {
   def buildServing(graph: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
                    centroids: Array[Array[Float]], base: String): Unit = {
     val (entries, edges) = servingFrames(graph, emb, idCol, vecCol, centroids)
+    // overwrite: re-saving an index to a previously-used path must
+    // replace the layout, not throw mid-save after data was written
     edges
       .repartitionByRange(col("src_id"))
       .sortWithinPartitions("src_id", "dst_id")
-      .write.parquet(s"$base/edges")
-    entries.coalesce(1).write.parquet(s"$base/entries")
+      .write.mode("overwrite").parquet(s"$base/edges")
+    entries.coalesce(1).write.mode("overwrite").parquet(s"$base/entries")
   }
 
   /** The serving frames as LAZY plans (what [[buildServing]] persists):

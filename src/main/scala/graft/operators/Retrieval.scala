@@ -309,6 +309,10 @@ object Retrieval {
         s"compaction recovery failed adopting $fresh")
       else if (fs.exists(old)) require(fs.rename(old, target),
         s"compaction recovery failed restoring $old")
+      else require(!fs.exists(fresh),
+        s"compaction left no recoverable table for $postingsPath: target missing, " +
+          s"$fresh incomplete (no _SUCCESS) and $old absent — refusing to delete " +
+          "the only remaining copy; restore the table manually")
     }
     if (fs.exists(fresh)) fs.delete(fresh, true)
     if (fs.exists(old)) fs.delete(old, true)

@@ -139,7 +139,11 @@ object Tombstones {
 
   /** Recover an interrupted [[compact]] of one table dir — same
     * protocol as [[Retrieval.recoverCompaction]] under the `_tomb_*`
-    * names.
+    * names. If compaction evidence exists but NO complete copy is
+    * recoverable (target missing, `_tomb_new` incomplete, `_tomb_old`
+    * absent — a window the swap protocol makes unreachable, so reaching
+    * it means external interference), this RAISES instead of silently
+    * sweeping the incomplete copy and leaving no table at all.
     */
   def recover(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
@@ -152,6 +156,10 @@ object Tombstones {
         s"tombstone compaction recovery failed adopting $fresh")
       else if (fs.exists(old)) require(fs.rename(old, target),
         s"tombstone compaction recovery failed restoring $old")
+      else require(!fs.exists(fresh),
+        s"tombstone compaction left no recoverable table for $dir: target missing, " +
+          s"$fresh incomplete (no _SUCCESS) and $old absent — refusing to delete " +
+          "the only remaining copy; restore the table manually")
     }
     if (fs.exists(fresh)) fs.delete(fresh, true)
     if (fs.exists(old)) fs.delete(old, true)

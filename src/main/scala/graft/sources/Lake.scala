@@ -73,5 +73,5 @@ object Lake {
     */
   def readEmbeddingClusters(spark: SparkSession, path: String,
                             clusters: Seq[Int]): DataFrame =
-    IvfIndex.readPruned(spark, path, clusters)
+    IvfIndex.readPruned(spark, path, clusters, "vec_id")
 }

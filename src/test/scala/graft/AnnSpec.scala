@@ -209,7 +209,7 @@ class AnnSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_ivf").toString
     IvfIndex.writePartitioned(df, "embedding", cents, dir)
     val probed = Seq(0, 3)
-    val pruned = IvfIndex.readPruned(spark, dir, probed)
+    val pruned = IvfIndex.readPruned(spark, dir, probed, "vec_id")
     assert(pruned.select("cluster").distinct().collect().map(_.getInt(0)).toSet.subsetOf(probed.toSet))
     // partition pruning must reach the file source (not a post-scan filter)
     val plan = pruned.queryExecution.executedPlan.toString

@@ -62,7 +62,7 @@ class PersistSpec extends SparkSpec {
     // partition pruning, not row filtering: the probe filter must reach the
     // file listing, and unprobed clusters must contribute zero files.
     val probed = IvfIndex.probes(q, centroids, nprobe = 4)
-    val pruned = IvfIndex.readPruned(spark, path, probed)
+    val pruned = IvfIndex.readPruned(spark, path, probed, "vec_id")
     val scan = scanOf(pruned)
     assert(scan.partitionFilters.nonEmpty, "cluster IN (...) must be a partition filter")
     val total = scanOf(spark.read.parquet(path)).selectedPartitions.partitionCount
@@ -83,7 +83,7 @@ class PersistSpec extends SparkSpec {
     IvfIndex.writePartitioned(emb, "embedding", centroids, path)
 
     val probed = IvfIndex.probes(q, centroids, nprobe = 4)
-    val pruned = IvfIndex.readPruned(spark, path, probed).where(col("label") === 2)
+    val pruned = IvfIndex.readPruned(spark, path, probed, "vec_id").where(col("label") === 2)
     val scan = scanOf(pruned)
     assert(scan.partitionFilters.nonEmpty, "cluster IN (...) must prune at file listing")
     assert(scan.selectedPartitions.partitionCount === probed.length)
@@ -116,7 +116,7 @@ class PersistSpec extends SparkSpec {
     assert(hits.map(_.getLong(1)).toSet === Set(9L, 1000009L))
     // pruning is unchanged: still nprobe partitions of 16
     val probed = IvfIndex.probes(q, centroids, nprobe = 4)
-    val scan = scanOf(IvfIndex.readPruned(spark, path, probed))
+    val scan = scanOf(IvfIndex.readPruned(spark, path, probed, "vec_id"))
     assert(scan.selectedPartitions.partitionCount === probed.length)
   }
 
@@ -523,7 +523,7 @@ class PersistSpec extends SparkSpec {
     assert(served.collect().map(_.toSeq).toSeq === preIvf)
     assert(!served.queryExecution.executedPlan.toString.contains("LeftAnti"))
     // the partition layout survived the rewrite: pruning still file-level
-    val pruned = IvfIndex.readPruned(spark, ivf, Seq(0, 1))
+    val pruned = IvfIndex.readPruned(spark, ivf, Seq(0, 1), "vec_id")
     assert(scanOf(pruned).selectedPartitions.partitionCount === 2)
   }
 
@@ -552,6 +552,110 @@ class PersistSpec extends SparkSpec {
       java.nio.file.Paths.get(s"${base}_tomb_new", "part-junk.parquet"), Array[Byte](9))
     Tombstones.recover(spark, base)
     assert(spark.read.parquet(base).collect().map(_.toSeq.toSeq).toSet === want)
+  }
+
+  test("deleted-id reuse fails loudly: append probes the RAW tables plus the sidecar, and compact() unlocks the id") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(200)
+    val path = tmp("graft-text-reuse")
+    val idx = TextIndex.build(docs.where(col("doc_id") < 100), "doc_id", "text", path)
+    val victim = idx.docLengths.select(min("doc_id")).collect().head.getLong(0)
+    idx.delete(Seq(victim).toDF("id"))
+    // deleted-but-uncompacted: physical rows still present → raw probe fires
+    val e1 = intercept[IllegalArgumentException] {
+      idx.append(docs.where(col("doc_id") === victim), "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("compact"), e1.getMessage)
+    // tombstoned id with NO physical rows (delete of an absent id):
+    // the sidecar probe fires — without it the appended rows would be
+    // hidden by the read-time anti-join (the silent-loss hazard)
+    idx.delete(Seq(999999L).toDF("id"))
+    val phantom = docs.where(col("doc_id") === victim)
+      .select(lit(999999L).as("doc_id"), col("text"))
+    val e2 = intercept[IllegalArgumentException] {
+      idx.append(phantom, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("tombstoned"), e2.getMessage)
+    // compaction folds the tombstones in and clears the sidecar: both
+    // ids become appendable again, and the appended doc is served
+    idx.compact()
+    idx.append(docs.where(col("doc_id") === victim), "doc_id", "text")
+    idx.append(phantom, "doc_id", "text")
+    assert(idx.docLengths.where(col("doc_id").isin(victim, 999999L)).count() === 2L)
+  }
+
+  test("DedupIndex.append rejects standing AND tombstoned doc_ids loudly") {
+    val s = spark; import s.implicits._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(150)
+    val idx = Dedup.index(docs, "doc_id", "text", rebuild = true)
+    val victim = docs.select(min("doc_id")).collect().head.getLong(0)
+    // standing id: raw-table probe (this probe did not exist before)
+    val e1 = intercept[IllegalArgumentException] {
+      idx.append(docs.where(col("doc_id") === victim), "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("new-docs-only"), e1.getMessage)
+    // deleted id: still physically present → same raw probe, message
+    // points at the rebuild path
+    idx.delete(Seq(victim).toDF("id"))
+    val e2 = intercept[IllegalArgumentException] {
+      idx.append(docs.where(col("doc_id") === victim), "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("new-docs-only"), e2.getMessage)
+    // tombstoned id with no physical rows: the sidecar probe fires
+    idx.delete(Seq(888888L).toDF("id"))
+    val phantom = docs.where(col("doc_id") === victim)
+      .select(lit(888888L).as("doc_id"), col("text"))
+    val e3 = intercept[IllegalArgumentException] {
+      idx.append(phantom, "doc_id", "text")
+    }
+    assert(e3.getMessage.contains("tombstoned"), e3.getMessage)
+    // a genuinely new id still appends
+    idx.append(docs.where(col("doc_id") === victim)
+      .select(lit(777777L).as("doc_id"), col("text")), "doc_id", "text")
+    assert(idx.sig.where(col("doc_id") === 777777L).count() === 1L)
+  }
+
+  test("recovery REFUSES to sweep the only remaining copy (incomplete fresh, no old, no target)") {
+    val s = spark; import s.implicits._
+    import graft.operators.{Retrieval, Tombstones}
+    def brokenDir(name: String, sibling: String): String = {
+      val base = tmp(name) + "/t"
+      (0L until 10L).toDF("id").write.parquet(base)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // simulate: live table lost, fresh copy incomplete (no _SUCCESS),
+      // aside copy absent — the only bytes left are the incomplete fresh
+      assert(fs.rename(new org.apache.hadoop.fs.Path(base),
+        new org.apache.hadoop.fs.Path(s"$base$sibling")))
+      val success = new org.apache.hadoop.fs.Path(s"$base$sibling/_SUCCESS")
+      if (fs.exists(success)) fs.delete(success, false)
+      base
+    }
+    val t = brokenDir("graft-norecover-tomb", "_tomb_new")
+    val e1 = intercept[IllegalArgumentException] { Tombstones.recover(spark, t) }
+    assert(e1.getMessage.contains("refusing to delete"), e1.getMessage)
+    assert(new java.io.File(s"${t}_tomb_new").exists(), "the copy must survive the refusal")
+    val p = brokenDir("graft-norecover-post", "_compact_new")
+    val e2 = intercept[IllegalArgumentException] { Retrieval.recoverCompaction(spark, p) }
+    assert(e2.getMessage.contains("refusing to delete"), e2.getMessage)
+    assert(new java.io.File(s"${p}_compact_new").exists(), "the copy must survive the refusal")
+  }
+
+  test("TextIndex.load repairs an interrupted tombstone-folding compact on BOTH tables") {
+    val s = spark; import s.implicits._
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(100)
+    val path = tmp("graft-text-tombrecover")
+    val built = TextIndex.build(docs, "doc_id", "text", path)
+    val expected = built.search(Seq("spark", "data"), k = 5).collect().map(_.toSeq).toSeq
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: doclen renamed aside under the _tomb_* protocol,
+    // swap-in never happened — the table dir is MISSING until load()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/doclen"),
+      new org.apache.hadoop.fs.Path(s"$path/doclen_tomb_old")))
+    val reopened = TextIndex.load(spark, path)
+    assert(reopened.search(Seq("spark", "data"), k = 5).collect().map(_.toSeq).toSeq === expected)
   }
 
   test("VectorIndex FLAT save -> load round trip") {

@@ -596,7 +596,7 @@ class StreamingSpec extends SparkSpec {
         }.flatten
         find(df.queryExecution.executedPlan).head.selectedPartitions.partitionCount
       }
-      assert(scanPartitions(IvfIndex.readPruned(spark, layoutPath, someClusters))
+      assert(scanPartitions(IvfIndex.readPruned(spark, layoutPath, someClusters, "vec_id"))
         === someClusters.length,
         "standing scan must file-listing-prune to ONLY the touched clusters")
       assert(scanPartitions(spark.read.parquet(layoutPath)) > someClusters.length)
