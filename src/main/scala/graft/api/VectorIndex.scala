@@ -103,7 +103,7 @@ class VectorIndex private (
     private val loadedCentroids: Option[Array[Array[Float]]] = None,
     private val loadedCodebooks: Option[Array[Array[Array[Float]]]] = None,
     private val loadedBounds: Option[(Array[Double], Array[Double])] = None,
-    private val loadedServePath: Option[String] = None) {
+    private val loadedPath: Option[String] = None) {
 
   import VectorIndex._
 
@@ -113,10 +113,9 @@ class VectorIndex private (
 
   /** Layout-preserving state swap (delete keeps every row's persisted
     * cluster/bucket assignment valid, so pruning survives). The GRAPH
-    * serve artifact does NOT survive: its walk answers from the
-    * artifact alone, so a deleted row would still be returned — any
-    * mutation drops the serve path and searches fall back to the
-    * in-plan build over the current state.
+    * serving layout does not ride along here — path-backed GRAPH
+    * mutations maintain the artifact itself ([[maintainedGraph]]) and
+    * re-open it instead.
     */
   private def withState(next: DataFrame): VectorIndex =
     new VectorIndex(key, params, spark, next, loadedCentroids, loadedCodebooks, loadedBounds)
@@ -143,13 +142,70 @@ class VectorIndex private (
     insertAll(rowsDf(spark, Seq((id, vector, Option(data)))))
   }
 
+  /** The path-backed GRAPH handle — serving layout AND frozen coarse
+    * quantizer both loaded. When present, mutations MAINTAIN the
+    * persisted artifact (incremental edge append / tombstone sidecar)
+    * instead of dropping the serving layout and paying a full quantizer
+    * refit + graph rebuild on the next search — the 100 TB lifecycle:
+    * a 1-row mutation must never turn the next query into a re-index.
+    * Mutating through this path writes under the index directory (the
+    * reference's mutable-store semantics, db/vector_database.rs);
+    * other handles onto the same path observe the mutation.
+    */
+  private def maintainedGraph: Option[(String, Array[Array[Float]])] =
+    if (key.indexType != IndexType.GRAPH) None
+    else for { p <- loadedPath; c <- loadedCentroids if c.nonEmpty } yield (p, c)
+
+  /** Re-open the maintained artifact after a mutation: fresh data read
+    * (the file listing must include just-appended batches) with the
+    * tombstone sidecar applied, same fitted params, same path.
+    */
+  private def reopened(p: String): VectorIndex =
+    new VectorIndex(key, params, spark,
+      Tombstones.filter(spark.read.parquet(s"$p/data"), p, "id"),
+      loadedCentroids, loadedCodebooks, loadedBounds, loadedPath)
+
+  /** Loud guard for the maintained-GRAPH ingest paths: an id in the
+    * root tombstone sidecar may have NO physical rows left, so the
+    * standing-layout probe inside [[graft.operators.Knn.appendGraphEdges]]
+    * cannot catch it — but the read-time anti-join would silently hide
+    * the re-appended rows (the same hazard [[graft.api.TextIndex.append]]
+    * guards against).
+    */
+  private def requireNotTombstoned(p: String, batch: DataFrame): Unit =
+    if (Tombstones.present(spark, p)) {
+      val t = Tombstones.ids(spark, p)
+      val hit = batch.select(col("id")).join(t, Seq("id"), "leftsemi")
+        .limit(1).collect()
+      require(hit.isEmpty,
+        s"id ${hit.headOption.map(_.get(0)).orNull} is tombstoned in $p — its rows " +
+          "would be hidden by the read-time anti-join; save() a compacted copy " +
+          "before reusing a deleted id")
+    }
+
   /** Bulk append; `rows` needs columns (id, vectors[, data]). The dim
     * check (reference BAD_REQUEST, app_error.rs) is part of the plan —
     * a raise_error gate inside the vectors column — so it costs no extra
     * job and fires on the first action touching a bad row.
+    *
+    * On a path-backed GRAPH index the batch routes through
+    * [[graft.operators.Knn.appendGraphEdges]]: new-node edges append to
+    * the persisted serving layout (append ≡ rebuild, StreamingSpec) and
+    * the batch joins its cluster partitions of the data layout — the
+    * next search still walks `serve/`, touching only the artifact and
+    * the batch, with NO quantizer refit and NO graph rebuild.
     */
-  def insertAll(rows: DataFrame): VectorIndex =
-    withFreshState(bare.unionByName(normalize(rows, key.dim), allowMissingColumns = false))
+  def insertAll(rows: DataFrame): VectorIndex = maintainedGraph match {
+    case Some((p, cents)) =>
+      val batch = normalize(rows, key.dim)
+      requireNotTombstoned(p, batch)
+      Knn.appendGraphEdges(batch, "id", "vectors", cents, params.graphK,
+        key.metricType.name, graphPath = None, layoutPath = s"$p/data",
+        servePath = Some(s"$p/serve"))
+      reopened(p)
+    case None =>
+      withFreshState(bare.unionByName(normalize(rows, key.dim), allowMissingColumns = false))
+  }
 
   /** reference: db/vector_database.rs:24-83 — latest-wins: replace the
     * vector for an existing id and overwrite its scalar document.
@@ -159,8 +215,27 @@ class VectorIndex private (
     upsertAll(rowsDf(spark, Seq((id, vector, Option(data)))))
   }
 
-  def upsertAll(rows: DataFrame): VectorIndex =
-    withFreshState(Upsert.merge(bare, normalize(rows, key.dim), "id"))
+  /** On a path-backed GRAPH index an all-new-ids upsert IS an insert
+    * (probed against the raw layout and the sidecar) and maintains the
+    * serving layout; an in-place vector CHANGE invalidates the stored
+    * edges of the changed node and of everyone who points at it, which
+    * the append twin cannot express — that batch falls back to the
+    * in-plan path (serving layout dropped, never served stale).
+    */
+  def upsertAll(rows: DataFrame): VectorIndex = maintainedGraph match {
+    case Some((p, _)) =>
+      val batch = normalize(rows, key.dim)
+      val standing = spark.read.parquet(s"$p/data").select(col("id"))
+        .join(batch.select(col("id")), Seq("id"), "leftsemi").limit(1).collect()
+      val tombed = Tombstones.present(spark, p) && {
+        val t = Tombstones.ids(spark, p)
+        batch.select(col("id")).join(t, Seq("id"), "leftsemi").limit(1).collect().nonEmpty
+      }
+      if (standing.isEmpty && !tombed) insertAll(rows)
+      else withFreshState(Upsert.merge(bare, batch, "id"))
+    case None =>
+      withFreshState(Upsert.merge(bare, normalize(rows, key.dim), "id"))
+  }
 
   /** Tombstone a single id (reference: the remove half of
     * VectorDatabase::upsert — FaissIndex::remove_vectors,
@@ -171,9 +246,19 @@ class VectorIndex private (
     deleteAll(Seq(id).toDF("id"))
   }
 
-  /** Bulk tombstone; `ids` needs an `id` column. One anti join. */
-  def deleteAll(ids: DataFrame): VectorIndex =
-    withState(Upsert.delete(state, ids.select(col("id").cast("long")), "id"))
+  /** Bulk tombstone; `ids` needs an `id` column. One anti join — or,
+    * on a path-backed GRAPH index, an append to the artifact's
+    * `_tombstones/` sidecar: the serving walk keeps running over the
+    * persisted layout with the deleted ids anti-joined out at read
+    * (edge dies if EITHER endpoint is deleted), no rebuild, never stale.
+    */
+  def deleteAll(ids: DataFrame): VectorIndex = maintainedGraph match {
+    case Some((p, _)) =>
+      Tombstones.append(spark, p, ids.select(col("id").cast("long")))
+      reopened(p)
+    case None =>
+      withState(Upsert.delete(state, ids.select(col("id").cast("long")), "id"))
+  }
 
   /** reference: router/handle/query_handle.rs — point lookup by id. */
   def query(id: Long): DataFrame =
@@ -192,8 +277,9 @@ class VectorIndex private (
     requireDim(vector)
     require(k >= 1, "k must be at least 1")
     loadedServe match {
-      // unmutated loaded GRAPH index: walk the persisted serving layout
-      // (the restart story — no graph rebuild, no quantizer refit)
+      // path-backed GRAPH index: walk the persisted serving layout —
+      // maintained across inserts/deletes, so no rebuild and no refit
+      // even after mutations (only an in-place vector change drops it)
       case Some((entries, edges)) =>
         GraphAnn.searchBeam(entries, edges, vector, k,
           params.graphBeam, params.graphHops, key.metricType.name)
@@ -201,15 +287,18 @@ class VectorIndex private (
     }
   }
 
-  /** The persisted GRAPH serving frames, present only on an UNMUTATED
-    * loaded index (any mutation drops the path — see [[withState]]);
-    * tombstones apply at the load like every persisted layout.
+  /** The persisted GRAPH serving frames. Inserts keep them current
+    * ([[insertAll]] appends the batch's symmetrized edges), deletes
+    * ride the index-root `_tombstones/` sidecar applied here at read
+    * (an entry dies with its id; an edge dies if EITHER endpoint is
+    * deleted) — so the walk never serves stale without ever rebuilding.
+    * Only an in-place vector change drops the path ([[upsertAll]]).
     */
   private def loadedServe: Option[(DataFrame, DataFrame)] =
-    loadedServePath.map { p =>
-      (Tombstones.filter(spark.read.parquet(s"$p/entries"), p, "id")
+    loadedPath.map { p =>
+      (Tombstones.filter(spark.read.parquet(s"$p/serve/entries"), p, "id")
          .select(col("id"), col("vec")),
-       Tombstones.filterEdges(spark.read.parquet(s"$p/edges"), p, "src_id", "dst_id"))
+       Tombstones.filterEdges(spark.read.parquet(s"$p/serve/edges"), p, "src_id", "dst_id"))
     }
 
   /** The GRAPH serving frames built IN-PLAN over `base` — the
@@ -576,16 +665,20 @@ class VectorIndex private (
         if (mins.nonEmpty) SqIndex.writeBounds(spark, mins, maxs, s"$path/bounds")
         bare.write.mode("overwrite").parquet(s"$path/data")
       case IndexType.GRAPH =>
-        // the serving layout persists beside the raw state: symmetrized
-        // vectors-on-edges table + medoid entries — a loaded search
-        // walks it directly (no graph rebuild, no quantizer refit)
-        bare.write.mode("overwrite").parquet(s"$path/data")
+        // three co-persisted artifacts: the frozen coarse quantizer, the
+        // cluster-partitioned data layout (the standing side incremental
+        // inserts prune at file-listing time), and the serving layout
+        // (symmetrized vectors-on-edges + medoid entries) — a loaded
+        // index both WALKS and MAINTAINS them with no refit, no rebuild
         val centroids = IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L)
-        if (centroids.nonEmpty)
+        if (centroids.nonEmpty) {
+          IvfIndex.writeCentroids(spark, centroids, s"$path/centroids")
+          IvfIndex.writePartitioned(bare, "vectors", centroids, s"$path/data")
           GraphAnn.buildServing(
             Knn.knnJoinIvf(bare, "id", "vectors", centroids, params.graphK, key.metricType.name),
             bare, "id", "vectors", centroids, s"$path/serve")
-        else {
+        } else {
+          bare.write.mode("overwrite").parquet(s"$path/data")
           // empty state builds no serving layout — a stale serve/ dir
           // from a previous save of this path must not survive, or
           // load() would adopt it and serve vectors no longer here
@@ -593,6 +686,10 @@ class VectorIndex private (
           val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(sp)) fs.delete(sp, true)
         }
+        // a save rewrites the artifact from the (already tombstone-
+        // filtered) state — the previous path generation's sidecar must
+        // not outlive it and hide future reuses of the freed ids
+        Tombstones.clear(spark, path)
       case IndexType.FLAT | IndexType.BINARY =>
         // BINARY's sign words are a training-free map-side derivation, so
         // the persisted form is just the data (a hamming scan reads every
@@ -660,9 +757,12 @@ object VectorIndex {
       intOr("binary_rerank", 100), intOr("lsh_bands", 1),
       intOr("pq_m", 8), intOr("pq_rerank", 100), intOr("sq_rerank", 100),
       intOr("graph_k", 3), intOr("graph_beam", 8), intOr("graph_hops", 3))
-    val state = spark.read.parquet(s"$path/data")
+    // the root tombstone sidecar (path-backed GRAPH deletes) applies to
+    // every read of the data table; absent sidecar = unchanged plan
+    val state = Tombstones.filter(spark.read.parquet(s"$path/data"), path, "id")
     val centroids =
-      if ((indexType == IndexType.IVF || indexType == IndexType.IVFPQ)
+      if ((indexType == IndexType.IVF || indexType == IndexType.IVFPQ
+           || indexType == IndexType.GRAPH)
           && state.columns.contains("cluster"))
         Some(IvfIndex.readCentroids(spark, s"$path/centroids"))
       else None
@@ -678,15 +778,15 @@ object VectorIndex {
         val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(bp)) Some(SqIndex.readBounds(spark, s"$path/bounds")) else None
       } else None
-    val servePath =
+    val rootPath =
       if (indexType == IndexType.GRAPH) {
         // a serve dir exists iff the saved state was non-empty
         val sp = new org.apache.hadoop.fs.Path(s"$path/serve")
         val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(sp)) Some(s"$path/serve") else None
+        if (fs.exists(sp)) Some(path) else None
       } else None
     new VectorIndex(IndexKey(indexType, m.getAs[Int]("dim"), metric), params, spark,
-      state, centroids, codebooks, bounds, servePath)
+      state, centroids, codebooks, bounds, rootPath)
   }
 
   private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {

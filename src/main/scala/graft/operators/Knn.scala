@@ -505,7 +505,7 @@ object Knn {
       centroids: Array[Array[Float]],
       k: Int,
       metric: String,
-      graphPath: String,
+      graphPath: Option[String],
       layoutPath: String,
       servePath: Option[String] = None): Unit = {
     val spark = batch.sparkSession
@@ -525,7 +525,7 @@ object Knn {
     val edges = ivfGraphEdges(batch, cand, idCol, vecCol, centroids, k, metric)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      edges.write.mode("append").parquet(graphPath)
+      graphPath.foreach(gp => edges.write.mode("append").parquet(gp))
       servePath.foreach { sp =>
         val directed = edges.select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
         // mutual pairs WITHIN the batch appear in both directions —

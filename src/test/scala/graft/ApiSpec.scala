@@ -255,11 +255,85 @@ class ApiSpec extends SparkSpec {
     }.toSet
     assert(batch === looped)
 
-    // a mutation drops the serve fast path: the deleted id must vanish
-    // even though the persisted layout still contains it
+    // a delete must vanish from the very next search even though the
+    // persisted layout physically still contains the row
     val deleted = re.delete(42L)
     val after = deleted.search(q, 5).collect().map(_.getLong(1))
     assert(!after.contains(42L), "a deleted id must not be served from the stale layout")
+  }
+
+  test("path-backed GRAPH mutations maintain the serving layout: no refit, no rebuild, never stale, reload-consistent") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(5)(Array.fill(8)(rnd.nextGaussian().toFloat * 10))
+    def mk(i: Int): (Long, Array[Float], Option[String]) =
+      (i.toLong, centers(i % 5).map(x => x + rnd.nextGaussian().toFloat), None: Option[String])
+    val rows = (0 until 250).map(mk)
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-graph-maint").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+        IndexParams(ivfClusters = 5, graphK = 5, graphBeam = 12, graphHops = 3))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+      .save(dir)
+    val re = VectorIndex.load(spark, dir)
+
+    // INSERT: routes through the serving append twin — search finds the
+    // new node, and the plan walks ONLY the persisted layout (no data
+    // scan anywhere ⇒ no k-means refit, no k-NN graph rebuild)
+    val freshRows = (500 until 520).map(mk)
+    val ingested = re.insertAll(freshRows.toDF("id", "vectors", "data"))
+    val q500 = freshRows.head._2
+    val hits = ingested.search(q500, 3)
+    val planAfterInsert = hits.queryExecution.executedPlan.toString
+    assert(planAfterInsert.contains("/serve/"),
+      "post-insert search must still walk the persisted serving layout")
+    assert(!planAfterInsert.contains("/data"),
+      "post-insert search must not touch the data table (that would mean a rebuild)")
+    assert(hits.collect().map(_.getLong(1)).contains(500L),
+      "an ingested node must be reachable through the maintained serving edges")
+    assert(ingested.count === 270L)
+
+    // DELETE: rides the root tombstone sidecar — still walking serve/,
+    // the deleted id gone both as an answer and as a routing neighbor
+    val q42 = rows(42)._2
+    assert(ingested.search(q42, 5).collect().map(_.getLong(1)).contains(42L))
+    val afterDel = ingested.delete(42L)
+    val delHits = afterDel.search(q42, 5)
+    val planAfterDelete = delHits.queryExecution.executedPlan.toString
+    assert(planAfterDelete.contains("/serve/") && !planAfterDelete.contains("/data"),
+      "post-delete search must still walk the persisted serving layout")
+    assert(!delHits.collect().map(_.getLong(1)).contains(42L),
+      "a deleted id must never be served")
+    assert(afterDel.count === 269L)
+    assert(afterDel.query(42L).count() === 0L)
+
+    // RELOAD: the artifact itself was maintained, so a fresh load agrees
+    // with the mutated handle — inserted id present, deleted id absent
+    val re2 = VectorIndex.load(spark, dir)
+    assert(re2.count === 269L)
+    assert(re2.search(q500, 3).collect().map(_.getLong(1)).contains(500L))
+    assert(!re2.search(q42, 5).collect().map(_.getLong(1)).contains(42L))
+
+    // deleted-id reuse fails loudly (the appended rows would be hidden
+    // by the read-time anti-join — the TextIndex.append hazard)
+    val reuse = intercept[IllegalArgumentException] {
+      re2.insert(42L, rows(42)._2)
+    }
+    assert(reuse.getMessage.contains("tombstoned"), reuse.getMessage)
+    // standing-id re-insert fails loudly too (new-nodes-only)
+    val dupIns = intercept[IllegalArgumentException] {
+      re2.insert(500L, freshRows.head._2)
+    }
+    assert(dupIns.getMessage.contains("new-nodes-only"), dupIns.getMessage)
+
+    // UPSERT of all-new ids is an insert (layout maintained); an
+    // in-place change falls back — serving layout dropped, never stale
+    val upNew = re2.upsert(600L, mk(600)._2)
+    val upNewPlan = upNew.search(mk(600)._2, 3).queryExecution.executedPlan.toString
+    assert(upNewPlan.contains("/serve/") && !upNewPlan.contains("/data"))
+    val moved = rows(7)._2.map(_ + 30f)
+    val upChanged = upNew.upsert(7L, moved)
+    assert(upChanged.search(moved, 3).collect().map(_.getLong(1)).contains(7L),
+      "an in-place vector change must be served from the fresh state, not the stale layout")
   }
 
   test("knnGraph: FLAT graph equals brute force; self excluded") {

@@ -547,7 +547,7 @@ class StreamingSpec extends SparkSpec {
     val q = stream.toDF().toDF("vec_id", "embedding").writeStream.outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         Knn.appendGraphEdges(batch, "vec_id", "embedding", centroids,
-          k = 3, metric = "l2", graphPath = graphPath, layoutPath = layoutPath,
+          k = 3, metric = "l2", graphPath = Some(graphPath), layoutPath = layoutPath,
           servePath = Some(servePath))
         corpus = corpus.unionByName(batch).localCheckpoint(true)
         if (midCorpus == null) midCorpus = corpus
@@ -605,7 +605,7 @@ class StreamingSpec extends SparkSpec {
       val reIngest = intercept[IllegalArgumentException] {
         Knn.appendGraphEdges(
           corpus.limit(1), "vec_id", "embedding", centroids,
-          k = 3, metric = "l2", graphPath = graphPath, layoutPath = layoutPath)
+          k = 3, metric = "l2", graphPath = Some(graphPath), layoutPath = layoutPath)
       }
       assert(reIngest.getMessage.contains("new-nodes-only"))
 
