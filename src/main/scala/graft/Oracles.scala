@@ -477,41 +477,56 @@ object Oracles {
     * assignment, medoid entries, the IVF-blocked top-`graphK` graph,
     * symmetrized.
     */
-  private def graphBaseCtes(centroids: Array[Array[Float]], graphK: Int): String =
+  private def graphBaseCtes(centroids: Array[Array[Float]], graphK: Int,
+                            mat: Boolean = false): String = {
+    // DuckDB INLINES non-recursive CTEs per reference: the multi-walk
+    // beam-knob oracle references this chain from 15 hop CTEs, and
+    // inlined re-evaluation of the pair join goes combinatorial (it
+    // filled the disk at sf0.1). MATERIALIZED pins each shared CTE to
+    // one evaluation — semantics identical.
+    val m = if (mat) "MATERIALIZED " else ""
     s"""cents AS ${paramRows(centroids, "cid", "cv")},
-       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |asg AS $m(SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
        |        FROM embeddings e CROSS JOIN cents c),
-       |own AS (SELECT vec_id, cid, d2 FROM asg
+       |own AS $m(SELECT vec_id, cid, d2 FROM asg
        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-       |cl AS (SELECT vec_id, cid FROM own),
-       |med AS (SELECT vec_id AS id FROM own
+       |cl AS $m(SELECT vec_id, cid FROM own),
+       |med AS $m(SELECT vec_id AS id FROM own
        |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) = 1),
-       |d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |d AS $m(SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
        |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
        |      JOIN embeddings ea ON ea.vec_id = a.vec_id
        |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
-       |g AS (SELECT q_id, n_id FROM d
+       |g AS $m(SELECT q_id, n_id FROM d
        |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $graphK),
-       |sym AS (SELECT q_id AS src, n_id AS dst FROM g
+       |sym AS $m(SELECT q_id AS src, n_id AS dst FROM g
        |        UNION SELECT n_id AS src, q_id AS dst FROM g)""".stripMargin
+  }
+
+  /** One unrolled hop chain — f/x/s/v CTEs per round, names suffixed
+    * with `sfx` so several beams' walks can share one WITH clause (all
+    * start from the same v0, so round 1's visited set is `v0`
+    * regardless of suffix).
+    */
+  private def graphHopChain(beam: Int, hops: Int, sfx: String = ""): String =
+    (1 to hops).map { h =>
+      val fresh = if (h == 1) "v0" else s"s${h - 1}$sfx"
+      val prev = if (h == 1) "v0" else s"v${h - 1}$sfx"
+      s"""f$h$sfx AS (SELECT id FROM $fresh ORDER BY dist, id LIMIT $beam),
+         |x$h$sfx AS (SELECT DISTINCT s.dst AS id FROM f$h$sfx f JOIN sym s ON s.src = f.id
+         |        WHERE s.dst NOT IN (SELECT id FROM $prev)),
+         |s$h$sfx AS (SELECT x.id, ${l2("e.embedding", "q.qv")} AS dist
+         |        FROM x$h$sfx x JOIN embeddings e ON e.vec_id = x.id, q),
+         |v$h$sfx AS (SELECT * FROM $prev UNION ALL SELECT * FROM s$h$sfx)""".stripMargin
+    }.mkString(",\n")
 
   private def graphWalkCtes(centroids: Array[Array[Float]], queryId: Long,
-                            graphK: Int, beam: Int, hops: Int): String = {
-    val hopCtes = (1 to hops).map { h =>
-      val fresh = if (h == 1) "v0" else s"s${h - 1}"
-      s"""f$h AS (SELECT id FROM $fresh ORDER BY dist, id LIMIT $beam),
-         |x$h AS (SELECT DISTINCT s.dst AS id FROM f$h f JOIN sym s ON s.src = f.id
-         |        WHERE s.dst NOT IN (SELECT id FROM v${h - 1})),
-         |s$h AS (SELECT x.id, ${l2("e.embedding", "q.qv")} AS dist
-         |        FROM x$h x JOIN embeddings e ON e.vec_id = x.id, q),
-         |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)""".stripMargin
-    }.mkString(",\n")
+                            graphK: Int, beam: Int, hops: Int): String =
     s"""${graphBaseCtes(centroids, graphK)},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
        |v0 AS (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
        |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
-       |$hopCtes""".stripMargin
-  }
+       |${graphHopChain(beam, hops)}""".stripMargin
 
   /** Batch walk: the same unrolled rounds PER QUERY (partitioned
     * QUALIFY cuts, correlated NOT EXISTS for the visited set) — the
@@ -565,6 +580,31 @@ object Oracles {
        |$branches
        |SELECT hops, n_hits, (round((n_hits / 10) * 10000.0) / 10000.0) AS recall
        |FROM ($union) u ORDER BY hops""".stripMargin
+  }
+
+  /** recall@10 per beam width at fixed hops — the DuckDB twin of
+    * [[Queries.annGraphBeamCurve]] (the ef_search-analog knob). One
+    * WITH clause: the base graph, entries and v0 shared; each beam's
+    * walk unrolls as its own suffixed hop chain.
+    */
+  private def graphBeamKnobCurveSql(centroids: Array[Array[Float]], queryId: Long,
+                                    graphK: Int, beams: Seq[Int], hops: Int): String = {
+    val chains = beams.map(b => graphHopChain(b, hops, sfx = s"w$b")).mkString(",\n")
+    val branches = beams.map { b =>
+      s"""bw$b AS (SELECT $b AS beam, count(*) AS n_hits FROM ex
+         |WHERE id IN (SELECT id FROM v${hops}w$b ORDER BY dist, id LIMIT 10))""".stripMargin
+    }.mkString(",\n")
+    val union = beams.map(b => s"SELECT * FROM bw$b").mkString(" UNION ALL ")
+    s"""WITH ${graphBaseCtes(centroids, graphK, mat = true)},
+       |q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |v0 AS MATERIALIZED (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
+       |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
+       |ex AS MATERIALIZED (SELECT e.vec_id AS id FROM embeddings e, q
+       |       ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT 10),
+       |$chains,
+       |$branches
+       |SELECT beam, n_hits, (round((n_hits / 10) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY beam""".stripMargin
   }
 
   /** Cost + recall per nprobe from the same fitted centroids — the
@@ -1127,6 +1167,8 @@ object Oracles {
         graphK = 3, beam = 8, hops = 3, k = 10),
       "ann_graph_recall_curve" -> graphBeamCurveSql(scaledCents, queryId = 13L,
         graphK = 3, beam = 8, hops = 3),
+      "ann_graph_beam_curve" -> graphBeamKnobCurveSql(scaledCents, queryId = 13L,
+        graphK = 3, beams = Seq(2, 4, 8, 16, 32), hops = 3),
       "knn_batch_graph" -> graphBeamBatchSql(scaledCents,
         graphK = 3, beam = 8, hops = 3, k = 5),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),

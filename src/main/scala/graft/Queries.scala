@@ -299,7 +299,7 @@ object Queries {
     * entry points — [[operators.GraphAnn.buildServing]]. Built once;
     * every beam search reads only this artifact.
     */
-  private def graphServePath(spark: SparkSession, dir: String): String =
+  private[graft] def graphServePath(spark: SparkSession, dir: String): String =
     operators.Artifacts.resolve(spark, "knngraph_serve",
       operators.Artifacts.corpusKey(dir),
       operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1")) { tmp =>
@@ -378,6 +378,38 @@ object Queries {
         .select(lit(h).as("hops"), col("n_hits"),
           roundTo(col("n_hits") / lit(10L), 4).as("recall"))
     }.reduce(_ unionAll _).orderBy("hops")
+  }
+
+  /** The walk's OTHER knob: recall@10 at beam ∈ {2,4,8,16,32} with hops
+    * fixed at 3 — the analog of the reference's ef_search quality knob
+    * (hnsw_index.rs: ef_search = 200; the candidate-list width, exactly
+    * what beam bounds here). Together with [[annGraphRecallCurve]] this
+    * separates the two failure modes of a starved walk: a plateau that
+    * widening the beam lifts is frontier starvation (beam too narrow to
+    * escape a local neighborhood); one it does NOT lift is graph-K
+    * starvation (the true neighbors simply aren't reachable in h hops
+    * of a degree-3 graph). Unlike hops, recall is NOT provably monotone
+    * in beam (a wider frontier explores different — not superset —
+    * neighborhoods after round 1), so the curve is measured, not
+    * assumed. Oracle unrolls each beam's walk from the same centroid
+    * literals.
+    */
+  def annGraphBeamCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = graphServePath(spark, dir)
+    val qv = queryVec(spark, dir, 13L)
+    val exact = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    Seq(2, 4, 8, 16, 32).map { b =>
+      val last = operators.GraphAnn.beamStates(
+        spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
+        spark.read.parquet(s"$base/edges"), qv, beam = b, hops = 3).last
+      val top = last.orderBy(col("dist"), col("id")).limit(10).select(col("id"))
+      exact.join(top, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(b).as("beam"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }.reduce(_ unionAll _).orderBy("beam")
   }
 
   /** IVF with nprobe = K: every cluster probed ⇒ provably identical to

@@ -113,14 +113,14 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * table first — one semi-join probe per append, limit-1 cheap.
     *
     * The check-then-append pair is serialized per index path with a JVM
-    * lock, so two in-process appends racing the same doc_id cannot both
-    * pass the probe (one blocks until the other's doclen rows are
-    * visible, then fails loudly). Cross-PROCESS appends have no such
-    * fence — like [[compact]], append is single-writer-per-index across
-    * processes: run it from the maintenance role that owns the index.
+    * lock (in-process racers queue), and across PROCESSES by the
+    * artifact's single-writer lease ([[graft.operators.Artifacts.withLease]]):
+    * a second process's append fails loudly naming the holder instead
+    * of passing a probe whose answer the concurrent writer is changing.
     */
   def append(docs: DataFrame, idCol: String, textCol: String): TextIndex =
     TextIndex.appendLocks.computeIfAbsent(path, _ => new Object).synchronized {
+     graft.operators.Artifacts.withLease(spark, path, "TextIndex.append") {
       val batchIds = docs.select(col(idCol).cast("long").as("doc_id"))
       // probe the RAW doclen table, not the tombstone-filtered accessor:
       // a delete()d-but-uncompacted doc_id still has physical rows, and
@@ -151,6 +151,7 @@ final class TextIndex private (spark: SparkSession, val path: String) {
       Retrieval.appendPostings(docs, idCol, textCol,
         s"$path/postings", s"$path/doclen", metaCols = metaColumns)
       this
+     }
     }
 
   /** Tombstone documents (the delete twin of [[append]], reference:
@@ -159,10 +160,26 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * without a rebuild; [[compact]] later folds the tombstones into the
     * data files. Like append, single-writer across processes.
     */
-  def delete(ids: DataFrame): TextIndex = {
-    Tombstones.append(spark, path, ids)
-    this
-  }
+  def delete(ids: DataFrame): TextIndex =
+    graft.operators.Artifacts.withLease(spark, path, "TextIndex.delete") {
+      Tombstones.append(spark, path, ids)
+      // growth policy: the sidecar must not grow unbounded between manual
+      // compact() calls (every read pays the anti-join + the dead-row
+      // scan). Once it exceeds the artifact's recorded threshold of the
+      // doc table's physical rows, fold it in right here — the same
+      // crash-safe compact the manual verb runs. Footer-only counts, so
+      // the check itself is O(metadata) per delete.
+      Tombstones.maybeCompact(spark, path, compactTables,
+        spark.read.parquet(s"$path/doclen").count())
+      this
+    }
+
+  /** Both artifact tables of a tombstone fold — shared by [[compact]]
+    * and the auto-compact policy in [[delete]].
+    */
+  private def compactTables: Seq[Tombstones.TombTable] = Seq(
+    Tombstones.TombTable("postings", Seq("doc_id"), sortCols = Seq("term", "doc_id")),
+    Tombstones.TombTable("doclen", Seq("doc_id")))
 
   /** Compaction: fold live tombstones into the data files (rewrite both
     * tables minus deleted docs — [[graft.operators.Tombstones.compact]],
@@ -173,17 +190,33 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * serve-equality); only the files a term predicate must open shrink
     * and the read-time anti-join disappears (PersistSpec asserts both).
     */
-  def compact(): TextIndex = {
-    if (Tombstones.present(spark, path))
-      Tombstones.compact(spark, path, Seq(
-        Tombstones.TombTable("postings", Seq("doc_id"), sortCols = Seq("term", "doc_id")),
-        Tombstones.TombTable("doclen", Seq("doc_id"))))
-    else
-      Retrieval.compactPostings(spark, s"$path/postings")
-    this
-  }
+  def compact(): TextIndex =
+    graft.operators.Artifacts.withLease(spark, path, "TextIndex.compact") {
+      if (Tombstones.present(spark, path))
+        Tombstones.compact(spark, path, compactTables)
+      else
+        Retrieval.compactPostings(spark, s"$path/postings")
+      this
+    }
 
   def count: Long = docLengths.count()
+
+  /** Index bookkeeping incl. the tombstone lifecycle state: live vs
+    * physical docs, sidecar rows, the dead fraction every read
+    * currently pays, and the recorded auto-compact threshold — the
+    * operational stats a serving owner reads before wondering why the
+    * anti-join is in the plan.
+    */
+  def stats: DataFrame = {
+    val physical = spark.read.parquet(s"$path/doclen").count()
+    val tomb = Tombstones.rowCount(spark, path)
+    import spark.implicits._
+    Seq((count, physical, tomb,
+      tomb.toDouble / math.max(physical, 1L),
+      Tombstones.policyRatio(spark, path)))
+      .toDF("n_docs", "n_physical", "n_tombstones", "dead_fraction",
+        "autocompact_threshold")
+  }
 }
 
 object TextIndex {

@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{BinaryIndex, GraphAnn, IvfIndex, Knn, LshIndex, PqIndex, SqIndex, Tombstones, Upsert}
+import graft.operators.{Artifacts, BinaryIndex, GraphAnn, IvfIndex, Knn, LshIndex, PqIndex, SqIndex, Tombstones, Upsert}
 
 /** Index kinds, mirroring the reference's `IndexType`
   * (reference: src/core/index_factory.rs:72-168). `FLAT` is exact brute
@@ -197,12 +197,17 @@ class VectorIndex private (
     */
   def insertAll(rows: DataFrame): VectorIndex = maintainedGraph match {
     case Some((p, cents)) =>
-      val batch = normalize(rows, key.dim)
-      requireNotTombstoned(p, batch)
-      Knn.appendGraphEdges(batch, "id", "vectors", cents, params.graphK,
-        key.metricType.name, graphPath = None, layoutPath = s"$p/data",
-        servePath = Some(s"$p/serve"))
-      reopened(p)
+      // single-writer across processes: the new-nodes-only probe inside
+      // appendGraphEdges and the layout append must not interleave with
+      // another writer's
+      Artifacts.withLease(spark, p, "VectorIndex.insertAll") {
+        val batch = normalize(rows, key.dim)
+        requireNotTombstoned(p, batch)
+        Knn.appendGraphEdges(batch, "id", "vectors", cents, params.graphK,
+          key.metricType.name, graphPath = None, layoutPath = s"$p/data",
+          servePath = Some(s"$p/serve"))
+        reopened(p)
+      }
     case None =>
       withFreshState(bare.unionByName(normalize(rows, key.dim), allowMissingColumns = false))
   }
@@ -254,10 +259,54 @@ class VectorIndex private (
     */
   def deleteAll(ids: DataFrame): VectorIndex = maintainedGraph match {
     case Some((p, _)) =>
-      Tombstones.append(spark, p, ids.select(col("id").cast("long")))
-      reopened(p)
+      Artifacts.withLease(spark, p, "VectorIndex.deleteAll") {
+        Tombstones.append(spark, p, ids.select(col("id").cast("long")))
+        // growth policy: the sidecar anti-joins into EVERY serving read
+        // (data, entries, both edge endpoints) — once it exceeds the
+        // recorded threshold of the data table's physical rows, fold it
+        // into all three layout tables right here (crash-safe swap;
+        // load() recovers an interrupted fold)
+        Tombstones.maybeCompact(spark, p, VectorIndex.graphCompactTables,
+          spark.read.parquet(s"$p/data").count())
+        reopened(p)
+      }
     case None =>
       withState(Upsert.delete(state, ids.select(col("id").cast("long")), "id"))
+  }
+
+  /** Manual tombstone fold for a path-backed GRAPH index (the twin of
+    * the auto-compact policy in [[deleteAll]]): rewrite the data
+    * layout, the serving edges and the entries minus the deleted ids
+    * and clear the sidecar — answers unchanged (the read-time filter
+    * had identical semantics), the anti-joins disappear from every
+    * serving plan. No-op on non-path-backed indexes (their deletes
+    * already rewrote the in-plan state).
+    */
+  def compact(): VectorIndex = maintainedGraph match {
+    case Some((p, _)) if Tombstones.present(spark, p) =>
+      Artifacts.withLease(spark, p, "VectorIndex.compact") {
+        Tombstones.compact(spark, p, VectorIndex.graphCompactTables)
+        reopened(p)
+      }
+    case _ => this
+  }
+
+  /** Index bookkeeping incl. the tombstone lifecycle state of a
+    * path-backed index: live vs physical rows, sidecar rows, the dead
+    * fraction every serving read currently anti-joins away, and the
+    * recorded auto-compact threshold.
+    */
+  def stats: DataFrame = {
+    import spark.implicits._
+    val (physical, tomb, ratio) = loadedPath match {
+      case Some(p) => (spark.read.parquet(s"$p/data").count(),
+        Tombstones.rowCount(spark, p), Tombstones.policyRatio(spark, p))
+      case None => (count, 0L, Tombstones.defaultAutoCompactRatio)
+    }
+    Seq((count, physical, tomb,
+      tomb.toDouble / math.max(physical, 1L), ratio))
+      .toDF("n_vectors", "n_physical", "n_tombstones", "dead_fraction",
+        "autocompact_threshold")
   }
 
   /** reference: router/handle/query_handle.rs — point lookup by id. */
@@ -704,6 +753,19 @@ object VectorIndex {
   /** Persisted-layout columns that only exist on a [[load]]ed state. */
   private val LayoutCols = Seq("cluster", "bucket", "band", "codes")
 
+  /** The three tables a GRAPH tombstone fold rewrites, each with its
+    * persisted layout reproduced (cluster partitioning on data,
+    * src-range sort on the serving edges). An edge dies if EITHER
+    * endpoint is deleted; a deleted medoid entry just disappears —
+    * exactly the read-time filter's semantics, so compaction preserves
+    * serve-equality.
+    */
+  private[api] val graphCompactTables = Seq(
+    Tombstones.TombTable("data", Seq("id"), partitionCols = Seq("cluster")),
+    Tombstones.TombTable("serve/edges", Seq("src_id", "dst_id"),
+      sortCols = Seq("src_id", "dst_id")),
+    Tombstones.TombTable("serve/entries", Seq("id")))
+
   /** Sub-quantizer codebook size (4-bit codes; the 8×16 convention the
     * PQ query family fixes — 8 bytes of code per 64-dim vector).
     */
@@ -757,6 +819,12 @@ object VectorIndex {
       intOr("binary_rerank", 100), intOr("lsh_bands", 1),
       intOr("pq_m", 8), intOr("pq_rerank", 100), intOr("sq_rerank", 100),
       intOr("graph_k", 3), intOr("graph_beam", 8), intOr("graph_hops", 3))
+    // a crash between the renames of a tombstone fold (compact() or the
+    // auto-compact in deleteAll) can leave any of the three layout
+    // tables aside under _tomb_* names — repair before reading
+    if (indexType == IndexType.GRAPH)
+      for (t <- graphCompactTables)
+        Tombstones.recover(spark, s"$path/${t.rel}")
     // the root tombstone sidecar (path-backed GRAPH deletes) applies to
     // every read of the data table; absent sidecar = unchanged plan
     val state = Tombstones.filter(spark.read.parquet(s"$path/data"), path, "id")

@@ -216,4 +216,79 @@ object Artifacts {
     * resolve re-reads the on-disk manifest (simulates a fresh JVM).
     */
   private[graft] def forgetCommitted(): Unit = committed.clear()
+
+  // ---- single-writer lease --------------------------------------------
+
+  private val leaseName = "_graft_lease"
+
+  /** Run `body` holding the artifact's single-writer lease — the
+    * cross-process enforcement of the contract the maintenance verbs
+    * (append / delete / compact) document: their check-then-append and
+    * rewrite-and-swap sequences are only safe under one writer at a
+    * time. The lease is a `_graft_lease` file INSIDE the artifact dir
+    * (underscore-prefixed: invisible to parquet reads, versioned and
+    * GC'd with the artifact). Ownership is decided by an ATOMIC
+    * create-if-absent: `File.createNewFile` (POSIX O_EXCL) on a local
+    * filesystem — Hadoop's LocalFileSystem `create(overwrite = false)`
+    * is only check-then-create, and two racers through it interleave
+    * their stream writes into one corrupt file — and Hadoop's
+    * `create(overwrite = false)` elsewhere, which IS atomic on HDFS
+    * (and conditional-put object stores). Only the owner ever writes
+    * the payload, so the file is never torn; the loser fails LOUDLY,
+    * never runs `body`, and never deletes the winner's lease.
+    *
+    * Contention is a loud failure, not a wait: a maintenance verb
+    * racing another writer is an orchestration bug the caller must
+    * see, not a queue to park in. A lease orphaned by a crashed writer
+    * blocks every later writer (also loudly, naming the holder and
+    * its acquisition time) until an operator runs [[breakLease]] — the
+    * deliberate manual step, because the only process that can know a
+    * writer is dead rather than slow is the one that killed it.
+    */
+  def withLease[T](spark: SparkSession, dir: String, verb: String)(body: => T): T = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir, leaseName)
+    val token = java.util.UUID.randomUUID().toString
+    val payload =
+      s"""{"token": "$token", "verb": "$verb", "pid": "${ProcessHandle.current().pid()}", "acquired_at_ms": ${System.currentTimeMillis()}}"""
+    def holder: String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val acquired =
+      if ("file" == Option(fs.getUri.getScheme).getOrElse("file")) {
+        val f = new java.io.File(fs.makeQualified(p).toUri.getPath)
+        try f.createNewFile() catch { case _: java.io.IOException => false }
+      } else {
+        try { fs.create(p, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      }
+    if (!acquired)
+      throw new IllegalStateException(
+        s"$verb on $dir requires the single-writer lease, held by: " +
+          s"${scala.util.Try(holder).getOrElse("<unreadable>")} — the artifact's " +
+          "maintenance verbs are single-writer across processes; wait for the " +
+          "holder, or if it crashed, break the lease with Artifacts.breakLease")
+    // we own the file (the atomic create admitted exactly one writer) —
+    // record who we are for the failure message other writers read
+    val out = fs.create(p, true)
+    try out.write(payload.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    try body
+    finally {
+      // release ONLY our own lease: if an operator broke it and a new
+      // writer acquired, deleting here would free two writers at once
+      if (scala.util.Try(holder).toOption.exists(_.contains(token)))
+        fs.delete(p, false)
+    }
+  }
+
+  /** Manually clear an orphaned lease (a crashed writer's). The loud
+    * operator action [[withLease]]'s failure message points at — never
+    * called by library code.
+    */
+  def breakLease(spark: SparkSession, dir: String): Unit = {
+    val p = new Path(dir, leaseName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
 }

@@ -156,7 +156,8 @@ object Dedup {
       * their accessors throw until the index is rebuilt — never a
       * silently-incomplete pair set.
       */
-    def append(docs: DataFrame, idCol: String, textCol: String): DedupIndex = {
+    def append(docs: DataFrame, idCol: String, textCol: String): DedupIndex =
+     Artifacts.withLease(spark, base, "DedupIndex.append") {
       val batchIds = docs.select(col(idCol).cast("long").as("doc_id"))
       // NEW-docs-only, probed against the RAW sig table (not the
       // tombstone-filtered [[sig]] accessor): a re-appended id would
@@ -182,7 +183,7 @@ object Dedup {
       }
       appendSignatures(docs, idCol, textCol, s"$base/sig")
       this
-    }
+     }
 
     /** Delete twin (reference: remove_vectors): tombstone doc_ids under
       * the signature table. Signature-served reads exclude them without
@@ -191,10 +192,34 @@ object Dedup {
       * loudly exactly like after an [[append]] — their pairs still
       * contain the deleted doc and must not be served silently.
       */
-    def delete(ids: DataFrame): DedupIndex = {
-      Tombstones.append(spark, s"$base/sig", ids)
-      this
-    }
+    def delete(ids: DataFrame): DedupIndex =
+      Artifacts.withLease(spark, base, "DedupIndex.delete") {
+        Tombstones.append(spark, s"$base/sig", ids)
+        // growth policy: fold the sidecar into the signature table once
+        // it exceeds the recorded threshold of sig's physical rows —
+        // deletes stay O(batch) below it, reads never pay more than the
+        // threshold's dead fraction above it. The derived tables stay
+        // loudly stale either way (the fold rewrites sig's file listing,
+        // so the fingerprint still mismatches _built_state — their pairs
+        // genuinely contain the deleted docs).
+        Tombstones.maybeCompact(spark, s"$base/sig",
+          Seq(Tombstones.TombTable("", Seq("doc_id"))),
+          spark.read.parquet(s"$base/sig").count())
+        this
+      }
+
+    /** Fold live tombstones into the signature table (the manual twin
+      * of the auto-compact policy in [[delete]]; crash-safe swap).
+      * After the fold the deleted ids are re-appendable — the loud
+      * reuse guards in [[append]] probe rows and tombstones that no
+      * longer exist.
+      */
+    def compact(): DedupIndex =
+      Artifacts.withLease(spark, base, "DedupIndex.compact") {
+        Tombstones.compact(spark, s"$base/sig",
+          Seq(Tombstones.TombTable("", Seq("doc_id"))))
+        this
+      }
 
     /** The derived tables are exactly as fresh as the signature table
       * the build wrote; any append since then (through [[append]] OR
@@ -274,6 +299,11 @@ object Dedup {
     val base = Artifacts.resolve(spark, "dedup", Artifacts.corpusKey(planKey), fp) {
       tmp => buildIndex(docs, idCol, textCol, tmp)
     }
+    // a crash between the renames of a tombstone-folding compact
+    // ([[DedupIndex.compact]] / the auto-compact in delete) can leave
+    // the sig table aside under its _tomb_* names — repair before
+    // handing out a handle, like TextIndex.load does for its tables
+    Tombstones.recover(spark, s"$base/sig")
     DedupIndex(spark, base)
   }
 

@@ -52,6 +52,78 @@ object Tombstones {
     idsDf.select(col(idsDf.columns.head).cast("long").as("id"))
       .write.mode("append").parquet(s"$base/$subdir")
 
+  /** Physical sidecar rows — a parquet footer-only count (no data
+    * pages read), cheap enough to run on every delete.
+    */
+  def rowCount(spark: SparkSession, base: String): Long =
+    if (!present(spark, base)) 0L
+    else spark.read.parquet(s"$base/$subdir").count()
+
+  /** Default growth-policy threshold: auto-compact once the sidecar
+    * exceeds 20% of the primary table's physical rows. Why 0.2: until
+    * the fold, every read scans dead rows too — at ratio r the scan
+    * amplification is 1/(1−r), so 0.2 caps it at 1.25×, and the
+    * anti-join ships only the sidecar (broadcast ≤ 0.2·n ids — the
+    * ScaleSpec `tombstoned_read` certificate measures that shuffle
+    * flat in corpus size). Below 0.2 a compaction (a full rewrite of
+    * every table) costs more than the reads it saves; above, the dead
+    * fraction starts dominating scan work.
+    */
+  val defaultAutoCompactRatio = 0.2
+
+  private def policyPath(base: String) = new Path(s"$base/_tombstone_policy")
+
+  /** The artifact's recorded policy threshold — the `_tombstone_policy`
+    * file inside the artifact dir (written by the first policy check,
+    * versioned and GC'd with the artifact like the sidecar); absent →
+    * [[defaultAutoCompactRatio]].
+    */
+  def policyRatio(spark: SparkSession, base: String): Double = {
+    val fs = fsOf(spark, base)
+    val p = policyPath(base)
+    if (!fs.exists(p)) defaultAutoCompactRatio
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toDouble
+      finally in.close()
+    }
+  }
+
+  /** Record the threshold in the artifact's manifest file (idempotent;
+    * the delete verbs call this so the policy an artifact lives under
+    * is readable beside its sidecar, not buried in library defaults).
+    */
+  def recordPolicy(spark: SparkSession, base: String,
+                   ratio: Double = defaultAutoCompactRatio): Unit = {
+    val fs = fsOf(spark, base)
+    val p = policyPath(base)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write(ratio.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** The growth policy: between manual `compact` calls the sidecar
+    * grows unbounded and every read pays the anti-join — so the delete
+    * verbs call this after appending. Folds the sidecar in (the same
+    * crash-safe [[compact]]) once it exceeds the recorded threshold ×
+    * the primary table's physical rows; below it, the append stays the
+    * cheap O(batch) operation it should be. Returns true iff it
+    * compacted. `primaryRows` is by-name: it costs a footer count and
+    * only runs when a sidecar exists.
+    */
+  def maybeCompact(spark: SparkSession, base: String, tables: Seq[TombTable],
+                   primaryRows: => Long): Boolean = {
+    if (!present(spark, base)) return false
+    recordPolicy(spark, base)
+    val ratio = policyRatio(spark, base)
+    val side = rowCount(spark, base)
+    if (side > ratio * math.max(primaryRows, 1L)) {
+      compact(spark, base, tables)
+      true
+    } else false
+  }
+
   /** Drop the sidecar (after [[compact]] folded it in). */
   def clear(spark: SparkSession, base: String): Unit = {
     val fs = fsOf(spark, base)

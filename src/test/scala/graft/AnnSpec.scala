@@ -170,6 +170,38 @@ class AnnSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("graph beam knob: walk saturates once beam covers every round's fresh set; narrow beams visit subsets of the exhaustive walk") {
+    val s = spark; import s.implicits._
+    import graft.operators.GraphAnn
+    val df = clustered.toDF().cache()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val base = Files.createTempDirectory("graft-graph-knob").toString + "/serve"
+    val graph = Knn.knnJoinIvf(df, "vec_id", "embedding", cents, k = 5, metric = "l2")
+    GraphAnn.buildServing(graph, df, "vec_id", "embedding", cents, base)
+    val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
+    val edges = spark.read.parquet(s"$base/edges")
+    val q = clustered(42).embedding
+    val n = df.count().toInt
+
+    def visited(beam: Int): Set[Long] =
+      GraphAnn.beamStates(entries, edges, q, beam, hops = 3).last
+        .collect().map(_.getLong(0)).toSet
+
+    // beam ≥ corpus size covers every fresh set ⇒ the walk IS the
+    // 3-round BFS from the entries; any wider beam changes nothing
+    val exhaustive = visited(n)
+    assert(visited(n * 2) === exhaustive,
+      "beam beyond saturation must not change the walk")
+    // a narrow beam explores a (not necessarily nested in each other,
+    // but always) subset of the exhaustive BFS's reachable set
+    for (b <- Seq(1, 2, 4, 8)) {
+      val v = visited(b)
+      assert(v.subsetOf(exhaustive), s"beam $b visited outside the $exhaustive BFS ball")
+      assert(v.nonEmpty)
+    }
+    df.unpersist()
+  }
+
   test("graph batch walk equals the looped single-query walk") {
     val s = spark; import s.implicits._
     import graft.operators.GraphAnn

@@ -295,4 +295,66 @@ class ArtifactsSpec extends SparkSpec {
     assert(idx2.minhashPairs(0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       === Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
+
+  test("single-writer lease: a second writer fails loudly, the artifact is uncorrupted, breakLease frees a crashed holder") {
+    val s = spark; import s.implicits._
+    import graft.api.TextIndex
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").where(col("doc_id") < 50)
+    val path = tmp("graft-lease") + "/tidx"
+    val idx = TextIndex.build(docs, "doc_id", "text", path)
+    val before = idx.count
+    val batch = Seq((7001L, "fresh lease probe document")).toDF("doc_id", "text")
+
+    // writer A holds the lease (simulating a maintenance verb mid-run in
+    // ANOTHER process — same-process appends queue on the JVM lock, so
+    // the contention is staged through withLease directly)
+    Artifacts.withLease(spark, path, "writerA") {
+      val e = intercept[IllegalStateException](idx.delete(Seq(0L).toDF("id")))
+      assert(e.getMessage.contains("writerA") && e.getMessage.contains("breakLease"),
+        e.getMessage)
+      val e2 = intercept[IllegalStateException](idx.compact())
+      assert(e2.getMessage.contains("single-writer"), e2.getMessage)
+      // the loser ran nothing: no tombstones, same served rows
+      assert(!graft.operators.Tombstones.present(spark, path))
+      assert(idx.count === before)
+    }
+    // release frees the next writer
+    idx.append(batch, "doc_id", "text")
+    assert(idx.count === before + 1)
+
+    // a crashed writer's orphaned lease blocks loudly until the manual
+    // operator action clears it — library code never self-steals
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaseFile = new org.apache.hadoop.fs.Path(s"$path/_graft_lease")
+    val out = fs.create(leaseFile, false)
+    out.write("""{"token": "dead-process", "verb": "crashed"}""".getBytes("UTF-8"))
+    out.close()
+    val e3 = intercept[IllegalStateException](
+      idx.append(Seq((7002L, "blocked")).toDF("doc_id", "text"), "doc_id", "text"))
+    assert(e3.getMessage.contains("dead-process"), e3.getMessage)
+    Artifacts.breakLease(spark, path)
+    idx.append(Seq((7002L, "unblocked now")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(idx.count === before + 2)
+
+    // two literal racers through the raw primitive: at most one wins;
+    // the loser's failure names the lease and the artifact stays whole
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(
+      Future.sequence((1 to 2).map { i =>
+        Future(scala.util.Try(Artifacts.withLease(spark, path, s"racer$i") {
+          Thread.sleep(200); i
+        }))
+      }), 60.seconds).toList
+    assert(results.count(_.isSuccess) >= 1,
+      "at least one racer must acquire the lease")
+    results.filter(_.isFailure).foreach { f =>
+      assert(f.failed.get.getMessage.contains("lease"), f.failed.get.getMessage)
+    }
+    assert(!fs.exists(leaseFile), "every outcome releases or never created the lease")
+    assert(idx.count === before + 2)
+  }
 }

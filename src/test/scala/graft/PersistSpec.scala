@@ -616,6 +616,73 @@ class PersistSpec extends SparkSpec {
     assert(idx.sig.where(col("doc_id") === 777777L).count() === 1L)
   }
 
+  test("tombstone growth policy: the sidecar auto-folds once it crosses the recorded threshold, on every artifact family") {
+    val s = spark; import s.implicits._
+    import graft.operators.{Dedup, Tombstones}
+    val docs = Tables.documents(spark, sf001).select("doc_id", "text")
+      .where(col("doc_id") < 100)
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val n = ids.length
+
+    // --- TextIndex -----------------------------------------------------
+    val tp = tmp("graft-text-policy")
+    val tidx = TextIndex.build(docs, "doc_id", "text", tp)
+    val below = ids.take((n * 0.1).toInt) // 10% < the 0.2 threshold
+    tidx.delete(below.toSeq.toDF("id"))
+    assert(Tombstones.present(spark, tp),
+      "below the threshold the sidecar must survive (deletes stay O(batch))")
+    // the policy the artifact lives under is recorded beside the sidecar
+    assert(Tombstones.policyRatio(spark, tp) === Tombstones.defaultAutoCompactRatio)
+    val st = tidx.stats.collect().head
+    assert(st.getAs[Long]("n_tombstones") === below.length.toLong)
+    assert(st.getAs[Double]("autocompact_threshold") === 0.2)
+    assert(st.getAs[Double]("dead_fraction") > 0.0)
+    val expectLive = tidx.count
+    val more = ids.slice(below.length, (n * 0.3).toInt) // past 20% of physical
+    tidx.delete(more.toSeq.toDF("id"))
+    assert(!Tombstones.present(spark, tp),
+      "crossing the threshold must fold the sidecar in (auto-compact)")
+    assert(tidx.count === n - below.length - more.length)
+    assert(tidx.count === expectLive - more.length,
+      "the fold must not change what a read serves")
+    assert(tidx.stats.collect().head.getAs[Double]("dead_fraction") === 0.0)
+
+    // --- DedupIndex ----------------------------------------------------
+    val didx = Dedup.index(docs, "doc_id", "text", rebuild = true)
+    didx.delete(ids.take((n * 0.25).toInt).toSeq.toDF("id")) // straight past 20%
+    assert(!Tombstones.present(spark, s"${didx.base}/sig"),
+      "the dedup sidecar must auto-fold past the threshold")
+    assert(didx.sig.count() === (n - (n * 0.25).toInt).toLong)
+    // after the fold the ids are genuinely gone — re-append is legal
+    didx.append(docs.where(col("doc_id") === ids.head), "doc_id", "text")
+    assert(didx.sig.where(col("doc_id") === ids.head).count() === 1L)
+
+    // --- path-backed GRAPH VectorIndex ----------------------------------
+    val vecs = Tables.embeddings(spark, sf001).where(col("vec_id") < 60)
+      .select(col("vec_id").as("id"), col("embedding").as("vectors"),
+        lit(null: String).as("data"))
+    val gp = tmp("graft-graph-policy") + "/idx"
+    VectorIndex.create(spark, IndexType.GRAPH, 64, Metric.L2)
+      .insertAll(vecs).save(gp)
+    val gidx = VectorIndex.load(spark, gp)
+    val gids = vecs.select("id").collect().map(_.getLong(0)).sorted
+    gidx.deleteAll(gids.take(5).toSeq.toDF("id")) // 5/60 < 20%
+    assert(Tombstones.present(spark, gp))
+    val g2 = gidx.deleteAll(gids.slice(5, 15).toSeq.toDF("id")) // 15/60 = 25%
+    assert(!Tombstones.present(spark, gp),
+      "the graph sidecar must fold into data + serve tables past the threshold")
+    assert(g2.count === (gids.length - 15).toLong)
+    // the folded serving layout carries no deleted endpoint
+    val edges = spark.read.parquet(s"$gp/serve/edges")
+    val dead = gids.take(15).toSet
+    assert(edges.collect().forall(r => !dead.contains(r.getLong(0)) && !dead.contains(r.getLong(1))))
+    // the walk still serves (answers from the survivors only)
+    val hits = g2.search(vecs.where(col("id") === gids.last)
+      .select("vectors").collect().head.getSeq[Float](0).toArray, 5)
+      .collect().map(_.getLong(1))
+    assert(hits.nonEmpty && hits.forall(id => !dead.contains(id)))
+  }
+
   test("recovery REFUSES to sweep the only remaining copy (incomplete fresh, no old, no target)") {
     val s = spark; import s.implicits._
     import graft.operators.{Retrieval, Tombstones}
