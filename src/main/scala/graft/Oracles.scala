@@ -207,6 +207,31 @@ object Oracles {
        |       FROM (SELECT doc_id, CAST(sum(s6) AS BIGINT) AS s6 FROM contrib GROUP BY doc_id)
        |       ORDER BY s6 DESC, doc_id LIMIT $k)""".stripMargin
 
+  /** PPM payload geometry (spec v1 — graft.operators.Multimodal,
+    * TESTDATA.md): per document its utf-8 byte count n, frame edge
+    * w = 2 + n%3, raster size fsz = 3·w², frame count nf = n div fsz + 1.
+    * Every multimodal oracle predicts the Spark PARSER's output from
+    * this arithmetic.
+    */
+  private def ppmGeomCte(alias: String, where: String = ""): String =
+    s"""${alias}0 AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+       |        2 + octet_length(encode(text)) % 3 AS w FROM documents$where),
+       |$alias AS (SELECT doc_id, text, n, w, 3 * w * w AS fsz,
+       |        n // (3 * w * w) + 1 AS nf FROM ${alias}0)""".stripMargin
+
+  /** The decoder's 8-bin pixel-byte histogram features, re-derived: text
+    * bytes via ascii(char) (pure ASCII) plus the final frame's zero
+    * padding in bin 0, normalized by nf·fsz total pixel bytes in FLOAT32.
+    */
+  private def ppmFeatCtes(alias: String, where: String = ""): String =
+    s"""${ppmGeomCte(s"${alias}g", where)},
+       |$alias AS (SELECT doc_id,
+       |  list_transform(range(0, 8), j ->
+       |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j))
+       |         + CASE WHEN j = 0 THEN nf * fsz - n ELSE 0 END AS FLOAT)
+       |         / CAST(nf * fsz AS FLOAT) AS FLOAT)) AS features
+       |  FROM ${alias}g)""".stripMargin
+
   // MUST stay in lock-step with graft.operators.TextAnalysis.stop* —
   // ASCII-only by construction (tokens are ASCII-alnum runs).
   private val stopEn = graft.operators.TextAnalysis.stopEn
@@ -1769,15 +1794,9 @@ object Oracles {
     // unfiltered — it is the query, not a candidate).
     "filtered_hybrid" ->
       s"""WITH ${bm25Ctes(50, " WHERE lang = 'en'")},
-         |f AS (SELECT doc_id,
-         |  list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
-         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
-         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS features
-         |  FROM documents WHERE lang = 'en'),
-         |fq AS (SELECT list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
-         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
-         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS qv
-         |  FROM documents WHERE doc_id = 7),
+         |${ppmFeatCtes("f", " WHERE lang = 'en'")},
+         |${ppmFeatCtes("probe", " WHERE doc_id = 7")},
+         |fq AS (SELECT features AS qv FROM probe),
          |vd AS (SELECT f.doc_id, ${l2("f.features", "fq.qv")} AS score FROM f, fq),
          |vleg AS (SELECT CAST(row_number() OVER (ORDER BY score, doc_id) AS INT) AS rank, doc_id
          |         FROM vd ORDER BY score, doc_id LIMIT 50),
@@ -1794,11 +1813,7 @@ object Oracles {
     // integer ranks, so no rounding is needed until the display column.
     "hybrid_rrf" ->
       s"""WITH ${bm25Ctes(50)},
-         |f AS (SELECT doc_id,
-         |  list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
-         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
-         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS features
-         |  FROM documents),
+         |${ppmFeatCtes("f")},
          |vq AS (SELECT features AS qv FROM f WHERE doc_id = 7),
          |vd AS (SELECT f.doc_id, ${l2("f.features", "vq.qv")} AS score FROM f, vq),
          |vleg AS (SELECT CAST(row_number() OVER (ORDER BY score, doc_id) AS INT) AS rank, doc_id
@@ -1814,11 +1829,7 @@ object Oracles {
     // min-max inside each 50-row leg, 0.6/0.4 blend — identical tree.
     "hybrid_weighted" ->
       s"""WITH ${bm25Ctes(50)},
-         |f AS (SELECT doc_id,
-         |  list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
-         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
-         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS features
-         |  FROM documents),
+         |${ppmFeatCtes("f")},
          |vq AS (SELECT features AS qv FROM f WHERE doc_id = 7),
          |vd AS (SELECT f.doc_id, ${l2("f.features", "vq.qv")} AS score FROM f, vq),
          |vleg AS (SELECT doc_id, CAST(round(score * 10000.0) AS BIGINT) AS v4
@@ -2313,86 +2324,88 @@ object Oracles {
         |FROM n ORDER BY grp, doc_id""".stripMargin,
 
     // ================= D. multimodal =================
+    // The payloads are REAL multi-frame P6/PPM streams synthesized
+    // deterministically from the documents (spec v1, TESTDATA.md):
+    // n = utf-8 bytes, w = h = 2 + n%3, fsz = 3·w², F = n div fsz + 1,
+    // header "P6\n{w} {w}\n255\n" (11 bytes — w is single-digit),
+    // pixels = consecutive text slices zero-padded in the last frame.
+    // Spark PARSES the bytes; the oracle independently predicts what a
+    // correct parse must yield from this arithmetic — a misread header,
+    // a miscounted frame or a broken pixel walk goes hash-red.
 
     "multimodal_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS digest,
-        |  octet_length(encode(text)) % 640 AS width,
-        |  octet_length(encode(text)) % 480 AS height,
-        |  octet_length(encode(text)) % 16 + 1 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""WITH ${ppmGeomCte("g")}
+         |SELECT doc_id, CAST(nf * (11 + fsz) AS INT) AS n_bytes, md5(text) AS digest,
+         |  CAST(w AS INT) AS width, CAST(w AS INT) AS height, CAST(nf AS INT) AS n_frames
+         |FROM g ORDER BY doc_id""".stripMargin,
 
-    // storage accounting: payload byte lengths + stub frame counts,
+    // storage accounting: parsed payload byte lengths + frame counts,
     // sources-bounded agg, one final division.
     "multimodal_bitrate" ->
-      """WITH t AS (SELECT source, CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
-        |f AS (SELECT source, nb, nb % 16 + 1 AS nf FROM t),
-        |a AS (SELECT source, count(*) AS n_assets, CAST(sum(nb) AS BIGINT) AS n_bytes,
-        |        CAST(sum(nf) AS BIGINT) AS n_frames FROM f GROUP BY 1)
-        |SELECT source, n_assets, n_bytes, n_frames,
-        |  (round((CAST(n_bytes AS DOUBLE) / CAST(n_frames AS DOUBLE)) * 100.0) / 100.0) AS bytes_per_frame
-        |FROM a ORDER BY source""".stripMargin,
+      s"""WITH ${ppmGeomCte("g")},
+         |a AS (SELECT source, count(*) AS n_assets,
+         |        CAST(sum(nf * (11 + fsz)) AS BIGINT) AS n_bytes,
+         |        CAST(sum(nf) AS BIGINT) AS n_frames
+         |      FROM g JOIN documents USING (doc_id) GROUP BY 1)
+         |SELECT source, n_assets, n_bytes, n_frames,
+         |  (round((CAST(n_bytes AS DOUBLE) / CAST(n_frames AS DOUBLE)) * 100.0) / 100.0) AS bytes_per_frame
+         |FROM a ORDER BY source""".stripMargin,
 
-    // scene cuts on the 1-D ink-density feature per stride-sampled
-    // frame; same char-window sampling both sides, lag window per doc.
+    // scene cuts on the per-frame ink feature (non-space live pixel
+    // bytes); lag window per doc. DuckDB can't substring BLOBs, so the
+    // oracle slices the VARCHAR — documents.text is pure ASCII
+    // (asserted: len == octet_length), so char offsets == byte offsets.
     "multimodal_scene_cuts" ->
-      """WITH d AS (SELECT doc_id, text, length(text) AS nc FROM documents),
-        |g AS (SELECT doc_id, text, CAST(nc % 16 + 1 AS BIGINT) AS n_frames,
-        |        nc // (nc % 16 + 1) AS stride FROM d),
-        |f AS (SELECT doc_id, n_frames, stride, text,
-        |        unnest(range(0, n_frames)) AS frame_idx FROM g),
-        |ft AS (SELECT doc_id, n_frames, frame_idx,
-        |         length(replace(substr(text, CAST(frame_idx * stride AS INT) + 1, 32), ' ', '')) AS feat
-        |       FROM f),
-        |w AS (SELECT doc_id, n_frames, frame_idx, feat,
-        |        lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM ft),
-        |c AS (SELECT doc_id, n_frames, frame_idx,
-        |        CASE WHEN prev IS NOT NULL AND abs(feat - prev) >= 4 THEN 1 ELSE 0 END AS cut
-        |      FROM w)
-        |SELECT doc_id, max(n_frames) AS n_frames,
-        |  count(*) FILTER (WHERE cut = 1) AS n_cuts,
-        |  min(CASE WHEN cut = 1 THEN frame_idx END) AS first_cut
-        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH ${ppmGeomCte("g")},
+         |f AS (SELECT doc_id, text, fsz, unnest(range(0, nf)) AS frame_idx FROM g),
+         |ft AS (SELECT doc_id, frame_idx,
+         |         length(replace(substr(text, CAST(frame_idx * fsz + 1 AS INT), CAST(fsz AS INT)), ' ', '')) AS feat
+         |       FROM f),
+         |w AS (SELECT doc_id, frame_idx, feat,
+         |        lag(feat) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM ft),
+         |c AS (SELECT doc_id, frame_idx,
+         |        CASE WHEN prev IS NOT NULL AND abs(feat - prev) >= 4 THEN 1 ELSE 0 END AS cut
+         |      FROM w)
+         |SELECT doc_id, count(*) AS n_frames,
+         |  count(*) FILTER (WHERE cut = 1) AS n_cuts,
+         |  CAST(min(CASE WHEN cut = 1 THEN frame_idx END) AS INT) AS first_cut
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // DuckDB can't substring BLOBs, so the oracle slices the VARCHAR;
-    // documents.text is pure ASCII (asserted: len == octet_length), so
-    // char offsets == the byte offsets Spark slices.
+    // per-frame parse results predicted from the spec: pixel-stream
+    // offset, raster size, live bytes (the final frame's slice is
+    // shorter; its zero padding is never live — ASCII text has no 0x00),
+    // md5 of the live slice.
     "multimodal_frames" ->
-      """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
-        |        octet_length(encode(text)) % 16 + 1 AS n_frames FROM documents),
-        |x AS (SELECT doc_id, text,
-        |        CAST(r.range AS INT) AS frame_idx,
-        |        CAST(r.range * (n_bytes // n_frames) AS BIGINT) AS frame_off
-        |      FROM f, range(0, 16) r WHERE r.range < n_frames)
-        |SELECT doc_id, frame_idx, frame_off,
-        |  octet_length(encode(substr(text, CAST(frame_off + 1 AS INT), 32))) AS frame_len,
-        |  md5(substr(text, CAST(frame_off + 1 AS INT), 32)) AS frame_digest
-        |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
+      s"""WITH ${ppmGeomCte("g")},
+         |x AS (SELECT doc_id, text, n, fsz, CAST(unnest(range(0, nf)) AS INT) AS frame_idx FROM g)
+         |SELECT doc_id, frame_idx,
+         |  CAST(frame_idx * fsz AS BIGINT) AS frame_off,
+         |  CAST(fsz AS INT) AS frame_len,
+         |  CAST(least(fsz, n - frame_idx * fsz) AS INT) AS n_live,
+         |  md5(substr(text, CAST(frame_idx * fsz + 1 AS INT), CAST(fsz AS INT))) AS frame_digest
+         |FROM x ORDER BY doc_id, frame_idx""".stripMargin,
 
-    // frame-fingerprint near-dup: same stride sampling as
-    // multimodal_frames, distinct digests per doc, df-capped posting join.
+    // frame-fingerprint near-dup: the parsed frames' live-byte digests,
+    // distinct per doc, df-capped posting join.
     "multimodal_neardup" ->
-      """WITH f AS (SELECT doc_id, text, octet_length(encode(text)) AS n_bytes,
-        |        octet_length(encode(text)) % 16 + 1 AS n_frames FROM documents),
-        |x AS (SELECT doc_id,
-        |        md5(substr(text, CAST(r.range * (n_bytes // n_frames) + 1 AS INT), 32)) AS fd
-        |      FROM f, range(0, 16) r WHERE r.range < n_frames),
-        |fr AS (SELECT DISTINCT doc_id, fd FROM x),
-        |kept AS (SELECT fd FROM fr GROUP BY fd HAVING count(*) >= 2 AND count(*) <= 20),
-        |fk AS (SELECT fr.doc_id, fr.fd FROM fr JOIN kept USING (fd))
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
-        |FROM fk a JOIN fk b USING (fd) WHERE a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH ${ppmGeomCte("g")},
+         |x AS (SELECT doc_id,
+         |        md5(substr(text, CAST(r * fsz + 1 AS INT), CAST(fsz AS INT))) AS fd
+         |      FROM (SELECT doc_id, text, fsz, unnest(range(0, nf)) AS r FROM g)),
+         |fr AS (SELECT DISTINCT doc_id, fd FROM x),
+         |kept AS (SELECT fd FROM fr GROUP BY fd HAVING count(*) >= 2 AND count(*) <= 20),
+         |fk AS (SELECT fr.doc_id, fr.fd FROM fr JOIN kept USING (fd))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         |FROM fk a JOIN fk b USING (fd) WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
-    // decode-stub features re-derived independently: 8-bucket byte
-    // histogram (top 3 bits; text is pure ASCII so ascii(char) = byte),
-    // normalized in FLOAT32 (DuckDB FLOAT/FLOAT division = JVM float
-    // division, verified), then the standard exact-kNN shape.
+    // decoder features re-derived independently: 8-bucket histogram of
+    // the PIXEL bytes (text bytes via ascii(char) — pure ASCII — plus
+    // the final frame's zero padding in bucket 0), normalized by the
+    // total pixel count in FLOAT32 (DuckDB FLOAT/FLOAT division = JVM
+    // float division, verified), then the standard exact-kNN shape.
     "multimodal_embed" ->
-      s"""WITH f AS (SELECT doc_id,
-         |  list_transform(range(0, 8), j -> CASE WHEN len(text) = 0 THEN CAST(0 AS FLOAT) ELSE
-         |    CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
-         |         / CAST(len(text) AS FLOAT) AS FLOAT) END) AS features
-         |  FROM documents),
+      s"""WITH ${ppmFeatCtes("f")},
          |q AS (SELECT features AS qv FROM f WHERE doc_id = 7),
          |d AS (SELECT f.doc_id AS id, ${l2("f.features", "q.qv")} AS score FROM f, q)
          |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,

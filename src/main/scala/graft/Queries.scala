@@ -1038,11 +1038,8 @@ object Queries {
     * keyword+vector ranking a real deployment of the reference serves.
     */
   def hybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val media = docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-    val feats = operators.Multimodal.decode(media).toDF().select(col("doc_id"), col("features"))
-    val probeText = docs.where(col("doc_id") === 7L).select("text").first().getString(0)
-    val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
+    val feats = mediaFeats(spark, dir)
+    val probe = mediaProbe(spark, dir)
     val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
       .select(col("id").as("doc_id"), col("rank"))
     val textLeg = operators.Retrieval.bm25TopKFromIndex(textPostings(spark, dir),
@@ -1065,10 +1062,9 @@ object Queries {
   def filteredHybrid(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val media = docs.where(col("lang") === "en")
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+      .select(col("doc_id"), operators.Multimodal.ppmPayload(col("text")).as("payload"))
     val feats = operators.Multimodal.decode(media).toDF().select(col("doc_id"), col("features"))
-    val probeText = docs.where(col("doc_id") === 7L).select("text").first().getString(0)
-    val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
+    val probe = mediaProbe(spark, dir)
     val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
       .select(col("id").as("doc_id"), col("rank"))
     val textLeg = operators.Retrieval.bm25TopKFromIndexFiltered(textPostings(spark, dir),
@@ -1085,11 +1081,8 @@ object Queries {
     * ([[operators.Retrieval.weightedFuse]]).
     */
   def hybridWeighted(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val media = docs.select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-    val feats = operators.Multimodal.decode(media).toDF().select(col("doc_id"), col("features"))
-    val probeText = docs.where(col("doc_id") === 7L).select("text").first().getString(0)
-    val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
+    val feats = mediaFeats(spark, dir)
+    val probe = mediaProbe(spark, dir)
     val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
       .select(col("id").as("doc_id"),
         floor(col("value") * 10000 + lit(0.5)).cast("long").as("v4"))
@@ -1883,37 +1876,65 @@ object Queries {
       .orderBy("lang_pred")
 
   // =====================================================================
-  // D. Multimodal (binary payload plumbing; decode stubbed)
+  // D. Multimodal (real P6/PPM codec over synthesized payloads)
   // =====================================================================
 
-  /** Binary media-column plumbing: a deterministic utf-8 payload stands in
-    * for image/audio bytes (no codec libs in this container); the typed
-    * metadata extraction — byte length, content digest, fake decoded
-    * dimensions — is the real Spark-side schema/plumbing under test.
+  /** The corpus as a binary media table: multi-frame P6 payloads
+    * synthesized IN-PLAN from the documents (codegen'd expressions, no
+    * UDF — [[operators.Multimodal.ppmPayload]]; spec in TESTDATA.md).
+    * Everything downstream parses these REAL bytes.
+    */
+  private def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        operators.Multimodal.ppmPayload(col("text")).as("payload"))
+
+  /** The decode → embed leg shared by [[multimodalEmbed]] and the
+    * hybrid queries: payloads decode partition-wise through the REAL
+    * P6 parser to an 8-bin pixel-byte histogram sketch.
+    */
+  private def mediaFeats(spark: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.decode(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("features"))
+
+  /** Doc 7's sketch decoded identically DRIVER-side (a request-supplied
+    * probe in a serving flow): encode the text with the same spec, run
+    * the same parser.
+    */
+  private def mediaProbe(spark: SparkSession, dir: String): Array[Float] = {
+    val probeText = Tables.documents(spark, dir).where(col("doc_id") === 7L)
+      .select("text").first().getString(0)
+    operators.Multimodal.decodePpm(7L,
+      operators.Multimodal.ppmPayloadBytes(probeText.getBytes("UTF-8"))).features
+  }
+
+  /** Binary media metadata — PARSED from the payload bytes by the real
+    * codec (magic / width / height / maxval per frame, frame stream
+    * walked to EOF), never trusted from a sidecar: n_bytes is the
+    * payload's own length, width/height/n_frames are the parser's. The
+    * content digest keys the SOURCE bytes (what dedup/lineage wants).
+    * Oracle re-derives every field from the payload spec's arithmetic —
+    * a misparsed header goes hash-red.
     */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .select(
-        col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
-        md5(col("payload")).as("digest"),
-        (octet_length(col("payload")) % 640).as("width"),
-        (octet_length(col("payload")) % 480).as("height"),
-        (octet_length(col("payload")) % 16 + 1).as("n_frames"))
+    operators.Multimodal.decode(mediaTable(spark, dir)).toDF()
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), md5(encode(col("text"), "utf-8")).as("digest")), "doc_id")
+      .select(col("doc_id"), col("n_bytes"), col("digest"),
+        col("width"), col("height"), col("n_frames"))
       .orderBy("doc_id")
 
   /** Media storage accounting per source — assets, payload bytes,
-    * stub-decoded frame counts and bytes-per-frame: the capacity-plan
-    * rollup a media lake reads before choosing codecs/tiering. One
-    * map-side pass over payload lengths into a sources-bounded agg;
-    * the only double is the final bytes-per-frame division.
+    * PARSED frame counts and bytes-per-frame: the capacity-plan rollup
+    * a media lake reads before choosing codecs/tiering. Decode is one
+    * partition-wise pass; the rollup is a sources-bounded agg; the only
+    * double is the final bytes-per-frame division.
     */
   def multimodalBitrate(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("source"), encode(col("text"), "utf-8").as("payload"))
-      .select(col("source"), octet_length(col("payload")).cast("long").as("nb"))
-      .withColumn("nf", col("nb") % 16 + 1)
+    operators.Multimodal.decode(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("n_bytes").cast("long").as("nb"),
+        col("n_frames").cast("long").as("nf"))
+      .join(Tables.documents(spark, dir).select("doc_id", "source"), "doc_id")
       .groupBy("source").agg(count(lit(1)).as("n_assets"),
         sum("nb").as("n_bytes"), sum("nf").as("n_frames"))
       .select(col("source"), col("n_assets"), col("n_bytes"), col("n_frames"),
@@ -1921,60 +1942,38 @@ object Queries {
           .as("bytes_per_frame"))
       .orderBy("source")
 
-  /** Frame-sampling plumbing: each media payload explodes into its
-    * deterministically-sampled frame windows (offset stride = bytes /
-    * n_frames, 32-byte "frames"), with per-frame digest metadata. The
-    * decode itself is stubbed (no codec libs here); the schema, explode
-    * shape and binary slicing are the real distributed plumbing a video
-    * pipeline needs.
+  /** Frame-extraction plumbing: each payload's frame stream PARSES into
+    * per-frame rows ([[operators.Multimodal.decodeFrames]] — the explode
+    * shape of a video pipeline): offset in the decoded pixel stream,
+    * raster size, live (non-padding) bytes, and the md5 fingerprint of
+    * the live bytes. Frames-per-asset is bounded by the max payload
+    * size, so the explode is linear and the oracle predicts every field
+    * from the spec arithmetic.
     */
   def multimodalFrames(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-      .select(col("doc_id"), col("payload"), octet_length(col("payload")).as("n_bytes"))
-      .withColumn("n_frames", col("n_bytes") % 16 + 1)
-      .select(col("doc_id"), col("n_bytes"), col("payload"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
-        expr("n_bytes div n_frames").as("stride"))
-      .withColumn("frame_off", col("frame_idx") * col("stride"))
-      .withColumn("frame",
-        call_function("substring", col("payload"), (col("frame_off") + 1).cast("int"), lit(32)))
-      .select(
-        col("doc_id"),
-        col("frame_idx").cast("int").as("frame_idx"),
-        col("frame_off").cast("long").as("frame_off"),
-        octet_length(col("frame")).as("frame_len"),
-        md5(col("frame")).as("frame_digest"))
+    operators.Multimodal.decodeFrames(mediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        col("frame_len"), col("n_live"), col("frame_digest"))
       .orderBy("doc_id", "frame_idx")
 
-  /** Scene-cut detection over the stride-sampled frame stream (the
-    * video shot-boundary shape, on the same deterministic frame
-    * sampling as [[multimodalFrames]]): each frame reduces to a 1-D
-    * "ink density" feature (non-space chars in its 32-char window — the
-    * stub stand-in for a luminance/embedding distance), and a cut fires
-    * where the feature jumps ≥ 4 vs the previous frame. The lag window
-    * partitions by asset and every partition is bounded by
-    * frames-per-asset (≤ 17 here, a constant at any corpus size), so
-    * the whole operator is map-side explode + bounded window + partial
-    * agg.
+  /** Scene-cut detection over the PARSED frame stream (the video
+    * shot-boundary shape): each frame's 1-D "ink" feature (non-space
+    * live pixel bytes — the luminance stand-in) comes from the codec,
+    * and a cut fires where the feature jumps ≥ 4 vs the previous frame.
+    * The lag window partitions by asset and every partition is bounded
+    * by frames-per-asset, so the whole operator is partition-wise
+    * decode + bounded window + partial agg.
     */
   def multimodalSceneCuts(spark: SparkSession, dir: String): DataFrame = {
-    val frames = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), length(col("text")).as("nc"))
-      .withColumn("n_frames", (col("nc") % 16 + 1).cast("long"))
-      .select(col("doc_id"), col("n_frames"), col("text"),
-        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"),
-        expr("nc div n_frames").as("stride"))
-      .withColumn("feat", length(regexp_replace(
-        expr("substring(text, CAST(frame_idx * stride AS INT) + 1, 32)"), " ", "")))
+    val frames = operators.Multimodal.decodeFrames(mediaTable(spark, dir)).toDF()
     val byDoc = Window.partitionBy("doc_id").orderBy("frame_idx")
     frames
-      .withColumn("prev", lag("feat", 1).over(byDoc))
+      .withColumn("prev", lag("ink", 1).over(byDoc))
       .withColumn("cut",
-        (col("prev").isNotNull && abs(col("feat") - col("prev")) >= 4).cast("int"))
+        (col("prev").isNotNull && abs(col("ink") - col("prev")) >= 4).cast("int"))
       .groupBy("doc_id")
       .agg(
-        max("n_frames").as("n_frames"),
+        count(lit(1)).as("n_frames"),
         count(when(col("cut") === 1, 1)).as("n_cuts"),
         min(when(col("cut") === 1, col("frame_idx"))).as("first_cut"))
       .orderBy("doc_id")
@@ -2006,23 +2005,17 @@ object Queries {
   }
 
   /** The multimodal → vector bridge: payloads decode partition-wise
-    * ([[operators.Multimodal.decode]] — the mapInPandas-shaped path) to
-    * an 8-dim feature sketch, and the sketches feed the exact k-NN
+    * ([[operators.Multimodal.decode]] — the mapInPandas-shaped path,
+    * now running the REAL P6 parser over real bytes) to an 8-dim
+    * pixel-histogram sketch, and the sketches feed the exact k-NN
     * operator directly — the "embed then search" flow a real multimodal
-    * pipeline runs, with the codec stubbed and everything else real.
-    * The probe is doc 7's own sketch, decoded identically driver-side
-    * (a request-supplied vector in a serving flow).
+    * pipeline runs. The probe is doc 7's own sketch, encoded and
+    * decoded identically driver-side (a request-supplied vector in a
+    * serving flow).
     */
-  def multimodalEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val media = Tables.documents(spark, dir)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-    val feats = operators.Multimodal.decode(media).toDF()
-      .select(col("doc_id"), col("features"))
-    val probeText = Tables.documents(spark, dir).where(col("doc_id") === 7L)
-      .select("text").first().getString(0)
-    val probe = operators.Multimodal.decodeStub(7L, probeText.getBytes("UTF-8")).features
-    Knn.searchExact(feats, "doc_id", "features", probe, k = 10, metric = "l2")
-  }
+  def multimodalEmbed(spark: SparkSession, dir: String): DataFrame =
+    Knn.searchExact(mediaFeats(spark, dir), "doc_id", "features",
+      mediaProbe(spark, dir), k = 10, metric = "l2")
 
   // =====================================================================
   // E. Analytics / events

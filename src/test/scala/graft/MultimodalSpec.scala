@@ -7,21 +7,83 @@ import graft.sources.Tables
 
 class MultimodalSpec extends SparkSpec {
 
-  test("partition-wise decode produces typed metadata + normalized features") {
-    val media = Tables.documents(spark, sf001)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
+  private def media = Tables.documents(spark, sf001)
+    .select(col("doc_id"), Multimodal.ppmPayload(col("text")).as("payload"))
+
+  test("in-plan PPM synthesis equals the driver-side encoder byte for byte") {
+    val planBytes = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val texts = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && texts.length === planBytes.size)
+    texts.foreach { case (id, t) =>
+      val expect = Multimodal.ppmPayloadBytes(t.getBytes("UTF-8"))
+      assert(java.util.Arrays.equals(planBytes(id), expect),
+        s"doc $id: the codegen'd payload must equal the Scala encoder's")
+    }
+  }
+
+  test("the codec PARSES the bytes: metadata matches the payload spec, features normalized") {
     val decoded = Multimodal.decode(media).collect()
     assert(decoded.length === 500)
+    val lens = Tables.documents(spark, sf001)
+      .select(col("doc_id"), octet_length(encode(col("text"), "utf-8")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     decoded.foreach { d =>
-      assert(d.n_bytes > 0)
-      assert(d.width === d.n_bytes % 640 && d.height === d.n_bytes % 480)
-      assert(d.n_frames === d.n_bytes % 16 + 1)
+      val n = lens(d.doc_id)
+      val w = 2 + n % 3
+      val fsz = 3 * w * w
+      val nf = n / fsz + 1
+      assert(d.width === w && d.height === w, s"doc ${d.doc_id}: parsed dims")
+      assert(d.n_frames === nf, s"doc ${d.doc_id}: parsed frame count")
+      assert(d.n_bytes === nf * (11 + fsz), s"doc ${d.doc_id}: payload length")
       assert(d.features.length === 8)
       assert(math.abs(d.features.sum - 1f) < 1e-3) // histogram normalized
-      assert(d.thumb_w <= 64 && d.thumb_h <= 64)
-      if (d.width > 0 && d.height > 0)
-        assert(d.thumb_w > 0 && d.thumb_h > 0)
+      assert(d.thumb_w === w && d.thumb_h === w)   // tiny frames: no downscale
     }
+  }
+
+  test("frame decode: offsets/live bytes/digests walk the stream correctly") {
+    val frames = Multimodal.decodeFrames(media).collect()
+    val texts = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.keySet === texts.keySet)
+    byDoc.foreach { case (id, fs) =>
+      val t = texts(id).getBytes("UTF-8")
+      val sorted = fs.sortBy(_.frame_idx)
+      assert(sorted.map(_.frame_idx).toSeq === sorted.indices.toSeq)
+      sorted.foreach { f =>
+        assert(f.frame_off === f.frame_idx.toLong * f.frame_len)
+        val live = math.max(0, math.min(f.frame_len, t.length - f.frame_idx * f.frame_len))
+        assert(f.n_live === live, s"doc $id frame ${f.frame_idx}")
+        val slice = java.util.Arrays.copyOfRange(t,
+          math.min(f.frame_idx * f.frame_len, t.length),
+          math.min(f.frame_idx * f.frame_len + live, t.length))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val expect = md.digest(slice).map("%02x".format(_)).mkString
+        assert(f.frame_digest === expect)
+        assert(f.ink === slice.count(_ != ' '.toByte))
+      }
+      // the frames tile the text: live bytes sum to the byte count
+      assert(sorted.map(_.n_live).sum === t.length)
+    }
+  }
+
+  test("the parser is a real one: multi-digit dims, general whitespace, loud failures") {
+    // a 12x10 frame the synthesizer never emits — multi-digit header
+    val pixels = Array.tabulate(12 * 10 * 3)(i => (i % 251).toByte)
+    val payload = "P6\n12 10\n255\n".getBytes("US-ASCII") ++ pixels
+    val d = Multimodal.decodePpm(1L, payload ++ payload)
+    assert(d.width === 12 && d.height === 10 && d.n_frames === 2)
+    assert(d.thumb_w === 12 && d.thumb_h === 10)
+    // spec-legal whitespace variations parse too
+    val ws = Multimodal.decodePpm(2L, "P6 12\t10 255\n".getBytes("US-ASCII") ++ pixels)
+    assert(ws.width === 12 && ws.n_frames === 1)
+    // corrupt bytes fail loudly, never guess
+    intercept[IllegalArgumentException](Multimodal.decodePpm(3L, "P5\n2 2\n255\n".getBytes ++ new Array[Byte](12)))
+    intercept[IllegalArgumentException](Multimodal.decodePpm(4L, "P6\n2 2\n65535\n".getBytes ++ new Array[Byte](12)))
+    intercept[IllegalArgumentException](Multimodal.decodePpm(5L, "P6\n2 2\n255\n".getBytes ++ new Array[Byte](5)))
   }
 
   test("fitWithin preserves aspect and bounds") {
@@ -32,11 +94,10 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.fitWithin(10000, 1, 64) === ((64, 1)))
   }
 
-  test("decode is deterministic (stub codec is pure)") {
-    val media = Tables.documents(spark, sf001).limit(50)
-      .select(col("doc_id"), encode(col("text"), "utf-8").as("payload"))
-    val a = Multimodal.decode(media).collect().sortBy(_.doc_id).map(d => (d.doc_id, d.features.toSeq))
-    val b = Multimodal.decode(media).collect().sortBy(_.doc_id).map(d => (d.doc_id, d.features.toSeq))
+  test("decode is deterministic (codec is pure)") {
+    val m = media.limit(50)
+    val a = Multimodal.decode(m).collect().sortBy(_.doc_id).map(d => (d.doc_id, d.features.toSeq))
+    val b = Multimodal.decode(m).collect().sortBy(_.doc_id).map(d => (d.doc_id, d.features.toSeq))
     assert(a.toSeq === b.toSeq)
   }
 }

@@ -49,25 +49,29 @@ class SequenceSpec extends SparkSpec {
       .select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))
 
+    // the PPM spec's frame tiling (Multimodal spec v1): live slice per
+    // frame, ink = non-space live bytes — recomputed imperatively from
+    // the text, independent of the parser under test
     val expect = docs.map { case (id, text) =>
-      val nc = text.length
-      val nFrames = nc % 16 + 1
-      val stride = nc / nFrames
+      val n = text.getBytes("UTF-8").length
+      val w = 2 + n % 3
+      val fsz = 3 * w * w
+      val nFrames = n / fsz + 1
       val feats = (0 until nFrames).map { i =>
-        val off = i * stride
-        val frame = text.substring(math.min(off, nc), math.min(off + 32, nc))
-        frame.count(_ != ' ')
+        val from = math.min(i * fsz, n)
+        val until = math.min(from + fsz, n)
+        text.substring(from, until).count(_ != ' ')
       }
       val cuts = feats.zip(feats.drop(1)).zipWithIndex.collect {
         case ((prev, cur), i) if math.abs(cur - prev) >= 4 => i + 1
       }
       (id, nFrames.toLong, cuts.size.toLong,
-        if (cuts.isEmpty) null else java.lang.Long.valueOf(cuts.min.toLong))
+        if (cuts.isEmpty) null else java.lang.Integer.valueOf(cuts.min))
     }.sortBy(_._1)
 
     val got = Queries.multimodalSceneCuts(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3))))
+        if (r.isNullAt(3)) null else java.lang.Integer.valueOf(r.getInt(3))))
     assert(got.toSeq == expect.toSeq)
   }
 
