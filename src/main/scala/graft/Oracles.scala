@@ -793,7 +793,13 @@ object Oracles {
     * sharing any band bucket, exact cosine filter on candidates — the
     * DuckDB twin of [[operators.Dedup.embeddingCosinePairs]].
     */
-  private def embeddingLshSql(bandPlanes: Array[Array[Array[Float]]], minCosine: Double): String = {
+  /** Banded sign-LSH near-dup pairs with the df-capped block discipline
+    * (buckets over `cap` ids excluded from pair expansion but counted;
+    * the completeness envelope rides every row) — the DuckDB twin of
+    * [[operators.Dedup.embeddingCosinePairs]].
+    */
+  private def embeddingLshSql(bandPlanes: Array[Array[Array[Float]]], minCosine: Double,
+                              cap: Int = 256): String = {
     val nBits = bandPlanes.head.length
     s"""WITH pl AS ${paramRows(bandPlanes.flatten, "pid", "wv")},
        |bdot AS (SELECT e.vec_id, pl.pid // $nBits AS band, pl.pid % $nBits AS p,
@@ -801,12 +807,19 @@ object Oracles {
        |         FROM embeddings e CROSS JOIN pl),
        |bk AS (SELECT vec_id, band, CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
        |       FROM bdot GROUP BY vec_id, band),
+       |pop AS (SELECT band, bucket, count(*) AS c FROM bk GROUP BY 1, 2),
+       |cap AS (SELECT CAST(count(*) FILTER (WHERE c > $cap) AS BIGINT) AS n_capped_buckets,
+       |          CAST(coalesce(sum(c) FILTER (WHERE c > $cap), 0) AS BIGINT) AS n_ids_in_capped
+       |        FROM pop),
        |cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-       |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |         JOIN pop ON pop.band = a.band AND pop.bucket = a.bucket
+       |         WHERE pop.c <= $cap),
        |p AS (SELECT a_id, b_id, ${cosine("ea.embedding", "eb.embedding")} AS c
        |      FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)
-       |SELECT a_id, b_id, (round((c) * 10000.0) / 10000.0) AS cosine
-       |FROM p WHERE c >= $minCosine ORDER BY a_id, b_id""".stripMargin
+       |SELECT a_id, b_id, (round((p.c) * 10000.0) / 10000.0) AS cosine,
+       |       cap.n_capped_buckets, cap.n_ids_in_capped
+       |FROM p CROSS JOIN cap WHERE p.c >= $minCosine ORDER BY a_id, b_id""".stripMargin
   }
 
   /** PQ ADC search: per-subspace code assignment (argmin over the literal

@@ -1040,19 +1040,43 @@ object Dedup {
     * p = 1-θ/π — e.g. ≥ 0.99 for c ≥ 0.9 at 8 bands × 4 bits
     * (property-tested in DedupSpec).
     */
+  /** Embedding near-dup pairs via banded sign-LSH blocking, DF-CAPPED:
+    * the hyperplane set is FIXED (2^nBits buckets per band), so bucket
+    * populations grow ∝ n and an uncapped within-bucket self-join is
+    * quadratic BY CONSTRUCTION — the round-11 ScaleSpec certificate
+    * measured the uncapped shape at 661× shuffle on 30× rows. The fix
+    * is the repo's standing block discipline (winnow / rare-gram /
+    * customer_id_linkage): buckets collect to sorted id arrays in ONE
+    * shuffle, blocks over `bucketCap` ids are excluded from pair
+    * expansion (dense sign-buckets are degenerate near-dup mass —
+    * SemDeDup's dense-cell argument; exact duplication is owned by
+    * [[exact]]/[[minhashPairs]]) but COUNTED, pair expansion is
+    * map-side combination generation over the ≤ cap arrays, and the
+    * completeness envelope (n_capped_buckets, n_ids_in_capped) rides
+    * every output row — the report says what it excluded. Candidate
+    * volume is ≤ bands · n · cap — linear, certified at 1×/10×/30×.
+    */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                            bandPlanes: Array[Array[Array[Float]]],
-                           minCosine: Double): DataFrame = {
-    val buckets = emb
+                           minCosine: Double, bucketCap: Int = 256): DataFrame = {
+    val blocksAll = emb
       .select(col(idCol).as("vec_id"),
         array(bandPlanes.map(pl => lshBucket(col(vecCol), pl)).toSeq: _*).as("bks"))
       .select(col("vec_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // narrow (id, band, bucket) sig table
+      .groupBy("band", "bucket")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .persist(StorageLevel.DISK_ONLY) // narrow block table: one shuffle, two consumers
 
-    val cand = buckets.select(col("band"), col("bucket"), col("vec_id").as("a_id"))
-      .join(buckets.select(col("band"), col("bucket"), col("vec_id").as("b_id")), Seq("band", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+    val capStats = blocksAll.where(size(col("ids")) > bucketCap)
+      .agg(count(lit(1)).as("n_capped_buckets"),
+        coalesce(sum(size(col("ids")).cast("long")), lit(0L)).as("n_ids_in_capped"))
+
+    val cand = blocksAll.where(size(col("ids")) <= bucketCap)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> named_struct('a_id', a, 'b_id', b))))"))
+        .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
     val result = cand
@@ -1060,12 +1084,14 @@ object Dedup {
       .join(emb.select(col(idCol).as("b_id"), col(vecCol).as("vb")), "b_id")
       .withColumn("cosine", vecCosine(col("va"), col("vb")))
       .where(col("cosine") >= minCosine)
-      .select(col("a_id"), col("b_id"), roundTo(col("cosine"), 4).as("cosine"))
+      .crossJoin(broadcast(capStats))
+      .select(col("a_id"), col("b_id"), roundTo(col("cosine"), 4).as("cosine"),
+        col("n_capped_buckets"), col("n_ids_in_capped"))
       .orderBy("a_id", "b_id")
 
-    // Materialize, then release the bucket cache (see minhashPairs).
+    // Materialize, then release the block cache (see minhashPairs).
     val out = result.localCheckpoint(true)
-    buckets.unpersist()
+    blocksAll.unpersist()
     out
   }
 

@@ -170,6 +170,31 @@ class DedupSpec extends SparkSpec {
     assert(got.forall { case (a, b) => a < b })
   }
 
+  test("embedding LSH blocking: the bucket cap bounds pair volume and reports what it excluded") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val emb = (0 until 300).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val planes = graft.operators.LshIndex.bandPlanes(bands = 8, nBits = 2, dim = 64)
+    // nBits = 2 ⇒ 4 buckets/band over 300 vectors: ~75 ids per bucket,
+    // so a cap of 40 must exclude most buckets — the fixed-plane
+    // quadratic blowup scenario the round-11 certificate caught
+    val full = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", planes,
+      minCosine = -1.0, bucketCap = 1000).collect()
+    val capped = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", planes,
+      minCosine = -1.0, bucketCap = 40).collect()
+    assert(capped.length < full.length,
+      "the cap must actually exclude dense-bucket pairs")
+    // the envelope rides every row and says what was dropped
+    assert(capped.forall(r => r.getLong(r.fieldIndex("n_capped_buckets")) > 0))
+    assert(capped.forall(r => r.getLong(r.fieldIndex("n_ids_in_capped")) > 0))
+    assert(full.forall(r => r.getLong(r.fieldIndex("n_capped_buckets")) === 0))
+    // capped pairs are a SUBSET of the uncapped candidates (the cap
+    // only removes work, never invents pairs)
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.forall(r => fullSet.contains((r.getLong(0), r.getLong(1)))))
+  }
+
   test("ngram jaccard: pairs only form within a block") {
     val s = spark; import s.implicits._
     val pairs = Dedup.ngramJaccardPairs(docs.toDF(), "doc_id", "text",

@@ -50,7 +50,7 @@ class ScaleSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$outDir/_scale_built")
-    val want = operators.Artifacts.fingerprint(spark, Seq(srcDir), spec = s"scale-v2 x$k")
+    val want = operators.Artifacts.fingerprint(spark, Seq(srcDir), spec = s"scale-v3 x$k")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -95,8 +95,20 @@ class ScaleSpec extends SparkSpec {
         .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
           format_string("$1r%d", col("rep"))))).drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // embeddings de-clone like documents de-near-dup: copy 0 raw, each
+    // later copy CIRCULARLY SHIFTED by its rep index. A shared shift
+    // preserves every within-copy dot product and norm exactly (the
+    // base duplicate/cluster structure reproduces per copy ⇒ duplicate
+    // mass grows exactly linearly), while cross-copy vectors are no
+    // longer exact clones — without this, every vector has k−1 clones
+    // and the TRUE near-dup pair mass itself is quadratic in k, which
+    // no algorithm could serve inside a linear envelope.
     rep(spark.read.parquet(s"$srcDir/embeddings.parquet"))
-      .withColumn("vec_id", col("vec_id") + col("rep") * shift).drop("rep")
+      .withColumn("vec_id", col("vec_id") + col("rep") * shift)
+      .withColumn("embedding", expr(
+        "concat(slice(embedding, (rep % 64) + 1, 64 - (rep % 64)), " +
+          "slice(embedding, 1, rep % 64))"))
+      .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     val out = fs.create(marker, true)
