@@ -503,16 +503,18 @@ object Oracles {
     * symmetrized.
     */
   private def graphBaseCtes(centroids: Array[Array[Float]], graphK: Int,
-                            mat: Boolean = false): String = {
+                            mat: Boolean = false, where: String = ""): String = {
     // DuckDB INLINES non-recursive CTEs per reference: the multi-walk
     // beam-knob oracle references this chain from 15 hop CTEs, and
     // inlined re-evaluation of the pair join goes combinatorial (it
     // filled the disk at sf0.1). MATERIALIZED pins each shared CTE to
-    // one evaluation — semantics identical.
+    // one evaluation — semantics identical. `where` filters the CORPUS
+    // the graph is built over (the filtered-serving twin); the query
+    // vector CTE stays unfiltered — the probe is request-side data.
     val m = if (mat) "MATERIALIZED " else ""
     s"""cents AS ${paramRows(centroids, "cid", "cv")},
        |asg AS $m(SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
-       |        FROM embeddings e CROSS JOIN cents c),
+       |        FROM embeddings e CROSS JOIN cents c$where),
        |own AS $m(SELECT vec_id, cid, d2 FROM asg
        |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
        |cl AS $m(SELECT vec_id, cid FROM own),
@@ -546,8 +548,9 @@ object Oracles {
     }.mkString(",\n")
 
   private def graphWalkCtes(centroids: Array[Array[Float]], queryId: Long,
-                            graphK: Int, beam: Int, hops: Int): String =
-    s"""${graphBaseCtes(centroids, graphK)},
+                            graphK: Int, beam: Int, hops: Int,
+                            where: String = ""): String =
+    s"""${graphBaseCtes(centroids, graphK, where = where)},
        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
        |v0 AS (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
        |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
@@ -581,10 +584,14 @@ object Oracles {
        |FROM v$hops QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
-  /** Graph-ANN beam serve — the DuckDB twin of [[Queries.annGraph]]. */
+  /** Graph-ANN beam serve — the DuckDB twin of [[Queries.annGraph]]
+    * (with `where`, of [[Queries.filteredAnnGraph]]: the walk over the
+    * graph OF the filtered corpus).
+    */
   private def graphBeamSql(centroids: Array[Array[Float]], queryId: Long,
-                           graphK: Int, beam: Int, hops: Int, k: Int): String =
-    s"""WITH ${graphWalkCtes(centroids, queryId, graphK, beam, hops)}
+                           graphK: Int, beam: Int, hops: Int, k: Int,
+                           where: String = ""): String =
+    s"""WITH ${graphWalkCtes(centroids, queryId, graphK, beam, hops, where)}
        |SELECT CAST(row_number() OVER (ORDER BY dist, id) AS INT) AS rank, id,
        |       (round((dist) * 10000.0) / 10000.0) AS value
        |FROM v$hops ORDER BY dist, id LIMIT $k""".stripMargin
@@ -1162,6 +1169,12 @@ object Oracles {
     val emb = sources.Tables.embeddings(spark, dir)
     val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
     val scaledCents = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+    // the filtered-serving twin fits its quantizer on the FILTERED
+    // corpus (the facade's searchFiltered semantics: the graph OF the
+    // filtered base, not a filter over the full graph)
+    val scaledCentsFlt = operators.IvfIndex.fitScaled(
+      emb.where(org.apache.spark.sql.functions.col("label") === 2),
+      "embedding", targetClusterSize = 100L)
     val planes = operators.LshIndex.planes(nBits = 4, dim = 64)
     val dedupPlanes = operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64)
     val pqBooks = operators.PqIndex.fitCached(emb, "embedding", dim = 64, m = 8, ksub = 16)
@@ -1207,6 +1220,8 @@ object Oracles {
         graphK = 3, beam = 8, hops = 3),
       "ann_graph_beam_curve" -> graphBeamKnobCurveSql(scaledCents, queryId = 13L,
         graphK = 3, beams = Seq(2, 4, 8, 16, 32), hops = 3),
+      "filtered_ann_graph" -> graphBeamSql(scaledCentsFlt, queryId = 13L,
+        graphK = 3, beam = 8, hops = 3, k = 10, where = " WHERE e.label = 2"),
       "knn_batch_graph" -> graphBeamBatchSql(scaledCents,
         graphK = 3, beam = 8, hops = 3, k = 5),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),

@@ -380,6 +380,35 @@ object Queries {
     }.reduce(_ unionAll _).orderBy("hops")
   }
 
+  /** Metadata-FILTERED graph-traversal ANN (reference: hnsw_index.rs
+    * search_vectors_filter — the reference filters its PRIMARY index;
+    * until now the repo's filtered search rode only the FLAT/IVF legs):
+    * the facade's searchFiltered semantics made a keyed row — walk the
+    * serving layout built over the FILTERED corpus (label = 2), its own
+    * written-once artifact (quantizer fitted on the filtered base, so
+    * cluster K scales with the filtered size; medoid entries and edges
+    * contain only matching vectors ⇒ every hop serves the filter for
+    * free, no post-filter recall loss). The probe (raw id 13) is
+    * request-side data and needn't satisfy the filter — same contract
+    * as filtered k-NN. Oracle unrolls the same walk over the filtered
+    * base from the filtered-fit centroid literals.
+    */
+  def filteredAnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val base = operators.Artifacts.resolve(spark, "knngraph_serve_flt",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1 label=2")) { tmp =>
+      val emb = Tables.embeddings(spark, dir).where(col("label") === 2)
+      val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+      operators.GraphAnn.buildServing(
+        operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2"),
+        emb, "vec_id", "embedding", centroids, tmp)
+    }
+    operators.GraphAnn.searchBeam(
+      spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
+      spark.read.parquet(s"$base/edges"),
+      queryVec(spark, dir, 13L), k = 10, beam = 8, hops = 3)
+  }
+
   /** The walk's OTHER knob: recall@10 at beam ∈ {2,4,8,16,32} with hops
     * fixed at 3 — the analog of the reference's ef_search quality knob
     * (hnsw_index.rs: ef_search = 200; the candidate-list width, exactly
