@@ -561,7 +561,8 @@ object Oracles {
     * DuckDB twin of [[Queries.knnBatchGraph]].
     */
   private def graphBeamBatchSql(centroids: Array[Array[Float]],
-                                graphK: Int, beam: Int, hops: Int, k: Int): String = {
+                                graphK: Int, beam: Int, hops: Int, k: Int,
+                                where: String = ""): String = {
     val hopCtes = (1 to hops).map { h =>
       val fresh = if (h == 1) "v0" else s"s${h - 1}"
       s"""f$h AS (SELECT q_id, id FROM $fresh
@@ -574,7 +575,7 @@ object Oracles {
          |        JOIN qs ON qs.q_id = x.q_id),
          |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${graphBaseCtes(centroids, graphK)},
+    s"""WITH ${graphBaseCtes(centroids, graphK, where = where)},
        |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
        |v0 AS (SELECT qs.q_id, m.id, ${l2("e.embedding", "qs.qv")} AS dist
        |       FROM med m JOIN embeddings e ON e.vec_id = m.id CROSS JOIN qs),
@@ -1222,6 +1223,8 @@ object Oracles {
         graphK = 3, beams = Seq(2, 4, 8, 16, 32), hops = 3),
       "filtered_ann_graph" -> graphBeamSql(scaledCentsFlt, queryId = 13L,
         graphK = 3, beam = 8, hops = 3, k = 10, where = " WHERE e.label = 2"),
+      "filtered_knn_batch_graph" -> graphBeamBatchSql(scaledCentsFlt,
+        graphK = 3, beam = 8, hops = 3, k = 5, where = " WHERE e.label = 2"),
       "knn_batch_graph" -> graphBeamBatchSql(scaledCents,
         graphK = 3, beam = 8, hops = 3, k = 5),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),

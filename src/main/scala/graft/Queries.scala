@@ -393,8 +393,11 @@ object Queries {
     * as filtered k-NN. Oracle unrolls the same walk over the filtered
     * base from the filtered-fit centroid literals.
     */
-  def filteredAnnGraph(spark: SparkSession, dir: String): DataFrame = {
-    val base = operators.Artifacts.resolve(spark, "knngraph_serve_flt",
+  /** The filtered corpus's serving layout — one written-once artifact
+    * shared by the single and batch filtered walks.
+    */
+  private def filteredGraphServePath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "knngraph_serve_flt",
       operators.Artifacts.corpusKey(dir),
       operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1 label=2")) { tmp =>
       val emb = Tables.embeddings(spark, dir).where(col("label") === 2)
@@ -403,10 +406,34 @@ object Queries {
         operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2"),
         emb, "vec_id", "embedding", centroids, tmp)
     }
+
+  def filteredAnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val base = filteredGraphServePath(spark, dir)
     operators.GraphAnn.searchBeam(
       spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
       spark.read.parquet(s"$base/edges"),
       queryVec(spark, dir, 13L), k = 10, beam = 8, hops = 3)
+  }
+
+  /** The fourth cell of the GRAPH leg's composition square — BATCH ×
+    * FILTERED (beside [[annGraph]] single-unfiltered, [[knnBatchGraph]]
+    * batch-unfiltered, [[filteredAnnGraph]] single-filtered; r10 closed
+    * the same square on the vector and text legs): every vec_id % 100
+    * == 0 row of the RAW table walks the FILTERED corpus's serving
+    * layout in ONE plan — queries are requests, candidates satisfy the
+    * filter by construction of the artifact. Oracle unrolls the
+    * per-query walk over the filtered base from the filtered-fit
+    * centroid literals.
+    */
+  def filteredKnnBatchGraph(spark: SparkSession, dir: String): DataFrame = {
+    val base = filteredGraphServePath(spark, dir)
+    val queries = Tables.embeddings(spark, dir).where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    operators.GraphAnn.searchBeamBatch(
+      spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
+      spark.read.parquet(s"$base/edges"),
+      queries, "q_id", "q_vec", k = 5, beam = 8, hops = 3)
+      .orderBy("q_id", "rank")
   }
 
   /** The walk's OTHER knob: recall@10 at beam ∈ {2,4,8,16,32} with hops
