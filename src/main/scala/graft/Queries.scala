@@ -1117,8 +1117,10 @@ object Queries {
     */
   def filteredHybrid(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val media = docs.where(col("lang") === "en")
-      .select(col("doc_id"), operators.Multimodal.ppmPayload(col("text")).as("payload"))
+    // the filter prunes the media table BEFORE decode (a semi-join on
+    // the filtered doc ids — only matching payloads are parsed)
+    val media = mediaTable(spark, dir)
+      .join(docs.where(col("lang") === "en").select("doc_id"), Seq("doc_id"), "leftsemi")
     val feats = operators.Multimodal.decode(media).toDF().select(col("doc_id"), col("features"))
     val probe = mediaProbe(spark, dir)
     val vecLeg = Knn.searchExact(feats, "doc_id", "features", probe, k = 50, metric = "l2")
@@ -1935,15 +1937,28 @@ object Queries {
   // D. Multimodal (real P6/PPM codec over synthesized payloads)
   // =====================================================================
 
-  /** The corpus as a binary media table: multi-frame P6 payloads
-    * synthesized IN-PLAN from the documents (codegen'd expressions, no
-    * UDF — [[operators.Multimodal.ppmPayload]]; spec in TESTDATA.md).
-    * Everything downstream parses these REAL bytes.
+  /** The corpus as a binary media table AT REST: multi-frame P6
+    * payloads synthesized from the documents (codegen'd expressions, no
+    * UDF — [[operators.Multimodal.ppmPayload]]; spec in TESTDATA.md)
+    * and MATERIALIZED once as a written-once parquet artifact. In a
+    * real lake the media bytes ARE the stored input — the synthesis
+    * exists only because the testdata ships no media files — so the
+    * queries model the real shape: binary columns read from parquet,
+    * decoded at read ([[operators.Multimodal.decode]]); they never pay
+    * the generator. [[Artifacts]] lifecycle: corpus rewrite rebuilds,
+    * restart adopts.
     */
-  private def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        operators.Multimodal.ppmPayload(col("text")).as("payload"))
+  private def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = operators.Artifacts.resolve(spark, "ppm_media",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "ppm-v1")) { tmp =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          operators.Multimodal.ppmPayload(col("text")).as("payload"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
 
   /** The decode → embed leg shared by [[multimodalEmbed]] and the
     * hybrid queries: payloads decode partition-wise through the REAL
