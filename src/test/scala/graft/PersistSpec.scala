@@ -668,10 +668,19 @@ class PersistSpec extends SparkSpec {
     val gids = vecs.select("id").collect().map(_.getLong(0)).sorted
     gidx.deleteAll(gids.take(5).toSeq.toDF("id")) // 5/60 < 20%
     assert(Tombstones.present(spark, gp))
+    // below the threshold the facade's stats surface the lifecycle state
+    val gs = gidx.stats.collect().head
+    assert(gs.getAs[Long]("n_tombstones") === 5L)
+    assert(gs.getAs[Double]("autocompact_threshold") === 0.2)
+    assert(gs.getAs[Long]("n_physical") === gids.length.toLong)
     val g2 = gidx.deleteAll(gids.slice(5, 15).toSeq.toDF("id")) // 15/60 = 25%
     assert(!Tombstones.present(spark, gp),
       "the graph sidecar must fold into data + serve tables past the threshold")
     assert(g2.count === (gids.length - 15).toLong)
+    val gs2 = g2.stats.collect().head
+    assert(gs2.getAs[Long]("n_tombstones") === 0L)
+    assert(gs2.getAs[Double]("dead_fraction") === 0.0)
+    assert(gs2.getAs[Long]("n_physical") === (gids.length - 15).toLong)
     // the folded serving layout carries no deleted endpoint
     val edges = spark.read.parquet(s"$gp/serve/edges")
     val dead = gids.take(15).toSet

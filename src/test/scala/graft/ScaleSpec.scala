@@ -266,6 +266,12 @@ class ScaleSpec extends SparkSpec {
       operators.IvfIndex.searchPersisted(s, path, "vec_id", "embedding",
         centroids, Array.fill(64)(0.1f), k = 10, nprobe = 4)
     }),
+    // the round-11 codec path: the warm pass materializes the ppm_media
+    // artifact, so the cold run is the serving shape — binary parquet
+    // scan + partition-wise P6 parse + feature kNN. Decode is map-side
+    // (mapPartitions) and the top-k cut is TakeOrdered, so shuffle must
+    // NOT grow with the corpus even as the decoded bytes do
+    ("multimodal_decode", "bounded", SparkEntry.queries("multimodal_embed")),
     // the heaviest keyed tail: position-tagged symmetric-delete blocking
     // (one df-capped posting shuffle, map-side pair expansion) — the
     // salted customer replicas keep match mass linear, the 256-id block
