@@ -809,7 +809,18 @@ object Oracles {
   private def embeddingLshSql(bandPlanes: Array[Array[Array[Float]]], minCosine: Double,
                               cap: Int = 256): String = {
     val nBits = bandPlanes.head.length
-    s"""WITH pl AS ${paramRows(bandPlanes.flatten, "pid", "wv")},
+    s"""WITH ${embeddingLshCandCtes(bandPlanes, cap)}
+       |SELECT a_id, b_id, (round((p.c) * 10000.0) / 10000.0) AS cosine,
+       |       cap.n_capped_buckets, cap.n_ids_in_capped
+       |FROM p CROSS JOIN cap WHERE p.c >= $minCosine ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** The shared df-capped sign-LSH candidate chain (blocks, cap stats,
+    * candidate pairs with exact cosines).
+    */
+  private def embeddingLshCandCtes(bandPlanes: Array[Array[Array[Float]]], cap: Int): String = {
+    val nBits = bandPlanes.head.length
+    s"""pl AS ${paramRows(bandPlanes.flatten, "pid", "wv")},
        |bdot AS (SELECT e.vec_id, pl.pid // $nBits AS band, pl.pid % $nBits AS p,
        |                ${dot("e.embedding", "pl.wv")} AS d
        |         FROM embeddings e CROSS JOIN pl),
@@ -824,10 +835,23 @@ object Oracles {
        |         JOIN pop ON pop.band = a.band AND pop.bucket = a.bucket
        |         WHERE pop.c <= $cap),
        |p AS (SELECT a_id, b_id, ${cosine("ea.embedding", "eb.embedding")} AS c
-       |      FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)
-       |SELECT a_id, b_id, (round((p.c) * 10000.0) / 10000.0) AS cosine,
-       |       cap.n_capped_buckets, cap.n_ids_in_capped
-       |FROM p CROSS JOIN cap WHERE p.c >= $minCosine ORDER BY a_id, b_id""".stripMargin
+       |      FROM cand JOIN embeddings ea ON ea.vec_id = a_id JOIN embeddings eb ON eb.vec_id = b_id)""".stripMargin
+  }
+
+  /** Candidate-pair counts per cosine threshold over the SAME capped
+    * candidate set — the DuckDB twin of
+    * [[Queries.dedupEmbeddingThresholdCurve]]. LEFT JOIN (not a filtered
+    * cross join) so a threshold with zero pairs still yields its row.
+    */
+  private def embeddingThresholdCurveSql(bandPlanes: Array[Array[Array[Float]]],
+                                         thresholds: Seq[Double], cap: Int = 256): String = {
+    val ts = thresholds.map(t => s"CAST($t AS DOUBLE)").mkString(", ")
+    s"""WITH ${embeddingLshCandCtes(bandPlanes, cap)},
+       |r AS (SELECT (round((p.c) * 10000.0) / 10000.0) AS c4 FROM p),
+       |u AS (SELECT unnest([$ts]) AS t)
+       |SELECT u.t AS min_cosine, CAST(count(r.c4) AS BIGINT) AS n_pairs
+       |FROM u LEFT JOIN r ON r.c4 >= u.t
+       |GROUP BY u.t ORDER BY min_cosine""".stripMargin
   }
 
   /** PQ ADC search: per-subspace code assignment (argmin over the literal
@@ -1254,7 +1278,9 @@ object Oracles {
         reranks = Seq(10, 25, 50, 100, emb.count().toInt)),
       "ann_binary_rerank_curve" -> binaryRerankCurveSql(queryId = 11L, k = 10,
         reranks = Seq(10, 25, 50, 100, emb.count().toInt)),
-      "dedup_embedding" -> embeddingLshSql(dedupPlanes, minCosine = 0.35))
+      "dedup_embedding" -> embeddingLshSql(dedupPlanes, minCosine = 0.35),
+      "dedup_embedding_threshold_curve" -> embeddingThresholdCurveSql(dedupPlanes,
+        thresholds = Seq(0.2, 0.35, 0.5, 0.65, 0.8)))
   }
 
   val sql: Map[String, String] = Map(

@@ -1700,6 +1700,28 @@ object Queries {
     Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
       operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64), minCosine = 0.35)
 
+  /** The embedding-dedup threshold knob's readout (beside
+    * [[dedupThresholdCurve]]'s minhash twin): candidate-pair counts at
+    * min_cosine ∈ {0.2, 0.35, 0.5, 0.65, 0.8} — ONE df-capped blocked
+    * candidate table (the [[dedupEmbedding]] kernel at threshold −1,
+    * so every in-block pair carries its cosine), each curve point a
+    * conditional count over the stored (4-dp) cosine column, never a
+    * re-block. What a pipeline owner reads before picking the semantic
+    * dedup cut.
+    */
+  def dedupEmbeddingThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val cand = Dedup.embeddingCosinePairs(Tables.embeddings(spark, dir),
+      "vec_id", "embedding",
+      operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64),
+      minCosine = -1.0)
+      .select("cosine")
+    Seq(0.2, 0.35, 0.5, 0.65, 0.8).map { t =>
+      cand.where(col("cosine") >= t)
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(lit(t).as("min_cosine"), col("n_pairs"))
+    }.reduce(_ unionAll _).orderBy("min_cosine")
+  }
+
   /** Incremental ingest dedup: the doc_id % 10 == 0 slice plays the
     * incoming batch, checked against the rest of the corpus — candidates
     * form only batch×corpus, never corpus×corpus
