@@ -113,13 +113,16 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * table first — one semi-join probe per append, limit-1 cheap.
     *
     * The check-then-append pair is serialized per index path with a JVM
-    * lock (in-process racers queue), and across PROCESSES by the
-    * artifact's single-writer lease ([[graft.operators.Artifacts.withLease]]):
-    * a second process's append fails loudly naming the holder instead
-    * of passing a probe whose answer the concurrent writer is changing.
+    * lock (in-process racers queue — delete and compact take the SAME
+    * lock, so in-process contention between ANY two maintenance verbs
+    * queues instead of one of them failing on the other's lease), and
+    * across PROCESSES by the artifact's single-writer lease
+    * ([[graft.operators.Artifacts.withLease]]): a second process's
+    * append fails loudly naming the holder instead of passing a probe
+    * whose answer the concurrent writer is changing.
     */
   def append(docs: DataFrame, idCol: String, textCol: String): TextIndex =
-    TextIndex.appendLocks.computeIfAbsent(path, _ => new Object).synchronized {
+    TextIndex.verbLocks.computeIfAbsent(path, _ => new Object).synchronized {
      graft.operators.Artifacts.withLease(spark, path, "TextIndex.append") {
       val batchIds = docs.select(col(idCol).cast("long").as("doc_id"))
       // probe the RAW doclen table, not the tombstone-filtered accessor:
@@ -158,20 +161,23 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * remove_vectors): `ids` rows (first column, cast long) stop
     * appearing in EVERY search — BM25 stats, df, phrase/near matches —
     * without a rebuild; [[compact]] later folds the tombstones into the
-    * data files. Like append, single-writer across processes.
+    * data files. Like append, single-writer across processes AND
+    * queued behind append's per-path JVM lock in-process.
     */
   def delete(ids: DataFrame): TextIndex =
-    graft.operators.Artifacts.withLease(spark, path, "TextIndex.delete") {
+    TextIndex.verbLocks.computeIfAbsent(path, _ => new Object).synchronized {
+     graft.operators.Artifacts.withLease(spark, path, "TextIndex.delete") {
       Tombstones.append(spark, path, ids)
       // growth policy: the sidecar must not grow unbounded between manual
       // compact() calls (every read pays the anti-join + the dead-row
-      // scan). Once it exceeds the artifact's recorded threshold of the
-      // doc table's physical rows, fold it in right here — the same
-      // crash-safe compact the manual verb runs. Footer-only counts, so
-      // the check itself is O(metadata) per delete.
+      // scan). Once its distinct dead ids exceed the artifact's recorded
+      // threshold of the doc table's physical rows, fold it in right
+      // here — the same crash-safe compact the manual verb runs. A
+      // footer count on the doc table + a narrow sidecar scan per delete.
       Tombstones.maybeCompact(spark, path, compactTables,
         spark.read.parquet(s"$path/doclen").count())
       this
+     }
     }
 
   /** Both artifact tables of a tombstone fold — shared by [[compact]]
@@ -191,31 +197,38 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * and the read-time anti-join disappears (PersistSpec asserts both).
     */
   def compact(): TextIndex =
-    graft.operators.Artifacts.withLease(spark, path, "TextIndex.compact") {
+    TextIndex.verbLocks.computeIfAbsent(path, _ => new Object).synchronized {
+     graft.operators.Artifacts.withLease(spark, path, "TextIndex.compact") {
       if (Tombstones.present(spark, path))
         Tombstones.compact(spark, path, compactTables)
       else
         Retrieval.compactPostings(spark, s"$path/postings")
       this
+     }
     }
 
   def count: Long = docLengths.count()
 
   /** Index bookkeeping incl. the tombstone lifecycle state: live vs
-    * physical docs, sidecar rows, the dead fraction every read
-    * currently pays, and the recorded auto-compact threshold — the
+    * physical docs, distinct dead ids, the dead fraction every read
+    * currently pays, the recorded auto-compact threshold, and the
+    * single-writer lease state (`lease_held` + the holder's payload —
+    * a held or orphaned lease is visible here BEFORE a maintenance
+    * verb fails on it; the crashed-holder runbook is in README) — the
     * operational stats a serving owner reads before wondering why the
     * anti-join is in the plan.
     */
   def stats: DataFrame = {
     val physical = spark.read.parquet(s"$path/doclen").count()
     val tomb = Tombstones.rowCount(spark, path)
+    val lease = graft.operators.Artifacts.leaseInfo(spark, path)
     import spark.implicits._
     Seq((count, physical, tomb,
       tomb.toDouble / math.max(physical, 1L),
-      Tombstones.policyRatio(spark, path)))
+      Tombstones.policyRatio(spark, path),
+      lease.isDefined, lease.orNull))
       .toDF("n_docs", "n_physical", "n_tombstones", "dead_fraction",
-        "autocompact_threshold")
+        "autocompact_threshold", "lease_held", "lease_holder")
   }
 }
 
@@ -262,9 +275,12 @@ object TextIndex {
     new TextIndex(spark, path)
   }
 
-  /** Per-index-path JVM locks serializing [[TextIndex.append]]'s
-    * check-then-append pair (see its scaladoc).
+  /** Per-index-path JVM locks serializing ALL in-process maintenance
+    * verbs (append / delete / compact — see [[TextIndex.append]]'s
+    * scaladoc): same-JVM racers queue consistently regardless of which
+    * two verbs collide, instead of one failing on the other's
+    * cross-process lease.
     */
-  private val appendLocks =
+  private val verbLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -292,9 +292,12 @@ class VectorIndex private (
   }
 
   /** Index bookkeeping incl. the tombstone lifecycle state of a
-    * path-backed index: live vs physical rows, sidecar rows, the dead
-    * fraction every serving read currently anti-joins away, and the
-    * recorded auto-compact threshold.
+    * path-backed index: live vs physical rows, distinct dead ids, the
+    * dead fraction every serving read currently anti-joins away, the
+    * recorded auto-compact threshold, and the single-writer lease
+    * state (`lease_held` + the holder's payload — a held or orphaned
+    * lease is visible here BEFORE a maintenance verb fails on it; the
+    * crashed-holder runbook is in README).
     */
   def stats: DataFrame = {
     import spark.implicits._
@@ -303,10 +306,12 @@ class VectorIndex private (
         Tombstones.rowCount(spark, p), Tombstones.policyRatio(spark, p))
       case None => (count, 0L, Tombstones.defaultAutoCompactRatio)
     }
+    val lease = loadedPath.flatMap(p => Artifacts.leaseInfo(spark, p))
     Seq((count, physical, tomb,
-      tomb.toDouble / math.max(physical, 1L), ratio))
+      tomb.toDouble / math.max(physical, 1L), ratio,
+      lease.isDefined, lease.orNull))
       .toDF("n_vectors", "n_physical", "n_tombstones", "dead_fraction",
-        "autocompact_threshold")
+        "autocompact_threshold", "lease_held", "lease_holder")
   }
 
   /** reference: router/handle/query_handle.rs — point lookup by id. */

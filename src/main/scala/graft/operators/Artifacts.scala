@@ -247,14 +247,18 @@ object Artifacts {
     */
   def withLease[T](spark: SparkSession, dir: String, verb: String)(body: => T): T = {
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a missing artifact dir must surface as ITS OWN failure: createNewFile
+    // on a nonexistent parent throws IOException, which the acquire loop
+    // below would misreport as a phantom "held by <unreadable>" holder
+    if (!fs.exists(new Path(dir)))
+      throw new IllegalStateException(
+        s"$verb on $dir: the artifact directory does not exist — nothing to " +
+          "lease (build or save the artifact first)")
     val p = new Path(dir, leaseName)
     val token = java.util.UUID.randomUUID().toString
     val payload =
       s"""{"token": "$token", "verb": "$verb", "pid": "${ProcessHandle.current().pid()}", "acquired_at_ms": ${System.currentTimeMillis()}}"""
-    def holder: String = {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
+    def holder: String = readHolder(fs, p)
     val acquired =
       if ("file" == Option(fs.getUri.getScheme).getOrElse("file")) {
         val f = new java.io.File(fs.makeQualified(p).toUri.getPath)
@@ -290,5 +294,35 @@ object Artifacts {
     val p = new Path(dir, leaseName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  /** The lease file's payload, distinguishing the acquire window: the
+    * owner writes `{token, verb, pid, acquired_at_ms}` in a second step
+    * AFTER the atomic create, so an empty (or unreadable) file means
+    * acquisition in progress — or a holder that crashed before writing
+    * its payload, the [[breakLease]] candidate an operator looks for.
+    */
+  private def readHolder(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    if (raw.trim.isEmpty)
+      "<no payload yet: acquisition in progress, or the holder crashed " +
+        "before recording itself — if it persists, breakLease>"
+    else raw
+  }
+
+  /** Observability probe for the single-writer lease: None when the
+    * artifact is free, Some(payload) when a lease file exists — the
+    * holder's `{token, verb, pid, acquired_at_ms}` JSON, or the
+    * in-progress marker for an empty file. Surfaced by the facade
+    * `stats` frames beside the tombstone lifecycle numbers, so a held
+    * or orphaned lease is visible BEFORE a maintenance verb fails on
+    * it (the crashed-holder runbook lives in README).
+    */
+  def leaseInfo(spark: SparkSession, dir: String): Option[String] = {
+    val p = new Path(dir, leaseName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(scala.util.Try(readHolder(fs, p)).getOrElse("<unreadable>"))
   }
 }

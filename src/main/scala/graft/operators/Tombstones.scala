@@ -52,12 +52,17 @@ object Tombstones {
     idsDf.select(col(idsDf.columns.head).cast("long").as("id"))
       .write.mode("append").parquet(s"$base/$subdir")
 
-  /** Physical sidecar rows — a parquet footer-only count (no data
-    * pages read), cheap enough to run on every delete.
+  /** DISTINCT dead ids in the sidecar — what the growth policy and the
+    * stats `dead_fraction` are really about. Appends are only
+    * idempotent at read time, so repeated deletes of the same ids
+    * inflate the physical row count: counting raw rows would trigger
+    * [[maybeCompact]]'s full rewrite prematurely and overstate (even
+    * exceed 1.0) the true dead fraction. One narrow column scan of a
+    * sidecar the policy bounds at ~20% of the primary table.
     */
   def rowCount(spark: SparkSession, base: String): Long =
     if (!present(spark, base)) 0L
-    else spark.read.parquet(s"$base/$subdir").count()
+    else spark.read.parquet(s"$base/$subdir").select("id").distinct().count()
 
   /** Default growth-policy threshold: auto-compact once the sidecar
     * exceeds 20% of the primary table's physical rows. Why 0.2: until
@@ -106,11 +111,11 @@ object Tombstones {
   /** The growth policy: between manual `compact` calls the sidecar
     * grows unbounded and every read pays the anti-join — so the delete
     * verbs call this after appending. Folds the sidecar in (the same
-    * crash-safe [[compact]]) once it exceeds the recorded threshold ×
-    * the primary table's physical rows; below it, the append stays the
-    * cheap O(batch) operation it should be. Returns true iff it
-    * compacted. `primaryRows` is by-name: it costs a footer count and
-    * only runs when a sidecar exists.
+    * crash-safe [[compact]]) once its DISTINCT dead ids exceed the
+    * recorded threshold × the primary table's physical rows; below it,
+    * the append stays the cheap O(batch) operation it should be.
+    * Returns true iff it compacted. `primaryRows` is by-name: it costs
+    * a footer count and only runs when a sidecar exists.
     */
   def maybeCompact(spark: SparkSession, base: String, tables: Seq[TombTable],
                    primaryRows: => Long): Boolean = {

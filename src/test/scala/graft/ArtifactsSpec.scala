@@ -357,4 +357,52 @@ class ArtifactsSpec extends SparkSpec {
     assert(!fs.exists(leaseFile), "every outcome releases or never created the lease")
     assert(idx.count === before + 2)
   }
+
+  test("lease observability: stats surfaces held/orphaned leases (holder + acquisition time) and frees after release") {
+    val s = spark; import s.implicits._
+    import graft.api.TextIndex
+    val docs = graft.sources.Tables.documents(spark, sf001)
+      .select("doc_id", "text").where(col("doc_id") < 30)
+    val path = tmp("graft-lease-obs") + "/tidx"
+    val idx = TextIndex.build(docs, "doc_id", "text", path)
+
+    // free: no lease row noise
+    val free = idx.stats.collect().head
+    assert(!free.getAs[Boolean]("lease_held"))
+    assert(free.getAs[String]("lease_holder") == null)
+
+    // held: the stats row names the holder verb, pid and acquisition
+    // time — visible BEFORE any maintenance verb fails on it
+    Artifacts.withLease(spark, path, "obsVerb") {
+      val held = idx.stats.collect().head
+      assert(held.getAs[Boolean]("lease_held"))
+      val h = held.getAs[String]("lease_holder")
+      assert(h.contains("obsVerb") && h.contains("acquired_at_ms")
+        && h.contains("pid"), h)
+      assert(Artifacts.leaseInfo(spark, path).exists(_.contains("obsVerb")))
+    }
+    assert(!idx.stats.collect().head.getAs[Boolean]("lease_held"))
+    assert(Artifacts.leaseInfo(spark, path).isEmpty)
+
+    // the acquire window / crashed-pre-payload case reads as its own
+    // marker, not as a phantom holder
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_lease"), false).close()
+    val orphan = idx.stats.collect().head
+    assert(orphan.getAs[Boolean]("lease_held"))
+    assert(orphan.getAs[String]("lease_holder").contains("acquisition in progress"),
+      orphan.getAs[String]("lease_holder"))
+    val blocked = intercept[IllegalStateException](idx.compact())
+    assert(blocked.getMessage.contains("acquisition in progress")
+      || blocked.getMessage.contains("breakLease"), blocked.getMessage)
+    Artifacts.breakLease(spark, path)
+    assert(!idx.stats.collect().head.getAs[Boolean]("lease_held"))
+
+    // a missing artifact dir is its own loud failure, not a phantom
+    // "<unreadable>" holder
+    val missing = intercept[IllegalStateException](
+      Artifacts.withLease(spark, tmp("graft-lease-obs") + "/no-such-artifact", "v") {})
+    assert(missing.getMessage.contains("does not exist"), missing.getMessage)
+  }
 }

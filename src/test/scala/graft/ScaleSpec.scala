@@ -50,7 +50,7 @@ class ScaleSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$outDir/_scale_built")
-    val want = operators.Artifacts.fingerprint(spark, Seq(srcDir), spec = s"scale-v3 x$k")
+    val want = operators.Artifacts.fingerprint(spark, Seq(srcDir), spec = s"scale-v4 x$k")
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -66,17 +66,21 @@ class ScaleSpec extends SparkSpec {
         .parquet(s"$outDir/$t.parquet")
 
     // customer replicates too (the linkage certificate needs its rows to
-    // grow), copy 0 raw; later copies append a 3-char single-letter salt
-    // to c_name, so two copies of the SAME customer sit at edit distance
-    // 3 (never a spurious ED ≤ 1 match) while WITHIN a copy the base
-    // ED structure is untouched (a shared suffix cancels) ⇒ linkage
-    // match mass grows exactly linearly. Orders keep referencing the
-    // copy-0 custkeys, which are unchanged — FK integrity holds.
+    // grow), copy 0 raw; later copies append a 6-char ALPHABETIC salt to
+    // c_name — the rep's 2-char base-26 code repeated 3 times, so any two
+    // distinct reps' salts differ in ≥ 3 positions (never a spurious
+    // ED ≤ 2 match) and stay pure letters for ANY rep count (a raw
+    // chr(65 + rep) walks past 'Z' into '[', '\', ']' at rep ≥ 26 —
+    // fragile if names are ever regex-processed downstream). WITHIN a
+    // copy the base ED structure is untouched (a shared suffix cancels)
+    // ⇒ linkage match mass grows exactly linearly. Orders keep
+    // referencing the copy-0 custkeys, which are unchanged — FK holds.
     rep(spark.read.parquet(s"$srcDir/customer.parquet"))
       .withColumn("c_custkey", col("c_custkey") + col("rep") * shift)
       .withColumn("c_name", when(col("rep") === 0, col("c_name"))
         .otherwise(concat(col("c_name"),
-          expr("repeat(chr(65 + rep), 3)")))).drop("rep")
+          expr("repeat(concat(chr(65 + rep // 26), chr(65 + rep % 26)), 3)"))))
+      .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
     rep(spark.read.parquet(s"$srcDir/orders.parquet"))
