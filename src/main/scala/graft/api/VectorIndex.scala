@@ -158,29 +158,30 @@ class VectorIndex private (
 
   /** Re-open the maintained artifact after a mutation: fresh data read
     * (the file listing must include just-appended batches) with the
-    * tombstone sidecar applied, same fitted params, same path.
+    * generation-aware tombstone filter applied, same fitted params,
+    * same path.
     */
   private def reopened(p: String): VectorIndex =
-    new VectorIndex(key, params, spark,
-      Tombstones.filter(spark.read.parquet(s"$p/data"), p, "id"),
+    new VectorIndex(key, params, spark, VectorIndex.liveGraphData(spark, p),
       loadedCentroids, loadedCodebooks, loadedBounds, loadedPath)
 
-  /** Loud guard for the maintained-GRAPH ingest paths: an id in the
-    * root tombstone sidecar may have NO physical rows left, so the
-    * standing-layout probe inside [[graft.operators.Knn.appendGraphEdges]]
-    * cannot catch it — but the read-time anti-join would silently hide
-    * the re-appended rows (the same hazard [[graft.api.TextIndex.append]]
-    * guards against).
+  /** Loud guard for the maintained-GRAPH ingest paths, now needed only
+    * for LEGACY kill-every-generation tombstones (plain sidecar rows a
+    * pre-generation delete wrote): a generation-scoped tombstone lets
+    * the id be reused — the re-appended rows carry a HIGHER generation
+    * and survive the read filter — but a kill-all row would silently
+    * hide them (the hazard [[graft.api.TextIndex.append]] guards
+    * against).
     */
-  private def requireNotTombstoned(p: String, batch: DataFrame): Unit =
+  private def requireNotForeverTombstoned(p: String, batch: DataFrame): Unit =
     if (Tombstones.present(spark, p)) {
-      val t = Tombstones.ids(spark, p)
+      val t = Tombstones.tombs(spark, p).where(col("upto") === Long.MaxValue)
       val hit = batch.select(col("id")).join(t, Seq("id"), "leftsemi")
         .limit(1).collect()
       require(hit.isEmpty,
-        s"id ${hit.headOption.map(_.get(0)).orNull} is tombstoned in $p — its rows " +
-          "would be hidden by the read-time anti-join; save() a compacted copy " +
-          "before reusing a deleted id")
+        s"id ${hit.headOption.map(_.get(0)).orNull} carries a kill-all tombstone in " +
+          s"$p (written by a pre-generation delete) — its rows would be hidden by " +
+          "the read filter; save() a compacted copy before reusing it")
     }
 
   /** Bulk append; `rows` needs columns (id, vectors[, data]). The dim
@@ -202,10 +203,14 @@ class VectorIndex private (
       // another writer's
       Artifacts.withLease(spark, p, "VectorIndex.insertAll") {
         val batch = normalize(rows, key.dim)
-        requireNotTombstoned(p, batch)
+        requireNotForeverTombstoned(p, batch)
+        // every mutating batch gets its own generation stamp, so a
+        // previously-deleted id re-inserted here outlives its tombstone
+        // (gen > upto) with no compact needed
+        val g = Tombstones.nextGen(spark, p)
         Knn.appendGraphEdges(batch, "id", "vectors", cents, params.graphK,
           key.metricType.name, graphPath = None, layoutPath = s"$p/data",
-          servePath = Some(s"$p/serve"))
+          servePath = Some(s"$p/serve"), gen = Some(g), tombRoot = Some(p))
         reopened(p)
       }
     case None =>
@@ -220,24 +225,49 @@ class VectorIndex private (
     upsertAll(rowsDf(spark, Seq((id, vector, Option(data)))))
   }
 
-  /** On a path-backed GRAPH index an all-new-ids upsert IS an insert
-    * (probed against the raw layout and the sidecar) and maintains the
-    * serving layout; an in-place vector CHANGE invalidates the stored
-    * edges of the changed node and of everyone who points at it, which
-    * the append twin cannot express — that batch falls back to the
-    * in-plan path (serving layout dropped, never served stale).
+  /** On a path-backed GRAPH index the upsert MAINTAINS the serving
+    * layout in place — the reference's PRIMARY mutation verb
+    * (vector_database.rs:24-83: remove the existing id's vector,
+    * re-insert the new one) without ever dropping the persisted
+    * layout: the standing rows of the batch's ids are tombstoned at
+    * `upto = g-1` (one generation-scoped sidecar append — the read
+    * filter kills the superseded data rows, medoid entries, and every
+    * edge that referenced them, because those all carry gen <= g-1),
+    * then the batch appends exactly like an insert at generation `g`
+    * (new cluster-partition rows + symmetrized serving edges scored
+    * against the LIVE standing side). No k-means refit, no graph
+    * rebuild, never stale — a 1-row update costs O(batch × touched
+    * clusters), not O(corpus). A standing node that pointed at the
+    * updated id loses that edge (its replacement arrives through the
+    * batch's symmetrized edges when the new vector ranks it) — the
+    * same one-sided envelope the insert twin states, and exactly how
+    * the reference's remove-then-reinsert behaves.
     */
   def upsertAll(rows: DataFrame): VectorIndex = maintainedGraph match {
-    case Some((p, _)) =>
-      val batch = normalize(rows, key.dim)
-      val standing = spark.read.parquet(s"$p/data").select(col("id"))
-        .join(batch.select(col("id")), Seq("id"), "leftsemi").limit(1).collect()
-      val tombed = Tombstones.present(spark, p) && {
-        val t = Tombstones.ids(spark, p)
-        batch.select(col("id")).join(t, Seq("id"), "leftsemi").limit(1).collect().nonEmpty
+    case Some((p, cents)) =>
+      Artifacts.withLease(spark, p, "VectorIndex.upsertAll") {
+        val batch = normalize(rows, key.dim)
+        requireNotForeverTombstoned(p, batch)
+        // PHYSICAL standing ids (not live-filtered): re-tombstoning an
+        // already-dead id at a higher upto is a no-op under the max-upto
+        // read rule, and probing raw ids keeps the sidecar-append plan
+        // from reading the very sidecar it appends to
+        val changed = spark.read.parquet(s"$p/data").select(col("id"))
+          .join(batch.select(col("id")), Seq("id"), "leftsemi").distinct()
+        // probe, then write: an all-new batch must not materialize an
+        // empty sidecar (that would put a tombstone join into every
+        // serving read for nothing)
+        val hasChanged = changed.limit(1).collect().nonEmpty
+        val g = Tombstones.nextGen(spark, p)
+        if (hasChanged) Tombstones.appendUpto(spark, p, changed, g - 1)
+        Knn.appendGraphEdges(batch, "id", "vectors", cents, params.graphK,
+          key.metricType.name, graphPath = None, layoutPath = s"$p/data",
+          servePath = Some(s"$p/serve"), gen = Some(g), tombRoot = Some(p))
+        if (hasChanged)
+          Tombstones.maybeCompact(spark, p, VectorIndex.graphCompactTables,
+            Tombstones.readWithGen(spark, s"$p/data").count())
+        reopened(p)
       }
-      if (standing.isEmpty && !tombed) insertAll(rows)
-      else withFreshState(Upsert.merge(bare, batch, "id"))
     case None =>
       withFreshState(Upsert.merge(bare, normalize(rows, key.dim), "id"))
   }
@@ -260,14 +290,18 @@ class VectorIndex private (
   def deleteAll(ids: DataFrame): VectorIndex = maintainedGraph match {
     case Some((p, _)) =>
       Artifacts.withLease(spark, p, "VectorIndex.deleteAll") {
-        Tombstones.append(spark, p, ids.select(col("id").cast("long")))
+        // upto = current generation: kills every row the id has as of
+        // now, while leaving the id REUSABLE — a later insert/upsert
+        // batch carries a higher generation and outlives this tombstone
+        Tombstones.appendUpto(spark, p, ids.select(col("id").cast("long")),
+          Tombstones.currentGen(spark, p))
         // growth policy: the sidecar anti-joins into EVERY serving read
         // (data, entries, both edge endpoints) — once it exceeds the
         // recorded threshold of the data table's physical rows, fold it
         // into all three layout tables right here (crash-safe swap;
         // load() recovers an interrupted fold)
         Tombstones.maybeCompact(spark, p, VectorIndex.graphCompactTables,
-          spark.read.parquet(s"$p/data").count())
+          Tombstones.readWithGen(spark, s"$p/data").count())
         reopened(p)
       }
     case None =>
@@ -302,7 +336,7 @@ class VectorIndex private (
   def stats: DataFrame = {
     import spark.implicits._
     val (physical, tomb, ratio) = loadedPath match {
-      case Some(p) => (spark.read.parquet(s"$p/data").count(),
+      case Some(p) => (Tombstones.readWithGen(spark, s"$p/data").count(),
         Tombstones.rowCount(spark, p), Tombstones.policyRatio(spark, p))
       case None => (count, 0L, Tombstones.defaultAutoCompactRatio)
     }
@@ -332,8 +366,8 @@ class VectorIndex private (
     require(k >= 1, "k must be at least 1")
     loadedServe match {
       // path-backed GRAPH index: walk the persisted serving layout —
-      // maintained across inserts/deletes, so no rebuild and no refit
-      // even after mutations (only an in-place vector change drops it)
+      // maintained across inserts, deletes AND in-place upserts, so no
+      // rebuild and no refit after any mutation
       case Some((entries, edges)) =>
         GraphAnn.searchBeam(entries, edges, vector, k,
           params.graphBeam, params.graphHops, key.metricType.name)
@@ -342,17 +376,23 @@ class VectorIndex private (
   }
 
   /** The persisted GRAPH serving frames. Inserts keep them current
-    * ([[insertAll]] appends the batch's symmetrized edges), deletes
-    * ride the index-root `_tombstones/` sidecar applied here at read
-    * (an entry dies with its id; an edge dies if EITHER endpoint is
-    * deleted) — so the walk never serves stale without ever rebuilding.
-    * Only an in-place vector change drops the path ([[upsertAll]]).
+    * ([[insertAll]] appends the batch's symmetrized edges); deletes AND
+    * in-place upserts ride the index-root `_tombstones/` sidecar
+    * applied here at read, generation-aware: an entry dies when a
+    * tombstone covers its generation; an edge dies when a tombstone of
+    * EITHER endpoint covers the EDGE's generation (an upserted id's
+    * old edges die, the replacement edges appended at the new
+    * generation live). The walk never serves stale without ever
+    * rebuilding — no mutation drops the path.
     */
   private def loadedServe: Option[(DataFrame, DataFrame)] =
     loadedPath.map { p =>
-      (Tombstones.filter(spark.read.parquet(s"$p/serve/entries"), p, "id")
+      (Tombstones.filterGen(
+         Tombstones.readWithGen(spark, s"$p/serve/entries"), p, "id", "gen")
          .select(col("id"), col("vec")),
-       Tombstones.filterEdges(spark.read.parquet(s"$p/serve/edges"), p, "src_id", "dst_id"))
+       Tombstones.filterEdgesGen(
+         Tombstones.readWithGen(spark, s"$p/serve/edges"), p, "src_id", "dst_id", "gen")
+         .select(col("src_id"), col("dst_id"), col("dst_vec")))
     }
 
   /** The GRAPH serving frames built IN-PLAN over `base` — the
@@ -727,10 +767,14 @@ class VectorIndex private (
         val centroids = IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L)
         if (centroids.nonEmpty) {
           IvfIndex.writeCentroids(spark, centroids, s"$path/centroids")
-          IvfIndex.writePartitioned(bare, "vectors", centroids, s"$path/data")
+          // generation 0 = the build; mutating batches stamp 1, 2, ...
+          // so generation-scoped tombstones can supersede exactly the
+          // rows/edges a given batch replaced
+          IvfIndex.writePartitioned(bare.withColumn("gen", lit(0L)), "vectors",
+            centroids, s"$path/data")
           GraphAnn.buildServing(
             Knn.knnJoinIvf(bare, "id", "vectors", centroids, params.graphK, key.metricType.name),
-            bare, "id", "vectors", centroids, s"$path/serve")
+            bare, "id", "vectors", centroids, s"$path/serve", gen = Some(0L))
         } else {
           bare.write.mode("overwrite").parquet(s"$path/data")
           // empty state builds no serving layout — a stale serve/ dir
@@ -741,9 +785,10 @@ class VectorIndex private (
           if (fs.exists(sp)) fs.delete(sp, true)
         }
         // a save rewrites the artifact from the (already tombstone-
-        // filtered) state — the previous path generation's sidecar must
-        // not outlive it and hide future reuses of the freed ids
+        // filtered) state — the previous path generation's sidecar and
+        // generation counter must not outlive it
         Tombstones.clear(spark, path)
+        Tombstones.clearGen(spark, path)
       case IndexType.FLAT | IndexType.BINARY =>
         // BINARY's sign words are a training-free map-side derivation, so
         // the persisted form is just the data (a hamming scan reads every
@@ -766,15 +811,26 @@ object VectorIndex {
     * serve-equality.
     */
   private[api] val graphCompactTables = Seq(
-    Tombstones.TombTable("data", Seq("id"), partitionCols = Seq("cluster")),
+    Tombstones.TombTable("data", Seq("id"), partitionCols = Seq("cluster"),
+      genCol = Some("gen")),
     Tombstones.TombTable("serve/edges", Seq("src_id", "dst_id"),
-      sortCols = Seq("src_id", "dst_id")),
-    Tombstones.TombTable("serve/entries", Seq("id")))
+      sortCols = Seq("src_id", "dst_id"), genCol = Some("gen")),
+    Tombstones.TombTable("serve/entries", Seq("id"), genCol = Some("gen")))
 
   /** Sub-quantizer codebook size (4-bit codes; the 8×16 convention the
     * PQ query family fixes — 8 bytes of code per 64-dim vector).
     */
   private val PqKsub = 16
+
+  /** The LIVE rows of a maintained GRAPH artifact's data table:
+    * generation-stamped read (mergeSchema — stamped appends coexist
+    * with the build's files) with the generation-aware tombstone
+    * filter, gen dropped so the state looks like any other loaded
+    * state downstream.
+    */
+  private[api] def liveGraphData(spark: SparkSession, p: String): DataFrame =
+    Tombstones.filterGen(Tombstones.readWithGen(spark, s"$p/data"), p, "id", "gen")
+      .drop("gen")
 
   /** reference: router/handle/create_index_handle.rs — registry init
     * keyed by (index_type, dim, metric_type); dim must be ≥ 1.
@@ -830,9 +886,13 @@ object VectorIndex {
     if (indexType == IndexType.GRAPH)
       for (t <- graphCompactTables)
         Tombstones.recover(spark, s"$path/${t.rel}")
-    // the root tombstone sidecar (path-backed GRAPH deletes) applies to
-    // every read of the data table; absent sidecar = unchanged plan
-    val state = Tombstones.filter(spark.read.parquet(s"$path/data"), path, "id")
+    // the root tombstone sidecar (path-backed GRAPH deletes/upserts)
+    // applies to every read of the data table, generation-aware for
+    // GRAPH (upserted ids' superseded rows die, their replacements
+    // live); absent sidecar = unchanged plan
+    val state =
+      if (indexType == IndexType.GRAPH) liveGraphData(spark, path)
+      else Tombstones.filter(spark.read.parquet(s"$path/data"), path, "id")
     val centroids =
       if ((indexType == IndexType.IVF || indexType == IndexType.IVFPQ
            || indexType == IndexType.GRAPH)

@@ -32,8 +32,15 @@ object IvfIndex {
     * fixed seed; centroids come back as plain float matrices so search
     * needs no MLlib at all.
     */
+  /** Observability: real KMeans runs (cache misses) — the no-refit
+    * properties on the maintained-GRAPH lifecycle assert a maintenance
+    * verb never bumps this.
+    */
+  private[graft] val fitRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def fit(emb: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
           maxSample: Long = 100000L): Array[Array[Float]] = {
+    fitRuns.incrementAndGet()
     val n = emb.count()
     if (n == 0L) return Array.empty // empty index: caller degrades to FLAT
     val frac = math.min(1.0, maxSample.toDouble / math.max(1L, n))

@@ -52,8 +52,18 @@ object GraphAnn {
     * centroids. Writes `edges/` and `entries/` under `base`.
     */
   def buildServing(graph: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
-                   centroids: Array[Array[Float]], base: String): Unit = {
-    val (entries, edges) = servingFrames(graph, emb, idCol, vecCol, centroids)
+                   centroids: Array[Array[Float]], base: String,
+                   gen: Option[Long] = None): Unit = {
+    val (entries0, edges0) = servingFrames(graph, emb, idCol, vecCol, centroids)
+    // generation-stamped layouts (the facade's maintained-GRAPH
+    // lifecycle) carry a `gen` column so generation-scoped tombstones
+    // ([[Tombstones.filterEdgesGen]]) can kill exactly the edges that
+    // referenced a superseded row; un-stamped callers (the keyed-query
+    // artifacts) keep the original schema.
+    val (entries, edges) = gen match {
+      case Some(g) => (entries0.withColumn("gen", lit(g)), edges0.withColumn("gen", lit(g)))
+      case None    => (entries0, edges0)
+    }
     // overwrite: re-saving an index to a previously-used path must
     // replace the layout, not throw mid-save after data was written
     edges

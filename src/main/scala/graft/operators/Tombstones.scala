@@ -47,10 +47,132 @@ object Tombstones {
   /** Append deletions: `idsDf`'s FIRST column (cast long) are the ids to
     * tombstone. Idempotent at read time (the anti-join dedups); appends
     * under the artifact's own directory so the ids version with it.
+    * Rows written here carry no generation bound, so generation-aware
+    * readers treat them as kill-EVERY-generation ([[tombs]]).
     */
   def append(spark: SparkSession, base: String, idsDf: DataFrame): Unit =
     idsDf.select(col(idsDf.columns.head).cast("long").as("id"))
       .write.mode("append").parquet(s"$base/$subdir")
+
+  /** Generation-SCOPED tombstone: kills only the rows of each id whose
+    * `gen` stamp is <= `uptoGen`; rows appended later (a higher
+    * generation) survive the read filter. This is what makes the
+    * in-place upsert verb append-only — tombstone the standing rows at
+    * upto = g-1, append the replacement batch at gen = g — and lets a
+    * deleted id be REUSED without a compact (delete at upto = current
+    * generation, re-insert at a later one). Plain [[append]] rows read
+    * as upto = Long.MaxValue (delete-forever, the pre-generation
+    * semantics old sidecars carry).
+    */
+  def appendUpto(spark: SparkSession, base: String, idsDf: DataFrame, uptoGen: Long): Unit =
+    idsDf.select(col(idsDf.columns.head).cast("long").as("id"),
+        lit(uptoGen).as("upto_gen"))
+      .write.mode("append").parquet(s"$base/$subdir")
+
+  /** The sidecar folded to (id, upto): the highest generation each dead
+    * id's tombstones cover (multiple tombstones for one id compose as
+    * their max — a row dies if ANY tombstone covers its generation).
+    * mergeSchema because plain [[append]] files lack the `upto_gen`
+    * column; those rows coalesce to Long.MaxValue.
+    */
+  def tombs(spark: SparkSession, base: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$base/$subdir")
+    val upto =
+      if (raw.columns.contains("upto_gen"))
+        coalesce(col("upto_gen").cast("long"), lit(Long.MaxValue))
+      else lit(Long.MaxValue)
+    raw.select(col("id").cast("long").as("id"), upto.as("upto"))
+      .groupBy("id").agg(max("upto").as("upto"))
+  }
+
+  /** Read a generation-stamped table: mergeSchema (files written before
+    * the table gained its `gen` column coexist with stamped appends)
+    * and a guaranteed `gen` column (absent or null reads as 0 — every
+    * pre-generation row belongs to generation 0 by definition).
+    */
+  def readWithGen(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(path)
+    if (raw.columns.contains("gen"))
+      raw.withColumn("gen", coalesce(col("gen").cast("long"), lit(0L)))
+    else raw.withColumn("gen", lit(0L))
+  }
+
+  /** Generation-aware read filter: a row survives unless a tombstone
+    * for its id covers its generation (`gen <= upto`). Strict
+    * generalization of [[filter]] — a sidecar of plain rows (upto =
+    * MaxValue) reproduces the anti-join exactly. No-op plan when the
+    * artifact has no live tombstones. The sidecar is policy-bounded
+    * (~20% of the primary table), so it broadcasts.
+    */
+  def filterGen(df: DataFrame, base: String, idCol: String, genCol: String): DataFrame =
+    if (!present(df.sparkSession, base)) df
+    else {
+      val t = tombs(df.sparkSession, base)
+        .select(col("id").as("_tomb_id"), col("upto").as("_tomb_upto"))
+      df.join(broadcast(t), df(idCol) === col("_tomb_id"), "left_outer")
+        .where(col("_tomb_upto").isNull || df(genCol) > col("_tomb_upto"))
+        .drop("_tomb_id", "_tomb_upto")
+    }
+
+  /** Edge-table variant of [[filterGen]]: an edge dies if EITHER
+    * endpoint has a tombstone covering the EDGE's generation — an edge
+    * written at generation g referenced the endpoint rows live at g, so
+    * a later tombstone (upto >= g) invalidates it, while an edge
+    * appended after the tombstone (gen > upto) references the
+    * endpoint's replacement rows and survives.
+    */
+  def filterEdgesGen(df: DataFrame, base: String, aCol: String, bCol: String,
+                     genCol: String): DataFrame =
+    if (!present(df.sparkSession, base)) df
+    else {
+      val t = tombs(df.sparkSession, base)
+      val ta = t.select(col("id").as("_ta_id"), col("upto").as("_ta_upto"))
+      val tb = t.select(col("id").as("_tb_id"), col("upto").as("_tb_upto"))
+      df.join(broadcast(ta), df(aCol) === col("_ta_id"), "left_outer")
+        .join(broadcast(tb), df(bCol) === col("_tb_id"), "left_outer")
+        .where((col("_ta_upto").isNull || df(genCol) > col("_ta_upto"))
+            && (col("_tb_upto").isNull || df(genCol) > col("_tb_upto")))
+        .drop("_ta_id", "_ta_upto", "_tb_id", "_tb_upto")
+    }
+
+  private def genPath(base: String) = new Path(s"$base/_gen")
+
+  /** The artifact's mutation-generation counter (`_gen` file at the
+    * artifact root, beside `_tombstone_policy`): 0 for an artifact no
+    * stamped mutation ever touched. Read/advanced only under the
+    * single-writer lease, so plain text is race-free.
+    */
+  def currentGen(spark: SparkSession, base: String): Long = {
+    val fs = fsOf(spark, base)
+    val p = genPath(base)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Advance and persist the generation counter — one call per mutating
+    * batch, under the lease. Returns the NEW generation (stamp the
+    * batch's rows/edges with it; tombstone superseded rows at upto =
+    * returned - 1).
+    */
+  def nextGen(spark: SparkSession, base: String): Long = {
+    val g = currentGen(spark, base) + 1
+    val fs = fsOf(spark, base)
+    val out = fs.create(genPath(base), true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+    g
+  }
+
+  /** Drop the counter (a full artifact rewrite — save() — resets the
+    * generation history along with the sidecar).
+    */
+  def clearGen(spark: SparkSession, base: String): Unit = {
+    val fs = fsOf(spark, base)
+    if (fs.exists(genPath(base))) fs.delete(genPath(base), false)
+  }
 
   /** DISTINCT dead ids in the sidecar — what the growth policy and the
     * stats `dead_fraction` are really about. Appends are only
@@ -167,7 +289,8 @@ object Tombstones {
     */
   final case class TombTable(rel: String, filterCols: Seq[String],
                              partitionCols: Seq[String] = Nil,
-                             sortCols: Seq[String] = Nil)
+                             sortCols: Seq[String] = Nil,
+                             genCol: Option[String] = None)
 
   /** Fold the sidecar into the data: rewrite each table minus the
     * tombstoned rows and clear the sidecar. Swap discipline per table =
@@ -188,8 +311,24 @@ object Tombstones {
       val fs = fsOf(spark, dir)
       val fresh = new Path(s"${dir}_tomb_new")
       val old = new Path(s"${dir}_tomb_old")
-      val kept = spec.filterCols.foldLeft(spark.read.parquet(dir)) { (df, c) =>
-        df.join(t, df(c) === t("id"), "left_anti")
+      // generation-stamped tables fold with the generation-aware keep
+      // rule ([[filterGen]] semantics — the fold must preserve exactly
+      // what the read filter serves); plain tables keep the anti-join.
+      // The rewrite stamps `gen` physically, so a table whose oldest
+      // files predate the column comes out schema-uniform.
+      val kept = spec.genCol match {
+        case Some(g) =>
+          val tg = tombs(spark, base)
+          spec.filterCols.foldLeft(readWithGen(spark, dir)) { (df, c) =>
+            val tt = tg.select(col("id").as(s"_t_$c"), col("upto").as(s"_u_$c"))
+            df.join(broadcast(tt), df(c) === col(s"_t_$c"), "left_outer")
+              .where(col(s"_u_$c").isNull || df(g) > col(s"_u_$c"))
+              .drop(s"_t_$c", s"_u_$c")
+          }
+        case None =>
+          spec.filterCols.foldLeft(spark.read.parquet(dir)) { (df, c) =>
+            df.join(t, df(c) === t("id"), "left_anti")
+          }
       }
       val sorted =
         if (spec.sortCols.nonEmpty)

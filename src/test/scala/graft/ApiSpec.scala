@@ -217,7 +217,7 @@ class ApiSpec extends SparkSpec {
     }
   }
 
-  test("GRAPH index: fresh search works, save -> load walks the layout identically, mutation drops it") {
+  test("GRAPH index: fresh search works, save -> load walks the layout identically, delete filters it") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
     val centers = Array.fill(6)(Array.fill(8)(rnd.nextGaussian().toFloat * 10))
@@ -313,27 +313,94 @@ class ApiSpec extends SparkSpec {
     assert(re2.search(q500, 3).collect().map(_.getLong(1)).contains(500L))
     assert(!re2.search(q42, 5).collect().map(_.getLong(1)).contains(42L))
 
-    // deleted-id reuse fails loudly (the appended rows would be hidden
-    // by the read-time anti-join — the TextIndex.append hazard)
-    val reuse = intercept[IllegalArgumentException] {
-      re2.insert(42L, rows(42)._2)
-    }
-    assert(reuse.getMessage.contains("tombstoned"), reuse.getMessage)
-    // standing-id re-insert fails loudly too (new-nodes-only)
+    // deleted-id reuse is LEGAL: the delete's tombstone is generation-
+    // scoped (upto = the generation at delete time), so the re-insert's
+    // rows carry a higher generation and outlive it — no compact needed
+    val reused = re2.insert(42L, rows(42)._2)
+    assert(reused.search(q42, 5).collect().map(_.getLong(1)).contains(42L),
+      "a re-inserted deleted id must be served again")
+    assert(reused.count === 270L)
+    // standing-id re-INSERT still fails loudly (new-nodes-only — upsert
+    // is the verb for that)
     val dupIns = intercept[IllegalArgumentException] {
-      re2.insert(500L, freshRows.head._2)
+      reused.insert(500L, freshRows.head._2)
     }
     assert(dupIns.getMessage.contains("new-nodes-only"), dupIns.getMessage)
 
-    // UPSERT of all-new ids is an insert (layout maintained); an
-    // in-place change falls back — serving layout dropped, never stale
-    val upNew = re2.upsert(600L, mk(600)._2)
+    // UPSERT of all-new ids is an insert (layout maintained)
+    val upNew = reused.upsert(600L, mk(600)._2)
     val upNewPlan = upNew.search(mk(600)._2, 3).queryExecution.executedPlan.toString
     assert(upNewPlan.contains("/serve/") && !upNewPlan.contains("/data"))
-    val moved = rows(7)._2.map(_ + 30f)
-    val upChanged = upNew.upsert(7L, moved)
-    assert(upChanged.search(moved, 3).collect().map(_.getLong(1)).contains(7L),
-      "an in-place vector change must be served from the fresh state, not the stale layout")
+    assert(upNew.count === 271L)
+  }
+
+  test("path-backed GRAPH in-place upsert maintains the serving layout: no k-means fit, no rebuild, never stale") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(5)(Array.fill(8)(rnd.nextGaussian().toFloat * 10))
+    def mk(i: Int): (Long, Array[Float], Option[String]) =
+      (i.toLong, centers(i % 5).map(x => x + rnd.nextGaussian().toFloat), None: Option[String])
+    val rows = (0 until 250).map(mk)
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-graph-upsert").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+        IndexParams(ivfClusters = 5, graphK = 5, graphBeam = 12, graphHops = 3))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+      .save(dir)
+    val re = VectorIndex.load(spark, dir)
+
+    def edgeFiles(): Set[String] = {
+      val d = new java.io.File(s"$dir/serve/edges")
+      d.listFiles().filter(f => f.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    val filesBefore = edgeFiles()
+    val fitsBefore = graft.operators.IvfIndex.fitRuns.get()
+
+    // in-place change: id 7 moves far away from its old position
+    val moved = rows(7)._2.map(_ + 6f)
+    val up = re.upsert(7L, moved)
+    val hits = up.search(moved, 5)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("/serve/") && !plan.contains("/data"),
+      "post-upsert search must still walk the persisted serving layout")
+    val got = hits.collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).contains(7L),
+      "the upserted id must be reachable through the maintained serving edges")
+    // never stale: served at the NEW vector's distance (we query the
+    // new vector itself, so its distance is 0), and the OLD position
+    // no longer serves id 7
+    assert(math.abs(got.find(_._1 == 7L).get._2) < 1e-3,
+      s"id 7 must be served at its new vector, got $got")
+    assert(!up.search(rows(7)._2, 3).collect().map(_.getLong(1)).contains(7L),
+      "the superseded vector must never be served")
+    assert(up.count === 250L, "an upsert replaces, never duplicates")
+    assert(up.query(7L).collect().head.getSeq[Float](1).toArray === moved)
+
+    // NO k-means fit job ran, and NO rebuild happened (the build's edge
+    // files survive untouched — maintenance is append-only)
+    assert(graft.operators.IvfIndex.fitRuns.get() === fitsBefore,
+      "an in-place upsert must not refit the coarse quantizer")
+    assert(filesBefore.subsetOf(edgeFiles()),
+      "an in-place upsert must append serving edges, not rewrite them")
+
+    // the artifact itself was maintained: a fresh load agrees
+    val re2 = VectorIndex.load(spark, dir)
+    assert(re2.count === 250L)
+    val reHits = re2.search(moved, 5).collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(reHits.toSeq === got.toSeq, "reload must serve exactly the mutated handle's answers")
+
+    // batch upsert mixing new + changed ids in one call
+    val mixMoved = rows(11)._2.map(_ - 6f)
+    val v700 = mk(700)._2
+    val mixed = up.upsertAll(Seq(
+      (700L, v700.toSeq, None: Option[String]),
+      (11L, mixMoved.toSeq, None: Option[String])).toDF("id", "vectors", "data"))
+    assert(mixed.count === 251L)
+    assert(mixed.search(mixMoved, 3).collect().map(_.getLong(1)).contains(11L))
+    assert(mixed.search(v700, 3).collect().map(_.getLong(1)).contains(700L))
+    assert(!mixed.search(rows(11)._2, 3).collect().map(_.getLong(1)).contains(11L))
+    val mixedPlan = mixed.search(mixMoved, 3).queryExecution.executedPlan.toString
+    assert(mixedPlan.contains("/serve/") && !mixedPlan.contains("/data"))
+    assert(graft.operators.IvfIndex.fitRuns.get() === fitsBefore)
   }
 
   test("knnGraph: FLAT graph equals brute force; self excluded") {
