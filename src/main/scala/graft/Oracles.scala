@@ -535,12 +535,13 @@ object Oracles {
     * start from the same v0, so round 1's visited set is `v0`
     * regardless of suffix).
     */
-  private def graphHopChain(beam: Int, hops: Int, sfx: String = ""): String =
+  private def graphHopChain(beam: Int, hops: Int, sfx: String = "",
+                            sym: String = "sym"): String =
     (1 to hops).map { h =>
       val fresh = if (h == 1) "v0" else s"s${h - 1}$sfx"
       val prev = if (h == 1) "v0" else s"v${h - 1}$sfx"
       s"""f$h$sfx AS (SELECT id FROM $fresh ORDER BY dist, id LIMIT $beam),
-         |x$h$sfx AS (SELECT DISTINCT s.dst AS id FROM f$h$sfx f JOIN sym s ON s.src = f.id
+         |x$h$sfx AS (SELECT DISTINCT s.dst AS id FROM f$h$sfx f JOIN $sym s ON s.src = f.id
          |        WHERE s.dst NOT IN (SELECT id FROM $prev)),
          |s$h$sfx AS (SELECT x.id, ${l2("e.embedding", "q.qv")} AS dist
          |        FROM x$h$sfx x JOIN embeddings e ON e.vec_id = x.id, q),
@@ -638,6 +639,57 @@ object Oracles {
        |$branches
        |SELECT beam, n_hits, (round((n_hits / 10) * 10000.0) / 10000.0) AS recall
        |FROM ($union) u ORDER BY beam""".stripMargin
+  }
+
+  /** recall@10 per graph DEGREE at fixed beam/hops — the DuckDB twin of
+    * [[Queries.annGraphDegreeCurve]] (the M knob). One WITH clause: the
+    * pair scores, medoid entries, v0 and the exact leg are shared and
+    * MATERIALIZED (the beam-knob oracle's inlining lesson); each degree
+    * gets its own top-K cut of the SAME ranking (the prefix property the
+    * Spark artifact exploits), its symmetrized edge set, and a suffixed
+    * unrolled walk. n_edges = that degree's symmetrized edge-set size —
+    * the storage cost riding each recall row.
+    */
+  private def graphDegreeKnobCurveSql(centroids: Array[Array[Float]], queryId: Long,
+                                      degrees: Seq[Int], beam: Int, hops: Int): String = {
+    val perK = degrees.map { kk =>
+      s"""gk$kk AS MATERIALIZED (SELECT q_id, n_id FROM d
+         |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $kk),
+         |symk$kk AS MATERIALIZED (SELECT q_id AS src, n_id AS dst FROM gk$kk
+         |        UNION SELECT n_id AS src, q_id AS dst FROM gk$kk)""".stripMargin
+    }.mkString(",\n")
+    val chains = degrees.map(kk =>
+      graphHopChain(beam, hops, sfx = s"k$kk", sym = s"symk$kk")).mkString(",\n")
+    val branches = degrees.map { kk =>
+      s"""bk$kk AS (SELECT $kk AS degree,
+         |  (SELECT count(*) FROM ex
+         |   WHERE id IN (SELECT id FROM v${hops}k$kk ORDER BY dist, id LIMIT 10)) AS n_hits,
+         |  (SELECT count(*) FROM symk$kk) AS n_edges)""".stripMargin
+    }.mkString(",\n")
+    val union = degrees.map(kk => s"SELECT * FROM bk$kk").mkString(" UNION ALL ")
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS MATERIALIZED (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |own AS MATERIALIZED (SELECT vec_id, cid, d2 FROM asg
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |cl AS MATERIALIZED (SELECT vec_id, cid FROM own),
+       |med AS MATERIALIZED (SELECT vec_id AS id FROM own
+       |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) = 1),
+       |d AS MATERIALIZED (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |v0 AS MATERIALIZED (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
+       |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
+       |ex AS MATERIALIZED (SELECT e.vec_id AS id FROM embeddings e, q
+       |       ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT 10),
+       |$perK,
+       |$chains,
+       |$branches
+       |SELECT degree, n_hits,
+       |  (round((n_hits / 10) * 10000.0) / 10000.0) AS recall, n_edges
+       |FROM ($union) u ORDER BY degree""".stripMargin
   }
 
   /** Cost + recall per nprobe from the same fitted centroids — the
@@ -1245,6 +1297,8 @@ object Oracles {
         graphK = 3, beam = 8, hops = 3),
       "ann_graph_beam_curve" -> graphBeamKnobCurveSql(scaledCents, queryId = 13L,
         graphK = 3, beams = Seq(2, 4, 8, 16, 32), hops = 3),
+      "ann_graph_degree_curve" -> graphDegreeKnobCurveSql(scaledCents, queryId = 13L,
+        degrees = Seq(3, 8, 16, 32), beam = 8, hops = 3),
       "filtered_ann_graph" -> graphBeamSql(scaledCentsFlt, queryId = 13L,
         graphK = 3, beam = 8, hops = 3, k = 10, where = " WHERE e.label = 2"),
       "filtered_knn_batch_graph" -> graphBeamBatchSql(scaledCentsFlt,

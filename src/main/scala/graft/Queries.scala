@@ -468,6 +468,75 @@ object Queries {
     }.reduce(_ unionAll _).orderBy("beam")
   }
 
+  /** The serving layout for the DEGREE knob's curve — ONE written-once
+    * artifact built at the maximum degree (32) with each symmetrized
+    * edge carrying its MIN directed build rank, so every smaller degree
+    * is a rank-prefix FILTER of the same artifact: the top-K cut of a
+    * top-32 k-NN build equals the degree-K build (prefix property of a
+    * fixed ranking), and sym(prefix_K) = {edges with min directed rank
+    * <= K}. Four walks, one build, one artifact — the 100 TB shape (a
+    * degree sweep must not cost four Σ|cluster|² graph builds).
+    */
+  private def degreeGraphServePath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "knngraph_serve_deg",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1 kmax=32")) { tmp =>
+      val emb = Tables.embeddings(spark, dir)
+      val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+      val graph = operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
+        k = 32, metric = "l2")
+      val directed = graph.select(col("q_id").as("src_id"), col("n_id").as("dst_id"),
+        col("rank"))
+      val sym = directed
+        .unionByName(directed.select(col("dst_id").as("src_id"),
+          col("src_id").as("dst_id"), col("rank")))
+        .groupBy("src_id", "dst_id").agg(min("rank").as("min_rank"))
+      sym
+        .join(emb.select(col("vec_id").as("dst_id"), col("embedding").as("dst_vec")),
+          "dst_id")
+        .select(col("src_id"), col("dst_id"), col("min_rank"), col("dst_vec"))
+        .repartitionByRange(col("src_id"))
+        .sortWithinPartitions("src_id", "dst_id")
+        .write.mode("overwrite").parquet(s"$tmp/edges")
+      val (entries, _) = operators.GraphAnn.servingFrames(graph, emb,
+        "vec_id", "embedding", centroids)
+      entries.select(col("id"), col("vec"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/entries")
+    }
+
+  /** The graph's THIRD knob — the degree (the reference's M:
+    * hnsw_index.rs builds at M = 16): recall@10 at graphK ∈
+    * {3, 8, 16, 32} with beam 8 / hops 3 fixed, and the symmetrized
+    * edge-artifact row count riding each row — the recall-vs-storage
+    * tradeoff an operator prices when sizing the serving layout. The
+    * beam curve proved the degree-3 plateau is GRAPH starvation (beam
+    * 32 lifts recall only to 0.5); this curve prices the fix. Each
+    * degree's walk runs over the rank-prefix filter of the shared
+    * max-degree artifact ([[degreeGraphServePath]] — the filter reaches
+    * the parquet scan). Oracle re-derives each degree's cut, edge set
+    * and unrolled walk from the same centroid literals.
+    */
+  def annGraphDegreeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = degreeGraphServePath(spark, dir)
+    val qv = queryVec(spark, dir, 13L)
+    val exact = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
+    Seq(3, 8, 16, 32).map { kk =>
+      val edges = spark.read.parquet(s"$base/edges").where(col("min_rank") <= kk)
+      val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+      val last = operators.GraphAnn.beamStates(entries, edges, qv,
+        beam = 8, hops = 3).last
+      val top = last.orderBy(col("dist"), col("id")).limit(10).select(col("id"))
+      exact.join(top, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(kk).as("degree"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+        .crossJoin(nEdges) // 1-row × 1-row broadcast
+    }.reduce(_ unionAll _).orderBy("degree")
+  }
+
   /** IVF with nprobe = K: every cluster probed ⇒ provably identical to
     * exact brute force (the oracle hash-matches knnSql), while exercising
     * the full build-assign-prune-rerank pipeline.

@@ -65,7 +65,10 @@ case class IndexKey(indexType: IndexType, dim: Int, metricType: Metric)
 /** Recall/latency knobs, the analog of the reference's HNSW parameters
   * (reference: src/core/index_factory.rs:110-123 — M, ef_construction,
   * ef_search): more probed clusters / fewer hash bits / larger probe
-  * radius ⇒ higher recall, more data scanned.
+  * radius ⇒ higher recall, more data scanned. graphK defaults to 16 —
+  * the reference's own M (hnsw_index.rs) and the measured knee of the
+  * `ann_graph_degree_curve` artifact (recall@10 0.4 → 0.7 at K = 3 → 16
+  * for 4.7× edge storage; K = 32 buys +0.1 for another 1.9×).
   */
 case class IndexParams(
     ivfClusters: Int = 16,
@@ -77,7 +80,7 @@ case class IndexParams(
     pqSubspaces: Int = 8,
     pqRerank: Int = 100,
     sqRerank: Int = 100,
-    graphK: Int = 3,
+    graphK: Int = 16,
     graphBeam: Int = 8,
     graphHops: Int = 3) {
   require(ivfClusters >= 1 && nprobe >= 1 && lshBits >= 1 && lshRadius >= 0
