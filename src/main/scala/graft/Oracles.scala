@@ -2510,6 +2510,23 @@ object Oracles {
          |FROM fk a JOIN fk b USING (fd) WHERE a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
 
+    // the MIXED table (spec av-v1): even doc_ids are P6 rasters, odd are
+    // RIFF/WAVE 8-bit PCM (44-byte canonical header + n sample bytes at
+    // 8 kHz mono). The oracle predicts BOTH formats' parsed fields from
+    // their spec arithmetic — P6 via the shared geometry CTE, WAV via
+    // n_bytes = 44 + n, n_units = n samples, rate 8000 — so a misrouted
+    // row or a misparsed little-endian chunk size goes hash-red.
+    "multimodal_mixed_meta" ->
+      s"""WITH ${ppmGeomCte("g")}
+         |SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'wav' END AS format,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN nf * (11 + fsz) ELSE 44 + n END AS INT) AS n_bytes,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN nf ELSE n END AS INT) AS n_units,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN w ELSE 0 END AS INT) AS width,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN w ELSE 0 END AS INT) AS height,
+         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS INT) AS sample_rate
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     // decoder features re-derived independently: 8-bucket histogram of
     // the PIXEL bytes (text bytes via ascii(char) — pure ASCII — plus
     // the final frame's zero padding in bucket 0), normalized by the

@@ -2051,6 +2051,43 @@ object Queries {
     spark.read.parquet(path)
   }
 
+  /** The MIXED-format media table (spec av-v1): even doc_ids carry
+    * multi-frame P6 raster payloads, odd doc_ids carry RIFF/WAVE 8-bit
+    * PCM payloads — one binary column, two real codecs behind it, both
+    * synthesized in-plan and materialized once like [[mediaTable]]. The
+    * mixed table is what a real media lake looks like: format is a
+    * property of the BYTES, not a partition.
+    */
+  private def avMediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val path = operators.Artifacts.resolve(spark, "av_media",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "av-v1")) { tmp =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            operators.Multimodal.ppmPayload(col("text")))
+            .otherwise(operators.Multimodal.wavPayload(col("text"))).as("payload"))
+        .write.mode("overwrite").parquet(tmp)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** Mixed-format media metadata — every row routed BY ITS OWN MAGIC
+    * BYTES to its codec in one partition-wise pass (P6 → the raster
+    * parser, RIFF → the LE chunk parser; [[operators.Multimodal
+    * .decodeAny]]): the proof the decode seam is codec-agnostic, not
+    * P6-shaped. n_units is frames for rasters, samples for audio;
+    * width/height vs sample_rate are each format's own parsed fields,
+    * zeroed for the other. Oracle predicts both formats' fields from
+    * their spec arithmetic — a misrouted row or a misparsed LE chunk
+    * size goes hash-red.
+    */
+  def multimodalMixedMeta(spark: SparkSession, dir: String): DataFrame =
+    operators.Multimodal.decodeAuto(avMediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("n_units"),
+        col("width"), col("height"), col("sample_rate"))
+      .orderBy("doc_id")
+
   /** The decode → embed leg shared by [[multimodalEmbed]] and the
     * hybrid queries: payloads decode partition-wise through the REAL
     * P6 parser to an 8-bin pixel-byte histogram sketch.

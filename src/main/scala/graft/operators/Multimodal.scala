@@ -110,6 +110,153 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Unified row for MIXED-format media (the per-row routing seam): the
+    * fields a raster decode fills (width/height, n_units = frames) and
+    * an audio decode fills (sample_rate, n_units = samples) coexist,
+    * each format zeroing the other's; features are the SAME 8-bin
+    * top-3-bits byte histogram for both, so downstream similarity ops
+    * work across formats unchanged.
+    */
+  case class DecodedAv(doc_id: Long, format: String, n_bytes: Int, n_units: Int,
+                       width: Int, height: Int, sample_rate: Int,
+                       features: Array[Float])
+
+  // ---- the second codec: WAV (RIFF little-endian PCM) ------------------
+  // Prove the decode seam is codec-agnostic, not P6-shaped: WAV's header
+  // is BINARY little-endian chunk structure (magic + sized chunks +
+  // packed fmt fields), a wholly different parsing discipline from P6's
+  // whitespace-separated ASCII tokens.
+  //
+  // Payload format (spec wav-v1, also in TESTDATA.md): the document's n
+  // utf-8 bytes as 8-bit unsigned mono PCM at 8 kHz behind the 44-byte
+  // canonical header — "RIFF" le32(36+n) "WAVE" "fmt " le32(16)
+  // le16(1 = PCM) le16(1 ch) le32(8000 rate) le32(8000 byte-rate)
+  // le16(1 block-align) le16(8 bits) "data" le32(n).
+
+  private val WavSampleRate = 8000
+
+  private def hexByteCol(b: Column): Column =
+    lpad(hex(b.cast("int")), 2, "0")
+
+  /** `width`-byte little-endian binary of an int column — unhex over
+    * per-byte hex pairs, codegen'd end to end (no UDF).
+    */
+  private def leBytes(v: Column, width: Int): Column =
+    unhex(concat((0 until width).map(i =>
+      hexByteCol(pmod(shiftright(v.cast("long"), 8 * i), lit(256L)))): _*))
+
+  /** The WAV payload as an IN-PLAN column over utf-8 text — the audio
+    * twin of [[ppmPayload]], same no-UDF discipline.
+    */
+  def wavPayload(textCol: Column): Column = {
+    val tb = encode(textCol, "utf-8")
+    val n = octet_length(tb)
+    concat(
+      encode(lit("RIFF"), "utf-8"), leBytes(n + 36, 4),
+      encode(lit("WAVEfmt "), "utf-8"), leBytes(lit(16), 4),
+      leBytes(lit(1), 2), leBytes(lit(1), 2),
+      leBytes(lit(WavSampleRate), 4), leBytes(lit(WavSampleRate), 4),
+      leBytes(lit(1), 2), leBytes(lit(8), 2),
+      encode(lit("data"), "utf-8"), leBytes(n, 4),
+      tb)
+  }
+
+  /** Driver-side twin of [[wavPayload]] (request-path encoding).
+    * MultimodalSpec asserts byte equality against the in-plan column.
+    */
+  def wavPayloadBytes(text: Array[Byte]): Array[Byte] = {
+    val n = text.length
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+    out.put("WAVEfmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1).putShort(1).putInt(WavSampleRate).putInt(WavSampleRate)
+    out.putShort(1).putShort(8)
+    out.put("data".getBytes("US-ASCII")).putInt(n)
+    out.put(text)
+    out.array()
+  }
+
+  private def le(payload: Array[Byte], pos: Int, width: Int, what: String): Int = {
+    require(pos + width <= payload.length, s"WAV parse: truncated $what at byte $pos")
+    var v = 0
+    var i = width - 1
+    while (i >= 0) { v = (v << 8) | (payload(pos + i) & 0xff); i -= 1 }
+    v
+  }
+
+  private def requireMagic(payload: Array[Byte], pos: Int, magic: String): Unit = {
+    val m = magic.getBytes("US-ASCII")
+    require(pos + m.length <= payload.length
+        && m.indices.forall(i => payload(pos + i) == m(i)),
+      s"WAV parse: expected '$magic' at byte $pos")
+  }
+
+  /** REAL RIFF/WAVE parse: magic chain, chunk sizes cross-checked
+    * against the physical length, fmt fields gated (PCM, mono, 8-bit —
+    * the maxval-255 analog), then the sample bytes histogram. Malformed
+    * bytes fail loudly, like [[decodePpm]].
+    */
+  def decodeWav(id: Long, payload: Array[Byte]): DecodedAv = {
+    requireMagic(payload, 0, "RIFF")
+    val riffLen = le(payload, 4, 4, "RIFF size")
+    require(riffLen + 8 == payload.length,
+      s"WAV parse: RIFF size $riffLen + 8 != physical ${payload.length}")
+    requireMagic(payload, 8, "WAVE")
+    requireMagic(payload, 12, "fmt ")
+    val fmtLen = le(payload, 16, 4, "fmt size")
+    require(fmtLen == 16, s"WAV parse: unsupported fmt chunk size $fmtLen")
+    val audioFormat = le(payload, 20, 2, "audio format")
+    require(audioFormat == 1, s"WAV parse: unsupported audio format $audioFormat (PCM only)")
+    val channels = le(payload, 22, 2, "channels")
+    require(channels == 1, s"WAV parse: unsupported channel count $channels (mono only)")
+    val rate = le(payload, 24, 4, "sample rate")
+    val bits = le(payload, 34, 2, "bits per sample")
+    require(bits == 8, s"WAV parse: unsupported bit depth $bits (8-bit only)")
+    requireMagic(payload, 36, "data")
+    val dataLen = le(payload, 40, 4, "data size")
+    require(44 + dataLen == payload.length,
+      s"WAV parse: data size $dataLen leaves ${payload.length - 44} physical sample bytes")
+    val hist = new Array[Float](8)
+    var p = 44
+    while (p < payload.length) { hist((payload(p) & 0xff) >> 5) += 1f; p += 1 }
+    if (dataLen > 0) {
+      var j = 0
+      while (j < 8) { hist(j) /= dataLen.toFloat; j += 1 }
+    }
+    DecodedAv(id, "wav", payload.length, n_units = dataLen,
+      width = 0, height = 0, sample_rate = rate, features = hist)
+  }
+
+  /** Route ONE payload by its own bytes (never a trusted sidecar
+    * column): P6 magic → the raster codec, RIFF magic → the audio
+    * codec, anything else a loud failure.
+    */
+  def decodeAny(id: Long, payload: Array[Byte]): DecodedAv =
+    if (payload.length >= 2 && payload(0) == 'P' && payload(1) == '6') {
+      val d = decodePpm(id, payload)
+      DecodedAv(id, "ppm", d.n_bytes, n_units = d.n_frames,
+        width = d.width, height = d.height, sample_rate = 0, features = d.features)
+    } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I'
+               && payload(2) == 'F' && payload(3) == 'F') {
+      decodeWav(id, payload)
+    } else throw new IllegalArgumentException(
+      s"media decode: unrecognized magic for doc $id " +
+        s"(${payload.take(4).map(b => f"${b & 0xff}%02x").mkString(" ")})")
+
+  /** MIXED-format partition-wise decode — the per-row routing seam: one
+    * pass, each row dispatched by its own magic bytes to its codec,
+    * unified [[DecodedAv]] rows out. A third format is one more magic
+    * branch; the mapPartitions seam, schema and batch shape never move.
+    */
+  def decodeAuto(media: DataFrame): Dataset[DecodedAv] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, bytes) => decodeAny(id, bytes) })
+  }
+
   // ---- the decoder ----------------------------------------------------
 
   private def isWs(b: Byte): Boolean =

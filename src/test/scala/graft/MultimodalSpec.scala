@@ -100,4 +100,78 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.decode(m).collect().sortBy(_.doc_id).map(d => (d.doc_id, d.features.toSeq))
     assert(a.toSeq === b.toSeq)
   }
+
+  // ---- the second codec (WAV RIFF/PCM) + per-row format routing --------
+
+  test("in-plan WAV synthesis equals the driver-side encoder byte for byte") {
+    val planBytes = Tables.documents(spark, sf001)
+      .select(col("doc_id"), Multimodal.wavPayload(col("text")).as("payload"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val texts = Tables.documents(spark, sf001).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(texts.nonEmpty && texts.length === planBytes.size)
+    texts.foreach { case (id, t) =>
+      val expect = Multimodal.wavPayloadBytes(t.getBytes("UTF-8"))
+      assert(java.util.Arrays.equals(planBytes(id), expect),
+        s"doc $id: the codegen'd WAV payload must equal the Scala encoder's")
+    }
+  }
+
+  test("the WAV codec PARSES the little-endian chunks: fields match the spec, loud failures") {
+    val text = "hello media lake".getBytes("UTF-8")
+    val good = Multimodal.wavPayloadBytes(text)
+    val d = Multimodal.decodeWav(1L, good)
+    assert(d.format === "wav" && d.n_bytes === 44 + text.length)
+    assert(d.n_units === text.length && d.sample_rate === 8000)
+    assert(d.width === 0 && d.height === 0)
+    assert(math.abs(d.features.sum - 1f) < 1e-3)
+    // loud failures, one per gated field — never guess
+    def corrupt(pos: Int, b: Byte): Array[Byte] = {
+      val c = good.clone(); c(pos) = b; c
+    }
+    intercept[IllegalArgumentException](Multimodal.decodeWav(2L, corrupt(0, 'X'))) // magic
+    intercept[IllegalArgumentException](Multimodal.decodeWav(3L, corrupt(4, 99)))  // riff size
+    intercept[IllegalArgumentException](Multimodal.decodeWav(4L, corrupt(20, 3))) // non-PCM
+    intercept[IllegalArgumentException](Multimodal.decodeWav(5L, corrupt(22, 2))) // stereo
+    intercept[IllegalArgumentException](Multimodal.decodeWav(6L, corrupt(34, 16))) // 16-bit
+    intercept[IllegalArgumentException](Multimodal.decodeWav(7L, corrupt(40, 99))) // data size
+    intercept[IllegalArgumentException](Multimodal.decodeWav(8L, good.dropRight(3))) // truncated
+  }
+
+  test("mixed-format decode routes each row by its own magic bytes") {
+    val s = spark; import s.implicits._
+    val texts = Tables.documents(spark, sf001).select("doc_id", "text").limit(60)
+    val mixed = texts.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, Multimodal.ppmPayload(col("text")))
+        .otherwise(Multimodal.wavPayload(col("text"))).as("payload"))
+    val rows = Multimodal.decodeAuto(mixed).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.doc_id % 2 == 0) {
+        assert(r.format === "ppm" && r.sample_rate === 0 && r.width >= 2,
+          s"doc ${r.doc_id} must route to the raster codec")
+      } else {
+        assert(r.format === "wav" && r.sample_rate === 8000 && r.width === 0,
+          s"doc ${r.doc_id} must route to the audio codec")
+      }
+      assert(math.abs(r.features.sum - 1f) < 1e-3,
+        "both codecs emit the same normalized 8-bin histogram space")
+    }
+    // an unknown magic is a loud failure, not a guessed format
+    val junk = Seq((9L, Array[Byte](0x42, 0x4d, 1, 2, 3))).toDF("doc_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAuto(junk).collect()
+    }
+    assert(e.getCause != null || e.getMessage.contains("unrecognized magic"))
+  }
+
+  test("wav features are the source bytes' top-3-bit histogram, normalized") {
+    val t = "some sample bytes 0123".getBytes("UTF-8")
+    val w = Multimodal.decodeAny(1L, Multimodal.wavPayloadBytes(t))
+    val expect = new Array[Float](8)
+    t.foreach(b => expect((b & 0xff) >> 5) += 1f)
+    (0 until 8).foreach(j => expect(j) /= t.length.toFloat)
+    assert(w.features.toSeq === expect.toSeq,
+      "the audio codec shares the raster codec's 8-bin feature space")
+  }
 }

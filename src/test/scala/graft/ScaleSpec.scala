@@ -79,7 +79,7 @@ class ScaleSpec extends SparkSpec {
       .withColumn("c_custkey", col("c_custkey") + col("rep") * shift)
       .withColumn("c_name", when(col("rep") === 0, col("c_name"))
         .otherwise(concat(col("c_name"),
-          expr("repeat(concat(chr(65 + rep // 26), chr(65 + rep % 26)), 3)"))))
+          expr("repeat(concat(chr(65 + rep div 26), chr(65 + rep % 26)), 3)"))))
       .drop("rep")
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
@@ -285,7 +285,28 @@ class ScaleSpec extends SparkSpec {
     // candidate pairs are O(n × cellSize) even though every replica is
     // an EXACT duplicate of its copy-0 vector (maximal duplicate mass —
     // the degenerate case an all-pairs design would blow up on)
-    ("dedup_embedding", "linear", SparkEntry.queries("dedup_embedding")))
+    ("dedup_embedding", "linear", SparkEntry.queries("dedup_embedding")),
+    // ---- round-12 heavy tail (the three most expensive committed bench
+    // rows still carried asymptotic arguments; r11's dedup_embedding
+    // proved only a measured envelope catches a hidden quadratic) -------
+    // five beam walks + one exact ground-truth leg over the shared
+    // serving artifact (built in the warm pass): every walk's per-round
+    // frames are frontier-bounded, the exact leg and per-round cuts are
+    // TakeOrdered partials, the per-beam recall joins are 10-row
+    // broadcasts — the whole curve's shuffle must NOT grow with the
+    // corpus (the entries table grows ∝ n/100 but scores map-side into
+    // a TakeOrdered cut)
+    ("ann_graph_beam_curve", "bounded", SparkEntry.queries("ann_graph_beam_curve")),
+    // the prefix-filter (PPJoin) truth leg — the last big provable-not-
+    // measured claim: under word-salted replication duplicate mass grows
+    // linearly, so the pruned posting shuffle and candidate pair volume
+    // must too (an un-pruned token join would go quadratic in the
+    // per-token df and break the envelope)
+    ("dedup_jaccard_prefix", "linear", SparkEntry.queries("dedup_jaccard_prefix")),
+    // basket-bounded co-partitioned self-join: per-order lineitem groups
+    // are fixed-size under replication, so pair fan-out — and with it
+    // the pair shuffle — is linear in orders
+    ("orders_basket_affinity", "linear", SparkEntry.queries("orders_basket_affinity")))
 
   test("scaling certificates: 1x/10x/30x corpora — shuffle bytes obey the documented envelopes") {
     val dirs = Seq(1 -> srcDir, 10 -> s"$scaleRoot/x10", 30 -> s"$scaleRoot/x30")
