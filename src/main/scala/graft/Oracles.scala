@@ -232,6 +232,27 @@ object Oracles {
        |         / CAST(nf * fsz AS FLOAT) AS FLOAT)) AS features
        |  FROM ${alias}g)""".stripMargin
 
+  /** MIXED-table features: even doc_ids take the raster histogram
+    * (pixel bytes + the final frame's zero padding in bin 0, normalized
+    * by nf·fsz), odd take the audio histogram (raw sample bytes = the
+    * text bytes, normalized by n) — both re-derived from text, both in
+    * FLOAT32 like the decoders.
+    */
+  private def avFeatCtes(alias: String): String =
+    s"""${ppmGeomCte(s"${alias}g")},
+       |$alias AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN
+       |    list_transform(range(0, 8), j ->
+       |      CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j))
+       |           + CASE WHEN j = 0 THEN nf * fsz - n ELSE 0 END AS FLOAT)
+       |           / CAST(nf * fsz AS FLOAT) AS FLOAT))
+       |  ELSE
+       |    list_transform(range(0, 8), j ->
+       |      CAST(CAST(len(list_filter(range(1, len(text) + 1), i -> ascii(substr(text, i, 1)) >> 5 = j)) AS FLOAT)
+       |           / CAST(n AS FLOAT) AS FLOAT))
+       |  END AS features
+       |  FROM ${alias}g)""".stripMargin
+
   // MUST stay in lock-step with graft.operators.TextAnalysis.stop* —
   // ASCII-only by construction (tokens are ASCII-alnum runs).
   private val stopEn = graft.operators.TextAnalysis.stopEn
@@ -2526,6 +2547,17 @@ object Oracles {
          |  CAST(CASE WHEN doc_id % 2 = 0 THEN w ELSE 0 END AS INT) AS height,
          |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 END AS INT) AS sample_rate
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    // cross-format kNN over the mixed table's unified features: raster
+    // and audio rows in ONE ranking, probe = doc 7's (odd ⇒ WAV)
+    // features.
+    "multimodal_mixed_embed" ->
+      s"""WITH ${avFeatCtes("f")},
+         |q AS (SELECT features AS qv FROM f WHERE doc_id = 7),
+         |d AS (SELECT f.doc_id AS id, ${l2("f.features", "q.qv")} AS score FROM f, q)
+         |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+         |       (round((score) * 10000.0) / 10000.0) AS value
+         |FROM d ORDER BY score, id LIMIT 10""".stripMargin,
 
     // decoder features re-derived independently: 8-bucket histogram of
     // the PIXEL bytes (text bytes via ascii(char) — pure ASCII — plus

@@ -2088,6 +2088,26 @@ object Queries {
         col("width"), col("height"), col("sample_rate"))
       .orderBy("doc_id")
 
+  /** CROSS-format similarity — the unified-feature claim made a keyed
+    * row: both codecs emit the SAME 8-bin byte-histogram space, so one
+    * exact k-NN runs over the MIXED table's decoded features (raster
+    * and audio rows compete in one ranking — the "embed anything, search
+    * everything" shape of a multimodal lake). The probe is doc 7's own
+    * payload (odd id ⇒ WAV), encoded and decoded driver-side like a
+    * request. Oracle re-derives both formats' features independently
+    * (pixel bytes + final-frame padding for rasters, raw sample bytes
+    * for audio) and runs the same exact-kNN shape.
+    */
+  def multimodalMixedEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val feats = operators.Multimodal.decodeAuto(avMediaTable(spark, dir)).toDF()
+      .select(col("doc_id"), col("features"))
+    val probeText = Tables.documents(spark, dir).where(col("doc_id") === 7L)
+      .select("text").first().getString(0)
+    val probe = operators.Multimodal.decodeWav(7L,
+      operators.Multimodal.wavPayloadBytes(probeText.getBytes("UTF-8"))).features
+    Knn.searchExact(feats, "doc_id", "features", probe, k = 10, metric = "l2")
+  }
+
   /** The decode → embed leg shared by [[multimodalEmbed]] and the
     * hybrid queries: payloads decode partition-wise through the REAL
     * P6 parser to an 8-bin pixel-byte histogram sketch.

@@ -401,6 +401,23 @@ class ApiSpec extends SparkSpec {
     val mixedPlan = mixed.search(mixMoved, 3).queryExecution.executedPlan.toString
     assert(mixedPlan.contains("/serve/") && !mixedPlan.contains("/data"))
     assert(graft.operators.IvfIndex.fitRuns.get() === fitsBefore)
+
+    // search ≡ fresh-build: a scratch index over the SAME merged rows
+    // (insert order irrelevant — the build fits and blocks on the final
+    // state) must answer the moved queries identically to the
+    // maintained artifact
+    val mergedRows = rows.filterNot(r => r._1 == 7L || r._1 == 11L) ++
+      Seq((7L, moved, None: Option[String]), (11L, mixMoved, None),
+        (700L, v700, None))
+    val fresh = VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+        IndexParams(ivfClusters = 5, graphK = 5, graphBeam = 12, graphHops = 3))
+      .insertAll(mergedRows.toDF("id", "vectors", "data"))
+    for (q <- Seq(moved, mixMoved)) {
+      val a = mixed.search(q, 5).collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      val b = fresh.search(q, 5).collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      assert(a.toSeq === b.toSeq,
+        "the maintained layout must answer like a from-scratch build")
+    }
   }
 
   test("knnGraph: FLAT graph equals brute force; self excluded") {

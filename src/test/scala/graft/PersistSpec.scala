@@ -746,4 +746,53 @@ class PersistSpec extends SparkSpec {
       === idx.search(Array(1f, 0f), 2).collect().map(_.toSeq).toSeq)
     assert(reloaded.query(1L).collect().head.getString(2) === """{"k":1}""")
   }
+
+  test("generation-scoped tombstones: upto composes by max, plain rows kill forever, gen reads agree") {
+    val s = spark; import s.implicits._
+    import graft.operators.Tombstones
+    val base = tmp("graft-genstones")
+    // a gen-stamped table: id 1 at gens 0 and 2, id 2 at gen 0, id 3 at gen 1
+    Seq((1L, 0L), (1L, 2L), (2L, 0L), (3L, 1L)).toDF("id", "gen")
+      .write.parquet(s"$base/t")
+    def live(): Set[(Long, Long)] =
+      Tombstones.filterGen(Tombstones.readWithGen(spark, s"$base/t"), base, "id", "gen")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(live() === Set((1L, 0L), (1L, 2L), (2L, 0L), (3L, 1L)), "no sidecar = no filter")
+    Tombstones.appendUpto(spark, base, Seq(1L).toDF("id"), uptoGen = 1L)
+    assert(live() === Set((1L, 2L), (2L, 0L), (3L, 1L)),
+      "upto = 1 kills 1@0 but not 1@2 (the re-inserted generation outlives it)")
+    Tombstones.appendUpto(spark, base, Seq(1L).toDF("id"), uptoGen = 0L)
+    assert(live() === Set((1L, 2L), (2L, 0L), (3L, 1L)),
+      "a LOWER upto for the same id is absorbed (tombstones compose by max)")
+    Tombstones.append(spark, base, Seq(3L).toDF("id")) // legacy plain row
+    assert(live() === Set((1L, 2L), (2L, 0L)),
+      "a plain sidecar row reads as kill-every-generation")
+
+    // edge reads: an edge dies when a tombstone of EITHER endpoint
+    // covers the EDGE's generation
+    Seq((1L, 2L, 0L), (1L, 2L, 2L), (2L, 3L, 2L)).toDF("a", "b", "gen")
+      .write.parquet(s"$base/e")
+    val edges = Tombstones.filterEdgesGen(
+        Tombstones.readWithGen(spark, s"$base/e"), base, "a", "b", "gen")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(edges === Set((1L, 2L, 2L)),
+      "1-2@0 dies (1 covered at gen 0), 1-2@2 lives, 2-3@2 dies (3 killed forever)")
+
+    // the counter: absent = 0, nextGen persists monotonically
+    assert(Tombstones.currentGen(spark, base) === 0L)
+    assert(Tombstones.nextGen(spark, base) === 1L)
+    assert(Tombstones.nextGen(spark, base) === 2L)
+    assert(Tombstones.currentGen(spark, base) === 2L)
+    Tombstones.clearGen(spark, base)
+    assert(Tombstones.currentGen(spark, base) === 0L)
+
+    // gen-aware compact folds with the same keep rule and clears the sidecar
+    Tombstones.compact(spark, base, Seq(
+      Tombstones.TombTable("t", Seq("id"), genCol = Some("gen")),
+      Tombstones.TombTable("e", Seq("a", "b"), genCol = Some("gen"))))
+    assert(!Tombstones.present(spark, base))
+    assert(live() === Set((1L, 2L), (2L, 0L)), "the fold preserves exactly what reads served")
+    assert(spark.read.parquet(s"$base/e").count() === 1L)
+  }
 }
