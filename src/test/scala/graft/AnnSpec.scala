@@ -202,6 +202,62 @@ class AnnSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("graph degree knob: rank-prefix of a max-degree build IS the smaller-degree build; higher degree never shrinks reach") {
+    val s = spark; import s.implicits._
+    import graft.operators.GraphAnn
+    val df = clustered.toDF().cache()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    // the property the degree-curve artifact exploits: the top-K cut of
+    // a top-32 build equals the degree-K build exactly (same ranking,
+    // prefix property) — for the graph AND for the symmetrized edge set
+    val g32 = Knn.knnJoinIvf(df, "vec_id", "embedding", cents, k = 32, metric = "l2")
+      .select(col("q_id"), col("rank"), col("n_id")).cache()
+    for (kk <- Seq(3, 8, 16)) {
+      val prefix = g32.where(col("rank") <= kk)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val direct = Knn.knnJoinIvf(df, "vec_id", "embedding", cents, k = kk, metric = "l2")
+        .select(col("q_id"), col("rank"), col("n_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(prefix === direct, s"rank <= $kk prefix must equal the degree-$kk build")
+      // sym(prefix_K) = {min directed rank <= K}
+      val directed = g32.select(col("q_id").as("src"), col("n_id").as("dst"), col("rank"))
+      val minRank = directed.unionByName(directed.select(col("dst").as("src"),
+          col("src").as("dst"), col("rank")))
+        .groupBy("src", "dst").agg(org.apache.spark.sql.functions.min("rank").as("mr"))
+      val viaMinRank = minRank.where(col("mr") <= kk)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val symDirect = direct.flatMap { case (q, _, n) => Seq((q, n), (n, q)) }
+      assert(viaMinRank === symDirect,
+        s"the min-rank filter must reproduce degree-$kk's symmetrized edge set")
+    }
+    // richer graphs reach at least as far: under one wide-beam walk the
+    // degree-16 visited set contains the degree-3 visited set (the
+    // degree-3 edges are a subset, and the per-round frontier cut is
+    // saturated by the wide beam) — and finds the true top-10
+    val q = clustered(42).embedding
+    val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2")
+      .collect().map(_.getLong(1)).toSet
+    val n = df.count().toInt
+    // last walk state (id, dist) at degree kk under a saturating beam
+    def lastState(kk: Int): Array[(Long, Double)] = {
+      val base = Files.createTempDirectory(s"graft-graph-deg$kk").toString + "/serve"
+      GraphAnn.buildServing(
+        Knn.knnJoinIvf(df, "vec_id", "embedding", cents, k = kk, metric = "l2"),
+        df, "vec_id", "embedding", cents, base)
+      GraphAnn.beamStates(
+        spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
+        spark.read.parquet(s"$base/edges"), q, beam = n, hops = 3).last
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    }
+    val s3 = lastState(3); val s16 = lastState(16)
+    assert(s3.map(_._1).toSet.subsetOf(s16.map(_._1).toSet),
+      "a denser graph must not lose reachable nodes under a saturating beam")
+    val top16 = s16.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    assert(recallAt10(exact, top16) >= 0.9,
+      "degree 16 under a wide beam must find the true neighborhood (the new default's floor)")
+    g32.unpersist(); df.unpersist()
+  }
+
   test("graph batch walk equals the looped single-query walk") {
     val s = spark; import s.implicits._
     import graft.operators.GraphAnn
