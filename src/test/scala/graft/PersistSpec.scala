@@ -690,6 +690,14 @@ class PersistSpec extends SparkSpec {
       .select("vectors").collect().head.getSeq[Float](0).toArray, 5)
       .collect().map(_.getLong(1))
     assert(hits.nonEmpty && hits.forall(id => !dead.contains(id)))
+    // after the fold the deleted ids are physically gone — reuse is an
+    // ordinary insert (same contract as the DedupIndex re-append above)
+    val back = vecs.where(col("id") === gids.head)
+      .select("vectors").collect().head.getSeq[Float](0).toArray
+    val reused = g2.insert(gids.head, back)
+    assert(reused.query(gids.head).count() === 1L)
+    assert(reused.search(back, 3).collect().map(_.getLong(1)).contains(gids.head),
+      "a folded-away id must be reusable and immediately served")
   }
 
   test("recovery REFUSES to sweep the only remaining copy (incomplete fresh, no old, no target)") {
