@@ -334,6 +334,25 @@ class ApiSpec extends SparkSpec {
     assert(upNew.count === 271L)
   }
 
+  test("path-backed GRAPH all-new upsert materializes no tombstone sidecar") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(4)(rnd.nextGaussian().toFloat), None: Option[String]))
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-graph-nosc").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 4, Metric.L2,
+        IndexParams(ivfClusters = 4, graphK = 3))
+      .insertAll(rows.toDF("id", "vectors", "data")).save(dir)
+    val re = VectorIndex.load(spark, dir)
+    val up = re.upsertAll(Seq(
+      (900L, Array.fill(4)(1f).toSeq, None: Option[String]),
+      (901L, Array.fill(4)(-1f).toSeq, None: Option[String])).toDF("id", "vectors", "data"))
+    assert(!graft.operators.Tombstones.present(spark, dir),
+      "an all-new upsert must not put a tombstone join into every future read")
+    assert(up.count === 62L)
+    assert(up.search(Array.fill(4)(1f), 2).collect().map(_.getLong(1)).contains(900L))
+  }
+
   test("path-backed GRAPH in-place upsert maintains the serving layout: no k-means fit, no rebuild, never stale") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(23)
