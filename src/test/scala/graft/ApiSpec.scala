@@ -334,6 +334,87 @@ class ApiSpec extends SparkSpec {
     assert(upNew.count === 271L)
   }
 
+  test("path-backed GRAPH mutation storm: any interleaving of insert/upsert/delete converges to the merged truth") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(4)(Array.fill(6)(rnd.nextGaussian().toFloat * 8))
+    def vec(): Array[Float] = {
+      val c = centers(rnd.nextInt(4)); c.map(x => x + rnd.nextGaussian().toFloat)
+    }
+    val model = scala.collection.mutable.Map[Long, Array[Float]]()
+    (0 until 100).foreach(i => model(i.toLong) = vec())
+    var nextId = 100L
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-graph-storm").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 6, Metric.L2,
+        IndexParams(ivfClusters = 4, graphK = 5, graphBeam = 16, graphHops = 3))
+      .insertAll(model.toSeq.map { case (id, v) => (id, v, None: Option[String]) }
+        .toDF("id", "vectors", "data"))
+      .save(dir)
+    var idx = VectorIndex.load(spark, dir)
+    val fitsBefore = graft.operators.IvfIndex.fitRuns.get()
+
+    def batchDf(rows: Seq[(Long, Array[Float])]) =
+      rows.map { case (id, v) => (id, v, None: Option[String]) }.toDF("id", "vectors", "data")
+
+    for (step <- 1 to 10) {
+      rnd.nextInt(3) match {
+        case 0 => // insert brand-new ids
+          val fresh = (0 until 1 + rnd.nextInt(4)).map { _ =>
+            val id = nextId; nextId += 1; id -> vec()
+          }
+          fresh.foreach { case (id, v) => model(id) = v }
+          idx = idx.insertAll(batchDf(fresh))
+        case 1 => // upsert: perturb existing ids, mix in a new one
+          val existing = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+            .map(id => id -> vec())
+          val fresh = { val id = nextId; nextId += 1; Seq(id -> vec()) }
+          (existing ++ fresh).foreach { case (id, v) => model(id) = v }
+          idx = idx.upsertAll(batchDf(existing ++ fresh))
+        case 2 => // delete existing ids (model may have shrunk — guard)
+          val victims = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+          victims.foreach(model.remove)
+          idx = idx.deleteAll(victims.toDF("id"))
+      }
+      assert(idx.count === model.size.toLong, s"step $step: live cardinality diverged")
+    }
+
+    // the storm never refit the quantizer (every verb is maintained)
+    assert(graft.operators.IvfIndex.fitRuns.get() === fitsBefore,
+      "no mutation in the storm may trigger a k-means fit")
+    // point lookups agree with the model (latest write wins everywhere)
+    val sample = rnd.shuffle(model.toSeq).take(8)
+    for ((id, v) <- sample) {
+      val got = idx.query(id).collect()
+      assert(got.length === 1, s"id $id must have exactly one live row")
+      assert(got.head.getSeq[Float](1).toArray.toSeq === v.toSeq,
+        s"id $id must serve its LATEST vector")
+    }
+    // searches are CORRECT under churn: every served id is live and its
+    // distance is the true distance to its LATEST vector (never dead,
+    // never stale). Perfect self-recall is deliberately NOT asserted:
+    // cascading upserts can orphan a node (its edges die when the
+    // neighbors they referenced are later superseded) — the same
+    // attrition HNSW's remove+reinsert suffers; the single-upsert test
+    // above asserts reachability in the non-cascading case.
+    def l2d(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    for ((_, v) <- sample.take(4)) {
+      val hits = idx.search(v, 3).collect()
+      assert(hits.nonEmpty, "the walk must keep serving under churn")
+      hits.foreach { h =>
+        val id = h.getLong(1)
+        assert(model.contains(id), s"served id $id must be live")
+        assert(math.abs(h.getDouble(2) - l2d(v, model(id))) < 1e-3,
+          s"id $id must be scored against its LATEST vector")
+      }
+    }
+    // the artifact itself holds the merged truth: a fresh load agrees
+    val re = VectorIndex.load(spark, dir)
+    assert(re.count === model.size.toLong)
+    for ((id, v) <- sample.take(3))
+      assert(re.query(id).collect().head.getSeq[Float](1).toArray.toSeq === v.toSeq)
+  }
+
   test("path-backed GRAPH all-new upsert materializes no tombstone sidecar") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(29)
