@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Artifacts, BinaryIndex, GraphAnn, IvfIndex, Knn, LshIndex, PqIndex, SqIndex, Tombstones, Upsert}
+import graft.operators.{Artifacts, BinaryIndex, GraphAnn, GraphMaintenance, IvfIndex, Knn, LshIndex, PqIndex, SqIndex, Tombstones, Upsert}
 
 /** Index kinds, mirroring the reference's `IndexType`
   * (reference: src/core/index_factory.rs:72-168). `FLAT` is exact brute
@@ -162,11 +162,20 @@ class VectorIndex private (
   /** Re-open the maintained artifact after a mutation: fresh data read
     * (the file listing must include just-appended batches) with the
     * generation-aware tombstone filter applied, same fitted params,
-    * same path.
+    * same path. The refreshByPath matters for correctness, not just
+    * hygiene: the beam walk persists per-hop frames, which registers
+    * them in Spark's CacheManager keyed by the CANONICALIZED plan —
+    * and a file relation canonicalizes by (rootPaths, schema), NOT by
+    * its file listing. Without the refresh, a post-mutation search
+    * whose plan matches a pre-mutation one would silently reuse the
+    * stale cached frames (stale answers, or FILE_NOT_EXIST after a
+    * compact swapped the files underneath).
     */
-  private def reopened(p: String): VectorIndex =
+  private def reopened(p: String): VectorIndex = {
+    spark.catalog.refreshByPath(p)
     new VectorIndex(key, params, spark, VectorIndex.liveGraphData(spark, p),
       loadedCentroids, loadedCodebooks, loadedBounds, loadedPath)
+  }
 
   /** Loud guard for the maintained-GRAPH ingest paths, now needed only
     * for LEGACY kill-every-generation tombstones (plain sidecar rows a
@@ -201,19 +210,29 @@ class VectorIndex private (
     */
   def insertAll(rows: DataFrame): VectorIndex = maintainedGraph match {
     case Some((p, cents)) =>
-      // single-writer across processes: the new-nodes-only probe inside
-      // appendGraphEdges and the layout append must not interleave with
-      // another writer's
+      // single-writer across processes: the new-nodes-only probe and
+      // the layout append must not interleave with another writer's
       Artifacts.withLease(spark, p, "VectorIndex.insertAll") {
+        // settle any crashed predecessor first, so the probes below see
+        // a consistent standing state
+        GraphMaintenance.recoverIfInflight(spark, p, cents, params.graphK,
+          key.metricType.name)
         val batch = normalize(rows, key.dim)
         requireNotForeverTombstoned(p, batch)
+        // new-nodes-only: a re-ingested LIVE id would duplicate its
+        // layout rows and corrupt later batches' candidate sets (upsert
+        // is the verb for replacement); probe-pruned via the _ids sidecar
+        val dup = GraphMaintenance.liveOverlap(spark, p, batch.select(col("id")))
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"insertAll is new-nodes-only: id ${dup.headOption.map(_.get(0)).orNull} " +
+            "is already live in the standing layout (re-appending would duplicate " +
+            "its rows and corrupt later batches' candidate sets; use upsert)")
         // every mutating batch gets its own generation stamp, so a
         // previously-deleted id re-inserted here outlives its tombstone
         // (gen > upto) with no compact needed
-        val g = Tombstones.nextGen(spark, p)
-        Knn.appendGraphEdges(batch, "id", "vectors", cents, params.graphK,
-          key.metricType.name, graphPath = None, layoutPath = s"$p/data",
-          servePath = Some(s"$p/serve"), gen = Some(g), tombRoot = Some(p))
+        GraphMaintenance.ingest(spark, p, batch, cents, params.graphK,
+          key.metricType.name, "insert")
         reopened(p)
       }
     case None =>
@@ -232,43 +251,35 @@ class VectorIndex private (
     * layout in place — the reference's PRIMARY mutation verb
     * (vector_database.rs:24-83: remove the existing id's vector,
     * re-insert the new one) without ever dropping the persisted
-    * layout: the standing rows of the batch's ids are tombstoned at
-    * `upto = g-1` (one generation-scoped sidecar append — the read
-    * filter kills the superseded data rows, medoid entries, and every
-    * edge that referenced them, because those all carry gen <= g-1),
-    * then the batch appends exactly like an insert at generation `g`
-    * (new cluster-partition rows + symmetrized serving edges scored
-    * against the LIVE standing side). No k-means refit, no graph
-    * rebuild, never stale — a 1-row update costs O(batch × touched
-    * clusters), not O(corpus). A standing node that pointed at the
-    * updated id loses that edge (its replacement arrives through the
-    * batch's symmetrized edges when the new vector ranks it) — the
-    * same one-sided envelope the insert twin states, and exactly how
-    * the reference's remove-then-reinsert behaves.
+    * layout, and crash-safe in the append-then-publish order
+    * ([[graft.operators.GraphMaintenance]]): the batch appends at
+    * generation `g` FIRST (new cluster-partition rows + symmetrized
+    * serving edges scored against the LIVE standing side, excluding the
+    * batch ids' own superseded rows), and only then are the standing
+    * rows of the batch's ids tombstoned at `upto = g-1` (one
+    * generation-scoped sidecar append — the read filter kills the
+    * superseded data rows, medoid entries, and every edge that
+    * referenced them, because those all carry gen <= g-1). A crash
+    * between the two serves the id at BOTH generations briefly — never
+    * at neither — and the `_inflight` marker makes the next verb or
+    * load() finish the publish. No k-means refit, no graph rebuild,
+    * never stale — a 1-row update costs O(batch × touched clusters),
+    * not O(corpus): the standing-id probe prunes through the `_ids`
+    * sidecar and the growth policy reads the maintained `_rowcount`
+    * manifest. A standing node that pointed at the updated id loses
+    * that edge; the re-link heal restores any node this starves below
+    * graphK/2 live out-edges, and the entry heal re-seeds any cluster
+    * whose medoid entry the mutation killed.
     */
   def upsertAll(rows: DataFrame): VectorIndex = maintainedGraph match {
     case Some((p, cents)) =>
       Artifacts.withLease(spark, p, "VectorIndex.upsertAll") {
+        GraphMaintenance.recoverIfInflight(spark, p, cents, params.graphK,
+          key.metricType.name)
         val batch = normalize(rows, key.dim)
         requireNotForeverTombstoned(p, batch)
-        // PHYSICAL standing ids (not live-filtered): re-tombstoning an
-        // already-dead id at a higher upto is a no-op under the max-upto
-        // read rule, and probing raw ids keeps the sidecar-append plan
-        // from reading the very sidecar it appends to
-        val changed = spark.read.parquet(s"$p/data").select(col("id"))
-          .join(batch.select(col("id")), Seq("id"), "leftsemi").distinct()
-        // probe, then write: an all-new batch must not materialize an
-        // empty sidecar (that would put a tombstone join into every
-        // serving read for nothing)
-        val hasChanged = changed.limit(1).collect().nonEmpty
-        val g = Tombstones.nextGen(spark, p)
-        if (hasChanged) Tombstones.appendUpto(spark, p, changed, g - 1)
-        Knn.appendGraphEdges(batch, "id", "vectors", cents, params.graphK,
-          key.metricType.name, graphPath = None, layoutPath = s"$p/data",
-          servePath = Some(s"$p/serve"), gen = Some(g), tombRoot = Some(p))
-        if (hasChanged)
-          Tombstones.maybeCompact(spark, p, VectorIndex.graphCompactTables,
-            Tombstones.readWithGen(spark, s"$p/data").count())
+        GraphMaintenance.ingest(spark, p, batch, cents, params.graphK,
+          key.metricType.name, "upsert")
         reopened(p)
       }
     case None =>
@@ -291,20 +302,20 @@ class VectorIndex private (
     * (edge dies if EITHER endpoint is deleted), no rebuild, never stale.
     */
   def deleteAll(ids: DataFrame): VectorIndex = maintainedGraph match {
-    case Some((p, _)) =>
+    case Some((p, cents)) =>
       Artifacts.withLease(spark, p, "VectorIndex.deleteAll") {
-        // upto = current generation: kills every row the id has as of
-        // now, while leaving the id REUSABLE — a later insert/upsert
-        // batch carries a higher generation and outlives this tombstone
-        Tombstones.appendUpto(spark, p, ids.select(col("id").cast("long")),
-          Tombstones.currentGen(spark, p))
-        // growth policy: the sidecar anti-joins into EVERY serving read
-        // (data, entries, both edge endpoints) — once it exceeds the
-        // recorded threshold of the data table's physical rows, fold it
-        // into all three layout tables right here (crash-safe swap;
-        // load() recovers an interrupted fold)
-        Tombstones.maybeCompact(spark, p, VectorIndex.graphCompactTables,
-          Tombstones.readWithGen(spark, s"$p/data").count())
+        GraphMaintenance.recoverIfInflight(spark, p, cents, params.graphK,
+          key.metricType.name)
+        // the delete advances the generation and tombstones at
+        // upto = g-1 ("everything prior"): every current row of the id
+        // dies, while the id stays REUSABLE — a later insert/upsert
+        // batch carries a higher generation and outlives this
+        // tombstone. The marker protocol then heals routing (re-seed a
+        // killed medoid entry's cluster, re-link nodes the dead edges
+        // starved) and runs the growth policy off the maintained
+        // manifest — a crash anywhere resumes at the next verb/load.
+        GraphMaintenance.remove(spark, p, ids.select(col("id").cast("long")),
+          cents, params.graphK, key.metricType.name)
         reopened(p)
       }
     case None =>
@@ -320,9 +331,13 @@ class VectorIndex private (
     * already rewrote the in-plan state).
     */
   def compact(): VectorIndex = maintainedGraph match {
-    case Some((p, _)) if Tombstones.present(spark, p) =>
+    case Some((p, cents)) if Tombstones.present(spark, p) =>
       Artifacts.withLease(spark, p, "VectorIndex.compact") {
-        Tombstones.compact(spark, p, VectorIndex.graphCompactTables)
+        GraphMaintenance.recoverIfInflight(spark, p, cents, params.graphK,
+          key.metricType.name)
+        Tombstones.compact(spark, p, GraphMaintenance.compactTables(spark, p))
+        GraphMaintenance.afterCompact(spark, p, cents,
+          Tombstones.currentGen(spark, p))
         reopened(p)
       }
     case _ => this
@@ -339,16 +354,21 @@ class VectorIndex private (
   def stats: DataFrame = {
     import spark.implicits._
     val (physical, tomb, ratio) = loadedPath match {
-      case Some(p) => (Tombstones.readWithGen(spark, s"$p/data").count(),
+      case Some(p) => (GraphMaintenance.physicalRows(spark, p),
         Tombstones.rowCount(spark, p), Tombstones.policyRatio(spark, p))
       case None => (count, 0L, Tombstones.defaultAutoCompactRatio)
     }
     val lease = loadedPath.flatMap(p => Artifacts.leaseInfo(spark, p))
+    // an in-flight marker means a mutation crashed mid-publish (or is
+    // running right now, if the lease is held): the next maintenance
+    // verb or load() resumes it — visible here BEFORE anything fails
+    val inflight = loadedPath.flatMap(p => GraphMaintenance.inflight(spark, p))
     Seq((count, physical, tomb,
       tomb.toDouble / math.max(physical, 1L), ratio,
-      lease.isDefined, lease.orNull))
+      lease.isDefined, lease.orNull,
+      inflight.map(m => s"${m.verb}@gen${m.gen}").orNull))
       .toDF("n_vectors", "n_physical", "n_tombstones", "dead_fraction",
-        "autocompact_threshold", "lease_held", "lease_holder")
+        "autocompact_threshold", "lease_held", "lease_holder", "inflight")
   }
 
   /** reference: router/handle/query_handle.rs — point lookup by id. */
@@ -778,6 +798,12 @@ class VectorIndex private (
           GraphAnn.buildServing(
             Knn.knnJoinIvf(bare, "id", "vectors", centroids, params.graphK, key.metricType.name),
             bare, "id", "vectors", centroids, s"$path/serve", gen = Some(0L))
+          // mutation bookkeeping sidecars: the id-sorted probe table
+          // (standing-id checks prune at row-group grain instead of
+          // scanning the data layout) and the growth-policy row count
+          GraphMaintenance.writeIds(spark, path,
+            bare.select(col("id"), lit(0L).as("gen")))
+          GraphMaintenance.writeRowCount(spark, path, bare.count(), 0L)
         } else {
           bare.write.mode("overwrite").parquet(s"$path/data")
           // empty state builds no serving layout — a stale serve/ dir
@@ -788,10 +814,18 @@ class VectorIndex private (
           if (fs.exists(sp)) fs.delete(sp, true)
         }
         // a save rewrites the artifact from the (already tombstone-
-        // filtered) state — the previous path generation's sidecar and
-        // generation counter must not outlive it
+        // filtered) state — the previous path generation's sidecar,
+        // generation counter and mutation-protocol manifests must not
+        // outlive it
         Tombstones.clear(spark, path)
         Tombstones.clearGen(spark, path)
+        GraphMaintenance.clearMarker(spark, path)
+        if (centroids.isEmpty) {
+          GraphMaintenance.clearRowCount(spark, path)
+          val ip = new org.apache.hadoop.fs.Path(s"$path/_ids")
+          val ifs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (ifs.exists(ip)) ifs.delete(ip, true)
+        }
       case IndexType.FLAT | IndexType.BINARY =>
         // BINARY's sign words are a training-free map-side derivation, so
         // the persisted form is just the data (a hamming scan reads every
@@ -805,20 +839,6 @@ object VectorIndex {
 
   /** Persisted-layout columns that only exist on a [[load]]ed state. */
   private val LayoutCols = Seq("cluster", "bucket", "band", "codes")
-
-  /** The three tables a GRAPH tombstone fold rewrites, each with its
-    * persisted layout reproduced (cluster partitioning on data,
-    * src-range sort on the serving edges). An edge dies if EITHER
-    * endpoint is deleted; a deleted medoid entry just disappears —
-    * exactly the read-time filter's semantics, so compaction preserves
-    * serve-equality.
-    */
-  private[api] val graphCompactTables = Seq(
-    Tombstones.TombTable("data", Seq("id"), partitionCols = Seq("cluster"),
-      genCol = Some("gen")),
-    Tombstones.TombTable("serve/edges", Seq("src_id", "dst_id"),
-      sortCols = Seq("src_id", "dst_id"), genCol = Some("gen")),
-    Tombstones.TombTable("serve/entries", Seq("id"), genCol = Some("gen")))
 
   /** Sub-quantizer codebook size (4-bit codes; the 8×16 convention the
     * PQ query family fixes — 8 bytes of code per 64-dim vector).
@@ -854,6 +874,11 @@ object VectorIndex {
     * centroid matrix hit the driver.
     */
   def load(spark: SparkSession, path: String): VectorIndex = {
+    // drop any cached frames this session holds over the path: another
+    // process (or an earlier handle) may have mutated the artifact, and
+    // plan-canonicalized cache reuse would otherwise serve them stale
+    // (see [[VectorIndex#reopened]])
+    spark.catalog.refreshByPath(path)
     val m = spark.read.parquet(s"$path/meta").collect().head
     val indexType = m.getAs[String]("index_type") match {
       case "FLAT"   => IndexType.FLAT
@@ -884,11 +909,33 @@ object VectorIndex {
       intOr("pq_m", 8), intOr("pq_rerank", 100), intOr("sq_rerank", 100),
       intOr("graph_k", 3), intOr("graph_beam", 8), intOr("graph_hops", 3))
     // a crash between the renames of a tombstone fold (compact() or the
-    // auto-compact in deleteAll) can leave any of the three layout
-    // tables aside under _tomb_* names — repair before reading
-    if (indexType == IndexType.GRAPH)
-      for (t <- graphCompactTables)
-        Tombstones.recover(spark, s"$path/${t.rel}")
+    // auto-compact inside the mutation protocol) can leave any of the
+    // layout tables aside under _tomb_* names — repair before reading
+    if (indexType == IndexType.GRAPH) {
+      for (rel <- Seq("data", "serve/edges", "serve/entries", "_ids"))
+        Tombstones.recover(spark, s"$path/$rel")
+      // a crashed mutation leaves its `_inflight` marker: finish its
+      // publish (serve edges / tombstones / heals) so this load serves
+      // the batch's latest state, not the mid-protocol one. Needs the
+      // single-writer lease — if another writer holds it, IT owns the
+      // marker (live mutation or the crashed-holder runbook in README),
+      // so a concurrent load just reads the transient-but-safe state.
+      val mfs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (GraphMaintenance.inflight(spark, path).isDefined
+          && Artifacts.leaseInfo(spark, path).isEmpty
+          && mfs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))) {
+        val cents = IvfIndex.readCentroids(spark, s"$path/centroids")
+        val graphK = if (m.schema.fieldNames.contains("graph_k"))
+          m.getAs[Int]("graph_k") else 3
+        try Artifacts.withLease(spark, path, "VectorIndex.load/recover") {
+          GraphMaintenance.recoverIfInflight(spark, path, cents, graphK, metric.name)
+        } catch {
+          // lost the acquire race to a live writer — it will recover
+          case _: IllegalStateException => ()
+        }
+      }
+    }
     // the root tombstone sidecar (path-backed GRAPH deletes/upserts)
     // applies to every read of the data table, generation-aware for
     // GRAPH (upserted ids' superseded rows die, their replacements

@@ -44,6 +44,29 @@ import graft.functions._
   */
 object GraphAnn {
 
+  /** Walk-instance nonce: every beam walk stamps its plan with a fresh
+    * literal (an always-true `lit(n) === lit(n)` filter the optimizer
+    * folds away), so the per-hop persisted frames can NEVER be
+    * cache-substituted across walks. Spark's CacheManager matches
+    * persisted frames by their NORMALIZED plan, which does NOT include
+    * the file LISTING — so without the nonce, a repeat of the same
+    * query after the artifact mutated underneath (tombstone append,
+    * compaction swap) silently serves the PREVIOUS walk's cached hops
+    * (stale answers, or FAILED_READ once a compact removed the files);
+    * Spark's path-recache only refreshes the FIRST matching relation
+    * per cached plan, and a walk plan holds several. The nonce keys
+    * every walk's cache entries to itself; intra-walk reuse (each hop
+    * referenced three times downstream) is by Dataset identity and is
+    * unaffected. Zero runtime cost: the filter constant-folds before
+    * execution but sits in the pre-optimization plan the cache keys on
+    * (proven by the mutation-storm and crash-injection suites).
+    */
+  private val walkNonce = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nonced(df: DataFrame): DataFrame = {
+    val n = walkNonce.incrementAndGet()
+    df.where(lit(n) === lit(n))
+  }
+
   /** Build the serving layout from the built graph edges
     * (q_id, n_id[, ...] rows of [[Knn.knnJoinIvf]]) and the vector
     * table: symmetrize, attach destination vectors (one co-partitioned
@@ -114,16 +137,17 @@ object GraphAnn {
   def beamStates(entries: DataFrame, edges: DataFrame, queryVec: Array[Float],
                  beam: Int, hops: Int, metric: String = "l2"): Seq[DataFrame] = {
     require(beam >= 1 && hops >= 0)
-    val scoredEntries = entries.select(col("id"),
+    val scoredEntries = nonced(entries).select(col("id"),
       Knn.score(metric, col("vec"), typedLit(queryVec)).as("dist"))
     // Each round's newly-scored frame is PERSISTED (it is tiny:
     // ≤ frontier × degree narrow (id, dist) rows) because round h+1
     // references round h three times (frontier cut, visited anti-join,
     // state union) — without the cache the lazy plan tree recomputes
     // every prefix per reference, 2^hops duplication of the hop work.
-    // This is the standard iterate-and-cache shape of every Pregel-like
-    // traversal; the caches are query-local and reclaimed by the
-    // ContextCleaner (see the persist contract atop graft.Queries).
+    // The walk is [[nonced]] so these cache entries are keyed to THIS
+    // walk alone — see the nonce doc for the stale-reuse hazard over a
+    // mutable serving layout. Caches are query-local and reclaimed by
+    // the ContextCleaner (persist contract atop graft.Queries).
     var fresh = scoredEntries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var freshFrames = Vector(fresh)
     val states = Seq.newBuilder[DataFrame]
@@ -167,7 +191,9 @@ object GraphAnn {
                       k: Int, beam: Int, hops: Int,
                       metric: String = "l2"): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0)
-    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    // nonced — same mutable-artifact cache-reuse hazard as the
+    // single-query walk (see [[nonced]])
+    val q = nonced(queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perQ = Window.partitionBy("q_id").orderBy(col("dist"), col("id"))
     val scoredEntries = q.crossJoin(broadcast(entries))

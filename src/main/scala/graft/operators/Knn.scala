@@ -395,7 +395,7 @@ object Knn {
     * cluster (single-probe equi-join — Σ|cluster|² local work), and the
     * per-query top-k is the bounded-heap partial aggregate.
     */
-  private def ivfGraphEdges(
+  private[operators] def ivfGraphEdges(
       queries: DataFrame,
       corpus: DataFrame,
       idCol: String,

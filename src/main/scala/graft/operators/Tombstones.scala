@@ -136,33 +136,62 @@ object Tombstones {
     }
 
   private def genPath(base: String) = new Path(s"$base/_gen")
+  private def genTmpPath(base: String) = new Path(s"$base/_gen_tmp")
 
   /** The artifact's mutation-generation counter (`_gen` file at the
     * artifact root, beside `_tombstone_policy`): 0 for an artifact no
     * stamped mutation ever touched. Read/advanced only under the
     * single-writer lease, so plain text is race-free.
+    *
+    * Crash recovery: [[nextGen]] advances write-temp-then-rename, so the
+    * only reachable partial state is "`_gen` deleted, `_gen_tmp`
+    * complete" — adopted here by finishing the rename. An EXISTING but
+    * unparsable `_gen` is unreachable by this protocol (the pre-rename
+    * temp write completed before the old file was touched), so it means
+    * external interference — fail with the repair instructions instead
+    * of silently restarting the counter at 0, which would let old
+    * high-`upto` tombstones swallow every future mutation.
     */
   def currentGen(spark: SparkSession, base: String): Long = {
     val fs = fsOf(spark, base)
     val p = genPath(base)
+    val tmp = genTmpPath(base)
+    if (!fs.exists(p) && fs.exists(tmp))
+      require(fs.rename(tmp, p), s"_gen recovery rename failed for $base")
     if (!fs.exists(p)) 0L
     else {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"unreadable generation counter $p (content: '${raw.take(40)}') — the " +
+            "write-temp-then-rename protocol cannot produce this, so the file was " +
+            "externally modified; repair: write max(gen) over the artifact's data " +
+            "files (SELECT max(gen) FROM parquet(`data`)) into _gen, or save() a " +
+            "fresh copy of the index")
+      }
     }
   }
 
   /** Advance and persist the generation counter — one call per mutating
     * batch, under the lease. Returns the NEW generation (stamp the
     * batch's rows/edges with it; tombstone superseded rows at upto =
-    * returned - 1).
+    * returned - 1). Atomic against crashes: the new value lands in a
+    * temp sibling first, then replaces `_gen` (delete + rename — the
+    * gap between them is healed by [[currentGen]]'s temp adoption, and
+    * a crash before the delete just re-issues the same generation,
+    * which nothing was stamped with).
     */
   def nextGen(spark: SparkSession, base: String): Long = {
     val g = currentGen(spark, base) + 1
     val fs = fsOf(spark, base)
-    val out = fs.create(genPath(base), true)
+    val tmp = genTmpPath(base)
+    val out = fs.create(tmp, true)
     try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(genPath(base))) fs.delete(genPath(base), false)
+    require(fs.rename(tmp, genPath(base)), s"_gen advance rename failed for $base")
     g
   }
 
@@ -172,6 +201,7 @@ object Tombstones {
   def clearGen(spark: SparkSession, base: String): Unit = {
     val fs = fsOf(spark, base)
     if (fs.exists(genPath(base))) fs.delete(genPath(base), false)
+    if (fs.exists(genTmpPath(base))) fs.delete(genTmpPath(base), false)
   }
 
   /** DISTINCT dead ids in the sidecar — what the growth policy and the
@@ -251,11 +281,16 @@ object Tombstones {
     } else false
   }
 
-  /** Drop the sidecar (after [[compact]] folded it in). */
+  /** Drop the sidecar (after [[compact]] folded it in). The raw-fs
+    * delete bypasses Spark's shared file-listing cache, so refresh the
+    * path — otherwise a LATER sidecar (new deletes after this compact)
+    * can list this one's dead part files and fail mid-scan.
+    */
   def clear(spark: SparkSession, base: String): Unit = {
     val fs = fsOf(spark, base)
     val p = new Path(s"$base/$subdir")
     if (fs.exists(p)) fs.delete(p, true)
+    spark.catalog.refreshByPath(s"$base/$subdir")
   }
 
   /** Apply the sidecar at read: anti-join `df.idCol` against the
@@ -349,6 +384,9 @@ object Tombstones {
       require(fs.rename(new Path(dir), old), s"tombstone compaction aside-rename failed for $dir")
       require(fs.rename(fresh, new Path(dir)), s"tombstone compaction swap failed for $dir")
       fs.delete(old, true)
+      // the swap happened through raw fs renames — drop the stale
+      // listing so the next read of the table sees the fresh copy
+      spark.catalog.refreshByPath(dir)
     }
     clear(spark, base)
   }
@@ -379,5 +417,6 @@ object Tombstones {
     }
     if (fs.exists(fresh)) fs.delete(fresh, true)
     if (fs.exists(old)) fs.delete(old, true)
+    spark.catalog.refreshByPath(dir)
   }
 }

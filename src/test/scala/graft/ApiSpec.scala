@@ -711,4 +711,292 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => r(1).asInstanceOf[Long]).toSet
     assert(deLeg === Set(2L, 5L), "the appended doc must be findable under its own filter")
   }
+
+  // ------------------------------------------------------------------
+  // Crash-injection matrix for the maintained-GRAPH mutation protocol
+  // (GraphMaintenance): kill between each pair of steps, reload —
+  // every id serves exactly its latest vector or its pre-batch vector,
+  // never neither, and a later verb converges to the latest state.
+  // ------------------------------------------------------------------
+
+  private def crashFixture(tag: String): (String, IndexedSeq[(Long, Array[Float], Option[String])], Array[Array[Float]]) = {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(tag.hashCode)
+    val centers = Array.fill(3)(Array.fill(4)(rnd.nextGaussian().toFloat * 10))
+    val rows = (0 until 60).map(i =>
+      (i.toLong, centers(i % 3).map(x => x + rnd.nextGaussian().toFloat),
+        None: Option[String]))
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-crash-$tag").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 4, Metric.L2,
+        IndexParams(ivfClusters = 3, graphK = 4, graphBeam = 8, graphHops = 3))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+      .save(dir)
+    val cents = graft.operators.IvfIndex.readCentroids(spark, s"$dir/centroids")
+    (dir, rows, cents)
+  }
+
+  test("crash-injection: every kill window of an in-place upsert reloads to latest-or-pre-batch, never neither") {
+    import graft.operators.{GraphMaintenance, IvfIndex, Tombstones}
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val victim = 7L
+
+    // window -> how far the crashed upsert got before dying
+    // W0: gen advanced only; W1: + marker; W2: + data batch at gen g;
+    // W3: + serving edges; W4: everything, marker clear lost
+    for (w <- 0 to 4) {
+      val (dir, rows, cents) = crashFixture(s"w$w")
+      val pre = rows(victim.toInt)._2
+      val moved = pre.map(_ + 9f)
+      val batch = Seq((victim, moved.toSeq, None: Option[String]))
+        .toDF("id", "vectors", "data")
+        .select(col("id").cast("long"), col("vectors").cast("array<float>"),
+          col("data").cast("string"))
+      if (w == 4) {
+        // a REAL upsert ran to completion; only the marker clear is lost
+        VectorIndex.load(spark, dir).upsert(victim, moved)
+        GraphMaintenance.writeMarker(spark, dir, "upsert",
+          Tombstones.currentGen(spark, dir))
+      } else {
+        val g = Tombstones.nextGen(spark, dir)
+        if (w >= 1) GraphMaintenance.writeMarker(spark, dir, "upsert", g)
+        if (w >= 2) IvfIndex.appendPartitioned(
+          batch.withColumn("gen", lit(g)), "vectors", cents, s"$dir/data")
+        if (w >= 3) GraphMaintenance.appendServeEdges(spark, dir,
+          Tombstones.readWithGen(spark, s"$dir/data").where(col("gen") === g),
+          cents, 4, "l2", g)
+      }
+
+      // reload — the recovery path must neither throw nor lose the id
+      val re = VectorIndex.load(spark, dir)
+      assert(GraphMaintenance.inflight(spark, dir).isEmpty,
+        s"window $w: load must settle the in-flight marker")
+      val got = re.query(victim).collect()
+      assert(got.length === 1,
+        s"window $w: id must serve exactly one row, got ${got.length}")
+      val served = got.head.getSeq[Float](1).toArray.toSeq
+      val expectLatest = w >= 2 // the data batch is the point of no-loss
+      assert(served === (if (expectLatest) moved.toSeq else pre.toSeq),
+        s"window $w: id must serve its ${if (expectLatest) "latest" else "pre-batch"} vector")
+      assert(re.count === 60L, s"window $w: cardinality must be stable")
+      // never stale: whichever vector serves, search scores IT
+      val hits = re.search(served.toArray, 3).collect()
+      assert(hits.map(_.getLong(1)).contains(victim)
+          && math.abs(hits.find(_.getLong(1) == victim).get.getDouble(2)) < 1e-3,
+        s"window $w: the surviving vector must be reachable at distance 0")
+      if (expectLatest)
+        assert(!re.search(pre, 3).collect().map(_.getLong(1)).contains(victim),
+          s"window $w: the superseded vector must never be served")
+
+      // the redo path composes: a real upsert after recovery wins
+      val finalV = pre.map(_ - 9f)
+      val after = re.upsert(victim, finalV)
+      assert(after.query(victim).collect().head.getSeq[Float](1).toArray.toSeq
+          === finalV.toSeq, s"window $w: post-recovery upsert must take effect")
+      assert(after.count === 60L)
+    }
+  }
+
+  test("crash-injection: a crashed delete's marker is settled at reload; tombstone landing is all-or-nothing") {
+    import graft.operators.{GraphMaintenance, Tombstones}
+    val s = spark; import s.implicits._
+    // window A: marker written, tombstone append lost — the delete
+    // never happened (pre-batch state), marker cleared at reload
+    val (dirA, rowsA, _) = crashFixture("delA")
+    val gA = Tombstones.nextGen(spark, dirA)
+    GraphMaintenance.writeMarker(spark, dirA, "delete", gA)
+    val reA = VectorIndex.load(spark, dirA)
+    assert(GraphMaintenance.inflight(spark, dirA).isEmpty)
+    assert(reA.count === 60L, "a lost delete must leave the pre-batch state")
+    assert(reA.query(5L).count() === 1L)
+
+    // window B: tombstone landed, heal + marker clear lost — the
+    // delete IS visible (the append is the atomic publish), and reload
+    // finishes the heals
+    val (dirB, rowsB, _) = crashFixture("delB")
+    val gB = Tombstones.nextGen(spark, dirB)
+    GraphMaintenance.writeMarker(spark, dirB, "delete", gB)
+    Tombstones.appendUpto(spark, dirB, Seq(5L).toDF("id"), gB - 1)
+    val reB = VectorIndex.load(spark, dirB)
+    assert(GraphMaintenance.inflight(spark, dirB).isEmpty)
+    assert(reB.count === 59L)
+    assert(reB.query(5L).count() === 0L)
+    assert(!reB.search(rowsB(5)._2, 3).collect().map(_.getLong(1)).contains(5L),
+      "a published delete must hold after crash recovery")
+  }
+
+  test("crash-injection: a crashed holder's lease defers recovery; breakLease + reload settles it") {
+    import graft.operators.{GraphMaintenance, IvfIndex, Tombstones}
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val (dir, rows, cents) = crashFixture("lease")
+    val pre = rows(3)._2
+    val moved = pre.map(_ + 9f)
+    val g = Tombstones.nextGen(spark, dir)
+    GraphMaintenance.writeMarker(spark, dir, "upsert", g)
+    IvfIndex.appendPartitioned(
+      Seq((3L, moved.toSeq, null: String)).toDF("id", "vectors", "data")
+        .select(col("id").cast("long"), col("vectors").cast("array<float>"),
+          col("data").cast("string")).withColumn("gen", lit(g)),
+      "vectors", cents, s"$dir/data")
+    // simulate the crashed holder: its lease file survives the kill
+    val lp = new org.apache.hadoop.fs.Path(dir, "_graft_lease")
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lp, true)
+    out.write("""{"token": "dead", "verb": "VectorIndex.upsertAll", "pid": "0", "acquired_at_ms": 0}""".getBytes("UTF-8"))
+    out.close()
+
+    // a reader load defers to the (apparently live) holder: marker
+    // stays, the transient state serves BOTH generations — duplicate,
+    // never neither — and stats make the situation visible
+    val held = VectorIndex.load(spark, dir)
+    assert(GraphMaintenance.inflight(spark, dir).isDefined,
+      "recovery must not run under another writer's lease")
+    assert(held.query(3L).count() === 2L,
+      "mid-protocol state serves both generations (duplicate, never lost)")
+    val st = held.stats.collect().head
+    assert(st.getAs[Boolean]("lease_held") && st.getAs[String]("inflight") != null,
+      "stats must surface both the orphaned lease and the in-flight marker")
+
+    // the runbook: break the crashed holder's lease, reload — recovered
+    graft.operators.Artifacts.breakLease(spark, dir)
+    val re = VectorIndex.load(spark, dir)
+    assert(GraphMaintenance.inflight(spark, dir).isEmpty)
+    assert(re.query(3L).count() === 1L)
+    assert(re.query(3L).collect().head.getSeq[Float](1).toArray.toSeq === moved.toSeq)
+    assert(re.count === 60L)
+  }
+
+  test("crash-injection: an interrupted _gen write never throws on read (temp adoption); external corruption fails loudly with the repair") {
+    import graft.operators.Tombstones
+    val (dir, _, _) = crashFixture("gen")
+    assert(Tombstones.nextGen(spark, dir) === 1L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the one reachable partial state: _gen deleted, _gen_tmp complete
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_gen"), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_gen_tmp"), true)
+    out.write("2".getBytes("UTF-8")); out.close()
+    assert(Tombstones.currentGen(spark, dir) === 2L,
+      "currentGen must adopt the completed temp write")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_gen")),
+      "adoption must finish the rename")
+    assert(Tombstones.nextGen(spark, dir) === 3L, "the counter keeps advancing")
+    // an EXISTING unparsable _gen is unreachable by the protocol ⇒
+    // external interference ⇒ loud, self-describing failure (silently
+    // restarting at 0 would let old tombstones swallow new mutations)
+    val out2 = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_gen"), true)
+    out2.write("not-a-number".getBytes("UTF-8")); out2.close()
+    val e = intercept[IllegalStateException](Tombstones.currentGen(spark, dir))
+    assert(e.getMessage.contains("repair"), e.getMessage)
+  }
+
+  test("routing heals: mutations that kill a medoid entry re-seed its cluster; churn never starves the walk") {
+    import graft.operators.{GraphMaintenance, Tombstones}
+    val s = spark; import s.implicits._
+    val (dir, rows, cents) = crashFixture("heal")
+    var idx = VectorIndex.load(spark, dir)
+
+    def liveEntryClusters(): Set[Int] =
+      Tombstones.filterGen(
+        Tombstones.readWithGen(spark, s"$dir/serve/entries"), dir, "id", "gen")
+        .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    def liveDataClusters(): Set[Int] =
+      Tombstones.filterGen(
+        Tombstones.readWithGen(spark, s"$dir/data"), dir, "id", "gen")
+        .select(org.apache.spark.sql.functions.col("cluster").cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+
+    val entryIds = Tombstones.readWithGen(spark, s"$dir/serve/entries")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(entryIds.nonEmpty)
+    // kill EVERY original entry: upsert half of them away, delete the rest
+    val (toMove, toKill) = entryIds.splitAt(entryIds.length / 2)
+    if (toMove.nonEmpty)
+      idx = idx.upsertAll(toMove.map(id =>
+          (id, rows(id.toInt)._2.map(_ + 5f).toSeq, None: Option[String]))
+        .toDF("id", "vectors", "data"))
+    if (toKill.nonEmpty)
+      idx = idx.deleteAll(toKill.toDF("id"))
+    // the invariant the heal maintains: every cluster with live rows
+    // has a live entry — the walk can never return empty on a
+    // non-empty index because its entry points all died
+    assert(liveDataClusters().subsetOf(liveEntryClusters()),
+      s"every live cluster needs a live entry: data=${liveDataClusters()} entries=${liveEntryClusters()}")
+    val q = rows(1)._2
+    assert(idx.search(q, 3).collect().nonEmpty,
+      "the walk must keep serving after every original entry died")
+
+    // grind: 6 more rounds of entry-killing churn, invariant holds
+    val rnd = new scala.util.Random(99)
+    for (round <- 1 to 6) {
+      val liveIds = Tombstones.filterGen(
+        GraphMaintenance.standingIds(spark, dir), dir, "id", "gen")
+        .select("id").collect().map(_.getLong(0))
+      val pick = rnd.shuffle(liveIds.toSeq).take(3)
+      idx = if (round % 2 == 0) idx.deleteAll(pick.toDF("id"))
+            else idx.upsertAll(pick.map(id =>
+                (id, Array.fill(4)(rnd.nextGaussian().toFloat * 10).toSeq,
+                  None: Option[String])).toDF("id", "vectors", "data"))
+      assert(liveDataClusters().subsetOf(liveEntryClusters()),
+        s"round $round: entry invariant broken")
+      assert(idx.search(q, 3).collect().nonEmpty, s"round $round: walk starved")
+    }
+  }
+
+  test("routing heals: a node starved by its neighbors' deletion gets re-linked (live out-degree floor)") {
+    import graft.operators.{GraphMaintenance, Tombstones}
+    import org.apache.spark.sql.functions._
+    val s = spark; import s.implicits._
+    val (dir, rows, cents) = crashFixture("relink")
+    var idx = VectorIndex.load(spark, dir)
+    val k = 4 // graphK of the fixture
+
+    def liveOutDegrees(): Map[Long, Long] =
+      Tombstones.filterEdgesGen(
+        Tombstones.readWithGen(spark, s"$dir/serve/edges"), dir,
+        "src_id", "dst_id", "gen")
+        .groupBy("src_id").agg(count(lit(1)).as("deg"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def liveIds(): Set[Long] = Tombstones.filterGen(
+      GraphMaintenance.standingIds(spark, dir), dir, "id", "gen")
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    // repeatedly delete a live node's entire out-neighborhood — the
+    // adversarial churn that thins edge lists fastest
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 5) {
+      val degs = liveOutDegrees()
+      val target = rnd.shuffle(liveIds().toSeq).find(degs.contains).get
+      val neigh = Tombstones.filterEdgesGen(
+        Tombstones.readWithGen(spark, s"$dir/serve/edges"), dir,
+        "src_id", "dst_id", "gen")
+        .where(col("src_id") === target).select("dst_id")
+        .collect().map(_.getLong(0)).filter(_ != target)
+      if (neigh.nonEmpty) {
+        idx = idx.deleteAll(neigh.toSeq.toDF("id"))
+        val after = liveOutDegrees()
+        val live = liveIds()
+        // the floor: a live node the churn starved holds at least
+        // min(k/2, live cluster mates) out-edges after the re-link heal
+        for (id <- Seq(target) if live.contains(id)) {
+          val liveData = Tombstones.filterGen(
+            Tombstones.readWithGen(spark, s"$dir/data"), dir, "id", "gen")
+          val myCluster = liveData.where(col("id") === id)
+            .select(col("cluster").cast("int")).collect().head.getInt(0)
+          val mates = liveData
+            .where(col("cluster").cast("int") === myCluster && col("id") =!= id)
+            .count()
+          val floor = math.min(math.max(1, k / 2).toLong, mates)
+          assert(after.getOrElse(id, 0L) >= floor,
+            s"round $round: node $id starved (deg=${after.getOrElse(id, 0L)}, floor=$floor)")
+        }
+      }
+    }
+    // never-stale sanity after the churn: every served id is live
+    val hits = idx.search(rows(2)._2, 3).collect()
+    assert(hits.nonEmpty)
+    val live = liveIds()
+    hits.foreach(h => assert(live.contains(h.getLong(1)), "served id must be live"))
+  }
 }
