@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
-import graft.operators.{Retrieval, Tombstones}
+import graft.operators.{GraphMaintenance, Retrieval, Tombstones}
 
 /** Keyword-retrieval facade over the materialized inverted index — the
   * text-side sibling of [[VectorIndex]]. The reference serves vectors
@@ -25,18 +25,28 @@ import graft.operators.{Retrieval, Tombstones}
 final class TextIndex private (spark: SparkSession, val path: String) {
 
   /** (term, doc_id, tf, dl) — term-sorted at build; appends add their
-    * own footer-pruned files until compaction. Tombstoned doc_ids
-    * ([[delete]]) drop at read (no-op when nothing was deleted).
+    * own footer-pruned files until compaction. The read is generation-
+    * aware ([[graft.operators.Tombstones.filterGen]]): a tombstone
+    * kills only the rows of generations it covers, so an [[upsert]]ed
+    * document's superseded postings die while its replacement rows (a
+    * higher generation) serve — and a plain delete (upto = the current
+    * generation) behaves exactly like the old anti-join. No-op plan
+    * when nothing was ever deleted.
     */
   def postings: DataFrame =
-    Tombstones.filter(spark.read.parquet(s"$path/postings"), path, "doc_id")
+    Tombstones.filterGen(
+      Tombstones.readWithGen(spark, s"$path/postings"), path, "doc_id", "gen")
+      .drop("gen")
 
   /** (doc_id, dl) — one row per document, INCLUDING zero-token docs
     * (they carry no postings but must count in N and avgdl); tombstoned
-    * doc_ids drop at read, so N/avgdl/df all see the post-delete corpus.
+    * and superseded doc rows drop at read (generation-aware, like
+    * [[postings]]), so N/avgdl/df all see the post-mutation corpus.
     */
   def docLengths: DataFrame =
-    Tombstones.filter(spark.read.parquet(s"$path/doclen"), path, "doc_id")
+    Tombstones.filterGen(
+      Tombstones.readWithGen(spark, s"$path/doclen"), path, "doc_id", "gen")
+      .drop("gen")
 
   /** The index's metadata columns (everything riding the doc-length
     * table beside doc_id/dl) — the text-side filter index, inferred
@@ -122,39 +132,111 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * whose answer the concurrent writer is changing.
     */
   def append(docs: DataFrame, idCol: String, textCol: String): TextIndex =
+    ingest(docs, idCol, textCol, "append")
+
+  /** In-place document update — the text-side twin of
+    * [[VectorIndex.upsertAll]] (reference: VectorDatabase::upsert
+    * overwrites the scalar document too, vector_database.rs:24-83 +
+    * scalar_storage.rs): re-tokenize ONLY the batch, append its
+    * postings/doc-length rows at a fresh generation `g`, then
+    * tombstone the standing rows of the batch's ids at `upto = g-1` —
+    * one generation-scoped sidecar append that atomically retires the
+    * old postings AND the old doclen row together. No rebuild, no
+    * "compact before reusing the id" wart: the read filter serves
+    * exactly the latest generation of every doc, with BM25 stats (N,
+    * avgdl, df) and phrase positions all recomputed from the live
+    * view (RetrievalSpec proves update ≡ rebuild on the merged corpus).
+    */
+  def upsert(docs: DataFrame, idCol: String, textCol: String): TextIndex =
+    ingest(docs, idCol, textCol, "upsert")
+
+  /** The shared generational ingest behind [[append]] and [[upsert]] —
+    * crash-safe under the `_inflight` marker protocol (the
+    * [[graft.operators.GraphMaintenance]] discipline on the text side):
+    * marker first, then doc-lengths at gen `g`, then postings at gen
+    * `g`, then the tombstone publish, then marker clear. Every resume
+    * point is derivable from the artifact: a doclen row exists for
+    * every doc (zero-token ones included), so recovery decides from the
+    * gen-`g` doclen slice whether the batch's postings must exist and
+    * rolls forward (publish) or back (drop the half-landed slice).
+    */
+  private def ingest(docs: DataFrame, idCol: String, textCol: String,
+                     verb: String): TextIndex =
     TextIndex.verbLocks.computeIfAbsent(path, _ => new Object).synchronized {
-     graft.operators.Artifacts.withLease(spark, path, "TextIndex.append") {
+     graft.operators.Artifacts.withLease(spark, path, s"TextIndex.$verb") {
+      completeInflight() // settle a crashed predecessor first
       val batchIds = docs.select(col(idCol).cast("long").as("doc_id"))
-      // probe the RAW doclen table, not the tombstone-filtered accessor:
-      // a delete()d-but-uncompacted doc_id still has physical rows, and
-      // re-appending it would land rows the read-time anti-join hides
-      // (then compact() permanently drops) — silent loss, not a dup
-      val dup = batchIds
-        .join(spark.read.parquet(s"$path/doclen").select("doc_id"),
-          Seq("doc_id"), "leftsemi").limit(1).collect()
-      require(dup.isEmpty,
-        s"TextIndex.append is new-docs-only: doc_id ${dup.headOption.map(_.get(0)).orNull} " +
-          "is already indexed (re-appending would inflate df/N and split tf; " +
-          "if it was delete()d, run compact() before reusing the id); " +
-          "assign fresh ids or rebuild")
-      // a tombstoned id may also have NO physical rows left (deleted,
-      // then compacted away in another table's pass, or deleted while
-      // absent) — its sidecar entry would still hide the new rows
+      // LEGACY kill-every-generation tombstones (plain sidecar rows a
+      // pre-generation delete wrote) would hide the appended rows at
+      // ANY generation — loud failure, with compact() as the unlock
       if (Tombstones.present(spark, path)) {
-        val t = Tombstones.ids(spark, path)
+        val t = Tombstones.tombs(spark, path).where(col("upto") === Long.MaxValue)
         val tomb = batchIds.join(t, batchIds("doc_id") === t("id"), "leftsemi")
           .limit(1).collect()
         require(tomb.isEmpty,
-          s"TextIndex.append: doc_id ${tomb.headOption.map(_.get(0)).orNull} is " +
-            "tombstoned — its appended rows would be hidden by the read-time " +
-            "anti-join; run compact() before reusing a deleted id")
+          s"TextIndex.$verb: doc_id ${tomb.headOption.map(_.get(0)).orNull} carries " +
+            "a kill-all tombstone (written by a pre-generation delete) — its rows " +
+            "would be hidden at any generation; run compact() before reusing it")
       }
+      if (verb == "append") {
+        // new-docs-only against the LIVE view: a live duplicate would
+        // inflate N/avgdl and split tf (upsert is the replacement
+        // verb); a delete()d id has no live rows and is fair game —
+        // its new rows carry a higher generation than the tombstone
+        val dup = docLengths.select("doc_id")
+          .join(batchIds, Seq("doc_id"), "leftsemi").limit(1).collect()
+        require(dup.isEmpty,
+          s"TextIndex.append is new-docs-only: doc_id ${dup.headOption.map(_.get(0)).orNull} " +
+            "is live in the index (re-appending would inflate df/N and split tf; " +
+            "use upsert to replace it)")
+      }
+      val g = Tombstones.nextGen(spark, path)
+      GraphMaintenance.writeMarker(spark, path, verb, g)
       // the batch must carry the index's own metadata columns, so a
-      // filtered search stays total over appended docs too
+      // filtered search stays total over ingested docs too
       Retrieval.appendPostings(docs, idCol, textCol,
-        s"$path/postings", s"$path/doclen", metaCols = metaColumns)
+        s"$path/postings", s"$path/doclen", metaCols = metaColumns,
+        gen = Some(g))
+      completeInflight()
       this
      }
+    }
+
+  /** Finish (or resume) an in-flight ingest — idempotent, called by the
+    * verbs and by [[TextIndex.load]] after a crash. Decision table from
+    * the gen-`g` slices alone: no doclen rows at `g` ⇒ nothing landed
+    * (clear the marker — the mutation never happened); doclen landed
+    * and its postings obligation is met (some `dl > 0` row implies
+    * postings rows must exist at `g`) ⇒ publish the tombstone for the
+    * superseded standing rows (recomputed: physical ids below `g` ∩ the
+    * batch) and clear; doclen landed but the postings append was lost ⇒
+    * roll the half-landed doclen slice back (its gen-homogeneous
+    * appended files are deleted whole) so the index returns to the
+    * pre-batch state.
+    */
+  private def completeInflight(): Unit =
+    GraphMaintenance.inflight(spark, path).foreach { m =>
+      val g = m.gen
+      val dlAll = Tombstones.readWithGen(spark, s"$path/doclen")
+      val dlG = dlAll.where(col("gen") === g)
+      if (dlG.limit(1).collect().nonEmpty) {
+        val needPostings = dlG.where(col("dl") > 0).limit(1).collect().nonEmpty
+        val postingsOk = !needPostings ||
+          Tombstones.readWithGen(spark, s"$path/postings").where(col("gen") === g)
+            .limit(1).collect().nonEmpty
+        if (postingsOk) {
+          // the publish: ONE sidecar append retires the batch ids' old
+          // postings and old doclen rows together (all carry gen < g);
+          // an all-new batch materializes no sidecar
+          val changed = dlAll.where(col("gen") < g).select("doc_id")
+            .join(dlG.select("doc_id"), Seq("doc_id"), "leftsemi").distinct()
+          if (changed.limit(1).collect().nonEmpty)
+            Tombstones.appendUpto(spark, path, changed, g - 1)
+        } else {
+          TextIndex.dropGenFiles(spark, s"$path/doclen", g)
+        }
+      }
+      GraphMaintenance.clearMarker(spark, path)
     }
 
   /** Tombstone documents (the delete twin of [[append]], reference:
@@ -167,7 +249,14 @@ final class TextIndex private (spark: SparkSession, val path: String) {
   def delete(ids: DataFrame): TextIndex =
     TextIndex.verbLocks.computeIfAbsent(path, _ => new Object).synchronized {
      graft.operators.Artifacts.withLease(spark, path, "TextIndex.delete") {
-      Tombstones.append(spark, path, ids)
+      completeInflight()
+      // generation-SCOPED: kills every row the ids have as of now while
+      // leaving them REUSABLE — a later append/upsert carries a higher
+      // generation and outlives this tombstone (the old kill-forever
+      // rows forced a compact() before any id reuse)
+      val g = Tombstones.nextGen(spark, path)
+      Tombstones.appendUpto(spark, path,
+        ids.select(col(ids.columns.head).cast("long")), g - 1)
       // growth policy: the sidecar must not grow unbounded between manual
       // compact() calls (every read pays the anti-join + the dead-row
       // scan). Once its distinct dead ids exceed the artifact's recorded
@@ -184,8 +273,9 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * and the auto-compact policy in [[delete]].
     */
   private def compactTables: Seq[Tombstones.TombTable] = Seq(
-    Tombstones.TombTable("postings", Seq("doc_id"), sortCols = Seq("term", "doc_id")),
-    Tombstones.TombTable("doclen", Seq("doc_id")))
+    Tombstones.TombTable("postings", Seq("doc_id"), sortCols = Seq("term", "doc_id"),
+      genCol = Some("gen")),
+    Tombstones.TombTable("doclen", Seq("doc_id"), genCol = Some("gen")))
 
   /** Compaction: fold live tombstones into the data files (rewrite both
     * tables minus deleted docs — [[graft.operators.Tombstones.compact]],
@@ -222,13 +312,19 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     val physical = spark.read.parquet(s"$path/doclen").count()
     val tomb = Tombstones.rowCount(spark, path)
     val lease = graft.operators.Artifacts.leaseInfo(spark, path)
+    val inflight = GraphMaintenance.inflight(spark, path)
     import spark.implicits._
     Seq((count, physical, tomb,
       tomb.toDouble / math.max(physical, 1L),
       Tombstones.policyRatio(spark, path),
-      lease.isDefined, lease.orNull))
+      lease.isDefined, lease.orNull,
+      // the text-side generation state: how many mutating batches the
+      // artifact has absorbed, and whether one is mid-publish
+      Tombstones.currentGen(spark, path),
+      inflight.map(m => s"${m.verb}@gen${m.gen}").orNull))
       .toDF("n_docs", "n_physical", "n_tombstones", "dead_fraction",
-        "autocompact_threshold", "lease_held", "lease_holder")
+        "autocompact_threshold", "lease_held", "lease_holder",
+        "generation", "inflight")
   }
 }
 
@@ -255,6 +351,12 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/doclen")
     val p = new org.apache.hadoop.fs.Path(scratch)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // a build rewrites the index from scratch — a previous occupant of
+    // the path must not leak its tombstones, generation counter or
+    // in-flight marker into the fresh artifact
+    Tombstones.clear(spark, path)
+    Tombstones.clearGen(spark, path)
+    GraphMaintenance.clearMarker(spark, path)
     load(spark, path)
   }
 
@@ -272,7 +374,39 @@ object TextIndex {
     // aside-rename and the swap-in leaves a table dir missing
     Tombstones.recover(spark, s"$path/postings")
     Tombstones.recover(spark, s"$path/doclen")
-    new TextIndex(spark, path)
+    val idx = new TextIndex(spark, path)
+    // a crashed ingest leaves its `_inflight` marker: finish its
+    // publish (or roll the half-landed slice back) so this load serves
+    // a consistent generation. Needs the single-writer lease — held
+    // means a live writer (or the crashed-holder runbook) owns it.
+    if (GraphMaintenance.inflight(spark, path).isDefined
+        && graft.operators.Artifacts.leaseInfo(spark, path).isEmpty) {
+      try graft.operators.Artifacts.withLease(spark, path, "TextIndex.load/recover") {
+        idx.completeInflight()
+      } catch { case _: IllegalStateException => () } // lost the race to a live writer
+    }
+    idx
+  }
+
+  /** Drop a half-landed generational append: the batch's files are
+    * gen-homogeneous by construction (every append job stamps one
+    * generation), so the rollback deletes exactly the files whose every
+    * row carries `g` — never a build or compacted file (those carry
+    * gen 0 / mixed stamps).
+    */
+  private[api] def dropGenFiles(spark: SparkSession, tablePath: String, g: Long): Unit = {
+    import org.apache.spark.sql.functions.{input_file_name, max => smax, min => smin}
+    val perFile = Tombstones.readWithGen(spark, tablePath)
+      .groupBy(input_file_name().as("f"))
+      .agg(smin("gen").as("lo"), smax("gen").as("hi"))
+      .where(col("lo") === g && col("hi") === g)
+      .select("f").collect().map(_.getString(0))
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    perFile.foreach { f =>
+      fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+    }
+    spark.catalog.refreshByPath(tablePath)
   }
 
   /** Per-index-path JVM locks serializing ALL in-process maintenance

@@ -88,11 +88,17 @@ object GraphAnn {
       case None    => (entries0, edges0)
     }
     // overwrite: re-saving an index to a previously-used path must
-    // replace the layout, not throw mid-save after data was written
+    // replace the layout, not throw mid-save after data was written.
+    // Small row groups (GraphMaintenance.EdgeBlockBytes) give src_id
+    // IN-list probes (the re-link heal) statistics pruning that stays
+    // flat in corpus size — a default-sized range file is one row group
+    // and every probe reads it whole.
     edges
       .repartitionByRange(col("src_id"))
       .sortWithinPartitions("src_id", "dst_id")
-      .write.mode("overwrite").parquet(s"$base/edges")
+      .write.mode("overwrite")
+      .option("parquet.block.size", GraphMaintenance.EdgeBlockBytes.toString)
+      .parquet(s"$base/edges")
     entries.coalesce(1).write.mode("overwrite").parquet(s"$base/entries")
   }
 

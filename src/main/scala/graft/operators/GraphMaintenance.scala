@@ -62,6 +62,16 @@ object GraphMaintenance {
   private def entriesPath(p: String) = s"$p/serve/entries"
   private def idsPath(p: String) = s"$p/_ids"
 
+  /** Row-group size for serve-edge files: small enough that an
+    * `src_id IN (...)` probe (the re-link heal, frontier-style lookups)
+    * prunes to a few megabytes regardless of corpus size — with the
+    * default 128 MB row groups a range-partitioned edge file is ONE
+    * row group and any probe reads the whole file, i.e. grows linearly
+    * with the corpus. 4 MB keeps footer overhead negligible for full
+    * scans while giving statistics-based pruning real granularity.
+    */
+  private[operators] val EdgeBlockBytes: Long = 4L << 20
+
   // ---------------------------------------------------------------- marker
 
   /** One in-flight mutation: its verb (insert / upsert / delete — only
@@ -228,11 +238,12 @@ object GraphMaintenance {
       Tombstones.TombTable("data", Seq("id"), partitionCols = Seq("cluster"),
         genCol = Some("gen")),
       Tombstones.TombTable("serve/edges", Seq("src_id", "dst_id"),
-        sortCols = Seq("src_id", "dst_id"), genCol = Some("gen")),
+        sortCols = Seq("src_id", "dst_id"), genCol = Some("gen"),
+        blockBytes = Some(EdgeBlockBytes)),
       Tombstones.TombTable("serve/entries", Seq("id"), genCol = Some("gen")))
     if (idsPresent(spark, p))
       base :+ Tombstones.TombTable("_ids", Seq("id"), sortCols = Seq("id"),
-        genCol = Some("gen"))
+        genCol = Some("gen"), blockBytes = Some(1L << 20))
     else base
   }
 
@@ -369,7 +380,9 @@ object GraphMaintenance {
         .distinct()
       sym.join(cand.select(col("id").as("dst_id"), col("vectors").as("dst_vec")), "dst_id")
         .select(col("src_id"), col("dst_id"), col("dst_vec"), lit(g).as("gen"))
-        .write.mode("append").parquet(edgesPath(p))
+        .write.mode("append")
+        .option("parquet.block.size", EdgeBlockBytes.toString)
+        .parquet(edgesPath(p))
     } finally edges.unpersist()
   }
 
@@ -414,73 +427,111 @@ object GraphMaintenance {
         .write.mode("append").parquet(entriesPath(p))
   }
 
+  /** Cap on ids pulled to the driver for an edge-table probe: victims
+    * are batch-sized and affected nodes are their neighbors, so typical
+    * mutations stay far below it; a pathological batch degrades to the
+    * distributed (semi-join, unpruned) path instead of failing.
+    */
+  private val RelinkIsinMax = 4096
+
+  /** Collect up to [[RelinkIsinMax]] longs; None = too many (fall back
+    * to the distributed path).
+    */
+  private def smallIds(df: DataFrame): Option[Array[Long]] = {
+    val got = df.limit(RelinkIsinMax + 1).collect().map(_.getLong(0))
+    if (got.length <= RelinkIsinMax) Some(got) else None
+  }
+
+  private def inIds(c: org.apache.spark.sql.Column, ids: Array[Long]) =
+    c.isin(ids.map(Long.box): _*)
+
   /** Re-link heal: a standing node whose edges died with this batch's
     * victims (the superseded/deleted ids — exactly the sidecar rows at
     * `upto = g-1`) can end up with a starved live out-degree; HNSW's
     * remove+reinsert suffers the same attrition. For every LIVE node
     * that pointed at a victim and now holds fewer than k/2 live
     * out-edges, recompute its top-k against its own cluster's live rows
-    * and append the missing edges (both directions, gen `g`). Bounded:
-    * victims are batch-sized, affected nodes are their in-neighbors,
-    * and the candidate scan is partition-pruned to their clusters; the
-    * two edge-table passes are narrow id-column scans.
+    * and append the missing edges (both directions, gen `g`).
+    *
+    * O(batch), not O(edges): the serving layout is SYMMETRIZED (both
+    * directions of every pair are written together and die together
+    * under the either-endpoint tombstone rule), so "nodes that pointed
+    * at a victim" ≡ "out-neighbors of the victims" — which an
+    * `src_id IN (victims)` predicate finds with parquet row-group
+    * pruning on the src-sorted edge files. Victims / affected / starved
+    * sets are batch-bounded by construction and ride the driver as IN
+    * lists (capped — an oversized batch degrades to semi-joins); the
+    * candidate scan is partition-pruned to the starved nodes' clusters.
     */
   def relinkStarved(spark: SparkSession, p: String,
                     cents: Array[Array[Float]], k: Int, metric: String,
                     g: Long): Unit = {
     if (!Tombstones.present(spark, p)) return
-    val victims = Tombstones.tombs(spark, p)
+    val victimsDf = Tombstones.tombs(spark, p)
       .where(col("upto") === g - 1).select(col("id"))
-    if (victims.limit(1).collect().isEmpty) return
+    val victims = smallIds(victimsDf)
+    if (victims.exists(_.isEmpty)) return
     val edgesPhys = Tombstones.readWithGen(spark, edgesPath(p))
-    val affected = edgesPhys
-      .join(victims.withColumnRenamed("id", "dst_id"), Seq("dst_id"), "leftsemi")
-      .select(col("src_id").as("id")).distinct()
-    val affectedLive = Tombstones.filterGen(
-      standingIds(spark, p).join(affected, Seq("id"), "leftsemi"), p, "id", "gen")
+    // out-neighbors of the victims ≡ their in-neighbors (symmetrized
+    // layout) — src-side probe, row-group pruned
+    val affectedDf = (victims match {
+      case Some(ids) => edgesPhys.where(inIds(col("src_id"), ids))
+      case None => edgesPhys.join(victimsDf.withColumnRenamed("id", "src_id"),
+        Seq("src_id"), "leftsemi")
+    }).select(col("dst_id").as("id")).distinct()
+    val affectedLiveDf = Tombstones.filterGen(
+      standingIds(spark, p).join(affectedDf, Seq("id"), "leftsemi"), p, "id", "gen")
       .select("id").distinct()
+    val affected = smallIds(affectedLiveDf)
+    if (affected.exists(_.isEmpty)) return
+    val affectedEdges = (affected match {
+      case Some(ids) => edgesPhys.where(inIds(col("src_id"), ids))
+      case None => edgesPhys.join(affectedLiveDf.withColumnRenamed("id", "src_id"),
+        Seq("src_id"), "leftsemi")
+    })
+    val liveEdges = Tombstones.filterEdgesGen(affectedEdges, p, "src_id", "dst_id", "gen")
+      .select(col("src_id"), col("dst_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      if (affectedLive.limit(1).collect().isEmpty) return
-      val liveEdges = Tombstones.filterEdgesGen(edgesPhys, p, "src_id", "dst_id", "gen")
-        .join(affectedLive.withColumnRenamed("id", "src_id"), Seq("src_id"), "leftsemi")
-        .select(col("src_id"), col("dst_id"))
+      val deg = liveEdges.groupBy("src_id").agg(count(lit(1)).as("deg"))
+      val starvedDf = affectedLiveDf
+        .join(deg.withColumnRenamed("src_id", "id"), Seq("id"), "left_outer")
+        .where(coalesce(col("deg"), lit(0L)) < math.max(1, k / 2))
+        .select("id")
+      val starved = smallIds(starvedDf)
+      if (starved.exists(_.isEmpty)) return
+      val live = Tombstones.filterGen(
+        Tombstones.readWithGen(spark, dataPath(p)), p, "id", "gen")
+      val starvedRows = (starved match {
+        case Some(ids) => live.where(inIds(col("id"), ids))
+        case None => live.join(starvedDf, Seq("id"), "leftsemi")
+      }).select(col("id"), col("vectors"), col("cluster").cast("int").as("cluster"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val deg = liveEdges.groupBy("src_id").agg(count(lit(1)).as("deg"))
-        val starved = affectedLive
-          .join(deg.withColumnRenamed("src_id", "id"), Seq("id"), "left_outer")
-          .where(coalesce(col("deg"), lit(0L)) < math.max(1, k / 2))
-          .select("id")
-        if (starved.limit(1).collect().isEmpty) return
-        val live = Tombstones.filterGen(
-          Tombstones.readWithGen(spark, dataPath(p)), p, "id", "gen")
-        val starvedRows = live.join(starved, Seq("id"), "leftsemi")
-          .select(col("id"), col("vectors"), col("cluster").cast("int").as("cluster"))
+        val clusters = starvedRows.select("cluster").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (clusters.isEmpty) return
+        val cand = live.where(col("cluster").isin(clusters: _*))
+          .select(col("id"), col("vectors"))
+        val fresh = Knn.ivfGraphEdges(
+            starvedRows.select(col("id"), col("vectors")), cand,
+            "id", "vectors", cents, k, metric)
+          .select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
+          .join(liveEdges, Seq("src_id", "dst_id"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val clusters = starvedRows.select("cluster").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          val cand = live.where(col("cluster").isin(clusters: _*))
-            .select(col("id"), col("vectors"))
-          val fresh = Knn.ivfGraphEdges(
-              starvedRows.select(col("id"), col("vectors")), cand,
-              "id", "vectors", cents, k, metric)
-            .select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
-            .join(liveEdges, Seq("src_id", "dst_id"), "left_anti")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          try {
-            if (fresh.limit(1).collect().isEmpty) return
-            val sym = fresh.unionByName(
-              fresh.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
-              .distinct()
-            sym.join(live.select(col("id").as("dst_id"), col("vectors").as("dst_vec")),
-                "dst_id")
-              .select(col("src_id"), col("dst_id"), col("dst_vec"), lit(g).as("gen"))
-              .write.mode("append").parquet(edgesPath(p))
-          } finally fresh.unpersist()
-        } finally starvedRows.unpersist()
-      } finally liveEdges.unpersist()
-    } finally affectedLive.unpersist()
+          if (fresh.limit(1).collect().isEmpty) return
+          val sym = fresh.unionByName(
+            fresh.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
+            .distinct()
+          sym.join(live.select(col("id").as("dst_id"), col("vectors").as("dst_vec")),
+              "dst_id")
+            .select(col("src_id"), col("dst_id"), col("dst_vec"), lit(g).as("gen"))
+            .write.mode("append")
+            .option("parquet.block.size", EdgeBlockBytes.toString)
+            .parquet(edgesPath(p))
+        } finally fresh.unpersist()
+      } finally starvedRows.unpersist()
+    } finally liveEdges.unpersist()
   }
 }

@@ -156,13 +156,31 @@ object Retrieval {
     * compaction re-sorts them — the same hygiene contract as the
     * cluster-partitioned vector layout.
     */
+  /** `gen` (the facade's generational maintenance) stamps both tables'
+    * appended rows with the batch's generation, and flips the write
+    * order to DOC-LENGTHS FIRST: a doclen row exists for every doc
+    * (including zero-token ones), so crash recovery can decide from the
+    * doclen slice alone whether the batch's postings must exist — and
+    * roll the batch forward or back accordingly
+    * ([[graft.api.TextIndex]]'s `_inflight` protocol).
+    */
   def appendPostings(docs: DataFrame, idCol: String, textCol: String,
                      postingsPath: String, docLengthsPath: String,
-                     metaCols: Seq[String] = Seq.empty): Unit = {
-    buildPostings(docs, idCol, textCol)
-      .write.mode("append").parquet(postingsPath)
-    buildDocLengthsWithMeta(docs, idCol, textCol, metaCols: _*)
-      .write.mode("append").parquet(docLengthsPath)
+                     metaCols: Seq[String] = Seq.empty,
+                     gen: Option[Long] = None): Unit = {
+    def stamp(df: DataFrame): DataFrame =
+      gen.map(g => df.withColumn("gen", lit(g))).getOrElse(df)
+    if (gen.isDefined) {
+      stamp(buildDocLengthsWithMeta(docs, idCol, textCol, metaCols: _*))
+        .write.mode("append").parquet(docLengthsPath)
+      stamp(buildPostings(docs, idCol, textCol))
+        .write.mode("append").parquet(postingsPath)
+    } else {
+      buildPostings(docs, idCol, textCol)
+        .write.mode("append").parquet(postingsPath)
+      buildDocLengthsWithMeta(docs, idCol, textCol, metaCols: _*)
+        .write.mode("append").parquet(docLengthsPath)
+    }
   }
 
   /** Exact phrase search over the positional index — the Lucene
@@ -278,7 +296,11 @@ object Retrieval {
     recoverCompaction(spark, postingsPath)
     val fresh = new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_new")
     val old = new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_old")
-    spark.read.parquet(postingsPath)
+    // generation-aware read: generationally-appended files carry a
+    // `gen` column the build's files lack — a plain read would infer
+    // one file's schema and silently DROP the stamps the read filter
+    // needs. The rewrite comes out schema-uniform.
+    Tombstones.readWithGen(spark, postingsPath)
       .orderBy("term", "doc_id")
       .write.mode("overwrite").parquet(fresh.toString)
     if (fs.exists(old)) fs.delete(old, true)

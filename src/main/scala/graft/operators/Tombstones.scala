@@ -325,7 +325,8 @@ object Tombstones {
   final case class TombTable(rel: String, filterCols: Seq[String],
                              partitionCols: Seq[String] = Nil,
                              sortCols: Seq[String] = Nil,
-                             genCol: Option[String] = None)
+                             genCol: Option[String] = None,
+                             blockBytes: Option[Long] = None)
 
   /** Fold the sidecar into the data: rewrite each table minus the
     * tombstoned rows and clear the sidecar. Swap discipline per table =
@@ -370,7 +371,13 @@ object Tombstones {
           kept.repartitionByRange(spec.sortCols.map(col): _*)
             .sortWithinPartitions(spec.sortCols.map(col): _*)
         else kept
-      val writer = sorted.write.mode("overwrite")
+      val writer0 = sorted.write.mode("overwrite")
+      // reproduce the table's row-group sizing (probe-pruned sidecars
+      // and edge files lose their statistics granularity otherwise)
+      val writer = spec.blockBytes match {
+        case Some(b) => writer0.option("parquet.block.size", b.toString)
+        case None    => writer0
+      }
       (if (spec.partitionCols.nonEmpty) writer.partitionBy(spec.partitionCols: _*)
        else writer).parquet(fresh.toString)
       // carry the artifact's metadata files across the swap

@@ -197,14 +197,18 @@ class ArtifactsSpec extends SparkSpec {
     val idx = graft.api.TextIndex.build(docs, "doc_id", "text", base)
     idx.append(Seq((10L, "beta zeta")).toDF("doc_id", "text"), "doc_id", "text")
     val postingsPath = s"$base/postings"
-    val before = spark.read.parquet(postingsPath)
-      .collect().map(_.toSeq).toSet
+    // compare through the accessor: generational appends stamp a `gen`
+    // column the build's files lack, so a PLAIN read's inferred schema
+    // is file-order dependent — the accessor (and the compactor) read
+    // generation-aware
+    val before = idx.postings.collect().map(_.toSeq).toSet
 
     // crash window A: the compacted copy is COMPLETE at _compact_new but
     // the live table already renamed aside → load adopts the new copy
     val fs = new org.apache.hadoop.fs.Path(postingsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    spark.read.parquet(postingsPath).orderBy("term", "doc_id")
+    graft.operators.Tombstones.readWithGen(spark, postingsPath)
+      .orderBy("term", "doc_id")
       .write.mode("overwrite").parquet(s"${postingsPath}_compact_new")
     assert(fs.rename(new org.apache.hadoop.fs.Path(postingsPath),
       new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_old")))
@@ -227,9 +231,10 @@ class ArtifactsSpec extends SparkSpec {
       "load must restore the aside-renamed previous copy when the new one is incomplete")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${postingsPath}_compact_new")))
 
-    // and a normal compact still answers identically
+    // and a normal compact still answers identically (accessor view —
+    // the physical rewrite is schema-uniform with the gen column)
     idx.compact()
-    assert(spark.read.parquet(postingsPath).collect().map(_.toSeq).toSet === before)
+    assert(idx.postings.collect().map(_.toSeq).toSet === before)
   }
 
   test("dedup index rebuild=true is the programmatic un-staleness path") {

@@ -554,34 +554,45 @@ class PersistSpec extends SparkSpec {
     assert(spark.read.parquet(base).collect().map(_.toSeq.toSeq).toSet === want)
   }
 
-  test("deleted-id reuse fails loudly: append probes the RAW tables plus the sidecar, and compact() unlocks the id") {
+  test("deleted-id reuse is LEGAL without compact (generation-scoped deletes); live dups and legacy kill-all tombstones stay loud") {
     val s = spark; import s.implicits._
     val docs = Tables.documents(spark, sf001).select("doc_id", "text").limit(200)
     val path = tmp("graft-text-reuse")
     val idx = TextIndex.build(docs.where(col("doc_id") < 100), "doc_id", "text", path)
     val victim = idx.docLengths.select(min("doc_id")).collect().head.getLong(0)
     idx.delete(Seq(victim).toDF("id"))
-    // deleted-but-uncompacted: physical rows still present → raw probe fires
-    val e1 = intercept[IllegalArgumentException] {
-      idx.append(docs.where(col("doc_id") === victim), "doc_id", "text")
-    }
-    assert(e1.getMessage.contains("compact"), e1.getMessage)
-    // tombstoned id with NO physical rows (delete of an absent id):
-    // the sidecar probe fires — without it the appended rows would be
-    // hidden by the read-time anti-join (the silent-loss hazard)
+    assert(idx.docLengths.where(col("doc_id") === victim).count() === 0L)
+    // the delete's tombstone is generation-scoped: the re-append's rows
+    // carry a higher generation and outlive it — NO compact needed (the
+    // old kill-forever semantics forced one)
+    idx.append(docs.where(col("doc_id") === victim), "doc_id", "text")
+    assert(idx.docLengths.where(col("doc_id") === victim).count() === 1L)
+    // same for a tombstoned id that never had physical rows (delete of
+    // an absent id) — previously the silent-loss hazard, now just a
+    // lower generation bound the new rows clear
     idx.delete(Seq(999999L).toDF("id"))
     val phantom = docs.where(col("doc_id") === victim)
       .select(lit(999999L).as("doc_id"), col("text"))
-    val e2 = intercept[IllegalArgumentException] {
-      idx.append(phantom, "doc_id", "text")
-    }
-    assert(e2.getMessage.contains("tombstoned"), e2.getMessage)
-    // compaction folds the tombstones in and clears the sidecar: both
-    // ids become appendable again, and the appended doc is served
-    idx.compact()
-    idx.append(docs.where(col("doc_id") === victim), "doc_id", "text")
     idx.append(phantom, "doc_id", "text")
-    assert(idx.docLengths.where(col("doc_id").isin(victim, 999999L)).count() === 2L)
+    assert(idx.docLengths.where(col("doc_id") === 999999L).count() === 1L)
+    // LIVE duplicates still fail loudly — upsert is the replacement verb
+    val e1 = intercept[IllegalArgumentException] {
+      idx.append(docs.where(col("doc_id") === victim), "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("new-docs-only"), e1.getMessage)
+    // LEGACY kill-all tombstones (plain sidecar rows a pre-generation
+    // delete wrote) still block reuse with the compact() unlock — they
+    // cover every generation, so appended rows would be hidden
+    graft.operators.Tombstones.append(spark, path, Seq(777L).toDF("id"))
+    val legacy = docs.where(col("doc_id") === victim)
+      .select(lit(777L).as("doc_id"), col("text"))
+    val e2 = intercept[IllegalArgumentException] {
+      idx.append(legacy, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("kill-all"), e2.getMessage)
+    idx.compact()
+    idx.append(legacy, "doc_id", "text")
+    assert(idx.docLengths.where(col("doc_id") === 777L).count() === 1L)
   }
 
   test("DedupIndex.append rejects standing AND tombstoned doc_ids loudly") {

@@ -270,4 +270,123 @@ class RetrievalSpec extends SparkSpec {
       Seq("spark", "broadcast"), k = 5).collect().map(_.toSeq).toSeq
     assert(maintained === rebuilt)
   }
+
+  // ---- generational in-place update (TextIndex.upsert) ----------------
+
+  private def allQueries = Seq(
+    Seq("spark"), Seq("spark", "broadcast"), Seq("gardening", "tomatoes"),
+    Seq("replaced", "entirely"), Seq("shuffle"))
+
+  private def assertServesLike(idx: graft.api.TextIndex,
+                               truth: Seq[RDoc], clue: String): Unit = {
+    val s = spark; import s.implicits._
+    for (q <- allQueries) {
+      val got = idx.search(q, 5).collect().map(_.toSeq).toSeq
+      val want = Retrieval.bm25TopK(truth.toDF(), "doc_id", "text", q, k = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(got === want, s"$clue: query $q diverged from the merged-corpus rebuild")
+    }
+  }
+
+  test("TextIndex.upsert replaces a document in place: update ≡ rebuild on the merged corpus, BM25 exact") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-upsert").toString
+    var idx = graft.api.TextIndex.build(corpus.toDF(), "doc_id", "text", dir)
+
+    // replace doc 2 (the spark-spammer) with an unrelated text: its old
+    // tf/df mass must vanish from every stat, the new terms must serve
+    val v2 = RDoc(2L, "replaced entirely different content now")
+    idx = idx.upsert(Seq(v2).toDF(), "doc_id", "text")
+    assertServesLike(idx, corpus.filterNot(_.doc_id == 2L) :+ v2, "single upsert")
+
+    // batch upsert mixing a changed doc, a re-changed doc and a NEW doc
+    val v2b = RDoc(2L, "spark returns to this document")
+    val v4 = RDoc(4L, "gardening replaced the shuffle talk")
+    val v9 = RDoc(9L, "a brand new document about spark broadcast")
+    idx = idx.upsert(Seq(v2b, v4, v9).toDF(), "doc_id", "text")
+    val truth2 = corpus.filterNot(r => r.doc_id == 2L || r.doc_id == 4L) ++ Seq(v2b, v4, v9)
+    assertServesLike(idx, truth2, "batch upsert")
+
+    // phrase + near search see the LATEST positions only
+    val ph = idx.searchPhrase(Seq("spark", "broadcast"), 3).collect().map(_.getLong(1))
+    assert(ph.toSeq === Seq(9L), "phrase must match only the latest generation's positions")
+
+    // a reload serves identically (the artifact itself was maintained)
+    assertServesLike(graft.api.TextIndex.load(spark, dir), truth2, "reload")
+
+    // stats surface the generation state
+    val st = idx.stats.collect().head
+    assert(st.getAs[Long]("generation") >= 2L)
+    assert(st.getAs[String]("inflight") == null)
+    assert(st.getAs[Long]("n_docs") === truth2.length.toLong)
+
+    // the append guard is PRESERVED for live ids (upsert is the verb)
+    val e = intercept[IllegalArgumentException] {
+      idx.append(Seq(v4).toDF(), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("new-docs-only"), e.getMessage)
+
+    // update ≡ rebuild includes an upsert that empties a doc (dl -> 0):
+    // it stays in N but serves no terms
+    val v5 = RDoc(5L, "")
+    idx = idx.upsert(Seq(v5).toDF(), "doc_id", "text")
+    assertServesLike(idx, truth2.filterNot(_.doc_id == 5L) :+ v5, "emptying upsert")
+  }
+
+  test("TextIndex.upsert crash windows: reload serves latest-or-pre-batch, never neither, never mixed") {
+    val s = spark; import s.implicits._
+    import graft.operators.{GraphMaintenance, Retrieval => R, Tombstones}
+    // window A: marker written, nothing landed — the upsert never
+    // happened; reload clears the marker and serves pre-batch
+    val dirA = java.nio.file.Files.createTempDirectory("graft-text-crashA").toString
+    graft.api.TextIndex.build(corpus.toDF(), "doc_id", "text", dirA)
+    val gA = Tombstones.nextGen(spark, dirA)
+    GraphMaintenance.writeMarker(spark, dirA, "upsert", gA)
+    val reA = graft.api.TextIndex.load(spark, dirA)
+    assert(GraphMaintenance.inflight(spark, dirA).isEmpty, "load must settle the marker")
+    assertServesLike(reA, corpus, "window A")
+
+    // window B: doclen landed, postings lost — recovery rolls the
+    // half-landed slice BACK (a mixed old-postings/new-doclen state
+    // must never serve); pre-batch state holds
+    val dirB = java.nio.file.Files.createTempDirectory("graft-text-crashB").toString
+    graft.api.TextIndex.build(corpus.toDF(), "doc_id", "text", dirB)
+    val gB = Tombstones.nextGen(spark, dirB)
+    GraphMaintenance.writeMarker(spark, dirB, "upsert", gB)
+    R.buildDocLengths(Seq(RDoc(2L, "replaced entirely different content now")).toDF(),
+        "doc_id", "text")
+      .withColumn("gen", lit(gB)).write.mode("append").parquet(s"$dirB/doclen")
+    val reB = graft.api.TextIndex.load(spark, dirB)
+    assert(GraphMaintenance.inflight(spark, dirB).isEmpty)
+    assert(reB.docLengths.where(col("doc_id") === 2L).count() === 1L,
+      "window B: exactly one doclen row must survive the rollback")
+    assertServesLike(reB, corpus, "window B")
+
+    // window C: both tables landed, tombstone publish lost — recovery
+    // rolls FORWARD; the latest version serves exactly once
+    val dirC = java.nio.file.Files.createTempDirectory("graft-text-crashC").toString
+    graft.api.TextIndex.build(corpus.toDF(), "doc_id", "text", dirC)
+    val v2 = RDoc(2L, "replaced entirely different content now")
+    val gC = Tombstones.nextGen(spark, dirC)
+    GraphMaintenance.writeMarker(spark, dirC, "upsert", gC)
+    R.buildDocLengths(Seq(v2).toDF(), "doc_id", "text")
+      .withColumn("gen", lit(gC)).write.mode("append").parquet(s"$dirC/doclen")
+    R.buildPostings(Seq(v2).toDF(), "doc_id", "text")
+      .withColumn("gen", lit(gC)).write.mode("append").parquet(s"$dirC/postings")
+    val reC = graft.api.TextIndex.load(spark, dirC)
+    assert(GraphMaintenance.inflight(spark, dirC).isEmpty)
+    assert(reC.docLengths.where(col("doc_id") === 2L).count() === 1L)
+    assertServesLike(reC, corpus.filterNot(_.doc_id == 2L) :+ v2, "window C")
+
+    // window D: everything landed, only the marker clear was lost —
+    // recovery is a no-op re-publish (idempotent), state unchanged
+    val dirD = java.nio.file.Files.createTempDirectory("graft-text-crashD").toString
+    var idxD = graft.api.TextIndex.build(corpus.toDF(), "doc_id", "text", dirD)
+    idxD = idxD.upsert(Seq(v2).toDF(), "doc_id", "text")
+    GraphMaintenance.writeMarker(spark, dirD, "upsert", Tombstones.currentGen(spark, dirD))
+    val reD = graft.api.TextIndex.load(spark, dirD)
+    assert(GraphMaintenance.inflight(spark, dirD).isEmpty)
+    assert(reD.docLengths.where(col("doc_id") === 2L).count() === 1L)
+    assertServesLike(reD, corpus.filterNot(_.doc_id == 2L) :+ v2, "window D")
+  }
 }

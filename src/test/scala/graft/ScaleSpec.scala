@@ -308,6 +308,62 @@ class ScaleSpec extends SparkSpec {
     // the pair shuffle — is linear in orders
     ("orders_basket_affinity", "linear", SparkEntry.queries("orders_basket_affinity")))
 
+  /** Measure an arbitrary maintenance verb (not a DataFrame run) under
+    * a fresh job group — the mutation-bookkeeping certificate's shape.
+    */
+  private def measureVerb(name: String)(body: => Unit): Measured = {
+    spark.catalog.clearCache()
+    val group = s"scale-$name"
+    val listener = new GroupMetrics(group)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, name)
+      val t0 = System.nanoTime()
+      body
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.clearJobGroup()
+      var prev = listener.snapshot
+      var settled = 0
+      var waited = 0
+      while (settled < 2 && waited < 50) {
+        Thread.sleep(100); waited += 1
+        val cur = listener.snapshot
+        if (cur == prev) settled += 1 else { settled = 0; prev = cur }
+      }
+      val (sr, sw, in) = listener.snapshot
+      Measured(wall, sr, sw, in)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** The 1-row-upsert bookkeeping certificate: build a maintained GRAPH
+    * index over the x`k` embeddings at CONSTANT cluster size (cluster
+    * count grows with the corpus — the deployment-real scaling, and the
+    * setting where any hidden O(corpus) bookkeeping scan shows up as
+    * input growth while the algorithmic O(batch × touched clusters)
+    * term stays flat), then measure one steady-state single-row upsert
+    * (a prior warm-up upsert made the tombstone sidecar and generation
+    * machinery present). The _ids probe sidecar, the _rowcount
+    * manifest, gen-pruned batch reads, and the src-pruned re-link probe
+    * are what keep this flat; the pre-round-13 shape (full data-id
+    * probe + per-mutation count()) grows ∝ corpus here.
+    */
+  private def measureOneRowUpsert(k: Int, dir: String): Measured = {
+    import graft.api._
+    val idxDir = s"$scaleRoot/mutcert/x$k"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("vectors"))
+    VectorIndex.create(spark, IndexType.GRAPH, 64, Metric.L2,
+        IndexParams(ivfClusters = 4 * k, graphK = 4, graphBeam = 8, graphHops = 2))
+      .insertAll(emb)
+      .save(idxDir)
+    var idx = VectorIndex.load(spark, idxDir)
+    val warmVec = Array.fill(64)(0.25f)
+    idx = idx.upsert(7L, warmVec) // warm: sidecar + gen machinery present
+    measureVerb(s"upsert1row-x$k") {
+      idx = idx.upsert(13L, Array.fill(64)(-0.25f))
+    }
+  }
+
   test("scaling certificates: 1x/10x/30x corpora — shuffle bytes obey the documented envelopes") {
     val dirs = Seq(1 -> srcDir, 10 -> s"$scaleRoot/x10", 30 -> s"$scaleRoot/x30")
     synth(s"$scaleRoot/x10", 10)
@@ -345,6 +401,28 @@ class ScaleSpec extends SparkSpec {
       }.mkString(", ")
       rows += s"""{"op": "$name", "envelope": "$envelope", "pass": ${shuffleOk && timeOk}, $cells}"""
       info(f"$name%-20s [$envelope%7s] shuffle ${mb(sh1)}%9.3f MB -> ${mb(sh30)}%9.3f MB   wall ${m1.wallSec}%6.2f s -> ${m30.wallSec}%6.2f s")
+    }
+
+    // the mutation-bookkeeping certificate: a 1-row maintained-GRAPH
+    // upsert's TOTAL INPUT BYTES must stay flat as the corpus grows
+    // (held to a bounded envelope on input, not just shuffle — the
+    // bookkeeping scans this guards against are map-side)
+    {
+      val mut = dirs.map { case (k, d) => k -> measureOneRowUpsert(k, d) }.toMap
+      val m1 = mut(1); val m30 = mut(30)
+      val inputOk = m30.input <= math.max(m1.input * 4, 24L << 20)
+      val sh30 = m30.shuffleRead + m30.shuffleWrite
+      val shuffleOk = sh30 <= math.max((mut(1).shuffleRead + mut(1).shuffleWrite) * 4, 4L << 20)
+      if (!inputOk) failures +=
+        s"upsert_1row_maintained: input ${mb(m1.input)}MB -> ${mb(m30.input)}MB is not flat (bookkeeping scans scale with corpus)"
+      if (!shuffleOk) failures +=
+        s"upsert_1row_maintained: shuffle grew ${mb(sh30)}MB at x30"
+      val cells = dirs.map { case (k, _) =>
+        val m = mut(k)
+        f""""x$k": {"wall_s": ${m.wallSec}%.3f, "shuffle_read_mb": ${mb(m.shuffleRead)}%.3f, "shuffle_write_mb": ${mb(m.shuffleWrite)}%.3f, "input_mb": ${mb(m.input)}%.3f}"""
+      }.mkString(", ")
+      rows += s"""{"op": "upsert_1row_maintained", "envelope": "bounded-input", "pass": ${inputOk && shuffleOk}, $cells}"""
+      info(f"upsert_1row_maintained [bounded-input] input ${mb(m1.input)}%9.3f MB -> ${mb(m30.input)}%9.3f MB   wall ${m1.wallSec}%6.2f s -> ${m30.wallSec}%6.2f s")
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"),
