@@ -713,6 +713,100 @@ object Oracles {
        |FROM ($union) u ORDER BY degree""".stripMargin
   }
 
+  /** recall@10 per (degree, beam) CELL at fixed hops — the DuckDB twin
+    * of [[Queries.annGraphDegreeBeamGrid]] (the knob family's
+    * interaction term). Same MATERIALIZED base as the degree curve;
+    * each degree's prefix cut + symmetrized edge set is shared by its
+    * beams, and every cell gets one suffixed unrolled walk.
+    */
+  private def graphDegreeBeamGridSql(centroids: Array[Array[Float]], queryId: Long,
+                                     degrees: Seq[Int], beams: Seq[Int],
+                                     hops: Int): String = {
+    val perK = degrees.map { kk =>
+      s"""gk$kk AS MATERIALIZED (SELECT q_id, n_id FROM d
+         |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $kk),
+         |symk$kk AS MATERIALIZED (SELECT q_id AS src, n_id AS dst FROM gk$kk
+         |        UNION SELECT n_id AS src, q_id AS dst FROM gk$kk)""".stripMargin
+    }.mkString(",\n")
+    val chains = (for { kk <- degrees; b <- beams } yield
+      graphHopChain(b, hops, sfx = s"k${kk}b$b", sym = s"symk$kk")).mkString(",\n")
+    val branches = (for { kk <- degrees; b <- beams } yield
+      s"""bk${kk}b$b AS (SELECT $kk AS degree, $b AS beam,
+         |  (SELECT count(*) FROM ex
+         |   WHERE id IN (SELECT id FROM v${hops}k${kk}b$b ORDER BY dist, id LIMIT 10)) AS n_hits)""".stripMargin)
+      .mkString(",\n")
+    val union = (for { kk <- degrees; b <- beams } yield s"SELECT * FROM bk${kk}b$b")
+      .mkString(" UNION ALL ")
+    s"""WITH cents AS ${paramRows(centroids, "cid", "cv")},
+       |asg AS MATERIALIZED (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |own AS MATERIALIZED (SELECT vec_id, cid, d2 FROM asg
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |cl AS MATERIALIZED (SELECT vec_id, cid FROM own),
+       |med AS MATERIALIZED (SELECT vec_id AS id FROM own
+       |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) = 1),
+       |d AS MATERIALIZED (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |v0 AS MATERIALIZED (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
+       |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
+       |ex AS MATERIALIZED (SELECT e.vec_id AS id FROM embeddings e, q
+       |       ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT 10),
+       |$perK,
+       |$chains,
+       |$branches
+       |SELECT degree, beam, n_hits,
+       |  (round((n_hits / 10) * 10000.0) / 10000.0) AS recall
+       |FROM ($union) u ORDER BY degree, beam""".stripMargin
+  }
+
+  /** WALK-TIME filtered graph search — the DuckDB twin of
+    * [[Queries.filteredAnnGraphWalk]]: the walk unrolls over the FULL
+    * graph (one suffixed chain per distinct beam, shared across
+    * predicates — the walk is filter-independent), and only the final
+    * top-10 cut gates on each predicate; recall against the exact
+    * filtered answer, with the measured selectivity riding each row.
+    */
+  private def graphFilteredWalkSql(centroids: Array[Array[Float]], queryId: Long,
+                                   graphK: Int, hops: Int,
+                                   preds: Seq[(String, String, Int)]): String = {
+    val beams = (preds.map(_._3) :+ 8).distinct.sorted
+    val chains = beams.map(b => graphHopChain(b, hops, sfx = s"w$b")).mkString(",\n")
+    val perPred = preds.zipWithIndex.map { case ((_, sqlPred, _), i) =>
+      s"""pass$i AS MATERIALIZED (SELECT vec_id AS id FROM embeddings e WHERE $sqlPred),
+         |exf$i AS MATERIALIZED (SELECT e.vec_id AS id FROM embeddings e, q WHERE $sqlPred
+         |       ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT 10)""".stripMargin
+    }.mkString(",\n")
+    val branches = preds.zipWithIndex.map { case ((name, _, comp), i) =>
+      s"""bp$i AS (SELECT '$name' AS predicate,
+         |  (round((CAST((SELECT count(*) FROM pass$i) AS DOUBLE)
+         |          / CAST((SELECT count(*) FROM embeddings) AS DOUBLE)) * 10000.0) / 10000.0) AS selectivity,
+         |  8 AS beam_plain,
+         |  (SELECT count(*) FROM exf$i WHERE id IN
+         |     (SELECT id FROM v${hops}w8 WHERE id IN (SELECT id FROM pass$i)
+         |      ORDER BY dist, id LIMIT 10)) AS hits_plain,
+         |  $comp AS beam_comp,
+         |  (SELECT count(*) FROM exf$i WHERE id IN
+         |     (SELECT id FROM v${hops}w$comp WHERE id IN (SELECT id FROM pass$i)
+         |      ORDER BY dist, id LIMIT 10)) AS hits_comp)""".stripMargin
+    }.mkString(",\n")
+    val union = preds.indices.map(i => s"SELECT * FROM bp$i").mkString(" UNION ALL ")
+    s"""WITH ${graphBaseCtes(centroids, graphK, mat = true)},
+       |q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |v0 AS MATERIALIZED (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
+       |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
+       |$chains,
+       |$perPred,
+       |$branches
+       |SELECT predicate, selectivity, beam_plain, hits_plain,
+       |  (round((hits_plain / 10) * 10000.0) / 10000.0) AS recall_plain,
+       |  beam_comp, hits_comp,
+       |  (round((hits_comp / 10) * 10000.0) / 10000.0) AS recall_comp
+       |FROM ($union) u ORDER BY predicate""".stripMargin
+  }
+
   /** Cost + recall per nprobe from the same fitted centroids — the
     * DuckDB twin of [[Queries.annTradeoffTable]].
     */
@@ -1313,19 +1407,26 @@ object Oracles {
       "knn_graph_recall" -> graphRecallSql(scaledCents, k = 3),
       // the serving walk runs over the SAME scaled-centroid graph
       "ann_graph" -> graphBeamSql(scaledCents, queryId = 13L,
-        graphK = 3, beam = 8, hops = 3, k = 10),
+        graphK = 16, beam = 8, hops = 3, k = 10),
       "ann_graph_recall_curve" -> graphBeamCurveSql(scaledCents, queryId = 13L,
-        graphK = 3, beam = 8, hops = 3),
+        graphK = 16, beam = 8, hops = 3),
       "ann_graph_beam_curve" -> graphBeamKnobCurveSql(scaledCents, queryId = 13L,
-        graphK = 3, beams = Seq(2, 4, 8, 16, 32), hops = 3),
+        graphK = 16, beams = Seq(2, 4, 8, 16, 32), hops = 3),
       "ann_graph_degree_curve" -> graphDegreeKnobCurveSql(scaledCents, queryId = 13L,
         degrees = Seq(3, 8, 16, 32), beam = 8, hops = 3),
+      "ann_graph_degree_beam_grid" -> graphDegreeBeamGridSql(scaledCents, queryId = 13L,
+        degrees = Seq(3, 16, 32), beams = Seq(2, 8, 32), hops = 3),
+      "filtered_ann_graph_walk" -> graphFilteredWalkSql(scaledCents, queryId = 13L,
+        graphK = 16, hops = 3, preds = Seq(
+          ("label=2", "e.label = 2", 32),
+          ("label<8", "e.label < 8", 16),
+          ("label<>2", "e.label <> 2", 8))),
       "filtered_ann_graph" -> graphBeamSql(scaledCentsFlt, queryId = 13L,
-        graphK = 3, beam = 8, hops = 3, k = 10, where = " WHERE e.label = 2"),
+        graphK = 16, beam = 8, hops = 3, k = 10, where = " WHERE e.label = 2"),
       "filtered_knn_batch_graph" -> graphBeamBatchSql(scaledCentsFlt,
-        graphK = 3, beam = 8, hops = 3, k = 5, where = " WHERE e.label = 2"),
+        graphK = 16, beam = 8, hops = 3, k = 5, where = " WHERE e.label = 2"),
       "knn_batch_graph" -> graphBeamBatchSql(scaledCents,
-        graphK = 3, beam = 8, hops = 3, k = 5),
+        graphK = 16, beam = 8, hops = 3, k = 5),
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "vector_silhouette" -> silhouetteSql(centroids),

@@ -302,11 +302,19 @@ object Queries {
   private[graft] def graphServePath(spark: SparkSession, dir: String): String =
     operators.Artifacts.resolve(spark, "knngraph_serve",
       operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1")) { tmp =>
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v2 k=16")) { tmp =>
       val emb = Tables.embeddings(spark, dir)
       val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
-      operators.GraphAnn.buildServing(knnGraph(spark, dir), emb,
-        "vec_id", "embedding", centroids, tmp)
+      // degree 16 — the reference's own M (hnsw_index.rs) and the
+      // measured knee of ann_graph_degree_curve (recall@10 0.4 -> 0.7
+      // at K = 3 -> 16 for 4.7x edge storage; +0.1 more at K = 32 for
+      // another 1.9x). The shared top-3 knnGraph artifact keeps serving
+      // its five graph-statistics consumers; the SERVING layout builds
+      // its own degree-16 edge set.
+      operators.GraphAnn.buildServing(
+        operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
+          k = 16, metric = "l2"),
+        emb, "vec_id", "embedding", centroids, tmp)
     }
 
   /** Graph-traversal ANN — the serving leg over the persisted k-NN
@@ -399,11 +407,11 @@ object Queries {
   private def filteredGraphServePath(spark: SparkSession, dir: String): String =
     operators.Artifacts.resolve(spark, "knngraph_serve_flt",
       operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1 label=2")) { tmp =>
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v2 label=2 k=16")) { tmp =>
       val emb = Tables.embeddings(spark, dir).where(col("label") === 2)
       val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
       operators.GraphAnn.buildServing(
-        operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2"),
+        operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 16, metric = "l2"),
         emb, "vec_id", "embedding", centroids, tmp)
     }
 
@@ -535,6 +543,98 @@ object Queries {
           roundTo(col("n_hits") / lit(10L), 4).as("recall"))
         .crossJoin(nEdges) // 1-row × 1-row broadcast
     }.reduce(_ unionAll _).orderBy("degree")
+  }
+
+  /** The degree × beam INTERACTION grid — the knob family's only
+    * interaction term ([[annGraphDegreeCurve]] sweeps degree at fixed
+    * beam, [[annGraphBeamCurve]] beam at fixed degree; this crosses
+    * them): recall@10 at degree ∈ {3,16,32} × beam ∈ {2,8,32}, hops 3.
+    * What it separates: whether a starved walk should buy EDGES
+    * (storage, at every node forever) or BEAM (latency, per query) —
+    * a cell where widening the beam at low degree matches raising the
+    * degree at narrow beam prices the cheaper fix. All nine walks run
+    * over rank-prefix cuts of the ONE max-degree artifact
+    * ([[degreeGraphServePath]] — the `min_rank <= K` filter reaches
+    * the parquet scan); a grid sweep must not cost nine graph builds.
+    * Oracle: the same MATERIALIZED base as the degree curve with one
+    * suffixed unrolled walk per cell.
+    */
+  def annGraphDegreeBeamGrid(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = degreeGraphServePath(spark, dir)
+    val qv = queryVec(spark, dir, 13L)
+    val exact = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
+      .select(col("id"))
+    val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
+    (for { kk <- Seq(3, 16, 32); b <- Seq(2, 8, 32) } yield {
+      val edges = spark.read.parquet(s"$base/edges").where(col("min_rank") <= kk)
+      val last = operators.GraphAnn.beamStates(entries, edges, qv,
+        beam = b, hops = 3).last
+      val top = last.orderBy(col("dist"), col("id")).limit(10).select(col("id"))
+      exact.join(top, "id")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(kk).as("degree"), lit(b).as("beam"), col("n_hits"),
+          roundTo(col("n_hits") / lit(10L), 4).as("recall"))
+    }).reduce(_ unionAll _).orderBy("degree", "beam")
+  }
+
+  /** WALK-TIME filtered graph search — the reference's ACTUAL filter
+    * mechanism (hnsw_index.rs search_vectors_filter: the bitmap gates
+    * candidates as they are scored, the walk itself traverses the full
+    * graph), beside [[filteredAnnGraph]]'s pre-built filtered layout:
+    * an AD-HOC predicate at 100 TB cannot pay a per-predicate quantizer
+    * fit + graph build, so the walk runs over the ONE standing serving
+    * artifact and only the top-k CUT is gated by the predicate — with
+    * the beam widened to compensate (a fraction sel of visited nodes
+    * pass, so the frontier must over-provision by ~1/sel to keep k
+    * passing candidates in reach). The row set IS the measured
+    * recall-vs-selectivity readout: three predicates of decreasing
+    * selectivity, each priced at the plain beam AND at its compensated
+    * beam against the exact filtered answer — what an operator reads
+    * before choosing between this mode and a pre-built layout for a
+    * hot predicate. Oracle unrolls one suffixed walk per (predicate,
+    * beam) cell over the same full-graph base, gating only the final
+    * cut.
+    */
+  def filteredAnnGraphWalk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val base = graphServePath(spark, dir)
+    val qv = queryVec(spark, dir, 13L)
+    val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
+    val edges = spark.read.parquet(s"$base/edges")
+    val n = emb.count()
+    // (name, predicate, compensated beam) — comp ≈ beam/sel, literal so
+    // both engines walk identical plans
+    val preds = Seq(
+      ("label=2", col("label") === 2, 32),
+      ("label<8", col("label") < 8, 16),
+      ("label<>2", col("label") =!= 2, 8))
+    // ONE walk per distinct beam width, shared across predicates — the
+    // walk is filter-independent (the gate applies only at the cut)
+    val lasts = preds.map(_._3).toSet.union(Set(8)).toSeq.sorted.map { b =>
+      b -> operators.GraphAnn.beamStates(entries, edges, qv,
+        beam = b, hops = 3).last
+    }.toMap
+    preds.map { case (name, pred, compBeam) =>
+      val pass = emb.where(pred).select(col("vec_id").as("id"))
+      val exact = Knn.searchExact(emb.where(pred), "vec_id", "embedding", qv, 10, "l2")
+        .select(col("id"))
+      val sel = pass.agg(roundTo(count(lit(1)) / lit(n.toDouble), 4).as("selectivity"))
+      def recallAt(b: Int) = {
+        // the gate: only passing candidates enter the cut — the walk
+        // itself saw the full graph (the reference's filter semantics)
+        val top = lasts(b).join(pass, Seq("id"), "leftsemi")
+          .orderBy(col("dist"), col("id")).limit(10).select(col("id"))
+        exact.join(top, "id").agg(count(lit(1)).as("n"))
+      }
+      sel.crossJoin(recallAt(8).select(col("n").as("hits_plain")))
+        .crossJoin(recallAt(compBeam).select(col("n").as("hits_comp")))
+        .select(lit(name).as("predicate"), col("selectivity"),
+          lit(8).as("beam_plain"), col("hits_plain"),
+          roundTo(col("hits_plain") / lit(10L), 4).as("recall_plain"),
+          lit(compBeam).as("beam_comp"), col("hits_comp"),
+          roundTo(col("hits_comp") / lit(10L), 4).as("recall_comp"))
+    }.reduce(_ unionAll _).orderBy("predicate")
   }
 
   /** IVF with nprobe = K: every cluster probed ⇒ provably identical to

@@ -525,6 +525,19 @@ class VectorIndex private (
   /** reference: core/index/filter_index.rs:23-104 — int-field pre-filter
     * (`field` is a top-level int field of the json `data` document) then
     * k-NN over the surviving ids.
+    *
+    * On a PATH-BACKED GRAPH index this is the reference's own mechanism
+    * (hnsw_index.rs search_vectors_filter): the walk runs over the ONE
+    * standing serving layout and the predicate gates candidates at the
+    * CUT, with the beam widened by `graphFilterComp` to compensate for
+    * the fraction of visited nodes the filter rejects — an AD-HOC
+    * predicate never pays a quantizer fit or graph build (at 100 TB a
+    * user with changing filters cannot pre-build per predicate; the
+    * `filtered_ann_graph_walk` keyed row prices recall vs selectivity,
+    * and a pre-built filtered layout — [[searchFrom]] over a filtered
+    * fresh state — remains the recall-lossless option for a HOT
+    * predicate). Non-loaded states keep the build-over-filtered-base
+    * path (they pay the fit either way).
     */
   def searchFiltered(vector: Array[Float], k: Int,
                      field: String, op: FilterOp, value: Long): DataFrame = {
@@ -534,7 +547,14 @@ class VectorIndex private (
       case FilterOp.Equal    => f === value
       case FilterOp.NotEqual => f =!= value
     }
-    searchFrom(state.where(pred), vector, k)
+    loadedServe match {
+      case Some((entries, edges)) if key.indexType == IndexType.GRAPH =>
+        val pass = state.where(pred).select(col("id"))
+        GraphAnn.searchBeamGated(entries, edges, vector, k,
+          params.graphBeam * VectorIndex.GraphFilterComp, params.graphHops,
+          key.metricType.name, pass)
+      case _ => searchFrom(state.where(pred), vector, k)
+    }
   }
 
   /** Filtered BATCH search — [[searchFiltered]] composed with
@@ -839,6 +859,16 @@ object VectorIndex {
 
   /** Persisted-layout columns that only exist on a [[load]]ed state. */
   private val LayoutCols = Seq("cluster", "bucket", "band", "codes")
+
+  /** Beam multiplier for walk-time filtered GRAPH search — the
+    * compensation for candidates the predicate rejects at the cut
+    * (reference: hnsw_index.rs search_vectors_filter widens ef the same
+    * way). 4 covers selectivities down to ~1/4 at full recall and
+    * degrades gracefully below (measured: the `filtered_ann_graph_walk`
+    * keyed row's recall-vs-selectivity readout); a predicate hot AND
+    * selective enough to need more is the pre-built-layout case.
+    */
+  private val GraphFilterComp = 4
 
   /** Sub-quantizer codebook size (4-bit codes; the 8×16 convention the
     * PQ query family fixes — 8 bytes of code per 64-dim vector).

@@ -244,4 +244,32 @@ object GraphAnn {
       .select(col("rank"), col("id"),
         roundTo(if (flip) -col("dist") else col("dist"), 4).as("value"))
   }
+
+  /** WALK-TIME filtered serve — the reference's filter mechanism
+    * (hnsw_index.rs search_vectors_filter: the bitmap gates candidates
+    * as they are scored; the walk itself traverses the full graph): the
+    * beam walk runs over the ONE standing serving layout and only the
+    * top-k CUT is gated on `passIds` (an (id) frame of the documents
+    * satisfying the predicate). Callers widen `beam` to compensate for
+    * the fraction of visited nodes the gate rejects — recall vs
+    * selectivity is measured by the `filtered_ann_graph_walk` keyed
+    * row. An ad-hoc predicate therefore costs ONE ordinary walk —
+    * never a quantizer fit or graph build; the pre-built
+    * filtered-corpus layout remains the recall-lossless choice for a
+    * hot predicate.
+    */
+  def searchBeamGated(entries: DataFrame, edges: DataFrame, queryVec: Array[Float],
+                      k: Int, beam: Int, hops: Int, metric: String,
+                      passIds: DataFrame): DataFrame = {
+    require(k >= 1)
+    val flip = metric == "ip" || metric == "cosine"
+    val idCol = passIds.columns.head
+    beamStates(entries, edges, queryVec, beam, hops, metric).last
+      .join(passIds.select(col(idCol).as("id")), Seq("id"), "leftsemi")
+      .orderBy(col("dist"), col("id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(col("dist"), col("id"))))
+      .select(col("rank"), col("id"),
+        roundTo(if (flip) -col("dist") else col("dist"), 4).as("value"))
+  }
 }

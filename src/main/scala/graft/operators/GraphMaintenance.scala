@@ -62,6 +62,14 @@ object GraphMaintenance {
   private def entriesPath(p: String) = s"$p/serve/entries"
   private def idsPath(p: String) = s"$p/_ids"
 
+  /** Measurement seam for the recall-under-churn experiment (AnnSpec's
+    * CHURN.json): disables the routing heals so the curve can price
+    * what they buy — the control arm of the with/without comparison.
+    * Production code never touches it; the experiment restores it in a
+    * finally.
+    */
+  @volatile private[graft] var healsEnabled: Boolean = true
+
   /** Row-group size for serve-edge files: small enough that an
     * `src_id IN (...)` probe (the re-link heal, frontier-style lookups)
     * prunes to a few megabytes regardless of corpus size — with the
@@ -320,8 +328,10 @@ object GraphMaintenance {
       } finally dataG.unpersist()
       // (e) + (f) routing heals — derived from the live view alone, so
       // they need nothing from the lost batch context
-      refreshEntries(spark, p, cents, g)
-      relinkStarved(spark, p, cents, k, metric, g)
+      if (healsEnabled) {
+        refreshEntries(spark, p, cents, g)
+        relinkStarved(spark, p, cents, k, metric, g)
+      }
       clearMarker(spark, p)
       if (Tombstones.maybeCompact(spark, p, compactTables(spark, p),
             physicalRows(spark, p)))

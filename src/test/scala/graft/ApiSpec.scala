@@ -735,6 +735,43 @@ class ApiSpec extends SparkSpec {
     (dir, rows, cents)
   }
 
+  test("loaded GRAPH searchFiltered is a walk-time gate: no refit, no rebuild, every hit satisfies the filter") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(4)(Array.fill(6)(rnd.nextGaussian().toFloat * 10))
+    val rows = (0 until 200).map { i =>
+      (i.toLong, centers(i % 4).map(x => x + rnd.nextGaussian().toFloat),
+        Some(s"""{"cat": ${i % 3}}"""): Option[String])
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-gated").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 6, Metric.L2,
+        IndexParams(ivfClusters = 4, graphK = 8, graphBeam = 8, graphHops = 3))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+      .save(dir)
+    val re = VectorIndex.load(spark, dir)
+    val fitsBefore = graft.operators.IvfIndex.fitRuns.get()
+    val q = rows(5)._2
+    val hits = re.searchFiltered(q, 5, "cat", FilterOp.Equal, 1L)
+    val got = hits.collect()
+    // the reference's filter contract: every hit satisfies the predicate
+    assert(got.nonEmpty && got.forall(r => r.getLong(1) % 3 == 1),
+      s"every served id must satisfy cat=1: ${got.map(_.getLong(1)).toSeq}")
+    // ad-hoc predicate on a loaded index: NO quantizer fit, NO graph
+    // build — the walk reads the standing serving layout
+    assert(graft.operators.IvfIndex.fitRuns.get() === fitsBefore,
+      "a walk-time filtered search must not refit the quantizer")
+    assert(hits.queryExecution.executedPlan.toString.contains("/serve/"),
+      "the gated walk must read the standing serving layout")
+    // NotEqual composes the same way
+    val ne = re.searchFiltered(q, 5, "cat", FilterOp.NotEqual, 2L).collect()
+    assert(ne.nonEmpty && ne.forall(r => r.getLong(1) % 3 != 2))
+    // the gate never relaxes exactness of what it returns: distances
+    // are true distances (self-query at cat-matching id -> dist 0)
+    val self = rows(7) // id 7: cat = 1
+    val sh = re.searchFiltered(self._2, 3, "cat", FilterOp.Equal, 1L).collect()
+    assert(sh.head.getLong(1) === 7L && math.abs(sh.head.getDouble(2)) < 1e-3)
+  }
+
   test("crash-injection: every kill window of an in-place upsert reloads to latest-or-pre-batch, never neither") {
     import graft.operators.{GraphMaintenance, IvfIndex, Tombstones}
     import org.apache.spark.sql.functions._
