@@ -237,6 +237,16 @@ object Oracles {
     * by nf·fsz), odd take the audio histogram (raw sample bytes = the
     * text bytes, normalized by n) — both re-derived from text, both in
     * FLOAT32 like the decoders.
+    *
+    * PURE-ASCII lock-step (the same corpus assumption [[ppmFeatCtes]]
+    * states): the odd (WAV) branch counts CHARACTERS (`range` over
+    * `len(text)`, `ascii(substr)`) but normalizes by the OCTET length
+    * the Spark decoder histograms — these agree only while every
+    * document byte is ASCII (one byte per character, code points ≤
+    * 127). The driver's documents table is ASCII by construction; a
+    * future non-ASCII corpus must switch this CTE to octet positions
+    * or the oracle diverges from the decoder instead of going
+    * hash-red on the real cause.
     */
   private def avFeatCtes(alias: String): String =
     s"""${ppmGeomCte(s"${alias}g")},

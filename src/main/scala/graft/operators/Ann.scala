@@ -27,17 +27,17 @@ import graft.functions._
   */
 object IvfIndex {
 
-  /** Fit K centroids on a bounded sample (invariant to total table size —
-    * at 100 TB this still fits one executor's sample). MLlib KMeans with a
-    * fixed seed; centroids come back as plain float matrices so search
-    * needs no MLlib at all.
-    */
   /** Observability: real KMeans runs (cache misses) — the no-refit
     * properties on the maintained-GRAPH lifecycle assert a maintenance
     * verb never bumps this.
     */
   private[graft] val fitRuns = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Fit K centroids on a bounded sample (invariant to total table size —
+    * at 100 TB this still fits one executor's sample). MLlib KMeans with a
+    * fixed seed; centroids come back as plain float matrices so search
+    * needs no MLlib at all.
+    */
   def fit(emb: DataFrame, vecCol: String, k: Int, seed: Long = 42L,
           maxSample: Long = 100000L): Array[Array[Float]] = {
     fitRuns.incrementAndGet()

@@ -161,10 +161,16 @@ object GraphAnn {
     for (_ <- 1 to hops) {
       val visited = freshFrames.reduce(_ unionByName _)
       val frontier = fresh.orderBy(col("dist"), col("id")).limit(beam).select(col("id"))
-      val cands = frontier.join(edges, frontier("id") === edges("src_id"))
+      // the frontier (≤ beam rows) and the visited set (≤ K +
+      // hops·beam·degree rows) are the provably-bounded sides — HINTED
+      // broadcast, because the optimizer cannot see those bounds
+      // through the window/limit lineage and would otherwise SHUFFLE
+      // THE EDGE ARTIFACT per hop once it outgrows the auto-broadcast
+      // threshold (corpus-proportional shuffle for O(beam) lookups)
+      val cands = broadcast(frontier).join(edges, frontier("id") === edges("src_id"))
         .select(col("dst_id").as("id"), col("dst_vec"))
         .dropDuplicates("id") // every copy carries the same dst_vec
-        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .join(broadcast(visited.select(col("id"))), Seq("id"), "left_anti")
       fresh = cands.select(col("id"),
         Knn.score(metric, col("dst_vec"), typedLit(queryVec)).as("dist"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -213,11 +219,17 @@ object GraphAnn {
       val frontier = fresh
         .withColumn("rn", row_number().over(perQ)).where(col("rn") <= beam)
         .select(col("q_id"), col("id"))
-      val cands = frontier.join(edges, frontier("id") === edges("src_id"))
+      // frontier (|q| × beam) and visited (|q| × bounded state) are the
+      // bounded sides at the fixed query loads a serving batch means —
+      // hinted broadcast so the EDGE ARTIFACT is never the shuffled
+      // side of a hop (it would otherwise re-shuffle per hop, corpus-
+      // proportional, the moment it outgrows the auto threshold; a
+      // corpus-scale query set belongs on knnJoinIvf, not this walk)
+      val cands = broadcast(frontier).join(edges, frontier("id") === edges("src_id"))
         .select(col("q_id"), col("dst_id").as("id"), col("dst_vec"))
         .dropDuplicates("q_id", "id")
-        .join(visited.select(col("q_id"), col("id")), Seq("q_id", "id"), "left_anti")
-      fresh = cands.join(q, Seq("q_id"))
+        .join(broadcast(visited.select(col("q_id"), col("id"))), Seq("q_id", "id"), "left_anti")
+      fresh = cands.join(broadcast(q), Seq("q_id"))
         .select(col("q_id"), col("id"),
           Knn.score(metric, col("dst_vec"), col("q_vec")).as("dist"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
