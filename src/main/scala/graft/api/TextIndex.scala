@@ -33,20 +33,34 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     * generation) behaves exactly like the old anti-join. No-op plan
     * when nothing was ever deleted.
     */
-  def postings: DataFrame =
-    Tombstones.filterGen(
-      Tombstones.readWithGen(spark, s"$path/postings"), path, "doc_id", "gen")
-      .drop("gen")
+  def postings: DataFrame = gated(s"$path/postings")
 
   /** (doc_id, dl) — one row per document, INCLUDING zero-token docs
     * (they carry no postings but must count in N and avgdl); tombstoned
     * and superseded doc rows drop at read (generation-aware, like
     * [[postings]]), so N/avgdl/df all see the post-mutation corpus.
     */
-  def docLengths: DataFrame =
-    Tombstones.filterGen(
-      Tombstones.readWithGen(spark, s"$path/doclen"), path, "doc_id", "gen")
+  def docLengths: DataFrame = gated(s"$path/doclen")
+
+  /** The PUBLISHED view of one artifact table — the read half of the
+    * atomic-publish protocol ([[TextIndex.publishedGen]]): rows above
+    * the published generation are invisible (a mid-ingest batch hasn't
+    * published yet), and generation-scoped tombstones take effect only
+    * once published (`upto < publishedGen`;
+    * [[graft.operators.Tombstones.filterGenPublished]]). A reader at
+    * ANY kill point of a crashed ingest therefore sees exactly the
+    * pre-batch or the post-batch index — never duplicate doclen rows,
+    * orphaned postings, or half-retired ids. Legacy artifacts (no
+    * `_pubgen` file) gate at MaxValue, reproducing the old filterGen
+    * read exactly.
+    */
+  private def gated(tablePath: String): DataFrame = {
+    val pg = TextIndex.publishedGen(spark, path)
+    Tombstones.filterGenPublished(
+      Tombstones.readWithGen(spark, tablePath).where(col("gen") <= pg),
+      path, "doc_id", "gen", pg)
       .drop("gen")
+  }
 
   /** The index's metadata columns (everything riding the doc-length
     * table beside doc_id/dl) — the text-side filter index, inferred
@@ -190,10 +204,15 @@ final class TextIndex private (spark: SparkSession, val path: String) {
             "is live in the index (re-appending would inflate df/N and split tf; " +
             "use upsert to replace it)")
       }
+      // adopt the publish gate before the first new-protocol mutation
+      // touches a legacy artifact: everything standing is published
+      TextIndex.ensurePublishedGen(spark, path)
       val g = Tombstones.nextGen(spark, path)
       GraphMaintenance.writeMarker(spark, path, verb, g)
       // the batch must carry the index's own metadata columns, so a
-      // filtered search stays total over ingested docs too
+      // filtered search stays total over ingested docs too. Both table
+      // appends land at gen g ABOVE the published generation, so a
+      // concurrent reader sees none of this until the publish rename.
       Retrieval.appendPostings(docs, idCol, textCol,
         s"$path/postings", s"$path/doclen", metaCols = metaColumns,
         gen = Some(g))
@@ -202,38 +221,47 @@ final class TextIndex private (spark: SparkSession, val path: String) {
      }
     }
 
-  /** Finish (or resume) an in-flight ingest — idempotent, called by the
-    * verbs and by [[TextIndex.load]] after a crash. Decision table from
-    * the gen-`g` slices alone: no doclen rows at `g` ⇒ nothing landed
-    * (clear the marker — the mutation never happened); doclen landed
-    * and its postings obligation is met (some `dl > 0` row implies
-    * postings rows must exist at `g`) ⇒ publish the tombstone for the
-    * superseded standing rows (recomputed: physical ids below `g` ∩ the
-    * batch) and clear; doclen landed but the postings append was lost ⇒
-    * roll the half-landed doclen slice back (its gen-homogeneous
-    * appended files are deleted whole) so the index returns to the
-    * pre-batch state.
+  /** Finish (or resume) an in-flight mutation — idempotent, called by
+    * the verbs and by [[TextIndex.load]] after a crash. Decision table
+    * from the gen-`g` slices alone: no doclen rows at `g` ⇒ nothing
+    * landed (clear the marker — the mutation never happened); doclen
+    * landed and its postings obligation is met (some `dl > 0` row
+    * implies postings rows must exist at `g`) ⇒ append the superseding
+    * tombstone (recomputed: physical ids below `g` ∩ the batch — still
+    * INERT, `upto = g-1` is not below the published generation) and
+    * then PUBLISH: one `_pubgen` rename flips the reader view from
+    * exactly-pre-batch to exactly-post-batch (new rows become visible
+    * and the tombstone becomes effective in the same instant); doclen
+    * landed but the postings append was lost ⇒ roll the half-landed
+    * doclen slice back (its gen-homogeneous appended files are deleted
+    * whole), published generation untouched. A crashed DELETE resumes
+    * by re-publishing at its generation — the tombstone append is one
+    * atomic job, so the bump either activates it (delete completed) or
+    * is a harmless no-op (delete never happened; the verb never
+    * returned).
     */
   private def completeInflight(): Unit =
     GraphMaintenance.inflight(spark, path).foreach { m =>
       val g = m.gen
-      val dlAll = Tombstones.readWithGen(spark, s"$path/doclen")
-      val dlG = dlAll.where(col("gen") === g)
-      if (dlG.limit(1).collect().nonEmpty) {
-        val needPostings = dlG.where(col("dl") > 0).limit(1).collect().nonEmpty
-        val postingsOk = !needPostings ||
-          Tombstones.readWithGen(spark, s"$path/postings").where(col("gen") === g)
-            .limit(1).collect().nonEmpty
-        if (postingsOk) {
-          // the publish: ONE sidecar append retires the batch ids' old
-          // postings and old doclen rows together (all carry gen < g);
-          // an all-new batch materializes no sidecar
-          val changed = dlAll.where(col("gen") < g).select("doc_id")
-            .join(dlG.select("doc_id"), Seq("doc_id"), "leftsemi").distinct()
-          if (changed.limit(1).collect().nonEmpty)
-            Tombstones.appendUpto(spark, path, changed, g - 1)
-        } else {
-          TextIndex.dropGenFiles(spark, s"$path/doclen", g)
+      if (m.verb == "delete") {
+        TextIndex.writePublishedGen(spark, path, g)
+      } else {
+        val dlAll = Tombstones.readWithGen(spark, s"$path/doclen")
+        val dlG = dlAll.where(col("gen") === g)
+        if (dlG.limit(1).collect().nonEmpty) {
+          val needPostings = dlG.where(col("dl") > 0).limit(1).collect().nonEmpty
+          val postingsOk = !needPostings ||
+            Tombstones.readWithGen(spark, s"$path/postings").where(col("gen") === g)
+              .limit(1).collect().nonEmpty
+          if (postingsOk) {
+            val changed = dlAll.where(col("gen") < g).select("doc_id")
+              .join(dlG.select("doc_id"), Seq("doc_id"), "leftsemi").distinct()
+            if (changed.limit(1).collect().nonEmpty)
+              Tombstones.appendUpto(spark, path, changed, g - 1)
+            TextIndex.writePublishedGen(spark, path, g)
+          } else {
+            TextIndex.dropGenFiles(spark, s"$path/doclen", g)
+          }
         }
       }
       GraphMaintenance.clearMarker(spark, path)
@@ -250,13 +278,19 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     TextIndex.verbLocks.computeIfAbsent(path, _ => new Object).synchronized {
      graft.operators.Artifacts.withLease(spark, path, "TextIndex.delete") {
       completeInflight()
+      TextIndex.ensurePublishedGen(spark, path)
       // generation-SCOPED: kills every row the ids have as of now while
       // leaving them REUSABLE — a later append/upsert carries a higher
       // generation and outlives this tombstone (the old kill-forever
-      // rows forced a compact() before any id reuse)
+      // rows forced a compact() before any id reuse). Under the publish
+      // gate the appended tombstone is INERT (upto = g-1 is not below
+      // the published generation) until the marker protocol publishes
+      // generation g — the delete too is all-or-nothing to a reader.
       val g = Tombstones.nextGen(spark, path)
+      GraphMaintenance.writeMarker(spark, path, "delete", g)
       Tombstones.appendUpto(spark, path,
         ids.select(col(ids.columns.head).cast("long")), g - 1)
+      completeInflight()
       // growth policy: the sidecar must not grow unbounded between manual
       // compact() calls (every read pays the anti-join + the dead-row
       // scan). Once its distinct dead ids exceed the artifact's recorded
@@ -289,6 +323,13 @@ final class TextIndex private (spark: SparkSession, val path: String) {
   def compact(): TextIndex =
     TextIndex.verbLocks.computeIfAbsent(path, _ => new Object).synchronized {
      graft.operators.Artifacts.withLease(spark, path, "TextIndex.compact") {
+      // settle a crashed predecessor FIRST, like every other verb (and
+      // like VectorIndex.compact's recoverIfInflight): folding the
+      // tombstones while a half-landed gen-g doclen slice is still on
+      // disk would rewrite it into mixed-generation files, making the
+      // later rollback's gen-homogeneous file delete a silent no-op —
+      // permanent ghost doclen rows inflating N/avgdl for every query
+      completeInflight()
       if (Tombstones.present(spark, path))
         Tombstones.compact(spark, path, compactTables)
       else
@@ -357,6 +398,8 @@ object TextIndex {
     Tombstones.clear(spark, path)
     Tombstones.clearGen(spark, path)
     GraphMaintenance.clearMarker(spark, path)
+    // fresh artifact: everything it holds is generation 0 — published
+    writePublishedGen(spark, path, 0L)
     load(spark, path)
   }
 
@@ -407,6 +450,52 @@ object TextIndex {
       fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
     }
     spark.catalog.refreshByPath(tablePath)
+  }
+
+  /** The artifact's PUBLISHED generation — the `_pubgen` file at the
+    * index root, the single rename behind the atomic publish: readers
+    * serve rows at `gen <= publishedGen` with only tombstones at
+    * `upto < publishedGen` effective, and every mutation's final step
+    * is bumping this file to its own generation. Absent (an artifact
+    * last written by the pre-publish protocol, never mutated since) ⇒
+    * MaxValue: serve everything, exactly the legacy read. Temp-file
+    * adoption heals a crash between the delete and the rename, like
+    * the `_gen` counter's.
+    */
+  private[graft] def publishedGen(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_pubgen")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_pubgen_tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && fs.exists(tmp))
+      require(fs.rename(tmp, p), s"_pubgen recovery rename failed for $path")
+    if (!fs.exists(p)) Long.MaxValue
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      raw.trim.toLong
+    }
+  }
+
+  private[graft] def writePublishedGen(spark: SparkSession, path: String, g: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_pubgen")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/_pubgen_tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(g.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"_pubgen rename failed for $path")
+  }
+
+  /** Adopt the publish gate on a legacy artifact before its first
+    * new-protocol mutation: everything standing is published (the gate
+    * lands at the current generation counter, under the lease).
+    */
+  private[graft] def ensurePublishedGen(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_pubgen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p) && !fs.exists(new org.apache.hadoop.fs.Path(s"$path/_pubgen_tmp")))
+      writePublishedGen(spark, path, Tombstones.currentGen(spark, path))
   }
 
   /** Per-index-path JVM locks serializing ALL in-process maintenance

@@ -931,8 +931,13 @@ object VectorIndex {
     // indexes saved by older builds stay loadable (binary_rerank arrived
     // after the 7-column format, lsh_bands after the 8-column one)
     val fields = m.schema.fieldNames.toSet
+    // null-tolerant, not just absence-tolerant: a meta row read with
+    // mergeSchema across artifact versions can carry the COLUMN with a
+    // null value, and getAs[Int] would NPE on unboxing it
     def intOr(name: String, default: Int): Int =
-      if (fields.contains(name)) m.getAs[Int](name) else default
+      if (fields.contains(name) && !m.isNullAt(m.fieldIndex(name)))
+        m.getAs[Int](name)
+      else default
     val params = IndexParams(m.getAs[Int]("ivf_clusters"), m.getAs[Int]("nprobe"),
       m.getAs[Int]("lsh_bits"), m.getAs[Int]("lsh_radius"),
       intOr("binary_rerank", 100), intOr("lsh_bands", 1),
@@ -956,8 +961,7 @@ object VectorIndex {
           && Artifacts.leaseInfo(spark, path).isEmpty
           && mfs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))) {
         val cents = IvfIndex.readCentroids(spark, s"$path/centroids")
-        val graphK = if (m.schema.fieldNames.contains("graph_k"))
-          m.getAs[Int]("graph_k") else 3
+        val graphK = intOr("graph_k", 3)
         try Artifacts.withLease(spark, path, "VectorIndex.load/recover") {
           GraphMaintenance.recoverIfInflight(spark, path, cents, graphK, metric.name)
         } catch {

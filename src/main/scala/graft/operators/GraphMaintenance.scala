@@ -63,12 +63,16 @@ object GraphMaintenance {
   private def idsPath(p: String) = s"$p/_ids"
 
   /** Measurement seam for the recall-under-churn experiment (AnnSpec's
-    * CHURN.json): disables the routing heals so the curve can price
-    * what they buy — the control arm of the with/without comparison.
-    * Production code never touches it; the experiment restores it in a
-    * finally.
+    * CHURN.json): the session conf `spark.graft.graph.heals` (default
+    * true) disables the routing heals so the curve can price what they
+    * buy — the control arm of the with/without comparison. A conf read
+    * once per verb, not a mutable global: the previous `@volatile var`
+    * was a race surface (any thread's write changed every in-flight
+    * mutation's behavior); a session conf is scoped, observable in the
+    * Spark UI, and needs no try/finally discipline beyond unset.
     */
-  @volatile private[graft] var healsEnabled: Boolean = true
+  private def healsEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.graph.heals").forall(_.toBoolean)
 
   /** Row-group size for serve-edge files: small enough that an
     * `src_id IN (...)` probe (the re-link heal, frontier-style lookups)
@@ -328,7 +332,7 @@ object GraphMaintenance {
       } finally dataG.unpersist()
       // (e) + (f) routing heals — derived from the live view alone, so
       // they need nothing from the lost batch context
-      if (healsEnabled) {
+      if (healsEnabled(spark)) {
         refreshEntries(spark, p, cents, g)
         relinkStarved(spark, p, cents, k, metric, g)
       }
@@ -477,8 +481,11 @@ object GraphMaintenance {
                     cents: Array[Array[Float]], k: Int, metric: String,
                     g: Long): Unit = {
     if (!Tombstones.present(spark, p)) return
-    val victimsDf = Tombstones.tombs(spark, p)
-      .where(col("upto") === g - 1).select(col("id"))
+    // victims = THIS batch's tombstone appends, probed on the RAW
+    // sidecar rows (upto_gen = g-1): the max-folded tombs() view would
+    // hide an id that ALSO carries a legacy kill-forever row (upto =
+    // MaxValue folds over g-1) and silently skip its neighbors' heal
+    val victimsDf = Tombstones.rawUpto(spark, p, g - 1).select(col("id"))
     val victims = smallIds(victimsDf)
     if (victims.exists(_.isEmpty)) return
     val edgesPhys = Tombstones.readWithGen(spark, edgesPath(p))

@@ -85,6 +85,46 @@ object Tombstones {
       .groupBy("id").agg(max("upto").as("upto"))
   }
 
+  /** The DISTINCT ids whose RAW sidecar rows carry exactly
+    * `upto_gen = upto` — one mutation batch's own tombstone appends.
+    * Deliberately NOT the max-folded [[tombs]] view: an id that also
+    * carries a legacy kill-forever row (upto = MaxValue) folds past any
+    * generation-scoped stamp there, which would hide it from callers
+    * probing for a specific batch (the re-link heal's victim set).
+    */
+  def rawUpto(spark: SparkSession, base: String, upto: Long): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$base/$subdir")
+    if (!raw.columns.contains("upto_gen"))
+      raw.select(col("id").cast("long").as("id")).limit(0)
+    else
+      raw.where(coalesce(col("upto_gen").cast("long"), lit(Long.MaxValue)) === upto)
+        .select(col("id").cast("long").as("id")).distinct()
+  }
+
+  /** [[filterGen]] restricted to PUBLISHED tombstones: a tombstone row
+    * takes effect only once the artifact's published generation has
+    * moved past it (`upto < publishedGen`), with legacy kill-forever
+    * rows (upto = MaxValue — written by pre-generation deletes) always
+    * effective. This is the read half of the text index's atomic
+    * publish: a mutation appends data at gen g and its tombstone at
+    * upto = g-1 while `publishedGen = g-1`, and BOTH stay invisible
+    * (rows gated by gen <= publishedGen, the tombstone by
+    * upto < publishedGen) until ONE rename bumps `_pubgen` to g — so a
+    * reader at any kill point sees exactly the pre-batch or the
+    * post-batch index, never a mixed or duplicated state.
+    */
+  def filterGenPublished(df: DataFrame, base: String, idCol: String, genCol: String,
+                         publishedGen: Long): DataFrame =
+    if (!present(df.sparkSession, base)) df
+    else {
+      val t = tombs(df.sparkSession, base)
+        .where(col("upto") === Long.MaxValue || col("upto") < publishedGen)
+        .select(col("id").as("_tomb_id"), col("upto").as("_tomb_upto"))
+      df.join(broadcast(t), df(idCol) === col("_tomb_id"), "left_outer")
+        .where(col("_tomb_upto").isNull || df(genCol) > col("_tomb_upto"))
+        .drop("_tomb_id", "_tomb_upto")
+    }
+
   /** Read a generation-stamped table: mergeSchema (files written before
     * the table gained its `gen` column coexist with stamped appends)
     * and a guaranteed `gen` column (absent or null reads as 0 — every

@@ -380,9 +380,9 @@ class AnnSpec extends SparkSpec {
         .toDF("id", "vectors", "data")
       val delDf = dels.toDF("id")
       idxH = idxH.upsertAll(upDf).deleteAll(delDf)
-      GraphMaintenance.healsEnabled = false
+      spark.conf.set("spark.graft.graph.heals", "false")
       try idxN = idxN.upsertAll(upDf).deleteAll(delDf)
-      finally GraphMaintenance.healsEnabled = true
+      finally spark.conf.unset("spark.graft.graph.heals")
       val (rh, rn) = (recallOf(idxH), recallOf(idxN))
       rows += s"""{"round": $round, "recall_heal": $rh, "recall_noheal": $rn}"""
       info(f"round $round%2d  recall heal $rh%.3f  noheal $rn%.3f")

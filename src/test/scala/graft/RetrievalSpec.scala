@@ -389,4 +389,40 @@ class RetrievalSpec extends SparkSpec {
     assert(reD.docLengths.where(col("doc_id") === 2L).count() === 1L)
     assertServesLike(reD, corpus.filterNot(_.doc_id == 2L) :+ v2, "window D")
   }
+
+  test("TextIndex atomic publish: a reader at ANY kill point of an ingest sees pre-batch or post-batch answers, never mixed or duplicated") {
+    val s = spark; import s.implicits._
+    import graft.operators.{GraphMaintenance, Retrieval => R, Tombstones}
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-pub").toString
+    graft.api.TextIndex.build(corpus.toDF(), "doc_id", "text", dir)
+    val v2 = RDoc(2L, "replaced entirely different content now")
+    // one long-lived reader handle: the gated reads re-resolve _pubgen
+    // per query, so this models a concurrent reader racing the writer
+    val reader = graft.api.TextIndex.load(spark, dir)
+
+    def assertPreBatch(tag: String): Unit = {
+      assertServesLike(reader, corpus, tag)
+      // the duplicate-doclen detector: N/avgdl must never see a doc twice
+      assert(reader.docLengths.groupBy("doc_id").count()
+        .where(col("count") > 1).isEmpty, s"$tag: duplicate doclen rows visible")
+    }
+
+    // the writer's physical steps, in ingest order, a kill after each:
+    val g = Tombstones.nextGen(spark, dir)
+    GraphMaintenance.writeMarker(spark, dir, "upsert", g)
+    assertPreBatch("marker written")
+    R.buildDocLengths(Seq(v2).toDF(), "doc_id", "text")
+      .withColumn("gen", lit(g)).write.mode("append").parquet(s"$dir/doclen")
+    assertPreBatch("doclen landed (unpublished)") // pre-gate: duplicate doclen served here
+    R.buildPostings(Seq(v2).toDF(), "doc_id", "text")
+      .withColumn("gen", lit(g)).write.mode("append").parquet(s"$dir/postings")
+    assertPreBatch("postings landed (unpublished)")
+    Tombstones.appendUpto(spark, dir, Seq(2L).toDF("doc_id"), g - 1)
+    assertPreBatch("tombstone appended (inert until published)")
+    // THE publish: one rename flips the reader to exactly post-batch
+    graft.api.TextIndex.writePublishedGen(spark, dir, g)
+    assertServesLike(reader, corpus.filterNot(_.doc_id == 2L) :+ v2, "published")
+    assert(reader.docLengths.where(col("doc_id") === 2L).count() === 1L)
+    GraphMaintenance.clearMarker(spark, dir)
+  }
 }
