@@ -299,6 +299,46 @@ object Oracles {
       .map { case (v, i) => s"($i, ${vecLit(v)})" }
       .mkString("(SELECT * FROM (VALUES ", ", ", s") AS t($idCol, $vecCol))")
 
+  /** `(VALUES (kid, cluster, vec), ...) AS f(kid, cluster, fv)` — the
+    * fine level of the two-level quantizer as a literal table.
+    */
+  private def fineRows(rows: Seq[(Int, Int, Array[Float])]): String =
+    rows.map { case (kid, cl, v) => s"($kid, $cl, ${vecLit(v)})" }
+      .mkString("(SELECT * FROM (VALUES ", ", ", ") AS f(kid, cluster, fv))")
+
+  /** Two-level routed IVF search — the DuckDB twin of
+    * [[operators.RoutedQuantizer.search]] given both centroid levels as
+    * literals: coarse argmin per vector (ties to lowest kid), fine
+    * argmin WITHIN the vector's coarse cell (ties to lowest cluster),
+    * the query's coarseProbe-coarse/nprobe-fine probe sets re-derived
+    * the same way, scan narrowed to the probed coarse cells, survivors
+    * re-ranked exactly.
+    */
+  private def routedIvfSql(coarse: Array[Array[Float]], fine: Seq[(Int, Int, Array[Float])],
+                           queryId: Long, k: Int, coarseProbe: Int, nprobe: Int): String =
+    s"""WITH coarse AS ${paramRows(coarse, "kid", "kv")},
+       |fine AS ${fineRows(fine)},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |casg AS (SELECT e.vec_id, c.kid, ${l2sq("e.embedding", "c.kv")} AS d2
+       |         FROM embeddings e CROSS JOIN coarse c),
+       |co AS (SELECT vec_id, kid FROM casg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, kid) = 1),
+       |qco AS (SELECT c.kid FROM coarse c, q ORDER BY ${l2sq("q.qv", "c.kv")}, c.kid LIMIT $coarseProbe),
+       |qf AS (SELECT f.cluster FROM fine f JOIN qco ON f.kid = qco.kid, q
+       |       ORDER BY ${l2sq("q.qv", "f.fv")}, f.cluster LIMIT $nprobe),
+       |fasg AS (SELECT co.vec_id, f.cluster, ${l2sq("e.embedding", "f.fv")} AS d2
+       |         FROM co JOIN fine f ON f.kid = co.kid
+       |         JOIN embeddings e ON e.vec_id = co.vec_id
+       |         WHERE co.kid IN (SELECT kid FROM qco)),
+       |cl AS (SELECT vec_id, cluster FROM fasg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+       |d AS (SELECT e.vec_id AS id, ${l2("e.embedding", "q.qv")} AS score
+       |      FROM embeddings e JOIN cl ON cl.vec_id = e.vec_id, q
+       |      WHERE cl.cluster IN (SELECT cluster FROM qf))
+       |SELECT CAST(row_number() OVER (ORDER BY score, id) AS INT) AS rank, id,
+       |       (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d ORDER BY score, id LIMIT $k""".stripMargin
+
   /** IVF single-query search: assignment (argmin centroid, ties to lowest
     * id), nprobe probe pruning, exact L2 re-rank — the DuckDB twin of
     * [[operators.IvfIndex.search]] given the same centroids.
@@ -629,6 +669,32 @@ object Oracles {
        |       (round((dist) * 10000.0) / 10000.0) AS value
        |FROM v$hops ORDER BY dist, id LIMIT $k""".stripMargin
 
+  /** ROUTED graph-ANN beam serve — the DuckDB twin of
+    * [[Queries.annGraphRouted]]: same walk as [[graphBeamSql]], but
+    * hop 0 starts from only the medoids whose route cell (argmin over
+    * the spliced route centroids, ties to lowest rid) is among the
+    * query's `routeProbe` nearest route cells.
+    */
+  private def routedGraphBeamSql(centroids: Array[Array[Float]],
+                                 routeCents: Array[Array[Float]],
+                                 queryId: Long, graphK: Int, beam: Int, hops: Int,
+                                 k: Int, routeProbe: Int): String =
+    s"""WITH ${graphBaseCtes(centroids, graphK)},
+       |rt AS ${paramRows(routeCents, "rid", "rv")},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |masg AS (SELECT m.id, r.rid, ${l2sq("e.embedding", "r.rv")} AS d2
+       |         FROM med m JOIN embeddings e ON e.vec_id = m.id CROSS JOIN rt r),
+       |mcell AS (SELECT id, rid FROM masg
+       |          QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, rid) = 1),
+       |qrt AS (SELECT r.rid FROM rt r, q ORDER BY ${l2sq("q.qv", "r.rv")}, r.rid LIMIT $routeProbe),
+       |v0 AS (SELECT mc.id, ${l2("e.embedding", "q.qv")} AS dist
+       |       FROM mcell mc JOIN embeddings e ON e.vec_id = mc.id, q
+       |       WHERE mc.rid IN (SELECT rid FROM qrt)),
+       |${graphHopChain(beam, hops)}
+       |SELECT CAST(row_number() OVER (ORDER BY dist, id) AS INT) AS rank, id,
+       |       (round((dist) * 10000.0) / 10000.0) AS value
+       |FROM v$hops ORDER BY dist, id LIMIT $k""".stripMargin
+
   /** recall@10 after 0..hops rounds — the DuckDB twin of
     * [[Queries.annGraphRecallCurve]].
     */
@@ -781,15 +847,15 @@ object Oracles {
     */
   private def graphFilteredWalkSql(centroids: Array[Array[Float]], queryId: Long,
                                    graphK: Int, hops: Int,
-                                   preds: Seq[(String, String, Int)]): String = {
-    val beams = (preds.map(_._3) :+ 8).distinct.sorted
+                                   preds: Seq[(String, String, Int, Int)]): String = {
+    val beams = (preds.map(_._3) ++ preds.map(_._4) :+ 8).distinct.sorted
     val chains = beams.map(b => graphHopChain(b, hops, sfx = s"w$b")).mkString(",\n")
-    val perPred = preds.zipWithIndex.map { case ((_, sqlPred, _), i) =>
+    val perPred = preds.zipWithIndex.map { case ((_, sqlPred, _, _), i) =>
       s"""pass$i AS MATERIALIZED (SELECT vec_id AS id FROM embeddings e WHERE $sqlPred),
          |exf$i AS MATERIALIZED (SELECT e.vec_id AS id FROM embeddings e, q WHERE $sqlPred
          |       ORDER BY ${l2("e.embedding", "q.qv")}, e.vec_id LIMIT 10)""".stripMargin
     }.mkString(",\n")
-    val branches = preds.zipWithIndex.map { case ((name, _, comp), i) =>
+    val branches = preds.zipWithIndex.map { case ((name, _, comp, adapt), i) =>
       s"""bp$i AS (SELECT '$name' AS predicate,
          |  (round((CAST((SELECT count(*) FROM pass$i) AS DOUBLE)
          |          / CAST((SELECT count(*) FROM embeddings) AS DOUBLE)) * 10000.0) / 10000.0) AS selectivity,
@@ -800,7 +866,11 @@ object Oracles {
          |  $comp AS beam_comp,
          |  (SELECT count(*) FROM exf$i WHERE id IN
          |     (SELECT id FROM v${hops}w$comp WHERE id IN (SELECT id FROM pass$i)
-         |      ORDER BY dist, id LIMIT 10)) AS hits_comp)""".stripMargin
+         |      ORDER BY dist, id LIMIT 10)) AS hits_comp,
+         |  $adapt AS beam_adapt,
+         |  (SELECT count(*) FROM exf$i WHERE id IN
+         |     (SELECT id FROM v${hops}w$adapt WHERE id IN (SELECT id FROM pass$i)
+         |      ORDER BY dist, id LIMIT 10)) AS hits_adapt)""".stripMargin
     }.mkString(",\n")
     val union = preds.indices.map(i => s"SELECT * FROM bp$i").mkString(" UNION ALL ")
     s"""WITH ${graphBaseCtes(centroids, graphK, mat = true)},
@@ -813,7 +883,9 @@ object Oracles {
        |SELECT predicate, selectivity, beam_plain, hits_plain,
        |  (round((hits_plain / 10) * 10000.0) / 10000.0) AS recall_plain,
        |  beam_comp, hits_comp,
-       |  (round((hits_comp / 10) * 10000.0) / 10000.0) AS recall_comp
+       |  (round((hits_comp / 10) * 10000.0) / 10000.0) AS recall_comp,
+       |  beam_adapt, hits_adapt,
+       |  (round((hits_adapt / 10) * 10000.0) / 10000.0) AS recall_adapt
        |FROM ($union) u ORDER BY predicate""".stripMargin
   }
 
@@ -1398,6 +1470,15 @@ object Oracles {
       // persisted codes must not change the answer, only what gets read
       "ann_pq_persisted" -> pqSql(pqBooks, queryId = 8L, k = 10, rerank = 100),
       "ann_ivf" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
+      // the two-level routed quantizer: both levels spliced as literals
+      // (fixed K = 64 keeps the fine table a bounded literal), the full
+      // coarse->fine route re-derived in SQL
+      "ann_ivf_routed" -> {
+        val rq = operators.RoutedQuantizer.fitCached(emb, "embedding", k = 64)
+        val fineLit = rq.fine.orderBy("cluster").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
+        routedIvfSql(rq.coarse, fineLit, queryId = 7L, k = 10, coarseProbe = 4, nprobe = 8)
+      },
       // identical parameters to ann_ivf — the persisted layout must not
       // change the answer, only where the pruning happens (file listing).
       "ann_ivf_persisted" -> ivfSql(centroids, queryId = 2L, k = 10, nprobe = 4),
@@ -1418,6 +1499,14 @@ object Oracles {
       // the serving walk runs over the SAME scaled-centroid graph
       "ann_graph" -> graphBeamSql(scaledCents, queryId = 13L,
         graphK = 16, beam = 8, hops = 3, k = 10),
+      // routed hop 0: route centroids read from the artifact (fit over
+      // its own medoid entries at build), spliced as literals
+      "ann_graph_routed" -> {
+        val routeCents = operators.IvfIndex.readCentroids(spark,
+          s"${Queries.graphServePath(spark, dir)}/route")
+        routedGraphBeamSql(scaledCents, routeCents, queryId = 13L, graphK = 16,
+          beam = 8, hops = 3, k = 10, routeProbe = 2)
+      },
       "ann_graph_recall_curve" -> graphBeamCurveSql(scaledCents, queryId = 13L,
         graphK = 16, beam = 8, hops = 3),
       "ann_graph_beam_curve" -> graphBeamKnobCurveSql(scaledCents, queryId = 13L,
@@ -1426,11 +1515,13 @@ object Oracles {
         degrees = Seq(3, 8, 16, 32), beam = 8, hops = 3),
       "ann_graph_degree_beam_grid" -> graphDegreeBeamGridSql(scaledCents, queryId = 13L,
         degrees = Seq(3, 16, 32), beams = Seq(2, 8, 32), hops = 3),
+      // predicates + comp/adapt beams from the ONE shared helper, so
+      // both engines walk the identical beam set (the adaptive beam is
+      // clamp(ceil(8/sel), 8, 64) from the measured selectivity)
       "filtered_ann_graph_walk" -> graphFilteredWalkSql(scaledCents, queryId = 13L,
-        graphK = 16, hops = 3, preds = Seq(
-          ("label=2", "e.label = 2", 32),
-          ("label<8", "e.label < 8", 16),
-          ("label<>2", "e.label <> 2", 8))),
+        graphK = 16, hops = 3,
+        preds = Queries.filteredWalkPreds(spark, dir)
+          .map(t => (t._1, t._3, t._4, t._5))),
       "filtered_ann_graph" -> graphBeamSql(scaledCentsFlt, queryId = 13L,
         graphK = 16, beam = 8, hops = 3, k = 10, where = " WHERE e.label = 2"),
       "filtered_knn_batch_graph" -> graphBeamBatchSql(scaledCentsFlt,

@@ -302,7 +302,7 @@ object Queries {
   private[graft] def graphServePath(spark: SparkSession, dir: String): String =
     operators.Artifacts.resolve(spark, "knngraph_serve",
       operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v2 k=16")) { tmp =>
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v3 k=16 route")) { tmp =>
       val emb = Tables.embeddings(spark, dir)
       val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
       // degree 16 — the reference's own M (hnsw_index.rs) and the
@@ -335,6 +335,30 @@ object Queries {
       operators.Tombstones.filterEdges(
         spark.read.parquet(s"$base/edges"), base, "src_id", "dst_id"),
       queryVec(spark, dir, 13L), k = 10, beam = 8, hops = 3)
+  }
+
+  /** ROUTED graph-traversal ANN — [[annGraph]] with sub-linear entry
+    * selection (the reference's HNSW pays O(log n) at hop 0 via its
+    * layer hierarchy, hnsw_index.rs; a flat medoid table pays O(E) with
+    * E = n/100): the walk starts from only the entries in the query's
+    * top-2 ROUTE cells ([[operators.GraphAnn.routeEntries]] over the
+    * artifact's persisted `route/` centroids — ⌈√E⌉ of them, fit over
+    * the medoids themselves), a pushed route_cell IN filter on the
+    * entries scan. Same query/beam/hops as [[annGraph]], so the pair
+    * prices what the routed hop 0 costs in recall. Oracle re-derives
+    * the medoids, their route cells, the query's routed cell set and
+    * the full unrolled walk from the spliced route + quantizer
+    * literals.
+    */
+  def annGraphRouted(spark: SparkSession, dir: String): DataFrame = {
+    val base = graphServePath(spark, dir)
+    val qv = queryVec(spark, dir, 13L)
+    val routeCents = operators.IvfIndex.readCentroids(spark, s"$base/route")
+    val entries = operators.GraphAnn.routeEntries(
+        spark.read.parquet(s"$base/entries"), routeCents, qv, routeProbe = 2)
+      .select(col("id"), col("vec"))
+    operators.GraphAnn.searchBeam(entries,
+      spark.read.parquet(s"$base/edges"), qv, k = 10, beam = 8, hops = 3)
   }
 
   /** BATCH graph-ANN — the graph backend's member of the batch family
@@ -407,7 +431,7 @@ object Queries {
   private def filteredGraphServePath(spark: SparkSession, dir: String): String =
     operators.Artifacts.resolve(spark, "knngraph_serve_flt",
       operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v2 label=2 k=16")) { tmp =>
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v3 label=2 k=16 route")) { tmp =>
       val emb = Tables.embeddings(spark, dir).where(col("label") === 2)
       val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
       operators.GraphAnn.buildServing(
@@ -596,30 +620,63 @@ object Queries {
     * beam) cell over the same full-graph base, gating only the final
     * cut.
     */
+  /** Walk-time filtered search's beam ceiling (mirrors
+    * [[api.VectorIndex]]'s GraphFilterBeamMax).
+    */
+  private[graft] val FilteredWalkBeamMax = 64
+
+  /** The walk-time filtered readout's predicate set, each with its
+    * hand-picked COMPENSATED beam (the round-13 literals) and the
+    * ADAPTIVE beam the facade mechanism would choose —
+    * clamp(⌈8/sel⌉, 8, 64) from a measured selectivity estimate. The
+    * driver-side counts here ARE the adaptive mechanism (a walk-time
+    * cardinality estimate — one narrow predicate scan each, the same
+    * probe the facade's searchFiltered pays); the OUTPUT selectivity
+    * column rides the plan as a 1-row aggregate. Shared with
+    * [[Oracles.dynamic]] so both engines walk the identical beam set.
+    * Tuples: (name, Spark predicate, DuckDB predicate, comp, adapt).
+    */
+  private[graft] def filteredWalkPreds(spark: SparkSession, dir: String)
+      : Seq[(String, Column, String, Int, Int)] = {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    Seq(("label=2", col("label") === 2, "e.label = 2", 32),
+        ("label<8", col("label") < 8, "e.label < 8", 16),
+        ("label<>2", col("label") =!= 2, "e.label <> 2", 8)).map {
+      case (name, pred, sqlPred, comp) =>
+        val sel = emb.where(pred).count().toDouble / math.max(n, 1L)
+        val adapt = math.min(FilteredWalkBeamMax,
+          math.max(8, math.ceil(8.0 / math.max(sel, 1e-9)).toInt))
+        (name, pred, sqlPred, comp, adapt)
+    }
+  }
+
   def filteredAnnGraphWalk(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val base = graphServePath(spark, dir)
     val qv = queryVec(spark, dir, 13L)
     val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
     val edges = spark.read.parquet(s"$base/edges")
-    val n = emb.count()
-    // (name, predicate, compensated beam) — comp ≈ beam/sel, literal so
-    // both engines walk identical plans
-    val preds = Seq(
-      ("label=2", col("label") === 2, 32),
-      ("label<8", col("label") < 8, 16),
-      ("label<>2", col("label") =!= 2, 8))
-    // ONE walk per distinct beam width, shared across predicates — the
-    // walk is filter-independent (the gate applies only at the cut)
-    val lasts = preds.map(_._3).toSet.union(Set(8)).toSeq.sorted.map { b =>
+    val preds = filteredWalkPreds(spark, dir)
+    // the displayed selectivity denominator rides the PLAN (1-row
+    // aggregate crossJoin), like every other in-plan total here; only
+    // the adaptive BEAM choice consumed a driver-side estimate (that
+    // estimate IS the mechanism being priced — see filteredWalkPreds)
+    val total = emb.agg(count(lit(1)).as("n_total"))
+    // ONE walk per distinct beam width, shared across predicates AND
+    // across the comp/adapt legs — the walk is filter-independent (the
+    // gate applies only at the cut)
+    val beams = (preds.map(_._4) ++ preds.map(_._5) :+ 8).distinct.sorted
+    val lasts = beams.map { b =>
       b -> operators.GraphAnn.beamStates(entries, edges, qv,
         beam = b, hops = 3).last
     }.toMap
-    preds.map { case (name, pred, compBeam) =>
+    preds.map { case (name, pred, _, compBeam, adaptBeam) =>
       val pass = emb.where(pred).select(col("vec_id").as("id"))
       val exact = Knn.searchExact(emb.where(pred), "vec_id", "embedding", qv, 10, "l2")
         .select(col("id"))
-      val sel = pass.agg(roundTo(count(lit(1)) / lit(n.toDouble), 4).as("selectivity"))
+      val sel = pass.agg(count(lit(1)).as("n_pass")).crossJoin(total)
+        .select(roundTo(col("n_pass") / col("n_total"), 4).as("selectivity"))
       def recallAt(b: Int) = {
         // the gate: only passing candidates enter the cut — the walk
         // itself saw the full graph (the reference's filter semantics)
@@ -629,11 +686,14 @@ object Queries {
       }
       sel.crossJoin(recallAt(8).select(col("n").as("hits_plain")))
         .crossJoin(recallAt(compBeam).select(col("n").as("hits_comp")))
+        .crossJoin(recallAt(adaptBeam).select(col("n").as("hits_adapt")))
         .select(lit(name).as("predicate"), col("selectivity"),
           lit(8).as("beam_plain"), col("hits_plain"),
           roundTo(col("hits_plain") / lit(10L), 4).as("recall_plain"),
           lit(compBeam).as("beam_comp"), col("hits_comp"),
-          roundTo(col("hits_comp") / lit(10L), 4).as("recall_comp"))
+          roundTo(col("hits_comp") / lit(10L), 4).as("recall_comp"),
+          lit(adaptBeam).as("beam_adapt"), col("hits_adapt"),
+          roundTo(col("hits_adapt") / lit(10L), 4).as("recall_adapt"))
     }.reduce(_ unionAll _).orderBy("predicate")
   }
 
@@ -656,6 +716,27 @@ object Queries {
     val centroids = operators.IvfIndex.fitCached(emb, "embedding", k = 16)
     operators.IvfIndex.search(emb, "vec_id", "embedding", centroids,
       queryVec(spark, dir, 2L), k = 10, nprobe = 4, metric = "l2")
+  }
+
+  /** TWO-LEVEL routed IVF search ([[operators.RoutedQuantizer]]) — the
+    * quantizer sizing that survives 100 TB: K = n/100 centroids as a
+    * driver-literal array caps out three ways at once (the ≤1e5-row
+    * k-means sample cannot produce K distinct centroids past n = 10⁷,
+    * the literal is hundreds of MB of plan, per-row assignment is
+    * O(K·dim)), so the scale path routes by ⌈√K⌉ coarse centroids (a
+    * literal that stays tiny at any n) and keeps the fine centroids as
+    * a TABLE the assignment broadcast-joins (shuffle-joins at
+    * table-sized K). This keyed row fixes K = 64 (coarse 8 × fine 8)
+    * so the oracle can splice BOTH levels as literals and re-derive
+    * the full route: coarse argmin per vector, fine argmin within the
+    * cell, the query's 4-coarse/8-fine probe set, and the exact
+    * re-rank of the survivors.
+    */
+  def annIvfRouted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val rq = operators.RoutedQuantizer.fitCached(emb, "embedding", k = 64)
+    operators.RoutedQuantizer.search(emb, "vec_id", "embedding", rq,
+      queryVec(spark, dir, 7L), k = 10, coarseProbe = 4, nprobe = 8)
   }
 
   /** The restart/serving path: materialize the IVF layout (cluster id as

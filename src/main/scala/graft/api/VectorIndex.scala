@@ -529,7 +529,9 @@ class VectorIndex private (
     * On a PATH-BACKED GRAPH index this is the reference's own mechanism
     * (hnsw_index.rs search_vectors_filter): the walk runs over the ONE
     * standing serving layout and the predicate gates candidates at the
-    * CUT, with the beam widened by `graphFilterComp` to compensate for
+    * CUT, with the beam widened by a measured-selectivity estimate
+    * (clamp(beam₀/sel, beam₀, [[VectorIndex.GraphFilterBeamMax]]),
+    * exact-scan fallback below the floor) to compensate for
     * the fraction of visited nodes the filter rejects — an AD-HOC
     * predicate never pays a quantizer fit or graph build (at 100 TB a
     * user with changing filters cannot pre-build per predicate; the
@@ -550,9 +552,32 @@ class VectorIndex private (
     loadedServe match {
       case Some((entries, edges)) if key.indexType == IndexType.GRAPH =>
         val pass = state.where(pred).select(col("id"))
-        GraphAnn.searchBeamGated(entries, edges, vector, k,
-          params.graphBeam * VectorIndex.GraphFilterComp, params.graphHops,
-          key.metricType.name, pass)
+        // walk-time cardinality estimate: the pass count (one narrow
+        // predicate scan — the gate join needs this set anyway) over
+        // the maintained `_rowcount` manifest. A FIXED multiplier
+        // under-compensates hot low-selectivity predicates (recall
+        // hole) and over-pays high-selectivity ones — the index's own
+        // filtered_ann_graph_walk readout prices exactly this, so the
+        // beam scales with 1/selectivity: clamp(beam₀/sel, beam₀,
+        // GraphFilterBeamMax). physicalRows includes superseded rows,
+        // which UNDERestimates selectivity — the safe direction (a
+        // wider beam, never a recall hole).
+        val nPass = pass.count()
+        val total = loadedPath.map(p => GraphMaintenance.physicalRows(spark, p))
+          .getOrElse(math.max(nPass, 1L))
+        val sel = nPass.toDouble / math.max(total, 1L)
+        if (nPass == 0L || sel < 1.0 / VectorIndex.GraphFilterBeamMax)
+          // below the compensation floor no affordable beam recovers
+          // recall through the gate — but the pass set is TINY, so the
+          // exact scan over it is both cheaper and recall-lossless
+          Knn.searchExact(state.where(pred), "id", "vectors", vector, k,
+            key.metricType.name)
+        else {
+          val beam = math.min(VectorIndex.GraphFilterBeamMax,
+            math.max(params.graphBeam, math.ceil(params.graphBeam / sel).toInt))
+          GraphAnn.searchBeamGated(entries, edges, vector, k, beam,
+            params.graphHops, key.metricType.name, pass)
+        }
       case _ => searchFrom(state.where(pred), vector, k)
     }
   }
@@ -860,15 +885,16 @@ object VectorIndex {
   /** Persisted-layout columns that only exist on a [[load]]ed state. */
   private val LayoutCols = Seq("cluster", "bucket", "band", "codes")
 
-  /** Beam multiplier for walk-time filtered GRAPH search — the
-    * compensation for candidates the predicate rejects at the cut
-    * (reference: hnsw_index.rs search_vectors_filter widens ef the same
-    * way). 4 covers selectivities down to ~1/4 at full recall and
-    * degrades gracefully below (measured: the `filtered_ann_graph_walk`
-    * keyed row's recall-vs-selectivity readout); a predicate hot AND
-    * selective enough to need more is the pre-built-layout case.
+  /** Beam ceiling for walk-time filtered GRAPH search (reference:
+    * hnsw_index.rs search_vectors_filter widens ef the same way). The
+    * beam ADAPTS to a measured selectivity estimate — beam =
+    * clamp(beam₀/sel, beam₀, this) — replacing the old fixed ×4
+    * multiplier that under-compensated below sel = 1/4 and over-paid
+    * above it; below sel = 1/GraphFilterBeamMax the compensation can't
+    * reach 1/sel anymore and the search falls back to an exact scan of
+    * the (tiny) pass set instead — recall-lossless by construction.
     */
-  private val GraphFilterComp = 4
+  private[api] val GraphFilterBeamMax = 64
 
   /** Sub-quantizer codebook size (4-bit codes; the 8×16 convention the
     * PQ query family fixes — 8 bytes of code per 64-dim vector).

@@ -96,6 +96,71 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], n
     copy(child = newChild)
 }
 
+/** Nearest centroid among a ROW-CARRIED candidate set — the fine leg of
+  * the two-level (coarse→fine) quantizer: `cands` is an
+  * `ARRAY<STRUCT<cluster INT, cv ARRAY<FLOAT>>>` column (one coarse
+  * cell's fine centroids, attached by an equi-join on the coarse id),
+  * and the result is the `cluster` of the squared-L2 argmin, ties to
+  * the FIRST minimal candidate in array order (callers sort the array
+  * by cluster id ascending, so ties break to the lowest cluster —
+  * matching the oracle's `ORDER BY d2, cluster`). Unlike
+  * [[NearestCentroid]] the centroids are DATA, not a codegen literal:
+  * the fine table scales with the corpus (K = n/targetClusterSize) and
+  * a K-proportional plan literal is exactly what this exists to avoid.
+  */
+case class NearestCentroidIn(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "nearest_centroid_in"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, cs: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val cands = cs.asInstanceOf[ArrayData]
+    var best = -1; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cands.numElements()) {
+      val r = cands.getStruct(c, 2)
+      val cv = r.getArray(1)
+      val n = math.min(a.numElements(), cv.numElements())
+      var acc = 0.0; var i = 0
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - cv.getFloat(i).toDouble
+        acc += d * d; i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = r.getInt(0) }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, cands) => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val r = ctx.freshName("r"); val cv = ctx.freshName("cv")
+      s"""
+         |int $best = -1; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cands.numElements(); $c++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $r = $cands.getStruct($c, 2);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $r.getArray(1);
+         |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $cv.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $r.getInt(0); }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NearestCentroids {
   /** Selection of the nprobe nearest centroids: O(K · (dim + nprobe)). */
   def probe(a: ArrayData, centroids: Array[Array[Float]], nprobe: Int): Array[Int] = {

@@ -50,6 +50,14 @@ package object functions {
   def nearestCentroids(vec: Column, centroids: Array[Array[Float]], nprobe: Int): Column =
     col(NearestCentroids(expr(vec), centroids, nprobe))
 
+  /** Fine-quantizer argmin over a row-carried candidate array
+    * (ARRAY<STRUCT<cluster INT, cv ARRAY<FLOAT>>>) — the two-level
+    * quantizer's second leg; ties to the first minimal candidate in
+    * array order.
+    */
+  def nearestCentroidIn(vec: Column, cands: Column): Column =
+    col(NearestCentroidIn(expr(vec), expr(cands)))
+
   /** Random-hyperplane LSH bucket id in [0, 2^planes). */
   def lshBucket(vec: Column, planes: Array[Array[Float]]): Column =
     col(LshBucket(expr(vec), planes))

@@ -99,8 +99,47 @@ object GraphAnn {
       .write.mode("overwrite")
       .option("parquet.block.size", GraphMaintenance.EdgeBlockBytes.toString)
       .parquet(s"$base/edges")
-    entries.coalesce(1).write.mode("overwrite").parquet(s"$base/entries")
+    gen match {
+      case Some(_) =>
+        // maintained layouts keep the original entries schema (the
+        // facade's heals append route-less entry rows, and its walks
+        // score the full K-bounded entry table)
+        entries.coalesce(1).write.mode("overwrite").parquet(s"$base/entries")
+      case None =>
+        // query-side artifacts persist the ENTRY ROUTE — the upper
+        // layer of the serving structure (HNSW's layer hierarchy,
+        // hnsw_index.rs, re-expressed lake-native): ⌈√E⌉ route
+        // centroids fit over the E medoid entries themselves, plus a
+        // route_cell column the entries sort by. Hop 0 of a walk then
+        // scores only the query's routed cells' entries — ~√E rows via
+        // a PUSHED route_cell filter ([[routeEntries]]) — instead of
+        // all E = n/targetClusterSize medoids; the route matrix stays
+        // sample-fittable and literal-sized (√E) at any corpus size.
+        val spark = emb.sparkSession
+        val entriesP = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val routeK = math.max(1,
+            math.ceil(math.sqrt(math.max(1, centroids.length).toDouble)).toInt)
+          val routeCents = IvfIndex.fit(entriesP, "vec", routeK)
+          IvfIndex.writeCentroids(spark, routeCents, s"$base/route")
+          entriesP.withColumn("route_cell", nearestCentroid(col("vec"), routeCents))
+            .coalesce(1).sortWithinPartitions("route_cell", "id")
+            .write.mode("overwrite").parquet(s"$base/entries")
+        } finally entriesP.unpersist()
+    }
   }
+
+  /** Sub-linear entry selection for a single-query walk: prune an
+    * entries frame (carrying the persisted `route_cell` column) to the
+    * query's `routeProbe` nearest route cells — the predicate is an
+    * IN-list literal over √E route centroids, so it REACHES THE SCAN
+    * (PushedFilters; row-group pruning on the route-sorted entries
+    * file). routeProbe = all cells degenerates to the full entry set.
+    */
+  def routeEntries(entries: DataFrame, routeCents: Array[Array[Float]],
+                   queryVec: Array[Float], routeProbe: Int): DataFrame =
+    entries.where(col("route_cell").isin(
+      IvfIndex.probes(queryVec, routeCents, routeProbe): _*))
 
   /** The serving frames as LAZY plans (what [[buildServing]] persists):
     * `entries` = (cluster, id, vec) medoids of the frozen quantizer,
@@ -198,20 +237,87 @@ object GraphAnn {
     * sort. The corpus table appears only under the query projection —
     * never per hop (plan-guarded).
     */
+  /** Per-batch query budget: the per-hop frontier/visited frames are
+    * broadcast by HINT (bounded-side reasoning the optimizer can't see
+    * through the window/limit lineage), so their size must be BOUNDED
+    * BY CONSTRUCTION — |q| × per-query state. A corpus-proportional
+    * query set would grow that broadcast without limit; above this
+    * budget the batch splits into hash-chunks walked SEQUENTIALLY
+    * (each chunk's k-row result materializes before the next chunk's
+    * walk starts), so peak broadcast/cache state is one chunk's,
+    * total work is linear in |q|, and the result — per-query
+    * independent by construction — is IDENTICAL to the monolithic
+    * walk at any chunk size.
+    */
+  val DefaultBatchChunk = 2048
+
+  /** `route = Some((routeCents, routeProbe))` replaces hop 0's
+    * |q| × E entry cross-join with the coarse ENTRY ROUTE
+    * ([[buildServing]]'s `route/` artifact): each query scores the √E
+    * route centroids MAP-SIDE ([[graft.functions.nearestCentroids]] —
+    * a √E literal), explodes to its routeProbe cells, and equi-joins
+    * the entries on route_cell — |q| × routeProbe × √E scored entry
+    * rows instead of |q| × E, and the join is a plain equi-join (the
+    * entries ship ONCE, never per query; broadcast while small). With
+    * E = n/100 corpus-proportional and |q| likewise, that turns the
+    * quadratic hop 0 into |q| × √E — the lake-native analog of HNSW's
+    * upper layers. None keeps the exact full-entry hop 0 (the small-E
+    * regime and every hash-gated keyed row).
+    */
   def searchBeamBatch(entries: DataFrame, edges: DataFrame, queries: DataFrame,
                       qIdCol: String, qVecCol: String,
                       k: Int, beam: Int, hops: Int,
-                      metric: String = "l2"): DataFrame = {
-    require(k >= 1 && beam >= 1 && hops >= 0)
+                      metric: String = "l2",
+                      route: Option[(Array[Array[Float]], Int)] = None,
+                      maxChunk: Int = DefaultBatchChunk): DataFrame = {
+    require(k >= 1 && beam >= 1 && hops >= 0 && maxChunk >= 1)
+    val q0 = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+    // the one driver action of the batch path: the chunk count needs
+    // |q| (a narrow scan); at or under budget the plan is EXACTLY the
+    // single-chunk walk
+    val nQ = q0.count()
+    if (nQ <= maxChunk) walkChunk(entries, edges, q0, k, beam, hops, metric, route)
+    else {
+      val nChunks = ((nQ + maxChunk - 1) / maxChunk).toInt
+      val qAll = q0.withColumn("_chunk", pmod(hash(col("q_id")), lit(nChunks)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val parts = (0 until nChunks).map { c =>
+        val part = walkChunk(entries, edges,
+          qAll.where(col("_chunk") === c).drop("_chunk"),
+          k, beam, hops, metric, route)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        part.count() // sequential materialization: one chunk's walk state in flight
+        part
+      }
+      qAll.unpersist()
+      parts.reduce(_ unionByName _)
+    }
+  }
+
+  /** One bounded chunk's walk — the pre-budget searchBeamBatch body. */
+  private def walkChunk(entries: DataFrame, edges: DataFrame, queries: DataFrame,
+                        k: Int, beam: Int, hops: Int,
+                        metric: String,
+                        route: Option[(Array[Array[Float]], Int)]): DataFrame = {
     // nonced — same mutable-artifact cache-reuse hazard as the
     // single-query walk (see [[nonced]])
-    val q = nonced(queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec")))
+    val q = nonced(queries)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perQ = Window.partitionBy("q_id").orderBy(col("dist"), col("id"))
-    val scoredEntries = q.crossJoin(broadcast(entries))
-      .select(col("q_id"), col("id"),
-        Knn.score(metric, col("vec"), col("q_vec")).as("dist"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scoredEntries = (route match {
+      case Some((rc, rp)) =>
+        val ent =
+          if (entries.columns.contains("route_cell")) entries
+          else entries.withColumn("route_cell", nearestCentroid(col("vec"), rc))
+        q.withColumn("route_cell", explode(nearestCentroids(col("q_vec"), rc, rp)))
+          .join(ent.select(col("route_cell"), col("id"), col("vec")), Seq("route_cell"))
+          .select(col("q_id"), col("id"),
+            Knn.score(metric, col("vec"), col("q_vec")).as("dist"))
+      case None =>
+        q.crossJoin(broadcast(entries.select(col("id"), col("vec"))))
+          .select(col("q_id"), col("id"),
+            Knn.score(metric, col("vec"), col("q_vec")).as("dist"))
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var fresh = scoredEntries
     var freshFrames = Vector(fresh)
     for (_ <- 1 to hops) {

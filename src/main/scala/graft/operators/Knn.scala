@@ -403,11 +403,45 @@ object Knn {
       centroids: Array[Array[Float]],
       k: Int,
       metric: String): DataFrame = {
-    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
     val left = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
       .withColumn("cluster", nearestCentroid(col("q_vec"), centroids))
     val right = corpus.select(col(idCol).as("id"), col(vecCol).as("n_vec"))
       .withColumn("cluster", nearestCentroid(col("n_vec"), centroids))
+    clusteredGraphEdges(left, right, k, metric)
+  }
+
+  /** [[knnJoinIvf]] with the two-level routed quantizer
+    * ([[RoutedQuantizer]]) as the blocker — the >10⁷-row build path:
+    * the flat scheme's K = n/100 centroid LITERAL is replaced by the
+    * coarse literal (√K) + the fine TABLE joined in, so the same
+    * Σ|cluster|² blocked build keeps working when K itself outgrows
+    * the sample-fit/driver-array/plan-literal ceilings.
+    */
+  def knnJoinRouted(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      rq: RoutedQuantizer,
+      k: Int,
+      metric: String): DataFrame = {
+    val left = rq.assign(
+      emb.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_vec")
+    val right = rq.assign(
+      emb.select(col(idCol).as("id"), col(vecCol).as("n_vec")), "n_vec")
+    clusteredGraphEdges(left, right, k, metric)
+  }
+
+  /** The shared blocked-edge tail: both sides already carry their
+    * `cluster` column (flat literal assignment or the routed two-level
+    * join); candidates pair inside their cluster and the per-query
+    * top-k is the bounded-heap partial aggregate.
+    */
+  private def clusteredGraphEdges(
+      left: DataFrame,
+      right: DataFrame,
+      k: Int,
+      metric: String): DataFrame = {
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
     val scored = left.join(right, Seq("cluster"))
       .where(col("q_id") =!= col("id"))
       .select(col("q_id"), col("id"), score(metric, col("n_vec"), col("q_vec")).as("dist"))

@@ -415,4 +415,175 @@ class AnnSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- two-level routed quantizer (RoutedQuantizer) --------------------
+
+  /** Brute-force two-level argmin in plain Scala — the ground truth the
+    * codegen'd assignment must match exactly (same sequential double
+    * arithmetic, strict-< ties to the lowest id).
+    */
+  private def routedBrute(v: Array[Float], coarse: Array[Array[Float]],
+                          fine: Seq[(Int, Int, Array[Float])]): Int = {
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val cid = coarse.indices.minBy(c => (d2(v, coarse(c)), c))
+    fine.filter(_._1 == cid).sortBy(_._2)
+      .minBy { case (_, cl, cv) => (d2(v, cv), cl) }._2
+  }
+
+  test("routed quantizer: the two-level table assignment matches the brute-force coarse->fine argmin on every row") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val rq = operators.RoutedQuantizer.fit(df, "embedding", k = 9, seed = 3L)
+    assert(rq.coarse.length === 3, "coarseK must be ceil(sqrt(k))")
+    val fine = rq.fine.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
+    assert(fine.nonEmpty && fine.map(_._1).distinct.sorted === rq.coarse.indices.toSeq,
+      "every coarse cell must own at least one fine centroid (total assignment)")
+    val got = rq.assign(df, "embedding")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === clustered.size, "assignment must be total — no row dropped")
+    clustered.foreach { e =>
+      val want = routedBrute(e.embedding, rq.coarse, fine)
+      assert(got(e.vec_id) === want, s"vec ${e.vec_id}: got ${got(e.vec_id)}, want $want")
+    }
+  }
+
+  test("routed search with full probes is identical to exact brute force; partial probes keep recall on clustered data") {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF().cache()
+    val rq = operators.RoutedQuantizer.fit(df, "embedding", k = 9, seed = 3L)
+    val q = clustered(123).embedding
+    val kFine = rq.k.toInt
+    val exact = Knn.searchExact(df, "vec_id", "embedding", q, 10, "l2").collect()
+    val full = operators.RoutedQuantizer.search(df, "vec_id", "embedding", rq, q,
+      k = 10, coarseProbe = rq.coarse.length, nprobe = kFine).collect()
+    assert(exact.map(_.toSeq).toSeq === full.map(_.toSeq).toSeq,
+      "coarseProbe = coarseK and nprobe = K must degenerate to exact")
+    val recalls = Seq(5, 555, 1001, 1500).map { qi =>
+      val qv = clustered(qi).embedding
+      val ex = Knn.searchExact(df, "vec_id", "embedding", qv, 10, "l2")
+        .collect().map(_.getLong(1)).toSet
+      val ap = operators.RoutedQuantizer.search(df, "vec_id", "embedding", rq, qv,
+        k = 10, coarseProbe = 2, nprobe = 3).collect().map(_.getLong(1)).toSet
+      recallAt10(ex, ap)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.85, s"routed partial-probe recall too low: $mean ($recalls)")
+    df.unpersist()
+  }
+
+  test("routed knn graph: edges match per-cluster brute force under the routed blocking") {
+    val s = spark; import s.implicits._
+    val small = clustered.take(300)
+    val df = small.toDF()
+    val rq = operators.RoutedQuantizer.fit(df, "embedding", k = 9, seed = 3L)
+    val fine = rq.fine.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
+    val byCluster = small.groupBy(e => routedBrute(e.embedding, rq.coarse, fine))
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val want = byCluster.values.flatMap { members =>
+      members.flatMap { e =>
+        members.filter(_.vec_id != e.vec_id)
+          .map(o => (o.vec_id, math.sqrt(d2(e.embedding, o.embedding))))
+          .sortBy { case (id, d) => (d, id) }.take(2)
+          .zipWithIndex.map { case ((nid, _), r) => (e.vec_id, r + 1, nid) }
+      }
+    }.toSet
+    val got = Knn.knnJoinRouted(df, "vec_id", "embedding", rq, k = 2, metric = "l2")
+      .select("q_id", "rank", "n_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
+  test("routed quantizer write/read roundtrip assigns identically (the table artifact survives restart)") {
+    val s = spark; import s.implicits._
+    val df = clustered.take(400).toDF()
+    val rq = operators.RoutedQuantizer.fit(df, "embedding", k = 16, seed = 5L)
+    val dir = Files.createTempDirectory("graft-routed").toString
+    operators.RoutedQuantizer.write(spark, rq, dir)
+    val re = operators.RoutedQuantizer.read(spark, dir)
+    val a = rq.assign(df, "embedding").select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = re.assign(df, "embedding").select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a === b)
+    assert(re.probes(clustered(9).embedding, 2, 3) ===
+      rq.probes(clustered(9).embedding, 2, 3))
+  }
+
+  // ---- routed entry selection + batch-walk budget -----------------------
+
+  private def buildServingFixture(): (String, Array[Array[Float]]) = {
+    val s = spark; import s.implicits._
+    val df = clustered.toDF()
+    val cents = IvfIndex.fit(df, "embedding", k = 10, seed = 1L)
+    val base = Files.createTempDirectory("graft-serve-route").toString
+    operators.GraphAnn.buildServing(
+      Knn.knnJoinIvf(df, "vec_id", "embedding", cents, k = 4, metric = "l2"),
+      df, "vec_id", "embedding", cents, base)
+    (base, IvfIndex.readCentroids(spark, s"$base/route"))
+  }
+
+  test("routed entry selection: the entries scan is bounded by the coarse route (pushed filter); full-cover routing equals the unrouted walk") {
+    val s = spark; import s.implicits._
+    val (base, routeCents) = buildServingFixture()
+    val entries = spark.read.parquet(s"$base/entries")
+    val edges = spark.read.parquet(s"$base/edges")
+    val q = clustered(42).embedding
+    // plan guard: the route predicate REACHES the parquet scan
+    val plan = operators.GraphAnn.routeEntries(entries, routeCents, q, 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("route_cell"), plan.takeRight(800))
+    assert(plan.contains("PushedFilters: [I"), // In(route_cell, ...)
+      s"route_cell filter must be pushed to the scan:\n${plan.takeRight(800)}")
+    // the narrow route actually prunes entry rows
+    assert(operators.GraphAnn.routeEntries(entries, routeCents, q, 1).count()
+      < entries.count())
+    // full cover degenerates to the unrouted walk exactly
+    val covered = operators.GraphAnn.routeEntries(entries, routeCents, q,
+      routeProbe = routeCents.length).select(col("id"), col("vec"))
+    val a = operators.GraphAnn.searchBeam(covered, edges, q, 5, 8, 2).collect()
+    val b = operators.GraphAnn.searchBeam(
+      entries.select(col("id"), col("vec")), edges, q, 5, 8, 2).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // a narrow route still finds the query's own neighborhood
+    val routed = operators.GraphAnn.searchBeam(
+      operators.GraphAnn.routeEntries(entries, routeCents, q, 2)
+        .select(col("id"), col("vec")), edges, q, 5, 8, 2)
+      .collect().map(_.getLong(1)).toSet
+    val exact = Knn.searchExact(clustered.toDF(), "vec_id", "embedding", q, 5, "l2")
+      .collect().map(_.getLong(1)).toSet
+    assert(routed.intersect(exact).size >= 3,
+      s"routed walk recall collapsed: $routed vs $exact")
+  }
+
+  test("batch walk budget: chunked execution is identical to the monolithic walk; routed hop 0 with full cover matches the unrouted batch") {
+    val s = spark; import s.implicits._
+    val (base, routeCents) = buildServingFixture()
+    val entries = spark.read.parquet(s"$base/entries")
+    val edges = spark.read.parquet(s"$base/edges")
+    val queries = clustered.take(40)
+      .map(e => (e.vec_id, e.embedding)).toDF("q_id", "q_vec")
+    def run(maxChunk: Int, route: Option[(Array[Array[Float]], Int)]) =
+      operators.GraphAnn.searchBeamBatch(
+        entries.select(col("id"), col("vec"), col("route_cell")), edges,
+        queries, "q_id", "q_vec", k = 3, beam = 8, hops = 2,
+        route = route, maxChunk = maxChunk)
+        .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val mono = run(maxChunk = 100000, route = None)
+    assert(run(maxChunk = 7, route = None) === mono,
+      "hash-chunked sequential walks must reproduce the monolithic batch exactly")
+    assert(run(maxChunk = 7, route = Some((routeCents, routeCents.length))) === mono,
+      "full-cover routing must degenerate to the unrouted batch")
+  }
 }

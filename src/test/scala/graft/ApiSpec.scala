@@ -772,6 +772,66 @@ class ApiSpec extends SparkSpec {
     assert(sh.head.getLong(1) === 7L && math.abs(sh.head.getDouble(2)) < 1e-3)
   }
 
+  test("adaptive walk-time filter compensation: recall >= the fixed x4 beam at every selectivity; sub-floor predicates fall back to the exact (lossless) scan") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(43)
+    val centers = Array.fill(4)(Array.fill(6)(rnd.nextGaussian().toFloat * 10))
+    val rows = (0 until 300).map { i =>
+      // lab: sel 0.1 (Equal) / 0.9 (NotEqual); par: sel 0.5 (Equal);
+      // rare: sel 2/300 — below the 1/64 compensation floor. Labels are
+      // taken from i/4 so they are INDEPENDENT of the cluster index
+      // (i % 4) — a predicate aligned with the geometry (one cluster
+      // all-failing) starves ANY gated walk and measures the corpus,
+      // not the compensation.
+      (i.toLong, centers(i % 4).map(x => x + rnd.nextGaussian().toFloat),
+        Some(s"""{"lab": ${(i / 4) % 10}, "par": ${(i / 4) % 2}, "rare": ${if (i < 2) 1 else 0}}"""): Option[String])
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-adaptive").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 6, Metric.L2,
+        IndexParams(ivfClusters = 4, graphK = 8, graphBeam = 8, graphHops = 2))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+      .save(dir)
+    val re = VectorIndex.load(spark, dir)
+    val entries = spark.read.parquet(s"$dir/serve/entries").select(col("id"), col("vec"))
+    val edges = spark.read.parquet(s"$dir/serve/edges")
+      .select(col("src_id"), col("dst_id"), col("dst_vec"))
+    val q = rows(11)._2
+
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum)
+    def exactTop(pass: Long => Boolean): Set[Long] =
+      rows.filter(r => pass(r._1)).map(r => (l2(q, r._2), r._1))
+        .sortBy(identity).take(5).map(_._2).toSet
+    def recall(got: Set[Long], want: Set[Long]): Double =
+      if (want.isEmpty) 1.0 else got.intersect(want).size.toDouble / want.size
+
+    // the three filtered_ann_graph_walk selectivity regimes
+    val cases = Seq(
+      ("lab", FilterOp.Equal, 2L, (id: Long) => (id / 4) % 10 == 2),   // sel 0.1
+      ("par", FilterOp.Equal, 0L, (id: Long) => (id / 4) % 2 == 0),    // sel 0.5
+      ("lab", FilterOp.NotEqual, 2L, (id: Long) => (id / 4) % 10 != 2)) // sel 0.9
+    cases.foreach { case (field, op, v, passFn) =>
+      val want = exactTop(passFn)
+      val adaptive = re.searchFiltered(q, 5, field, op, v)
+        .collect().map(_.getLong(1)).toSet
+      val passDf = rows.filter(r => passFn(r._1)).map(_._1).toDF("id")
+      val fixed4 = graft.operators.GraphAnn.searchBeamGated(entries, edges, q, 5,
+        beam = 8 * 4, hops = 2, metric = "l2", passIds = passDf)
+        .collect().map(_.getLong(1)).toSet
+      assert(recall(adaptive, want) >= recall(fixed4, want),
+        s"$field $op $v: adaptive ${recall(adaptive, want)} < fixed-x4 ${recall(fixed4, want)}")
+      assert(adaptive.forall(passFn), s"$field $op $v: a served id fails the predicate")
+    }
+
+    // sub-floor selectivity (2/300 < 1/64): the facade must serve the
+    // EXACT filtered answer (lossless fallback), not a starved gate
+    val rareGot = re.searchFiltered(q, 2, "rare", FilterOp.Equal, 1L)
+      .collect().map(_.getLong(1)).toSet
+    assert(rareGot === exactTop(id => id < 2).take(2),
+      s"sub-floor predicate must fall back to the exact scan, got $rareGot")
+  }
+
   test("crash-injection: every kill window of an in-place upsert reloads to latest-or-pre-batch, never neither") {
     import graft.operators.{GraphMaintenance, IvfIndex, Tombstones}
     import org.apache.spark.sql.functions._

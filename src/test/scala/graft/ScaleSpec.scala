@@ -306,7 +306,43 @@ class ScaleSpec extends SparkSpec {
     // basket-bounded co-partitioned self-join: per-order lineitem groups
     // are fixed-size under replication, so pair fan-out — and with it
     // the pair shuffle — is linear in orders
-    ("orders_basket_affinity", "linear", SparkEntry.queries("orders_basket_affinity")))
+    ("orders_basket_affinity", "linear", SparkEntry.queries("orders_basket_affinity")),
+    // ---- round-14: the two-level routed quantizer + the query-growing
+    // batch walk (the round-13 `weak` rows' scale shapes, measured) ----
+    // cluster COUNT grows with the corpus (fitScaled target 100 ⇒ K =
+    // n/100 at every size) yet the assignment plan carries only the √K
+    // coarse literal; the fine centroids join in as a TABLE (broadcast
+    // while it fits, co-partitioned shuffle beyond) — per-row input and
+    // shuffle stay in the linear envelope where the flat scheme's
+    // K-proportional literal and O(K·dim)/row assignment would not
+    ("routed_assign", "linear", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val rq = operators.RoutedQuantizer.fitScaled(emb, "embedding",
+        targetClusterSize = 100L)
+      rq.assign(emb, "embedding").groupBy("cluster").agg(count(lit(1)).as("n"))
+    }),
+    // the batch walk with the query set GROWING with the corpus (every
+    // vec_id % 100 == 0 row — the standing knn_batch_graph_walk
+    // certificate holds |q| FIXED and cannot see the |q| × E hop-0
+    // cross join, both factors ∝ n/100): the coarse entry route (each
+    // query scores √E route literals map-side, then equi-joins only its
+    // 2 cells' entries) plus the 256-query chunk budget (bounded
+    // per-hop broadcasts, chunks walked sequentially) make total work
+    // |q| × √E — the n^1.5 envelope — where the unrouted monolithic
+    // walk's hop 0 alone is |q| × E ∝ n²/10⁴ and its hinted broadcasts
+    // grow with |q|
+    ("knn_batch_graph_qgrow", "n15", (s: SparkSession, d: String) => {
+      val emb = Tables.embeddings(s, d)
+      val base = Queries.graphServePath(s, d)
+      val rc = operators.IvfIndex.readCentroids(s, s"$base/route")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      operators.GraphAnn.searchBeamBatch(
+        s.read.parquet(s"$base/entries")
+          .select(col("id"), col("vec"), col("route_cell")),
+        s.read.parquet(s"$base/edges"), queries, "q_id", "q_vec",
+        k = 5, beam = 8, hops = 3, route = Some((rc, 2)), maxChunk = 256)
+    }))
 
   /** Measure an arbitrary maintenance verb (not a DataFrame run) under
     * a fresh job group — the mutation-bookkeeping certificate's shape.
@@ -384,13 +420,18 @@ class ScaleSpec extends SparkSpec {
         // observed bounded states are ≤ 0.04 MB, so the floor still
         // catches anything that starts scaling with rows)
         case "bounded" => sh30 <= math.max(sh1 * 4, 1L << 20)
+        // n^1.5 (30^1.5 ≈ 164.3×): the |q| × √E batch-walk shape —
+        // strictly separates the routed walk from the quadratic
+        // (900×) the unrouted |q| × E hop 0 would pay
+        case "n15" => sh30 <= math.max(sh1 * 165L * 3, 8L << 20)
         // ≤ linear growth ×3 slack; super-linear (hidden cross
         // products, duplicate-mass blowup) goes red
         case _ => sh30 <= math.max(sh1 * 30L * 3, 4L << 20)
       }
       // a driver bottleneck or quadratic stage shows up here long
       // before any correctness gate would catch it
-      val timeOk = m30.wallSec <= m1.wallSec * 30 * 5 + 10.0
+      val growth = if (envelope == "n15") 165 else 30
+      val timeOk = m30.wallSec <= m1.wallSec * growth * 5 + 10.0
       if (!shuffleOk) failures +=
         s"$name: shuffle ${mb(sh1)}%MB -> ${mb(sh30)}MB breaks its '$envelope' envelope"
       if (!timeOk) failures +=
@@ -427,7 +468,7 @@ class ScaleSpec extends SparkSpec {
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"),
       s"""{"source": "$srcDir", "sizes": [1, 10, 30],
-         |"envelopes": {"bounded": "x30 <= max(4 * x1, 1MB)", "linear": "x30 <= max(90 * x1, 4MB)"},
+         |"envelopes": {"bounded": "x30 <= max(4 * x1, 1MB)", "linear": "x30 <= max(90 * x1, 4MB)", "n15": "x30 <= max(495 * x1, 8MB) — |q| x sqrt(E), 30^1.5 x 3 slack"},
          |"ops": [
          |${rows.mkString(",\n")}
          |]}
