@@ -339,6 +339,45 @@ object Oracles {
        |       (round((score) * 10000.0) / 10000.0) AS value
        |FROM d ORDER BY score, id LIMIT $k""".stripMargin
 
+  /** BATCH two-level routed search — the DuckDB twin of
+    * [[operators.RoutedQuantizer.searchBatch]]: global coarse→fine
+    * assignment of every vector, PER-QUERY routing (coarse top
+    * coarseProbe, fine top nprobe within those cells), candidates =
+    * vectors in the query's probed fine clusters, bounded top-k per
+    * query.
+    */
+  private def routedBatchIvfSql(coarse: Array[Array[Float]], fine: Seq[(Int, Int, Array[Float])],
+                                k: Int, coarseProbe: Int, nprobe: Int): String =
+    s"""WITH coarse AS ${paramRows(coarse, "kid", "kv")},
+       |fine AS ${fineRows(fine)},
+       |casg AS (SELECT e.vec_id, c.kid, ${l2sq("e.embedding", "c.kv")} AS d2
+       |         FROM embeddings e CROSS JOIN coarse c),
+       |co AS (SELECT vec_id, kid FROM casg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, kid) = 1),
+       |fasg AS (SELECT co.vec_id, f.cluster, ${l2sq("e.embedding", "f.fv")} AS d2
+       |         FROM co JOIN fine f ON f.kid = co.kid
+       |         JOIN embeddings e ON e.vec_id = co.vec_id),
+       |cl AS (SELECT vec_id, cluster FROM fasg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |qco AS (SELECT q_id, kid FROM (
+       |          SELECT qs.q_id, c.kid, ${l2sq("qs.qv", "c.kv")} AS d2
+       |          FROM qs CROSS JOIN coarse c) t
+       |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, kid) <= $coarseProbe),
+       |qf AS (SELECT q_id, cluster FROM (
+       |          SELECT qco.q_id, f.cluster, ${l2sq("qs.qv", "f.fv")} AS d2
+       |          FROM qco JOIN fine f ON f.kid = qco.kid
+       |          JOIN qs ON qs.q_id = qco.q_id) t
+       |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, cluster) <= $nprobe),
+       |d AS (SELECT qf.q_id, e.vec_id AS n_id, ${l2("e.embedding", "qs.qv")} AS score
+       |      FROM qf JOIN cl ON cl.cluster = qf.cluster
+       |      JOIN embeddings e ON e.vec_id = cl.vec_id
+       |      JOIN qs ON qs.q_id = qf.q_id)
+       |SELECT q_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) AS INT) AS rank,
+       |       n_id, (round((score) * 10000.0) / 10000.0) AS value
+       |FROM d QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
+
   /** IVF single-query search: assignment (argmin centroid, ties to lowest
     * id), nprobe probe pruning, exact L2 re-rank — the DuckDB twin of
     * [[operators.IvfIndex.search]] given the same centroids.
@@ -1478,6 +1517,12 @@ object Oracles {
         val fineLit = rq.fine.orderBy("cluster").collect()
           .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
         routedIvfSql(rq.coarse, fineLit, queryId = 7L, k = 10, coarseProbe = 4, nprobe = 8)
+      },
+      "knn_batch_ivf_routed" -> {
+        val rq = operators.RoutedQuantizer.fitCached(emb, "embedding", k = 64)
+        val fineLit = rq.fine.orderBy("cluster").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
+        routedBatchIvfSql(rq.coarse, fineLit, k = 5, coarseProbe = 3, nprobe = 6)
       },
       // identical parameters to ann_ivf — the persisted layout must not
       // change the answer, only where the pruning happens (file listing).

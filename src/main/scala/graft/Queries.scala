@@ -280,13 +280,39 @@ object Queries {
     * the Σ|cluster|² build; at 100 TB the materialized k-NN graph is
     * exactly the artifact a pipeline stores next to the embeddings.
     */
+  /** Above this fitted-K the corpus-scale graph/serving builders switch
+    * from the flat literal quantizer to the two-level routed one
+    * ([[operators.RoutedQuantizer]]): below it the flat path is both
+    * simpler and faster (one small codegen literal, no fine-table
+    * join), and every test SF sits far under it (sf0.1 fits K = 640) so
+    * the keyed rows' plans, oracles and hashes are untouched; the
+    * routed branch is driven end-to-end — fit, blocked build, serving
+    * layout, walk — by ScaleSpec's `routed_serve_build` certificate.
+    */
+  private[graft] val RoutedKThreshold = 4096L
+
+  private def scaledKOf(emb: DataFrame, targetClusterSize: Long): Long =
+    math.max(16L, (emb.count() + targetClusterSize - 1) / targetClusterSize)
+
+  /** The corpus's k-NN edge build at scaled K — flat-blocked under
+    * [[RoutedKThreshold]], routed-blocked above (same Σ|cluster|²
+    * contract, no K-proportional literal).
+    */
+  private def knnGraphEdgesScaled(emb: DataFrame, k: Int): DataFrame =
+    if (scaledKOf(emb, 100L) <= RoutedKThreshold)
+      operators.Knn.knnJoinIvf(emb, "vec_id", "embedding",
+        operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L),
+        k, metric = "l2")
+    else
+      operators.Knn.knnJoinRouted(emb, "vec_id", "embedding",
+        operators.RoutedQuantizer.fitScaled(emb, "embedding", targetClusterSize = 100L),
+        k, metric = "l2")
+
   private def knnGraph(spark: SparkSession, dir: String): DataFrame = {
     val path = operators.Artifacts.resolve(spark, "knngraph",
       operators.Artifacts.corpusKey(dir),
       operators.Artifacts.fingerprint(spark, Seq(dir))) { tmp =>
-      val emb = Tables.embeddings(spark, dir)
-      val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
-      operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 3, metric = "l2")
+      knnGraphEdgesScaled(Tables.embeddings(spark, dir), k = 3)
         .write.mode("overwrite").parquet(tmp)
     }
     // loadGraph applies the delete twin (no-op plan without tombstones)
@@ -304,17 +330,25 @@ object Queries {
       operators.Artifacts.corpusKey(dir),
       operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v3 k=16 route")) { tmp =>
       val emb = Tables.embeddings(spark, dir)
-      val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
       // degree 16 — the reference's own M (hnsw_index.rs) and the
       // measured knee of ann_graph_degree_curve (recall@10 0.4 -> 0.7
       // at K = 3 -> 16 for 4.7x edge storage; +0.1 more at K = 32 for
       // another 1.9x). The shared top-3 knnGraph artifact keeps serving
       // its five graph-statistics consumers; the SERVING layout builds
-      // its own degree-16 edge set.
-      operators.GraphAnn.buildServing(
-        operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
-          k = 16, metric = "l2"),
-        emb, "vec_id", "embedding", centroids, tmp)
+      // its own degree-16 edge set. Flat-blocked under
+      // [[RoutedKThreshold]], routed above (no K-proportional literal).
+      if (scaledKOf(emb, 100L) <= RoutedKThreshold) {
+        val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+        operators.GraphAnn.buildServing(
+          operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
+            k = 16, metric = "l2"),
+          emb, "vec_id", "embedding", centroids, tmp)
+      } else {
+        val rq = operators.RoutedQuantizer.fitScaled(emb, "embedding", targetClusterSize = 100L)
+        operators.GraphAnn.buildServingRouted(
+          operators.Knn.knnJoinRouted(emb, "vec_id", "embedding", rq, k = 16, metric = "l2"),
+          emb, "vec_id", "embedding", rq, tmp)
+      }
     }
 
   /** Graph-traversal ANN — the serving leg over the persisted k-NN
@@ -433,10 +467,17 @@ object Queries {
       operators.Artifacts.corpusKey(dir),
       operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v3 label=2 k=16 route")) { tmp =>
       val emb = Tables.embeddings(spark, dir).where(col("label") === 2)
-      val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
-      operators.GraphAnn.buildServing(
-        operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 16, metric = "l2"),
-        emb, "vec_id", "embedding", centroids, tmp)
+      if (scaledKOf(emb, 100L) <= RoutedKThreshold) {
+        val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+        operators.GraphAnn.buildServing(
+          operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 16, metric = "l2"),
+          emb, "vec_id", "embedding", centroids, tmp)
+      } else {
+        val rq = operators.RoutedQuantizer.fitScaled(emb, "embedding", targetClusterSize = 100L)
+        operators.GraphAnn.buildServingRouted(
+          operators.Knn.knnJoinRouted(emb, "vec_id", "embedding", rq, k = 16, metric = "l2"),
+          emb, "vec_id", "embedding", rq, tmp)
+      }
     }
 
   def filteredAnnGraph(spark: SparkSession, dir: String): DataFrame = {
@@ -737,6 +778,26 @@ object Queries {
     val rq = operators.RoutedQuantizer.fitCached(emb, "embedding", k = 64)
     operators.RoutedQuantizer.search(emb, "vec_id", "embedding", rq,
       queryVec(spark, dir, 7L), k = 10, coarseProbe = 4, nprobe = 8)
+  }
+
+  /** BATCH two-level routed search — the routed family's batch cell
+    * beside [[knnBatchIvf]] ([[operators.RoutedQuantizer.searchBatch]]):
+    * the base assigns ONCE through the fine-table join, every query
+    * routes map-side (coarse cells from the √K literal, fine probes
+    * from a per-query bounded window over the routed cells' fine rows),
+    * and the probe pairs equi-join the clustered base — co-partitioned,
+    * never broadcast, the 100 TB batch shape with no K-proportional
+    * literal anywhere. K = 64 fixed so the oracle splices both levels
+    * and re-derives per-query routing + the bounded top-5 cut.
+    */
+  def knnBatchIvfRouted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val rq = operators.RoutedQuantizer.fitCached(emb, "embedding", k = 64)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    operators.RoutedQuantizer.searchBatch(emb, "vec_id", "embedding",
+      queries, "q_id", "q_vec", rq, k = 5, coarseProbe = 3, nprobe = 6)
+      .orderBy("q_id", "rank")
   }
 
   /** The restart/serving path: materialize the IVF layout (cluster id as

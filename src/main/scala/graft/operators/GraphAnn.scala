@@ -129,6 +129,67 @@ object GraphAnn {
     }
   }
 
+  /** [[servingFrames]] blocked by the two-level routed quantizer — the
+    * >10⁷-row serving build: identical edge derivation (symmetrize +
+    * destination vectors, no quantizer involved), entries = one medoid
+    * per FINE cluster computed through the fine TABLE join
+    * ([[RoutedQuantizer.assign]] + d2 to the row-carried fine centroid)
+    * instead of the K-proportional centroid literal/broadcast the flat
+    * path rides.
+    */
+  def servingFramesRouted(graph: DataFrame, emb: DataFrame, idCol: String,
+                          vecCol: String, rq: RoutedQuantizer): (DataFrame, DataFrame) = {
+    val directed = graph.select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
+    val sym = directed
+      .unionByName(directed.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
+      .distinct()
+    val edges = sym
+      .join(emb.select(col(idCol).as("dst_id"), col(vecCol).as("dst_vec")), "dst_id")
+      .select(col("src_id"), col("dst_id"), col("dst_vec"))
+    val entries = rq.assign(
+        emb.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec")
+      .join(rq.fine.select(col("cluster"), col("cv")), Seq("cluster"))
+      .withColumn("d2", vecL2Sq(col("vec"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("d2"), col("id"))))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("id"), col("vec"))
+    (entries, edges)
+  }
+
+  /** [[buildServing]] for a routed-quantizer graph (query-side layout
+    * only — the maintained facade lifecycle keeps the flat path): same
+    * edge layout, fine-cluster medoid entries, and the ENTRY ROUTE over
+    * them — so the artifact a routed build writes serves exactly the
+    * same walks ([[searchBeam]] / [[searchBeamBatch]] with
+    * [[routeEntries]]) as a flat build's.
+    */
+  def buildServingRouted(graph: DataFrame, emb: DataFrame, idCol: String,
+                         vecCol: String, rq: RoutedQuantizer, base: String): Unit = {
+    val (entries, edges) = servingFramesRouted(graph, emb, idCol, vecCol, rq)
+    edges
+      .repartitionByRange(col("src_id"))
+      .sortWithinPartitions("src_id", "dst_id")
+      .write.mode("overwrite")
+      .option("parquet.block.size", GraphMaintenance.EdgeBlockBytes.toString)
+      .parquet(s"$base/edges")
+    val spark = emb.sparkSession
+    val entriesP = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val e = entriesP.count()
+      val routeK = math.max(1, math.ceil(math.sqrt(math.max(1L, e).toDouble)).toInt)
+      val routeCents = IvfIndex.fit(entriesP, "vec", routeK)
+      IvfIndex.writeCentroids(spark, routeCents, s"$base/route")
+      // range-partitioned by route cell (entries here are K rows — the
+      // flat path's coalesce(1) is wrong at table-sized K): a routed
+      // walk's route_cell IN-list prunes at file AND row-group grain
+      entriesP.withColumn("route_cell", nearestCentroid(col("vec"), routeCents))
+        .repartitionByRange(col("route_cell"), col("id"))
+        .sortWithinPartitions("route_cell", "id")
+        .write.mode("overwrite").parquet(s"$base/entries")
+    } finally entriesP.unpersist()
+  }
+
   /** Sub-linear entry selection for a single-query walk: prune an
     * entries frame (carrying the persisted `route_cell` column) to the
     * query's `routeProbe` nearest route cells — the predicate is an

@@ -231,6 +231,50 @@ object RoutedQuantizer {
       IvfIndex.readCentroids(spark, s"$path/coarse"),
       spark.read.parquet(s"$path/fine"))
 
+  /** BATCH two-level routed search — the routed member of the batch
+    * family beside [[Knn.searchBatchIvf]]: the base assigns ONCE
+    * through the fine-table join; every query routes MAP-SIDE (coarse
+    * cells from the √K literal via
+    * [[graft.functions.nearestCentroids]], then its fine probes from a
+    * per-query bounded window over the routed cells' fine rows —
+    * coarseProbe × finePerCell candidates each, never the whole fine
+    * table); the (q_id, cluster) probe pairs equi-join the clustered
+    * base (both sides corpus-proportional, co-partitioned — never
+    * broadcast), and the bounded heap cuts top-k per query. Shuffle =
+    * O(n + |q| × (coarseProbe·√K + k)). coarseProbe = coarseK and
+    * nprobe = K degenerate to exactly [[Knn.searchBatch]].
+    */
+  def searchBatch(base: DataFrame, baseId: String, baseVec: String,
+                  queries: DataFrame, queryId: String, queryVec: String,
+                  rq: RoutedQuantizer, k: Int, coarseProbe: Int, nprobe: Int,
+                  metric: String = "l2"): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val topk = udaf(new TopKNeighbors(k), Encoders.product[Neighbor])
+    val clustered = rq.assign(
+      base.select(col(baseId).as("id"), col(baseVec).as("b_vec")), "b_vec")
+    val q = queries.select(col(queryId).as("q_id"), col(queryVec).as("q_vec"))
+    val probed = q
+      .withColumn("coarse_id",
+        explode(nearestCentroids(col("q_vec"), rq.coarse, coarseProbe)))
+      .join(rq.fine, Seq("coarse_id"))
+      .select(col("q_id"), col("cluster"),
+        vecL2Sq(col("q_vec"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("cluster"))))
+      .where(col("rn") <= nprobe)
+      .select(col("q_id"), col("cluster"))
+    val flip = metric == "ip" || metric == "cosine"
+    clustered.join(probed, Seq("cluster"))
+      .join(q, Seq("q_id"))
+      .select(col("q_id"), col("id"),
+        Knn.score(metric, col("b_vec"), col("q_vec")).as("dist"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("id"), col("dist")).as("nn"))
+      .select(col("q_id"), posexplode(col("nn")).as(Seq("pos", "n")))
+      .select(col("q_id"), (col("pos") + 1).as("rank"), col("n.id").as("n_id"),
+        roundTo(if (flip) -col("n.dist") else col("n.dist"), 4).as("value"))
+  }
+
   /** Two-level IVF search: route the query (coarse cells on the driver
     * — √K literal work; fine probes from ONE bounded collect of the
     * routed cells' fine rows), pre-prune the scan by the COARSE cells

@@ -586,4 +586,60 @@ class AnnSpec extends SparkSpec {
     assert(run(maxChunk = 7, route = Some((routeCents, routeCents.length))) === mono,
       "full-cover routing must degenerate to the unrouted batch")
   }
+
+  test("routed batch search with full probes equals the exact batch kernel; the routed serving build's entries are the true fine-cluster medoids") {
+    val s = spark; import s.implicits._
+    val df = clustered.take(400).toDF().cache()
+    val rq = operators.RoutedQuantizer.fit(df, "embedding", k = 9, seed = 3L)
+    val kFine = rq.k.toInt
+    val queries = clustered.take(400).filter(_.vec_id % 40 == 0)
+      .map(e => (e.vec_id, e.embedding)).toDF("q_id", "q_vec")
+    val exact = Knn.searchBatch(df, "vec_id", "embedding", queries, "q_id", "q_vec",
+        k = 3, metric = "l2")
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    val full = operators.RoutedQuantizer.searchBatch(df, "vec_id", "embedding",
+        queries, "q_id", "q_vec", rq, k = 3,
+        coarseProbe = rq.coarse.length, nprobe = kFine)
+      .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
+    assert(full === exact, "full probes must degenerate to the exact batch kernel")
+
+    // routed serving build: entries must be the brute-force medoid of
+    // every non-empty fine cluster (nearest member to the fine
+    // centroid, ties lowest id), and a walk over the artifact must work
+    val fine = rq.fine.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
+    val members = clustered.take(400)
+      .groupBy(e => routedBrute(e.embedding, rq.coarse, fine))
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val wantMedoids = members.map { case (cl, ms) =>
+      val cv = fine.find(_._2 == cl).get._3
+      cl -> ms.map(e => (d2(e.embedding, cv), e.vec_id)).minBy(identity)._2
+    }
+    val base = Files.createTempDirectory("graft-routed-serve").toString
+    operators.GraphAnn.buildServingRouted(
+      Knn.knnJoinRouted(df, "vec_id", "embedding", rq, k = 3, metric = "l2"),
+      df, "vec_id", "embedding", rq, base)
+    val gotMedoids = spark.read.parquet(s"$base/entries")
+      .select("cluster", "id").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotMedoids === wantMedoids)
+    val q = clustered(42).embedding
+    val rc = operators.IvfIndex.readCentroids(spark, s"$base/route")
+    val hits = operators.GraphAnn.searchBeam(
+      operators.GraphAnn.routeEntries(
+        spark.read.parquet(s"$base/entries"), rc, q, routeProbe = rc.length)
+        .select(col("id"), col("vec")),
+      spark.read.parquet(s"$base/edges"), q, k = 5, beam = 8, hops = 2)
+      .collect().map(_.getLong(1)).toSet
+    val exactTop = Knn.searchExact(df, "vec_id", "embedding", q, 5, "l2")
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.intersect(exactTop).size >= 3,
+      s"walk over the routed artifact lost the neighborhood: $hits vs $exactTop")
+    df.unpersist()
+  }
 }

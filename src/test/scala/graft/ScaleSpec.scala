@@ -400,6 +400,35 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  /** End-to-end ROUTED pipeline certificate (the branch the corpus-
+    * scale artifact builders take above Queries.RoutedKThreshold):
+    * two-level quantizer at corpus-scaled K (fit outside the window —
+    * a cached build-time cost), routed Σ|cluster|² k-NN graph build,
+    * routed serving layout (fine-cluster medoid entries + entry
+    * route), one routed walk over the result. No K-proportional
+    * literal anywhere; build + walk shuffle must stay linear as the
+    * corpus (and with it K) grows 30×.
+    */
+  private def measureRoutedServeBuild(k: Int, dir: String): Measured = {
+    val emb = Tables.embeddings(spark, dir)
+    val rq = operators.RoutedQuantizer.fitScaled(emb, "embedding",
+      targetClusterSize = 100L)
+    val base = s"$scaleRoot/routedserve/x$k"
+    val qv = Array.fill(64)(0.1f)
+    measureVerb(s"routedserve-x$k") {
+      operators.GraphAnn.buildServingRouted(
+        operators.Knn.knnJoinRouted(emb, "vec_id", "embedding", rq,
+          k = 4, metric = "l2"),
+        emb, "vec_id", "embedding", rq, base)
+      val rc = operators.IvfIndex.readCentroids(spark, s"$base/route")
+      val entries = operators.GraphAnn.routeEntries(
+          spark.read.parquet(s"$base/entries"), rc, qv, routeProbe = 2)
+        .select(col("id"), col("vec"))
+      run(operators.GraphAnn.searchBeam(entries,
+        spark.read.parquet(s"$base/edges"), qv, k = 5, beam = 8, hops = 2))
+    }
+  }
+
   test("scaling certificates: 1x/10x/30x corpora — shuffle bytes obey the documented envelopes") {
     val dirs = Seq(1 -> srcDir, 10 -> s"$scaleRoot/x10", 30 -> s"$scaleRoot/x30")
     synth(s"$scaleRoot/x10", 10)
@@ -464,6 +493,27 @@ class ScaleSpec extends SparkSpec {
       }.mkString(", ")
       rows += s"""{"op": "upsert_1row_maintained", "envelope": "bounded-input", "pass": ${inputOk && shuffleOk}, $cells}"""
       info(f"upsert_1row_maintained [bounded-input] input ${mb(m1.input)}%9.3f MB -> ${mb(m30.input)}%9.3f MB   wall ${m1.wallSec}%6.2f s -> ${m30.wallSec}%6.2f s")
+    }
+
+    // the routed-pipeline certificate: flat-quantizer-free build + walk,
+    // linear in the corpus even as K grows with it
+    {
+      val m = dirs.map { case (k, d) => k -> measureRoutedServeBuild(k, d) }.toMap
+      val m1 = m(1); val m30 = m(30)
+      val sh1 = m1.shuffleRead + m1.shuffleWrite
+      val sh30 = m30.shuffleRead + m30.shuffleWrite
+      val shuffleOk = sh30 <= math.max(sh1 * 30L * 3, 8L << 20)
+      val timeOk = m30.wallSec <= m1.wallSec * 30 * 5 + 30.0
+      if (!shuffleOk) failures +=
+        s"routed_serve_build: shuffle ${mb(sh1)}MB -> ${mb(sh30)}MB breaks linear"
+      if (!timeOk) failures +=
+        s"routed_serve_build: wall ${m1.wallSec}s -> ${m30.wallSec}s exceeds linear x5 slack"
+      val cells = dirs.map { case (k, _) =>
+        val mm = m(k)
+        f""""x$k": {"wall_s": ${mm.wallSec}%.3f, "shuffle_read_mb": ${mb(mm.shuffleRead)}%.3f, "shuffle_write_mb": ${mb(mm.shuffleWrite)}%.3f, "input_mb": ${mb(mm.input)}%.3f}"""
+      }.mkString(", ")
+      rows += s"""{"op": "routed_serve_build", "envelope": "linear", "pass": ${shuffleOk && timeOk}, $cells}"""
+      info(f"routed_serve_build [ linear] shuffle ${mb(sh1)}%9.3f MB -> ${mb(sh30)}%9.3f MB   wall ${m1.wallSec}%6.2f s -> ${m30.wallSec}%6.2f s")
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALING.json"),
