@@ -466,14 +466,29 @@ object TextIndex {
     val p = new org.apache.hadoop.fs.Path(s"$path/_pubgen")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/_pubgen_tmp")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p) && fs.exists(tmp))
-      require(fs.rename(tmp, p), s"_pubgen recovery rename failed for $path")
-    if (!fs.exists(p)) Long.MaxValue
-    else {
-      val in = fs.open(p)
+    // best-effort temp adoption: a pure READER can race a live writer
+    // inside writePublishedGen's delete-then-rename window (or another
+    // reader's adoption), so a lost rename must not fail the read —
+    // whichever rename wins, a complete value exists at `_pubgen` or
+    // still at the temp (the temp is written complete before any rename
+    // and holds the gen of a FULLY-landed batch, so reading it serves
+    // the post-batch view a hair early, never a mixed state).
+    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p)
+    def readLong(f: org.apache.hadoop.fs.Path): Long = {
+      val in = fs.open(f)
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                 finally in.close()
       raw.trim.toLong
+    }
+    try {
+      if (fs.exists(p)) readLong(p)
+      else if (fs.exists(tmp)) readLong(tmp)
+      else Long.MaxValue
+    } catch {
+      // the exists/open gap can race the writer's delete: by then the
+      // batch is fully landed (publish is the LAST step), so the legacy
+      // serve-everything gate IS the post-batch view
+      case _: java.io.FileNotFoundException => Long.MaxValue
     }
   }
 
@@ -484,7 +499,12 @@ object TextIndex {
     val out = fs.create(tmp, true)
     try out.write(g.toString.getBytes("UTF-8")) finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"_pubgen rename failed for $path")
+    // a concurrent READER may adopt our freshly-written temp (same
+    // content) between the delete and this rename — losing that race
+    // still leaves the value published, so only fail when no complete
+    // `_pubgen` exists afterwards
+    if (!fs.rename(tmp, p))
+      require(fs.exists(p), s"_pubgen rename failed for $path")
   }
 
   /** Adopt the publish gate on a legacy artifact before its first

@@ -113,10 +113,17 @@ case class NearestCentroidIn(left: Expression, right: Expression)
   override def prettyName: String = "nearest_centroid_in"
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
+  // an EMPTY candidate array yields null, not a wrong-but-plausible
+  // cluster id: current callers guarantee non-empty cells (the
+  // fallback seeds), but a future caller joining an incomplete fine
+  // table must have its row DROP from downstream equi-joins instead of
+  // matching a phantom cluster -1
+  override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any, cs: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     val cands = cs.asInstanceOf[ArrayData]
+    if (cands.numElements() == 0) return null
     var best = -1; var bestD = Double.MaxValue
     var c = 0
     while (c < cands.numElements()) {
@@ -141,19 +148,23 @@ case class NearestCentroidIn(left: Expression, right: Expression)
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       val r = ctx.freshName("r"); val cv = ctx.freshName("cv")
       s"""
-         |int $best = -1; double $bestD = Double.MAX_VALUE;
-         |for (int $c = 0; $c < $cands.numElements(); $c++) {
-         |  org.apache.spark.sql.catalyst.InternalRow $r = $cands.getStruct($c, 2);
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $r.getArray(1);
-         |  int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = (double) $a.getFloat($i) - (double) $cv.getFloat($i);
-         |    $acc += $d * $d;
+         |if ($cands.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $best = -1; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cands.numElements(); $c++) {
+         |    org.apache.spark.sql.catalyst.InternalRow $r = $cands.getStruct($c, 2);
+         |    org.apache.spark.sql.catalyst.util.ArrayData $cv = $r.getArray(1);
+         |    int $n = java.lang.Math.min($a.numElements(), $cv.numElements());
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $d = (double) $a.getFloat($i) - (double) $cv.getFloat($i);
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $r.getInt(0); }
          |  }
-         |  if ($acc < $bestD) { $bestD = $acc; $best = $r.getInt(0); }
+         |  ${ev.value} = $best;
          |}
-         |${ev.value} = $best;
        """.stripMargin
     })
 

@@ -101,6 +101,28 @@ object Tombstones {
         .select(col("id").cast("long").as("id")).distinct()
   }
 
+  /** The sidecar's PUBLISHED view, folded to (id, upto): the raw rows
+    * are gated by the publish rule — effective iff legacy kill-forever
+    * (upto = MaxValue) or already published (upto < publishedGen) —
+    * BEFORE the per-id max fold. Gating AFTER the fold is wrong: an id
+    * with an older published tombstone (upto = u₀, effective) plus a
+    * newer UNPUBLISHED one (upto = g−1 ≥ publishedGen, a second
+    * mutation of the same doc in flight) folds to g−1, the gate drops
+    * the whole fold, and the published tombstone's effect is lost — a
+    * concurrent reader mid-mutation would see the previously-superseded
+    * rows resurrect (duplicate doclen rows, corrupted N/avgdl/df).
+    */
+  def tombsPublished(spark: SparkSession, base: String, publishedGen: Long): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$base/$subdir")
+    val upto =
+      if (raw.columns.contains("upto_gen"))
+        coalesce(col("upto_gen").cast("long"), lit(Long.MaxValue))
+      else lit(Long.MaxValue)
+    raw.select(col("id").cast("long").as("id"), upto.as("upto"))
+      .where(col("upto") === Long.MaxValue || col("upto") < publishedGen)
+      .groupBy("id").agg(max("upto").as("upto"))
+  }
+
   /** [[filterGen]] restricted to PUBLISHED tombstones: a tombstone row
     * takes effect only once the artifact's published generation has
     * moved past it (`upto < publishedGen`), with legacy kill-forever
@@ -111,14 +133,16 @@ object Tombstones {
     * (rows gated by gen <= publishedGen, the tombstone by
     * upto < publishedGen) until ONE rename bumps `_pubgen` to g — so a
     * reader at any kill point sees exactly the pre-batch or the
-    * post-batch index, never a mixed or duplicated state.
+    * post-batch index, never a mixed or duplicated state. The publish
+    * gate applies to the RAW sidecar rows ([[tombsPublished]]) so an
+    * in-flight second mutation of an id can never mask its standing
+    * published tombstone.
     */
   def filterGenPublished(df: DataFrame, base: String, idCol: String, genCol: String,
                          publishedGen: Long): DataFrame =
     if (!present(df.sparkSession, base)) df
     else {
-      val t = tombs(df.sparkSession, base)
-        .where(col("upto") === Long.MaxValue || col("upto") < publishedGen)
+      val t = tombsPublished(df.sparkSession, base, publishedGen)
         .select(col("id").as("_tomb_id"), col("upto").as("_tomb_upto"))
       df.join(broadcast(t), df(idCol) === col("_tomb_id"), "left_outer")
         .where(col("_tomb_upto").isNull || df(genCol) > col("_tomb_upto"))

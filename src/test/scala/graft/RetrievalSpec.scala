@@ -425,4 +425,44 @@ class RetrievalSpec extends SparkSpec {
     assert(reader.docLengths.where(col("doc_id") === 2L).count() === 1L)
     GraphMaintenance.clearMarker(spark, dir)
   }
+
+  test("TextIndex atomic publish: a SECOND in-flight mutation of the same doc never masks its standing published tombstone") {
+    val s = spark; import s.implicits._
+    import graft.operators.{GraphMaintenance, Retrieval => R, Tombstones}
+    val dir = java.nio.file.Files.createTempDirectory("graft-text-pub2").toString
+    var idx = graft.api.TextIndex.build(corpus.toDF(), "doc_id", "text", dir)
+    // first mutation lands COMPLETELY (published): doc 2 -> v2, its
+    // gen-0 rows superseded by a PUBLISHED tombstone at upto = g1-1
+    val v2 = RDoc(2L, "replaced entirely different content now")
+    idx = idx.upsert(Seq(v2).toDF(), "doc_id", "text")
+    val postV2 = corpus.filterNot(_.doc_id == 2L) :+ v2
+    assertServesLike(idx, postV2, "after first upsert")
+    // second mutation of the SAME doc is killed mid-window: data at g2
+    // and its tombstone at upto = g2-1 both landed, publish lost. The
+    // sidecar now folds doc 2 to max(g1-1, g2-1) = g2-1, which the
+    // publish gate rejects — gating AFTER the fold would drop the
+    // PUBLISHED g1-1 tombstone with it and resurrect the gen-0 rows
+    // (duplicate doclen). The gate must apply to the raw rows.
+    val v3 = RDoc(2L, "a third body for the same doc in flight")
+    val g2 = Tombstones.nextGen(spark, dir)
+    GraphMaintenance.writeMarker(spark, dir, "upsert", g2)
+    R.buildDocLengths(Seq(v3).toDF(), "doc_id", "text")
+      .withColumn("gen", lit(g2)).write.mode("append").parquet(s"$dir/doclen")
+    R.buildPostings(Seq(v3).toDF(), "doc_id", "text")
+      .withColumn("gen", lit(g2)).write.mode("append").parquet(s"$dir/postings")
+    Tombstones.appendUpto(spark, dir, Seq(2L).toDF("doc_id"), g2 - 1)
+    val reader = graft.api.TextIndex.load(spark, dir) // load recovers (rolls forward)...
+    assert(GraphMaintenance.inflight(spark, dir).isEmpty)
+    assertServesLike(reader, corpus.filterNot(_.doc_id == 2L) :+ v3, "recovered second upsert")
+    assert(reader.docLengths.where(col("doc_id") === 2L).count() === 1L)
+    // ...so replay the mid-window read directly through the gated view:
+    // a reader between the g2 tombstone append and the publish must see
+    // v2 EXACTLY ONCE (published gate = g1 = g2 - 1)
+    val pg = g2 - 1
+    val midDoclen = Tombstones.filterGenPublished(
+      Tombstones.readWithGen(spark, s"$dir/doclen").where(col("gen") <= pg),
+      dir, "doc_id", "gen", pg)
+    assert(midDoclen.where(col("doc_id") === 2L).count() === 1L,
+      "mid-window reader: the published tombstone's effect was lost (resurrected rows)")
+  }
 }
