@@ -673,7 +673,8 @@ object Oracles {
     */
   private def graphBeamBatchSql(centroids: Array[Array[Float]],
                                 graphK: Int, beam: Int, hops: Int, k: Int,
-                                where: String = ""): String = {
+                                where: String = "",
+                                route: Option[(Array[Array[Float]], Int)] = None): String = {
     val hopCtes = (1 to hops).map { h =>
       val fresh = if (h == 1) "v0" else s"s${h - 1}"
       s"""f$h AS (SELECT q_id, id FROM $fresh
@@ -686,15 +687,94 @@ object Oracles {
          |        JOIN qs ON qs.q_id = x.q_id),
          |v$h AS (SELECT * FROM v${h - 1} UNION ALL SELECT * FROM s$h)""".stripMargin
     }.mkString(",\n")
+    // hop 0: every medoid per query (exact), or — the ROUTED batch —
+    // only the medoids whose route cell (argmin over the spliced route
+    // centroids, ties lowest rid) is among the query's routeProbe
+    // nearest route cells (the per-query map-side route the Spark walk
+    // computes with nearestCentroids)
+    val v0 = route match {
+      case Some((rc, rp)) =>
+        s"""rt AS ${paramRows(rc, "rid", "rv")},
+           |masg AS (SELECT m.id, r.rid, ${l2sq("e.embedding", "r.rv")} AS d2
+           |         FROM med m JOIN embeddings e ON e.vec_id = m.id CROSS JOIN rt r),
+           |mcell AS (SELECT id, rid FROM masg
+           |          QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, rid) = 1),
+           |qrt AS (SELECT q_id, rid FROM (
+           |          SELECT qs.q_id, r.rid, ${l2sq("qs.qv", "r.rv")} AS d2
+           |          FROM qs CROSS JOIN rt r) t
+           |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, rid) <= $rp),
+           |v0 AS (SELECT qr.q_id, mc.id, ${l2("e.embedding", "qs.qv")} AS dist
+           |       FROM qrt qr JOIN mcell mc ON mc.rid = qr.rid
+           |       JOIN qs ON qs.q_id = qr.q_id
+           |       JOIN embeddings e ON e.vec_id = mc.id)""".stripMargin
+      case None =>
+        s"""v0 AS (SELECT qs.q_id, m.id, ${l2("e.embedding", "qs.qv")} AS dist
+           |       FROM med m JOIN embeddings e ON e.vec_id = m.id CROSS JOIN qs)""".stripMargin
+    }
     s"""WITH ${graphBaseCtes(centroids, graphK, where = where)},
        |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
-       |v0 AS (SELECT qs.q_id, m.id, ${l2("e.embedding", "qs.qv")} AS dist
-       |       FROM med m JOIN embeddings e ON e.vec_id = m.id CROSS JOIN qs),
+       |$v0,
        |$hopCtes
        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, id) AS INT) AS rank,
        |       id AS n_id, (round((dist) * 10000.0) / 10000.0) AS value
        |FROM v$hops QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
   }
+
+  /** The serving-graph CTE prefix re-derived through the TWO-LEVEL
+    * routed quantizer (the branch the corpus-scale builders auto-switch
+    * to above Queries.routedKThreshold) given BOTH levels as literals:
+    * per-vector coarse argmin (ties lowest kid), fine argmin WITHIN the
+    * coarse cell (ties lowest cluster — [[graft.functions.nearestCentroidIn]]'s
+    * first-minimal rule over the cluster-sorted candidate array), one
+    * medoid per FINE cluster (nearest to its fine centroid, ties lowest
+    * id), the cluster-blocked top-`graphK` graph, symmetrized. Produces
+    * the same CTE names (cl/med/d/g/sym) as [[graphBaseCtes]], so the
+    * walk chains compose unchanged.
+    */
+  private def routedGraphBaseCtes(coarse: Array[Array[Float]],
+                                  fine: Seq[(Int, Int, Array[Float])],
+                                  graphK: Int): String =
+    s"""rcoarse AS ${paramRows(coarse, "kid", "kv")},
+       |rfine AS ${fineRows(fine)},
+       |casg AS (SELECT e.vec_id, c.kid, ${l2sq("e.embedding", "c.kv")} AS d2
+       |         FROM embeddings e CROSS JOIN rcoarse c),
+       |co AS (SELECT vec_id, kid FROM casg
+       |       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, kid) = 1),
+       |fasg AS (SELECT co.vec_id, f.cluster, ${l2sq("e.embedding", "f.fv")} AS d2
+       |         FROM co JOIN rfine f ON f.kid = co.kid
+       |         JOIN embeddings e ON e.vec_id = co.vec_id),
+       |own AS (SELECT vec_id, cluster AS cid, d2 FROM fasg
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) = 1),
+       |cl AS (SELECT vec_id, cid FROM own),
+       |med AS (SELECT vec_id AS id FROM own
+       |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) = 1),
+       |d AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |g AS (SELECT q_id, n_id FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $graphK),
+       |sym AS (SELECT q_id AS src, n_id AS dst FROM g
+       |        UNION SELECT n_id AS src, q_id AS dst FROM g)""".stripMargin
+
+  /** Beam serve over the ROUTED-QUANTIZER-built serving layout — the
+    * DuckDB twin of [[Queries.annGraphRoutedForced]]: the full routed
+    * build chain (two-level assignment → fine-cluster medoids → blocked
+    * graph → symmetrize) re-derived from the quantizer tables the
+    * artifact itself persists, then the standard unrolled walk.
+    */
+  private def routedForcedGraphBeamSql(coarse: Array[Array[Float]],
+                                       fine: Seq[(Int, Int, Array[Float])],
+                                       queryId: Long, graphK: Int, beam: Int,
+                                       hops: Int, k: Int): String =
+    s"""WITH ${routedGraphBaseCtes(coarse, fine, graphK)},
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |v0 AS (SELECT m.id, ${l2("e.embedding", "q.qv")} AS dist
+       |       FROM med m JOIN embeddings e ON e.vec_id = m.id, q),
+       |${graphHopChain(beam, hops)}
+       |SELECT CAST(row_number() OVER (ORDER BY dist, id) AS INT) AS rank, id,
+       |       (round((dist) * 10000.0) / 10000.0) AS value
+       |FROM v$hops ORDER BY dist, id LIMIT $k""".stripMargin
 
   /** Graph-ANN beam serve — the DuckDB twin of [[Queries.annGraph]]
     * (with `where`, of [[Queries.filteredAnnGraph]]: the walk over the
@@ -1573,6 +1653,29 @@ object Oracles {
         graphK = 16, beam = 8, hops = 3, k = 5, where = " WHERE e.label = 2"),
       "knn_batch_graph" -> graphBeamBatchSql(scaledCents,
         graphK = 16, beam = 8, hops = 3, k = 5),
+      // the PRODUCTION batch walk with the entry route held ON — the
+      // hash gate on the routed hop 0 (per-query route cells + medoid
+      // route cells re-derived from the artifact's spliced route
+      // literals); the auto-switched path executes exactly this above
+      // the entry-count threshold
+      "knn_batch_graph_routed" -> {
+        val routeCents = operators.IvfIndex.readCentroids(spark,
+          s"${Queries.graphServePath(spark, dir)}/route")
+        graphBeamBatchSql(scaledCents, graphK = 16, beam = 8, hops = 3, k = 5,
+          route = Some((routeCents, operators.GraphAnn.RouteProbe)))
+      },
+      // the ROUTED-QUANTIZER builder branch forced to oracle scale: the
+      // quantizer tables come from the artifact itself (buildServingRouted
+      // persists them — distributed Lloyd means are not bit-stable
+      // across sessions), both levels splice as literals
+      "ann_graph_routed_forced" -> {
+        val base = Queries.routedForcedServePath(spark, dir)
+        val rq = operators.RoutedQuantizer.read(spark, s"$base/quantizer")
+        val fineLit = rq.fine.orderBy("cluster").collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray)).toSeq
+        routedForcedGraphBeamSql(rq.coarse, fineLit, queryId = 13L, graphK = 16,
+          beam = 8, hops = 3, k = 10)
+      },
       "dedup_semantic" -> semanticSql(scaledCents, minCosine = 0.35),
       "ann_recall_eval" -> recallEvalSql(centroids, queryId = 4L, k = 10, nprobe = 4),
       "vector_silhouette" -> silhouetteSql(centroids),

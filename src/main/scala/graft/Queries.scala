@@ -289,17 +289,29 @@ object Queries {
     * routed branch is driven end-to-end — fit, blocked build, serving
     * layout, walk — by ScaleSpec's `routed_serve_build` certificate.
     */
-  private[graft] val RoutedKThreshold = 4096L
+  private[graft] val RoutedKThresholdDefault = 4096L
+
+  /** Conf-overridable ([[RoutedKThresholdDefault]] otherwise): the
+    * session conf `spark.graft.routed.kThreshold` lets a test force the
+    * switch DOWN so the routed branch runs — and hash-gates — at oracle
+    * corpus sizes (the `ann_graph_routed_forced` twin drives it through
+    * an explicit forced builder instead, so the keyed gate needs no
+    * conf); a deployment tunes it to where the flat literal stops
+    * paying.
+    */
+  private[graft] def routedKThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.routed.kThreshold").map(_.toLong)
+      .getOrElse(RoutedKThresholdDefault)
 
   private def scaledKOf(emb: DataFrame, targetClusterSize: Long): Long =
     math.max(16L, (emb.count() + targetClusterSize - 1) / targetClusterSize)
 
   /** The corpus's k-NN edge build at scaled K — flat-blocked under
-    * [[RoutedKThreshold]], routed-blocked above (same Σ|cluster|²
+    * [[routedKThreshold]], routed-blocked above (same Σ|cluster|²
     * contract, no K-proportional literal).
     */
   private def knnGraphEdgesScaled(emb: DataFrame, k: Int): DataFrame =
-    if (scaledKOf(emb, 100L) <= RoutedKThreshold)
+    if (scaledKOf(emb, 100L) <= routedKThreshold(emb.sparkSession))
       operators.Knn.knnJoinIvf(emb, "vec_id", "embedding",
         operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L),
         k, metric = "l2")
@@ -325,30 +337,38 @@ object Queries {
     * entry points — [[operators.GraphAnn.buildServing]]. Built once;
     * every beam search reads only this artifact.
     */
+  /** The shared serving-layout builder behind [[graphServePath]], its
+    * filtered twin, and the threshold-FORCED routed twin: flat-blocked
+    * at or below `threshold`, routed-blocked above — one body, so the
+    * forced keyed row hash-gates exactly the branch the auto-switch
+    * takes at real K.
+    */
+  private def buildServingScaled(emb: DataFrame, threshold: Long, tmp: String): Unit =
+    if (scaledKOf(emb, 100L) <= threshold) {
+      val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
+      operators.GraphAnn.buildServing(
+        operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
+          k = 16, metric = "l2"),
+        emb, "vec_id", "embedding", centroids, tmp)
+    } else {
+      val rq = operators.RoutedQuantizer.fitScaled(emb, "embedding", targetClusterSize = 100L)
+      operators.GraphAnn.buildServingRouted(
+        operators.Knn.knnJoinRouted(emb, "vec_id", "embedding", rq, k = 16, metric = "l2"),
+        emb, "vec_id", "embedding", rq, tmp)
+    }
+
   private[graft] def graphServePath(spark: SparkSession, dir: String): String =
     operators.Artifacts.resolve(spark, "knngraph_serve",
       operators.Artifacts.corpusKey(dir),
       operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v3 k=16 route")) { tmp =>
-      val emb = Tables.embeddings(spark, dir)
       // degree 16 — the reference's own M (hnsw_index.rs) and the
       // measured knee of ann_graph_degree_curve (recall@10 0.4 -> 0.7
       // at K = 3 -> 16 for 4.7x edge storage; +0.1 more at K = 32 for
       // another 1.9x). The shared top-3 knnGraph artifact keeps serving
       // its five graph-statistics consumers; the SERVING layout builds
       // its own degree-16 edge set. Flat-blocked under
-      // [[RoutedKThreshold]], routed above (no K-proportional literal).
-      if (scaledKOf(emb, 100L) <= RoutedKThreshold) {
-        val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
-        operators.GraphAnn.buildServing(
-          operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids,
-            k = 16, metric = "l2"),
-          emb, "vec_id", "embedding", centroids, tmp)
-      } else {
-        val rq = operators.RoutedQuantizer.fitScaled(emb, "embedding", targetClusterSize = 100L)
-        operators.GraphAnn.buildServingRouted(
-          operators.Knn.knnJoinRouted(emb, "vec_id", "embedding", rq, k = 16, metric = "l2"),
-          emb, "vec_id", "embedding", rq, tmp)
-      }
+      // [[routedKThreshold]], routed above (no K-proportional literal).
+      buildServingScaled(Tables.embeddings(spark, dir), routedKThreshold(spark), tmp)
     }
 
   /** Graph-traversal ANN — the serving leg over the persisted k-NN
@@ -388,11 +408,18 @@ object Queries {
     val base = graphServePath(spark, dir)
     val qv = queryVec(spark, dir, 13L)
     val routeCents = operators.IvfIndex.readCentroids(spark, s"$base/route")
-    val entries = operators.GraphAnn.routeEntries(
-        spark.read.parquet(s"$base/entries"), routeCents, qv, routeProbe = 2)
+    // delete twin mirrors annGraph (no-op plan without tombstones): a
+    // routed walk at a tombstoned serve path must not serve deleted
+    // ids/edges the unrouted walk already filters
+    val entries = operators.Tombstones.filter(
+        operators.GraphAnn.routeEntries(
+          spark.read.parquet(s"$base/entries"), routeCents, qv, routeProbe = 2),
+        base, "id")
       .select(col("id"), col("vec"))
     operators.GraphAnn.searchBeam(entries,
-      spark.read.parquet(s"$base/edges"), qv, k = 10, beam = 8, hops = 3)
+      operators.Tombstones.filterEdges(
+        spark.read.parquet(s"$base/edges"), base, "src_id", "dst_id"),
+      qv, k = 10, beam = 8, hops = 3)
   }
 
   /** BATCH graph-ANN — the graph backend's member of the batch family
@@ -407,19 +434,92 @@ object Queries {
     * (plan-guarded). Oracle unrolls the per-query walk from the same
     * centroid literals.
     */
-  def knnBatchGraph(spark: SparkSession, dir: String): DataFrame = {
+  /** Entry-count threshold above which batch graph walks route hop 0
+    * through the artifact's persisted ENTRY ROUTE instead of scoring
+    * all E medoid entries per query. Conf-overridable
+    * (`spark.graft.graph.routeEntriesThreshold`) so the scale
+    * certificates drive the routed branch at test sizes; every keyed SF
+    * sits far below the default, so the hash-gated plans are untouched.
+    * Why a threshold at all: below it the full-entry hop 0 is both
+    * exact and cheaper (E rows < routeProbe × √E × route overhead), and
+    * above it the |q| × E product is the r13 scale-killer the route
+    * exists to break.
+    */
+  /** The serving artifact's persisted entry route, taken when the entry
+    * count warrants it ([[operators.GraphAnn.servingRoute]] — the
+    * switch reads only the tiny route matrix, no action).
+    */
+  private def servingRoute(spark: SparkSession, base: String,
+                           force: Boolean): Option[(Array[Array[Float]], Int)] =
+    operators.GraphAnn.servingRoute(spark, s"$base/route", force)
+
+  def knnBatchGraph(spark: SparkSession, dir: String): DataFrame =
+    knnBatchGraphImpl(spark, dir, forceRoute = false)
+
+  /** `forceRoute = true` is the `knn_batch_graph_routed` keyed twin:
+    * the SAME production builder with the entry-route auto-switch held
+    * ON, so the routed hop 0 the big-E regime executes (per-query
+    * map-side √E route scoring + a route_cell equi-join instead of the
+    * |q| × E entry cross join) is hash-gated at oracle scale — the
+    * oracle re-derives the medoids' route cells and each query's routed
+    * cell set from the artifact's spliced route literals.
+    */
+  private[graft] def knnBatchGraphImpl(spark: SparkSession, dir: String,
+                                       forceRoute: Boolean): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val base = graphServePath(spark, dir)
     val queries = emb.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val route = servingRoute(spark, base, forceRoute)
+    val entries0 = operators.Tombstones.filter(
+      spark.read.parquet(s"$base/entries"), base, "id")
+    // the routed arm keeps the persisted route_cell so the equi-join
+    // reads the build-time assignment (and the sorted layout) instead
+    // of recomputing it per walk
+    val entries = route match {
+      case Some(_) => entries0.select(col("id"), col("vec"), col("route_cell"))
+      case None    => entries0.select(col("id"), col("vec"))
+    }
     operators.GraphAnn.searchBeamBatch(
-      operators.Tombstones.filter(
-        spark.read.parquet(s"$base/entries"), base, "id").select(col("id"), col("vec")),
+      entries,
       operators.Tombstones.filterEdges(
         spark.read.parquet(s"$base/edges"), base, "src_id", "dst_id"),
-      queries, "q_id", "q_vec", k = 5, beam = 8, hops = 3)
+      queries, "q_id", "q_vec", k = 5, beam = 8, hops = 3,
+      route = route, maxChunk = operators.GraphAnn.chunkBudget(spark))
       .orderBy("q_id", "rank")
   }
+
+  def knnBatchGraphRouted(spark: SparkSession, dir: String): DataFrame =
+    knnBatchGraphImpl(spark, dir, forceRoute = true)
+
+  /** The ROUTED-QUANTIZER serving build forced down to oracle scale —
+    * the hash gate on the branch the corpus-scale builders auto-switch
+    * to above [[routedKThreshold]] (where a DuckDB oracle could never
+    * splice the K-proportional literal): the SAME [[buildServingScaled]]
+    * body with the threshold held at 0 builds a serving layout through
+    * [[operators.RoutedQuantizer.fitScaled]] →
+    * [[operators.Knn.knnJoinRouted]] →
+    * [[operators.GraphAnn.buildServingRouted]], and the walk serves it
+    * exactly like [[annGraph]]. The artifact persists its fitted
+    * quantizer (`quantizer/`), and the oracle re-derives the two-level
+    * assignment, the fine-cluster medoids, the blocked graph and the
+    * full unrolled walk from THOSE spliced tables — so a drift anywhere
+    * in the routed build chain goes hash-red.
+    */
+  def annGraphRoutedForced(spark: SparkSession, dir: String): DataFrame = {
+    val base = routedForcedServePath(spark, dir)
+    operators.GraphAnn.searchBeam(
+      spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
+      spark.read.parquet(s"$base/edges"),
+      queryVec(spark, dir, 13L), k = 10, beam = 8, hops = 3)
+  }
+
+  private[graft] def routedForcedServePath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "knngraph_serve_rforce",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1 k=16 routed-forced")) { tmp =>
+      buildServingScaled(Tables.embeddings(spark, dir), threshold = 0L, tmp)
+    }
 
   /** The graph walk's tuning curve: recall@10 after h ∈ {0..3} expansion
     * rounds (h = 0 is the medoid entries alone) against the exact
@@ -466,18 +566,8 @@ object Queries {
     operators.Artifacts.resolve(spark, "knngraph_serve_flt",
       operators.Artifacts.corpusKey(dir),
       operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v3 label=2 k=16 route")) { tmp =>
-      val emb = Tables.embeddings(spark, dir).where(col("label") === 2)
-      if (scaledKOf(emb, 100L) <= RoutedKThreshold) {
-        val centroids = operators.IvfIndex.fitScaled(emb, "embedding", targetClusterSize = 100L)
-        operators.GraphAnn.buildServing(
-          operators.Knn.knnJoinIvf(emb, "vec_id", "embedding", centroids, k = 16, metric = "l2"),
-          emb, "vec_id", "embedding", centroids, tmp)
-      } else {
-        val rq = operators.RoutedQuantizer.fitScaled(emb, "embedding", targetClusterSize = 100L)
-        operators.GraphAnn.buildServingRouted(
-          operators.Knn.knnJoinRouted(emb, "vec_id", "embedding", rq, k = 16, metric = "l2"),
-          emb, "vec_id", "embedding", rq, tmp)
-      }
+      buildServingScaled(Tables.embeddings(spark, dir).where(col("label") === 2),
+        routedKThreshold(spark), tmp)
     }
 
   def filteredAnnGraph(spark: SparkSession, dir: String): DataFrame = {
@@ -502,10 +592,22 @@ object Queries {
     val base = filteredGraphServePath(spark, dir)
     val queries = Tables.embeddings(spark, dir).where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // entry-route auto-switch + delete twin, mirroring knnBatchGraph
+    // (both no-op at the keyed SFs: E sits under the threshold and the
+    // keyed artifact carries no tombstones)
+    val route = servingRoute(spark, base, force = false)
+    val entries0 = operators.Tombstones.filter(
+      spark.read.parquet(s"$base/entries"), base, "id")
+    val entries = route match {
+      case Some(_) => entries0.select(col("id"), col("vec"), col("route_cell"))
+      case None    => entries0.select(col("id"), col("vec"))
+    }
     operators.GraphAnn.searchBeamBatch(
-      spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
-      spark.read.parquet(s"$base/edges"),
-      queries, "q_id", "q_vec", k = 5, beam = 8, hops = 3)
+      entries,
+      operators.Tombstones.filterEdges(
+        spark.read.parquet(s"$base/edges"), base, "src_id", "dst_id"),
+      queries, "q_id", "q_vec", k = 5, beam = 8, hops = 3,
+      route = route, maxChunk = operators.GraphAnn.chunkBudget(spark))
       .orderBy("q_id", "rank")
   }
 

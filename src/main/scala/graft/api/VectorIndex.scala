@@ -390,9 +390,15 @@ class VectorIndex private (
     loadedServe match {
       // path-backed GRAPH index: walk the persisted serving layout —
       // maintained across inserts, deletes AND in-place upserts, so no
-      // rebuild and no refit after any mutation
+      // rebuild and no refit after any mutation. Above the route
+      // threshold hop 0 prunes to the query's routed cells' entries
+      // (a pushed route_cell IN filter on the entries scan).
       case Some((entries, edges)) =>
-        GraphAnn.searchBeam(entries, edges, vector, k,
+        val routed = loadedGraphRoute match {
+          case Some((rc, rp)) => GraphAnn.routeEntries(entries, rc, vector, rp)
+          case None           => entries
+        }
+        GraphAnn.searchBeam(routed, edges, vector, k,
           params.graphBeam, params.graphHops, key.metricType.name)
       case None => searchFrom(state, vector, k)
     }
@@ -410,12 +416,31 @@ class VectorIndex private (
     */
   private def loadedServe: Option[(DataFrame, DataFrame)] =
     loadedPath.map { p =>
-      (Tombstones.filterGen(
-         Tombstones.readWithGen(spark, s"$p/serve/entries"), p, "id", "gen")
-         .select(col("id"), col("vec")),
+      val raw = Tombstones.readWithGen(spark, s"$p/serve/entries")
+      // routed layouts persist each entry's route cell — keep it so a
+      // routed walk reads the build-time assignment (legacy layouts
+      // without the column stay route-less)
+      val cols =
+        if (raw.columns.contains("route_cell")) Seq(col("id"), col("vec"), col("route_cell"))
+        else Seq(col("id"), col("vec"))
+      (Tombstones.filterGen(raw, p, "id", "gen").select(cols: _*),
        Tombstones.filterEdgesGen(
          Tombstones.readWithGen(spark, s"$p/serve/edges"), p, "src_id", "dst_id", "gen")
          .select(col("src_id"), col("dst_id"), col("dst_vec")))
+    }
+
+  /** The loaded artifact's entry route — Some only when the layout
+    * persists one (`serve/route`) AND the entry count warrants routing
+    * ([[graft.operators.GraphAnn.servingRoute]]'s threshold, conf-
+    * overridable). Every GRAPH serve arm below composes with this the
+    * same way: hop 0 becomes a route_cell equi-join (batch) or a pushed
+    * IN filter on the entries scan (single query).
+    */
+  private def loadedGraphRoute: Option[(Array[Array[Float]], Int)] =
+    loadedPath.flatMap { p =>
+      val rp = new org.apache.hadoop.fs.Path(s"$p/serve/route")
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(rp)) GraphAnn.servingRoute(spark, s"$p/serve/route") else None
     }
 
   /** The GRAPH serving frames built IN-PLAN over `base` — the
@@ -490,11 +515,17 @@ class VectorIndex private (
             metric = key.metricType.name)
       case IndexType.GRAPH =>
         // ONE walk plan serves every query, over the loaded serving
-        // layout when unmutated, else over the in-plan frames
+        // layout when unmutated, else over the in-plan frames. Above
+        // the route threshold hop 0 routes per query map-side (√E
+        // route literal + route_cell equi-join) instead of the |q| × E
+        // entry cross join — the production wiring of the certified
+        // entry route, auto-switched so small-E states keep the exact
+        // (and cheaper) full-entry hop 0.
         loadedServe.orElse(serveFramesInPlan(bare)) match {
           case Some((entries, edges)) =>
             GraphAnn.searchBeamBatch(entries, edges, queries, "q_id", "q_vec",
-              k, params.graphBeam, params.graphHops, key.metricType.name)
+              k, params.graphBeam, params.graphHops, key.metricType.name,
+              route = loadedGraphRoute, maxChunk = GraphAnn.chunkBudget(spark))
           case None =>
             Knn.searchBatch(bare, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
         }
@@ -575,7 +606,14 @@ class VectorIndex private (
         else {
           val beam = math.min(VectorIndex.GraphFilterBeamMax,
             math.max(params.graphBeam, math.ceil(params.graphBeam / sel).toInt))
-          GraphAnn.searchBeamGated(entries, edges, vector, k, beam,
+          // the gated walk composes with the entry route exactly like
+          // the unfiltered arms (and the batch twin): hop 0 prunes to
+          // the query's routed cells above the threshold
+          val routed = loadedGraphRoute match {
+            case Some((rc, rp)) => GraphAnn.routeEntries(entries, rc, vector, rp)
+            case None           => entries
+          }
+          GraphAnn.searchBeamGated(routed, edges, vector, k, beam,
             params.graphHops, key.metricType.name, pass)
         }
       case _ => searchFrom(state.where(pred), vector, k)
@@ -616,6 +654,31 @@ class VectorIndex private (
           Knn.searchBatchIvf(base, "id", "vectors", queries, "q_id", "q_vec",
             centroids, k, nprobe = math.min(params.nprobe, centroids.length),
             metric = key.metricType.name)
+      case IndexType.GRAPH if loadedServe.isDefined =>
+        // batch twin of the loaded-GRAPH [[searchFiltered]] arm
+        // (reference: hnsw_index.rs search_vectors_filter × the batch
+        // shape): ONE gated walk of the standing layout serves every
+        // query — candidates gate at the per-query cut, the beam widens
+        // by the same measured-selectivity compensation, the sub-floor
+        // regime falls back to the exact batch kernel over the (tiny)
+        // pass set, and the walk composes with the entry route exactly
+        // like the unfiltered batch arm.
+        val Some((entries, edges)) = loadedServe
+        val pass = state.where(pred).select(col("id"))
+        val nPass = pass.count()
+        val total = loadedPath.map(p => GraphMaintenance.physicalRows(spark, p))
+          .getOrElse(math.max(nPass, 1L))
+        val sel = nPass.toDouble / math.max(total, 1L)
+        if (nPass == 0L || sel < 1.0 / VectorIndex.GraphFilterBeamMax)
+          Knn.searchBatch(base, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
+        else {
+          val beam = math.min(VectorIndex.GraphFilterBeamMax,
+            math.max(params.graphBeam, math.ceil(params.graphBeam / sel).toInt))
+          GraphAnn.searchBeamBatch(entries, edges, queries, "q_id", "q_vec",
+            k, beam, params.graphHops, key.metricType.name,
+            route = loadedGraphRoute, maxChunk = GraphAnn.chunkBudget(spark),
+            gate = Some(pass))
+        }
       case _ =>
         Knn.searchBatch(base, "id", "vectors", queries, "q_id", "q_vec", k, key.metricType.name)
     }

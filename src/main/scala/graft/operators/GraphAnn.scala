@@ -99,34 +99,31 @@ object GraphAnn {
       .write.mode("overwrite")
       .option("parquet.block.size", GraphMaintenance.EdgeBlockBytes.toString)
       .parquet(s"$base/edges")
-    gen match {
-      case Some(_) =>
-        // maintained layouts keep the original entries schema (the
-        // facade's heals append route-less entry rows, and its walks
-        // score the full K-bounded entry table)
-        entries.coalesce(1).write.mode("overwrite").parquet(s"$base/entries")
-      case None =>
-        // query-side artifacts persist the ENTRY ROUTE — the upper
-        // layer of the serving structure (HNSW's layer hierarchy,
-        // hnsw_index.rs, re-expressed lake-native): ⌈√E⌉ route
-        // centroids fit over the E medoid entries themselves, plus a
-        // route_cell column the entries sort by. Hop 0 of a walk then
-        // scores only the query's routed cells' entries — ~√E rows via
-        // a PUSHED route_cell filter ([[routeEntries]]) — instead of
-        // all E = n/targetClusterSize medoids; the route matrix stays
-        // sample-fittable and literal-sized (√E) at any corpus size.
-        val spark = emb.sparkSession
-        val entriesP = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val routeK = math.max(1,
-            math.ceil(math.sqrt(math.max(1, centroids.length).toDouble)).toInt)
-          val routeCents = IvfIndex.fit(entriesP, "vec", routeK)
-          IvfIndex.writeCentroids(spark, routeCents, s"$base/route")
-          entriesP.withColumn("route_cell", nearestCentroid(col("vec"), routeCents))
-            .coalesce(1).sortWithinPartitions("route_cell", "id")
-            .write.mode("overwrite").parquet(s"$base/entries")
-        } finally entriesP.unpersist()
-    }
+    // EVERY serving layout persists the ENTRY ROUTE — the upper layer
+    // of the serving structure (HNSW's layer hierarchy, hnsw_index.rs,
+    // re-expressed lake-native): ⌈√E⌉ route centroids fit over the E
+    // medoid entries themselves, plus a route_cell column the entries
+    // sort by. Hop 0 of a walk then scores only the query's routed
+    // cells' entries — ~√E rows via a PUSHED route_cell filter
+    // ([[routeEntries]]) — instead of all E = n/targetClusterSize
+    // medoids; the route matrix stays sample-fittable and literal-sized
+    // (√E) at any corpus size. Maintained (gen-stamped) layouts carry
+    // the same route: the route centroids FREEZE at build like the
+    // coarse quantizer, and every heal/re-seed assigns the appended
+    // entry its route_cell against them
+    // ([[GraphMaintenance.refreshEntries]]) — so a routed artifact
+    // stays routed under mutations instead of silently degrading.
+    val spark = emb.sparkSession
+    val entriesP = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val routeK = math.max(1,
+        math.ceil(math.sqrt(math.max(1, centroids.length).toDouble)).toInt)
+      val routeCents = IvfIndex.fit(entriesP, "vec", routeK)
+      IvfIndex.writeCentroids(spark, routeCents, s"$base/route")
+      entriesP.withColumn("route_cell", nearestCentroid(col("vec"), routeCents))
+        .coalesce(1).sortWithinPartitions("route_cell", "id")
+        .write.mode("overwrite").parquet(s"$base/entries")
+    } finally entriesP.unpersist()
   }
 
   /** [[servingFrames]] blocked by the two-level routed quantizer — the
@@ -167,6 +164,13 @@ object GraphAnn {
   def buildServingRouted(graph: DataFrame, emb: DataFrame, idCol: String,
                          vecCol: String, rq: RoutedQuantizer, base: String): Unit = {
     val (entries, edges) = servingFramesRouted(graph, emb, idCol, vecCol, rq)
+    // the quantizer PERSISTS WITH the artifact (`quantizer/coarse` +
+    // `quantizer/fine`): a later session maintaining, auditing or
+    // oracle-checking the layout reads the exact fitted tables instead
+    // of refitting (distributed Lloyd means are not bit-stable across
+    // sessions — the fitted quantizer is part of the artifact's state,
+    // like the route and the edge set)
+    RoutedQuantizer.write(emb.sparkSession, rq, s"$base/quantizer")
     edges
       .repartitionByRange(col("src_id"))
       .sortWithinPartitions("src_id", "dst_id")
@@ -312,6 +316,44 @@ object GraphAnn {
     */
   val DefaultBatchChunk = 2048
 
+  /** The session's chunk budget — [[DefaultBatchChunk]] unless the conf
+    * `spark.graft.graph.batchChunk` overrides it (the scale
+    * certificates force small chunks so the chunked path is exercised
+    * at test |q|; a cluster deployment tunes it to executor memory).
+    */
+  def chunkBudget(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.graph.batchChunk").map(_.toInt)
+      .getOrElse(DefaultBatchChunk)
+
+  /** Default routeProbe of routed walks: 2 cells covers a query near a
+    * route-cell boundary (the `ann_graph_routed` readout prices what it
+    * costs in recall vs the exact hop 0).
+    */
+  val RouteProbe = 2
+
+  /** Entry-count threshold above which walks route hop 0 through the
+    * persisted entry route (conf `spark.graft.graph.routeEntriesThreshold`;
+    * the scale certificates force it down to drive the routed branch at
+    * test sizes). Below it the full-entry hop 0 is exact AND cheaper;
+    * above it |q| × E is the quadratic the route exists to break.
+    */
+  def routeThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.graph.routeEntriesThreshold").map(_.toLong)
+      .getOrElse(4096L)
+
+  /** The persisted entry route at `routeDir`, taken when the entry
+    * count warrants it (or `force`). The switch reads only the tiny
+    * route matrix: routeK = ⌈√E⌉ at build time, so routeK² ≈ E — no
+    * action on the entries table decides the branch.
+    */
+  def servingRoute(spark: SparkSession, routeDir: String,
+                   force: Boolean = false): Option[(Array[Array[Float]], Int)] = {
+    val rc = IvfIndex.readCentroids(spark, routeDir)
+    if (force || rc.length.toLong * rc.length > routeThreshold(spark))
+      Some((rc, RouteProbe))
+    else None
+  }
+
   /** `route = Some((routeCents, routeProbe))` replaces hop 0's
     * |q| × E entry cross-join with the coarse ENTRY ROUTE
     * ([[buildServing]]'s `route/` artifact): each query scores the √E
@@ -325,41 +367,60 @@ object GraphAnn {
     * upper layers. None keeps the exact full-entry hop 0 (the small-E
     * regime and every hash-gated keyed row).
     */
+  /** `gate = Some(passIds)` is the batch twin of [[searchBeamGated]]
+    * (the reference's walk-time filter, hnsw_index.rs
+    * search_vectors_filter): the walk traverses the full graph and only
+    * the per-query top-k CUT is gated on the pass set — callers widen
+    * `beam` to compensate, exactly like the single-query arm.
+    */
   def searchBeamBatch(entries: DataFrame, edges: DataFrame, queries: DataFrame,
                       qIdCol: String, qVecCol: String,
                       k: Int, beam: Int, hops: Int,
                       metric: String = "l2",
                       route: Option[(Array[Array[Float]], Int)] = None,
-                      maxChunk: Int = DefaultBatchChunk): DataFrame = {
+                      maxChunk: Int = DefaultBatchChunk,
+                      gate: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && beam >= 1 && hops >= 0 && maxChunk >= 1)
     val q0 = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
     // the one driver action of the batch path: the chunk count needs
     // |q| (a narrow scan); at or under budget the plan is EXACTLY the
     // single-chunk walk
     val nQ = q0.count()
-    if (nQ <= maxChunk) walkChunk(entries, edges, q0, k, beam, hops, metric, route)
+    if (nQ <= maxChunk)
+      walkChunk(entries, edges, q0, k, beam, hops, metric, route, gate)._1
     else {
       val nChunks = ((nQ + maxChunk - 1) / maxChunk).toInt
       val qAll = q0.withColumn("_chunk", pmod(hash(col("q_id")), lit(nChunks)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val parts = (0 until nChunks).map { c =>
-        val part = walkChunk(entries, edges,
+        val (part, internals) = walkChunk(entries, edges,
           qAll.where(col("_chunk") === c).drop("_chunk"),
-          k, beam, hops, metric, route)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        part.count() // sequential materialization: one chunk's walk state in flight
-        part
+          k, beam, hops, metric, route, gate)
+        val partP = part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        partP.count() // sequential materialization: one chunk's walk state in flight
+        // the chunk's k-row result is materialized in its own cache —
+        // DRAIN the walk's internal per-hop frames now, so peak cached
+        // state is ONE chunk's walk plus the (tiny) accumulated results,
+        // never |q|/maxChunk walks' worth
+        internals.foreach(_.unpersist(false))
+        partP
       }
       qAll.unpersist()
       parts.reduce(_ unionByName _)
     }
   }
 
-  /** One bounded chunk's walk — the pre-budget searchBeamBatch body. */
+  /** One bounded chunk's walk — the pre-budget searchBeamBatch body.
+    * Returns (result, internal persisted frames): the chunked caller
+    * materializes the result and unpersists the internals immediately;
+    * the single-chunk caller returns the lazy plan and leaves them to
+    * the ContextCleaner (they back the not-yet-run plan).
+    */
   private def walkChunk(entries: DataFrame, edges: DataFrame, queries: DataFrame,
                         k: Int, beam: Int, hops: Int,
                         metric: String,
-                        route: Option[(Array[Array[Float]], Int)]): DataFrame = {
+                        route: Option[(Array[Array[Float]], Int)],
+                        gate: Option[DataFrame] = None): (DataFrame, Seq[DataFrame]) = {
     // nonced — same mutable-artifact cache-reuse hazard as the
     // single-query walk (see [[nonced]])
     val q = nonced(queries)
@@ -403,10 +464,20 @@ object GraphAnn {
       freshFrames :+= fresh
     }
     val flip = metric == "ip" || metric == "cosine"
-    freshFrames.reduce(_ unionByName _)
+    val all = freshFrames.reduce(_ unionByName _)
+    // the gate (the filtered batch arm) applies BEFORE the per-query
+    // cut — only passing candidates compete for the k slots, exactly
+    // like searchBeamGated's single-query semantics
+    val cuttable = gate match {
+      case Some(p) =>
+        all.join(p.select(col(p.columns.head).as("id")), Seq("id"), "leftsemi")
+      case None => all
+    }
+    val result = cuttable
       .withColumn("rn", row_number().over(perQ)).where(col("rn") <= k)
       .select(col("q_id"), col("rn").as("rank"), col("id").as("n_id"),
         roundTo(if (flip) -col("dist") else col("dist"), 4).as("value"))
+    (result, q +: freshFrames)
   }
 
   /** Top-k serve: the last beam state cut to (rank, id, value) — the

@@ -434,11 +434,26 @@ object GraphMaintenance {
       .where(col("rn") === 1)
       .select(col("cluster"), col("id"), col("vectors"))
       .collect() // K-bounded: at most one row per missing cluster
-    if (medoids.nonEmpty)
-      medoids.toSeq
+    if (medoids.nonEmpty) {
+      val fresh = medoids.toSeq
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2), g))
         .toDF("cluster", "id", "vec", "gen")
-        .write.mode("append").parquet(entriesPath(p))
+      // route upkeep: a routed layout's re-seeded entry joins the route
+      // table at append (assigned against the FROZEN route centroids,
+      // like data rows against the frozen coarse quantizer) — without
+      // this, one heal appends a route-less row and a routed artifact
+      // silently degrades to unrouted (the routed walk would never
+      // start from the healed entry). Legacy route-less layouts append
+      // the original schema unchanged.
+      val routeDir = s"$p/serve/route"
+      val hasRoute = fsOf(spark, p).exists(new Path(routeDir))
+      val stamped =
+        if (hasRoute)
+          fresh.withColumn("route_cell",
+            nearestCentroid(col("vec"), IvfIndex.readCentroids(spark, routeDir)))
+        else fresh
+      stamped.write.mode("append").parquet(entriesPath(p))
+    }
   }
 
   /** Cap on ids pulled to the driver for an edge-table probe: victims

@@ -642,4 +642,33 @@ class AnnSpec extends SparkSpec {
       s"walk over the routed artifact lost the neighborhood: $hits vs $exactTop")
     df.unpersist()
   }
+
+  test("production batch walk auto-switch: below the entry threshold hop 0 is the exact full-entry scan; above it a route_cell equi-join (no nested-loop join anywhere) with results = the forced twin") {
+    val dir = "/root/testdata/sf0.001"
+    // default threshold (E = n/100 sits far below it at every test SF):
+    // the executed hop 0 is the exact |q| × E cross join — the plan the
+    // keyed hashes gate
+    val planDefault = Queries.knnBatchGraph(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(planDefault.contains("BroadcastNestedLoopJoin"),
+      "below the threshold the batch walk must keep the exact full-entry hop 0")
+    assert(!planDefault.contains("route_cell"))
+    // forced below the corpus: the SAME production builder must execute
+    // the routed hop 0 — a route_cell equi-join, never a nested-loop or
+    // cartesian product anywhere in the plan
+    spark.conf.set("spark.graft.graph.routeEntriesThreshold", "0")
+    try {
+      val routed = Queries.knnBatchGraph(spark, dir)
+      val plan = routed.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"above the threshold hop 0 must be a route_cell equi-join:\n${plan.take(2000)}")
+      assert(plan.contains("route_cell"), plan.take(2000))
+      // the switched branch computes exactly what the forced keyed twin
+      // (knn_batch_graph_routed, hash-gated in DuckDB) computes
+      val viaConf = routed.collect().map(_.toSeq).toSeq
+      spark.conf.unset("spark.graft.graph.routeEntriesThreshold")
+      val viaTwin = Queries.knnBatchGraphRouted(spark, dir).collect().map(_.toSeq).toSeq
+      assert(viaConf === viaTwin)
+    } finally spark.conf.unset("spark.graft.graph.routeEntriesThreshold")
+  }
 }

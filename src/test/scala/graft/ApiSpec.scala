@@ -217,6 +217,124 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("searchBatchFiltered on a loaded GRAPH index: ONE gated batch walk equals looped searchFiltered (adaptive beam and exact-fallback regimes)") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(5)(Array.fill(8)(rnd.nextGaussian().toFloat * 10))
+    // grp 0/1 split evens/odds (sel ≈ 0.5 — the walked regime); grp 7
+    // marks 4 rows (sel < 1/64 — the exact-fallback regime)
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 5)
+      val g = if (i % 80 == 3) 7 else i % 2
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat), Some(s"""{"grp": $g}"""))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-gbf").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+        IndexParams(ivfClusters = 5, graphK = 5, graphBeam = 6, graphHops = 2))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+      .save(dir)
+    val re = VectorIndex.load(spark, dir)
+    val qs = Seq(42L, 7L, 130L)
+    val queries = qs.map(i => (i, rows(i.toInt)._2.toSeq)).toDF("q_id", "q_vec")
+    for ((field, op, v) <- Seq(("grp", FilterOp.Equal, 0L),
+                               ("grp", FilterOp.NotEqual, 0L),
+                               ("grp", FilterOp.Equal, 7L))) {
+      val batch = re.searchBatchFiltered(queries, k = 3, field, op, v).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val looped = qs.flatMap { qi =>
+        re.searchFiltered(rows(qi.toInt)._2, 3, field, op, v).collect()
+          .map(r => (qi, r.getInt(0), r.getLong(1)))
+      }.toSet
+      assert(batch === looped,
+        s"$op $v: the gated batch walk must agree with looped searchFiltered")
+      assert(batch.nonEmpty)
+    }
+  }
+
+  test("maintained GRAPH artifact stays ROUTED under mutations: every heal re-joins the route table, the walk keeps its pushed route_cell filter after every verb, batch = looped on the routed layout") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(31)
+    val centers = Array.fill(6)(Array.fill(8)(rnd.nextGaussian().toFloat * 10))
+    def mk(i: Int): (Long, Array[Float], Option[String]) = {
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat), Some(s"""{"grp": ${i % 2}}"""))
+    }
+    val rows = (0 until 360).map(mk)
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-routedmut").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+        IndexParams(ivfClusters = 6, graphK = 5, graphBeam = 8, graphHops = 3))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+      .save(dir)
+    // the maintained save persists the route beside the serving layout
+    val routeCents = operators.IvfIndex.readCentroids(spark, s"$dir/serve/route")
+    assert(routeCents.nonEmpty, "a maintained save must persist the entry route")
+    // force the auto-switch ON (E = 6 sits under the default threshold)
+    spark.conf.set("spark.graft.graph.routeEntriesThreshold", "0")
+    try {
+      var idx = VectorIndex.load(spark, dir)
+      val q = rows(42)._2
+
+      def liveOf(rel: String) = operators.Tombstones.filterGen(
+        operators.Tombstones.readWithGen(spark, s"$dir/$rel"), dir, "id", "gen")
+
+      def assertRouted(tag: String): Unit = {
+        // upkeep invariant: every LIVE entry (build or heal) carries the
+        // FROZEN route's assignment — no route-less rows ever appear
+        val bad = liveOf("serve/entries").where(col("route_cell").isNull ||
+            col("route_cell") =!= graft.functions.nearestCentroid(col("vec"), routeCents))
+          .count()
+        assert(bad === 0L, s"$tag: $bad live entries lost or mis-assigned route_cell")
+        // the routed plan survives the verb: hop 0 routes via route_cell
+        val plan = idx.search(q, 5).queryExecution.executedPlan.toString
+        assert(plan.contains("route_cell"), s"$tag: routed search lost its route")
+        // the walk still finds the query's live neighborhood
+        val exact = operators.Knn.searchExact(
+            liveOf("data").select(col("id"), col("vectors")), "id", "vectors", q, 5, "l2")
+          .collect().map(_.getLong(1)).toSet
+        val got = idx.search(q, 5).collect().map(_.getLong(1)).toSet
+        assert(got.intersect(exact).size >= 3, s"$tag: routed recall collapsed: $got vs $exact")
+        // ONE routed batch walk = looped routed singles, filtered too
+        val qs = Seq(42L, 7L)
+        val queries = qs.map(i => (i, rows(i.toInt)._2.toSeq)).toDF("q_id", "q_vec")
+        val batch = idx.searchBatch(queries, k = 3).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val looped = qs.flatMap { qi =>
+          idx.search(rows(qi.toInt)._2, 3).collect().map(r => (qi, r.getInt(0), r.getLong(1)))
+        }.toSet
+        assert(batch === looped, s"$tag: routed batch != looped singles")
+        val fbatch = idx.searchBatchFiltered(queries, k = 3, "grp", FilterOp.Equal, 0L)
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val flooped = qs.flatMap { qi =>
+          idx.searchFiltered(rows(qi.toInt)._2, 3, "grp", FilterOp.Equal, 0L)
+            .collect().map(r => (qi, r.getInt(0), r.getLong(1)))
+        }.toSet
+        assert(fbatch === flooped, s"$tag: routed gated batch != looped searchFiltered")
+      }
+
+      assertRouted("loaded")
+      // DELETE a standing MEDOID id: its cluster's entry dies and the
+      // re-seed heal must append a ROUTED replacement
+      val medoid = liveOf("serve/entries").orderBy("id").limit(1)
+        .collect().head.getAs[Long]("id")
+      idx = idx.delete(medoid)
+      assertRouted(s"after delete of medoid $medoid")
+      // UPSERT a standing id (replaces its rows at a new generation;
+      // entry heal may re-seed its cluster)
+      idx = idx.upsertAll(Seq((7L, centers(1).map(_ + 0.5f), Some("""{"grp": 1}""")))
+        .toDF("id", "vectors", "data"))
+      assertRouted("after upsert")
+      // INSERT fresh ids into every cluster
+      idx = idx.insertAll((1000 until 1012).map(mk).map { case (i, v, d) => (i + 0L, v, d) }
+        .toDF("id", "vectors", "data"))
+      assertRouted("after insert")
+      // COMPACT folds the sidecar — the rewritten entries keep their
+      // route cells and the re-seed stays routed
+      idx = idx.compact()
+      assertRouted("after compact")
+    } finally spark.conf.unset("spark.graft.graph.routeEntriesThreshold")
+  }
+
   test("GRAPH index: fresh search works, save -> load walks the layout identically, delete filters it") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
