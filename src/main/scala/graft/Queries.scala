@@ -289,19 +289,17 @@ object Queries {
     * routed branch is driven end-to-end — fit, blocked build, serving
     * layout, walk — by ScaleSpec's `routed_serve_build` certificate.
     */
-  private[graft] val RoutedKThresholdDefault = 4096L
-
-  /** Conf-overridable ([[RoutedKThresholdDefault]] otherwise): the
-    * session conf `spark.graft.routed.kThreshold` lets a test force the
-    * switch DOWN so the routed branch runs — and hash-gates — at oracle
-    * corpus sizes (the `ann_graph_routed_forced` twin drives it through
-    * an explicit forced builder instead, so the keyed gate needs no
-    * conf); a deployment tunes it to where the flat literal stops
-    * paying.
+  /** Conf-overridable ([[operators.RoutedQuantizer.kThreshold]] — the
+    * session conf `spark.graft.routed.kThreshold`): lets a test force
+    * the switch DOWN so the routed branch runs — and hash-gates — at
+    * oracle corpus sizes (the `ann_graph_routed_forced` twin drives it
+    * through an explicit forced builder instead, so the keyed gate
+    * needs no conf); a deployment tunes it to where the flat literal
+    * stops paying. The same threshold governs the maintained facade
+    * lifecycle ([[graft.api.VectorIndex]] save at large ivfClusters).
     */
   private[graft] def routedKThreshold(spark: SparkSession): Long =
-    spark.conf.getOption("spark.graft.routed.kThreshold").map(_.toLong)
-      .getOrElse(RoutedKThresholdDefault)
+    operators.RoutedQuantizer.kThreshold(spark)
 
   private def scaledKOf(emb: DataFrame, targetClusterSize: Long): Long =
     math.max(16L, (emb.count() + targetClusterSize - 1) / targetClusterSize)

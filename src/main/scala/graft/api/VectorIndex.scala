@@ -3,7 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Artifacts, BinaryIndex, GraphAnn, GraphMaintenance, IvfIndex, Knn, LshIndex, PqIndex, SqIndex, Tombstones, Upsert}
+import graft.operators.{Artifacts, BinaryIndex, FlatQuantizer, GraphAnn, GraphMaintenance, GraphQuantizer, IvfIndex, Knn, LshIndex, PqIndex, RoutedGraphQuantizer, RoutedQuantizer, SqIndex, Tombstones, Upsert}
 
 /** Index kinds, mirroring the reference's `IndexType`
   * (reference: src/core/index_factory.rs:72-168). `FLAT` is exact brute
@@ -106,7 +106,8 @@ class VectorIndex private (
     private val loadedCentroids: Option[Array[Array[Float]]] = None,
     private val loadedCodebooks: Option[Array[Array[Array[Float]]]] = None,
     private val loadedBounds: Option[(Array[Double], Array[Double])] = None,
-    private val loadedPath: Option[String] = None) {
+    private val loadedPath: Option[String] = None,
+    private val loadedQuantizer: Option[GraphQuantizer] = None) {
 
   import VectorIndex._
 
@@ -155,9 +156,9 @@ class VectorIndex private (
     * reference's mutable-store semantics, db/vector_database.rs);
     * other handles onto the same path observe the mutation.
     */
-  private def maintainedGraph: Option[(String, Array[Array[Float]])] =
+  private def maintainedGraph: Option[(String, GraphQuantizer)] =
     if (key.indexType != IndexType.GRAPH) None
-    else for { p <- loadedPath; c <- loadedCentroids if c.nonEmpty } yield (p, c)
+    else for { p <- loadedPath; q <- loadedQuantizer if !q.isEmpty } yield (p, q)
 
   /** Re-open the maintained artifact after a mutation: fresh data read
     * (the file listing must include just-appended batches) with the
@@ -174,7 +175,7 @@ class VectorIndex private (
   private def reopened(p: String): VectorIndex = {
     spark.catalog.refreshByPath(p)
     new VectorIndex(key, params, spark, VectorIndex.liveGraphData(spark, p),
-      loadedCentroids, loadedCodebooks, loadedBounds, loadedPath)
+      loadedCentroids, loadedCodebooks, loadedBounds, loadedPath, loadedQuantizer)
   }
 
   /** Loud guard for the maintained-GRAPH ingest paths, now needed only
@@ -209,13 +210,13 @@ class VectorIndex private (
     * the batch, with NO quantizer refit and NO graph rebuild.
     */
   def insertAll(rows: DataFrame): VectorIndex = maintainedGraph match {
-    case Some((p, cents)) =>
+    case Some((p, q)) =>
       // single-writer across processes: the new-nodes-only probe and
       // the layout append must not interleave with another writer's
       Artifacts.withLease(spark, p, "VectorIndex.insertAll") {
         // settle any crashed predecessor first, so the probes below see
         // a consistent standing state
-        GraphMaintenance.recoverIfInflight(spark, p, cents, params.graphK,
+        GraphMaintenance.recoverIfInflight(spark, p, q, params.graphK,
           key.metricType.name)
         val batch = normalize(rows, key.dim)
         requireNotForeverTombstoned(p, batch)
@@ -231,7 +232,7 @@ class VectorIndex private (
         // every mutating batch gets its own generation stamp, so a
         // previously-deleted id re-inserted here outlives its tombstone
         // (gen > upto) with no compact needed
-        GraphMaintenance.ingest(spark, p, batch, cents, params.graphK,
+        GraphMaintenance.ingest(spark, p, batch, q, params.graphK,
           key.metricType.name, "insert")
         reopened(p)
       }
@@ -272,13 +273,13 @@ class VectorIndex private (
     * whose medoid entry the mutation killed.
     */
   def upsertAll(rows: DataFrame): VectorIndex = maintainedGraph match {
-    case Some((p, cents)) =>
+    case Some((p, q)) =>
       Artifacts.withLease(spark, p, "VectorIndex.upsertAll") {
-        GraphMaintenance.recoverIfInflight(spark, p, cents, params.graphK,
+        GraphMaintenance.recoverIfInflight(spark, p, q, params.graphK,
           key.metricType.name)
         val batch = normalize(rows, key.dim)
         requireNotForeverTombstoned(p, batch)
-        GraphMaintenance.ingest(spark, p, batch, cents, params.graphK,
+        GraphMaintenance.ingest(spark, p, batch, q, params.graphK,
           key.metricType.name, "upsert")
         reopened(p)
       }
@@ -302,9 +303,9 @@ class VectorIndex private (
     * (edge dies if EITHER endpoint is deleted), no rebuild, never stale.
     */
   def deleteAll(ids: DataFrame): VectorIndex = maintainedGraph match {
-    case Some((p, cents)) =>
+    case Some((p, q)) =>
       Artifacts.withLease(spark, p, "VectorIndex.deleteAll") {
-        GraphMaintenance.recoverIfInflight(spark, p, cents, params.graphK,
+        GraphMaintenance.recoverIfInflight(spark, p, q, params.graphK,
           key.metricType.name)
         // the delete advances the generation and tombstones at
         // upto = g-1 ("everything prior"): every current row of the id
@@ -315,7 +316,7 @@ class VectorIndex private (
         // starved) and runs the growth policy off the maintained
         // manifest — a crash anywhere resumes at the next verb/load.
         GraphMaintenance.remove(spark, p, ids.select(col("id").cast("long")),
-          cents, params.graphK, key.metricType.name)
+          q, params.graphK, key.metricType.name)
         reopened(p)
       }
     case None =>
@@ -331,12 +332,12 @@ class VectorIndex private (
     * already rewrote the in-plan state).
     */
   def compact(): VectorIndex = maintainedGraph match {
-    case Some((p, cents)) if Tombstones.present(spark, p) =>
+    case Some((p, q)) if Tombstones.present(spark, p) =>
       Artifacts.withLease(spark, p, "VectorIndex.compact") {
-        GraphMaintenance.recoverIfInflight(spark, p, cents, params.graphK,
+        GraphMaintenance.recoverIfInflight(spark, p, q, params.graphK,
           key.metricType.name)
         Tombstones.compact(spark, p, GraphMaintenance.compactTables(spark, p))
-        GraphMaintenance.afterCompact(spark, p, cents,
+        GraphMaintenance.afterCompact(spark, p, q,
           Tombstones.currentGen(spark, p))
         reopened(p)
       }
@@ -890,22 +891,44 @@ class VectorIndex private (
         if (mins.nonEmpty) SqIndex.writeBounds(spark, mins, maxs, s"$path/bounds")
         bare.write.mode("overwrite").parquet(s"$path/data")
       case IndexType.GRAPH =>
-        // three co-persisted artifacts: the frozen coarse quantizer, the
-        // cluster-partitioned data layout (the standing side incremental
-        // inserts prune at file-listing time), and the serving layout
-        // (symmetrized vectors-on-edges + medoid entries) — a loaded
-        // index both WALKS and MAINTAINS them with no refit, no rebuild
-        val centroids = IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L)
-        if (centroids.nonEmpty) {
-          IvfIndex.writeCentroids(spark, centroids, s"$path/centroids")
+        // three co-persisted artifacts: the frozen coarse quantizer
+        // (flat literal at small K, the two-level routed TABLE above
+        // the K threshold — the reference's primary index keeps its
+        // hierarchy across mutations, vector_database.rs:24-83, and so
+        // does this lifecycle), the cluster-partitioned data layout
+        // (the standing side incremental inserts prune at file-listing
+        // time), and the serving layout (symmetrized vectors-on-edges +
+        // medoid entries + the entry route) — a loaded index both WALKS
+        // and MAINTAINS them with no refit, no rebuild
+        val q: GraphQuantizer =
+          if (params.ivfClusters > RoutedQuantizer.kThreshold(spark))
+            RoutedGraphQuantizer(
+              RoutedQuantizer.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L))
+          else
+            FlatQuantizer(IvfIndex.fitCached(bare, "vectors", k = params.ivfClusters, seed = 42L))
+        val qdir = new org.apache.hadoop.fs.Path(s"$path/quantizer")
+        val qfs = qdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!q.isEmpty) {
+          // persist the quantizer in its own shape; a re-save that
+          // switched branches must not leave the OTHER shape behind
+          // (load detects the kind by which directory exists)
+          q match {
+            case FlatQuantizer(c) =>
+              IvfIndex.writeCentroids(spark, c, s"$path/centroids")
+              if (qfs.exists(qdir)) qfs.delete(qdir, true)
+            case RoutedGraphQuantizer(rq) =>
+              RoutedQuantizer.write(spark, rq, s"$path/quantizer")
+              val cp = new org.apache.hadoop.fs.Path(s"$path/centroids")
+              if (qfs.exists(cp)) qfs.delete(cp, true)
+          }
           // generation 0 = the build; mutating batches stamp 1, 2, ...
           // so generation-scoped tombstones can supersede exactly the
           // rows/edges a given batch replaced
-          IvfIndex.writePartitioned(bare.withColumn("gen", lit(0L)), "vectors",
-            centroids, s"$path/data")
-          GraphAnn.buildServing(
-            Knn.knnJoinIvf(bare, "id", "vectors", centroids, params.graphK, key.metricType.name),
-            bare, "id", "vectors", centroids, s"$path/serve", gen = Some(0L))
+          q.withCluster(bare.withColumn("gen", lit(0L)), "vectors")
+            .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/data")
+          GraphAnn.buildServingMaintained(
+            Knn.knnJoinQ(bare, "id", "vectors", q, params.graphK, key.metricType.name),
+            bare, "id", "vectors", q, s"$path/serve", gen = 0L)
           // mutation bookkeeping sidecars: the id-sorted probe table
           // (standing-id checks prune at row-group grain instead of
           // scanning the data layout) and the growth-policy row count
@@ -914,12 +937,14 @@ class VectorIndex private (
           GraphMaintenance.writeRowCount(spark, path, bare.count(), 0L)
         } else {
           bare.write.mode("overwrite").parquet(s"$path/data")
-          // empty state builds no serving layout — a stale serve/ dir
-          // from a previous save of this path must not survive, or
-          // load() would adopt it and serve vectors no longer here
+          // empty state builds no serving layout — a stale serve/ or
+          // quantizer/ dir from a previous save of this path must not
+          // survive, or load() would adopt it and serve vectors no
+          // longer here
           val sp = new org.apache.hadoop.fs.Path(s"$path/serve")
           val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(sp)) fs.delete(sp, true)
+          if (qfs.exists(qdir)) qfs.delete(qdir, true)
         }
         // a save rewrites the artifact from the (already tombstone-
         // filtered) state — the previous path generation's sidecar,
@@ -928,7 +953,7 @@ class VectorIndex private (
         Tombstones.clear(spark, path)
         Tombstones.clearGen(spark, path)
         GraphMaintenance.clearMarker(spark, path)
-        if (centroids.isEmpty) {
+        if (q.isEmpty) {
           GraphMaintenance.clearRowCount(spark, path)
           val ip = new org.apache.hadoop.fs.Path(s"$path/_ids")
           val ifs = ip.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1035,6 +1060,19 @@ object VectorIndex {
     // a crash between the renames of a tombstone fold (compact() or the
     // auto-compact inside the mutation protocol) can leave any of the
     // layout tables aside under _tomb_* names — repair before reading
+    // the frozen GRAPH blocking quantizer, in whichever shape the save
+    // persisted: the routed TABLE (`quantizer/`, large-K saves) or the
+    // flat literal (`centroids`)
+    def graphQuantizer(): Option[GraphQuantizer] = {
+      val qp = new org.apache.hadoop.fs.Path(s"$path/quantizer")
+      val cp = new org.apache.hadoop.fs.Path(s"$path/centroids")
+      val fs = qp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(qp))
+        Some(RoutedGraphQuantizer(RoutedQuantizer.read(spark, s"$path/quantizer")))
+      else if (fs.exists(cp))
+        Some(FlatQuantizer(IvfIndex.readCentroids(spark, s"$path/centroids")))
+      else None
+    }
     if (indexType == IndexType.GRAPH) {
       for (rel <- Seq("data", "serve/edges", "serve/entries", "_ids"))
         Tombstones.recover(spark, s"$path/$rel")
@@ -1044,18 +1082,16 @@ object VectorIndex {
       // single-writer lease — if another writer holds it, IT owns the
       // marker (live mutation or the crashed-holder runbook in README),
       // so a concurrent load just reads the transient-but-safe state.
-      val mfs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (GraphMaintenance.inflight(spark, path).isDefined
-          && Artifacts.leaseInfo(spark, path).isEmpty
-          && mfs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))) {
-        val cents = IvfIndex.readCentroids(spark, s"$path/centroids")
-        val graphK = intOr("graph_k", 3)
-        try Artifacts.withLease(spark, path, "VectorIndex.load/recover") {
-          GraphMaintenance.recoverIfInflight(spark, path, cents, graphK, metric.name)
-        } catch {
-          // lost the acquire race to a live writer — it will recover
-          case _: IllegalStateException => ()
+          && Artifacts.leaseInfo(spark, path).isEmpty) {
+        graphQuantizer().foreach { q =>
+          val graphK = intOr("graph_k", 3)
+          try Artifacts.withLease(spark, path, "VectorIndex.load/recover") {
+            GraphMaintenance.recoverIfInflight(spark, path, q, graphK, metric.name)
+          } catch {
+            // lost the acquire race to a live writer — it will recover
+            case _: IllegalStateException => ()
+          }
         }
       }
     }
@@ -1066,12 +1102,15 @@ object VectorIndex {
     val state =
       if (indexType == IndexType.GRAPH) liveGraphData(spark, path)
       else Tombstones.filter(spark.read.parquet(s"$path/data"), path, "id")
+    val quantizer =
+      if (indexType == IndexType.GRAPH && state.columns.contains("cluster"))
+        graphQuantizer()
+      else None
     val centroids =
-      if ((indexType == IndexType.IVF || indexType == IndexType.IVFPQ
-           || indexType == IndexType.GRAPH)
+      if ((indexType == IndexType.IVF || indexType == IndexType.IVFPQ)
           && state.columns.contains("cluster"))
         Some(IvfIndex.readCentroids(spark, s"$path/centroids"))
-      else None
+      else quantizer.collect { case FlatQuantizer(c) => c }
     val codebooks =
       if ((indexType == IndexType.PQ || indexType == IndexType.IVFPQ)
           && state.columns.contains("codes"))
@@ -1092,7 +1131,7 @@ object VectorIndex {
         if (fs.exists(sp)) Some(path) else None
       } else None
     new VectorIndex(IndexKey(indexType, m.getAs[Int]("dim"), metric), params, spark,
-      state, centroids, codebooks, bounds, rootPath)
+      state, centroids, codebooks, bounds, rootPath, quantizer)
   }
 
   private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {

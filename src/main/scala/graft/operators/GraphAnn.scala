@@ -75,49 +75,64 @@ object GraphAnn {
     * centroids. Writes `edges/` and `entries/` under `base`.
     */
   def buildServing(graph: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
-                   centroids: Array[Array[Float]], base: String,
-                   gen: Option[Long] = None): Unit = {
-    val (entries0, edges0) = servingFrames(graph, emb, idCol, vecCol, centroids)
-    // generation-stamped layouts (the facade's maintained-GRAPH
-    // lifecycle) carry a `gen` column so generation-scoped tombstones
-    // ([[Tombstones.filterEdgesGen]]) can kill exactly the edges that
-    // referenced a superseded row; un-stamped callers (the keyed-query
-    // artifacts) keep the original schema.
-    val (entries, edges) = gen match {
-      case Some(g) => (entries0.withColumn("gen", lit(g)), edges0.withColumn("gen", lit(g)))
-      case None    => (entries0, edges0)
-    }
-    // overwrite: re-saving an index to a previously-used path must
-    // replace the layout, not throw mid-save after data was written.
-    // Small row groups (GraphMaintenance.EdgeBlockBytes) give src_id
-    // IN-list probes (the re-link heal) statistics pruning that stays
-    // flat in corpus size — a default-sized range file is one row group
-    // and every probe reads it whole.
+                   centroids: Array[Array[Float]], base: String): Unit = {
+    val (entries, edges) = servingFrames(graph, emb, idCol, vecCol, centroids)
+    writeServing(emb.sparkSession, entries, edges, centroids.length.toLong, base)
+  }
+
+  /** The maintained facade's serving build ([[graft.api.VectorIndex]]
+    * save at GRAPH): same layout as [[buildServing]] plus a `gen` stamp
+    * on every row (generation-scoped tombstones
+    * ([[Tombstones.filterEdgesGen]]) kill exactly the edges that
+    * referenced a superseded row), with the blocking quantizer behind
+    * the [[GraphQuantizer]] seam — flat literal below the K threshold,
+    * the routed two-level table above it.
+    */
+  def buildServingMaintained(graph: DataFrame, emb: DataFrame, idCol: String,
+                             vecCol: String, q: GraphQuantizer, base: String,
+                             gen: Long): Unit = {
+    val spark = emb.sparkSession
+    val (entries, edges) = servingFramesQ(graph, emb, idCol, vecCol, q)
+    writeServing(spark, entries.withColumn("gen", lit(gen)),
+      edges.withColumn("gen", lit(gen)),
+      q.clusterTable(spark).count(), base)
+  }
+
+  /** Shared writer of a serving layout. Overwrite: re-saving an index
+    * to a previously-used path must replace the layout, not throw
+    * mid-save after data was written. Small row groups
+    * (GraphMaintenance.EdgeBlockBytes) give src_id IN-list probes (the
+    * re-link heal) statistics pruning that stays flat in corpus size —
+    * a default-sized range file is one row group and every probe reads
+    * it whole.
+    *
+    * EVERY serving layout persists the ENTRY ROUTE — the upper layer of
+    * the serving structure (HNSW's layer hierarchy, hnsw_index.rs,
+    * re-expressed lake-native): ⌈√E⌉ route centroids fit over the E
+    * medoid entries themselves, plus a route_cell column the entries
+    * sort by. Hop 0 of a walk then scores only the query's routed
+    * cells' entries — ~√E rows via a PUSHED route_cell filter
+    * ([[routeEntries]]) — instead of all E = n/targetClusterSize
+    * medoids; the route matrix stays sample-fittable and literal-sized
+    * (√E) at any corpus size. Maintained (gen-stamped) layouts carry
+    * the same route: the route centroids FREEZE at build like the
+    * coarse quantizer, and every heal/re-seed assigns the appended
+    * entry its route_cell against them
+    * ([[GraphMaintenance.refreshEntries]]) — so a routed artifact
+    * stays routed under mutations instead of silently degrading.
+    */
+  private def writeServing(spark: SparkSession, entries: DataFrame, edges: DataFrame,
+                           nClusters: Long, base: String): Unit = {
     edges
       .repartitionByRange(col("src_id"))
       .sortWithinPartitions("src_id", "dst_id")
       .write.mode("overwrite")
       .option("parquet.block.size", GraphMaintenance.EdgeBlockBytes.toString)
       .parquet(s"$base/edges")
-    // EVERY serving layout persists the ENTRY ROUTE — the upper layer
-    // of the serving structure (HNSW's layer hierarchy, hnsw_index.rs,
-    // re-expressed lake-native): ⌈√E⌉ route centroids fit over the E
-    // medoid entries themselves, plus a route_cell column the entries
-    // sort by. Hop 0 of a walk then scores only the query's routed
-    // cells' entries — ~√E rows via a PUSHED route_cell filter
-    // ([[routeEntries]]) — instead of all E = n/targetClusterSize
-    // medoids; the route matrix stays sample-fittable and literal-sized
-    // (√E) at any corpus size. Maintained (gen-stamped) layouts carry
-    // the same route: the route centroids FREEZE at build like the
-    // coarse quantizer, and every heal/re-seed assigns the appended
-    // entry its route_cell against them
-    // ([[GraphMaintenance.refreshEntries]]) — so a routed artifact
-    // stays routed under mutations instead of silently degrading.
-    val spark = emb.sparkSession
     val entriesP = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val routeK = math.max(1,
-        math.ceil(math.sqrt(math.max(1, centroids.length).toDouble)).toInt)
+        math.ceil(math.sqrt(math.max(1L, nClusters).toDouble)).toInt)
       val routeCents = IvfIndex.fit(entriesP, "vec", routeK)
       IvfIndex.writeCentroids(spark, routeCents, s"$base/route")
       entriesP.withColumn("route_cell", nearestCentroid(col("vec"), routeCents))
@@ -205,6 +220,32 @@ object GraphAnn {
                    queryVec: Array[Float], routeProbe: Int): DataFrame =
     entries.where(col("route_cell").isin(
       IvfIndex.probes(queryVec, routeCents, routeProbe): _*))
+
+  /** [[servingFrames]] behind the [[GraphQuantizer]] seam — identical
+    * edge derivation; entries = one medoid per cluster computed through
+    * the quantizer's cluster TABLE (a broadcastable literal for flat,
+    * the fine table for routed — never a K-proportional driver array).
+    */
+  def servingFramesQ(graph: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
+                     q: GraphQuantizer): (DataFrame, DataFrame) = {
+    val spark = emb.sparkSession
+    val directed = graph.select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
+    val sym = directed
+      .unionByName(directed.select(col("dst_id").as("src_id"), col("src_id").as("dst_id")))
+      .distinct()
+    val edges = sym
+      .join(emb.select(col(idCol).as("dst_id"), col(vecCol).as("dst_vec")), "dst_id")
+      .select(col("src_id"), col("dst_id"), col("dst_vec"))
+    val entries = q.withCluster(
+        emb.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec")
+      .join(q.clusterTable(spark), Seq("cluster"))
+      .withColumn("d2", vecL2Sq(col("vec"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("d2"), col("id"))))
+      .where(col("rn") === 1)
+      .select(col("cluster"), col("id"), col("vec"))
+    (entries, edges)
+  }
 
   /** The serving frames as LAZY plans (what [[buildServing]] persists):
     * `entries` = (cluster, id, vec) medoids of the frozen quantizer,

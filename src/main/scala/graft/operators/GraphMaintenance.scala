@@ -266,16 +266,18 @@ object GraphMaintenance {
     * is held and any PRIOR marker was already completed.
     */
   def ingest(spark: SparkSession, p: String, batch: DataFrame,
-             cents: Array[Array[Float]], k: Int, metric: String,
+             q: GraphQuantizer, k: Int, metric: String,
              verb: String): Unit = {
     val g = Tombstones.nextGen(spark, p)
     writeMarker(spark, p, verb, g)
     // the point of no-loss: once this single atomic write commits, the
     // batch's vectors exist at gen g and every later step only ever
-    // ADDS visibility (edges) or REMOVES superseded rows (tombstones)
-    IvfIndex.appendPartitioned(batch.withColumn("gen", lit(g)), "vectors",
-      cents, dataPath(p))
-    complete(spark, p, cents, k, metric)
+    // ADDS visibility (edges) or REMOVES superseded rows (tombstones).
+    // The frozen quantizer (flat literal or routed table) assigns the
+    // batch's cluster partitions — the ONE quantizer touch of ingest.
+    q.withCluster(batch.withColumn("gen", lit(g)), "vectors")
+      .write.mode("append").partitionBy("cluster").parquet(dataPath(p))
+    complete(spark, p, q, k, metric)
   }
 
   /** Tombstone `ids` under the marker protocol: the delete advances the
@@ -284,11 +286,11 @@ object GraphMaintenance {
     * is detectable like any other mutation.
     */
   def remove(spark: SparkSession, p: String, ids: DataFrame,
-             cents: Array[Array[Float]], k: Int, metric: String): Unit = {
+             q: GraphQuantizer, k: Int, metric: String): Unit = {
     val g = Tombstones.nextGen(spark, p)
     writeMarker(spark, p, "delete", g)
     Tombstones.appendUpto(spark, p, ids.select(col(ids.columns.head).cast("long")), g - 1)
-    complete(spark, p, cents, k, metric)
+    complete(spark, p, q, k, metric)
   }
 
   /** Finish (or resume) the in-flight mutation — every step below is a
@@ -296,7 +298,7 @@ object GraphMaintenance {
     * number of times, from the verb itself or from crash recovery.
     */
   def complete(spark: SparkSession, p: String,
-               cents: Array[Array[Float]], k: Int, metric: String): Unit =
+               q: GraphQuantizer, k: Int, metric: String): Unit =
     inflight(spark, p).foreach { m =>
       val g = m.gen
       val dataG = Tombstones.readWithGen(spark, dataPath(p))
@@ -315,7 +317,7 @@ object GraphMaintenance {
           // means the step completed)
           if (Tombstones.readWithGen(spark, edgesPath(p)).where(col("gen") === g)
                 .limit(1).collect().isEmpty)
-            appendServeEdges(spark, p, dataG, cents, k, metric, g)
+            appendServeEdges(spark, p, dataG, k, metric, g)
           // (c) supersede the standing rows of the batch's ids — the
           // PUBLISH step: until here both generations served (duplicate,
           // never lost); from here exactly the latest serves. Probing
@@ -333,13 +335,13 @@ object GraphMaintenance {
       // (e) + (f) routing heals — derived from the live view alone, so
       // they need nothing from the lost batch context
       if (healsEnabled(spark)) {
-        refreshEntries(spark, p, cents, g)
-        relinkStarved(spark, p, cents, k, metric, g)
+        refreshEntries(spark, p, q, g)
+        relinkStarved(spark, p, k, metric, g)
       }
       clearMarker(spark, p)
       if (Tombstones.maybeCompact(spark, p, compactTables(spark, p),
             physicalRows(spark, p)))
-        afterCompact(spark, p, cents, g)
+        afterCompact(spark, p, q, g)
     }
 
   /** Post-compaction fixups: the fold just changed the physical row set
@@ -349,17 +351,17 @@ object GraphMaintenance {
     * entry — holds without waiting for the next mutation).
     */
   def afterCompact(spark: SparkSession, p: String,
-                   cents: Array[Array[Float]], g: Long): Unit = {
+                   q: GraphQuantizer, g: Long): Unit = {
     writeRowCount(spark, p, standingIds(spark, p).count(), g)
-    refreshEntries(spark, p, cents, g)
+    refreshEntries(spark, p, q, g)
   }
 
   /** Resume an orphaned mutation if one is in flight (verb entry /
     * load-time recovery). Assumes the lease is held.
     */
   def recoverIfInflight(spark: SparkSession, p: String,
-                        cents: Array[Array[Float]], k: Int, metric: String): Unit =
-    if (inflight(spark, p).isDefined) complete(spark, p, cents, k, metric)
+                        q: GraphQuantizer, k: Int, metric: String): Unit =
+    if (inflight(spark, p).isDefined) complete(spark, p, q, k, metric)
 
   // ---------------------------------------------------------------- edges
 
@@ -373,9 +375,14 @@ object GraphMaintenance {
     * append at gen `g`.
     */
   private[graft] def appendServeEdges(spark: SparkSession, p: String, dataG: DataFrame,
-                               cents: Array[Array[Float]], k: Int, metric: String,
+                               k: Int, metric: String,
                                g: Long): Unit = {
-    val batch = dataG.select(col("id"), col("vectors"))
+    // quantizer-AGNOSTIC: both sides read the `cluster` the data layout
+    // PERSISTS (written by the frozen quantizer at their own ingest) —
+    // re-deriving it here would need the quantizer and compute the
+    // identical value
+    val batch = dataG.select(col("id"), col("vectors"),
+      col("cluster").cast("int").as("cluster"))
     val touched = dataG.select(col("cluster").cast("int")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val standing = Tombstones.filterGen(
@@ -383,9 +390,12 @@ object GraphMaintenance {
           .where(col("cluster").isin(touched: _*)).where(col("gen") < g),
         p, "id", "gen")
       .join(batch.select(col("id")), Seq("id"), "left_anti")
-      .select(col("id"), col("vectors"))
+      .select(col("id"), col("vectors"), col("cluster").cast("int").as("cluster"))
     val cand = standing.unionByName(batch)
-    val edges = Knn.ivfGraphEdges(batch, cand, "id", "vectors", cents, k, metric)
+    val edges = Knn.clusteredGraphEdges(
+        batch.select(col("id").as("q_id"), col("vectors").as("q_vec"), col("cluster")),
+        cand.select(col("id"), col("vectors").as("n_vec"), col("cluster")),
+        k, metric)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val directed = edges.select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
@@ -413,47 +423,58 @@ object GraphMaintenance {
     * K-bounded plus one partition-pruned scan of the affected clusters.
     */
   def refreshEntries(spark: SparkSession, p: String,
-                     cents: Array[Array[Float]], g: Long): Unit = {
-    import spark.implicits._
+                     q: GraphQuantizer, g: Long): Unit = {
     val liveEntries = Tombstones.filterGen(
       Tombstones.readWithGen(spark, entriesPath(p)), p, "id", "gen")
-    val have = liveEntries.select(col("cluster").cast("int")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val missing = cents.indices.filterNot(have)
-    if (missing.isEmpty) return
-    val live = Tombstones.filterGen(
+    // clusters that HAVE a live entry, as a frame — never a driver
+    // collect of the full cluster set (K-proportional at routed K)
+    val haveDf = liveEntries.select(col("cluster").cast("int").as("cluster")).distinct()
+    // clusters missing an entry, with their centroid vector attached —
+    // the quantizer's cluster table is a tiny literal (flat) or the
+    // fine TABLE (routed); Spark broadcasts whichever side fits
+    val missingCv = q.clusterTable(spark).join(haveDf, Seq("cluster"), "left_anti")
+    // partition-prune the data scan to the missing clusters when their
+    // count is probe-small (heals are batch-bounded in practice: the
+    // missing set is the clusters THIS batch's tombstones emptied); a
+    // pathological set degrades to the unpruned join instead of a
+    // K-proportional driver list
+    val missingSmall = missingCv.select(col("cluster"))
+      .limit(RelinkIsinMax + 1).collect().map(_.getInt(0))
+    if (missingSmall.isEmpty) return
+    val live0 = Tombstones.filterGen(
       Tombstones.readWithGen(spark, dataPath(p)), p, "id", "gen")
-      .where(col("cluster").isin(missing: _*))
-    val cdf = broadcast(missing
-      .map(i => (i, cents(i).toSeq)).toDF("cluster", "cv"))
-    val medoids = live.select(col("cluster").cast("int"), col("id"), col("vectors"))
-      .join(cdf, "cluster")
+    val live =
+      if (missingSmall.length <= RelinkIsinMax)
+        live0.where(col("cluster").isin(missingSmall.map(Int.box): _*))
+      else live0
+    val medoids = live.select(col("cluster").cast("int").as("cluster"),
+        col("id"), col("vectors"))
+      .join(missingCv, Seq("cluster"))
       .withColumn("d2", vecL2Sq(col("vectors"), col("cv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("cluster").orderBy(col("d2"), col("id"))))
       .where(col("rn") === 1)
-      .select(col("cluster"), col("id"), col("vectors"))
-      .collect() // K-bounded: at most one row per missing cluster
-    if (medoids.nonEmpty) {
-      val fresh = medoids.toSeq
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2), g))
-        .toDF("cluster", "id", "vec", "gen")
-      // route upkeep: a routed layout's re-seeded entry joins the route
-      // table at append (assigned against the FROZEN route centroids,
-      // like data rows against the frozen coarse quantizer) — without
-      // this, one heal appends a route-less row and a routed artifact
-      // silently degrades to unrouted (the routed walk would never
-      // start from the healed entry). Legacy route-less layouts append
-      // the original schema unchanged.
-      val routeDir = s"$p/serve/route"
-      val hasRoute = fsOf(spark, p).exists(new Path(routeDir))
-      val stamped =
-        if (hasRoute)
-          fresh.withColumn("route_cell",
-            nearestCentroid(col("vec"), IvfIndex.readCentroids(spark, routeDir)))
-        else fresh
-      stamped.write.mode("append").parquet(entriesPath(p))
-    }
+      .select(col("cluster"), col("id"), col("vectors").as("vec"), lit(g).as("gen"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (medoids.limit(1).collect().nonEmpty) {
+        // route upkeep: a routed layout's re-seeded entry joins the route
+        // table at append (assigned against the FROZEN route centroids,
+        // like data rows against the frozen coarse quantizer) — without
+        // this, one heal appends a route-less row and a routed artifact
+        // silently degrades to unrouted (the routed walk would never
+        // start from the healed entry). Legacy route-less layouts append
+        // the original schema unchanged.
+        val routeDir = s"$p/serve/route"
+        val hasRoute = fsOf(spark, p).exists(new Path(routeDir))
+        val stamped =
+          if (hasRoute)
+            medoids.withColumn("route_cell",
+              nearestCentroid(col("vec"), IvfIndex.readCentroids(spark, routeDir)))
+          else medoids
+        stamped.write.mode("append").parquet(entriesPath(p))
+      }
+    } finally medoids.unpersist()
   }
 
   /** Cap on ids pulled to the driver for an edge-table probe: victims
@@ -493,7 +514,7 @@ object GraphMaintenance {
     * candidate scan is partition-pruned to the starved nodes' clusters.
     */
   def relinkStarved(spark: SparkSession, p: String,
-                    cents: Array[Array[Float]], k: Int, metric: String,
+                    k: Int, metric: String,
                     g: Long): Unit = {
     if (!Tombstones.present(spark, p)) return
     // victims = THIS batch's tombstone appends, probed on the RAW
@@ -543,11 +564,15 @@ object GraphMaintenance {
         val clusters = starvedRows.select("cluster").distinct()
           .collect().map(_.getInt(0)).toSeq
         if (clusters.isEmpty) return
+        // quantizer-agnostic: both sides carry the PERSISTED cluster of
+        // the frozen quantizer (flat or routed) — no re-assignment
         val cand = live.where(col("cluster").isin(clusters: _*))
-          .select(col("id"), col("vectors"))
-        val fresh = Knn.ivfGraphEdges(
-            starvedRows.select(col("id"), col("vectors")), cand,
-            "id", "vectors", cents, k, metric)
+          .select(col("id"), col("vectors"), col("cluster").cast("int").as("cluster"))
+        val fresh = Knn.clusteredGraphEdges(
+            starvedRows.select(col("id").as("q_id"), col("vectors").as("q_vec"),
+              col("cluster")),
+            cand.select(col("id"), col("vectors").as("n_vec"), col("cluster")),
+            k, metric)
           .select(col("q_id").as("src_id"), col("n_id").as("dst_id"))
           .join(liveEdges, Seq("src_id", "dst_id"), "left_anti")
           .persist(StorageLevel.MEMORY_AND_DISK)

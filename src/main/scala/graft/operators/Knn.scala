@@ -431,12 +431,24 @@ object Knn {
     clusteredGraphEdges(left, right, k, metric)
   }
 
+  /** [[knnJoinIvf]] / [[knnJoinRouted]] behind the [[GraphQuantizer]]
+    * seam — the maintained facade's build leg: flat literal below the K
+    * threshold, the routed two-level table above it, the same
+    * Σ|cluster|² blocked kernel either way.
+    */
+  def knnJoinQ(emb: DataFrame, idCol: String, vecCol: String,
+               q: GraphQuantizer, k: Int, metric: String): DataFrame =
+    clusteredGraphEdges(
+      q.withCluster(emb.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")), "q_vec"),
+      q.withCluster(emb.select(col(idCol).as("id"), col(vecCol).as("n_vec")), "n_vec"),
+      k, metric)
+
   /** The shared blocked-edge tail: both sides already carry their
     * `cluster` column (flat literal assignment or the routed two-level
     * join); candidates pair inside their cluster and the per-query
     * top-k is the bounded-heap partial aggregate.
     */
-  private def clusteredGraphEdges(
+  private[operators] def clusteredGraphEdges(
       left: DataFrame,
       right: DataFrame,
       k: Int,

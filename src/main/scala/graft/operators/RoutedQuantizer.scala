@@ -102,6 +102,20 @@ final case class RoutedQuantizer(coarse: Array[Array[Float]], fine: DataFrame) {
 
 object RoutedQuantizer {
 
+  /** Above this fitted K the corpus-scale builders AND the maintained
+    * facade lifecycle switch from the flat literal quantizer to the
+    * two-level routed one: below it the flat path is both simpler and
+    * faster (one small codegen literal, no fine-table join). Conf-
+    * overridable (`spark.graft.routed.kThreshold`) so tests drive the
+    * routed branch at oracle/test sizes; every keyed SF sits far below
+    * the default.
+    */
+  val KThresholdDefault = 4096L
+
+  def kThreshold(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.routed.kThreshold").map(_.toLong)
+      .getOrElse(KThresholdDefault)
+
   /** Fit a ~`k`-cluster two-level quantizer. The coarse level is the
     * ordinary sample-fit k-means (⌈√k⌉ centroids); the fine level is
     * `finePerCell = ⌈k/coarseK⌉` centroids per coarse cell, fit by

@@ -335,6 +335,87 @@ class ApiSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.graph.routeEntriesThreshold")
   }
 
+  test("maintained GRAPH lifecycle ADOPTS the routed quantizer above the K threshold: save persists the two-level table, every verb assigns against it frozen, searches stay consistent") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{RoutedQuantizer, Tombstones}
+    val rnd = new scala.util.Random(37)
+    val centers = Array.fill(6)(Array.fill(8)(rnd.nextGaussian().toFloat * 10))
+    def mk(i: Int): (Long, Array[Float], Option[String]) = {
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat), None: Option[String])
+    }
+    val rows = (0 until 360).map(mk)
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-routedq").toString
+    // force the switch below ivfClusters = 6, so the save takes the
+    // ROUTED branch exactly as a K = n/100 deployment save would
+    spark.conf.set("spark.graft.routed.kThreshold", "4")
+    try {
+      VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+          IndexParams(ivfClusters = 6, graphK = 5, graphBeam = 8, graphHops = 3))
+        .insertAll(rows.toDF("id", "vectors", "data"))
+        .save(dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/quantizer")),
+        "a routed save must persist the two-level quantizer table")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/centroids")),
+        "a routed save must not leave a flat-literal artifact behind")
+      val rq = RoutedQuantizer.read(spark, s"$dir/quantizer")
+      val fineBefore = rq.fine.collect().map(_.toSeq).toSet
+
+      var idx = VectorIndex.load(spark, dir)
+      val q = rows(42)._2
+
+      def liveData = Tombstones.filterGen(
+        Tombstones.readWithGen(spark, s"$dir/data"), dir, "id", "gen")
+
+      def assertConsistent(tag: String): Unit = {
+        // frozen-quantizer invariant: every live data row's persisted
+        // cluster is the routed assignment of its own vector
+        val bad = rq.assign(
+            liveData.select(col("id"), col("vectors"), col("cluster").as("have")),
+            "vectors", out = "want")
+          .where(col("have") =!= col("want")).count()
+        assert(bad === 0L, s"$tag: $bad rows mis-assigned vs the frozen routed quantizer")
+        // the walk still finds the live neighborhood
+        val exact = operators.Knn.searchExact(
+            liveData.select(col("id"), col("vectors")), "id", "vectors", q, 5, "l2")
+          .collect().map(_.getLong(1)).toSet
+        val got = idx.search(q, 5).collect().map(_.getLong(1)).toSet
+        assert(got.intersect(exact).size >= 3, s"$tag: recall collapsed: $got vs $exact")
+        // batch walk = looped singles on the routed-quantizer artifact
+        val qs = Seq(42L, 7L)
+        val queries = qs.map(i => (i, rows(i.toInt)._2.toSeq)).toDF("q_id", "q_vec")
+        val batch = idx.searchBatch(queries, k = 3).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+        val looped = qs.flatMap { qi =>
+          idx.search(rows(qi.toInt)._2, 3).collect().map(r => (qi, r.getInt(0), r.getLong(1)))
+        }.toSet
+        assert(batch === looped, s"$tag: batch != looped")
+      }
+
+      assertConsistent("loaded")
+      idx = idx.insertAll((500 until 512).map(mk).toDF("id", "vectors", "data"))
+      assertConsistent("after insert")
+      idx = idx.upsertAll(Seq((7L, centers(2).map(_ + 0.25f), None: Option[String]))
+        .toDF("id", "vectors", "data"))
+      assertConsistent("after upsert")
+      idx = idx.deleteAll(Seq(11L, 17L).toDF("id"))
+      assertConsistent("after delete")
+      idx = idx.compact()
+      assertConsistent("after compact")
+      // the quantizer stayed FROZEN through the whole storm
+      assert(RoutedQuantizer.read(spark, s"$dir/quantizer").fine.collect()
+        .map(_.toSeq).toSet === fineBefore,
+        "mutations must never refit or rewrite the persisted quantizer")
+      // ...and a reload serves the same answers as the mutated handle
+      val re = VectorIndex.load(spark, dir)
+      assert(re.search(q, 5).collect().map(_.toSeq).toSeq
+        === idx.search(q, 5).collect().map(_.toSeq).toSeq)
+    } finally spark.conf.unset("spark.graft.routed.kThreshold")
+  }
+
   test("GRAPH index: fresh search works, save -> load walks the layout identically, delete filters it") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
@@ -979,7 +1060,7 @@ class ApiSpec extends SparkSpec {
           batch.withColumn("gen", lit(g)), "vectors", cents, s"$dir/data")
         if (w >= 3) GraphMaintenance.appendServeEdges(spark, dir,
           Tombstones.readWithGen(spark, s"$dir/data").where(col("gen") === g),
-          cents, 4, "l2", g)
+          4, "l2", g)
       }
 
       // reload — the recovery path must neither throw nor lose the id
