@@ -1664,6 +1664,17 @@ object Oracles {
         graphBeamBatchSql(scaledCents, graphK = 16, beam = 8, hops = 3, k = 5,
           route = Some((routeCents, operators.GraphAnn.RouteProbe)))
       },
+      // FILTER × ROUTE composed: the filtered artifact's OWN route
+      // literals (fit over the filtered medoids at build) gate hop 0,
+      // every other CTE carries the label predicate — the composed
+      // filtered-batch plan the big-E regime executes, at oracle scale
+      "filtered_knn_batch_graph_routed" -> {
+        val routeCentsFlt = operators.IvfIndex.readCentroids(spark,
+          s"${Queries.filteredGraphServePath(spark, dir)}/route")
+        graphBeamBatchSql(scaledCentsFlt, graphK = 16, beam = 8, hops = 3, k = 5,
+          where = " WHERE e.label = 2",
+          route = Some((routeCentsFlt, operators.GraphAnn.RouteProbe)))
+      },
       // the ROUTED-QUANTIZER builder branch forced to oracle scale: the
       // quantizer tables come from the artifact itself (buildServingRouted
       // persists them — distributed Lloyd means are not bit-stable

@@ -560,7 +560,7 @@ object Queries {
   /** The filtered corpus's serving layout — one written-once artifact
     * shared by the single and batch filtered walks.
     */
-  private def filteredGraphServePath(spark: SparkSession, dir: String): String =
+  private[graft] def filteredGraphServePath(spark: SparkSession, dir: String): String =
     operators.Artifacts.resolve(spark, "knngraph_serve_flt",
       operators.Artifacts.corpusKey(dir),
       operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v3 label=2 k=16 route")) { tmp =>
@@ -586,14 +586,29 @@ object Queries {
     * per-query walk over the filtered base from the filtered-fit
     * centroid literals.
     */
-  def filteredKnnBatchGraph(spark: SparkSession, dir: String): DataFrame = {
+  def filteredKnnBatchGraph(spark: SparkSession, dir: String): DataFrame =
+    filteredKnnBatchGraphImpl(spark, dir, forceRoute = false)
+
+  /** `forceRoute = true` is the `filtered_knn_batch_graph_routed` keyed
+    * twin — the hash gate on the FILTER × ROUTE composition: the same
+    * production builder with the entry-route auto-switch held ON walks
+    * the filtered corpus's artifact through ITS OWN route (fit over the
+    * filtered medoids at build), so the composed plan the big-E
+    * filtered regime executes is hash-gated at oracle scale beside the
+    * unfiltered twin [[knnBatchGraphRouted]].
+    */
+  def filteredKnnBatchGraphRouted(spark: SparkSession, dir: String): DataFrame =
+    filteredKnnBatchGraphImpl(spark, dir, forceRoute = true)
+
+  private def filteredKnnBatchGraphImpl(spark: SparkSession, dir: String,
+                                        forceRoute: Boolean): DataFrame = {
     val base = filteredGraphServePath(spark, dir)
     val queries = Tables.embeddings(spark, dir).where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     // entry-route auto-switch + delete twin, mirroring knnBatchGraph
     // (both no-op at the keyed SFs: E sits under the threshold and the
     // keyed artifact carries no tombstones)
-    val route = servingRoute(spark, base, force = false)
+    val route = servingRoute(spark, base, forceRoute)
     val entries0 = operators.Tombstones.filter(
       spark.read.parquet(s"$base/entries"), base, "id")
     val entries = route match {

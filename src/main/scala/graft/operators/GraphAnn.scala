@@ -348,12 +348,13 @@ object GraphAnn {
     * through the window/limit lineage), so their size must be BOUNDED
     * BY CONSTRUCTION — |q| × per-query state. A corpus-proportional
     * query set would grow that broadcast without limit; above this
-    * budget the batch splits into hash-chunks walked SEQUENTIALLY
-    * (each chunk's k-row result materializes before the next chunk's
-    * walk starts), so peak broadcast/cache state is one chunk's,
+    * budget the batch splits into hash-chunks submitted as BOUNDED
+    * CONCURRENT jobs ([[chunkParallelism]] in flight; each chunk's
+    * k-row result materializes and its walk state drains before its
+    * slot frees), so peak broadcast/cache state is `parallel` chunks',
     * total work is linear in |q|, and the result — per-query
     * independent by construction — is IDENTICAL to the monolithic
-    * walk at any chunk size.
+    * walk at any chunk size and any parallelism.
     */
   val DefaultBatchChunk = 2048
 
@@ -365,6 +366,21 @@ object GraphAnn {
   def chunkBudget(spark: SparkSession): Int =
     spark.conf.getOption("spark.graft.graph.batchChunk").map(_.toInt)
       .getOrElse(DefaultBatchChunk)
+
+  /** Chunk walks in flight at once (conf
+    * `spark.graft.graph.batchChunkParallel`, default 2). Chunks are
+    * per-query independent, so over-budget batches submit as BOUNDED
+    * CONCURRENT Spark jobs from a fixed caller-side pool — the
+    * scheduler overlaps one chunk's shuffle with another's scan
+    * instead of idling between sequential actions. Peak cached state
+    * becomes `parallel` chunks' walk state (the budget's memory
+    * reasoning scales by this knob — a deployment sizes
+    * batchChunk × batchChunkParallel to executor memory together).
+    * 1 restores the strictly-sequential fold.
+    */
+  def chunkParallelism(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.graph.batchChunkParallel").map(_.toInt)
+      .getOrElse(2)
 
   /** Default routeProbe of routed walks: 2 cells covers a query near a
     * route-cell boundary (the `ann_graph_routed` readout prices what it
@@ -433,19 +449,35 @@ object GraphAnn {
       val nChunks = ((nQ + maxChunk - 1) / maxChunk).toInt
       val qAll = q0.withColumn("_chunk", pmod(hash(col("q_id")), lit(nChunks)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val parts = (0 until nChunks).map { c =>
+      def runChunk(c: Int): DataFrame = {
         val (part, internals) = walkChunk(entries, edges,
           qAll.where(col("_chunk") === c).drop("_chunk"),
           k, beam, hops, metric, route, gate)
         val partP = part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        partP.count() // sequential materialization: one chunk's walk state in flight
-        // the chunk's k-row result is materialized in its own cache —
-        // DRAIN the walk's internal per-hop frames now, so peak cached
-        // state is ONE chunk's walk plus the (tiny) accumulated results,
-        // never |q|/maxChunk walks' worth
+        partP.count() // materialize this chunk's k-row result ...
+        // ... then DRAIN the walk's internal per-hop frames, so cached
+        // state per in-flight chunk is one walk plus the (tiny)
+        // accumulated results, never |q|/maxChunk walks' worth
         internals.foreach(_.unpersist(false))
         partP
       }
+      val par = math.max(1, math.min(chunkParallelism(q0.sparkSession), nChunks))
+      val parts =
+        if (par == 1) (0 until nChunks).map(runChunk)
+        else {
+          // bounded concurrent jobs: a fixed pool caps in-flight chunk
+          // walks at `par`; submission is thread-safe (one session, the
+          // walk nonce is atomic, chunks share no mutable state) and the
+          // per-chunk results are order-independent, collected by index
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try {
+            val fs = (0 until nChunks).map(c => scala.concurrent.Future(runChunk(c)))
+            fs.map(f => scala.concurrent.Await.result(
+              f, scala.concurrent.duration.Duration.Inf))
+          } finally pool.shutdown()
+        }
       qAll.unpersist()
       parts.reduce(_ unionByName _)
     }

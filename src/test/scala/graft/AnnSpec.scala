@@ -581,10 +581,19 @@ class AnnSpec extends SparkSpec {
         route = route, maxChunk = maxChunk)
         .orderBy("q_id", "rank").collect().map(_.toSeq).toSeq
     val mono = run(maxChunk = 100000, route = None)
-    assert(run(maxChunk = 7, route = None) === mono,
-      "hash-chunked sequential walks must reproduce the monolithic batch exactly")
-    assert(run(maxChunk = 7, route = Some((routeCents, routeCents.length))) === mono,
-      "full-cover routing must degenerate to the unrouted batch")
+    spark.conf.set("spark.graft.graph.batchChunkParallel", "1")
+    try {
+      assert(run(maxChunk = 7, route = None) === mono,
+        "hash-chunked sequential walks must reproduce the monolithic batch exactly")
+      assert(run(maxChunk = 7, route = Some((routeCents, routeCents.length))) === mono,
+        "full-cover routing must degenerate to the unrouted batch")
+    } finally spark.conf.unset("spark.graft.graph.batchChunkParallel")
+    // bounded CONCURRENT chunk jobs (the production default) are
+    // value-identical to the sequential fold at any parallelism
+    spark.conf.set("spark.graft.graph.batchChunkParallel", "3")
+    try assert(run(maxChunk = 7, route = None) === mono,
+      "concurrent chunk walks must reproduce the monolithic batch exactly")
+    finally spark.conf.unset("spark.graft.graph.batchChunkParallel")
   }
 
   test("routed batch search with full probes equals the exact batch kernel; the routed serving build's entries are the true fine-cluster medoids") {

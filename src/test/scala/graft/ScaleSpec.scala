@@ -327,7 +327,9 @@ class ScaleSpec extends SparkSpec {
     // cross join, both factors ∝ n/100): the coarse entry route (each
     // query scores √E route literals map-side, then equi-joins only its
     // 2 cells' entries) plus the 256-query chunk budget (bounded
-    // per-hop broadcasts, chunks walked sequentially) make total work
+    // per-hop broadcasts, chunks submitted as bounded concurrent jobs —
+    // the pool threads inherit this group's job-group tag, so the
+    // listener still attributes their stages here) make total work
     // |q| × √E — the n^1.5 envelope — where the unrouted monolithic
     // walk's hop 0 alone is |q| × E ∝ n²/10⁴ and its hinted broadcasts
     // grow with |q|
