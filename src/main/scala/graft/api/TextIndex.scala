@@ -354,6 +354,20 @@ final class TextIndex private (spark: SparkSession, val path: String) {
     val tomb = Tombstones.rowCount(spark, path)
     val lease = graft.operators.Artifacts.leaseInfo(spark, path)
     val inflight = GraphMaintenance.inflight(spark, path)
+    // the generational-append cost readout: every mutating batch lands
+    // its own gen slice (and its own small files), and every term-pruned
+    // read pays the accumulated file count until a compact() re-sorts —
+    // these two numbers price the compaction cadence (the
+    // lookup_cost_model discipline on the text side). Slices = distinct
+    // physical gen stamps; compaction restamps to the gen-0 baseline, so
+    // post-compact slices = 1 (PersistSpec asserts it).
+    val slice = Tombstones.readWithGen(spark, s"$path/postings")
+      .select(col("gen"),
+        org.apache.spark.sql.functions.input_file_name().as("_f"))
+      .agg(
+        org.apache.spark.sql.functions.countDistinct(col("gen")).as("slices"),
+        org.apache.spark.sql.functions.countDistinct(col("_f")).as("files"))
+      .collect().head
     import spark.implicits._
     Seq((count, physical, tomb,
       tomb.toDouble / math.max(physical, 1L),
@@ -362,10 +376,11 @@ final class TextIndex private (spark: SparkSession, val path: String) {
       // the text-side generation state: how many mutating batches the
       // artifact has absorbed, and whether one is mid-publish
       Tombstones.currentGen(spark, path),
-      inflight.map(m => s"${m.verb}@gen${m.gen}").orNull))
+      inflight.map(m => s"${m.verb}@gen${m.gen}").orNull,
+      slice.getLong(0), slice.getLong(1)))
       .toDF("n_docs", "n_physical", "n_tombstones", "dead_fraction",
         "autocompact_threshold", "lease_held", "lease_holder",
-        "generation", "inflight")
+        "generation", "inflight", "postings_slices", "postings_files")
   }
 }
 
@@ -489,6 +504,11 @@ object TextIndex {
       // batch is fully landed (publish is the LAST step), so the legacy
       // serve-everything gate IS the post-batch view
       case _: java.io.FileNotFoundException => Long.MaxValue
+      // a reader racing the FIRST-ever publish can open a temp the
+      // writer is still writing — an empty/partial read parses as
+      // garbage, and the documented best-effort contract degrades to
+      // the serve-everything gate, not an uncaught parse error
+      case _: NumberFormatException => Long.MaxValue
     }
   }
 

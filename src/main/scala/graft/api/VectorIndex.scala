@@ -107,7 +107,8 @@ class VectorIndex private (
     private val loadedCodebooks: Option[Array[Array[Array[Float]]]] = None,
     private val loadedBounds: Option[(Array[Double], Array[Double])] = None,
     private val loadedPath: Option[String] = None,
-    private val loadedQuantizer: Option[GraphQuantizer] = None) {
+    private val loadedQuantizer: Option[GraphQuantizer] = None,
+    private val loadedRouteCents: Option[Array[Array[Float]]] = None) {
 
   import VectorIndex._
 
@@ -175,7 +176,8 @@ class VectorIndex private (
   private def reopened(p: String): VectorIndex = {
     spark.catalog.refreshByPath(p)
     new VectorIndex(key, params, spark, VectorIndex.liveGraphData(spark, p),
-      loadedCentroids, loadedCodebooks, loadedBounds, loadedPath, loadedQuantizer)
+      loadedCentroids, loadedCodebooks, loadedBounds, loadedPath, loadedQuantizer,
+      loadedRouteCents)
   }
 
   /** Loud guard for the maintained-GRAPH ingest paths, now needed only
@@ -439,9 +441,19 @@ class VectorIndex private (
     */
   private def loadedGraphRoute: Option[(Array[Array[Float]], Int)] =
     loadedPath.flatMap { p =>
-      val rp = new org.apache.hadoop.fs.Path(s"$p/serve/route")
-      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(rp)) GraphAnn.servingRoute(spark, s"$p/serve/route") else None
+      // the route MATRIX is cached in the handle at load ([[load]] /
+      // [[reopened]] — frozen at build, so the cache never goes stale);
+      // the switch DECISION stays per-call: it reads the live-entry
+      // manifest + the conf threshold, both of which move under the
+      // handle (mutations grow the artifact, tests force the conf)
+      loadedRouteCents match {
+        case Some(rc) =>
+          val e = GraphAnn.readEntryCount(spark, s"$p/serve")
+            .getOrElse(rc.length.toLong * rc.length)
+          if (e > GraphAnn.routeThreshold(spark)) Some((rc, GraphAnn.RouteProbe))
+          else None
+        case None => None
+      }
     }
 
   /** The GRAPH serving frames built IN-PLAN over `base` — the
@@ -451,6 +463,19 @@ class VectorIndex private (
     * callers degrade to the exact scan.
     */
   private def serveFramesInPlan(base: DataFrame): Option[(DataFrame, DataFrame)] = {
+    // adopt-or-refuse at the routed-K threshold: the in-plan fresh-state
+    // path fits a FLAT centroid literal, whose sample-fit/driver-array/
+    // plan-literal ceilings are exactly what the routed quantizer exists
+    // to break — silently keeping it above the threshold would serve a
+    // degraded index at the scale where it matters. The persisted
+    // lifecycle (save → load → mutate) IS the large-K path and adopts
+    // the routed quantizer; a fresh large-K state must go through it.
+    require(params.ivfClusters <= RoutedQuantizer.kThreshold(spark),
+      s"fresh-state GRAPH serving with ivfClusters=${params.ivfClusters} exceeds " +
+        s"the routed-K threshold (${RoutedQuantizer.kThreshold(spark)}): the " +
+        "in-plan path would keep a flat K-proportional quantizer literal past " +
+        "its scaling ceilings — save() the index and search the loaded handle " +
+        "(the persisted lifecycle adopts the routed two-level quantizer)")
     val centroids = IvfIndex.fitCached(base, "vectors", k = params.ivfClusters, seed = 42L)
     if (centroids.isEmpty) None
     else {
@@ -1130,8 +1155,18 @@ object VectorIndex {
         val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(sp)) Some(path) else None
       } else None
+    // the entry-route MATRIX loads once with the handle (frozen at
+    // build — mutations only re-ASSIGN against it); the serve arms'
+    // per-call switch then reads only driver-side manifests instead of
+    // paying a parquet read per search
+    val routeCents = rootPath.flatMap { p =>
+      val rp = new org.apache.hadoop.fs.Path(s"$p/serve/route")
+      val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(rp)) Some(IvfIndex.readCentroids(spark, s"$p/serve/route"))
+      else None
+    }
     new VectorIndex(IndexKey(indexType, m.getAs[Int]("dim"), metric), params, spark,
-      state, centroids, codebooks, bounds, rootPath, quantizer)
+      state, centroids, codebooks, bounds, rootPath, quantizer, routeCents)
   }
 
   private def rowsDf(spark: SparkSession, rows: Seq[(Long, Array[Float], Option[String])]): DataFrame = {

@@ -95,7 +95,7 @@ object GraphAnn {
     val (entries, edges) = servingFramesQ(graph, emb, idCol, vecCol, q)
     writeServing(spark, entries.withColumn("gen", lit(gen)),
       edges.withColumn("gen", lit(gen)),
-      q.clusterTable(spark).count(), base)
+      q.numClusters(spark), base)
   }
 
   /** Shared writer of a serving layout. Overwrite: re-saving an index
@@ -138,6 +138,10 @@ object GraphAnn {
       entriesP.withColumn("route_cell", nearestCentroid(col("vec"), routeCents))
         .coalesce(1).sortWithinPartitions("route_cell", "id")
         .write.mode("overwrite").parquet(s"$base/entries")
+      // the LIVE entry count manifest the serve-time auto-switch reads
+      // (routeK² approximates build-time E; a maintained artifact keeps
+      // this current across mutations so the switch sees growth)
+      writeEntryCount(spark, base, entriesP.count())
     } finally entriesP.unpersist()
   }
 
@@ -206,6 +210,7 @@ object GraphAnn {
         .repartitionByRange(col("route_cell"), col("id"))
         .sortWithinPartitions("route_cell", "id")
         .write.mode("overwrite").parquet(s"$base/entries")
+      writeEntryCount(spark, base, e)
     } finally entriesP.unpersist()
   }
 
@@ -382,6 +387,26 @@ object GraphAnn {
     spark.conf.getOption("spark.graft.graph.batchChunkParallel").map(_.toInt)
       .getOrElse(2)
 
+  /** SESSION-shared chunk admission gate: N simultaneous over-budget
+    * batch calls share ONE `batchChunkParallel` budget instead of each
+    * opening its own (the per-call pool still bounds each call; this
+    * semaphore bounds their SUM, so peak cached walk state across
+    * concurrent callers stays `parallel` chunks' worth). Keyed by
+    * session so independent sessions in one JVM don't throttle each
+    * other; if the conf changes between calls the gate is rebuilt at
+    * the new width (in-flight holders of the old gate drain against the
+    * old object — last-writer-wins, documented-best-effort for the
+    * reconfigure-under-load corner).
+    */
+  private val chunkGates =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, java.util.concurrent.Semaphore)]()
+  private def chunkGate(spark: SparkSession): java.util.concurrent.Semaphore = {
+    val want = math.max(1, chunkParallelism(spark))
+    chunkGates.compute(String.valueOf(System.identityHashCode(spark)), (_, cur) =>
+      if (cur != null && cur._1 == want) cur
+      else (want, new java.util.concurrent.Semaphore(want, true)))._2
+  }
+
   /** Default routeProbe of routed walks: 2 cells covers a query near a
     * route-cell boundary (the `ann_graph_routed` readout prices what it
     * costs in recall vs the exact hop 0).
@@ -398,16 +423,53 @@ object GraphAnn {
     spark.conf.getOption("spark.graft.graph.routeEntriesThreshold").map(_.toLong)
       .getOrElse(4096L)
 
-  /** The persisted entry route at `routeDir`, taken when the entry
-    * count warrants it (or `force`). The switch reads only the tiny
-    * route matrix: routeK = ⌈√E⌉ at build time, so routeK² ≈ E — no
-    * action on the entries table decides the branch.
+  /** The `_entrycount` manifest inside a serve dir: the LIVE entry
+    * count, written at build and refreshed by the mutation protocol
+    * after its heals ([[GraphMaintenance.complete]]) — so the serve-time
+    * auto-switch decides from the artifact's CURRENT size, not the
+    * build-time routeK² proxy (a heavily-inserted artifact could sit
+    * above the real threshold while the stale proxy declined the
+    * route). Same write-temp-then-rename discipline as `_rowcount`.
     */
-  def servingRoute(spark: SparkSession, routeDir: String,
+  def writeEntryCount(spark: SparkSession, serveDir: String, e: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(serveDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$serveDir/_entrycount")
+    val tmp = new org.apache.hadoop.fs.Path(s"$serveDir/_entrycount_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(e.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"_entrycount rename failed for $serveDir")
+  }
+
+  def readEntryCount(spark: SparkSession, serveDir: String): Option[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(serveDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$serveDir/_entrycount")
+    val tmp = new org.apache.hadoop.fs.Path(s"$serveDir/_entrycount_tmp")
+    if (!fs.exists(p) && fs.exists(tmp)) fs.rename(tmp, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                finally in.close()
+      scala.util.Try(raw.trim.toLong).toOption
+    }
+  }
+
+  /** The persisted entry route under `serveDir` (`route/`), taken when
+    * the entry count warrants it (or `force`). The switch reads only
+    * driver-side manifests: the LIVE `_entrycount` the build writes and
+    * every mutation refreshes, falling back to routeK² ≈ build-time E
+    * for legacy layouts without one — no action on the entries table
+    * decides the branch.
+    */
+  def servingRoute(spark: SparkSession, serveDir: String,
                    force: Boolean = false): Option[(Array[Array[Float]], Int)] = {
-    val rc = IvfIndex.readCentroids(spark, routeDir)
-    if (force || rc.length.toLong * rc.length > routeThreshold(spark))
-      Some((rc, RouteProbe))
+    val rc = IvfIndex.readCentroids(spark, s"$serveDir/route")
+    val e = readEntryCount(spark, serveDir)
+      .getOrElse(rc.length.toLong * rc.length)
+    if (force || e > routeThreshold(spark)) Some((rc, RouteProbe))
     else None
   }
 
@@ -449,34 +511,67 @@ object GraphAnn {
       val nChunks = ((nQ + maxChunk - 1) / maxChunk).toInt
       val qAll = q0.withColumn("_chunk", pmod(hash(col("q_id")), lit(nChunks)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // completed chunks' k-row result frames, tracked so the FAILURE
+      // path can unpersist them (without this a thrown chunk left every
+      // finished chunk's cache pinned until the ContextCleaner)
+      val done = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+      val admission = chunkGate(q0.sparkSession)
       def runChunk(c: Int): DataFrame = {
-        val (part, internals) = walkChunk(entries, edges,
-          qAll.where(col("_chunk") === c).drop("_chunk"),
-          k, beam, hops, metric, route, gate)
-        val partP = part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        partP.count() // materialize this chunk's k-row result ...
-        // ... then DRAIN the walk's internal per-hop frames, so cached
-        // state per in-flight chunk is one walk plus the (tiny)
-        // accumulated results, never |q|/maxChunk walks' worth
-        internals.foreach(_.unpersist(false))
-        partP
+        // session-shared admission: concurrent over-budget CALLS share
+        // one in-flight budget, not one budget each
+        admission.acquire()
+        try {
+          val (part, internals) = walkChunk(entries, edges,
+            qAll.where(col("_chunk") === c).drop("_chunk"),
+            k, beam, hops, metric, route, gate)
+          val partP = part.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            partP.count() // materialize this chunk's k-row result ...
+            done.add(partP)
+            partP
+          } catch {
+            // a failed chunk must not leave ITS OWN result pinned
+            case t: Throwable => partP.unpersist(false); throw t
+          } finally {
+            // ... and DRAIN the walk's internal per-hop frames (success
+            // AND failure), so cached state per in-flight chunk is one
+            // walk plus the (tiny) accumulated results, never
+            // |q|/maxChunk walks' worth
+            internals.foreach(_.unpersist(false))
+          }
+        } finally admission.release()
       }
       val par = math.max(1, math.min(chunkParallelism(q0.sparkSession), nChunks))
       val parts =
-        if (par == 1) (0 until nChunks).map(runChunk)
-        else {
-          // bounded concurrent jobs: a fixed pool caps in-flight chunk
-          // walks at `par`; submission is thread-safe (one session, the
-          // walk nonce is atomic, chunks share no mutable state) and the
-          // per-chunk results are order-independent, collected by index
-          val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutorService(pool)
-          try {
-            val fs = (0 until nChunks).map(c => scala.concurrent.Future(runChunk(c)))
-            fs.map(f => scala.concurrent.Await.result(
-              f, scala.concurrent.duration.Duration.Inf))
-          } finally pool.shutdown()
+        try {
+          if (par == 1) (0 until nChunks).map(runChunk)
+          else {
+            // bounded concurrent jobs: a fixed pool caps in-flight chunk
+            // walks at `par`; submission is thread-safe (one session, the
+            // walk nonce is atomic, chunks share no mutable state) and the
+            // per-chunk results are order-independent, collected by index
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.fromExecutorService(pool)
+            try {
+              val fs = (0 until nChunks).map(c => scala.concurrent.Future(runChunk(c)))
+              fs.map(f => scala.concurrent.Await.result(
+                f, scala.concurrent.duration.Duration.Inf))
+            } finally
+              // shutdownNow, not shutdown: on the failure path the
+              // not-yet-started chunks are CANCELLED and in-flight ones
+              // interrupted, instead of running to completion behind a
+              // batch call that already threw (on success all tasks are
+              // done and this is a plain close)
+              pool.shutdownNow()
+          }
+        } catch {
+          case t: Throwable =>
+            // failed batch: nothing survives this call — release every
+            // completed chunk's cache and the chunked query projection
+            done.forEach(p => p.unpersist(false))
+            qAll.unpersist(false)
+            throw t
         }
       qAll.unpersist()
       parts.reduce(_ unionByName _)

@@ -338,6 +338,13 @@ object GraphMaintenance {
         refreshEntries(spark, p, q, g)
         relinkStarved(spark, p, k, metric, g)
       }
+      // (g) live-entry manifest: the serve-time route auto-switch reads
+      // this instead of the build-time routeK² proxy, so an artifact
+      // that grows past the threshold under inserts flips the switch
+      // without a re-save. One narrow count of the K-bounded entries.
+      GraphAnn.writeEntryCount(spark, s"$p/serve",
+        Tombstones.filterGen(
+          Tombstones.readWithGen(spark, entriesPath(p)), p, "id", "gen").count())
       clearMarker(spark, p)
       if (Tombstones.maybeCompact(spark, p, compactTables(spark, p),
             physicalRows(spark, p)))
@@ -354,6 +361,9 @@ object GraphMaintenance {
                    q: GraphQuantizer, g: Long): Unit = {
     writeRowCount(spark, p, standingIds(spark, p).count(), g)
     refreshEntries(spark, p, q, g)
+    GraphAnn.writeEntryCount(spark, s"$p/serve",
+      Tombstones.filterGen(
+        Tombstones.readWithGen(spark, entriesPath(p)), p, "id", "gen").count())
   }
 
   /** Resume an orphaned mutation if one is in flight (verb entry /

@@ -32,6 +32,11 @@ sealed trait GraphQuantizer {
     * routed (never a K-proportional driver array).
     */
   def clusterTable(spark: SparkSession): DataFrame
+
+  /** Cluster count: free on the driver for flat (cents.length — no
+    * Spark job), one narrow count of the fine table for routed.
+    */
+  def numClusters(spark: SparkSession): Long
 }
 
 final case class FlatQuantizer(cents: Array[Array[Float]]) extends GraphQuantizer {
@@ -42,6 +47,7 @@ final case class FlatQuantizer(cents: Array[Array[Float]]) extends GraphQuantize
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cluster", "cv")
   }
+  def numClusters(spark: SparkSession): Long = cents.length.toLong
 }
 
 final case class RoutedGraphQuantizer(rq: RoutedQuantizer) extends GraphQuantizer {
@@ -49,4 +55,5 @@ final case class RoutedGraphQuantizer(rq: RoutedQuantizer) extends GraphQuantize
   def withCluster(df: DataFrame, vecCol: String): DataFrame = rq.assign(df, vecCol)
   def clusterTable(spark: SparkSession): DataFrame =
     rq.fine.select(col("cluster").cast("int").as("cluster"), col("cv"))
+  def numClusters(spark: SparkSession): Long = rq.fine.count()
 }

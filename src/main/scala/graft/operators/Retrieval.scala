@@ -300,7 +300,12 @@ object Retrieval {
     // `gen` column the build's files lack — a plain read would infer
     // one file's schema and silently DROP the stamps the read filter
     // needs. The rewrite comes out schema-uniform.
+    // gen-0 baseline restamp, same reasoning as the tombstone fold's
+    // (Tombstones.compact): no tombstones exist on this path and every
+    // future one covers any kept stamp, so collapsing the per-batch gen
+    // slices is serve-equivalent
     Tombstones.readWithGen(spark, postingsPath)
+      .withColumn("gen", org.apache.spark.sql.functions.lit(0L))
       .orderBy("term", "doc_id")
       .write.mode("overwrite").parquet(fresh.toString)
     if (fs.exists(old)) fs.delete(old, true)

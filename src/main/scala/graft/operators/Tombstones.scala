@@ -425,6 +425,15 @@ object Tombstones {
               .where(col(s"_u_$c").isNull || df(g) > col(s"_u_$c"))
               .drop(s"_t_$c", s"_u_$c")
           }
+            // the fold establishes a new GENERATION-0 BASELINE (exactly
+            // like a fresh build, whose files read as gen 0): after it
+            // no tombstone exists, and any FUTURE tombstone carries
+            // upto ≥ the current generation ≥ every kept stamp — so the
+            // restamp is serve-equivalent while collapsing the
+            // accumulated per-batch gen slices the readers pay for
+            // (TextIndex.stats' postings_slices readout; PersistSpec
+            // asserts post-compact slices = 1)
+            .withColumn(g, lit(0L))
         case None =>
           spec.filterCols.foldLeft(spark.read.parquet(dir)) { (df, c) =>
             df.join(t, df(c) === t("id"), "left_anti")

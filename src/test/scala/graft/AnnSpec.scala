@@ -596,6 +596,50 @@ class AnnSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.graph.batchChunkParallel")
   }
 
+  test("a chunk failing mid-batch rethrows AND unpersists everything the batch cached (no leaked frames)") {
+    val s = spark; import s.implicits._
+    val (base, _) = buildServingFixture()
+    val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
+    val edges = spark.read.parquet(s"$base/edges")
+    // poison ONE query row: its chunk's materialize throws at walk time
+    // (raise_error lives inside the q_vec expression, so the |q| count
+    // — a q_id-only scan — stays clean and the failure lands in the
+    // chunk loop, the window the cleanup contract covers)
+    val queries = clustered.take(40)
+      .map(e => (e.vec_id, e.embedding)).toDF("q_id", "q_vec")
+      .select(col("q_id"),
+        when(col("q_id") === 13L,
+          raise_error(lit("poisoned query 13"))).otherwise(col("q_vec")).as("q_vec"))
+    def leaked(before: Set[Int]): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    def waitDrained(before: Set[Int]): Set[Int] = {
+      // unpersist(blocking = false) + interrupted in-flight chunks drain
+      // asynchronously — poll briefly before declaring a leak
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var left = leaked(before)
+      while (left.nonEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100); left = leaked(before)
+      }
+      left
+    }
+    for (par <- Seq("1", "3")) {
+      spark.conf.set("spark.graft.graph.batchChunkParallel", par)
+      try {
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val ex = intercept[Exception] {
+          operators.GraphAnn.searchBeamBatch(entries, edges, queries,
+            "q_id", "q_vec", k = 3, beam = 8, hops = 2, maxChunk = 7).collect()
+        }
+        val chain = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+          .map(t => String.valueOf(t.getMessage)).mkString(" | ")
+        assert(chain.contains("poisoned query 13"), s"unexpected failure: $chain")
+        val left = waitDrained(before)
+        assert(left.isEmpty,
+          s"failed batch (parallel=$par) left persisted frames behind: $left")
+      } finally spark.conf.unset("spark.graft.graph.batchChunkParallel")
+    }
+  }
+
   test("routed batch search with full probes equals the exact batch kernel; the routed serving build's entries are the true fine-cluster medoids") {
     val s = spark; import s.implicits._
     val df = clustered.take(400).toDF().cache()

@@ -335,6 +335,84 @@ class ApiSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.graph.routeEntriesThreshold")
   }
 
+  test("live-entry auto-switch: the route decision reads the maintained _entrycount manifest (not the build-time routeK² proxy) and flips when mutations shrink the artifact") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(6)(Array.fill(8)(rnd.nextGaussian().toFloat * 10))
+    def mk(i: Int): (Long, Array[Float], Option[String]) = {
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat), None: Option[String])
+    }
+    val rows = (0 until 240).map(mk)
+    val dir = java.nio.file.Files.createTempDirectory("graft-api-livee").toString
+    VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+        IndexParams(ivfClusters = 6, graphK = 5, graphBeam = 8, graphHops = 2))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+      .save(dir)
+    val e0 = operators.GraphAnn.readEntryCount(spark, s"$dir/serve")
+      .getOrElse(fail("a maintained save must write the _entrycount manifest"))
+    assert(e0 >= 2 && e0 <= 6, s"expected a handful of medoid entries, got $e0")
+    var idx = VectorIndex.load(spark, dir)
+    val q = rows(10)._2
+    // routed hop 0 shows as the pushed route_cell IN filter; the
+    // unrouted plan still READS the column, so probe the filter
+    def routedPlan(): Boolean =
+      idx.search(q, 3).queryExecution.executedPlan.toString.contains("In(route_cell")
+    def withThreshold(t: Long)(body: => Unit): Unit = {
+      spark.conf.set("spark.graft.graph.routeEntriesThreshold", t.toString)
+      try body finally spark.conf.unset("spark.graft.graph.routeEntriesThreshold")
+    }
+    // threshold = live E: the live count (E0) declines the route while
+    // the old routeK² proxy (⌈√E⌉² ≥ E0, strictly above for E0 = 5..6)
+    // would have taken it — the manifest IS the decision input
+    withThreshold(e0) { assert(!routedPlan(), "switch must read the LIVE entry count") }
+    withThreshold(e0 - 1) { assert(routedPlan(), "live E above threshold must route") }
+    // empty one cluster through the maintained delete verb: its medoid
+    // entry dies with no live rows to re-seed from, the heal updates the
+    // manifest, and the SAME threshold now declines the route — the
+    // switch flips on a mutated artifact without a re-save
+    val victimCluster = operators.Tombstones.filterGen(
+        operators.Tombstones.readWithGen(spark, s"$dir/serve/entries"), dir, "id", "gen")
+      .orderBy("cluster").limit(1).collect().head.getAs[Int]("cluster")
+    val victimIds = operators.Tombstones.filterGen(
+        operators.Tombstones.readWithGen(spark, s"$dir/data"), dir, "id", "gen")
+      .where(col("cluster") === victimCluster).select("id")
+    withThreshold(e0 - 1) {
+      idx = idx.deleteAll(victimIds)
+      val e1 = operators.GraphAnn.readEntryCount(spark, s"$dir/serve").get
+      assert(e1 === e0 - 1,
+        s"emptying one cluster must drop the live entry count by exactly one ($e0 -> $e1)")
+      assert(!routedPlan(),
+        "the mutated artifact's shrunken live count must flip the switch off")
+    }
+    withThreshold(e0 - 2) { assert(routedPlan(), "still routes below the new live count") }
+  }
+
+  test("fresh-state GRAPH above the routed-K threshold refuses loudly (adopt-or-refuse at the quantizer ceiling)") {
+    val s = spark; import s.implicits._
+    val rows = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(i.toFloat / 7f), None: Option[String]))
+    val idx = VectorIndex.create(spark, IndexType.GRAPH, 8, Metric.L2,
+        IndexParams(ivfClusters = 6, graphK = 3))
+      .insertAll(rows.toDF("id", "vectors", "data"))
+    val q = Array.fill(8)(1f)
+    spark.conf.set("spark.graft.routed.kThreshold", "4")
+    try {
+      // the in-plan fresh-state path would keep a flat K-proportional
+      // literal past the routed ceiling — it must refuse and point at
+      // the persisted lifecycle, on the single AND the batch arm
+      val ex = intercept[IllegalArgumentException] { idx.search(q, 3) }
+      assert(ex.getMessage.contains("save()"), ex.getMessage)
+      val ex2 = intercept[IllegalArgumentException] {
+        idx.searchBatch(Seq((1L, q.toSeq)).toDF("q_id", "q_vec"), 3)
+      }
+      assert(ex2.getMessage.contains("routed-K threshold"), ex2.getMessage)
+    } finally spark.conf.unset("spark.graft.routed.kThreshold")
+    // below the threshold the in-plan fresh-state path serves as before
+    assert(idx.search(q, 3).count() === 3L)
+  }
+
   test("maintained GRAPH lifecycle ADOPTS the routed quantizer above the K threshold: save persists the two-level table, every verb assigns against it frozen, searches stay consistent") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions.col

@@ -400,11 +400,28 @@ class PersistSpec extends SparkSpec {
       "append batches must add term-spanning files (the degradation compaction exists for)")
     val appended = idx.search(terms, k = 10).collect().map(_.toSeq).toSeq
 
+    // the slice readout prices the compaction cadence: one gen slice per
+    // mutating batch accumulates (build = gen 0 + two appends = 3), and
+    // stats counts the physical files a full read opens
+    def slices(): (Long, Long) = {
+      val r = idx.stats.collect().head
+      (r.getAs[Long]("postings_slices"), r.getAs[Long]("postings_files"))
+    }
+    val (preSlices, preFiles) = slices()
+    assert(preSlices === 3L,
+      s"build + 2 appends must read as 3 gen slices, got $preSlices")
+    assert(preFiles >= 3L, "each appended batch lands at least one file")
+
     idx.compact()
     // pruning returns to build granularity: the term query draws from
     // no more files than the pre-append layout did
     assert(filesHit() <= preAppend,
       "post-compaction term pruning must return to build-level file counts")
+    // ...and the fold collapses the generational slices to the gen-0
+    // baseline (the PersistSpec contract behind TextIndex.stats'
+    // postings_slices readout)
+    assert(slices()._1 === 1L,
+      "post-compact postings must read as ONE gen-0 slice")
     // ...and compaction only re-sorts: answers are unchanged, and equal
     // to a from-scratch index over the full corpus
     assert(idx.search(terms, k = 10).collect().map(_.toSeq).toSeq === appended)
