@@ -191,8 +191,8 @@ object Oracles {
     * and constants mirror [[Queries.bm25Terms]] /
     * [[operators.Retrieval.bm25TopK]] expression-for-expression.
     */
-  private def bm25Ctes(k: Int, where: String = ""): String =
-    s"""t AS (SELECT doc_id, $toks AS toks FROM documents$where),
+  private def bm25Ctes(k: Int, where: String = "", from: String = "documents"): String =
+    s"""t AS (SELECT doc_id, $toks AS toks FROM $from$where),
        |st AS (SELECT count(*) AS n_corpus, CAST(sum(len(toks)) AS BIGINT) AS sum_dl FROM t),
        |p0 AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t),
        |p AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM p0
@@ -775,6 +775,271 @@ object Oracles {
        |SELECT CAST(row_number() OVER (ORDER BY dist, id) AS INT) AS rank, id,
        |       (round((dist) * 10000.0) / 10000.0) AS value
        |FROM v$hops ORDER BY dist, id LIMIT $k""".stripMargin
+
+  /** The MUTATED maintained-GRAPH lifecycle re-derived end-to-end — the
+    * DuckDB twin of [[Queries.annGraphMutated]], given the artifact's
+    * frozen quantizer as literals. Replays the ENTIRE verb chain the
+    * facade ran (gen 0 build → gen 1 insert → gen 2 upsert → gen 3
+    * delete) from spec arithmetic:
+    *
+    *  - gen-0 state: assignment/medoids/blocked-graph/symmetrized edges
+    *    over the ORIGINAL corpus (the standard base chain);
+    *  - per mutating generation: the batch's cluster assignment against
+    *    the frozen centroids, its serve-edge append (top-`graphK` vs
+    *    the LIVE standing rows of the touched clusters minus the batch
+    *    ids, symmetrized) — [[graft.operators.GraphMaintenance.appendServeEdges]];
+    *  - the generation-scoped tombstone algebra: upsert targets die at
+    *    upto = 1, deletes at upto = 2; an edge at gen γ dies iff an
+    *    endpoint's tombstone covers γ — so gen-2 replacement edges of
+    *    an upserted id outlive its gen-1 tombstone while its gen-0
+    *    edges die ([[graft.operators.Tombstones.filterEdgesGen]]);
+    *  - the medoid re-seed heal per generation (clusters with live rows
+    *    but no live entry get the nearest live row, ties lowest id);
+    *  - the starved-node re-link per generation with tombstones: the
+    *    victims' live out-neighbors, their MULTISET live out-degree,
+    *    the < graphK/2 floor, fresh top-`graphK` edges minus standing
+    *    live pairs, symmetrized
+    *    ([[graft.operators.GraphMaintenance.relinkStarved]]);
+    *  - finally the standard unrolled beam walk over the LIVE entries /
+    *    edges / vectors.
+    *
+    * Any drift in the protocol — resurrection, a missed heal, a
+    * mis-scoped tombstone, a wrong candidate set — lands on different
+    * rows and goes hash-red.
+    */
+  private def mutatedGraphBeamSql(cents: Array[Array[Float]],
+                                  insertId: Long, insertSrc: Long,
+                                  upserts: Seq[(Long, Long)], deletes: Seq[Long],
+                                  queryId: Long, graphK: Int, beam: Int,
+                                  hops: Int, k: Int): String = {
+    val ut = upserts.map(_._1)
+    val utL = ut.mkString(", ")
+    val dlL = deletes.mkString(", ")
+    val all4 = (ut ++ deletes).mkString(", ")
+    val halfK = math.max(1, graphK / 2)
+    val u2rows = upserts.map { case (tgt, src) =>
+      s"SELECT CAST($tgt AS BIGINT) AS vec_id, (SELECT embedding FROM embeddings WHERE vec_id = $src) AS embedding"
+    }.mkString("\n       |       UNION ALL ").stripMargin
+    // the walk over the live view: hop scoring joins lv3 (every live
+    // edge's dst_vec equals the dst's live vector — an edge referencing
+    // a superseded row is dead by the generation rule)
+    val hopCtes = (1 to hops).map { h =>
+      val fresh = if (h == 1) "wv0" else s"ws${h - 1}"
+      val prev = if (h == 1) "wv0" else s"wv${h - 1}"
+      s"""wf$h AS (SELECT id FROM $fresh ORDER BY dist, id LIMIT $beam),
+         |wx$h AS (SELECT DISTINCT s.dst AS id FROM wf$h f JOIN msym s ON s.src = f.id
+         |        WHERE s.dst NOT IN (SELECT id FROM $prev)),
+         |ws$h AS (SELECT x.id, ${l2("l.embedding", "q.qv")} AS dist
+         |        FROM wx$h x JOIN lv3 l ON l.vec_id = x.id, q),
+         |wv$h AS (SELECT * FROM $prev UNION ALL SELECT * FROM ws$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cents AS ${paramRows(cents, "cid", "cv")},
+       |asg AS MATERIALIZED (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |own AS MATERIALIZED (SELECT vec_id, cid, d2 FROM asg
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |cl AS MATERIALIZED (SELECT vec_id, cid FROM own),
+       |med AS MATERIALIZED (SELECT cid, vec_id AS id FROM own
+       |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) = 1),
+       |d AS MATERIALIZED (SELECT a.vec_id AS q_id, b.vec_id AS n_id, ${l2("ea.embedding", "eb.embedding")} AS score
+       |      FROM cl a JOIN cl b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+       |      JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |      JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |g AS MATERIALIZED (SELECT q_id, n_id FROM d
+       |      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY score, n_id) <= $graphK),
+       |e0 AS MATERIALIZED (SELECT q_id AS src, n_id AS dst FROM g
+       |        UNION SELECT n_id AS src, q_id AS dst FROM g),
+       |u1 AS (SELECT CAST($insertId AS BIGINT) AS vec_id,
+       |              (SELECT embedding FROM embeddings WHERE vec_id = $insertSrc) AS embedding),
+       |u2 AS ($u2rows),
+       |uc1 AS (SELECT u.vec_id, c.cid FROM u1 u CROSS JOIN cents c
+       |        QUALIFY row_number() OVER (PARTITION BY u.vec_id
+       |          ORDER BY ${l2sq("u.embedding", "c.cv")}, c.cid) = 1),
+       |uc2 AS (SELECT u.vec_id, c.cid FROM u2 u CROSS JOIN cents c
+       |        QUALIFY row_number() OVER (PARTITION BY u.vec_id
+       |          ORDER BY ${l2sq("u.embedding", "c.cv")}, c.cid) = 1),
+       |lv1 AS MATERIALIZED (SELECT cl.vec_id, e.embedding, cl.cid
+       |        FROM cl JOIN embeddings e USING (vec_id)
+       |        UNION ALL SELECT u.vec_id, u.embedding, uc1.cid FROM u1 u JOIN uc1 USING (vec_id)),
+       |lv2 AS MATERIALIZED (SELECT * FROM lv1 WHERE vec_id NOT IN ($utL)
+       |        UNION ALL SELECT u.vec_id, u.embedding, uc2.cid FROM u2 u JOIN uc2 USING (vec_id)),
+       |lv3 AS MATERIALIZED (SELECT * FROM lv2 WHERE vec_id NOT IN ($dlL)),
+       |b1 AS (SELECT u.vec_id, u.embedding, uc1.cid FROM u1 u JOIN uc1 USING (vec_id)),
+       |cand1 AS (SELECT cl.vec_id, e.embedding, cl.cid FROM cl JOIN embeddings e USING (vec_id)
+       |          WHERE cl.cid IN (SELECT DISTINCT cid FROM uc1) AND cl.vec_id <> $insertId
+       |          UNION ALL SELECT * FROM b1),
+       |e1g AS (SELECT b.vec_id AS q_id, c.vec_id AS id FROM b1 b
+       |        JOIN cand1 c ON c.cid = b.cid AND c.vec_id <> b.vec_id
+       |        QUALIFY row_number() OVER (PARTITION BY b.vec_id
+       |          ORDER BY ${l2("c.embedding", "b.embedding")}, c.vec_id) <= $graphK),
+       |e1 AS (SELECT q_id AS src, id AS dst FROM e1g UNION SELECT id, q_id FROM e1g),
+       |miss1 AS (SELECT c.cid, c.cv FROM cents c WHERE c.cid NOT IN (SELECT cid FROM med)),
+       |ent1 AS (SELECT l.cid, l.vec_id AS id FROM lv1 l JOIN miss1 m ON m.cid = l.cid
+       |        QUALIFY row_number() OVER (PARTITION BY l.cid
+       |          ORDER BY ${l2sq("l.embedding", "m.cv")}, l.vec_id) = 1),
+       |b2 AS (SELECT u.vec_id, u.embedding, uc2.cid FROM u2 u JOIN uc2 USING (vec_id)),
+       |cand2 AS (SELECT l.vec_id, l.embedding, l.cid FROM lv1 l
+       |          WHERE l.cid IN (SELECT DISTINCT cid FROM uc2) AND l.vec_id NOT IN ($utL)
+       |          UNION ALL SELECT * FROM b2),
+       |e2g AS (SELECT b.vec_id AS q_id, c.vec_id AS id FROM b2 b
+       |        JOIN cand2 c ON c.cid = b.cid AND c.vec_id <> b.vec_id
+       |        QUALIFY row_number() OVER (PARTITION BY b.vec_id
+       |          ORDER BY ${l2("c.embedding", "b.embedding")}, c.vec_id) <= $graphK),
+       |e2 AS (SELECT q_id AS src, id AS dst FROM e2g UNION SELECT id, q_id FROM e2g),
+       |le2 AS (SELECT cid, id FROM med WHERE id NOT IN ($utL)
+       |        UNION ALL SELECT cid, id FROM ent1),
+       |miss2 AS (SELECT c.cid, c.cv FROM cents c WHERE c.cid NOT IN (SELECT cid FROM le2)),
+       |ent2 AS (SELECT l.cid, l.vec_id AS id FROM lv2 l JOIN miss2 m ON m.cid = l.cid
+       |        QUALIFY row_number() OVER (PARTITION BY l.cid
+       |          ORDER BY ${l2sq("l.embedding", "m.cv")}, l.vec_id) = 1),
+       |pe2 AS MATERIALIZED (SELECT src, dst, 0 AS gen FROM e0
+       |        UNION ALL SELECT src, dst, 1 FROM e1
+       |        UNION ALL SELECT src, dst, 2 FROM e2),
+       |affl2 AS (SELECT DISTINCT p.dst AS id FROM pe2 p
+       |          WHERE p.src IN ($utL) AND p.dst IN (SELECT vec_id FROM lv2)),
+       |ledge2 AS MATERIALIZED (SELECT p.src, p.dst FROM pe2 p
+       |          WHERE p.src IN (SELECT id FROM affl2)
+       |            AND (p.gen > 1 OR (p.src NOT IN ($utL) AND p.dst NOT IN ($utL)))),
+       |deg2 AS (SELECT src, count(*) AS deg FROM ledge2 GROUP BY src),
+       |st2 AS (SELECT a.id FROM affl2 a LEFT JOIN deg2 d2x ON d2x.src = a.id
+       |        WHERE coalesce(d2x.deg, 0) < $halfK),
+       |f2d AS (SELECT s.vec_id AS q_id, c.vec_id AS id, ${l2("c.embedding", "s.embedding")} AS sc
+       |        FROM lv2 s JOIN lv2 c ON c.cid = s.cid AND c.vec_id <> s.vec_id
+       |        WHERE s.vec_id IN (SELECT id FROM st2)),
+       |f2g AS (SELECT q_id, id FROM f2d
+       |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sc, id) <= $graphK),
+       |f2n AS (SELECT q_id, id FROM f2g
+       |        WHERE NOT EXISTS (SELECT 1 FROM ledge2 e WHERE e.src = f2g.q_id AND e.dst = f2g.id)),
+       |r2 AS (SELECT q_id AS src, id AS dst FROM f2n UNION SELECT id, q_id FROM f2n),
+       |le3 AS (SELECT cid, id FROM med WHERE id NOT IN ($all4)
+       |        UNION ALL SELECT cid, id FROM ent1 WHERE id NOT IN ($dlL)
+       |        UNION ALL SELECT cid, id FROM ent2 WHERE id NOT IN ($dlL)),
+       |miss3 AS (SELECT c.cid, c.cv FROM cents c WHERE c.cid NOT IN (SELECT cid FROM le3)),
+       |ent3 AS (SELECT l.cid, l.vec_id AS id FROM lv3 l JOIN miss3 m ON m.cid = l.cid
+       |        QUALIFY row_number() OVER (PARTITION BY l.cid
+       |          ORDER BY ${l2sq("l.embedding", "m.cv")}, l.vec_id) = 1),
+       |pe3 AS MATERIALIZED (SELECT src, dst, gen FROM pe2
+       |        UNION ALL SELECT src, dst, 2 AS gen FROM r2),
+       |affl3 AS (SELECT DISTINCT p.dst AS id FROM pe3 p
+       |          WHERE p.src IN ($dlL) AND p.dst IN (SELECT vec_id FROM lv3)),
+       |ledge3 AS MATERIALIZED (SELECT p.src, p.dst FROM pe3 p
+       |          WHERE p.src IN (SELECT id FROM affl3)
+       |            AND (CASE WHEN p.gen <= 1
+       |                 THEN p.src NOT IN ($all4) AND p.dst NOT IN ($all4)
+       |                 ELSE p.src NOT IN ($dlL) AND p.dst NOT IN ($dlL) END)),
+       |deg3 AS (SELECT src, count(*) AS deg FROM ledge3 GROUP BY src),
+       |st3 AS (SELECT a.id FROM affl3 a LEFT JOIN deg3 d3x ON d3x.src = a.id
+       |        WHERE coalesce(d3x.deg, 0) < $halfK),
+       |f3d AS (SELECT s.vec_id AS q_id, c.vec_id AS id, ${l2("c.embedding", "s.embedding")} AS sc
+       |        FROM lv3 s JOIN lv3 c ON c.cid = s.cid AND c.vec_id <> s.vec_id
+       |        WHERE s.vec_id IN (SELECT id FROM st3)),
+       |f3g AS (SELECT q_id, id FROM f3d
+       |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY sc, id) <= $graphK),
+       |f3n AS (SELECT q_id, id FROM f3g
+       |        WHERE NOT EXISTS (SELECT 1 FROM ledge3 e WHERE e.src = f3g.q_id AND e.dst = f3g.id)),
+       |r3 AS (SELECT q_id AS src, id AS dst FROM f3n UNION SELECT id, q_id FROM f3n),
+       |ment AS (SELECT DISTINCT id FROM (SELECT id FROM le3 UNION ALL SELECT id FROM ent3)),
+       |msym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |        SELECT src, dst FROM pe2 WHERE gen <= 1
+       |          AND src NOT IN ($all4) AND dst NOT IN ($all4)
+       |        UNION ALL SELECT src, dst FROM pe2 WHERE gen = 2
+       |          AND src NOT IN ($dlL) AND dst NOT IN ($dlL)
+       |        UNION ALL SELECT src, dst FROM r2
+       |          WHERE src NOT IN ($dlL) AND dst NOT IN ($dlL)
+       |        UNION ALL SELECT src, dst FROM r3)),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = $queryId),
+       |wv0 AS (SELECT m.id, ${l2("l.embedding", "q.qv")} AS dist
+       |        FROM ment m JOIN lv3 l ON l.vec_id = m.id, q),
+       |$hopCtes
+       |SELECT CAST(row_number() OVER (ORDER BY dist, id) AS INT) AS rank, id,
+       |       (round((dist) * 10000.0) / 10000.0) AS value
+       |FROM wv$hops ORDER BY dist, id LIMIT $k""".stripMargin
+  }
+
+  /** Per-phase walk cost profile — the DuckDB twin of
+    * [[Queries.annGraphCostModel]]: the same unrolled walk CTEs, with
+    * each phase COUNTED instead of cut — hop 0's scored entries (full
+    * vs what the entry route at `routeProbe` would score), per round
+    * the edge rows the frontier join reads and the new candidates
+    * scored.
+    */
+  private def graphCostModelSql(cents: Array[Array[Float]],
+                                routeCents: Array[Array[Float]],
+                                queryId: Long, graphK: Int, beam: Int,
+                                hops: Int, routeProbe: Int): String = {
+    val perHop = (1 to hops).map { h =>
+      s"""UNION ALL SELECT 'h${h}_edge_rows' AS phase, CAST(count(*) AS BIGINT) AS n_rows
+         |FROM f$h f JOIN sym s ON s.src = f.id
+         |UNION ALL SELECT 'h${h}_scored', CAST(count(*) AS BIGINT) FROM x$h""".stripMargin
+    }.mkString("\n")
+    s"""WITH ${graphWalkCtes(cents, queryId, graphK, beam, hops)},
+       |rt AS ${paramRows(routeCents, "rid", "rv")},
+       |mcell AS (SELECT id, rid FROM (
+       |          SELECT m.id, r.rid, ${l2sq("e.embedding", "r.rv")} AS d2
+       |          FROM med m JOIN embeddings e ON e.vec_id = m.id CROSS JOIN rt r) t
+       |        QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, rid) = 1),
+       |qrt AS (SELECT rid FROM (SELECT r.rid, ${l2sq("q.qv", "r.rv")} AS d2
+       |          FROM rt r, q) t
+       |        QUALIFY row_number() OVER (ORDER BY d2, rid) <= $routeProbe)
+       |SELECT phase, n_rows FROM (
+       |SELECT 'h0_entries_scored' AS phase, CAST(count(*) AS BIGINT) AS n_rows FROM v0
+       |UNION ALL SELECT 'h0_routed_entries', CAST(count(*) AS BIGINT)
+       |FROM mcell mc JOIN qrt ON qrt.rid = mc.rid
+       |$perHop
+       |) ORDER BY phase""".stripMargin
+  }
+
+  /** Route-health watchdog — the DuckDB twin of
+    * [[Queries.annGraphRouteHealth]]: exact vs routed top-3 entry
+    * overlap per sampled query at each routeProbe, exact-integer hit
+    * sums with one division at the end.
+    */
+  private def routeHealthSql(cents: Array[Array[Float]],
+                             routeCents: Array[Array[Float]],
+                             rps: Seq[Int]): String = {
+    val perRp = rps.map { rp =>
+      s"""qr$rp AS (SELECT q_id, rid FROM (
+         |          SELECT qs.q_id, r.rid, ${l2sq("qs.qv", "r.rv")} AS d2
+         |          FROM qs CROSS JOIN rt r) t
+         |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, rid) <= $rp),
+         |ro$rp AS (SELECT q_id, id FROM (
+         |          SELECT s.q_id, s.id, s.dist FROM sc s
+         |          JOIN qr$rp qq ON qq.q_id = s.q_id AND qq.rid = s.rid) t
+         |        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, id) <= 3),
+         |h$rp AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS h FROM ex e
+         |        JOIN ro$rp r ON r.q_id = e.q_id AND r.id = e.id GROUP BY e.q_id),
+         |row$rp AS (SELECT CAST($rp AS INT) AS route_probe,
+         |          CAST(count(*) AS BIGINT) AS n_queries,
+         |          CAST(sum(h) AS BIGINT) AS sum_hits,
+         |          CAST(min(h) AS BIGINT) AS min_hits
+         |        FROM (SELECT qs.q_id, coalesce(hh.h, 0) AS h
+         |              FROM qs LEFT JOIN h$rp hh ON hh.q_id = qs.q_id) t)""".stripMargin
+    }.mkString(",\n")
+    val unions = rps.map(rp => s"SELECT * FROM row$rp").mkString(" UNION ALL ")
+    s"""WITH cents AS ${paramRows(cents, "cid", "cv")},
+       |asg AS (SELECT e.vec_id, c.cid, ${l2sq("e.embedding", "c.cv")} AS d2
+       |        FROM embeddings e CROSS JOIN cents c),
+       |own AS (SELECT vec_id, cid, d2 FROM asg
+       |        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+       |med AS (SELECT vec_id AS id FROM own
+       |        QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) = 1),
+       |rt AS ${paramRows(routeCents, "rid", "rv")},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |mcell AS (SELECT id, rid FROM (
+       |          SELECT m.id, r.rid, ${l2sq("e.embedding", "r.rv")} AS d2
+       |          FROM med m JOIN embeddings e ON e.vec_id = m.id CROSS JOIN rt r) t
+       |        QUALIFY row_number() OVER (PARTITION BY id ORDER BY d2, rid) = 1),
+       |sc AS MATERIALIZED (SELECT qs.q_id, m.id, mc.rid, ${l2("e.embedding", "qs.qv")} AS dist
+       |      FROM med m JOIN embeddings e ON e.vec_id = m.id
+       |      JOIN mcell mc ON mc.id = m.id CROSS JOIN qs),
+       |ex AS (SELECT q_id, id FROM sc
+       |       QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY dist, id) <= 3),
+       |$perRp
+       |SELECT route_probe, n_queries, sum_hits,
+       |       (round((CAST(sum_hits AS DOUBLE) / (CAST(n_queries AS DOUBLE) * 3.0)) * 10000.0) / 10000.0) AS avg_recall,
+       |       (round((CAST(min_hits AS DOUBLE) / 3.0) * 10000.0) / 10000.0) AS min_recall
+       |FROM ($unions) ORDER BY route_probe""".stripMargin
+  }
 
   /** Graph-ANN beam serve — the DuckDB twin of [[Queries.annGraph]]
     * (with `where`, of [[Queries.filteredAnnGraph]]: the walk over the
@@ -1675,6 +1940,32 @@ object Oracles {
           where = " WHERE e.label = 2",
           route = Some((routeCentsFlt, operators.GraphAnn.RouteProbe)))
       },
+      // the MUTATED maintained lifecycle: centroids read from the
+      // artifact the facade save froze; the oracle replays the whole
+      // verb chain (insert/upsert/delete + edges/tombstones/heals/
+      // re-links) from them — see mutatedGraphBeamSql
+      "ann_graph_mutated" -> {
+        val base = Queries.mutatedGraphPath(spark, dir)
+        val mcents = operators.IvfIndex.readCentroids(spark, s"$base/centroids")
+        mutatedGraphBeamSql(mcents, Queries.graphMutInsertId,
+          Queries.graphMutInsertSrc, Queries.graphMutUpserts,
+          Queries.graphMutDeletes,
+          queryId = 13L, graphK = 16, beam = 8, hops = 3, k = 10)
+      },
+      // per-phase walk cost profile over the standing serving artifact
+      "ann_graph_cost_model" -> {
+        val routeCents = operators.IvfIndex.readCentroids(spark,
+          s"${Queries.graphServePath(spark, dir)}/route")
+        graphCostModelSql(scaledCents, routeCents, queryId = 13L,
+          graphK = 16, beam = 8, hops = 3,
+          routeProbe = operators.GraphAnn.RouteProbe)
+      },
+      // frozen-route recall watchdog at routeProbe 1/2/4
+      "ann_graph_route_health" -> {
+        val routeCents = operators.IvfIndex.readCentroids(spark,
+          s"${Queries.graphServePath(spark, dir)}/route")
+        routeHealthSql(scaledCents, routeCents, Seq(1, 2, 4))
+      },
       // the ROUTED-QUANTIZER builder branch forced to oracle scale: the
       // quantizer tables come from the artifact itself (buildServingRouted
       // persists them — distributed Lloyd means are not bit-stable
@@ -2195,6 +2486,31 @@ object Oracles {
       s"""WITH ${bm25Ctes(10)}
          |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
          |FROM bm ORDER BY rank""".stripMargin,
+
+    // The MUTATED text index (Queries.mutatedTextPath: append + upsert +
+    // delete through the facade verbs): BM25 re-derived over the MERGED
+    // latest-wins corpus — documents minus the deleted ids, the
+    // upserted docs' texts REPLACED, the appended doc added. doc 7 is
+    // upserted at gen 2 and deleted at gen 3, so its replacement rows
+    // must die too (tombstone layering); doc 3's gen-2 rows must
+    // outlive its gen-1 tombstone. N, avgdl, df, tf all shift with the
+    // merge — a resurrected generation or half-applied publish lands on
+    // different stats and goes hash-red.
+    "bm25_topk_mutated" -> {
+      val gone = (Queries.bm25MutDeletes ++
+        Queries.bm25MutUpserts.map(_._1)).distinct.sorted.mkString(", ")
+      val added = (Queries.bm25MutUpserts.filterNot(u =>
+          Queries.bm25MutDeletes.contains(u._1))
+        ++ Seq(Queries.bm25MutAppendId -> Queries.bm25MutAppendText))
+        .map { case (id, text) =>
+          s"SELECT CAST($id AS BIGINT) AS doc_id, '${text}' AS text" }
+        .mkString("\n         UNION ALL ")
+      s"""WITH docm AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN ($gone)
+         |         UNION ALL $added),
+         |${bm25Ctes(10, from = "docm")}
+         |SELECT rank, doc_id, (round((s6 / 1000000.0) * 10000.0) / 10000.0) AS score
+         |FROM bm ORDER BY rank""".stripMargin
+    },
 
     // Phrase search: phrase tf re-derived from RAW text (count of
     // positions i where toks[i] = t1 and toks[i+1] = t2 — the oracle

@@ -449,7 +449,7 @@ object Queries {
     */
   private def servingRoute(spark: SparkSession, base: String,
                            force: Boolean): Option[(Array[Array[Float]], Int)] =
-    operators.GraphAnn.servingRoute(spark, s"$base/route", force)
+    operators.GraphAnn.servingRoute(spark, base, force)
 
   def knnBatchGraph(spark: SparkSession, dir: String): DataFrame =
     knnBatchGraphImpl(spark, dir, forceRoute = false)
@@ -518,6 +518,165 @@ object Queries {
       operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1 k=16 routed-forced")) { tmp =>
       buildServingScaled(Tables.embeddings(spark, dir), threshold = 0L, tmp)
     }
+
+  /** The MUTATED maintained-GRAPH lifecycle, parameterized for the
+    * hash-gated keyed row [[annGraphMutated]]: ids the verbs touch and
+    * the standing rows whose vectors the insert/upsert batches reuse
+    * (request-side data either way — reusing corpus vectors keeps the
+    * oracle free of float-arithmetic literals). All ids exist at every
+    * SF (embeddings ≥ 500 rows).
+    */
+  private[graft] val graphMutInsertId = 100001L
+  private[graft] val graphMutInsertSrc = 202L
+  private[graft] val graphMutUpserts = Seq((3L, 403L), (59L, 459L))
+  private[graft] val graphMutDeletes = Seq(5L, 41L)
+
+  /** The maintained-GRAPH artifact AFTER a full verb chain — built once
+    * per corpus under the [[operators.Artifacts]] lifecycle with the
+    * mutations executed INSIDE the resolve (deterministic fingerprint):
+    * facade save at generation 0 (frozen flat quantizer, gen-stamped
+    * data/serving layouts, `_ids` probe sidecar, `_rowcount` manifest),
+    * then through the loaded handle's maintenance verbs —
+    * gen 1 INSERT of a new node, gen 2 latest-wins UPSERT of two
+    * standing ids (the reference's PRIMARY verb,
+    * vector_database.rs:24-83), gen 3 DELETE of two more. Every
+    * protocol step the verbs run — marker, cluster-partitioned batch
+    * append, symmetrized serve-edge append against the live standing
+    * side, generation-scoped tombstone publish, medoid re-seed heal,
+    * starved-node re-link probe, live-entry manifest — lands in the
+    * committed artifact, and the oracle re-derives ALL of it
+    * ([[Oracles]] mutatedGraphBeamSql) from the persisted centroid
+    * literals: merged latest-wins corpus, per-generation edge sets,
+    * tombstone-surviving entries/edges, heal medoids, re-link degrees,
+    * then the full unrolled walk over the LIVE view. A drift anywhere
+    * in the mutation machinery — a resurrection bug, a missed heal, a
+    * mis-scoped tombstone — goes hash-red at every SF.
+    */
+  private[graft] def mutatedGraphPath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "vindex_mut",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1 graph verbs i/u/d")) { tmp =>
+      import spark.implicits._
+      val emb = Tables.embeddings(spark, dir)
+      api.VectorIndex.create(spark, api.IndexType.GRAPH, 64, api.Metric.L2)
+        .insertAll(emb.select(col("vec_id").as("id"), col("embedding").as("vectors")))
+        .save(tmp)
+      var idx = api.VectorIndex.load(spark, tmp)
+      idx = idx.insertAll(emb.where(col("vec_id") === graphMutInsertSrc)
+        .select(lit(graphMutInsertId).as("id"), col("embedding").as("vectors")))
+      val upsertTo = graphMutUpserts.map(_.swap).toMap // src -> target id
+      idx = idx.upsertAll(emb.where(col("vec_id").isin(upsertTo.keys.toSeq: _*))
+        .select(upsertTo.foldLeft(lit(null).cast("long")) { case (acc, (src, tgt)) =>
+            when(col("vec_id") === src, lit(tgt)).otherwise(acc)
+          }.as("id"),
+          col("embedding").as("vectors")))
+      idx.deleteAll(graphMutDeletes.toDF("id"))
+      ()
+    }
+
+  /** Walk the MUTATED maintained artifact through the production facade
+    * (load → search): the keyed hash gate on the whole mutation
+    * machinery — see [[mutatedGraphPath]].
+    */
+  def annGraphMutated(spark: SparkSession, dir: String): DataFrame = {
+    val path = mutatedGraphPath(spark, dir)
+    api.VectorIndex.load(spark, path).search(queryVec(spark, dir, 13L), k = 10)
+  }
+
+  /** The graph walk's PER-PHASE cost profile — the serving-side twin of
+    * [[annCostModel]] ([[lookupCostModel]]'s discipline applied to the
+    * beam walk): for the fixed walk (query 13, beam 8, hops 3) over the
+    * standing serving artifact, the rows each phase touches — hop 0's
+    * scored entry rows (full-entry vs what the ENTRY ROUTE at
+    * routeProbe 2 would score instead) and, per expansion round, the
+    * edge rows the frontier join reads and the new candidates scored.
+    * This is the measured readout the √E-vs-log E routing decision
+    * waits on: route-over-route (another hierarchy level) is only worth
+    * building if h0_entries_scored dominates the per-hop edge rows —
+    * now a number in an artifact, not a guess. Everything derives from
+    * the same lazy walk frames the serving plan runs; the oracle
+    * re-derives every phase count from the unrolled walk CTEs.
+    */
+  def annGraphCostModel(spark: SparkSession, dir: String): DataFrame = {
+    val base = graphServePath(spark, dir)
+    val qv = queryVec(spark, dir, 13L)
+    val entries = spark.read.parquet(s"$base/entries")
+    val edges = spark.read.parquet(s"$base/edges")
+    val routeCents = operators.IvfIndex.readCentroids(spark, s"$base/route")
+    val beam = 8
+    val states = operators.GraphAnn.beamStates(
+      entries.select(col("id"), col("vec")), edges, qv, beam = beam, hops = 3)
+    def phaseRow(phase: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(phase).as("phase"), col("n_rows"))
+    // newly-scored frame of round h (states are cumulative and disjoint
+    // per round by the visited anti-join)
+    def freshAt(h: Int): DataFrame =
+      if (h == 0) states(0)
+      else states(h).join(states(h - 1).select("id"), Seq("id"), "left_anti")
+    val rows =
+      phaseRow("h0_entries_scored", states(0)) +:
+      phaseRow("h0_routed_entries",
+        operators.GraphAnn.routeEntries(entries, routeCents, qv,
+          operators.GraphAnn.RouteProbe)) +:
+      (1 to 3).flatMap { h =>
+        val frontier = freshAt(h - 1).orderBy(col("dist"), col("id")).limit(beam)
+          .select(col("id"))
+        Seq(
+          phaseRow(s"h${h}_edge_rows",
+            broadcast(frontier).join(edges, frontier("id") === edges("src_id"))),
+          phaseRow(s"h${h}_scored", freshAt(h)))
+      }
+    rows.reduce(_ unionAll _).orderBy("phase")
+  }
+
+  /** Route-health watchdog — the frozen entry route's recall readout
+    * (the CHURN experiment's metric as a standing keyed artifact): for
+    * every sampled query (vec_id % 100 == 0), the overlap between the
+    * exact top-3 entries (full hop 0) and the ROUTED top-3 (entries in
+    * the query's routeProbe nearest route cells), at routeProbe 1/2/4.
+    * A corpus that drifts from the build distribution degrades
+    * avg_recall here FIRST — the measured trigger for a route re-fit
+    * (save()), replacing "re-fit when it feels slow". Exact-integer hit
+    * sums, one division at the end; oracle re-derives medoids, route
+    * cells and both top-3 sets from the spliced literals.
+    */
+  def annGraphRouteHealth(spark: SparkSession, dir: String): DataFrame = {
+    val base = graphServePath(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val entries = spark.read.parquet(s"$base/entries")
+      .select(col("id"), col("vec"), col("route_cell"))
+    val routeCents = operators.IvfIndex.readCentroids(spark, s"$base/route")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val perQ = Window.partitionBy("q_id").orderBy(col("dist"), col("id"))
+    val scored = queries.crossJoin(broadcast(entries))
+      .select(col("q_id"), col("q_vec"), col("id"), col("route_cell"),
+        Knn.score("l2", col("vec"), col("q_vec")).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val exact = scored
+      .withColumn("rn", row_number().over(perQ)).where(col("rn") <= 3)
+      .select(col("q_id"), col("id"))
+    Seq(1, 2, 4).map { rp =>
+      val routed = scored
+        .where(array_contains(
+          nearestCentroids(col("q_vec"), routeCents, rp), col("route_cell")))
+        .withColumn("rn", row_number().over(perQ)).where(col("rn") <= 3)
+        .select(col("q_id"), col("id"))
+      val hits = exact.join(routed, Seq("q_id", "id"), "leftsemi")
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      queries.select("q_id")
+        .join(hits, Seq("q_id"), "left_outer")
+        .select(coalesce(col("h"), lit(0L)).as("h"))
+        .agg(count(lit(1)).as("n_queries"), sum("h").as("sum_hits"),
+          min("h").as("min_hits"))
+        .select(lit(rp).as("route_probe"), col("n_queries"),
+          col("sum_hits"),
+          roundTo(col("sum_hits").cast("double")
+            / (col("n_queries").cast("double") * 3.0), 4).as("avg_recall"),
+          roundTo(col("min_hits").cast("double") / 3.0, 4).as("min_recall"))
+    }.reduce(_ unionAll _).orderBy("route_probe")
+  }
 
   /** The graph walk's tuning curve: recall@10 after h ∈ {0..3} expansion
     * rounds (h = 0 is the medoid entries alone) against the exact
@@ -1407,6 +1566,57 @@ object Queries {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     operators.Retrieval.bm25TopKFromIndex(textPostings(spark, dir),
       textDocLengths(spark, dir), bm25Terms, k = 10)
+
+  /** The MUTATED text-index lifecycle, parameterized for the hash-gated
+    * keyed row [[bm25TopKMutated]]. Replacement/append texts are plain
+    * lowercase words (tokenizer-trivial) carrying query terms, so the
+    * mutations MOVE the BM25 answer: stats (N, sum_dl), df and tf all
+    * shift, and a resurrection or missed tombstone shifts them
+    * differently.
+    */
+  private[graft] val bm25MutAppendId = 100000L
+  private[graft] val bm25MutAppendText =
+    "spark join vector hash window spark spark stream"
+  private[graft] val bm25MutUpserts = Seq(
+    3L -> "spark hash join window vector spark table pipeline",
+    7L -> "window window vector hash corpus stream join")
+  private[graft] val bm25MutDeletes = Seq(7L, 11L)
+
+  /** The TextIndex artifact AFTER a full verb chain — build at gen 0,
+    * then through the facade verbs under the `_inflight` marker + atomic
+    * `_pubgen` publish protocol: gen 1 APPEND of a new document, gen 2
+    * latest-wins UPSERT of two standing docs (re-tokenize the batch
+    * only, tombstone the superseded postings/doclen rows at upto=g-1),
+    * gen 3 DELETE of two ids — one of them the just-upserted doc 7, so
+    * the tombstone LAYERING is load-bearing (its gen-2 rows must die
+    * under the gen-3 tombstone while doc 3's gen-2 rows outlive their
+    * gen-1 one). Mutations run INSIDE the artifact resolve
+    * (deterministic fingerprint); the oracle re-derives BM25 over the
+    * MERGED corpus (documents minus deleted, upserted texts replaced,
+    * appended doc added) — N, avgdl, df, tf all from the
+    * latest-wins view, so a resurrected generation or a half-applied
+    * publish goes hash-red at every SF.
+    */
+  private[graft] def mutatedTextPath(spark: SparkSession, dir: String): String =
+    operators.Artifacts.resolve(spark, "tindex_mut",
+      operators.Artifacts.corpusKey(dir),
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "v1 text verbs a/u/d")) { tmp =>
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      var idx = api.TextIndex.build(docs, "doc_id", "text", tmp)
+      idx = idx.append(Seq((bm25MutAppendId, bm25MutAppendText)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      idx = idx.upsert(bm25MutUpserts.toDF("doc_id", "text"), "doc_id", "text")
+      idx.delete(bm25MutDeletes.toDF("doc_id"))
+      ()
+    }
+
+  /** BM25 top-10 served from the MUTATED index through the production
+    * facade (load → search) — the text-side keyed hash gate on the
+    * mutation machinery, twin of [[annGraphMutated]].
+    */
+  def bm25TopKMutated(spark: SparkSession, dir: String): DataFrame =
+    api.TextIndex.load(spark, mutatedTextPath(spark, dir)).search(bm25Terms, k = 10)
 
   /** Metadata-filtered keyword retrieval (reference:
     * filter_index.rs:23-104 Operation::Equal composed with search, the
