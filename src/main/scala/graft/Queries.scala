@@ -59,6 +59,30 @@ object Queries {
     spark.read.parquet(path)
   }
 
+  /** Run independent query legs CONCURRENTLY (guide §2.6 "overlap
+    * independent jobs"): the graph curve queries each run several
+    * independent beam walks, and the driver-stated walk
+    * ([[operators.GraphAnn.beamStates]]) submits its per-hop jobs
+    * eagerly — sequential legs leave the cluster idle between tiny
+    * jobs. A bounded pool submits the legs together; the FIFO scheduler
+    * back-fills executors freed by one leg's tail with the next leg's
+    * tasks. Results keep their input order (futures awaited in order),
+    * so unions built from them are unchanged row-for-row.
+    */
+  private def inParallel[T](xs: Seq[() => T], par: Int = 8): Seq[T] =
+    if (xs.lengthCompare(2) < 0) xs.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(par, xs.size))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = xs.map(f => scala.concurrent.Future(f()))
+        fs.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
+    }
+
   /** Query vector = the embedding of a fixed vec_id. One driver-side row
     * fetch — in a serving flow this vector arrives with the request
     * (reference: SearchRequest.vectors, src/models/request/search.rs).
@@ -803,7 +827,7 @@ object Queries {
     val qv = queryVec(spark, dir, 13L)
     val exact = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
       .select(col("id"))
-    Seq(2, 4, 8, 16, 32).map { b =>
+    inParallel(Seq(2, 4, 8, 16, 32).map { b => () =>
       val last = operators.GraphAnn.beamStates(
         spark.read.parquet(s"$base/entries").select(col("id"), col("vec")),
         spark.read.parquet(s"$base/edges"), qv, beam = b, hops = 3).last
@@ -812,7 +836,7 @@ object Queries {
         .agg(count(lit(1)).as("n_hits"))
         .select(lit(b).as("beam"), col("n_hits"),
           roundTo(col("n_hits") / lit(10L), 4).as("recall"))
-    }.reduce(_ unionAll _).orderBy("beam")
+    }).reduce(_ unionAll _).orderBy("beam")
   }
 
   /** The serving layout for the DEGREE knob's curve — ONE written-once
@@ -870,7 +894,7 @@ object Queries {
     val exact = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
       .select(col("id"))
     val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
-    Seq(3, 8, 16, 32).map { kk =>
+    inParallel(Seq(3, 8, 16, 32).map { kk => () =>
       val edges = spark.read.parquet(s"$base/edges").where(col("min_rank") <= kk)
       val nEdges = edges.agg(count(lit(1)).as("n_edges"))
       val last = operators.GraphAnn.beamStates(entries, edges, qv,
@@ -881,7 +905,7 @@ object Queries {
         .select(lit(kk).as("degree"), col("n_hits"),
           roundTo(col("n_hits") / lit(10L), 4).as("recall"))
         .crossJoin(nEdges) // 1-row × 1-row broadcast
-    }.reduce(_ unionAll _).orderBy("degree")
+    }).reduce(_ unionAll _).orderBy("degree")
   }
 
   /** The degree × beam INTERACTION grid — the knob family's only
@@ -905,7 +929,7 @@ object Queries {
     val exact = Knn.searchExact(emb, "vec_id", "embedding", qv, 10, "l2")
       .select(col("id"))
     val entries = spark.read.parquet(s"$base/entries").select(col("id"), col("vec"))
-    (for { kk <- Seq(3, 16, 32); b <- Seq(2, 8, 32) } yield {
+    inParallel(for { kk <- Seq(3, 16, 32); b <- Seq(2, 8, 32) } yield { () =>
       val edges = spark.read.parquet(s"$base/edges").where(col("min_rank") <= kk)
       val last = operators.GraphAnn.beamStates(entries, edges, qv,
         beam = b, hops = 3).last
@@ -954,15 +978,22 @@ object Queries {
   private[graft] def filteredWalkPreds(spark: SparkSession, dir: String)
       : Seq[(String, Column, String, Int, Int)] = {
     val emb = Tables.embeddings(spark, dir)
-    val n = emb.count()
-    Seq(("label=2", col("label") === 2, "e.label = 2", 32),
+    val preds = Seq(("label=2", col("label") === 2, "e.label = 2", 32),
         ("label<8", col("label") < 8, "e.label < 8", 16),
-        ("label<>2", col("label") =!= 2, "e.label <> 2", 8)).map {
-      case (name, pred, sqlPred, comp) =>
-        val sel = emb.where(pred).count().toDouble / math.max(n, 1L)
-        val adapt = math.min(FilteredWalkBeamMax,
-          math.max(8, math.ceil(8.0 / math.max(sel, 1e-9)).toInt))
-        (name, pred, sqlPred, comp, adapt)
+        ("label<>2", col("label") =!= 2, "e.label <> 2", 8))
+    // ONE narrow scan for all four cardinalities (the old shape paid
+    // four separate count() jobs — same values, conditional counts)
+    val cnts = emb.agg(
+      count(lit(1)).as("n"),
+      preds.zipWithIndex.map { case ((_, p, _, _), i) =>
+        count(when(p, lit(1))).as(s"c$i")
+      }: _*).first()
+    val n = cnts.getLong(0)
+    preds.zipWithIndex.map { case ((name, pred, sqlPred, comp), i) =>
+      val sel = cnts.getLong(i + 1).toDouble / math.max(n, 1L)
+      val adapt = math.min(FilteredWalkBeamMax,
+        math.max(8, math.ceil(8.0 / math.max(sel, 1e-9)).toInt))
+      (name, pred, sqlPred, comp, adapt)
     }
   }
 
@@ -982,10 +1013,10 @@ object Queries {
     // across the comp/adapt legs — the walk is filter-independent (the
     // gate applies only at the cut)
     val beams = (preds.map(_._4) ++ preds.map(_._5) :+ 8).distinct.sorted
-    val lasts = beams.map { b =>
-      b -> operators.GraphAnn.beamStates(entries, edges, qv,
+    val lasts = beams.zip(inParallel(beams.map { b => () =>
+      operators.GraphAnn.beamStates(entries, edges, qv,
         beam = b, hops = 3).last
-    }.toMap
+    })).toMap
     preds.map { case (name, pred, _, compBeam, adaptBeam) =>
       val pass = emb.where(pred).select(col("vec_id").as("id"))
       val exact = Knn.searchExact(emb.where(pred), "vec_id", "embedding", qv, 10, "l2")
@@ -2351,11 +2382,19 @@ object Queries {
       operators.LshIndex.bandPlanes(bands = 8, nBits = 4, dim = 64),
       minCosine = -1.0)
       .select("cosine")
-    Seq(0.2, 0.35, 0.5, 0.65, 0.8).map { t =>
-      cand.where(col("cosine") >= t)
-        .agg(count(lit(1)).as("n_pairs"))
-        .select(lit(t).as("min_cosine"), col("n_pairs"))
-    }.reduce(_ unionAll _).orderBy("min_cosine")
+    // ONE pass with conditional counts (the old per-threshold union
+    // re-ran the whole blocked candidate kernel per curve point);
+    // count(when(...)) ≡ count over the filtered frame, same BIGINT
+    val ts = Seq(0.2, 0.35, 0.5, 0.65, 0.8)
+    val aggs = ts.zipWithIndex.map { case (t, i) =>
+      count(when(col("cosine") >= t, lit(1))).as(s"n$i")
+    }
+    cand.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ts.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("min_cosine"), col(s"n$i").as("n_pairs"))
+      }: _*)).as("r"))
+      .select(col("r.min_cosine"), col("r.n_pairs"))
+      .orderBy("min_cosine")
   }
 
   /** Incremental ingest dedup: the doc_id % 10 == 0 slice plays the

@@ -284,48 +284,71 @@ object GraphAnn {
   }
 
   /** The visited sets after 0..hops expansion rounds — (id, dist)
-    * frames, each a superset of the previous. ONE lazy plan tree: the
-    * per-round frontier is a `beam`-bounded TakeOrdered subplan, the
-    * expansion is a broadcast-size join against the edges artifact
-    * (frontier × degree rows), and candidates score from dst_vec —
-    * no corpus access anywhere.
+    * frames, each a superset of the previous.
+    *
+    * DRIVER-STATED walk (r16 optimization — guide §1.2/§6): the walk's
+    * per-round state is bounded BY CONSTRUCTION — hop 0 is the entry
+    * set (≤ the route threshold unrouted, ~routeProbe·√E routed) and
+    * every later round adds ≤ beam × degree rows — which is exactly
+    * the bound the previous shape used to justify broadcast-hinting
+    * the visited set to the executors EVERY hop. Holding the same
+    * bounded state on the driver instead collapses each round to ONE
+    * job: a single scan of the edges artifact with the frontier as a
+    * PUSHED `src_id IN (...)` predicate (PushedFilters — this is what
+    * the range-sorted, small-row-group edge layout was built for:
+    * row-group statistics prune the scan to O(beam) groups, where the
+    * old broadcast-join shape re-read the WHOLE artifact every hop —
+    * corpus-proportional IO per round at scale, measured 120 s of task
+    * time on the sf0.1 degree curve), scoring candidates in-plan from
+    * dst_vec (the same codegen expression ⇒ bit-identical doubles) and
+    * returning ≤ frontier × degree narrow (id, dist) rows. Visited-set
+    * filtering and the frontier cut are exact driver-side set ops on
+    * that bounded state; per-hop persisted frames, their cache
+    * management and the per-walk nonce all disappear (nothing is
+    * cached, so a mutated artifact can never serve a stale frame).
+    * The returned states are local relations — downstream cuts and
+    * joins see identical values.
     */
   def beamStates(entries: DataFrame, edges: DataFrame, queryVec: Array[Float],
                  beam: Int, hops: Int, metric: String = "l2"): Seq[DataFrame] = {
     require(beam >= 1 && hops >= 0)
-    val scoredEntries = nonced(entries).select(col("id"),
-      Knn.score(metric, col("vec"), typedLit(queryVec)).as("dist"))
-    // Each round's newly-scored frame is PERSISTED (it is tiny:
-    // ≤ frontier × degree narrow (id, dist) rows) because round h+1
-    // references round h three times (frontier cut, visited anti-join,
-    // state union) — without the cache the lazy plan tree recomputes
-    // every prefix per reference, 2^hops duplication of the hop work.
-    // The walk is [[nonced]] so these cache entries are keyed to THIS
-    // walk alone — see the nonce doc for the stale-reuse hazard over a
-    // mutable serving layout. Caches are query-local and reclaimed by
-    // the ContextCleaner (persist contract atop graft.Queries).
-    var fresh = scoredEntries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var freshFrames = Vector(fresh)
+    val spark = entries.sparkSession
+    import spark.implicits._
+    // hop 0: one job scoring the bounded entry set (scored in-plan —
+    // same expression tree as before ⇒ identical doubles)
+    val h0 = entries.select(col("id"),
+        Knn.score(metric, col("vec"), typedLit(queryVec)).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val visited = scala.collection.mutable.LinkedHashMap[Long, Double]()
+    h0.foreach { case (id, d) => if (!visited.contains(id)) visited(id) = d }
+    var fresh: Array[(Long, Double)] = visited.toArray
+    def snapshot(): DataFrame = visited.toSeq.toDF("id", "dist")
     val states = Seq.newBuilder[DataFrame]
-    states += fresh
+    states += snapshot()
     for (_ <- 1 to hops) {
-      val visited = freshFrames.reduce(_ unionByName _)
-      val frontier = fresh.orderBy(col("dist"), col("id")).limit(beam).select(col("id"))
-      // the frontier (≤ beam rows) and the visited set (≤ K +
-      // hops·beam·degree rows) are the provably-bounded sides — HINTED
-      // broadcast, because the optimizer cannot see those bounds
-      // through the window/limit lineage and would otherwise SHUFFLE
-      // THE EDGE ARTIFACT per hop once it outgrows the auto-broadcast
-      // threshold (corpus-proportional shuffle for O(beam) lookups)
-      val cands = broadcast(frontier).join(edges, frontier("id") === edges("src_id"))
-        .select(col("dst_id").as("id"), col("dst_vec"))
-        .dropDuplicates("id") // every copy carries the same dst_vec
-        .join(broadcast(visited.select(col("id"))), Seq("id"), "left_anti")
-      fresh = cands.select(col("id"),
-        Knn.score(metric, col("dst_vec"), typedLit(queryVec)).as("dist"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      freshFrames :+= fresh
-      states += freshFrames.reduce(_ unionByName _)
+      // frontier cut — same ordering as the old TakeOrdered subplan
+      val frontier = fresh.sortBy { case (id, d) => (d, id) }.take(beam).map(_._1)
+      if (frontier.isEmpty) states += snapshot()
+      else {
+        // ONE scan: the frontier IN-list reaches the parquet reader
+        // (row-group pruning on the src_id-sorted layout); candidates
+        // score in-row from dst_vec — the corpus table appears nowhere
+        val cand = edges.where(col("src_id").isin(frontier.toSeq: _*))
+          .select(col("dst_id").as("id"),
+            Knn.score(metric, col("dst_vec"), typedLit(queryVec)).as("dist"))
+          .collect()
+        // visited anti-join + duplicate drop (every copy of a dst
+        // carries the same dst_vec ⇒ the same dist), driver-side
+        val newOnes = scala.collection.mutable.LinkedHashMap[Long, Double]()
+        cand.foreach { r =>
+          val id = r.getLong(0)
+          if (!visited.contains(id) && !newOnes.contains(id))
+            newOnes(id) = r.getDouble(1)
+        }
+        fresh = newOnes.toArray
+        fresh.foreach { case (id, d) => visited(id) = d }
+        states += snapshot()
+      }
     }
     states.result()
   }
@@ -621,6 +644,12 @@ object GraphAnn {
       // side of a hop (it would otherwise re-shuffle per hop, corpus-
       // proportional, the moment it outgrows the auto threshold; a
       // corpus-scale query set belongs on knnJoinIvf, not this walk)
+      // (r16 note: a per-hop driver-collected src_id IN-list pushed
+      // into the edge scan was tried and MEASURED SLOWER here — the
+      // synchronous per-hop distinct+collect serializes the otherwise
+      // lazy pipeline; at batch query loads the full-artifact scan is
+      // amortized over every query of the chunk, unlike the
+      // single-query walk where the same pushdown won 8×.)
       val cands = broadcast(frontier).join(edges, frontier("id") === edges("src_id"))
         .select(col("q_id"), col("dst_id").as("id"), col("dst_vec"))
         .dropDuplicates("q_id", "id")
