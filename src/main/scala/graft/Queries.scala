@@ -644,11 +644,18 @@ object Queries {
         operators.GraphAnn.routeEntries(entries, routeCents, qv,
           operators.GraphAnn.RouteProbe)) +:
       (1 to 3).flatMap { h =>
-        val frontier = freshAt(h - 1).orderBy(col("dist"), col("id")).limit(beam)
-          .select(col("id"))
+        // r16: the frontier is a bounded local relation (the
+        // driver-stated walk) — its ids reach the edge scan as a
+        // pushed IN-list, so each per-hop edge-row count reads only
+        // the frontier's row groups instead of the whole artifact
+        // (count unchanged: frontier ids are unique, so the old
+        // broadcast-join row count equals the filtered scan's)
+        val frontierIds = freshAt(h - 1)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+          .sortBy { case (id, d) => (d, id) }.take(beam).map(_._1)
         Seq(
           phaseRow(s"h${h}_edge_rows",
-            broadcast(frontier).join(edges, frontier("id") === edges("src_id"))),
+            edges.where(col("src_id").isin(frontierIds.toSeq: _*))),
           phaseRow(s"h${h}_scored", freshAt(h)))
       }
     rows.reduce(_ unionAll _).orderBy("phase")

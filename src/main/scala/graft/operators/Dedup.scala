@@ -53,6 +53,13 @@ object Dedup {
     * feed the `...FromShingles` variants — tokenize/shingle is the
     * dominant map-side cost at corpus scale and must not run per leg.
     */
+  // (r16 note: a Skew.spreadScan of the tokenize+shingle inputs was
+  // tried on the text kernels and MEASURED SLOWER at sf0.1 — 32
+  // concurrent allocation-heavy string tasks inflate CPU 4-10× via
+  // GC/allocator contention, while these kernels' dominant stages (the
+  // pair joins) already parallelize after the first exchange. The
+  // spread stays where it measured faster: the multimodal byte-decode
+  // seams, whose per-row work is compute-dense and allocation-light.)
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       wordShingleHash60(wordTokens(col(textCol)), n).as("gh"))

@@ -617,6 +617,14 @@ object GraphAnn {
     val q = nonced(queries)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perQ = Window.partitionBy("q_id").orderBy(col("dist"), col("id"))
+    // r16: every per-hop frame is hash-partitioned by q_id ONCE (an
+    // explicit repartition the downstream operators all reuse —
+    // HashPartitioning(q_id) satisfies the dedup aggregate's
+    // ClusteredDistribution(q_id, id) AND the frontier/cut windows'
+    // ClusteredDistribution(q_id)), so each hop pays ONE exchange of
+    // the bounded |q|-proportional frame instead of two (dedup + next
+    // hop's window) — guide §2.4 "two operations keyed the same way
+    // share one exchange".
     val scoredEntries = (route match {
       case Some((rc, rp)) =>
         val ent =
@@ -630,7 +638,8 @@ object GraphAnn {
         q.crossJoin(broadcast(entries.select(col("id"), col("vec"))))
           .select(col("q_id"), col("id"),
             Knn.score(metric, col("vec"), col("q_vec")).as("dist"))
-    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }).repartition(col("q_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var fresh = scoredEntries
     var freshFrames = Vector(fresh)
     for (_ <- 1 to hops) {
@@ -652,6 +661,7 @@ object GraphAnn {
       // single-query walk where the same pushdown won 8×.)
       val cands = broadcast(frontier).join(edges, frontier("id") === edges("src_id"))
         .select(col("q_id"), col("dst_id").as("id"), col("dst_vec"))
+        .repartition(col("q_id")) // the hop's ONE exchange (see above)
         .dropDuplicates("q_id", "id")
         .join(broadcast(visited.select(col("q_id"), col("id"))), Seq("q_id", "id"), "left_anti")
       fresh = cands.join(broadcast(q), Seq("q_id"))

@@ -252,7 +252,7 @@ object Multimodal {
   def decodeAuto(media: DataFrame): Dataset[DecodedAv] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("payload"))
+    Skew.spreadScan(media.select(col("doc_id").cast("long"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, bytes) => decodeAny(id, bytes) })
   }
@@ -370,7 +370,7 @@ object Multimodal {
   def decode(media: DataFrame): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("payload"))
+    Skew.spreadScan(media.select(col("doc_id").cast("long"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here (amortized, like
@@ -386,7 +386,7 @@ object Multimodal {
   def decodeFrames(media: DataFrame): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("doc_id").cast("long"), col("payload"))
+    Skew.spreadScan(media.select(col("doc_id").cast("long"), col("payload")))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, bytes) => decodePpmFrames(id, bytes) })
   }
