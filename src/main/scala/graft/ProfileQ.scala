@@ -54,9 +54,18 @@ object ProfileQ {
     val taskTimeMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufReadB = new java.util.concurrent.atomic.AtomicLong(0L)
     val shufWriteB = new java.util.concurrent.atomic.AtomicLong(0L)
+    val showStages = args.contains("-stages")
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = stages += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        if (showStages) {
+          val si = s.stageInfo
+          val m = si.taskMetrics
+          if (m != null && m.executorRunTime > 300)
+            println(f"    stage ${si.stageId}%4d ${m.executorRunTime / 1000.0}%7.2fs tasks=${si.numTasks}%4d ${si.name.take(90)}")
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks += 1
         val m = t.taskMetrics

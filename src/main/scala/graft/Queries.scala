@@ -2655,10 +2655,15 @@ object Queries {
   private def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     val path = operators.Artifacts.resolve(spark, "ppm_media",
       operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "ppm-v1")) { tmp =>
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "ppm-v2 par")) { tmp =>
+      // written in parallelism-many files (guide §6 output layout): the
+      // decode consumers are partition-wise mapPartitions passes, and a
+      // single-file artifact would cap every decode at ONE task — the
+      // build pays this one spread so serving never shuffles payloads
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           operators.Multimodal.ppmPayload(col("text")).as("payload"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(tmp)
     }
     spark.read.parquet(path)
@@ -2674,12 +2679,14 @@ object Queries {
   private def avMediaTable(spark: SparkSession, dir: String): DataFrame = {
     val path = operators.Artifacts.resolve(spark, "av_media",
       operators.Artifacts.corpusKey(dir),
-      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "av-v1")) { tmp =>
+      operators.Artifacts.fingerprint(spark, Seq(dir), spec = "av-v2 par")) { tmp =>
+      // parallel file layout at write — see [[mediaTable]]
       Tables.documents(spark, dir)
         .select(col("doc_id"),
           when(col("doc_id") % 2 === 0,
             operators.Multimodal.ppmPayload(col("text")))
             .otherwise(operators.Multimodal.wavPayload(col("text"))).as("payload"))
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(tmp)
     }
     spark.read.parquet(path)

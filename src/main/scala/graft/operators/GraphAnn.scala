@@ -312,42 +312,67 @@ object GraphAnn {
   def beamStates(entries: DataFrame, edges: DataFrame, queryVec: Array[Float],
                  beam: Int, hops: Int, metric: String = "l2"): Seq[DataFrame] = {
     require(beam >= 1 && hops >= 0)
-    val spark = entries.sparkSession
-    import spark.implicits._
-    // hop 0: one job scoring the bounded entry set (scored in-plan —
-    // same expression tree as before ⇒ identical doubles)
-    val h0 = entries.select(col("id"),
-        Knn.score(metric, col("vec"), typedLit(queryVec)).as("dist"))
-      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val scoreEntry = Knn.score(metric, col("vec"), typedLit(queryVec))
+    def scoreDst = Knn.score(metric, col("dst_vec"), typedLit(queryVec))
+    val scoredEntries = entries.select(col("id"), scoreEntry.as("dist"))
+    // DRIVING pass: hop 0's bounded entry set comes to the driver once
+    // (scored in-plan — the identical expression the returned plans
+    // carry, so every double matches bit-for-bit)
+    val h0 = scoredEntries.collect().map(r => (r.getLong(0), r.getDouble(1)))
     val visited = scala.collection.mutable.LinkedHashMap[Long, Double]()
     h0.foreach { case (id, d) => if (!visited.contains(id)) visited(id) = d }
     var fresh: Array[(Long, Double)] = visited.toArray
-    def snapshot(): DataFrame = visited.toSeq.toDF("id", "dist")
+    // RETURNED states stay plans OVER THE ARTIFACT: round h's fresh
+    // frame re-derives as a single pruned scan of `edges/` — the
+    // frontier IN-list pushed to the reader plus a dst→src pair-map
+    // equality that keeps exactly one edge row per newly-visited id
+    // (multiple frontier copies of a dst carry the same dst_vec ⇒ the
+    // same dist; the driving pass picked the min-src copy) — so the
+    // serving plan the callers compose, cache-check and PLAN-AUDIT
+    // still reads only `entries`/`edges` (PushedFilters visible,
+    // route_cell filter riding the entries scan on routed arms), with
+    // ZERO exchanges and zero per-hop caches: the whole walk serve is
+    // one union of pruned scans under a bounded top-k cut.
+    var freshPlans = Vector(scoredEntries)
     val states = Seq.newBuilder[DataFrame]
-    states += snapshot()
+    states += scoredEntries
     for (_ <- 1 to hops) {
-      // frontier cut — same ordering as the old TakeOrdered subplan
+      // frontier cut — same (dist, id) ordering as the old TakeOrdered
       val frontier = fresh.sortBy { case (id, d) => (d, id) }.take(beam).map(_._1)
-      if (frontier.isEmpty) states += snapshot()
-      else {
-        // ONE scan: the frontier IN-list reaches the parquet reader
-        // (row-group pruning on the src_id-sorted layout); candidates
-        // score in-row from dst_vec — the corpus table appears nowhere
+      if (frontier.isEmpty) {
+        fresh = Array.empty
+        states += freshPlans.reduce(_ unionByName _)
+      } else {
+        // ONE pruned scan per round: frontier IN-list reaches the
+        // parquet reader (row-group pruning on the src_id-sorted,
+        // small-row-group layout); candidates score in-row from
+        // dst_vec — the corpus table appears nowhere
         val cand = edges.where(col("src_id").isin(frontier.toSeq: _*))
-          .select(col("dst_id").as("id"),
-            Knn.score(metric, col("dst_vec"), typedLit(queryVec)).as("dist"))
+          .select(col("src_id"), col("dst_id"), scoreDst.as("dist"))
           .collect()
-        // visited anti-join + duplicate drop (every copy of a dst
-        // carries the same dst_vec ⇒ the same dist), driver-side
-        val newOnes = scala.collection.mutable.LinkedHashMap[Long, Double]()
+        // visited anti-join + duplicate drop on the driver (bounded:
+        // ≤ frontier × degree rows), keeping the min-src copy per new
+        // dst as the canonical pair the re-derivation plan selects
+        val pairs = scala.collection.mutable.LinkedHashMap[Long, (Long, Double)]()
         cand.foreach { r =>
-          val id = r.getLong(0)
-          if (!visited.contains(id) && !newOnes.contains(id))
-            newOnes(id) = r.getDouble(1)
+          val s = r.getLong(0); val d = r.getLong(1)
+          if (!visited.contains(d)) {
+            val keep = pairs.get(d) match {
+              case Some((s0, _)) => s < s0
+              case None          => true
+            }
+            if (keep) pairs(d) = (s, r.getDouble(2))
+          }
         }
-        fresh = newOnes.toArray
-        fresh.foreach { case (id, d) => visited(id) = d }
-        states += snapshot()
+        fresh = pairs.iterator.map { case (d, (_, dist)) => (d, dist) }.toArray
+        fresh.foreach { case (d, dist) => visited(d) = dist }
+        val pairMap = pairs.iterator.map { case (d, (s, _)) => (d, s) }.toMap
+        val freshPlan = edges
+          .where(col("src_id").isin(frontier.toSeq: _*) &&
+            col("src_id") === element_at(typedLit(pairMap), col("dst_id")))
+          .select(col("dst_id").as("id"), scoreDst.as("dist"))
+        freshPlans :+= freshPlan
+        states += freshPlans.reduce(_ unionByName _)
       }
     }
     states.result()

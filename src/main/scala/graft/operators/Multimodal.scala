@@ -252,7 +252,7 @@ object Multimodal {
   def decodeAuto(media: DataFrame): Dataset[DecodedAv] = {
     val spark = media.sparkSession
     import spark.implicits._
-    Skew.spreadScan(media.select(col("doc_id").cast("long"), col("payload")))
+    media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.map { case (id, bytes) => decodeAny(id, bytes) })
   }
@@ -370,7 +370,11 @@ object Multimodal {
   def decode(media: DataFrame): Dataset[Decoded] = {
     val spark = media.sparkSession
     import spark.implicits._
-    Skew.spreadScan(media.select(col("doc_id").cast("long"), col("payload")))
+    // NOTE: decode parallelism comes from the media table's FILE LAYOUT
+    // (the artifact is written in parallelism-many files — guide §6),
+    // never from a repartition here: the scaling certificate's contract
+    // is that decode is map-side with shuffle NOT growing in the corpus
+    media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here (amortized, like
@@ -386,7 +390,7 @@ object Multimodal {
   def decodeFrames(media: DataFrame): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
-    Skew.spreadScan(media.select(col("doc_id").cast("long"), col("payload")))
+    media.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(it => it.flatMap { case (id, bytes) => decodePpmFrames(id, bytes) })
   }

@@ -21,29 +21,6 @@ object Skew {
   def salt(n: Int, cols: Column*): Column =
     pmod(xxhash64(cols: _*), lit(n.toLong)).cast("int")
 
-  /** Split-starved input guard — the unsplittable-input case of guide
-    * §2.5 ("one huge unsplittable file … repartition immediately after
-    * the read"): when the physical layout caps the SCAN's parallelism
-    * far below the session's (a single-row-group parquet file cannot be
-    * split — every map-side tokenizer/decoder/explode then runs on ONE
-    * core until the first exchange), spread the scan output once with a
-    * round-robin repartition. When the input already splits to at least
-    * half the session parallelism — every properly-laid-out corpus at
-    * scale — this is the IDENTITY: no exchange is added, so the
-    * operators' scale envelopes (shuffle ∝ documented shape) are
-    * untouched where it matters and the spread only fires in the
-    * starved-layout regime it exists for. Deterministic results either
-    * way: callers are partition-robust by construction (the bench runs
-    * at multiple core counts), and sort-before-repartition keeps the
-    * row→partition assignment reproducible under retries.
-    */
-  def spreadScan(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    // planning-only probe (no job): the scan's actual split count
-    val have = df.rdd.getNumPartitions
-    if (have * 2 <= want) df.repartition(want) else df
-  }
-
   /** Skew-proof equi-join: the big (skewed) side gets a deterministic
     * per-row salt; the small side is replicated `numSalts` times so every
     * (key, salt) bucket finds its match. One shuffle each side on

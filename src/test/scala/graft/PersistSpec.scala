@@ -828,7 +828,13 @@ class PersistSpec extends SparkSpec {
       Tombstones.TombTable("t", Seq("id"), genCol = Some("gen")),
       Tombstones.TombTable("e", Seq("a", "b"), genCol = Some("gen"))))
     assert(!Tombstones.present(spark, base))
-    assert(live() === Set((1L, 2L), (2L, 0L)), "the fold preserves exactly what reads served")
+    // the fold keeps exactly the ids reads served (1 via its gen-2 row,
+    // 2 via gen 0) and RESTAMPS them to the gen-0 baseline — a compacted
+    // table reads like a fresh build; serve-equivalent because no
+    // tombstone survives the fold and every future tombstone's upto is
+    // ≥ the (preserved) gen counter ≥ every pre-fold stamp
+    assert(live() === Set((1L, 0L), (2L, 0L)),
+      "the fold preserves exactly the ids reads served, restamped to the gen-0 baseline")
     assert(spark.read.parquet(s"$base/e").count() === 1L)
   }
 }
